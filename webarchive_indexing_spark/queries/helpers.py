@@ -1,0 +1,64 @@
+"""Shared helpers for authoring oracle-parity queries.
+
+Float determinism: summing doubles is reduction-order dependent, and
+Spark and DuckDB reduce in different orders.  ``dsum``/``davg`` route
+the per-row expression (itself deterministic IEEE-754 arithmetic,
+identical in both engines) through ``DECIMAL(18,6)``, sum exactly,
+round to 2 decimals and cast back to double — bit-identical on both
+sides regardless of partitioning.  Use these for every aggregated
+double; pass raw doubles through untouched (parquet bits match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+DEC = "decimal(18,6)"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)), 2).cast("double").alias(alias)
+
+
+def hround(c: Column, n: int = 2) -> Column:
+    """Half-up rounding as pure IEEE-754 double ops.
+
+    Spark rounds doubles via BigDecimal's exact binary expansion;
+    DuckDB via a multiply trick — they disagree at .xx5 boundaries.
+    ``floor(x*10^n + 0.5)/10^n`` is the same bit-deterministic double
+    arithmetic in both engines.  SQL twin: ``sql_hround``.
+    """
+    scale = float(10**n)
+    return F.floor(c.cast("double") * scale + F.lit(0.5)).cast("double") / scale
+
+
+def sql_hround(expr: str, n: int = 2) -> str:
+    scale = float(10**n)
+    return f"FLOOR(CAST(({expr}) AS DOUBLE) * {scale} + 0.5) / {scale}"
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    # NOT avg(): Spark averages decimals exactly (half-up at .xx5),
+    # DuckDB averages in double — instead both engines are given the
+    # identical double (exact decimal sum → double / count) and round
+    # it with identical IEEE ops (hround).
+    c = F.col(col) if isinstance(col, str) else col
+    return hround(F.sum(c.cast(DEC)).cast("double") / F.count(c), 2).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), 2) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    inner = f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr})"
+    return f"{sql_hround(inner, 2)} AS {alias}"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table (lazy parquet scan)."""
+    return load_table(spark, sf_dir, name)

@@ -1,0 +1,68 @@
+"""SparkSession construction and per-session runtime tuning.
+
+Two entry paths:
+
+* ``get_session()`` — build a session for tests / bench (local mode).
+* ``tune(spark)``   — apply the runtime-settable knobs to an
+  externally provided session (the driver hands us its own session in
+  ``__spark_entry__``; we cannot rebuild it, but AQE flags and the
+  session timezone are runtime-mutable).
+
+Scale rationale (100 TB target, SURVEY.md §4):
+* AQE on: runtime partition coalescing + skew-join splitting replace
+  the reference's static split-points file (samplecdxjob.py [U]).
+* UTC session timezone: deterministic date arithmetic regardless of
+  cluster locale, and required for DuckDB-oracle parity.
+* Arrow enabled: every JVM↔Python crossing is batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: conf entries that are safe (and meaningful) to set at runtime.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # driver tables store events.ts as parquet TIMESTAMP(NANOS) which
+    # Spark 4 rejects; read as long ns and rebuild µs timestamps in
+    # tables.load_table (matches DuckDB's truncate-to-µs semantics).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet scans: keep scan partitions big enough to amortize task
+    # startup but small enough to fit executor memory at 100 TB.
+    "spark.sql.files.maxPartitionBytes": "256m",
+}
+
+#: conf entries that must be set before the JVM starts.
+BUILD_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by the host
+            pass
+    return spark
+
+
+def get_session(app_name: str = "webarchive-indexing-spark") -> SparkSession:
+    """Build (or fetch) a local session with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    )
+    for k, v in {**BUILD_CONF, **RUNTIME_CONF}.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
