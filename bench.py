@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs each headline query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Materialization is a noop-sink write (full pipeline executes on the
+executors; nothing funnels through the driver), which is the honest
+cost model for a cluster sink.  One untimed warmup executes first so
+JVM/codegen startup is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from webarchive_indexing_spark.registry import all_queries  # noqa: E402
+from webarchive_indexing_spark.session import get_session  # noqa: E402
+
+#: headline set — updated as operators land (keep ~10; representative
+#: of scan/filter/join/agg/window/sort/llm families).
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_broadcast_dim",
+    "join_large_smj",
+    "join_theta_range",
+    "agg_count_distinct",
+    "agg_rollup",
+    "topk_desc",
+    "fn_json_map",
+    "fn_array_ops",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("webarchive-indexing-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # untimed warmup: JVM, codegen, parquet footer caches
+    materialize(qs[names[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
