@@ -1,3 +1,283 @@
-"""Window-function queries (SURVEY.md §2.5) — filled in M1/M2."""
+"""Window-function queries (SURVEY.md §2.5 W1-W6, §2.3 J7, §2.9
+ST2/ST3 batch equivalents) over the events table."""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.asof import asof_join
+from ..operators.collapse import collapse
+from ..operators.sessionize import sessionize
+from ..registry import query
+from .helpers import dsum, hround, sql_dsum, sql_hround, t
+
+
+@query(
+    "win_row_number",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def win_row_number(spark, sf_dir):
+    """W1 row_number: latest event per user (cdx 'latest capture per
+    url' shape [B]) — one shuffle on the partition key."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk, drnk FROM (
+      SELECT o_custkey, o_orderkey,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def win_rank_dense(spark, sf_dir):
+    """W1 rank/dense_rank: top-3 orders per customer."""
+    o = t(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w1).alias("rnk"),
+            F.dense_rank().over(w2).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "win_collapse_runs",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_kept FROM (
+      SELECT user_id,
+             strftime(ts, '%Y%m%d') AS day_key,
+             LAG(strftime(ts, '%Y%m%d')) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_key
+      FROM events
+    ) WHERE prev_key IS NULL OR day_key <> prev_key
+    GROUP BY user_id
+    """,
+)
+def win_collapse_runs(spark, sf_dir):
+    """W2 cdx-server ``collapse`` [B]: run-based keep-first on a key
+    prefix (here collapseTime=8 ≙ day granularity per user).  The same
+    key reappearing after a gap starts a new run — group-based dedup
+    would undercount; operators.collapse implements run semantics."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day_key", F.date_format("ts", "yyyyMMdd")
+    )
+    kept = collapse(
+        ev,
+        partition_by=["user_id"],
+        order_by=[F.col("ts").asc(), F.col("event_id").asc()],
+        collapse_key=F.col("day_key"),
+    )
+    return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    """W3 lag/lead: inter-event gap + next event type per user
+    (revisit-chain / sessionization primitive)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_moving_agg",
+    oracle=f"""
+    SELECT event_id,
+           {sql_hround("SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 2)} AS moving_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame
+    FROM events
+    """,
+)
+def win_moving_agg(spark, sf_dir):
+    """W4 frame aggregate: 3-row moving sum per user.
+
+    The frame sums ≤3 doubles in one deterministic left-to-right pass
+    in both engines, so hround suffices (no decimal detour needed)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        hround(F.sum("value").over(w), 2).alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+@query(
+    "win_ntile_pctrank",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS pct
+    FROM customer
+    """,
+)
+def win_ntile_pctrank(spark, sf_dir):
+    """W5 ntile/percent_rank — shard-balance diagnostics shape.
+    percent_rank = (rank-1)/(n-1): one IEEE division, engine-stable."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct"),
+    )
+
+
+@query(
+    "win_global_block_index",
+    oracle="""
+    SELECT block_id,
+           MIN(o_orderkey) AS first_key,
+           COUNT(*) AS n_rows
+    FROM (
+      SELECT o_orderkey,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 100) AS BIGINT) AS block_id
+      FROM orders
+    ) GROUP BY block_id
+    """,
+)
+def win_global_block_index(spark, sf_dir):
+    """W6 global block index: the SQL-expressible half of the ZipNum
+    secondary index [U zipnumclusterjob.py reducer] — every
+    ``numlines``-th row in total order opens a block; byte offsets are
+    added by the partition-local writer (sinks.zipnum)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.floor((F.row_number().over(w) - 1) / 100).cast("bigint").alias("block_id"),
+        )
+        .groupBy("block_id")
+        .agg(F.min("o_orderkey").alias("first_key"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    SELECT p.event_id, p.user_id, v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_join_nearest(spark, sf_dir):
+    """J7 as-of join: latest prior 'view' for each 'purchase' of the
+    same user (cdx ``sort=closest`` per-URL resolution [B]).  Union
+    trick: one shuffle, no fan-out explosion (operators.asof)."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        probe_ts="ts",
+        build_ts="view_ts",
+        payload=["view_event_id"],
+    )
+    return joined.select("event_id", "user_id", "view_event_id")
+
+
+@query(
+    "sessionize_gaps",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, value, ts, event_id,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           {sql_dsum('value', 'session_value')}
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_gaps(spark, sf_dir):
+    """ST3 batch sessionization: 30-min inactivity gap → session ids,
+    then per-session rollup (operators.sessionize; streaming twin is
+    F.session_window)."""
+    ev = t(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "session_value")
+    )
+
+
+@query(
+    "tumbling_window_daily",
+    oracle=f"""
+    SELECT date_trunc('day', ts)::DATE AS day,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM events GROUP BY day, event_type
+    """,
+)
+def tumbling_window_daily(spark, sf_dir):
+    """ST2 batch-equivalent tumbling window via F.window(ts, '1 day')
+    — identical semantics to the streaming windowed agg; oracle frames
+    it as date_trunc."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
