@@ -1,0 +1,85 @@
+"""CDX line scan/sink round-trip (S4/S5) + CDXJ parse (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+from webarchive_indexing_spark.sources.cdx import (
+    CDX_SCHEMA,
+    parse_cdx_lines,
+    parse_cdxj_lines,
+    read_cdx_gz,
+    to_cdx_lines,
+    write_cdx_gz,
+)
+
+
+def _sample_cdx(spark, sf_dir):
+    c = derived_cdx(spark, sf_dir)
+    # give the full 11-field shape (derived view lacks url/redirect/robotflags)
+    return c.select(
+        "urlkey",
+        F.col("ts14").alias("timestamp"),
+        F.concat(F.lit("https://example.org/"), F.col("urlkey")).alias("url"),
+        "mime",
+        "status",
+        "digest",
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(None).cast("string").alias("robotflags"),
+        "length",
+        "offset",
+        "filename",
+    )
+
+
+def test_cdx_line_roundtrip(spark, sf_dir):
+    cdx = _sample_cdx(spark, sf_dir)
+    lines = to_cdx_lines(cdx)
+    back = parse_cdx_lines(lines)
+    assert back.schema == CDX_SCHEMA
+    a = sorted(map(tuple, cdx.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_cdx_gz_sink_is_standard_gzip(spark, sf_dir):
+    cdx = _sample_cdx(spark, sf_dir).limit(200)
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "cdx")
+        write_cdx_gz(cdx.repartition(2), out)
+        files = glob.glob(os.path.join(out, "*.txt.gz"))
+        assert files, "expected gzip part files"
+        # independently decompress with stock gzip → prove standard members
+        n = 0
+        for f in files:
+            with gzip.open(f, "rt") as fh:
+                for line in fh:
+                    assert len(line.split(" ")) == 11
+                    n += 1
+        assert n == 200
+        # partition-local sort: lines within each file are ordered
+        for f in files:
+            with gzip.open(f, "rt") as fh:
+                keys = [tuple(ln.split(" ")[:2]) for ln in fh]
+            assert keys == sorted(keys)
+        back = read_cdx_gz(spark, out)
+        assert back.count() == 200
+
+
+def test_cdxj_parse(spark):
+    rows = [
+        ('com,example)/a 20150101000000 {"url": "http://example.com/a", "status": "200"}',),
+        ('com,example)/b 20160202000000 {"url": "http://example.com/b", "digest": "XYZ"}',),
+    ]
+    df = spark.createDataFrame(rows, ["value"])
+    out = parse_cdxj_lines(df).collect()
+    assert out[0].urlkey == "com,example)/a"
+    assert out[0].timestamp == "20150101000000"
+    assert out[0].props["status"] == "200"
+    assert out[1].props["digest"] == "XYZ"

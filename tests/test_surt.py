@@ -1,0 +1,103 @@
+"""SURT canonicalizer: known pairs, native-vs-Python equivalence,
+Hypothesis properties (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webarchive_indexing_spark.functions.surt import (
+    surt_urlkey,
+    surt_urlkey_pandas,
+    surt_urlkey_py,
+)
+
+KNOWN = [
+    ("http://example.com/", "com,example)/"),
+    ("https://Example.COM/Path?b=2&a=1", "com,example)/path?a=1&b=2"),
+    ("http://www.example.com/page", "com,example)/page"),
+    ("http://www2.example.com/page", "com,example)/page"),
+    ("https://sub.Example.org:443/a/b", "org,example,sub)/a/b"),
+    ("http://example.com:80/x", "com,example)/x"),
+    ("http://example.com:8080/x", "com,example:8080)/x"),
+    ("http://user:pw@example.com/x", "com,example)/x"),
+    ("http://example.com/x#frag", "com,example)/x"),
+    ("http://example.com", "com,example)/"),
+    ("example.com/plain", "com,example)/plain"),
+    ("HTTP://A.B.C.EXAMPLE.NET/d?z=1&y=2&x=3", "net,example,c,b,a)/d?x=3&y=2&z=1"),
+]
+
+
+@pytest.mark.parametrize("url,expected", KNOWN)
+def test_known_pairs_python(url, expected):
+    assert surt_urlkey_py(url) == expected
+
+
+def test_known_pairs_native(spark):
+    df = spark.createDataFrame([(u,) for u, _ in KNOWN], ["url"])
+    got = [r[0] for r in df.select(surt_urlkey("url")).collect()]
+    assert got == [e for _, e in KNOWN]
+
+
+def test_pandas_udf_matches(spark):
+    df = spark.createDataFrame([(u,) for u, _ in KNOWN], ["url"])
+    udf = surt_urlkey_pandas()
+    got = [r[0] for r in df.select(udf("url")).collect()]
+    assert got == [e for _, e in KNOWN]
+
+
+_hosts = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8),
+    min_size=1,
+    max_size=4,
+).map(".".join)
+_paths = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789/_.-", max_size=20)
+_params = st.lists(
+    st.tuples(
+        st.text(alphabet="abcxyz", min_size=1, max_size=3),
+        st.text(alphabet="0123456789", min_size=1, max_size=3),
+    ),
+    max_size=4,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(host=_hosts, path=_paths, params=_params, scheme=st.sampled_from(["http", "https"]))
+def test_properties(host, path, params, scheme):
+    q = "&".join(f"{k}={v}" for k, v in params)
+    url = f"{scheme}://{host}/{path}" + (f"?{q}" if q else "")
+    key = surt_urlkey_py(url)
+
+    # deterministic + lowercase + no scheme residue
+    assert key == surt_urlkey_py(url.upper()[:0] + url)  # determinism
+    assert key == key.lower()
+    assert "://" not in key
+
+    # scheme-invariance
+    assert surt_urlkey_py(url.replace(scheme, "http", 1)) == key
+
+    # query-order invariance
+    import random
+
+    rnd = random.Random(42)
+    shuffled = params[:]
+    rnd.shuffle(shuffled)
+    q2 = "&".join(f"{k}={v}" for k, v in shuffled)
+    url2 = f"{scheme}://{host}/{path}" + (f"?{q2}" if q2 else "")
+    assert surt_urlkey_py(url2) == key
+
+    # domain-prefix property: deeper path under same host shares the
+    # host-reversal prefix up to ')'
+    deeper = f"{scheme}://{host}/{path}x/y"
+    assert surt_urlkey_py(deeper).split(")")[0] == key.split(")")[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(host=_hosts, path=_paths)
+def test_sort_prefix_ordering(host, path):
+    """url prefix ⊆ domain range: every key of a host sorts inside
+    [hostkey, hostkey+'~') — the range-pruning invariant (§3.3)."""
+    key = surt_urlkey_py(f"http://{host}/{path}")
+    hostkey = surt_urlkey_py(f"http://{host}/").split(")")[0]
+    assert hostkey <= key < hostkey + "~"

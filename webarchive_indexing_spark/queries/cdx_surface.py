@@ -1,4 +1,287 @@
-"""CDX-server query surface over a driver-table-derived CDX view
-(SURVEY.md §2.2/§3.3) — filled in M2."""
+"""CDX-server query surface (SURVEY.md §2.2 P1-P5, §3.3, tier B) over
+a CDX view derived deterministically from the documents table.
+
+Derivation contract: the Spark side CONSTRUCTS real URLs and runs the
+engine's native SURT canonicalizer (functions.surt); the DuckDB oracle
+constructs the EXPECTED urlkey directly from the same components.  A
+hash match therefore end-to-end-verifies SURT on this URL family plus
+the query semantics on top.  Capture fan-out (1-5 per doc), timestamps
+and digests are pure integer/string arithmetic — identical in both
+engines by construction.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.surt import surt_urlkey
+from ..operators.collapse import collapse
+from ..registry import query
+from .helpers import t
+
+# --- shared derivation -----------------------------------------------------
+# k = capture index 1..(1 + doc_id % 4); x_* are integer mixers.
+
+CDX_SQL = """
+WITH cdx AS (
+  SELECT
+    'org,example,' || source || ')/doc/' || doc_id ||
+      CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS urlkey,
+    CAST(2015 + ((doc_id + k) % 3) AS VARCHAR)
+      || lpad(CAST(1 + ((doc_id * 3 + k) % 12) AS VARCHAR), 2, '0')
+      || lpad(CAST(1 + ((doc_id * 7 + k * 5) % 28) AS VARCHAR), 2, '0')
+      || lpad(CAST((doc_id * 11 + k * 3) % 24 AS VARCHAR), 2, '0')
+      || lpad(CAST((doc_id * 13 + k * 17) % 60 AS VARCHAR), 2, '0')
+      || lpad(CAST((doc_id * 19 + k * 23) % 60 AS VARCHAR), 2, '0') AS ts14,
+    CASE (doc_id * 2 + k) % 4
+      WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html'
+      WHEN 2 THEN 'application/json' ELSE 'image/png' END AS mime,
+    CASE WHEN (doc_id + k) % 10 = 0 THEN 404
+         WHEN (doc_id + k) % 7 = 0 THEN 301 ELSE 200 END AS status,
+    md5(text || CASE WHEN k > 3 THEN CAST(k AS VARCHAR) ELSE '' END) AS digest,
+    n_chars + k AS length,
+    doc_id * 1000 + k * 100 AS offset,
+    'crawl-' || lpad(CAST(doc_id % 10 AS VARCHAR), 2, '0') || '.warc.gz' AS filename
+  FROM (SELECT *, unnest(range(1, 2 + CAST(doc_id % 4 AS INT))) AS k FROM documents)
+)
+"""
+
+
+def derived_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of CDX_SQL — but via real URL strings + native SURT."""
+    d = t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    k = F.col("k")
+    exploded = d.withColumn(
+        "k", F.explode(F.sequence(F.lit(1), (F.lit(1) + F.pmod(doc, F.lit(4))).cast("int")))
+    )
+    # Real URL with mixed case / scheme / www / unsorted query — the
+    # canonicalizer must normalize all of it to the oracle's key.
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.upper(F.substring("source", 1, 1)),
+        F.expr("substring(source, 2)"),
+        F.lit(".Example.org:443/doc/"),
+        doc.cast("string"),
+        F.when(doc % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+    )
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    ts14 = F.concat(
+        (F.lit(2015) + (doc + k) % 3).cast("string"),
+        two(F.lit(1) + (doc * 3 + k) % 12),
+        two(F.lit(1) + (doc * 7 + k * 5) % 28),
+        two((doc * 11 + k * 3) % 24),
+        two((doc * 13 + k * 17) % 60),
+        two((doc * 19 + k * 23) % 60),
+    )
+    mime = (
+        F.when((doc * 2 + k) % 4 <= 1, "text/html")
+        .when((doc * 2 + k) % 4 == 2, "application/json")
+        .otherwise("image/png")
+    )
+    status = (
+        F.when((doc + k) % 10 == 0, 404).when((doc + k) % 7 == 0, 301).otherwise(200)
+    )
+    digest = F.md5(
+        F.concat(F.col("text"), F.when(k > 3, k.cast("string")).otherwise(F.lit("")))
+    )
+    return exploded.select(
+        surt_urlkey(url).alias("urlkey"),
+        ts14.alias("ts14"),
+        mime.alias("mime"),
+        status.alias("status"),
+        digest.alias("digest"),
+        (F.col("n_chars") + k).alias("length"),
+        (doc * 1000 + k * 100).alias("offset"),
+        F.concat(
+            F.lit("crawl-"), F.lpad((doc % 10).cast("string"), 2, "0"), F.lit(".warc.gz")
+        ).alias("filename"),
+    )
+
+
+# --- queries ---------------------------------------------------------------
+
+
+@query(
+    "cdx_surt_urlkey",
+    oracle=CDX_SQL + "SELECT DISTINCT urlkey FROM cdx",
+)
+def cdx_surt_urlkey(spark, sf_dir):
+    """F1 SURT end-to-end: messy URLs (scheme, WWW., mixed case, :443,
+    unsorted query) canonicalize to exactly the oracle's constructed
+    keys.  Native expressions only — stays in whole-stage codegen."""
+    return derived_cdx(spark, sf_dir).select("urlkey").distinct()
+
+
+@query(
+    "cdx_match_exact",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14, status, digest FROM cdx
+    WHERE urlkey = 'org,example,src1)/doc/101'
+    """,
+)
+def cdx_match_exact(spark, sf_dir):
+    """P5 matchType=exact: all captures of one urlkey [B] — on the
+    ZipNum layout this is the binary-search + single-block read path
+    (SURVEY.md §3.3)."""
+    return (
+        derived_cdx(spark, sf_dir)
+        .filter(F.col("urlkey") == "org,example,src1)/doc/101")
+        .select("urlkey", "ts14", "status", "digest")
+    )
+
+
+@query(
+    "cdx_match_prefix",
+    oracle=CDX_SQL + """
+    SELECT urlkey, COUNT(*) AS n_captures,
+           MIN(ts14) AS first_ts, MAX(ts14) AS last_ts
+    FROM cdx WHERE urlkey LIKE 'org,example,src1)%'
+    GROUP BY urlkey
+    """,
+)
+def cdx_match_prefix(spark, sf_dir):
+    """P5 matchType=prefix/host: key-range scan [key, key+'~') [B];
+    prunes to intersecting shards on range-sorted storage."""
+    return (
+        derived_cdx(spark, sf_dir)
+        .filter(F.col("urlkey").startswith("org,example,src1)"))
+        .groupBy("urlkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.min("ts14").alias("first_ts"),
+            F.max("ts14").alias("last_ts"),
+        )
+    )
+
+
+@query(
+    "cdx_match_domain",
+    oracle=CDX_SQL + """
+    SELECT status, COUNT(*) AS n
+    FROM cdx WHERE urlkey LIKE 'org,example,src1%'
+    GROUP BY status
+    """,
+)
+def cdx_match_domain(spark, sf_dir):
+    """P5 matchType=domain: SURT's host-reversal makes 'domain and all
+    subdomains' a single string prefix — the reason the key format
+    exists."""
+    return (
+        derived_cdx(spark, sf_dir)
+        .filter(F.col("urlkey").startswith("org,example,src1"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cdx_from_to",
+    oracle=CDX_SQL + """
+    SELECT substr(ts14, 1, 6) AS yrmo, COUNT(*) AS n
+    FROM cdx
+    WHERE ts14 >= '2016' AND ts14 < '2017'
+    GROUP BY yrmo
+    """,
+)
+def cdx_from_to(spark, sf_dir):
+    """P4 from/to: 14-digit prefix range as plain string compare [B]."""
+    c = derived_cdx(spark, sf_dir)
+    return (
+        c.filter((F.col("ts14") >= "2016") & (F.col("ts14") < "2017"))
+        .groupBy(F.substring("ts14", 1, 6).alias("yrmo"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cdx_filter_fields",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14, mime FROM cdx
+    WHERE status = 200 AND mime <> 'image/png'
+      AND regexp_matches(urlkey, 'doc/[0-9]*[05]$')
+    """,
+)
+def cdx_filter_fields(spark, sf_dir):
+    """P1+P2+P3 combined: field projection (fl=) + regex/negation
+    filters (filter=status:200&filter=!mime:image.*) [B]."""
+    c = derived_cdx(spark, sf_dir)
+    return c.filter(
+        (F.col("status") == 200)
+        & (F.col("mime") != "image/png")
+        & F.col("urlkey").rlike("doc/[0-9]*[05]$")
+    ).select("urlkey", "ts14", "mime")
+
+
+@query(
+    "cdx_collapse_digest",
+    oracle=CDX_SQL + """
+    SELECT urlkey, COUNT(*) AS n_kept FROM (
+      SELECT urlkey, digest,
+             LAG(digest) OVER (PARTITION BY urlkey ORDER BY ts14) AS prev
+      FROM cdx
+    ) WHERE prev IS NULL OR digest <> prev
+    GROUP BY urlkey
+    """,
+)
+def cdx_collapse_digest(spark, sf_dir):
+    """W2 collapse=digest: keep first capture of each run of identical
+    content — the cdx-server's dedup view of revisits [B]."""
+    c = derived_cdx(spark, sf_dir)
+    kept = collapse(
+        c, partition_by=["urlkey"], order_by=[F.col("ts14").asc()], collapse_key=F.col("digest")
+    )
+    return kept.groupBy("urlkey").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "cdx_closest",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 FROM (
+      SELECT urlkey, ts14,
+             ROW_NUMBER() OVER (
+               PARTITION BY urlkey
+               ORDER BY ABS(CAST(ts14 AS BIGINT) - 20160601000000), ts14) AS rn
+      FROM cdx
+    ) WHERE rn = 1
+    """,
+)
+def cdx_closest(spark, sf_dir):
+    """O4/J7 sort=closest: per urlkey, the capture nearest the target
+    timestamp [B].  Numeric distance on the 14-digit value ranks
+    identically in both engines (monotone in |Δt| per fixed date
+    shape); ts14 tiebreak keeps it deterministic."""
+    from pyspark.sql.window import Window
+
+    c = derived_cdx(spark, sf_dir)
+    dist = F.abs(F.col("ts14").cast("bigint") - F.lit(20160601000000))
+    w = Window.partitionBy("urlkey").orderBy(dist.asc(), F.col("ts14").asc())
+    return c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        "urlkey", "ts14"
+    )
+
+
+@query(
+    "cdx_revisit_resolve",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14, orig_ts14 FROM (
+      SELECT urlkey, ts14, digest,
+             MIN(ts14) OVER (PARTITION BY digest) AS orig_ts14
+      FROM cdx
+    ) WHERE ts14 <> orig_ts14
+    """,
+)
+def cdx_revisit_resolve(spark, sf_dir):
+    """J2 revisit resolution [B]: later captures sharing a digest point
+    back to the original capture (payload lives in the original's
+    WARC).  Window-min over digest — one shuffle, no self-join."""
+    from pyspark.sql.window import Window
+
+    c = derived_cdx(spark, sf_dir)
+    w = Window.partitionBy("digest")
+    return (
+        c.withColumn("orig_ts14", F.min("ts14").over(w))
+        .filter(F.col("ts14") != F.col("orig_ts14"))
+        .select("urlkey", "ts14", "orig_ts14")
+    )
