@@ -262,6 +262,33 @@ def cdx_closest(spark, sf_dir):
     )
 
 
+@query("zipnum_build_index", oracle=None)
+def zipnum_build_index(spark, sf_dir):
+    """S6 ZipNum sink end-to-end [U zipnumclusterjob.py]: total-order
+    range shuffle → partition-local gzip-block writer → secondary
+    index returned as a DataFrame.  Rows-only check (byte offsets are
+    not SQL-expressible — SURVEY.md §2.5 W6 covers the SQL half)."""
+    import tempfile
+
+    from ..sinks.zipnum import write_zipnum
+
+    c = derived_cdx(spark, sf_dir).select(
+        "urlkey",
+        F.col("ts14").alias("timestamp"),
+        F.concat(F.lit("https://example.org/"), F.col("digest")).alias("url"),
+        "mime",
+        "status",
+        "digest",
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(None).cast("string").alias("robotflags"),
+        "length",
+        "offset",
+        "filename",
+    )
+    out = tempfile.mkdtemp(prefix="zipnum_query_")
+    return write_zipnum(c, out, shards=8, numlines=100)
+
+
 @query(
     "cdx_revisit_resolve",
     oracle=CDX_SQL + """
