@@ -1,0 +1,68 @@
+"""Dedup operator semantics beyond the oracle gate: LSH recall vs the
+exact Jaccard join, SimHash Hamming locality, survivor determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webarchive_indexing_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash16,
+)
+from webarchive_indexing_spark.queries.llm import base_corpus
+
+
+@pytest.fixture(scope="module")
+def base(spark, sf_dir):
+    return base_corpus(spark, sf_dir).cache()
+
+
+def test_exact_dedup_groups_injected(base):
+    groups = exact_dedup(base).filter(F.col("n_copies") > 1)
+    rows = groups.collect()
+    # 40 injected exact copies → 40 groups of exactly 2, original wins
+    assert len(rows) == 40
+    assert all(r.n_copies == 2 for r in rows)
+    assert all(r.keep_id < 40 for r in rows)
+
+
+def test_lsh_finds_injected_near_dups(base):
+    pairs = minhash_lsh_pairs(base, jaccard_threshold=0.7)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    # every injected pair must be recalled: exact copy (j=1.0) and
+    # near-dup (two extra tokens, j≈0.95)
+    for d in range(40):
+        assert (d, d + 10000) in got, f"exact copy pair {d} missed"
+    for d in range(40, 80):
+        assert (d, d + 20000) in got, f"near-dup pair {d} missed"
+    # precision: every emitted pair clears the exact-Jaccard bar when
+    # recomputed independently in Python (organic soup pairs may
+    # legitimately exceed 0.7 — they must, to be emitted)
+    texts = {r.doc_id: r.text for r in base.collect()}
+
+    def jac(x, y):
+        tx, ty = texts[x].split(), texts[y].split()
+        sx = {tuple(tx[i : i + 3]) for i in range(len(tx) - 2)}
+        sy = {tuple(ty[i : i + 3]) for i in range(len(ty) - 2)}
+        return len(sx & sy) / len(sx | sy)
+
+    for a, b in got:
+        assert jac(a, b) >= 0.7, f"pair ({a},{b}) below threshold"
+
+
+def test_simhash_locality(base):
+    sh = {r.doc_id: r.simhash for r in simhash16(base).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    # exact copies: identical fingerprints
+    for d in range(0, 40):
+        assert sh[d] == sh[d + 10000]
+    # near-dups: within 6/16 bits
+    near = [ham(sh[d], sh[d + 20000]) for d in range(40, 80)]
+    assert max(near) <= 6
+    # unrelated docs: typically farther than near-dups on average
+    import statistics
+
+    far = [ham(sh[100 + i], sh[200 + i]) for i in range(40)]
+    assert statistics.mean(far) > statistics.mean(near)

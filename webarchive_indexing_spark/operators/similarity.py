@@ -1,0 +1,175 @@
+"""Embedding similarity search (SURVEY.md §2.11 L3/L4).
+
+* ``cosine_topk`` — brute-force exact top-k against one query vector:
+  a map-only scan (dot products inside whole-stage codegen via
+  higher-order functions) + TakeOrderedAndProject.  The 100 TB
+  baseline: no shuffle at all, k rows to the driver.
+* ``knn_blocked`` — per-block (coarse-quantizer stand-in) exact kNN:
+  the IVF shape — equi-join on the block key bounds the pair fan-out,
+  window top-k per probe.
+* ``lsh_buckets`` — sign-random-projection (SimHash-for-vectors)
+  bucketing: the scale path for pairwise similarity; planes are
+  md5-seeded literals so results are engine-independent.
+
+Determinism contract: every reduction over floats goes through
+DECIMAL accumulation (element products are single IEEE ops —
+bit-identical in any engine; only the reduction order differs, and
+decimal addition is order-free).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEC = "decimal(28,14)"
+
+
+def _dec_dot(a: Column, b: Column) -> Column:
+    """Exact-decimal dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
+    return F.aggregate(
+        prods, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC)
+    )
+
+
+def sql_dec_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+        f"CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(28,14))))"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = _dec_dot(a, b).cast("double")
+    na = F.sqrt(_dec_dot(a, a).cast("double"))
+    nb = F.sqrt(_dec_dot(b, b).cast("double"))
+    return dot / (na * nb)
+
+
+def sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"CAST({sql_dec_dot(a, b, dim)} AS DOUBLE) / "
+        f"(sqrt(CAST({sql_dec_dot(a, a, dim)} AS DOUBLE)) * "
+        f"sqrt(CAST({sql_dec_dot(b, b, dim)} AS DOUBLE)))"
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against the vector with ``query_vec_id``.
+    The single-row query side is broadcast; ranking is hrounded so the
+    k-set is engine-deterministic under ties."""
+    from ..queries.helpers import hround
+
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    out = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            hround(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
+        )
+    )
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_blocked(
+    embeddings: DataFrame,
+    k: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """IVF-shaped kNN: exact top-k neighbours within each block.  The
+    block key join replaces the all-pairs cross join — fan-out is
+    bounded by block size, the right trade-off when a coarse quantizer
+    (here: the label column) assigns the blocks."""
+    from ..queries.helpers import hround
+
+    a = embeddings.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v")
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v")
+    )
+    pairs = a.join(b, "blk").filter(F.col("a_id") != F.col("b_id"))
+    scored = pairs.select(
+        "blk",
+        "a_id",
+        "b_id",
+        hround(cosine(F.col("a_v"), F.col("b_v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a_id", "b_id", "cos_sim", "rn")
+    )
+
+
+def _planes(n_planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplanes seeded from md5 — reproducible anywhere."""
+    out = []
+    for kp in range(n_planes):
+        row = []
+        for j in range(dim):
+            hx = hashlib.md5(f"{kp}_{j}".encode()).hexdigest()[:8]
+            row.append(1 if int(hx, 16) % 2 == 1 else -1)
+        out.append(row)
+    return out
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit k = sign(v · plane_k).
+    Map-only; the bucket id is the shuffle key for any downstream
+    pairwise stage."""
+    planes = _planes(n_planes, dim)
+    bits = []
+    for kp in range(n_planes):
+        w = F.array(*[F.lit(v) for v in planes[kp]])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), w, lambda x, p: (x.cast("double") * p).cast("decimal(18,7)")
+            ),
+            F.lit(0).cast("decimal(18,7)"),
+            lambda acc, x: (acc + x).cast("decimal(18,7)"),
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << kp)).otherwise(F.lit(0)))
+    bucket = functools.reduce(lambda x, y: x + y, bits).cast("bigint")
+    return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def sql_lsh_buckets(n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin over the embeddings view."""
+    planes = _planes(n_planes, dim)
+    terms = []
+    for kp in range(n_planes):
+        lit = "[" + ", ".join(str(v) for v in planes[kp]) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST(CAST(embedding[i] AS DOUBLE) * ({lit})[i] AS DECIMAL(18,7))))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << kp} ELSE 0 END)")
+    expr = " + ".join(terms)
+    return f"SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM embeddings"

@@ -1,3 +1,412 @@
-"""LLM-data-pipeline extensions (SURVEY.md §2.11) — filled in M5."""
+"""LLM-data-pipeline queries (SURVEY.md §2.11, tier C): dedup (exact /
+MinHash / SimHash / n-gram Jaccard), embedding similarity (exact top-k
+/ blocked kNN / sign-LSH), text analysis (token stats, quality,
+language guess), multimodal plumbing.
+
+The documents table has no duplicates by construction (FIXTURES.md), so
+dedup queries derive a ``base`` corpus that injects exact copies
+(doc_id+10000) and near-duplicates (doc_id+20000, two extra tokens) —
+identically in Spark and in the oracle CTE.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    bpe_ish_tokens,
+    shingles,
+    sql_shingles,
+    sql_stopword_count,
+    stopword_count,
+    tokens,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash16,
+    sql_minhash_sig,
+    sql_simhash16,
+)
+from ..operators.similarity import (
+    cosine_topk,
+    knn_blocked,
+    lsh_buckets,
+    sql_cosine,
+    sql_lsh_buckets,
+)
+from ..registry import query
+from .helpers import hround, sql_hround, t
+
+BASE_SQL = """
+WITH base AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' zz qq' AS text, lang, source
+  FROM documents WHERE doc_id >= 40 AND doc_id < 80
+)
+"""
+
+
+def base_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of BASE_SQL: corpus with injected exact + near dups."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    exact = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source"
+    )
+    near = d.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+        "lang",
+        "source",
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=BASE_SQL + """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM base GROUP BY content_hash HAVING COUNT(*) > 1
+    """,
+    tier="C",
+)
+def dedup_exact_groups(spark, sf_dir):
+    """L1 exact dedup: digest-groupBy; the shuffle moves 16-byte
+    hashes, never documents.  Injected copies must each form one group
+    with the original as survivor."""
+    base = base_corpus(spark, sf_dir)
+    return exact_dedup(base).filter(F.col("n_copies") > 1)
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=BASE_SQL + f"""
+    SELECT doc_id,
+           {sql_minhash_sig(sql_shingles("string_split(text, ' ')"), 0)} AS sig_0,
+           {sql_minhash_sig(sql_shingles("string_split(text, ' ')"), 1)} AS sig_1,
+           {sql_minhash_sig(sql_shingles("string_split(text, ' ')"), 2)} AS sig_2,
+           {sql_minhash_sig(sql_shingles("string_split(text, ' ')"), 3)} AS sig_3
+    FROM base WHERE doc_id < 200 OR doc_id >= 20000
+    """,
+    tier="C",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """L2 MinHash signatures (4 perms over word-3-shingles) — map-only,
+    no shuffle; the md5-seeded hash keeps it oracle-checkable (a prod
+    deployment swaps in xxhash64 at functions.text.token_hash)."""
+    base = base_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") < 200) | (F.col("doc_id") >= 20000)
+    )
+    sh = shingles(tokens(F.col("text")))
+    return base.select("doc_id", *minhash_signature(sh, 4))
+
+
+@query(
+    "dedup_simhash",
+    oracle=BASE_SQL + sql_simhash16("doc_id", "(SELECT * FROM base WHERE doc_id < 100 OR doc_id >= 20000)"),
+    tier="C",
+)
+def dedup_simhash(spark, sf_dir):
+    """L2 SimHash (16-bit signed-vote fingerprint): near-identical docs
+    land at small Hamming distance; exact copies collide exactly."""
+    base = base_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") < 100) | (F.col("doc_id") >= 20000)
+    )
+    return simhash16(base)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=BASE_SQL + f"""
+    , sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct({sql_shingles("string_split(text, ' ')")})) AS s
+      FROM base
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a_id, b_id
+    )
+    SELECT a_id, b_id,
+           {sql_hround('i * 1.0 / (sa.n + sb.n - i)', 4)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE 10 * i >= 7 * (sa.n + sb.n - i)
+    """,
+    tier="C",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """L4 n-gram Jaccard similarity join, relational form: distinct
+    shingles exploded → equi-join on (shingle, source-block) → exact
+    |∩| counts → integer cross-multiplied threshold (no float compare
+    at the filter).  The shared-shingle join IS the blocking."""
+    base = base_corpus(spark, sf_dir)
+    sh = base.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles(tokens(F.col("text"))))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    joined = inter.join(sa, "a_id").join(sb, "b_id")
+    union_n = F.col("na") + F.col("nb") - F.col("i")
+    return (
+        joined.filter(10 * F.col("i") >= 7 * union_n)
+        .select(
+            "a_id",
+            "b_id",
+            hround(F.col("i") * F.lit(1.0) / union_n, 4).alias("jaccard"),
+        )
+    )
+
+
+@query("dedup_minhash_lsh_pairs", oracle=None, tier="C")
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """L2 end-to-end MinHash-LSH near-dup pairs (8 perms, 4 bands,
+    verify at Jaccard ≥ 0.7).  Rows-only here; recall vs. the exact
+    Jaccard join is asserted in tests/test_dedup.py."""
+    return minhash_lsh_pairs(base_corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           {sql_hround(sql_cosine('embedding', 'qv'), 6)} AS cos_sim
+    FROM embeddings, q WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 20
+    """,
+    tier="C",
+)
+def emb_cosine_topk(spark, sf_dir):
+    """L3 exact cosine top-k against vec 0: broadcast query vector,
+    map-only scoring in codegen (zip_with/aggregate), TakeOrdered k —
+    the zero-shuffle brute-force ANN baseline."""
+    return cosine_topk(t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
+
+
+@query(
+    "emb_knn_blocked",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             {sql_hround(sql_cosine('a.embedding', 'b.embedding'), 6)} AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE a.label < 3
+    )
+    SELECT a_id, b_id, cos_sim, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                   ORDER BY cos_sim DESC, b_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 3
+    """,
+    tier="C",
+)
+def emb_knn_blocked(spark, sf_dir):
+    """L3/L4 IVF-shaped kNN: exact top-3 within each label block —
+    the equi-join on the coarse key bounds fan-out (vs all-pairs)."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("label") < 3)
+    return knn_blocked(e, k=3)
+
+
+@query(
+    "emb_lsh_buckets",
+    oracle=sql_lsh_buckets(8, 64),
+    tier="C",
+)
+def emb_lsh_buckets(spark, sf_dir):
+    """L3 sign-LSH (random hyperplane) bucket assignment — the scale
+    path for pairwise similarity: map-only bucket ids that become the
+    shuffle key of a bucketed pair stage; md5-seeded ±1 planes make the
+    buckets engine-independent."""
+    return lsh_buckets(t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           SUM(len(list_distinct(string_split(text, ' ')))) AS total_uniq,
+           {sql_hround("SUM(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+                       " / len(string_split(text, ' '))) / COUNT(*)", 4)} AS avg_ttr
+    FROM documents GROUP BY lang
+    """,
+    tier="C",
+)
+def text_token_stats(spark, sf_dir):
+    """L5 token statistics per language: counts plus mean type-token
+    ratio (per-doc ratio is one IEEE division; the mean divides the
+    exact double sum — deterministic both engines)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.sum(F.size(F.array_distinct(toks))).alias("total_uniq"),
+        hround(F.sum(ttr) / F.count(F.lit(1)), 4).alias("avg_ttr"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           {sql_hround("list_sum(list_transform(string_split(text, ' '), t -> length(t)))"
+                       " * 1.0 / len(string_split(text, ' '))", 4)} AS mean_tok_len,
+           {sql_hround(sql_stopword_count("string_split(text, ' ')") +
+                       " * 1.0 / len(string_split(text, ' '))", 4)} AS stop_ratio,
+           (len(string_split(text, ' ')) BETWEEN 20 AND 2000
+            AND 100 * {sql_stopword_count("string_split(text, ' ')")}
+                >= 2 * len(string_split(text, ' '))) AS is_quality
+    FROM documents WHERE doc_id < 200
+    """,
+    tier="C",
+)
+def text_quality_score(spark, sf_dir):
+    """L5 quality scoring: length band, mean token length, stopword
+    ratio; the boolean gate uses integer cross-multiplication so no
+    float threshold can flip between engines."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    stop = stopword_count(toks)
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        hround(sum_len * F.lit(1.0) / n, 4).alias("mean_tok_len"),
+        hround(stop * F.lit(1.0) / n, 4).alias("stop_ratio"),
+        (n.between(20, 2000) & (100 * stop >= 2 * n)).alias("is_quality"),
+    )
+
+
+def _sql_lang_counts() -> str:
+    cases = []
+    for lang in ("de", "es", "fr", "en"):
+        cases.append(f"{sql_stopword_count('toks', lang)} AS c_{lang}")
+    return ", ".join(cases)
+
+
+@query(
+    "text_lang_guess",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, {_sql_lang_counts()}
+      FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT lang,
+           CASE WHEN c_de > c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_es > c_en AND c_es >= c_fr THEN 'es'
+                WHEN c_fr > c_en THEN 'fr'
+                ELSE 'en' END AS guess,
+           COUNT(*) AS n
+    FROM scored GROUP BY lang, guess
+    """,
+    tier="C",
+)
+def text_lang_guess(spark, sf_dir):
+    """L5 heuristic language ID (stopword-set voting) — confusion
+    matrix against the labeled lang column.  Fixed tie-break chain
+    keeps the argmax deterministic."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "lang", *[stopword_count(toks, lg).alias(f"c_{lg}") for lg in ("de", "es", "fr", "en")]
+    )
+    c = F.col
+    guess = (
+        F.when((c("c_de") > c("c_en")) & (c("c_de") >= c("c_es")) & (c("c_de") >= c("c_fr")), "de")
+        .when((c("c_es") > c("c_en")) & (c("c_es") >= c("c_fr")), "es")
+        .when(c("c_fr") > c("c_en"), "fr")
+        .otherwise("en")
+    )
+    return scored.groupBy("lang", guess.alias("guess")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT source,
+           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_bpe_tokens,
+           SUM(n_chars) AS n_chars
+    FROM documents GROUP BY source
+    """,
+    tier="C",
+)
+def text_bpe_token_count(spark, sf_dir):
+    """L5 BPE-ish token counting (letter runs / digit runs / symbols)
+    — the cost estimator a training pipeline runs over every shard."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(bpe_ish_tokens("text"))).alias("n_bpe_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (L6)
+# ---------------------------------------------------------------------------
+
+
+@query("multimodal_decode_stub", oracle=None, tier="C")
+def multimodal_decode_stub(spark, sf_dir):
+    """L6 multimodal columns: documents gain an opaque binary payload +
+    typed metadata struct; a mapInPandas stage 'decodes' each batch
+    (real decoder stubbed — no image/audio libs in this container; the
+    Arrow batch shape, schema and partitioning are the real thing).
+    Rows-only check; schema/values asserted in tests/test_multimodal.py."""
+    from ..operators.multimodal import attach_fake_payload, decode_batches
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    with_bin = attach_fake_payload(d)
+    return decode_batches(with_bin)
