@@ -1,0 +1,160 @@
+"""Structured Streaming tests (ST1-ST5): availableNow micro-batches
+over file sources, results compared against their batch twins."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+from webarchive_indexing_spark.sources.cdx import to_cdx_lines
+from webarchive_indexing_spark.streaming.incremental import (
+    stream_cdx_ingest,
+    stream_dedup,
+    stream_session_counts,
+    stream_windowed_counts,
+)
+from webarchive_indexing_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _stream_events(spark, events, tmpdir):
+    """events table → json files → file-source stream (2 'arrivals')."""
+    src = os.path.join(tmpdir, "src")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").json(os.path.join(src, "b1"))
+    half2.write.mode("overwrite").json(os.path.join(src, "b2"))
+    schema = events.schema
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _run_to_memory(sdf, name, mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_st1_incremental_cdx_ingest(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as d:
+        cdx = derived_cdx(spark, sf_dir).limit(500)
+        full = cdx.select(
+            "urlkey",
+            F.col("ts14").alias("timestamp"),
+            F.lit("http://x/").alias("url"),
+            "mime",
+            "status",
+            "digest",
+            F.lit(None).cast("string").alias("redirect"),
+            F.lit(None).cast("string").alias("robotflags"),
+            "length",
+            "offset",
+            "filename",
+        )
+        inp, out, chk = (os.path.join(d, s) for s in ("in", "out", "chk"))
+        os.makedirs(inp)
+        # first arrival
+        to_cdx_lines(full.filter(F.col("status") == 200)).coalesce(1).write.mode(
+            "overwrite"
+        ).text(os.path.join(inp, "f1"))
+        q = stream_cdx_ingest(spark, inp + "/*/", out, chk)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+        assert n1 == full.filter(F.col("status") == 200).count()
+        # second arrival — only the delta is processed (checkpointed offsets)
+        to_cdx_lines(full.filter(F.col("status") != 200)).coalesce(1).write.mode(
+            "overwrite"
+        ).text(os.path.join(inp, "f2"))
+        q2 = stream_cdx_ingest(spark, inp + "/*/", out, chk)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out).count() == full.count()
+        # typed round-trip survived the stream boundary
+        back = spark.read.parquet(out)
+        assert back.filter(F.col("status") == 200).count() == n1
+
+
+def test_st2_windowed_counts_match_batch(spark, events):
+    with tempfile.TemporaryDirectory() as d:
+        sdf = _stream_events(spark, events, d)
+        _run_to_memory(
+            stream_windowed_counts(sdf, window="1 day", watermark="10 days"),
+            "win_counts",
+            mode="append",
+        )
+        got = {
+            (r.win_start, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        expected = {
+            (r.win_start, r.event_type): r.n
+            for r in events.groupBy(
+                F.window("ts", "1 day").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n")
+            .collect()
+        }
+        # append mode finalizes exactly the windows whose END precedes
+        # the final watermark (max_ts - 10 days); later windows stay in
+        # state — pin that boundary exactly (ST4 late-data semantics)
+        import datetime as dt
+
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        horizon = max_ts - dt.timedelta(days=10)
+        finalized = {
+            k: v for k, v in expected.items() if k[0] + dt.timedelta(days=1) <= horizon
+        }
+        assert got == finalized
+
+
+def test_st3_session_windows_match_batch_sessionize(spark, events):
+    from webarchive_indexing_spark.operators.sessionize import sessionize
+
+    with tempfile.TemporaryDirectory() as d:
+        sdf = _stream_events(spark, events, d)
+        _run_to_memory(
+            stream_session_counts(sdf, gap="30 minutes", watermark="40 days"),
+            "sess_counts",
+            mode="complete",
+        )
+        got = spark.sql("SELECT user_id, n_events FROM sess_counts")
+        batch = (
+            sessionize(events, key="user_id", ts="ts", gap_seconds=1800)
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", "n_events")
+        )
+        a = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, batch.collect()))
+        assert a == b, "streaming session windows != batch sessionization"
+
+
+def test_st5_stateful_dedup(spark, events):
+    with tempfile.TemporaryDirectory() as d:
+        sdf = _stream_events(spark, events, d)
+        # duplicate the stream against itself via union → every event
+        # twice; stateful dedup must restore exact-once
+        _run_to_memory(
+            stream_dedup(sdf.unionByName(sdf), ["event_id"], watermark="40 days"),
+            "dedup_out",
+        )
+        n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
+        assert n == events.count()

@@ -1,0 +1,92 @@
+"""Streaming operators (SURVEY.md §2.9).
+
+The reference is pure batch [U]; these are the tier-C streaming twins
+of its operators, built on Structured Streaming so the SAME
+transformations run incrementally:
+
+* ST1 ``stream_cdx_ingest`` — new CDX files appearing in a directory
+  are parsed and appended to a parquet index mirror via foreachBatch
+  (the micro-batch hook where a production job would merge into the
+  ZipNum cluster and rewrite cluster.idx).
+* ST2 ``stream_windowed_counts`` — watermarked tumbling/sliding
+  windows over an event stream (batch twin: tumbling_window_daily).
+* ST3 ``stream_session_counts`` — native session windows
+  (batch twin: operators.sessionize).
+* ST5 ``stream_dedup`` — stateful digest dedup bounded by the
+  watermark (batch twin: dropDuplicates / A7).
+
+Watermarks bound state at scale: an unbounded-state streaming dedup
+or window agg dies at 100 TB/day; ``withWatermark`` caps what the
+state store retains (ST4 late-data semantics are the tests' job to
+pin down).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.cdx import parse_cdx_lines
+
+
+def stream_cdx_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """ST1: directory of arriving .cdx text files → typed parquet
+    mirror, exactly-once via checkpointed file-source offsets."""
+    lines = spark.readStream.format("text").load(input_dir)
+    cdx = parse_cdx_lines(lines)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        # production seam: zipnum merge; here an append-mode parquet
+        # mirror keeps the index queryable after every micro-batch
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        cdx.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_windowed_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """ST2: watermarked tumbling (or sliding, if ``slide``) window
+    counts per event_type."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def stream_session_counts(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 days"
+) -> DataFrame:
+    """ST3: native session windows per user (gap-based, merging as
+    events arrive — the streaming twin of operators.sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str], *, watermark: str = "1 day"
+) -> DataFrame:
+    """ST5: stateful dedup on ``keys`` with state bounded by the
+    watermark (the CDX digest-dedup A7, streaming)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
