@@ -35,7 +35,17 @@ HEADLINE = [
     "agg_rollup",
     "topk_desc",
     "fn_json_map",
-    "fn_array_ops",
+    "win_row_number",
+    "asof_join_nearest",
+    "sessionize_gaps",
+    "cdx_surt_urlkey",
+    "cdx_collapse_digest",
+    "zipnum_build_index",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "emb_cosine_topk",
+    "emb_lsh_buckets",
+    "text_token_stats",
 ]
 
 
