@@ -9,6 +9,7 @@ _MODULES = (
     "windowed",
     "cdx_surface",
     "llm",
+    "scale",
 )
 
 
