@@ -1,0 +1,146 @@
+"""cdx-server API composition (operators/cdx_query): parameter
+semantics over a DataFrame, and DataFrame-path ≡ ZipNum-path."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from webarchive_indexing_spark.operators.cdx_query import cdx_query, cdx_query_zipnum
+from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+from webarchive_indexing_spark.sinks.zipnum import write_zipnum
+
+
+@pytest.fixture(scope="module")
+def cdx(spark, sf_dir):
+    c = derived_cdx(spark, sf_dir)
+    return c.select(
+        "urlkey",
+        F.col("ts14").alias("timestamp"),
+        F.concat(F.lit("https://e/"), F.col("urlkey")).alias("url"),
+        "mime",
+        "status",
+        "digest",
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(None).cast("string").alias("robotflags"),
+        "length",
+        "offset",
+        "filename",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def cluster(cdx):
+    d = tempfile.mkdtemp(prefix="zipnum_api_")
+    write_zipnum(cdx, d, shards=4, numlines=25)
+    return d
+
+
+def test_exact_match(spark, cdx):
+    out = cdx_query(cdx, "https://src1.example.org/doc/101", match_type="exact")
+    rows = out.collect()
+    assert rows, "expected captures for doc 101"
+    assert all(r.urlkey == "org,example,src1)/doc/101" for r in rows)
+    # ascending timestamp order by default
+    ts = [r.timestamp for r in rows]
+    assert ts == sorted(ts)
+
+
+def test_prefix_and_fields_and_limit(spark, cdx):
+    out = cdx_query(
+        cdx,
+        "https://src1.example.org/doc/1",
+        match_type="prefix",
+        fields=["urlkey", "timestamp", "status"],
+        limit=10,
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    assert rows[0].__fields__ == ["urlkey", "timestamp", "status"]
+    assert all(r.urlkey.startswith("org,example,src1)/doc/1") for r in rows)
+
+
+def test_domain_match_covers_all_paths(spark, cdx):
+    out = cdx_query(cdx, "https://src3.example.org/whatever", match_type="domain")
+    keys = {r.urlkey for r in out.collect()}
+    expected = {
+        r.urlkey for r in cdx.filter(F.col("urlkey").startswith("org,example,src3")).collect()
+    }
+    assert keys == expected
+
+
+def test_from_to_and_filters(spark, cdx):
+    out = cdx_query(
+        cdx,
+        "https://src2.example.org/x",
+        match_type="domain",
+        from_="2016",
+        to="2016",
+        filters=["status:200", "!mime:image.*"],
+    )
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.timestamp.startswith("2016")
+        assert r.status == 200
+        assert not r.mime.startswith("image")
+
+
+def test_contains_filter(spark, cdx):
+    # src3 docs (doc_id ≡ 3 mod 4) reach k=4 → application/json exists
+    out = cdx_query(
+        cdx, "https://src3.example.org/x", match_type="domain", filters=["mime~json"]
+    )
+    rows = out.collect()
+    assert rows and all("json" in r.mime for r in rows)
+
+
+def test_collapse_digest_runs(spark, cdx):
+    url = "https://src5.example.org/x"
+    full = cdx_query(cdx, url, match_type="domain").collect()
+    collapsed = cdx_query(cdx, url, match_type="domain", collapse="digest").collect()
+    # captures k<=3 of a doc share a digest → runs shrink
+    assert 0 < len(collapsed) < len(full)
+    from itertools import groupby
+
+    for key, grp in groupby(full, key=lambda r: r.urlkey):
+        runs = [d for d, _ in groupby(r.digest for r in grp)]
+        kept = [r for r in collapsed if r.urlkey == key]
+        assert len(kept) == len(runs)
+
+
+def test_closest_ordering(spark, cdx):
+    out = cdx_query(
+        cdx, "https://src1.example.org/doc/101", match_type="exact", closest="20160601"
+    )
+    rows = out.collect()
+    dists = [abs(int(r.timestamp) - 20160601000000) for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_zipnum_path_equals_dataframe_path(spark, cdx, cluster):
+    for kwargs in (
+        dict(match_type="exact"),
+        dict(match_type="prefix", filters=["status:200"]),
+        dict(match_type="domain", from_="2016", collapse="digest"),
+    ):
+        a = cdx_query(cdx, "https://src1.example.org/doc/101", **kwargs)
+        b = cdx_query_zipnum(spark, cluster, "https://src1.example.org/doc/101", **kwargs)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb, f"zipnum path diverged for {kwargs}"
+
+
+def test_spark_hashes(spark):
+    """F4 leftovers: sha1 + xxhash64 exist and are stable (DuckDB has
+    no sha1 — covered here instead of the oracle gate)."""
+    import hashlib
+
+    df = spark.createDataFrame([("hello",)], ["s"])
+    r = df.select(
+        F.sha1("s").alias("h1"), F.xxhash64("s").alias("h2"), F.crc32("s").alias("h3")
+    ).collect()[0]
+    assert r.h1 == hashlib.sha1(b"hello").hexdigest()
+    assert isinstance(r.h2, int) and isinstance(r.h3, int)
