@@ -52,8 +52,9 @@ def test_grouped_map_znorm_matches_window(spark, sf_dir):
             "z"
         ),
     )
+    # query output is hround-ed to 3dp for oracle hashability
     for r in ref.collect():
-        assert math.isclose(got[r.event_id], r.z, rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(got[r.event_id], r.z, abs_tol=5.001e-4)
 
 
 def test_grouped_agg_gini_matches_numpy(spark, sf_dir):
@@ -67,5 +68,6 @@ def test_grouped_agg_gini_matches_numpy(spark, sf_dir):
         x = np.sort(np.array(vals))
         cum = np.cumsum(x)
         expected = float((x.size + 1 - 2 * (cum / cum[-1]).sum()) / x.size)
-        assert math.isclose(got[et], expected, rel_tol=1e-9)
+        # query output is hround-ed to 4dp for oracle hashability
+        assert math.isclose(got[et], expected, abs_tol=5.001e-5)
     assert all(0.0 <= g <= 1.0 for g in got.values())

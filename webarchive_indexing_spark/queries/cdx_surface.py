@@ -50,7 +50,11 @@ WITH cdx AS (
 
 def derived_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of CDX_SQL — but via real URL strings + native SURT."""
-    d = t(spark, sf_dir, "documents")
+    from .helpers import widen
+
+    # SURT + ts14 construction are regex/concat-heavy: widen the tiny
+    # scan to full parallelism before the per-capture explode
+    d = widen(t(spark, sf_dir, "documents"))
     doc = F.col("doc_id")
     k = F.col("k")
     exploded = d.withColumn(

@@ -62,3 +62,16 @@ def sql_davg(expr: str, alias: str) -> str:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table (lazy parquet scan)."""
     return load_table(spark, sf_dir, name)
+
+
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism ahead of a CPU-heavy map stage.
+
+    A small parquet file scans as 1-3 partitions; a regex/hash-heavy
+    projection then runs on 3 of 32 cores.  One cheap round-robin
+    shuffle of the (small) input buys full-width compute — the
+    standard fix when map cost dominates scan cost.  (At 100 TB the
+    scan itself yields thousands of partitions and this becomes a
+    no-op decision — apply only where profiling shows the mismatch.)
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

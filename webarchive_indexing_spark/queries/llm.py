@@ -39,7 +39,7 @@ from ..operators.similarity import (
     sql_lsh_buckets,
 )
 from ..registry import query
-from .helpers import hround, sql_hround, t
+from .helpers import hround, sql_hround, t, widen
 
 BASE_SQL = """
 WITH base AS (
@@ -66,7 +66,9 @@ def base_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
     )
-    return d.unionByName(exact).unionByName(near)
+    # downstream consumers all run hash/shingle-heavy projections —
+    # spread the small input across all cores first (helpers.widen)
+    return widen(d.unionByName(exact).unionByName(near))
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +136,9 @@ def dedup_simhash(spark, sf_dir):
     oracle=BASE_SQL + f"""
     , sh AS (
       SELECT doc_id, source,
-             unnest(list_distinct({sql_shingles("string_split(text, ' ')")})) AS s
+             unnest(list_distinct(list_transform(
+               {sql_shingles("string_split(text, ' ')")},
+               s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))) AS s
       FROM base
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
@@ -156,12 +160,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """L4 n-gram Jaccard similarity join, relational form: distinct
     shingles exploded → equi-join on (shingle, source-block) → exact
     |∩| counts → integer cross-multiplied threshold (no float compare
-    at the filter).  The shared-shingle join IS the blocking."""
+    at the filter).  The shared-shingle join IS the blocking.
+
+    Shingles ship as 32-bit md5-derived hashes, not strings — the
+    shuffle moves 8-byte keys and any hash collision is identical in
+    both engines (same hash fn), so the oracle still matches bit-
+    for-bit."""
+    from ..functions.text import token_hash
+
     base = base_corpus(spark, sf_dir)
     sh = base.select(
         "doc_id",
         "source",
-        F.explode(F.array_distinct(shingles(tokens(F.col("text"))))).alias("s"),
+        F.explode(
+            F.array_distinct(F.transform(shingles(tokens(F.col("text"))), token_hash))
+        ).alias("s"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")

@@ -117,11 +117,29 @@ def agg_grouping_sets(spark, sf_dir):
     )
 
 
-@query("pandas_grouped_map_znorm", oracle=None)
+@query(
+    "pandas_grouped_map_znorm",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             AVG(value)         OVER (PARTITION BY user_id) AS m,
+             STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
+      FROM events
+    )
+    SELECT user_id, event_id,
+           {sql_hround("CASE WHEN sd IS NULL OR sd <= 0 THEN 0.0"
+                       " ELSE (value - m) / sd END", 3)} AS znorm
+    FROM s
+    """,
+)
 def pandas_grouped_map_znorm(spark, sf_dir):
     """U2 grouped-map applyInPandas: per-user z-normalization of event
-    values — the per-group-reshape shape that has no single built-in
-    (verified against the window formulation in tests/test_scale.py)."""
+    values — the per-group-reshape shape that has no single built-in.
+
+    Oracle = the window formulation (avg/stddev_samp over user_id).
+    pandas (pairwise summation) and DuckDB (streaming moments) agree
+    to ~1e-12 on mean/sd; rounding at 3dp absorbs that, so the UDF
+    path stays hash-comparable."""
     import pandas as pd
 
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
@@ -134,16 +152,36 @@ def pandas_grouped_map_znorm(spark, sf_dir):
             {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "znorm": z}
         )
 
-    return ev.groupBy("user_id").applyInPandas(
+    out = ev.groupBy("user_id").applyInPandas(
         znorm, "user_id bigint, event_id bigint, znorm double"
     )
+    return out.select("user_id", "event_id", hround(F.col("znorm"), 3).alias("znorm"))
 
 
-@query("pandas_grouped_agg_gini", oracle=None)
+@query(
+    "pandas_grouped_agg_gini",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS j,
+             COUNT(*)     OVER (PARTITION BY event_type) AS n,
+             SUM(value)   OVER (PARTITION BY event_type) AS s
+      FROM events
+    )
+    SELECT event_type,
+           {sql_hround('(n + 1 - 2 * SUM(value * (n - j + 1)) / s) / n', 4)}
+             AS gini_value
+    FROM r GROUP BY event_type, n, s
+    """,
+)
 def pandas_grouped_agg_gini(spark, sf_dir):
     """U3 grouped-agg pandas UDF: per-event-type Gini coefficient of
-    value — a rank-weighted statistic not in the built-in aggregate
-    set (checked against a NumPy reference in tests/test_scale.py)."""
+    value — a rank-weighted statistic not in the built-in aggregate set.
+
+    Oracle = the closed form G = (n+1 − 2·Σ x_(j)·(n−j+1)/S)/n over
+    ascending ranks, algebraically equal to the UDF's cumsum form and
+    invariant to tie order (tied x contribute equally); 4dp rounding
+    absorbs float reduction-order drift."""
     import numpy as np
     import pandas
     from pyspark.sql.functions import pandas_udf
@@ -160,4 +198,5 @@ def pandas_grouped_agg_gini(spark, sf_dir):
         return float((n + 1 - 2 * (cum / cum[-1]).sum()) / n)
 
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(gini("value").alias("gini_value"))
+    out = ev.groupBy("event_type").agg(gini("value").alias("g"))
+    return out.select("event_type", hround(F.col("g"), 4).alias("gini_value"))
