@@ -44,8 +44,10 @@ HEADLINE = [
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard",
     "emb_cosine_topk",
+    "emb_ivf_topk",
     "emb_lsh_buckets",
     "text_token_stats",
+    "text_tfidf_topterms",
 ]
 
 

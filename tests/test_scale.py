@@ -71,3 +71,35 @@ def test_grouped_agg_gini_matches_numpy(spark, sf_dir):
         # query output is hround-ed to 4dp for oracle hashability
         assert math.isclose(got[et], expected, abs_tol=5.001e-5)
     assert all(0.0 <= g <= 1.0 for g in got.values())
+
+
+def test_ivf_topk_zero_shuffle_plan(spark, sf_dir):
+    """The IVF ANN query must plan as one scan → map-side cell argmax →
+    filter → TakeOrderedAndProject: no Exchange anywhere (the quantizer
+    is inlined literals, the probe filter prunes before scoring)."""
+    df = REGISTRY["emb_ivf_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+    assert all(r.vec_id != 123 for r in rows)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """The IVF recall/cost dial: probing every cell degenerates to the
+    exact brute-force answer (same top-k set), and recall can only
+    grow with nprobe (more cells ⇒ superset of candidates).  Absolute
+    recall at small nprobe is a property of the quantizer, not the
+    operator, so it is not asserted."""
+    from webarchive_indexing_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 123, k=10).collect()}
+    full = {r.vec_id for r in ivf_topk(emb, 123, k=10, nprobe=16).collect()}
+    assert full == exact
+    r2 = {r.vec_id for r in ivf_topk(emb, 123, k=10, nprobe=2).collect()}
+    r4 = {r.vec_id for r in ivf_topk(emb, 123, k=10, nprobe=4).collect()}
+    assert len(r2 & exact) <= len(r4 & exact)
+    assert r2

@@ -121,6 +121,121 @@ def knn_blocked(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cents: int = 16,
+    nprobe: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid cell, then run exact cosine top-k over only the ``nprobe``
+    cells nearest the query — the classic inverted-file pruned scan.
+
+    Centroids here are the first ``n_cents`` vectors (a deterministic
+    stand-in; production swaps in k-means-trained centroids — the plan
+    shape is identical).  The quantizer is a model artifact of
+    ``n_cents × dim`` floats, so it is collected once and inlined as
+    literals: cell assignment becomes a map-only argmax inside
+    whole-stage codegen, and the probe-cell filter prunes ~(1 −
+    nprobe/n_cents) of the data before any distance math.  The whole
+    query plans as one scan → filter → TakeOrderedAndProject: ZERO
+    shuffles, k rows to the driver — at 100 TB only the (still exact)
+    in-cell rescan scales with data size.
+    """
+    from ..queries.helpers import hround
+
+    rows = (
+        embeddings.filter(F.col(id_col) < n_cents)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    qv = [float(x) for x in qrow[0][vec_col]]
+
+    def lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(v) for v in vals])
+
+    # per-row argmax over the centroid table: array<struct<sim,negid>>
+    # → array_max picks (max sim, then max negid = min cid) — the same
+    # (sim DESC, cid ASC) order the relational oracle uses.
+    scored = F.array(
+        *[
+            F.struct(
+                hround(cosine(F.col(vec_col), lit_vec(cv)), 6).alias("sim"),
+                F.lit(-cid).alias("negid"),
+            )
+            for cid, cv in sorted(cents.items())
+        ]
+    )
+    cell = (-F.array_max(scored).getField("negid")).alias("cell")
+
+    # probe cells: nearest nprobe centroids of the query vector —
+    # pure driver math on the collected quantizer (16×64 dots).
+    def py_cos(a: list[float], b: list[float]) -> float:
+        import math
+
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    ranked = sorted(cents, key=lambda c: (-round(py_cos(qv, cents[c]), 6), c))
+    probe = ranked[:nprobe]
+
+    out = (
+        embeddings.withColumn("cell", cell)
+        .filter(F.col("cell").isin(probe) & (F.col(id_col) != query_vec_id))
+        .select(
+            F.col(id_col),
+            "cell",
+            hround(cosine(F.col(vec_col), lit_vec(qv)), 6).alias("cos_sim"),
+        )
+    )
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def sql_ivf_topk(
+    query_vec_id: int = 123,
+    k: int = 10,
+    n_cents: int = 16,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``ivf_topk`` — fully relational (window argmax
+    instead of the collected-quantizer map expression); same result."""
+    csim = "FLOOR(" + sql_cosine("e.embedding", "c.cvec", dim) + " * 1000000.0 + 0.5) / 1000000.0"
+    qsim = "FLOOR(" + sql_cosine("c.cvec", "q.qv", dim) + " * 1000000.0 + 0.5) / 1000000.0"
+    esim = "FLOOR(" + sql_cosine("cells.embedding", "q.qv", dim) + " * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_cents}
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id ORDER BY {csim} DESC, c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ), cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM scored WHERE rn = 1
+    ), probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qsim} DESC, c.cid ASC) AS rn
+        FROM cents c CROSS JOIN q
+      ) WHERE rn <= {nprobe}
+    )
+    SELECT cells.vec_id, cells.cell, {esim} AS cos_sim
+    FROM cells CROSS JOIN q
+    WHERE cells.cell IN (SELECT cid FROM probe) AND cells.vec_id <> {query_vec_id}
+    ORDER BY cos_sim DESC, cells.vec_id ASC LIMIT {k}
+    """
+
+
 def _planes(n_planes: int, dim: int) -> list[list[int]]:
     """±1 hyperplanes seeded from md5 — reproducible anywhere."""
     out = []

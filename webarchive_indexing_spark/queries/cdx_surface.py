@@ -50,11 +50,7 @@ WITH cdx AS (
 
 def derived_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of CDX_SQL — but via real URL strings + native SURT."""
-    from .helpers import widen
-
-    # SURT + ts14 construction are regex/concat-heavy: widen the tiny
-    # scan to full parallelism before the per-capture explode
-    d = widen(t(spark, sf_dir, "documents"))
+    d = t(spark, sf_dir, "documents")
     doc = F.col("doc_id")
     k = F.col("k")
     exploded = d.withColumn(
@@ -315,4 +311,40 @@ def cdx_revisit_resolve(spark, sf_dir):
         c.withColumn("orig_ts14", F.min("ts14").over(w))
         .filter(F.col("ts14") != F.col("orig_ts14"))
         .select("urlkey", "ts14", "orig_ts14")
+    )
+
+
+@query(
+    "cdx_num_pages",
+    oracle=CDX_SQL + """
+    , idx AS (
+      SELECT urlkey,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY urlkey, ts14) - 1) / 100)
+                  AS BIGINT) AS blk
+      FROM cdx
+    )
+    SELECT COUNT(DISTINCT blk) AS num_pages, COUNT(*) AS n_captures
+    FROM idx WHERE urlkey LIKE 'org,example,src1)/%'
+    """,
+)
+def cdx_num_pages(spark, sf_dir):
+    """O3 pagination [B] cdx-server ``showNumPages``: pages = ZipNum
+    blocks (numlines=100 here) whose key range intersects the query's
+    SURT prefix.  This SQL-observable twin assigns global block ids
+    with a total-order window; the production path never sorts at
+    query time — it counts matching lines in the (tiny, already
+    materialized) ``cluster.idx`` secondary index, which is the same
+    arithmetic over the sink's output (sinks/zipnum.py)."""
+    from pyspark.sql.window import Window
+
+    c = derived_cdx(spark, sf_dir)
+    w = Window.orderBy("urlkey", "ts14")
+    blk = F.floor((F.row_number().over(w) - 1) / 100).cast("bigint")
+    return (
+        c.withColumn("blk", blk)
+        .filter(F.col("urlkey").startswith("org,example,src1)/"))
+        .agg(
+            F.countDistinct("blk").alias("num_pages"),
+            F.count(F.lit(1)).alias("n_captures"),
+        )
     )

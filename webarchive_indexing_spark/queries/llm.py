@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     STOPWORDS,
@@ -33,9 +34,11 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import (
     cosine_topk,
+    ivf_topk,
     knn_blocked,
     lsh_buckets,
     sql_cosine,
+    sql_ivf_topk,
     sql_lsh_buckets,
 )
 from ..registry import query
@@ -66,9 +69,10 @@ def base_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
     )
-    # downstream consumers all run hash/shingle-heavy projections —
-    # spread the small input across all cores first (helpers.widen)
-    return widen(d.unionByName(exact).unionByName(near))
+    # NOT widened here: several consumers filter doc_id right after,
+    # and a repartition would block that filter from reaching the scan.
+    # Consumers that chew the whole corpus widen themselves.
+    return d.unionByName(exact).unionByName(near)
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +172,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     for-bit."""
     from ..functions.text import token_hash
 
-    base = base_corpus(spark, sf_dir)
+    # whole-corpus shingle explode: CPU-bound, no downstream pushdown
+    # to lose — widening to all cores is a pure win here
+    base = widen(base_corpus(spark, sf_dir))
     sh = base.select(
         "doc_id",
         "source",
@@ -270,6 +276,23 @@ def emb_lsh_buckets(spark, sf_dir):
     shuffle key of a bucketed pair stage; md5-seeded ±1 planes make the
     buckets engine-independent."""
     return lsh_buckets(t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
+
+
+@query(
+    "emb_ivf_topk",
+    oracle=sql_ivf_topk(query_vec_id=123, k=10, n_cents=16, nprobe=2),
+    tier="C",
+)
+def emb_ivf_topk(spark, sf_dir):
+    """L3 IVF ANN, the scale path past brute force: vectors are
+    coarse-quantized to their nearest of 16 centroid cells by a
+    map-only inlined-literal argmax (the quantizer is a collected
+    model artifact, not data), the probe prunes to the 2 cells nearest
+    the query, and exact cosine top-k runs on the survivors — one
+    scan, zero shuffles, ~7/8 of the data never scored."""
+    return ivf_topk(
+        t(spark, sf_dir, "embeddings"), query_vec_id=123, k=10, n_cents=16, nprobe=2
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +426,66 @@ def text_bpe_token_count(spark, sf_dir):
     return d.groupBy("source").agg(
         F.sum(F.size(bpe_ish_tokens("text"))).alias("n_bpe_tokens"),
         F.sum("n_chars").alias("n_chars"),
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE doc_id < 30 GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             {sql_hround('tf * ln(CAST(n_docs AS DOUBLE) / df)', 4)} AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    tier="C",
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """L5 TF-IDF: top-5 characteristic terms per document (doc_id<30),
+    document frequency over the FULL corpus.  The df side is a
+    token-keyed aggregate that Catalyst partial-aggregates map-side;
+    the per-doc tf side is filter-pruned at the scan before the join.
+    Ranking uses the hround-ed score so the top-5 cut is identical in
+    both engines (token ASC breaks exact ties)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = (
+        toks.filter(F.col("doc_id") < 30)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            hround(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tfidf")
     )
 
 
