@@ -25,20 +25,18 @@ def events(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
 
-def _stream_events(spark, events, tmpdir):
+def _stream_events(spark, events, tmpdir, max_files_per_trigger=None):
     """events table → json files → file-source stream (2 'arrivals')."""
     src = os.path.join(tmpdir, "src")
     half1 = events.filter(F.col("event_id") % 2 == 0)
     half2 = events.filter(F.col("event_id") % 2 == 1)
-    half1.write.mode("overwrite").json(os.path.join(src, "b1"))
-    half2.write.mode("overwrite").json(os.path.join(src, "b2"))
+    half1.coalesce(1).write.mode("overwrite").json(os.path.join(src, "b1"))
+    half2.coalesce(1).write.mode("overwrite").json(os.path.join(src, "b2"))
     schema = events.schema
-    return (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .json(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(src).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(sdf, name, mode="append"):
@@ -158,3 +156,34 @@ def test_st5_stateful_dedup(spark, events):
         )
         n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
         assert n == events.count()
+
+
+def test_custom_stateful_running_counts(spark, events):
+    from webarchive_indexing_spark.streaming.incremental import stream_running_counts
+
+    with tempfile.TemporaryDirectory() as d:
+        # maxFilesPerTrigger=1 forces one micro-batch per arrival file,
+        # so state must actually carry across batches
+        sdf = _stream_events(spark, events, d, max_files_per_trigger=1)
+        _run_to_memory(stream_running_counts(sdf), "run_counts", mode="update")
+        # update mode emits one row per key per micro-batch; the LAST
+        # (= max, counts only grow) total per user must equal the batch
+        # group count — proving state carried across batches
+        got = {
+            r.user_id: r.mx
+            for r in spark.sql(
+                "SELECT user_id, MAX(n_events) AS mx FROM run_counts GROUP BY user_id"
+            ).collect()
+        }
+        expected = {
+            r.user_id: r.n
+            for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == expected
+        # and at least one key really saw >1 micro-batch (intermediate
+        # emission < final total) — otherwise state was never exercised
+        inter = spark.sql(
+            "SELECT COUNT(*) AS c FROM (SELECT user_id, COUNT(*) n FROM run_counts"
+            " GROUP BY user_id HAVING n > 1)"
+        ).collect()[0].c
+        assert inter > 0

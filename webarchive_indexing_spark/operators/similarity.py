@@ -146,6 +146,8 @@ def ivf_topk(
     shuffles, k rows to the driver — at 100 TB only the (still exact)
     in-cell rescan scales with data size.
     """
+    import math
+
     from ..queries.helpers import hround
 
     rows = (
@@ -160,13 +162,32 @@ def ivf_topk(
     def lit_vec(vals: list[float]) -> Column:
         return F.array(*[F.lit(v) for v in vals])
 
-    # per-row argmax over the centroid table: array<struct<sim,negid>>
-    # → array_max picks (max sim, then max negid = min cid) — the same
-    # (sim DESC, cid ASC) order the relational oracle uses.
+    def py_norm(vals: list[float]) -> float:
+        acc = 0.0
+        for x in vals:
+            acc += x * x
+        return math.sqrt(acc)
+
+    cnorm = {cid: py_norm(cv) for cid, cv in cents.items()}
+
+    # Cell score = dot(v,c)/‖c‖ — ‖v‖ is constant per row, so dividing
+    # by it cannot change the argmax; dropping it keeps assignment a
+    # plain-double fold that stays inside whole-stage codegen (the
+    # decimal-exact path below is reserved for the k output rows).
+    def fast_dot(v: Column, cv: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(v, lit_vec(cv), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # per-row argmax over the centroid table: array<struct<score,negid>>
+    # → array_max picks (max score, then max negid = min cid) — the
+    # same (score DESC, cid ASC) order the relational oracle uses.
     scored = F.array(
         *[
             F.struct(
-                hround(cosine(F.col(vec_col), lit_vec(cv)), 6).alias("sim"),
+                hround(fast_dot(F.col(vec_col), cv) / F.lit(cnorm[cid]), 6).alias("s"),
                 F.lit(-cid).alias("negid"),
             )
             for cid, cv in sorted(cents.items())
@@ -175,16 +196,18 @@ def ivf_topk(
     cell = (-F.array_max(scored).getField("negid")).alias("cell")
 
     # probe cells: nearest nprobe centroids of the query vector —
-    # pure driver math on the collected quantizer (16×64 dots).
-    def py_cos(a: list[float], b: list[float]) -> float:
-        import math
+    # pure driver math on the collected quantizer (16×64 dots),
+    # mirroring the oracle's (score DESC, cid ASC) ranking.
+    def py_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
 
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb)
+    def py_hround6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
 
-    ranked = sorted(cents, key=lambda c: (-round(py_cos(qv, cents[c]), 6), c))
+    ranked = sorted(cents, key=lambda c: (-py_hround6(py_dot(qv, cents[c]) / cnorm[c]), c))
     probe = ranked[:nprobe]
 
     out = (
@@ -207,25 +230,37 @@ def sql_ivf_topk(
     dim: int = 64,
 ) -> str:
     """DuckDB twin of ``ivf_topk`` — fully relational (window argmax
-    instead of the collected-quantizer map expression); same result."""
-    csim = "FLOOR(" + sql_cosine("e.embedding", "c.cvec", dim) + " * 1000000.0 + 0.5) / 1000000.0"
-    qsim = "FLOOR(" + sql_cosine("c.cvec", "q.qv", dim) + " * 1000000.0 + 0.5) / 1000000.0"
+    instead of the collected-quantizer map expression); same result.
+    Cell scores are the same plain-double ``dot(v,c)/‖c‖`` (64-term
+    fold drift ≪ the 1e-6 rounding grain); the output cosine is the
+    decimal-exact one."""
+
+    def ddot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    cscore = f"FLOOR({ddot('e.embedding', 'c.cvec')} / c.cnorm * 1000000.0 + 0.5) / 1000000.0"
+    qscore = f"FLOOR({ddot('q.qv', 'c.cvec')} / c.cnorm * 1000000.0 + 0.5) / 1000000.0"
     esim = "FLOOR(" + sql_cosine("cells.embedding", "q.qv", dim) + " * 1000000.0 + 0.5) / 1000000.0"
     return f"""
     WITH cents AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_cents}
+      SELECT vec_id AS cid, embedding AS cvec,
+             sqrt({ddot('embedding', 'embedding')}) AS cnorm
+      FROM embeddings WHERE vec_id < {n_cents}
     ), q AS (
       SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
     ), scored AS (
       SELECT e.vec_id, e.embedding, c.cid,
              ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id ORDER BY {csim} DESC, c.cid ASC) AS rn
+               PARTITION BY e.vec_id ORDER BY {cscore} DESC, c.cid ASC) AS rn
       FROM embeddings e CROSS JOIN cents c
     ), cells AS (
       SELECT vec_id, embedding, cid AS cell FROM scored WHERE rn = 1
     ), probe AS (
       SELECT cid FROM (
-        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qsim} DESC, c.cid ASC) AS rn
+        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qscore} DESC, c.cid ASC) AS rn
         FROM cents c CROSS JOIN q
       ) WHERE rn <= {nprobe}
     )

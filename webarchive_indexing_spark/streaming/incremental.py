@@ -90,3 +90,32 @@ def stream_dedup(
     """ST5: stateful dedup on ``keys`` with state bounded by the
     watermark (the CDX digest-dedup A7, streaming)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_running_counts(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-key running total maintained across micro-batches — the
+    arbitrary-state shape (counters, per-URL crawl budgets, dedup
+    sketches) that windowed aggs and dropDuplicates can't express.
+
+    Each micro-batch the group's Arrow batches stream through Python,
+    the single-row state tuple is read/updated, and one updated total
+    is emitted per key (Update output mode).  State is one bigint per
+    key — bounded by key cardinality, not stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [total]})
+
+    return events.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=f"{key} bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
