@@ -83,3 +83,34 @@ def test_cdxj_parse(spark):
     assert out[0].timestamp == "20150101000000"
     assert out[0].props["status"] == "200"
     assert out[1].props["digest"] == "XYZ"
+
+
+def test_cdxj_roundtrip_through_typed_cdx(spark, sf_dir):
+    """typed CDX → CDXJ lines → parse → typed projection == original
+    (the conversion a reference user needs to serve a cc-index-style
+    CDXJ cluster from the same pipeline)."""
+    from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+    from webarchive_indexing_spark.sources.cdx import cdxj_to_cdx, to_cdxj_lines
+
+    cdx = derived_cdx(spark, sf_dir).select(
+        "urlkey",
+        F.col("ts14").alias("timestamp"),
+        F.concat(F.lit("https://x/"), F.col("digest")).alias("url"),
+        "mime",
+        "status",
+        "digest",
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(None).cast("string").alias("robotflags"),
+        "length",
+        "offset",
+        "filename",
+    ).limit(300)
+    lines = to_cdxj_lines(cdx)
+    sample = lines.take(1)[0].value
+    # shape: urlkey SP ts SP {json}; nulls omitted, not '-'
+    assert sample.split(" ", 2)[2].startswith("{")
+    assert '"redirect"' not in sample
+    back = cdxj_to_cdx(parse_cdxj_lines(lines))
+    a = sorted(map(tuple, cdx.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

@@ -36,11 +36,14 @@ RUNTIME_CONF: dict[str, str] = {
     # Parquet scans: keep scan partitions big enough to amortize task
     # startup but small enough to fit executor memory at 100 TB.
     "spark.sql.files.maxPartitionBytes": "256m",
+    # runtime-settable: also rescues an externally built session (the
+    # driver's default of 200 is pure scheduling overhead on local[32];
+    # on a real cluster AQE coalescing re-sizes upward from this).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 #: conf entries that must be set before the JVM starts.
 BUILD_CONF: dict[str, str] = {
-    "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",

@@ -84,3 +84,53 @@ def parse_cdxj_lines(lines: DataFrame, column: str = "value") -> DataFrame:
             F.substring(rest, second + 1, F.length(rest)), "map<string,string>"
         ).alias("props"),
     )
+
+
+#: classic-CDX column → CDXJ JSON key (the key names pywb/cc-index use)
+CDXJ_KEYS = [
+    ("url", "url"),
+    ("mime", "mime"),
+    ("status", "status"),
+    ("digest", "digest"),
+    ("redirect", "redirect"),
+    ("robotflags", "robotflags"),
+    ("length", "length"),
+    ("offset", "offset"),
+    ("filename", "filename"),
+]
+
+
+def to_cdxj_lines(cdx: DataFrame) -> DataFrame:
+    """Typed CDX DataFrame → CDXJ lines (``urlkey ts {json}``), the
+    format the Common Crawl index serves.  NULL fields are omitted
+    from the JSON (CDXJ convention) rather than written as '-';
+    ``to_json`` over a map built from the non-null entries keeps the
+    whole conversion JVM-side."""
+    entries = []
+    for col, key in CDXJ_KEYS:
+        entries.append(
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(F.lit(key).alias("k"), F.col(col).cast("string").alias("v")),
+            )
+        )
+    kvs = F.filter(F.array(*entries), lambda e: e.isNotNull())
+    js = F.to_json(
+        F.map_from_arrays(
+            F.transform(kvs, lambda e: e.getField("k")),
+            F.transform(kvs, lambda e: e.getField("v")),
+        )
+    )
+    return cdx.select(
+        F.concat_ws(" ", F.col("urlkey"), F.col("timestamp"), js).alias("value")
+    )
+
+
+def cdxj_to_cdx(cdxj: DataFrame) -> DataFrame:
+    """Typed projection of a parsed CDXJ DataFrame back to the classic
+    CDX schema (missing JSON keys → NULL, numeric casts)."""
+    cols = [F.col("urlkey"), F.col("timestamp")]
+    types = dict(CDX_FIELDS)
+    for col, key in CDXJ_KEYS:
+        cols.append(F.col("props").getItem(key).cast(types[col]).alias(col))
+    return cdxj.select(*cols)
