@@ -182,9 +182,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.array_distinct(F.transform(shingles(tokens(F.col("text"))), token_hash))
         ).alias("s"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # |shingles(doc)| rides along as a window count instead of a
+    # separate aggregate: both join sides then share an IDENTICAL
+    # explode→exchange(doc_id)→window subtree, so Spark's ReuseExchange
+    # computes the (CPU-heavy) shingle explode once, and the two
+    # post-hoc size joins disappear entirely.
+    shn = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    a = shn.alias("a")
+    b = shn.alias("b")
     inter = (
         a.join(
             b,
@@ -193,14 +198,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    joined = inter.join(sa, "a_id").join(sb, "b_id")
     union_n = F.col("na") + F.col("nb") - F.col("i")
     return (
-        joined.filter(10 * F.col("i") >= 7 * union_n)
+        inter.filter(10 * F.col("i") >= 7 * union_n)
         .select(
             "a_id",
             "b_id",
