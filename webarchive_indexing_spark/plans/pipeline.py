@@ -1,0 +1,98 @@
+"""End-to-end pipeline plans (SURVEY.md §3): the reference's three
+CLI jobs as composed DataFrame plans.
+
+Reference workflow [U README]:
+
+1. ``indexwarcsjob.py``    manifest → one sorted ``.cdx.gz`` per WARC
+2. ``samplecdxjob.py``     sample CDX keys → split-points file
+3. ``zipnumclusterjob.py`` total-order sort → ZipNum cluster
+
+Here that is either ONE call (``build_index`` — job 2 is subsumed by
+``repartitionByRange``'s internal sampling, jobs 1+3 fuse into a
+single lineage with one shuffle) or the same two materialized stages
+(``index_to_cdx_gz`` + ``cluster_from_cdx_gz``) when the intermediate
+per-WARC CDX artifact is wanted — e.g. to incrementally re-cluster
+without re-parsing WARCs, which is how the reference operates at
+Common Crawl scale.
+
+``query_index`` is the cdx-server GET /index surface over the built
+cluster (block-pruned reads — §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdx_query import cdx_query_zipnum
+from ..session import tune
+from ..sinks.zipnum import write_zipnum
+from ..sources.cdx import read_cdx_gz, write_cdx_gz
+from ..sources.warc import index_warcs, skip_existing
+
+
+def _manifest_df(spark: SparkSession, manifest: str | DataFrame) -> DataFrame:
+    tune(spark)  # idempotent: conf + ship package to python workers
+    if isinstance(manifest, DataFrame):
+        return manifest
+    return spark.read.text(manifest).select(F.col("value").alias("path"))
+
+
+def build_index(
+    spark: SparkSession,
+    manifest: str | DataFrame,
+    out_dir: str,
+    *,
+    shards: int = 8,
+    numlines: int = 3000,
+    files_per_task: int = 2,
+) -> DataFrame:
+    """Manifest (path file or DataFrame with ``path``) → WARC parse →
+    ZipNum cluster at ``out_dir``; returns the secondary index.  One
+    job, one range shuffle — the whole reference pipeline."""
+    cdx = index_warcs(spark, _manifest_df(spark, manifest), files_per_task=files_per_task)
+    return write_zipnum(cdx, out_dir, shards=shards, numlines=numlines)
+
+
+def index_to_cdx_gz(
+    spark: SparkSession,
+    manifest: str | DataFrame,
+    cdx_dir: str,
+    *,
+    files_per_task: int = 2,
+    existing: DataFrame | None = None,
+) -> DataFrame:
+    """Stage 1 (reference job 1): manifest → sorted gzipped CDX under
+    ``cdx_dir``.  ``existing`` (a DataFrame of already-indexed output
+    paths) enables the --skip-existing anti-join [U ~L75-85]."""
+    m = _manifest_df(spark, manifest)
+    if existing is not None:
+        m = skip_existing(m, existing)
+    cdx = index_warcs(spark, m, files_per_task=files_per_task)
+    write_cdx_gz(cdx, cdx_dir)
+    return cdx
+
+
+def cluster_from_cdx_gz(
+    spark: SparkSession,
+    cdx_dir: str,
+    out_dir: str,
+    *,
+    shards: int = 8,
+    numlines: int = 3000,
+) -> DataFrame:
+    """Stages 2+3 (reference jobs 2 and 3): re-read the per-WARC CDX,
+    total-order it, build the ZipNum cluster; returns the secondary
+    index.  The sampling job does not exist here — Spark's range
+    partitioner samples bounds inside the one shuffle."""
+    tune(spark)
+    cdx = read_cdx_gz(spark, cdx_dir)
+    return write_zipnum(cdx, out_dir, shards=shards, numlines=numlines)
+
+
+def query_index(
+    spark: SparkSession, cluster_dir: str, url: str, **params
+) -> DataFrame:
+    """cdx-server GET /index over a built cluster: matchType, from/to,
+    filter, collapse, closest, sort, fields, limit — block-pruned."""
+    return cdx_query_zipnum(spark, cluster_dir, url, **params)

@@ -57,7 +57,44 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked by the host
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    host process's cwd/PYTHONPATH.
+
+    Closures sent to workers (WARC parse, multimodal decode, pandas
+    UDFs) reference module-level functions, which cloudpickle
+    serializes BY REFERENCE — the worker must import the package.  A
+    host that builds its own SparkSession from a different cwd (the
+    external driver) would otherwise hit ModuleNotFoundError on every
+    such query.  ``addPyFile`` distributes a zip of the package and
+    prepends it to worker ``sys.path`` — the same mechanism used to
+    ship job code to a real cluster."""
+    sc = spark.sparkContext
+    if getattr(sc, "_webarchive_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"webarchive_indexing_spark_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    try:
+        sc.addPyFile(zpath)
+        sc._webarchive_pkg_shipped = True
+    except Exception:  # pragma: no cover - host forbids addPyFile
+        pass
 
 
 def get_session(app_name: str = "webarchive-indexing-spark") -> SparkSession:
