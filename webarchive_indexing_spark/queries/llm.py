@@ -22,6 +22,7 @@ from ..functions.text import (
     sql_shingles,
     sql_stopword_count,
     stopword_count,
+    token_hash,
     tokens,
 )
 from ..operators.dedup import (
@@ -33,6 +34,7 @@ from ..operators.dedup import (
     sql_simhash16,
 )
 from ..operators.similarity import (
+    cosine,
     cosine_topk,
     ivf_topk,
     knn_blocked,
@@ -170,8 +172,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
     shuffle moves 8-byte keys and any hash collision is identical in
     both engines (same hash fn), so the oracle still matches bit-
     for-bit."""
-    from ..functions.text import token_hash
-
     # whole-corpus shingle explode: CPU-bound, no downstream pushdown
     # to lose — widening to all cores is a pure win here
     base = widen(base_corpus(spark, sf_dir))
@@ -282,6 +282,36 @@ def emb_lsh_buckets(spark, sf_dir):
     shuffle key of a bucketed pair stage; md5-seeded ±1 planes make the
     buckets engine-independent."""
     return lsh_buckets(t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {sql_hround(sql_cosine('a.embedding', 'b.embedding'), 6)} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_hround(sql_cosine('a.embedding', 'b.embedding'), 6)} >= 0.99
+    """,
+    tier="C",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """L2/L4 embedding-cosine near-dup pairs: same blocked equi-join as
+    the kNN variant but thresholded (cos ≥ 0.99) instead of ranked —
+    the semantic-dedup shape a training pipeline runs after minhash.
+    The label block bounds the pair fan-out; at 100 TB the block key
+    comes from LSH buckets (emb_lsh_buckets) instead of labels."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("a_id"),
+                 F.col("embedding").alias("a_v"))
+    b = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("b_id"),
+                 F.col("embedding").alias("b_v"))
+    pairs = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
+    sim = hround(cosine(F.col("a_v"), F.col("b_v")), 6)
+    return (
+        pairs.select("a_id", "b_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.99)
+    )
 
 
 @query(
@@ -433,6 +463,44 @@ def text_bpe_token_count(spark, sf_dir):
         F.sum(F.size(bpe_ish_tokens("text"))).alias("n_bpe_tokens"),
         F.sum("n_chars").alias("n_chars"),
     )
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform({sql_shingles("string_split(text, ' ')")},
+                            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS h
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(h) - 3, 0) + 1),
+                            j -> list_min(h[j:j+3])))) AS fp
+    FROM hs
+    """,
+    tier="C",
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    """L5 document fingerprinting by winnowing (MOSS-style): hash every
+    3-token shingle (the rolling-hash stream), slide a w=4 window over
+    the hash sequence, keep each window's minimum, dedupe.  Two docs
+    sharing any fingerprint share a ≥6-token run — the containment/
+    plagiarism detector exact-hash dedup can't express.  All native
+    array expressions; the fingerprint set is ~|doc|/w hashes, the
+    shuffle-ready key for a sharing-detection join."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    hs = F.transform(shingles(tokens(F.col("text"))), token_hash)
+    win = F.when(
+        F.size(hs) >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hs) - 3),
+                lambda j: F.array_min(F.slice(hs, j, 4)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return d.select("doc_id", F.explode(win).alias("fp"))
 
 
 @query(
