@@ -40,3 +40,55 @@ def test_decode_batches_schema_and_values(spark, sf_dir):
 def test_real_decoder_seam_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_extract_features_shape_and_determinism(spark, sf_dir):
+    from webarchive_indexing_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    out = extract_features(attach_fake_payload(docs), dim=16)
+    rows = {r.doc_id: r.features for r in out.collect()}
+    src = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert set(rows) == set(src)
+    for doc_id, feats in rows.items():
+        assert len(feats) == 16
+        assert abs(sum(feats) - 1.0) < 1e-5  # normalized histogram
+    # deterministic: second run identical
+    again = {r.doc_id: r.features for r in
+             extract_features(attach_fake_payload(docs), dim=16).collect()}
+    assert rows == again
+
+
+def test_resize_fixed_size_payloads(spark, sf_dir):
+    from webarchive_indexing_spark.operators.multimodal import resize_batches
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    out = resize_batches(attach_fake_payload(docs), target_bytes=64).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.payload) == 64
+        assert r.n_bytes == 64
+
+
+def test_sample_frames_video_only_fanout(spark, sf_dir):
+    from webarchive_indexing_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    with_bin = attach_fake_payload(docs)
+    out = sample_frames(with_bin, every=16, max_frames=4)
+    rows = out.collect()
+    assert rows, "expected video rows to fan out"
+    video_ids = {
+        r.doc_id
+        for r in with_bin.select("doc_id", "media_meta.kind").collect()
+        if r.kind == "video"
+    }
+    assert {r.doc_id for r in rows} == video_ids
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for frames in by_doc.values():
+        assert [f.frame_no for f in sorted(frames, key=lambda x: x.frame_no)] == list(
+            range(len(frames))
+        )
+        assert all(len(f.frame) <= 16 for f in frames)

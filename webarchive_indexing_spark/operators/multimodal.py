@@ -77,3 +77,93 @@ def decode_batches(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(fn, DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id bigint, features array<float>"
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction over Arrow batches: payload bytes → fixed-dim
+    vector (here a normalized byte histogram folded to ``dim`` buckets
+    — the deterministic stand-in for a vision/audio encoder; a real
+    model's forward pass slots into the same batch loop).  Output is
+    the ``array<float>`` shape the embedding operators (cosine / LSH /
+    IVF) consume downstream — this stage is how the embeddings table
+    gets made at 100 TB."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                total = hist.sum()
+                feats.append(hist / total if total else hist)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, media_kind string, payload binary, n_bytes bigint"
+)
+
+
+def resize_batches(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' stage: every payload is re-encoded to a fixed size
+    (truncate / zero-pad — the deterministic stand-in for a real
+    image resample, which plugs in at the marked seam).  Demonstrates
+    the payload-REWRITING batch shape: binary in, binary out, Arrow
+    buffers end to end."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def fit(b: bytes) -> bytes:
+            b = bytes(b)
+            # seam: real resample (PIL Image.resize / ffmpeg scale)
+            return b[:target_bytes].ljust(target_bytes, b"\x00")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_kind": pdf["media_meta"].map(lambda m: m["kind"]),
+                    "payload": pdf["payload"].map(fit),
+                    "n_bytes": target_bytes,
+                }
+            )
+
+    return df.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_no int, frame binary"
+
+
+def sample_frames(df: DataFrame, every: int = 32, max_frames: int = 8) -> DataFrame:
+    """Frame sampling: one video payload row → N frame rows (the 1→N
+    explode shape, done in pandas so a real container demuxer can slot
+    in).  Frames here are deterministic byte slices at ``every``-byte
+    strides; only ``media_meta.kind == 'video'`` rows fan out."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for doc_id, meta, payload in zip(
+                pdf["doc_id"], pdf["media_meta"], pdf["payload"]
+            ):
+                if meta["kind"] != "video":
+                    continue
+                b = bytes(payload)
+                for i in range(min(max_frames, max(1, len(b) // every))):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(b[i * every : (i + 1) * every])
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.mapInPandas(fn, FRAMES_SCHEMA)

@@ -580,3 +580,16 @@ def multimodal_decode_stub(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     with_bin = attach_fake_payload(d)
     return decode_batches(with_bin)
+
+
+@query("multimodal_feature_pipeline", oracle=None, tier="C")
+def multimodal_feature_pipeline(spark, sf_dir):
+    """L6 media → embedding pipeline: binary payload → fixed-size
+    'resize' → byte-histogram feature vector (the deterministic fake at
+    the encoder seam) → the array<float> shape the similarity operators
+    consume.  Rows-only; stage behavior asserted in
+    tests/test_multimodal.py."""
+    from ..operators.multimodal import attach_fake_payload, extract_features
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return extract_features(attach_fake_payload(d), dim=16)
