@@ -104,7 +104,7 @@ def test_cdxj_roundtrip_through_typed_cdx(spark, sf_dir):
         "length",
         "offset",
         "filename",
-    ).limit(300)
+    ).orderBy("urlkey", "timestamp").limit(300)  # deterministic subset
     lines = to_cdxj_lines(cdx)
     sample = lines.take(1)[0].value
     # shape: urlkey SP ts SP {json}; nulls omitted, not '-'

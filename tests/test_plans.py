@@ -63,9 +63,15 @@ def test_semi_and_anti_never_materialize_right_rows(spark, sf_dir):
 
 def test_exact_dedup_shuffles_hashes_not_documents(spark, sf_dir):
     # the groupBy key is md5(text); the wide text column must not be
-    # carried through the exchange
+    # carried through the exchange.  The Exchange node only prints its
+    # partitioning, so inspect the PARTIAL aggregate feeding it — its
+    # output list is exactly what crosses the wire.
+    import re
+
     df = REGISTRY["dedup_exact_groups"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
-    assert ex, "expected a hash exchange for the digest groupBy"
-    assert all("text#" not in ln for ln in ex), "raw text crosses the shuffle"
+    assert "Exchange hashpartitioning" in plan, "expected a hash exchange"
+    partials = re.findall(r"HashAggregate\(keys=.*?partial_.*?output=\[([^\]]*)\]", plan)
+    assert partials, "expected a partial (map-side) aggregate below the exchange"
+    for out in partials:
+        assert "text#" not in out, f"raw text crosses the shuffle: {out}"

@@ -160,6 +160,8 @@ def sample_frames(df: DataFrame, every: int = 32, max_frames: int = 8) -> DataFr
                 if meta["kind"] != "video":
                     continue
                 b = bytes(payload)
+                if not b:
+                    continue  # no phantom frame for an empty payload
                 for i in range(min(max_frames, max(1, len(b) // every))):
                     ids.append(doc_id)
                     nos.append(i)

@@ -86,6 +86,28 @@ def cosine_topk(
     return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def blocked_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    ordered: bool = False,
+) -> DataFrame:
+    """Self-join within coarse blocks: the shared scaffolding of every
+    blocked pairwise stage (kNN, threshold near-dup).  ``ordered=True``
+    keeps each unordered pair once (a_id < b_id); False keeps both
+    directions (per-probe neighbour lists)."""
+    a = embeddings.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v")
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v")
+    )
+    cond = F.col("a_id") < F.col("b_id") if ordered else F.col("a_id") != F.col("b_id")
+    return a.join(b, "blk").filter(cond)
+
+
 def knn_blocked(
     embeddings: DataFrame,
     k: int = 3,
@@ -100,13 +122,9 @@ def knn_blocked(
     (here: the label column) assigns the blocks."""
     from ..queries.helpers import hround
 
-    a = embeddings.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v")
+    pairs = blocked_pairs(
+        embeddings, id_col=id_col, vec_col=vec_col, block_col=block_col
     )
-    b = embeddings.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v")
-    )
-    pairs = a.join(b, "blk").filter(F.col("a_id") != F.col("b_id"))
     scored = pairs.select(
         "blk",
         "a_id",
@@ -204,10 +222,11 @@ def ivf_topk(
             acc += x * y
         return acc
 
-    def py_hround6(x: float) -> float:
-        return math.floor(x * 1e6 + 0.5) / 1e6
+    from ..queries.helpers import py_hround
 
-    ranked = sorted(cents, key=lambda c: (-py_hround6(py_dot(qv, cents[c]) / cnorm[c]), c))
+    ranked = sorted(
+        cents, key=lambda c: (-py_hround(py_dot(qv, cents[c]) / cnorm[c], 6), c)
+    )
     probe = ranked[:nprobe]
 
     out = (
@@ -235,15 +254,17 @@ def sql_ivf_topk(
     fold drift ≪ the 1e-6 rounding grain); the output cosine is the
     decimal-exact one."""
 
+    from ..queries.helpers import sql_hround
+
     def ddot(a: str, b: str) -> str:
         return (
             f"list_sum(list_transform(range(1, {dim + 1}), i -> "
             f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
         )
 
-    cscore = f"FLOOR({ddot('e.embedding', 'c.cvec')} / c.cnorm * 1000000.0 + 0.5) / 1000000.0"
-    qscore = f"FLOOR({ddot('q.qv', 'c.cvec')} / c.cnorm * 1000000.0 + 0.5) / 1000000.0"
-    esim = "FLOOR(" + sql_cosine("cells.embedding", "q.qv", dim) + " * 1000000.0 + 0.5) / 1000000.0"
+    cscore = sql_hround(f"{ddot('e.embedding', 'c.cvec')} / c.cnorm", 6)
+    qscore = sql_hround(f"{ddot('q.qv', 'c.cvec')} / c.cnorm", 6)
+    esim = sql_hround(sql_cosine("cells.embedding", "q.qv", dim), 6)
     return f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding AS cvec,

@@ -41,6 +41,16 @@ def sql_hround(expr: str, n: int = 2) -> str:
     return f"FLOOR(CAST(({expr}) AS DOUBLE) * {scale} + 0.5) / {scale}"
 
 
+def py_hround(x: float, n: int = 2) -> float:
+    """Python twin of hround/sql_hround — driver-side math that must
+    reproduce an engine-side rounded value (e.g. IVF probe ranking)
+    has to use the same floor(x·10ⁿ + 0.5)/10ⁿ formula."""
+    import math
+
+    scale = float(10**n)
+    return math.floor(x * scale + 0.5) / scale
+
+
 def davg(col: Column | str, alias: str) -> Column:
     # NOT avg(): Spark averages decimals exactly (half-up at .xx5),
     # DuckDB averages in double — instead both engines are given the

@@ -21,6 +21,7 @@ from ..functions.text import (
     shingles,
     sql_shingles,
     sql_stopword_count,
+    sql_token_hash,
     stopword_count,
     token_hash,
     tokens,
@@ -144,7 +145,7 @@ def dedup_simhash(spark, sf_dir):
       SELECT doc_id, source,
              unnest(list_distinct(list_transform(
                {sql_shingles("string_split(text, ' ')")},
-               s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))) AS s
+               s -> {sql_token_hash('s')}))) AS s
       FROM base
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
@@ -301,12 +302,9 @@ def dedup_embedding_cosine(spark, sf_dir):
     the semantic-dedup shape a training pipeline runs after minhash.
     The label block bounds the pair fan-out; at 100 TB the block key
     comes from LSH buckets (emb_lsh_buckets) instead of labels."""
-    e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("a_id"),
-                 F.col("embedding").alias("a_v"))
-    b = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("b_id"),
-                 F.col("embedding").alias("b_v"))
-    pairs = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
+    from ..operators.similarity import blocked_pairs
+
+    pairs = blocked_pairs(t(spark, sf_dir, "embeddings"), ordered=True)
     sim = hround(cosine(F.col("a_v"), F.col("b_v")), 6)
     return (
         pairs.select("a_id", "b_id", sim.alias("cos_sim"))
@@ -471,7 +469,7 @@ def text_bpe_token_count(spark, sf_dir):
     WITH hs AS (
       SELECT doc_id,
              list_transform({sql_shingles("string_split(text, ' ')")},
-                            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS h
+                            s -> {sql_token_hash('s')}) AS h
       FROM documents WHERE doc_id < 200
     )
     SELECT doc_id, unnest(list_distinct(

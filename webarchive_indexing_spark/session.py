@@ -36,14 +36,11 @@ RUNTIME_CONF: dict[str, str] = {
     # Parquet scans: keep scan partitions big enough to amortize task
     # startup but small enough to fit executor memory at 100 TB.
     "spark.sql.files.maxPartitionBytes": "256m",
-    # runtime-settable: also rescues an externally built session (the
-    # driver's default of 200 is pure scheduling overhead on local[32];
-    # on a real cluster AQE coalescing re-sizes upward from this).
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 #: conf entries that must be set before the JVM starts.
 BUILD_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
@@ -57,6 +54,19 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked by the host
             pass
+    # Shuffle width: ONLY overridden for local mode, where the stock
+    # default of 200 is pure scheduling overhead on a core-count box.
+    # On a real cluster the host's setting stands — forcing 32 there
+    # would funnel every 100 TB shuffle into 32 reduce partitions
+    # (AQE coalescing only merges downward, it cannot re-widen).
+    try:
+        if spark.sparkContext.master.startswith("local"):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            )
+    except Exception:  # pragma: no cover
+        pass
     _ship_package(spark)
     return spark
 

@@ -121,8 +121,16 @@ def to_cdxj_lines(cdx: DataFrame) -> DataFrame:
             F.transform(kvs, lambda e: e.getField("v")),
         )
     )
+    # concat_ws silently DROPS null args, which would shift the line to
+    # two fields and corrupt the parse — key columns fall back to '-'
+    # (same placeholder as the classic-CDX twin).
     return cdx.select(
-        F.concat_ws(" ", F.col("urlkey"), F.col("timestamp"), js).alias("value")
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("urlkey"), F.lit("-")),
+            F.coalesce(F.col("timestamp"), F.lit("-")),
+            js,
+        ).alias("value")
     )
 
 
