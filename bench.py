@@ -40,7 +40,7 @@ HEADLINE = [
     "sessionize_gaps",
     "cdx_surt_urlkey",
     "cdx_collapse_digest",
-    "zipnum_build_index",
+    "zipnum_roundtrip_prefix",
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard",
     "emb_cosine_topk",

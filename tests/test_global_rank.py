@@ -1,0 +1,64 @@
+"""operators.global_rank: two-pass total-order rank / exact ntile must
+agree exactly with the single-partition window definitions they
+replace (which are only usable at toy scale)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from webarchive_indexing_spark.operators.global_rank import (
+    exact_ntile,
+    global_row_number,
+)
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    # unique, deliberately adversarial order + >1 input partition
+    vals = [(i * 37) % 1000 for i in range(1000)]
+    return spark.createDataFrame([(v,) for v in vals], "v long").repartition(7)
+
+
+def test_global_row_number_matches_window(spark, nums):
+    got = {r.v: r.rank for r in global_row_number(nums, ["v"]).collect()}
+    w = Window.orderBy("v")
+    want = {
+        r.v: r.rank
+        for r in nums.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_plan_never_single_partition(spark, nums):
+    # the ranking windows run over the range partitions; nothing in the
+    # plan may funnel the data through one task (AQE may *coalesce* the
+    # toy-sized shuffle, but must never plant an Exchange SinglePartition)
+    ranked = global_row_number(nums, ["v"])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+
+
+@pytest.mark.parametrize("n", [1, 4, 7, 1000, 1500])
+def test_exact_ntile_matches_window(spark, nums, n):
+    got = {r.v: r.tile for r in exact_ntile(nums, ["v"], n).collect()}
+    w = Window.orderBy("v")
+    want = {
+        r.v: r.tile for r in nums.withColumn("tile", F.ntile(n).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_exact_ntile_with_ties_stable_aggregates(spark):
+    # ties across tile boundaries: per-tile count/min/max stay
+    # deterministic even though tied rows may swap tiles
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "v long")
+    agg = (
+        exact_ntile(df, ["v"], 4)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("tile")
+        .collect()
+    )
+    assert [r.n for r in agg] == [25, 25, 25, 25]
+    assert [(r.lo, r.hi) for r in agg] == [(0, 2), (2, 4), (5, 7), (7, 9)]

@@ -75,3 +75,19 @@ def test_exact_dedup_shuffles_hashes_not_documents(spark, sf_dir):
     assert partials, "expected a partial (map-side) aggregate below the exchange"
     for out in partials:
         assert "text#" not in out, f"raw text crosses the shuffle: {out}"
+
+
+def test_global_rank_stays_parallel_and_narrow(spark, sf_dir):
+    # zipnum_shard_plan ranks the whole table: the two-pass rank must
+    # never plant an Exchange SinglePartition (the scale killer a bare
+    # Window.orderBy would cause), and the ranking pass itself must sit
+    # directly on the cached range partitions (MapInPandas over
+    # InMemoryTableScan) — no extra exchange, no re-sort.
+    plan = _plan(spark, sf_dir, "zipnum_shard_plan")
+    assert "SinglePartition" not in plan, plan[:500]
+    assert "MapInPandas" in plan
+    final = plan.split("== Initial Plan ==", 1)[0]
+    rank_down = final.split("MapInPandas", 1)[1]
+    cache_pos = rank_down.find("InMemoryTableScan")
+    assert cache_pos != -1
+    assert "Exchange" not in rank_down[:cache_pos], rank_down[:cache_pos]

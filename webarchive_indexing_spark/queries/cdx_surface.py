@@ -262,17 +262,10 @@ def cdx_closest(spark, sf_dir):
     )
 
 
-@query("zipnum_build_index", oracle=None)
-def zipnum_build_index(spark, sf_dir):
-    """S6 ZipNum sink end-to-end [U zipnumclusterjob.py]: total-order
-    range shuffle → partition-local gzip-block writer → secondary
-    index returned as a DataFrame.  Rows-only check (byte offsets are
-    not SQL-expressible — SURVEY.md §2.5 W6 covers the SQL half)."""
-    import tempfile
-
-    from ..sinks.zipnum import write_zipnum
-
-    c = derived_cdx(spark, sf_dir).select(
+def _zipnum_input(spark, sf_dir) -> DataFrame:
+    """derived_cdx → the 11-field typed CDX shape the ZipNum sink
+    writes (shared by the build / roundtrip queries)."""
+    return derived_cdx(spark, sf_dir).select(
         "urlkey",
         F.col("ts14").alias("timestamp"),
         F.concat(F.lit("https://example.org/"), F.col("digest")).alias("url"),
@@ -285,8 +278,82 @@ def zipnum_build_index(spark, sf_dir):
         "offset",
         "filename",
     )
+
+
+@query("zipnum_build_index", oracle=None)
+def zipnum_build_index(spark, sf_dir):
+    """S6 ZipNum sink end-to-end [U zipnumclusterjob.py]: total-order
+    range shuffle → partition-local gzip-block writer → secondary
+    index returned as a DataFrame.  Rows-only check (byte offsets are
+    not SQL-expressible — zipnum_roundtrip_prefix value-checks the
+    written DATA end-to-end; SURVEY.md §2.5 W6 covers the SQL half)."""
+    import tempfile
+
+    from ..sinks.zipnum import write_zipnum
+
     out = tempfile.mkdtemp(prefix="zipnum_query_")
-    return write_zipnum(c, out, shards=8, numlines=100)
+    return write_zipnum(_zipnum_input(spark, sf_dir), out, shards=8, numlines=100)
+
+
+@query(
+    "zipnum_roundtrip_prefix",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp,
+           'https://example.org/' || digest AS url,
+           mime, status, digest,
+           CAST(NULL AS VARCHAR) AS redirect,
+           CAST(NULL AS VARCHAR) AS robotflags,
+           CAST(length AS BIGINT) AS length,
+           CAST("offset" AS BIGINT) AS "offset",
+           filename
+    FROM cdx WHERE urlkey LIKE 'org,example,src1%'
+    """,
+)
+def zipnum_roundtrip_prefix(spark, sf_dir):
+    """S6 value-checked end-to-end: build a ZipNum cluster (range
+    shuffle → gzip blocks → secondary index), then answer a
+    matchType=prefix query THROUGH the cluster (binary-search block
+    pruning + ranged decompress) and hash-compare the recovered rows
+    against the oracle's recomputation.  Shard assignment is
+    nondeterministic (sampled range bounds) but the rows a key-range
+    query returns are not — so the full write→prune→read→parse path
+    is oracle-checkable even though byte offsets aren't."""
+    import tempfile
+
+    from ..sinks.zipnum import write_zipnum, zipnum_prefix_query
+
+    out = tempfile.mkdtemp(prefix="zipnum_rt_")
+    write_zipnum(_zipnum_input(spark, sf_dir), out, shards=8, numlines=100)
+    return zipnum_prefix_query(spark, out, "org,example,src1")
+
+
+@query(
+    "zipnum_shard_plan",
+    oracle=CDX_SQL + """
+    SELECT shard, COUNT(*) AS n_lines,
+           MIN(urlkey) AS first_urlkey, MAX(urlkey) AS last_urlkey
+    FROM (SELECT urlkey,
+                 NTILE(8) OVER (ORDER BY urlkey, ts14) AS shard FROM cdx)
+    GROUP BY shard
+    """,
+)
+def zipnum_shard_plan(spark, sf_dir):
+    """A5 exact split points [U samplecdxjob.py]: the reference
+    SAMPLES every Nth CDX line to approximate balanced shard bounds;
+    here the bounds are EXACT quantiles via the scalable two-pass
+    global rank (operators.global_rank — range shuffle + per-partition
+    windows, no single-task sort), allotment identical to SQL NTILE.
+    Returns the shard plan (count + key range per shard) a ZipNum
+    build at ``shards=8`` would ideally hit."""
+    from ..operators.global_rank import exact_ntile
+
+    c = derived_cdx(spark, sf_dir).select("urlkey", "ts14")
+    tiles = exact_ntile(c, ["urlkey", "ts14"], 8, tile_col="shard")
+    return tiles.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("urlkey").alias("first_urlkey"),
+        F.max("urlkey").alias("last_urlkey"),
+    )
 
 
 @query(

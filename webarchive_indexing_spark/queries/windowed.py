@@ -156,13 +156,23 @@ def win_moving_agg(spark, sf_dir):
 )
 def win_ntile_pctrank(spark, sf_dir):
     """W5 ntile/percent_rank — shard-balance diagnostics shape.
-    percent_rank = (rank-1)/(n-1): one IEEE division, engine-stable."""
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return c.select(
+    percent_rank = (rank-1)/(n-1): one IEEE division, engine-stable.
+    A bare ``Window.orderBy`` would funnel the table through ONE task;
+    instead both come from the two-pass global rank
+    (operators.global_rank), which stays parallel at any scale."""
+    from ..operators.global_rank import (
+        exact_ntile_expr,
+        global_row_number_and_total,
+    )
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked, total = global_row_number_and_total(
+        c, ["c_acctbal", "c_custkey"], rank_col="__rank"
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct"),
+        exact_ntile_expr("__rank", total, 4).alias("quartile"),
+        ((F.col("__rank") - 1) / F.lit(total - 1)).alias("pct"),
     )
 
 
@@ -184,12 +194,14 @@ def win_global_block_index(spark, sf_dir):
     secondary index [U zipnumclusterjob.py reducer] — every
     ``numlines``-th row in total order opens a block; byte offsets are
     added by the partition-local writer (sinks.zipnum)."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    from ..operators.global_rank import global_row_number
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    ranked = global_row_number(o, ["o_orderkey"], rank_col="__rank")
     return (
-        o.select(
+        ranked.select(
             "o_orderkey",
-            F.floor((F.row_number().over(w) - 1) / 100).cast("bigint").alias("block_id"),
+            F.expr("(__rank - 1) div 100").cast("bigint").alias("block_id"),
         )
         .groupBy("block_id")
         .agg(F.min("o_orderkey").alias("first_key"), F.count(F.lit(1)).alias("n_rows"))
