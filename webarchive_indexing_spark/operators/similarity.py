@@ -97,15 +97,36 @@ def blocked_pairs(
     """Self-join within coarse blocks: the shared scaffolding of every
     blocked pairwise stage (kNN, threshold near-dup).  ``ordered=True``
     keeps each unordered pair once (a_id < b_id); False keeps both
-    directions (per-probe neighbour lists)."""
+    directions (per-probe neighbour lists).
+
+    Each side carries its precomputed vector norm (``a_nrm``/``b_nrm``):
+    norms are per-VECTOR, so computing them map-side before the join
+    does O(n) decimal accumulations instead of O(pairs) — in a blocked
+    self-join that removes ~2/3 of the decimal work.  Same expression
+    on the same values, so results are bit-identical to computing the
+    norm per pair."""
+    nrm = F.sqrt(_dec_dot(F.col(vec_col), F.col(vec_col)).cast("double"))
     a = embeddings.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v")
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_v"),
+        nrm.alias("a_nrm"),
     )
     b = embeddings.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v")
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_v"),
+        nrm.alias("b_nrm"),
     )
     cond = F.col("a_id") < F.col("b_id") if ordered else F.col("a_id") != F.col("b_id")
     return a.join(b, "blk").filter(cond)
+
+
+def cosine_from_parts(a_v: Column, b_v: Column, a_nrm: Column, b_nrm: Column) -> Column:
+    """Cosine from a per-pair decimal dot + the per-vector norms that
+    blocked_pairs precomputed — bit-identical to ``cosine`` but with
+    the redundant per-pair norm recomputation removed."""
+    return _dec_dot(a_v, b_v).cast("double") / (a_nrm * b_nrm)
 
 
 def knn_blocked(
@@ -129,7 +150,12 @@ def knn_blocked(
         "blk",
         "a_id",
         "b_id",
-        hround(cosine(F.col("a_v"), F.col("b_v")), 6).alias("cos_sim"),
+        hround(
+            cosine_from_parts(
+                F.col("a_v"), F.col("b_v"), F.col("a_nrm"), F.col("b_nrm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id").asc())
     return (

@@ -302,10 +302,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     the semantic-dedup shape a training pipeline runs after minhash.
     The label block bounds the pair fan-out; at 100 TB the block key
     comes from LSH buckets (emb_lsh_buckets) instead of labels."""
-    from ..operators.similarity import blocked_pairs
+    from ..operators.similarity import blocked_pairs, cosine_from_parts
 
     pairs = blocked_pairs(t(spark, sf_dir, "embeddings"), ordered=True)
-    sim = hround(cosine(F.col("a_v"), F.col("b_v")), 6)
+    sim = hround(
+        cosine_from_parts(F.col("a_v"), F.col("b_v"), F.col("a_nrm"), F.col("b_nrm")), 6
+    )
     return (
         pairs.select("a_id", "b_id", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.99)
