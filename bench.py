@@ -43,6 +43,7 @@ HEADLINE = [
     "zipnum_roundtrip_prefix",
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
     "emb_cosine_topk",
     "emb_ivf_topk",
     "emb_lsh_buckets",

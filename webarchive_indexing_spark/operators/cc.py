@@ -1,0 +1,129 @@
+"""Connected components over an edge DataFrame — duplicate-cluster
+assembly (SURVEY.md §2.11 L2/L4 downstream).
+
+Pairwise near-dup detection (MinHash-LSH, n-gram Jaccard, embedding
+cosine) emits EDGES; a training pipeline needs CLUSTERS — transitive
+groups with one canonical survivor each.  That closure is an iterative
+graph algorithm, not a single SQL query, so it gets a real operator.
+
+Algorithm: alternating **large-star / small-star** contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+ACM SoCC 2014).  Each round is two window-min passes:
+
+* large-star — every node links its larger neighbours to its smallest
+  neighbour (or itself);
+* small-star — every node links its smaller neighbours (and itself)
+  to their minimum.
+
+The edge set converges to a forest of depth-1 stars rooted at each
+component's minimum id in O(log d) rounds (d = component diameter) —
+unlike naive min-label propagation, which needs O(d) rounds and dies
+on long chains.  Per round the only wide ops are ``Window.partitionBy``
+mins and ``distinct``; edges never fan out beyond the input degree sum.
+
+Scale notes (100 TB):
+* The loop is driver-side CONTROL only — each iteration's data motion
+  is distributed (no ``collect`` of nodes/edges, ever).
+* ``localCheckpoint`` truncates lineage per round (without it, plan
+  depth doubles every iteration and the optimizer re-executes the
+  whole history).  On a production cluster with executor churn, point
+  ``spark.sparkContext.setCheckpointDir`` at durable storage and swap
+  in ``.checkpoint()``.
+* Convergence test = (edge count, xxhash64 edge-set sum) — one tiny
+  action per round instead of an ``exceptAll`` anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round.  Input/output edges oriented (u > v).
+
+    Symmetrize, then per node u link every LARGER neighbour v to
+    m = min(Γ(u) ∪ {u}).  Output keeps the (child > parent) invariant
+    because m ≤ u < v."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round.  Input edges oriented (u > v): every
+    neighbour of u (all smaller) plus u itself links to m = min(Γ(u));
+    m < v for every emitted (v, m), preserving the invariant."""
+    m = F.min("v").over(Window.partitionBy("u"))
+    return (
+        e.withColumn("m", m)
+        .select(F.explode(F.array(F.col("u"), F.col("v"))).alias("n"), "m")
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label every node with its component's minimum node id.
+
+    ``edges``: undirected edge list (self-loops and duplicates fine).
+    ``nodes``: optional full node set — isolated nodes (no edges) get
+    their own id as label; without it only edge endpoints are labeled.
+    Returns ``(node, comp)``.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sig(df: DataFrame):
+        # decimal accumulator: full-range int64 hashes overflow a long
+        # sum under ANSI mode; decimal(38,0) is exact and order-free
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+
+    cur = sig(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        nxt = sig(e)
+        if nxt == cur:
+            break
+        cur = nxt
+
+    children = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+    out = children.unionByName(roots)
+    if nodes is not None:
+        iso = (
+            nodes.select(F.col(node_col).alias("node"))
+            .distinct()
+            .join(out.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("comp"))
+        )
+        out = out.unionByName(iso)
+    # At the star-forest fixpoint every node has exactly one label; the
+    # min-agg only matters if max_iter cut convergence short — then the
+    # smallest candidate is still the best (possibly unconverged) label.
+    return out.groupBy("node").agg(F.min("comp").alias("comp"))

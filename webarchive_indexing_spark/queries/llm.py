@@ -138,9 +138,11 @@ def dedup_simhash(spark, sf_dir):
     return simhash16(base)
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=BASE_SQL + f"""
+#: relational n-gram-Jaccard pair stage as oracle-SQL CTEs: appended
+#: after BASE_SQL, defines ``jpairs(a_id, b_id, i, un)`` = pairs with
+#: 10·|∩| ≥ 7·|∪| (integer cross-multiplied threshold — no float
+#: compare).  Shared by dedup_ngram_jaccard and dedup_cluster_cc.
+JACCARD_PAIRS_SQL = f"""
     , sh AS (
       SELECT doc_id, source,
              unnest(list_distinct(list_transform(
@@ -153,29 +155,26 @@ def dedup_simhash(spark, sf_dir):
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
       FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY a_id, b_id
+    ), jpairs AS (
+      SELECT a_id, b_id, i, sa.n + sb.n - i AS un
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE 10 * i >= 7 * (sa.n + sb.n - i)
     )
-    SELECT a_id, b_id,
-           {sql_hround('i * 1.0 / (sa.n + sb.n - i)', 4)} AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = a_id
-    JOIN sizes sb ON sb.doc_id = b_id
-    WHERE 10 * i >= 7 * (sa.n + sb.n - i)
-    """,
-    tier="C",
-)
-def dedup_ngram_jaccard(spark, sf_dir):
-    """L4 n-gram Jaccard similarity join, relational form: distinct
-    shingles exploded → equi-join on (shingle, source-block) → exact
-    |∩| counts → integer cross-multiplied threshold (no float compare
-    at the filter).  The shared-shingle join IS the blocking.
+"""
 
-    Shingles ship as 32-bit md5-derived hashes, not strings — the
-    shuffle moves 8-byte keys and any hash collision is identical in
-    both engines (same hash fn), so the oracle still matches bit-
-    for-bit."""
-    # whole-corpus shingle explode: CPU-bound, no downstream pushdown
-    # to lose — widening to all cores is a pure win here
-    base = widen(base_corpus(spark, sf_dir))
+
+def ngram_jaccard_pairs(base: DataFrame) -> DataFrame:
+    """Spark twin of JACCARD_PAIRS_SQL: (a_id, b_id, i, un) near-dup
+    pairs at Jaccard ≥ 0.7 over word-3-shingles, blocked by source.
+
+    Distinct shingles exploded → equi-join on (shingle, source) → exact
+    |∩| counts → integer cross-multiplied threshold.  The shared-
+    shingle join IS the blocking.  Shingles ship as 32-bit md5-derived
+    hashes, not strings — the shuffle moves 8-byte keys and any hash
+    collision is identical in both engines (same hash fn), so oracles
+    still match bit-for-bit."""
     sh = base.select(
         "doc_id",
         "source",
@@ -205,14 +204,73 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.first(F.col("b.n")).alias("nb"),
         )
     )
-    union_n = F.col("na") + F.col("nb") - F.col("i")
-    return (
-        inter.filter(10 * F.col("i") >= 7 * union_n)
-        .select(
-            "a_id",
-            "b_id",
-            hround(F.col("i") * F.lit(1.0) / union_n, 4).alias("jaccard"),
-        )
+    un = F.col("na") + F.col("nb") - F.col("i")
+    return inter.filter(10 * F.col("i") >= 7 * un).select(
+        "a_id", "b_id", "i", un.alias("un")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=BASE_SQL + JACCARD_PAIRS_SQL + f"""
+    SELECT a_id, b_id, {sql_hround('i * 1.0 / un', 4)} AS jaccard FROM jpairs
+    """,
+    tier="C",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """L4 n-gram Jaccard similarity join — see ngram_jaccard_pairs for
+    the plan shape (shared with dedup_cluster_cc)."""
+    # whole-corpus shingle explode: CPU-bound, no downstream pushdown
+    # to lose — widening to all cores is a pure win here
+    pairs = ngram_jaccard_pairs(widen(base_corpus(spark, sf_dir)))
+    return pairs.select(
+        "a_id",
+        "b_id",
+        hround(F.col("i") * F.lit(1.0) / F.col("un"), 4).alias("jaccard"),
+    )
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=(BASE_SQL + JACCARD_PAIRS_SQL).replace("WITH ", "WITH RECURSIVE ", 1) + """
+    , cedges AS (
+      SELECT a_id AS u, b_id AS v FROM jpairs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM jpairs
+    ), walk(node, comp) AS (
+      SELECT u, u FROM cedges
+      UNION
+      SELECT e.u, w.comp FROM cedges e JOIN walk w ON w.node = e.v
+    ), labels AS (
+      SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+    )
+    SELECT node AS doc_id, comp AS cluster_id,
+           COUNT(*) OVER (PARTITION BY comp) AS cluster_size,
+           (node = comp) AS is_canonical
+    FROM labels
+    """,
+    tier="C",
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """L2/L4 duplicate-cluster assembly: near-dup PAIRS (n-gram Jaccard
+    ≥ 0.7) → transitive CLUSTERS via alternating large-star/small-star
+    connected components (operators/cc.py), then per-cluster size and
+    the min-id canonical survivor — the keep/drop decision a training
+    pipeline executes after any pairwise dedup stage.
+
+    The oracle computes the same closure as a DuckDB recursive CTE
+    (min reachable id); the Spark side is the O(log d)-round star
+    contraction that survives 100 TB graphs."""
+    from ..operators.cc import connected_components
+
+    pairs = ngram_jaccard_pairs(widen(base_corpus(spark, sf_dir)))
+    comp = connected_components(pairs, src="a_id", dst="b_id")
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
 
 
