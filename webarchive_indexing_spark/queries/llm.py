@@ -622,6 +622,105 @@ def text_tfidf_topterms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# corpus sampling & filtering (the pipeline glue around dedup/scoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_det",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {sql_token_hash("'smpl_' || CAST(doc_id AS VARCHAR)")} % 10 = 0
+    """,
+    tier="C",
+)
+def sample_hash_det(spark, sf_dir):
+    """Deterministic ~10% corpus sample by salted key hash.
+
+    ``rand()``-based sampling is non-reproducible under task retry /
+    speculative execution and resamples differently per run; hashing
+    the stable key is idempotent, re-runnable, and evaluates at the
+    scan as a plain filter (no shuffle, no state).  The salt decouples
+    this sample from every other doc_id-hash use.  At 100 TB this is
+    THE way to cut dev subsets that stay fixed across reruns."""
+    d = t(spark, sf_dir, "documents")
+    h = token_hash(F.concat(F.lit("smpl_"), F.col("doc_id").cast("string")))
+    return d.filter(h % 10 == 0).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "sample_stratified_det",
+    oracle=f"""
+    SELECT source, lang, doc_id, rn FROM (
+      SELECT source, lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY {sql_token_hash("'strat_' || CAST(doc_id AS VARCHAR)")} ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    tier="C",
+)
+def sample_stratified_det(spark, sf_dir):
+    """Stratified deterministic sampling: exactly 5 docs per
+    (source, lang) stratum, chosen by salted-hash order — uniform
+    within the stratum yet fully reproducible.  One shuffle on the
+    stratum key; the hash order makes the pick independent of storage
+    order (doc_id order would bias toward oldest docs)."""
+    d = t(spark, sf_dir, "documents")
+    h = token_hash(F.concat(F.lit("strat_"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source", "lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=BASE_SQL + """
+    , gated AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+             len(string_split(text, ' ')) AS n
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id <> keep_id THEN 'exact_dup'
+                WHEN n < 20 THEN 'too_short'
+                WHEN n > 2000 THEN 'too_long'
+                ELSE 'kept' END AS reason,
+           (doc_id = keep_id AND n BETWEEN 20 AND 2000) AS kept
+    FROM gated
+    """,
+    tier="C",
+)
+def quality_filter_pipeline(spark, sf_dir):
+    """Composed cleaning pass (the C4-style funnel): exact-dup removal
+    (md5 window min — survivor is the smallest id, one 16-byte-keyed
+    shuffle) then length gates, emitting a per-document verdict with
+    the FIRST failing reason.  This is the decision layer a training
+    pipeline materializes before tokenization; downstream stages filter
+    on ``kept`` and audit the funnel by grouping on ``reason``."""
+    base = base_corpus(spark, sf_dir)
+    n = F.size(tokens(F.col("text")))
+    keep_id = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    g = base.select(
+        "doc_id", keep_id.alias("keep_id"), n.alias("n")
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+        .when(F.col("n") < 20, "too_short")
+        .when(F.col("n") > 2000, "too_long")
+        .otherwise("kept")
+    )
+    kept = (F.col("doc_id") == F.col("keep_id")) & F.col("n").between(20, 2000)
+    return g.select("doc_id", reason.alias("reason"), kept.alias("kept"))
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (L6)
 # ---------------------------------------------------------------------------
 
