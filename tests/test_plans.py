@@ -77,6 +77,26 @@ def test_exact_dedup_shuffles_hashes_not_documents(spark, sf_dir):
         assert "text#" not in out, f"raw text crosses the shuffle: {out}"
 
 
+def test_hash_sample_is_scan_only(spark, sf_dir):
+    # deterministic sampling must stay a map-side filter on the scan:
+    # any Exchange would mean the "sample" costs a full shuffle at 100 TB
+    plan = _plan(spark, sf_dir, "sample_hash_det")
+    assert "Exchange" not in plan, plan[:500]
+    assert "Filter" in plan
+
+
+def test_centroid_means_partial_aggregates(spark, sf_dir):
+    # the x64 posexplode must collapse to partial sums BEFORE the
+    # exchange — the shuffle carries centroids, not exploded vectors
+    plan = _plan(spark, sf_dir, "emb_centroid_means")
+    assert "partial_" in plan.lower() or plan.count("HashAggregate") >= 2
+    assert "Generate" in plan  # the posexplode
+    gen_after_exchange = plan.split("Exchange", 1)[1] if "Exchange" in plan else ""
+    assert "Generate" in gen_after_exchange, (
+        "posexplode must sit below the exchange (map side)"
+    )
+
+
 def test_global_rank_stays_parallel_and_narrow(spark, sf_dir):
     # zipnum_shard_plan ranks the whole table: the two-pass rank must
     # never plant an Exchange SinglePartition (the scale killer a bare

@@ -621,6 +621,73 @@ def text_tfidf_topterms(spark, sf_dir):
     )
 
 
+@query(
+    "emb_centroid_means",
+    oracle=f"""
+    SELECT label, dim,
+           {sql_hround("CAST(SUM(CAST(embedding[dim] AS DECIMAL(28,14))) AS DOUBLE)"
+                       " / COUNT(*)", 6)} AS centroid_val
+    FROM embeddings CROSS JOIN range(1, 65) AS r(dim)
+    GROUP BY label, dim
+    """,
+    tier="C",
+)
+def emb_centroid_means(spark, sf_dir):
+    """L3 centroid refresh (the k-means update step that retrains an
+    IVF coarse quantizer): per-(label, dimension) mean component.
+
+    posexplode multiplies rows ×64, but Catalyst's partial aggregation
+    collapses each map task to ≤ n_labels×64 partial sums before the
+    exchange — the shuffle carries centroids, not vectors, at any data
+    size.  Decimal accumulation keeps the mean engine-deterministic."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            hround(
+                F.sum(F.col("val").cast("double").cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_val")
+        )
+    )
+
+
+@query(
+    "text_vocab_topk",
+    oracle="""
+    SELECT token, n_occ, n_docs FROM (
+      SELECT token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+      FROM (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+        FROM documents
+      )
+      GROUP BY token
+    ) WHERE rn <= 50
+    """,
+    tier="C",
+)
+def text_vocab_topk(spark, sf_dir):
+    """L5 vocabulary build (BPE-prep): top-50 pre-tokens by occurrence
+    with document frequency.  Explode → token-keyed partial+final agg
+    → TakeOrdered 50: the only full shuffle is keyed on the token, and
+    the top-k never globally sorts (per-partition heaps reduce on the
+    driver)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(bpe_ish_tokens("text")).alias("token"))
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        agg.orderBy(F.col("n_occ").desc(), F.col("token").asc())
+        .limit(50)
+        .select("token", "n_occ", "n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus sampling & filtering (the pipeline glue around dedup/scoring)
 # ---------------------------------------------------------------------------
