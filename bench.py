@@ -8,8 +8,11 @@ JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 
 Materialization is a noop-sink write (full pipeline executes on the
 executors; nothing funnels through the driver), which is the honest
-cost model for a cluster sink.  One untimed warmup executes first so
-JVM/codegen startup is not attributed to the first query.
+cost model for a cluster sink.  An untimed warmup pass executes every
+query once first, so the timed pass measures steady-state execution
+rather than JVM/JIT/codegen compilation of each query's generated
+classes (single-shot timings vary 5-15x on the heavy expression trees
+purely from compile scheduling).
 """
 
 from __future__ import annotations
@@ -64,8 +67,9 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # untimed warmup: JVM, codegen, parquet footer caches
-    materialize(qs[names[0]](spark, sf_dir))
+    # untimed warmup pass: JVM, JIT, codegen caches, parquet footers
+    for name in names:
+        materialize(qs[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
