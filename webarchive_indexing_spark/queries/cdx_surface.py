@@ -415,3 +415,33 @@ def cdx_num_pages(spark, sf_dir):
             F.count(F.lit(1)).alias("n_captures"),
         )
     )
+
+
+@query(
+    "cdx_host_stats",
+    oracle=CDX_SQL + """
+    SELECT split_part(urlkey, ')', 1) AS host,
+           COUNT(*) AS n_captures,
+           COUNT(DISTINCT urlkey) AS n_urls,
+           SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS n_ok,
+           COUNT(DISTINCT digest) AS n_unique_payloads,
+           SUM(CAST(length AS BIGINT)) AS total_bytes
+    FROM cdx GROUP BY host
+    """,
+)
+def cdx_host_stats(spark, sf_dir):
+    """[B] per-host crawl statistics — the per-domain summary the
+    public index publishes alongside each crawl (captures, unique
+    URLs, success rate, unique payloads, bytes).  The SURT urlkey
+    makes 'host' a prefix substring, so the whole report is ONE
+    hash-aggregate keyed on the host prefix; distinct counts are
+    partial-aggregated map-side like any other agg."""
+    c = derived_cdx(spark, sf_dir)
+    host = F.substring_index(F.col("urlkey"), ")", 1)
+    return c.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.countDistinct("urlkey").alias("n_urls"),
+        F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
+        F.countDistinct("digest").alias("n_unique_payloads"),
+        F.sum(F.col("length").cast("bigint")).alias("total_bytes"),
+    )

@@ -523,6 +523,25 @@ def text_bpe_token_count(spark, sf_dir):
     )
 
 
+def winnowing_fps(d: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints of ``d``: hash every 3-token
+    shingle (the rolling-hash stream), slide a w=4 window over the hash
+    sequence, keep each window's minimum, dedupe.  All native array
+    expressions — the fingerprint set is ~|doc|/w hashes, the
+    shuffle-ready key for a sharing-detection join."""
+    hs = F.transform(shingles(tokens(F.col("text"))), token_hash)
+    win = F.when(
+        F.size(hs) >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hs) - 3),
+                lambda j: F.array_min(F.slice(hs, j, 4)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return d.select("doc_id", F.explode(win).alias("fp"))
+
+
 @query(
     "text_winnowing_fingerprints",
     oracle=f"""
@@ -540,25 +559,52 @@ def text_bpe_token_count(spark, sf_dir):
     tier="C",
 )
 def text_winnowing_fingerprints(spark, sf_dir):
-    """L5 document fingerprinting by winnowing (MOSS-style): hash every
-    3-token shingle (the rolling-hash stream), slide a w=4 window over
-    the hash sequence, keep each window's minimum, dedupe.  Two docs
+    """L5 document fingerprinting by winnowing (MOSS-style): two docs
     sharing any fingerprint share a ≥6-token run — the containment/
-    plagiarism detector exact-hash dedup can't express.  All native
-    array expressions; the fingerprint set is ~|doc|/w hashes, the
-    shuffle-ready key for a sharing-detection join."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    hs = F.transform(shingles(tokens(F.col("text"))), token_hash)
-    win = F.when(
-        F.size(hs) >= 4,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(hs) - 3),
-                lambda j: F.array_min(F.slice(hs, j, 4)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return d.select("doc_id", F.explode(win).alias("fp"))
+    plagiarism signal exact-hash dedup can't express."""
+    return winnowing_fps(t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+
+@query(
+    "text_winnowing_shared_pairs",
+    oracle=(BASE_SQL + f"""
+    , hs AS (
+      SELECT doc_id,
+             list_transform({sql_shingles("string_split(text, ' ')")},
+                            s -> {sql_token_hash('s')}) AS h
+      FROM base WHERE doc_id < 200 OR doc_id >= 10000
+    ), fps AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(h) - 3, 0) + 1),
+                              j -> list_min(h[j:j+3])))) AS fp
+      FROM hs
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a_id, b_id HAVING COUNT(*) >= 2
+    """),
+    tier="C",
+)
+def text_winnowing_shared_pairs(spark, sf_dir):
+    """L5 containment detection — the JOIN the fingerprints exist for:
+    docs sharing ≥2 winnowing fingerprints share long token runs even
+    when whole-doc similarity (Jaccard, cosine) is low.  The fp
+    equi-join is the blocking (only docs with a colliding window meet);
+    the group-count shuffle is keyed on 8-byte (a_id, b_id).  Run over
+    the injected-dup corpus: exact copies share all windows, near-dups
+    most."""
+    base = base_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") < 200) | (F.col("doc_id") >= 10000)
+    )
+    fps = winnowing_fps(base)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
 
 
 @query(
