@@ -357,16 +357,23 @@ def lsh_buckets(
     return embeddings.select(F.col(id_col), bucket.alias("bucket"))
 
 
-def sql_lsh_buckets(n_planes: int = 8, dim: int = 64) -> str:
-    """DuckDB twin over the embeddings view."""
+def sql_lsh_bucket_expr(vec: str = "embedding", n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB expression computing the sign-LSH bucket id of ``vec``."""
     planes = _planes(n_planes, dim)
     terms = []
     for kp in range(n_planes):
         lit = "[" + ", ".join(str(v) for v in planes[kp]) + "]"
         dot = (
             f"list_sum(list_transform(range(1, {dim + 1}), i -> "
-            f"CAST(CAST(embedding[i] AS DOUBLE) * ({lit})[i] AS DECIMAL(18,7))))"
+            f"CAST(CAST({vec}[i] AS DOUBLE) * ({lit})[i] AS DECIMAL(18,7))))"
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << kp} ELSE 0 END)")
-    expr = " + ".join(terms)
-    return f"SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM embeddings"
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def sql_lsh_buckets(n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin over the embeddings view."""
+    return (
+        f"SELECT vec_id, {sql_lsh_bucket_expr('embedding', n_planes, dim)} AS bucket "
+        "FROM embeddings"
+    )

@@ -42,6 +42,7 @@ from ..operators.similarity import (
     lsh_buckets,
     sql_cosine,
     sql_ivf_topk,
+    sql_lsh_bucket_expr,
     sql_lsh_buckets,
 )
 from ..registry import query
@@ -341,6 +342,45 @@ def emb_lsh_buckets(spark, sf_dir):
     shuffle key of a bucketed pair stage; md5-seeded ±1 planes make the
     buckets engine-independent."""
     return lsh_buckets(t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
+
+
+@query(
+    "emb_lsh_join",
+    oracle=f"""
+    WITH bk AS (
+      SELECT vec_id, embedding,
+             {sql_lsh_bucket_expr('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {sql_hround(sql_cosine('a.embedding', 'b.embedding'), 6)} AS cos_sim
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, a_id ASC, b_id ASC LIMIT 20
+    """,
+    tier="C",
+)
+def emb_lsh_join(spark, sf_dir):
+    """L4 LSH-bucketed similarity join — the scale path emb_lsh_buckets
+    exists to feed: bucket assignment is a map-only projection, the
+    self-join shuffles on the 8-bit bucket id (density 1/2⁸ of the
+    all-pairs cross join), and only intra-bucket pairs are scored.
+    Ranked top-20 output keeps the check value-bearing on corpora with
+    no near-identical pairs; a production dedup swaps the rank for a
+    cosine threshold and unions several plane sets to recover the
+    LSH recall loss."""
+    from ..operators.similarity import blocked_pairs, cosine_from_parts, lsh_buckets
+
+    e = t(spark, sf_dir, "embeddings")
+    withb = e.join(lsh_buckets(e), "vec_id")
+    pairs = blocked_pairs(withb, block_col="bucket", ordered=True)
+    sim = hround(
+        cosine_from_parts(F.col("a_v"), F.col("b_v"), F.col("a_nrm"), F.col("b_nrm")), 6
+    )
+    return (
+        pairs.select("a_id", "b_id", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("a_id").asc(), F.col("b_id").asc())
+        .limit(20)
+    )
 
 
 @query(
