@@ -178,6 +178,30 @@ def agg_collect_sorted(spark, sf_dir):
     )
 
 
+@query(
+    "agg_percentiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_hround('quantile_cont(l_quantity, 0.5)', 4)} AS p50_qty,
+           {sql_hround('quantile_cont(l_quantity, 0.95)', 4)} AS p95_qty,
+           {sql_hround('quantile_cont(l_extendedprice, 0.99)', 4)} AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """A5-adjacent: exact per-group percentiles (linear interpolation —
+    the same h = (n−1)·p definition in Spark and DuckDB).  Exact
+    percentile is a sort-based aggregate; at 100 TB swap in
+    ``approx_percentile`` (QuantileSummaries sketch, mergeable
+    map-side) — exact here because the oracle must hash-match."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        hround(F.percentile("l_quantity", 0.5), 4).alias("p50_qty"),
+        hround(F.percentile("l_quantity", 0.95), 4).alias("p95_qty"),
+        hround(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projections / filters (§2.2 P1-P5)
 # ---------------------------------------------------------------------------
