@@ -77,6 +77,15 @@ def test_exact_dedup_shuffles_hashes_not_documents(spark, sf_dir):
         assert "text#" not in out, f"raw text crosses the shuffle: {out}"
 
 
+def test_banded_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the whole point of the banding rewrite: the range predicate must
+    # ride an equi (hash/sort-merge/broadcast-hash) join on the bucket
+    # id, never a nested-loop scan of all pairs
+    plan = _plan(spark, sf_dir, "join_range_banded")
+    assert "NestedLoop" not in plan, plan[:800]
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
 def test_hash_sample_is_scan_only(spark, sf_dir):
     # deterministic sampling must stay a map-side filter on the scan:
     # any Exchange would mean the "sample" costs a full shuffle at 100 TB

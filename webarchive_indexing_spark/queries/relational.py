@@ -480,6 +480,56 @@ def join_theta_range(spark, sf_dir):
 
 
 @query(
+    "join_range_banded",
+    oracle="""
+    SELECT CAST(FLOOR(epoch_us(a.ts) / 3600000000) AS BIGINT) AS hour_bucket,
+           COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.event_id <> b.event_id
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 5000000
+    GROUP BY hour_bucket
+    """,
+)
+def join_range_banded(spark, sf_dir):
+    """J6 at scale: PURE range join (no selective equi key — all event
+    pairs within 5 s, any user) via time banding.
+
+    A bare range predicate plans as a nested-loop join — O(n·m) dies
+    at 100 TB.  Banding rewrites it as an equi-join: bucket the time
+    axis at the band width (= the max range), replicate the LEFT side
+    into its own and the successor bucket (exactly 2×, because range
+    ≤ band), equi-join on the bucket id, then apply the exact range
+    residual.  Same rows, shuffle-sized cost; each (a, b) pair meets
+    in exactly one bucket so no dedup pass is needed.  The oracle is
+    the unbanded formulation — proving the rewrite is semantics-
+    preserving, not just faster."""
+    BAND = 5_000_000  # µs — equals the range width
+    ev = t(spark, sf_dir, "events").select("event_id", F.unix_micros("ts").alias("us"))
+    a = ev.select(
+        "event_id",
+        "us",
+        F.explode(
+            F.array(F.floor(F.col("us") / BAND), F.floor(F.col("us") / BAND) + 1)
+        ).alias("jbkt"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("us").alias("b_us"),
+        F.floor(F.col("us") / BAND).alias("jbkt"),
+    )
+    pairs = a.join(b, "jbkt").filter(
+        (F.col("b_us") - F.col("us")).between(0, BAND)
+        & (F.col("event_id") != F.col("b_id"))
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("us") / 3_600_000_000).cast("bigint").alias("hour_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
     "join_cross",
     oracle="""
     SELECT r1.r_name AS from_region, r2.r_name AS to_region
