@@ -293,3 +293,46 @@ def tumbling_window_daily(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH days AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(FLOOR((d.day - f.cohort_day) / 7) AS BIGINT) AS week_offset,
+           COUNT(DISTINCT d.user_id) AS n_users
+    FROM days d JOIN first f ON d.user_id = f.user_id
+    GROUP BY cohort_day, week_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention — the canonical activity-analytics rollup:
+    users grouped by first-seen day, activity counted per week offset.
+
+    Both the first-seen aggregate and the join back are keyed on
+    user_id, so the second shuffle reuses the first's partitioning
+    (ReuseExchange) and the cohort rollup is the only new exchange.
+    Day ids are integer µs arithmetic — no calendar/locale semantics
+    to drift between engines."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.floor((F.col("day") - F.col("cohort_day")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
