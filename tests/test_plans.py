@@ -86,6 +86,19 @@ def test_banded_range_join_is_equi_not_nested_loop(spark, sf_dir):
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
+def test_lsh_join_buckets_are_map_side(spark, sf_dir):
+    # bucket assignment must be a projection, not a join back on
+    # vec_id: the ONLY join in the plan is the bucket self-join
+    import re
+
+    plan = _plan(spark, sf_dir, "emb_lsh_join")
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    # AQE plans print both the final and initial plan; count the final
+    final = plan.split("== Initial Plan ==", 1)[0]
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", final)
+    assert len(joins) == 1, f"expected only the bucket self-join: {joins}"
+
+
 def test_hash_sample_is_scan_only(spark, sf_dir):
     # deterministic sampling must stay a map-side filter on the scan:
     # any Exchange would mean the "sample" costs a full shuffle at 100 TB

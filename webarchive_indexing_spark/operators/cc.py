@@ -24,11 +24,14 @@ mins and ``distinct``; edges never fan out beyond the input degree sum.
 Scale notes (100 TB):
 * The loop is driver-side CONTROL only — each iteration's data motion
   is distributed (no ``collect`` of nodes/edges, ever).
-* ``localCheckpoint`` truncates lineage per round (without it, plan
-  depth doubles every iteration and the optimizer re-executes the
-  whole history).  On a production cluster with executor churn, point
-  ``spark.sparkContext.setCheckpointDir`` at durable storage and swap
-  in ``.checkpoint()``.
+* Each round ``persist``s its edge set and materializes it with the
+  convergence action; the PREVIOUS round is explicitly ``unpersist``ed
+  so peak block-manager storage is two edge sets, not one per round.
+  Catalyst's cache substitution keeps every round's physical plan one
+  star-pass deep (it plans against the previous round's
+  InMemoryRelation, not the whole history), and unlike
+  ``localCheckpoint`` a lost cached partition recomputes instead of
+  failing the job.
 * Convergence test = (edge count, xxhash64 edge-set sum) — one tiny
   action per round instead of an ``exceptAll`` anti-join.
 """
@@ -93,7 +96,7 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
 
     def sig(df: DataFrame):
@@ -104,10 +107,12 @@ def connected_components(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
 
-    cur = sig(e)
+    cur = sig(e)  # materializes the persisted edge set
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        prev = e
+        e = _small_star(_large_star(prev)).persist()
         nxt = sig(e)
+        prev.unpersist()
         if nxt == cur:
             break
         cur = nxt

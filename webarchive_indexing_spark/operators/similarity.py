@@ -330,17 +330,13 @@ def _planes(n_planes: int, dim: int) -> list[list[int]]:
     return out
 
 
-def lsh_buckets(
-    embeddings: DataFrame,
-    n_planes: int = 8,
-    dim: int = 64,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Sign-LSH bucket id per vector: bit k = sign(v · plane_k).
-    Map-only; the bucket id is the shuffle key for any downstream
-    pairwise stage."""
+def lsh_bucket_expr(
+    vec_col: str = "embedding", n_planes: int = 8, dim: int = 64
+) -> Column:
+    """Sign-LSH bucket id of a vector column as a pure expression:
+    bit k = sign(v · plane_k).  Being a Column (not a join) is the
+    point — bucket assignment stays a map-side projection at any
+    scale.  DuckDB twin: ``sql_lsh_bucket_expr``."""
     planes = _planes(n_planes, dim)
     bits = []
     for kp in range(n_planes):
@@ -353,8 +349,23 @@ def lsh_buckets(
             lambda acc, x: (acc + x).cast("decimal(18,7)"),
         )
         bits.append(F.when(dot > 0, F.lit(1 << kp)).otherwise(F.lit(0)))
-    bucket = functools.reduce(lambda x, y: x + y, bits).cast("bigint")
-    return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+    return functools.reduce(lambda x, y: x + y, bits).cast("bigint")
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) sign-LSH assignment — map-only projection of
+    ``lsh_bucket_expr``; the bucket id is the shuffle key for any
+    downstream pairwise stage."""
+    return embeddings.select(
+        F.col(id_col), lsh_bucket_expr(vec_col, n_planes, dim).alias("bucket")
+    )
 
 
 def sql_lsh_bucket_expr(vec: str = "embedding", n_planes: int = 8, dim: int = 64) -> str:

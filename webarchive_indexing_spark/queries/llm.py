@@ -368,10 +368,10 @@ def emb_lsh_join(spark, sf_dir):
     no near-identical pairs; a production dedup swaps the rank for a
     cosine threshold and unions several plane sets to recover the
     LSH recall loss."""
-    from ..operators.similarity import blocked_pairs, cosine_from_parts, lsh_buckets
+    from ..operators.similarity import blocked_pairs, cosine_from_parts, lsh_bucket_expr
 
     e = t(spark, sf_dir, "embeddings")
-    withb = e.join(lsh_buckets(e), "vec_id")
+    withb = e.withColumn("bucket", lsh_bucket_expr("embedding"))
     pairs = blocked_pairs(withb, block_col="bucket", ordered=True)
     sim = hround(
         cosine_from_parts(F.col("a_v"), F.col("b_v"), F.col("a_nrm"), F.col("b_nrm")), 6

@@ -58,6 +58,23 @@ def compact_parquet(
       keeps file counts down but loses pruning);
     * one shuffle either way; no driver collection at any size.
     """
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+
+    def qualified(p: str) -> str:
+        jp = sc._jvm.org.apache.hadoop.fs.Path(p)
+        fs = jp.getFileSystem(hconf)
+        return str(fs.makeQualified(jp))
+
+    # overwrite-while-reading would fail mid-job at best and, with path
+    # aliasing Spark's own check misses, delete the input — fail fast.
+    # In-place compaction must stage through a temp dir + rename.
+    if qualified(in_dir) == qualified(out_dir):
+        raise ValueError(
+            f"compact_parquet: out_dir equals in_dir ({out_dir!r}); "
+            "stage through a separate path and rename"
+        )
+
     df = spark.read.parquet(in_dir)
     n = plan_file_count(dataset_bytes(spark, in_dir), target_file_bytes)
     if sort_cols:
