@@ -336,3 +336,80 @@ def events_retention_cohorts(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "events_funnel_stages",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), v AS (
+      SELECT user_id, MIN(us) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.us) AS t
+      FROM ev e JOIN v ON e.user_id = v.user_id
+       AND e.us > v.t AND e.us <= v.t + 86400000000
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.us) AS t
+      FROM ev e JOIN c ON e.user_id = c.user_id
+       AND e.us > c.t AND e.us <= c.t + 86400000000
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+                WHEN c.user_id IS NOT NULL THEN 'click'
+                WHEN v.user_id IS NOT NULL THEN 'view'
+                ELSE 'none' END AS stage,
+           COUNT(*) AS n_users
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    GROUP BY stage
+    """,
+)
+def events_funnel_stages(spark, sf_dir):
+    """Ordered funnel conversion (view → click → purchase, each step
+    within 24 h of the previous): a user advances a stage only with a
+    LATER event of the next type inside the step window — the
+    sequential pattern plain per-type counts get wrong (a purchase
+    before any view must not count).
+
+    Every aggregate and join in the chain is keyed on user_id, so one
+    hash partitioning serves all stages; timestamps chain as integer
+    microseconds (engine-identical).  At 100 TB this beats the
+    window/collect-per-user formulation: no per-user event array ever
+    materializes."""
+    STEP = 86_400_000_000  # 24 h in µs
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+
+    def first_after(prev, etype):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("us").alias("t"))
+        return (
+            e.join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
+            .filter((F.col("us") > F.col("pt")) & (F.col("us") <= F.col("pt") + STEP))
+            .groupBy("user_id")
+            .agg(F.min("us").alias("t"))
+        )
+
+    v = first_after(None, "view")
+    c = first_after(v, "click")
+    p = first_after(c, "purchase")
+    u = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("p.user_id").isNotNull(), "purchase")
+        .when(F.col("c.user_id").isNotNull(), "click")
+        .when(F.col("v.user_id").isNotNull(), "view")
+        .otherwise("none")
+    )
+    return (
+        u.join(v.alias("v"), "user_id", "left")
+        .join(c.alias("c"), "user_id", "left")
+        .join(p.alias("p"), "user_id", "left")
+        .groupBy(stage.alias("stage"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
