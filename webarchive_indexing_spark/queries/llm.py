@@ -873,6 +873,81 @@ def quality_filter_pipeline(spark, sf_dir):
     return g.select("doc_id", reason.alias("reason"), kept.alias("kept"))
 
 
+@query(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), bi AS (
+      SELECT unnest({sql_shingles('tk', 2)}) AS bigram FROM toks
+    ), uni AS (
+      SELECT unnest(tk) AS w FROM toks
+    ), cb AS (
+      SELECT bigram, COUNT(*) AS c_ab FROM bi GROUP BY bigram
+    ), cu AS (
+      SELECT w, COUNT(*) AS c_w FROM uni GROUP BY w
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM uni) AS n_uni,
+             (SELECT COUNT(*) FROM bi) AS n_bi
+    )
+    SELECT bigram, c_ab,
+           {sql_hround('ln(CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)'
+                       ' * CAST(n_uni AS DOUBLE) / (CAST(n_bi AS DOUBLE)'
+                       ' * CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE)))', 4)} AS pmi
+    FROM cb
+    JOIN cu a ON a.w = split_part(bigram, ' ', 1)
+    JOIN cu b ON b.w = split_part(bigram, ' ', 2)
+    CROSS JOIN tot
+    WHERE c_ab >= 10
+    ORDER BY pmi DESC, bigram ASC LIMIT 20
+    """,
+    tier="C",
+)
+def text_pmi_bigrams(spark, sf_dir):
+    """L5 collocation mining: top-20 bigrams by pointwise mutual
+    information (min count 10) — the corpus statistic behind
+    multi-word vocab entries and tokenizer merges.
+
+    Three token-keyed aggregates (bigram, unigram, totals) + two
+    broadcast-sized joins back; counts stay integers end-to-end and
+    the single log expression is written identically in both engines
+    (left-associated IEEE products), so no decimal routing is needed.
+    The unigram join side is a vocabulary — orders of magnitude
+    smaller than the corpus, broadcast at any scale."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bi = d.select(F.explode(shingles(toks, 2)).alias("bigram"))
+    uni = d.select(F.explode(toks).alias("w"))
+    cb = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    a = cu.select(F.col("w").alias("w1"), F.col("c_w").alias("ca"))
+    b = cu.select(F.col("w").alias("w2"), F.col("c_w").alias("cb"))
+    pmi = F.log(
+        F.col("c_ab").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+        / (
+            F.col("n_bi").cast("double")
+            * F.col("ca").cast("double")
+            * F.col("cb").cast("double")
+        )
+    )
+    return (
+        cb.filter(F.col("c_ab") >= 10)
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("bigram", "c_ab", hround(pmi, 4).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (L6)
 # ---------------------------------------------------------------------------
