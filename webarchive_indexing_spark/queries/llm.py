@@ -340,8 +340,10 @@ def emb_lsh_buckets(spark, sf_dir):
     """L3 sign-LSH (random hyperplane) bucket assignment — the scale
     path for pairwise similarity: map-only bucket ids that become the
     shuffle key of a bucketed pair stage; md5-seeded ±1 planes make the
-    buckets engine-independent."""
-    return lsh_buckets(t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
+    buckets engine-independent.  The small embeddings file scans as ONE
+    partition while the 8×64 decimal fold dominates — widened so the
+    plane math uses every core (unfiltered scan: no pushdown to lose)."""
+    return lsh_buckets(widen(t(spark, sf_dir, "embeddings")), n_planes=8, dim=64)
 
 
 @query(
@@ -370,7 +372,7 @@ def emb_lsh_join(spark, sf_dir):
     LSH recall loss."""
     from ..operators.similarity import blocked_pairs, cosine_from_parts, lsh_bucket_expr
 
-    e = t(spark, sf_dir, "embeddings")
+    e = widen(t(spark, sf_dir, "embeddings"))
     withb = e.withColumn("bucket", lsh_bucket_expr("embedding"))
     pairs = blocked_pairs(withb, block_col="bucket", ordered=True)
     sim = hround(
