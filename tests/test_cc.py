@@ -62,6 +62,24 @@ def test_cc_matches_union_find(spark, edges):
     assert run_cc(spark, edges) == union_find(edges, nodes)
 
 
+def test_cc_random_graphs_match_union_find(spark):
+    # property check: random sparse graphs over a small id space force
+    # merged stars, bridges and singletons in one instance.  Seeded
+    # stdlib randomness instead of @given: a Spark job per Hypothesis
+    # example would be minutes-slow, and shrinking adds nothing when
+    # the union-find reference pinpoints the failing edge list anyway.
+    import random
+
+    rng = random.Random(20260813)
+    for _ in range(5):
+        n_edges = rng.randint(5, 60)
+        edges = [
+            (rng.randint(0, 40), rng.randint(0, 40)) for _ in range(n_edges)
+        ]
+        nodes = sorted({x for e in edges for x in e})
+        assert run_cc(spark, edges) == union_find(edges, nodes), edges
+
+
 def test_cc_isolated_nodes_label_themselves(spark):
     edges = [(1, 2)]
     got = run_cc(spark, edges, nodes=[1, 2, 3, 4])

@@ -85,10 +85,18 @@ def connected_components(
     """Label every node with its component's minimum node id.
 
     ``edges``: undirected edge list (self-loops and duplicates fine).
-    ``nodes``: optional full node set — isolated nodes (no edges) get
-    their own id as label; without it only edge endpoints are labeled.
-    Returns ``(node, comp)``.
+    ``nodes``: optional full node set — isolated nodes (no rows in
+    ``edges``) get their own id as label; without it every edge
+    endpoint is labeled (including endpoints whose only edge is a
+    self-loop).  Returns ``(node, comp)``.
     """
+    if nodes is None:
+        # default universe = input endpoints, so a self-loop-only node
+        # still labels itself after the self-loop filter below
+        nodes = edges.select(F.col(src).alias("node")).unionByName(
+            edges.select(F.col(dst).alias("node"))
+        )
+        node_col = "node"
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -120,14 +128,13 @@ def connected_components(
     children = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     roots = e.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
     out = children.unionByName(roots)
-    if nodes is not None:
-        iso = (
-            nodes.select(F.col(node_col).alias("node"))
-            .distinct()
-            .join(out.select("node"), "node", "left_anti")
-            .select("node", F.col("node").alias("comp"))
-        )
-        out = out.unionByName(iso)
+    iso = (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .join(out.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("comp"))
+    )
+    out = out.unionByName(iso)
     # At the star-forest fixpoint every node has exactly one label; the
     # min-agg only matters if max_iter cut convergence short — then the
     # smallest candidate is still the best (possibly unconverged) label.
