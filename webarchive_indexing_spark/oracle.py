@@ -58,6 +58,53 @@ def _norm(v):
     return v
 
 
+def _spark_type_class(dtype: str) -> str:
+    """Collapse a Spark dtype string to a coarse class that mirrors how
+    the driver's value hash sees the column (int64 vs float64 vs object)."""
+    d = dtype.lower()
+    if d in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("decimal"):
+        return "decimal"
+    if d in ("timestamp", "timestamp_ntz"):
+        return "timestamp"
+    if d.startswith("array"):
+        return "list"
+    if d.startswith(("map", "struct")):
+        return "nested"
+    return d  # string, boolean, date, binary, ...
+
+
+def _duck_type_class(t) -> str:
+    """DuckDB result-column type → the same coarse classes.  HUGEINT is
+    deliberately its own class: Spark has no int128, and the driver's
+    arrow/pandas conversion turns HUGEINT into float64/object, so a bare
+    integer SUM in oracle SQL hash-mismatches even when values agree."""
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s.endswith("[]") or s.startswith("LIST"):
+        return "list"
+    if s.startswith(("STRUCT", "MAP")):
+        return "nested"
+    if s == "VARCHAR":
+        return "string"
+    if s == "BLOB":
+        return "binary"
+    return s.lower()
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -77,6 +124,18 @@ def compare(name: str, spark_df: DataFrame, con, sql: str) -> CompareResult:
     if [c.lower() for c in scols] != [c.lower() for c in ocols]:
         return CompareResult(
             name, False, f"schema mismatch: spark={scols} oracle={ocols}", len(srows), len(orows)
+        )
+
+    # Type-class check: the driver hashes values after an arrow/pandas
+    # conversion, so int-vs-float/decimal/HUGEINT differences fail there
+    # even when python-level values compare equal.  Catch them here.
+    sdt = dict(spark_df.dtypes)
+    styp = {c.lower(): _spark_type_class(sdt[c]) for c in spark_df.columns}
+    otyp = {c.lower(): _duck_type_class(t) for c, t in zip(rel.columns, rel.types)}
+    bad = {c: (styp[c], otyp[c]) for c in styp if styp[c] != otyp[c]}
+    if bad:
+        return CompareResult(
+            name, False, f"type-class mismatch (spark,oracle): {bad}", len(srows), len(orows)
         )
     if len(srows) != len(orows):
         return CompareResult(

@@ -423,9 +423,9 @@ def cdx_num_pages(spark, sf_dir):
     SELECT split_part(urlkey, ')', 1) AS host,
            COUNT(*) AS n_captures,
            COUNT(DISTINCT urlkey) AS n_urls,
-           SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS n_ok,
+           CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
            COUNT(DISTINCT digest) AS n_unique_payloads,
-           SUM(CAST(length AS BIGINT)) AS total_bytes
+           CAST(SUM(CAST(length AS BIGINT)) AS BIGINT) AS total_bytes
     FROM cdx GROUP BY host
     """,
 )

@@ -441,8 +441,8 @@ def emb_ivf_topk(spark, sf_dir):
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
-           SUM(len(list_distinct(string_split(text, ' ')))) AS total_uniq,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_uniq,
            {sql_hround("SUM(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
                        " / len(string_split(text, ' '))) / COUNT(*)", 4)} AS avg_ttr
     FROM documents GROUP BY lang
@@ -549,8 +549,8 @@ def text_lang_guess(spark, sf_dir):
     "text_bpe_token_count",
     oracle="""
     SELECT source,
-           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_bpe_tokens,
-           SUM(n_chars) AS n_chars
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
     FROM documents GROUP BY source
     """,
     tier="C",

@@ -283,7 +283,7 @@ def filter_ts_range(spark, sf_dir):
 @query(
     "filter_key_prefix",
     oracle="""
-    SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars
+    SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents WHERE source LIKE 'src1%'
     GROUP BY source
     """,
