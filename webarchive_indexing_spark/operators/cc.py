@@ -24,14 +24,17 @@ mins and ``distinct``; edges never fan out beyond the input degree sum.
 Scale notes (100 TB):
 * The loop is driver-side CONTROL only — each iteration's data motion
   is distributed (no ``collect`` of nodes/edges, ever).
-* Each round ``persist``s its edge set and materializes it with the
-  convergence action; the PREVIOUS round is explicitly ``unpersist``ed
-  so peak block-manager storage is two edge sets, not one per round.
-  Catalyst's cache substitution keeps every round's physical plan one
-  star-pass deep (it plans against the previous round's
-  InMemoryRelation, not the whole history), and unlike
-  ``localCheckpoint`` a lost cached partition recomputes instead of
-  failing the job.
+* Each round ``localCheckpoint``s its edge set, which truncates the
+  LOGICAL plan, not just the physical one: ``persist`` alone leaves the
+  analyzer re-walking one star-pass per round (the analyzed tree grows
+  superlinearly and blows the driver heap on chain graphs), whereas a
+  checkpointed DataFrame's plan is a flat scan of materialized blocks.
+  The tradeoff — a lost block fails the stage instead of recomputing —
+  is the standard one every iterative-graph library accepts
+  (GraphFrames/GraphX checkpoint their iterations the same way).
+  Superseded rounds' blocks are reclaimed by the ContextCleaner when
+  their DataFrame references drop; live storage stays O(edge set), and
+  AQE coalesces each round's shuffle to the (shrinking) edge count.
 * Convergence test = (edge count, xxhash64 edge-set sum) — one tiny
   action per round instead of an ``exceptAll`` anti-join.
 """
@@ -97,6 +100,9 @@ def connected_components(
             edges.select(F.col(dst).alias("node"))
         )
         node_col = "node"
+    # localCheckpoint (not persist): truncates the logical plan so each
+    # round analyzes ONE star-pass, and cuts the (possibly expensive)
+    # upstream pair-generation plan out of every round's analysis.
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -104,7 +110,7 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def sig(df: DataFrame):
@@ -115,12 +121,12 @@ def connected_components(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
 
-    cur = sig(e)  # materializes the persisted edge set
+    cur = sig(e)
     for _ in range(max_iter):
-        prev = e
-        e = _small_star(_large_star(prev)).persist()
+        # lazy checkpoint: the sig() action materializes the blocks, so
+        # each round is ONE job instead of checkpoint-job + sig-job
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         nxt = sig(e)
-        prev.unpersist()
         if nxt == cur:
             break
         cur = nxt
