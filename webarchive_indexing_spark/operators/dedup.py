@@ -111,11 +111,30 @@ def minhash_lsh_pairs(
 
     signatures (map-only) → band keys → shuffle on (band, key) →
     within-bucket pairs → exact shingle-Jaccard verification (the
-    standard filter-verify shape).  Returns (a_id, b_id, jaccard)."""
+    standard filter-verify shape).  Returns (a_id, b_id, jaccard).
+
+    Shuffle payload: the banding self-join carries ONLY (id, band, key)
+    — never shingle arrays — so the exchange size is independent of
+    document length.  Verification re-attaches the 8-byte hashed
+    shingle sets by id afterwards (one id-keyed join per side over the
+    deduplicated candidate pairs), the same payload discipline as the
+    ngram_jaccard path.  Hashed sets make Jaccard collision-tolerant to
+    ~2^-32, identical on both engines."""
     r = n_perm // bands
-    sh = shingles(tokens(F.col(text_col)))
-    sigs = df.select(F.col(id_col).alias("id"), sh.alias("sh")).filter(F.size("sh") > 0)
-    sigs = sigs.select("id", "sh", *minhash_signature(F.col("sh"), n_perm))
+    sh = F.array_distinct(F.transform(shingles(tokens(F.col(text_col))), token_hash))
+    docs = df.select(F.col(id_col).alias("id"), sh.alias("sh")).filter(F.size("sh") > 0)
+    # minhash over the pre-hashed shingles: identical values to
+    # minhash_signature over the raw strings (token_hash is applied
+    # exactly once either way; min is duplicate-insensitive).
+    sigs = docs.select(
+        "id",
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s: (F.lit(A[j]) * s + F.lit(B[j])) % F.lit(P))
+            ).alias(f"sig_{j}")
+            for j in range(n_perm)
+        ],
+    )
 
     band_cols = [
         F.struct(
@@ -125,8 +144,8 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sigs.select(
-        "id", "sh", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -137,21 +156,17 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sh").alias("a_sh"),
-            F.col("b.sh").alias("b_sh"),
-        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    inter = F.size(F.array_intersect(F.array_distinct("a_sh"), F.array_distinct("b_sh")))
-    union = (
-        F.size(F.array_distinct("a_sh")) + F.size(F.array_distinct("b_sh")) - inter
-    )
+    verif = cand.join(
+        docs.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh")), "a_id"
+    ).join(docs.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh")), "b_id")
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size("a_sh") + F.size("b_sh") - inter
     jac = inter.cast("double") / union
     return (
-        cand.withColumn("jaccard", jac)
+        verif.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
     )

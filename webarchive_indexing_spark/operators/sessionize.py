@@ -20,9 +20,17 @@ def sessionize(
     ts: str,
     gap_seconds: int,
     session_col: str = "session_id",
+    tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Assign 1-based per-key session ids by inactivity gap."""
-    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    """Assign 1-based per-key session ids by inactivity gap.
+
+    ``tiebreak`` columns extend the window's ORDER BY after ``ts`` so
+    that rows with identical timestamps have a deterministic total
+    order (gap flags don't care about the tie order, but the running
+    SUM that numbers sessions does when a tie straddles a boundary)."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
     us = F.unix_micros(F.col(ts))
     prev = F.lag(us).over(w)
     new_session = F.when(

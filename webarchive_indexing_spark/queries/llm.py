@@ -143,13 +143,26 @@ def dedup_simhash(spark, sf_dir):
 #: after BASE_SQL, defines ``jpairs(a_id, b_id, i, un)`` = pairs with
 #: 10·|∩| ≥ 7·|∪| (integer cross-multiplied threshold — no float
 #: compare).  Shared by dedup_ngram_jaccard and dedup_cluster_cc.
+#: document-frequency cap: shingles appearing in more than MAX_DF docs
+#: (within a source block) are boilerplate — each contributes O(df²)
+#: join rows, the quadratic blowup at corpus scale.  Dropped from BOTH
+#: sets before sizing, so the Jaccard is over capped sets (consistent,
+#: and mirrored exactly in the oracle).
+JACCARD_MAX_DF = 100
+
 JACCARD_PAIRS_SQL = f"""
-    , sh AS (
+    , sh0 AS (
       SELECT doc_id, source,
              unnest(list_distinct(list_transform(
                {sql_shingles("string_split(text, ' ')")},
                s -> {sql_token_hash('s')}))) AS s
       FROM base
+    ), sh AS (
+      SELECT doc_id, source, s FROM (
+        SELECT doc_id, source, s,
+               COUNT(*) OVER (PARTITION BY source, s) AS df
+        FROM sh0
+      ) WHERE df <= {JACCARD_MAX_DF}
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -166,16 +179,23 @@ JACCARD_PAIRS_SQL = f"""
 """
 
 
-def ngram_jaccard_pairs(base: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(base: DataFrame, max_df: int = JACCARD_MAX_DF) -> DataFrame:
     """Spark twin of JACCARD_PAIRS_SQL: (a_id, b_id, i, un) near-dup
     pairs at Jaccard ≥ 0.7 over word-3-shingles, blocked by source.
 
-    Distinct shingles exploded → equi-join on (shingle, source) → exact
-    |∩| counts → integer cross-multiplied threshold.  The shared-
-    shingle join IS the blocking.  Shingles ship as 32-bit md5-derived
-    hashes, not strings — the shuffle moves 8-byte keys and any hash
-    collision is identical in both engines (same hash fn), so oracles
-    still match bit-for-bit."""
+    Distinct shingles exploded → df-cap → equi-join on (shingle,
+    source) → exact |∩| counts → integer cross-multiplied threshold.
+    The shared-shingle join IS the blocking.  Shingles ship as 32-bit
+    md5-derived hashes, not strings — the shuffle moves 8-byte keys and
+    any hash collision is identical in both engines (same hash fn), so
+    oracles still match bit-for-bit.
+
+    The df-cap drops shingles present in more than ``max_df`` documents
+    of a source block BEFORE the self-join: a shingle shared by k docs
+    yields k² join rows, so boilerplate (headers, license text) is a
+    quadratic blowup at corpus scale.  Capped sets feed both |∩| and
+    the sizes, keeping the Jaccard internally consistent and in
+    lockstep with the oracle."""
     sh = base.select(
         "doc_id",
         "source",
@@ -183,11 +203,16 @@ def ngram_jaccard_pairs(base: DataFrame) -> DataFrame:
             F.array_distinct(F.transform(shingles(tokens(F.col("text"))), token_hash))
         ).alias("s"),
     )
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("source", "s")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
     # |shingles(doc)| rides along as a window count instead of a
     # separate aggregate: both join sides then share an IDENTICAL
-    # explode→exchange(doc_id)→window subtree, so Spark's ReuseExchange
-    # computes the (CPU-heavy) shingle explode once, and the two
-    # post-hoc size joins disappear entirely.
+    # explode→df-cap→exchange(doc_id)→window subtree, so Spark's
+    # ReuseExchange computes the (CPU-heavy) shingle explode once, and
+    # the two post-hoc size joins disappear entirely.
     shn = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a = shn.alias("a")
     b = shn.alias("b")

@@ -262,7 +262,9 @@ def sessionize_gaps(spark, sf_dir):
     then per-session rollup (operators.sessionize; streaming twin is
     F.session_window)."""
     ev = t(spark, sf_dir, "events")
-    sess = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    sess = sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak=("event_id",)
+    )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "session_value")
     )
