@@ -107,3 +107,17 @@ def test_empty_range_read(spark, cluster):
     d, _ = cluster
     out = read_zipnum(spark, d, key_lo="zzz", key_hi="zzzz")
     assert out.count() == 0
+
+
+def test_uri_scheme_roundtrip(spark, cdx):
+    # the pyarrow.fs seam: write + read through a file:// URI exactly as
+    # an object-store deployment would through s3://; shard paths in
+    # cluster.loc stay URIs end-to-end
+    d = tempfile.mkdtemp(prefix="zipnum_uri_")
+    uri = "file://" + d
+    write_zipnum(cdx, uri, shards=2, numlines=NUMLINES)
+    assert os.path.exists(os.path.join(d, "cluster.idx"))
+    back = read_zipnum(spark, uri)
+    a = sorted(map(tuple, cdx.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

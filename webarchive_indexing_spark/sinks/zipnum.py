@@ -22,14 +22,18 @@ index a return value keeps the whole pipeline declarative).
 
 At 100 TB: one shuffle of the CDX lines, sized by ``shards``; the
 writer streams — O(numlines) memory per task; no driver collection.
-Writes target a shared filesystem path (local/NFS here; the same code
-runs against a fuse/NFS-mounted object store — for s3a:// semantics
-swap `open` for the Hadoop FS API at the marked seam).
+
+IO goes through ``pyarrow.fs`` resolved from the path URI, NOT bare
+``open()``: executors have no JVM gateway, so Python-side object-store
+access is Arrow's C++ filesystems — ``file://``, ``s3://`` (ranged
+GETs for block reads, multipart for shard writes), ``hdfs://`` via
+libhdfs.  A scheme-less path means the local filesystem; ``s3a://``
+(the Hadoop spelling) is normalized to ``s3://``.
 """
 
 from __future__ import annotations
 
-import os
+import posixpath
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +41,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.cdx import parse_cdx_lines, to_cdx_lines
+
+
+def _fs_for(path: str):
+    """(FileSystem, fs-local path) for a URI or plain local path —
+    callable on driver AND executors (no JVM involved)."""
+    from pyarrow import fs as pafs
+
+    if path.startswith("s3a://"):
+        path = "s3://" + path[len("s3a://"):]
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _join(base: str, *parts: str) -> str:
+    return posixpath.join(base.rstrip("/"), *parts)
 
 IDX_SCHEMA = T.StructType(
     [
@@ -58,7 +78,7 @@ def _write_shard(out_dir: str, numlines: int):
         import gzip
 
         shard = f"cdx-{pid:05d}.gz"
-        path = os.path.join(out_dir, shard)
+        fs, path = _fs_for(_join(out_dir, shard))
         buf: list[str] = []
         first_key: tuple[str, str] | None = None
         offset = 0
@@ -72,7 +92,9 @@ def _write_shard(out_dir: str, numlines: int):
                 buf.append(line)
                 if len(buf) == numlines:
                     if out is None:
-                        out = open(path, "wb")  # seam: Hadoop FS for s3a://
+                        # compression=None: members are gzipped here;
+                        # Arrow must not re-wrap based on .gz suffix
+                        out = fs.open_output_stream(path, compression=None)
                     member = gzip.compress(
                         ("\n".join(buf) + "\n").encode("utf-8"), mtime=0
                     )
@@ -82,7 +104,7 @@ def _write_shard(out_dir: str, numlines: int):
                     buf = []
             if buf:
                 if out is None:
-                    out = open(path, "wb")
+                    out = fs.open_output_stream(path, compression=None)
                 member = gzip.compress(("\n".join(buf) + "\n").encode("utf-8"), mtime=0)
                 out.write(member)
                 yield (*first_key, shard, offset, len(member))
@@ -103,7 +125,8 @@ def write_zipnum(
     """Build a ZipNum cluster from a (typed) CDX DataFrame; returns the
     secondary index as a DataFrame and writes ``cluster.idx`` +
     ``cluster.loc`` beside the shard files."""
-    os.makedirs(out_dir, exist_ok=True)
+    fs, local_dir = _fs_for(out_dir)
+    fs.create_dir(local_dir, recursive=True)
     spark = cdx.sparkSession
 
     lines = to_cdx_lines(
@@ -116,13 +139,15 @@ def write_zipnum(
 
     # secondary index is tiny (#rows / numlines); sort + single file.
     rows = idx.orderBy("urlkey", "timestamp", "shard", "offset").collect()
-    with open(os.path.join(out_dir, "cluster.idx"), "w", encoding="utf-8") as fh:
+    with fs.open_output_stream(_join(local_dir, "cluster.idx"), compression=None) as fh:
         for r in rows:
-            fh.write(f"{r.urlkey}\t{r.timestamp}\t{r.shard}\t{r.offset}\t{r.length}\n")
+            fh.write(
+                f"{r.urlkey}\t{r.timestamp}\t{r.shard}\t{r.offset}\t{r.length}\n".encode()
+            )
     shard_names = sorted({r.shard for r in rows})
-    with open(os.path.join(out_dir, "cluster.loc"), "w", encoding="utf-8") as fh:
+    with fs.open_output_stream(_join(local_dir, "cluster.loc"), compression=None) as fh:
         for s in shard_names:
-            fh.write(f"{s}\t{os.path.join(out_dir, s)}\n")
+            fh.write(f"{s}\t{_join(out_dir, s)}\n".encode())
     return spark.createDataFrame(rows, IDX_SCHEMA)
 
 
@@ -136,10 +161,11 @@ class _Block:
 
 
 def _load_idx(out_dir: str) -> list[_Block]:
+    fs, local_dir = _fs_for(out_dir)
     blocks: list[_Block] = []
-    with open(os.path.join(out_dir, "cluster.idx"), encoding="utf-8") as fh:
-        for line in fh:
-            uk, ts, shard, off, ln = line.rstrip("\n").split("\t")
+    with fs.open_input_stream(_join(local_dir, "cluster.idx"), compression=None) as fh:
+        for line in fh.read().decode("utf-8").splitlines():
+            uk, ts, shard, off, ln = line.split("\t")
             blocks.append(_Block(uk, ts, shard, int(off), int(ln)))
     return blocks
 
@@ -176,17 +202,19 @@ def read_zipnum(
         return parse_cdx_lines(
             spark.createDataFrame([], T.StructType([T.StructField("value", T.StringType())]))
         )
-    loc = dict(
-        line.rstrip("\n").split("\t")
-        for line in open(os.path.join(out_dir, "cluster.loc"), encoding="utf-8")
-    )
+    fs, local_dir = _fs_for(out_dir)
+    with fs.open_input_stream(_join(local_dir, "cluster.loc"), compression=None) as fh:
+        loc = dict(
+            line.split("\t") for line in fh.read().decode("utf-8").splitlines()
+        )
     work = [(loc[b.shard], b.offset, b.length) for b in blocks]
 
     def read_block(items):
         import gzip
 
         for path, off, ln in items:
-            with open(path, "rb") as fh:  # seam: ranged GET for s3a://
+            bfs, bpath = _fs_for(path)
+            with bfs.open_input_file(bpath) as fh:  # random-access: S3 ranged GET
                 fh.seek(off)
                 data = fh.read(ln)
             for line in gzip.decompress(data).decode("utf-8").splitlines():
