@@ -26,6 +26,33 @@ KNOWN = [
     ("http://example.com", "com,example)/"),
     ("example.com/plain", "com,example)/plain"),
     ("HTTP://A.B.C.EXAMPLE.NET/d?z=1&y=2&x=3", "net,example,c,b,a)/d?x=3&y=2&z=1"),
+    # --- session-id stripping (surt URLRegexTransformer shapes) ---
+    (
+        "http://example.com/app;jsessionid=1234567890abcdef1234567890abcdef?x=1",
+        "com,example)/app?x=1",
+    ),
+    (
+        "http://example.com/cart?phpsessid=0123456789abcdef0123456789abcdef&item=5",
+        "com,example)/cart?item=5",
+    ),
+    (
+        "http://example.com/p?sid=0123456789abcdef0123456789abcdef",
+        "com,example)/p",
+    ),
+    ("http://example.com/p?cfid=123&cftoken=ab-cd&x=2", "com,example)/p?x=2"),
+    (
+        "http://example.com/(s(abcdefghijklmnopqrstuvwx))/page.aspx?q=1",
+        "com,example)/page.aspx?q=1",
+    ),
+    # sid shorter than 32 chars is a legitimate param, NOT a session id
+    ("http://example.com/p?sid=42", "com,example)/p?sid=42"),
+    # --- percent-encoding normalization (unreserved decode only) ---
+    ("http://example.com/%7Euser/%41bc", "com,example)/~user/abc"),
+    ("http://example.com/a%2Fb?q=%2F", "com,example)/a%2fb?q=%2f"),
+    ("http://example.com/100%25ok", "com,example)/100%25ok"),
+    ("http://example.com/a%zz", "com,example)/a%zz"),
+    # --- host dot cleanup ---
+    ("http://example..com./x", "com,example)/x"),
 ]
 
 
@@ -38,6 +65,30 @@ def test_known_pairs_native(spark):
     df = spark.createDataFrame([(u,) for u, _ in KNOWN], ["url"])
     got = [r[0] for r in df.select(surt_urlkey("url")).collect()]
     assert got == [e for _, e in KNOWN]
+
+
+def test_native_matches_python_on_messy_urls(spark):
+    """One Spark job over a combinatorial messy-URL corpus: the native
+    expression and the Python reference must agree byte-for-byte."""
+    hosts = ["example.com", "www3.Sub.example.org:8080", "a..b.net."]
+    paths = [
+        "/",
+        "/x;jsessionid=1234567890abcdef1234567890abcdef",
+        "/%7Ea/%42/%2f%GG",
+        "/(s(abcdefghijklmnopqrstuvwx))/p.aspx",
+        "/plain%25",
+    ]
+    queries = [
+        "",
+        "?b=2&a=%41&sid=0123456789abcdef0123456789abcdef",
+        "?cfid=9&cftoken=t0&z=1",
+        "?only=%7e",
+    ]
+    urls = [f"http://{h}{p}{q}" for h in hosts for p in paths for q in queries]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r[0] for r in df.select(surt_urlkey("url")).collect()]
+    want = [surt_urlkey_py(u) for u in urls]
+    assert got == want
 
 
 def test_pandas_udf_matches(spark):

@@ -14,12 +14,23 @@ Implemented twice with identical semantics:
 * ``surt_urlkey_py`` — plain-Python reference used by the pandas-UDF
   fallback and as the property-test oracle for the native version.
 
-Documented subset of pywb's rules (see tests/test_surt.py):
-lowercase; strip scheme / userinfo / fragment; strip ``www``+digits
-host prefix; strip ports 80/443; reverse host labels with commas;
-empty path → ``/``; query params sorted, empty query dropped.
-Not implemented (pywb extras): session-param stripping, IDN/punycode,
-percent-encoding normalization.
+Implemented pywb/surt rules (see tests/test_surt.py): lowercase; strip
+scheme / userinfo / fragment; strip ``www``+digits host prefix; strip
+ports 80/443; host dot cleanup (leading/trailing dots dropped,
+``..`` collapsed); reverse host labels with commas; empty path →
+``/``; query params sorted, empty query dropped; session-id stripping
+per the public surt URLRegexTransformer patterns — path
+``;jsessionid=<32>`` and ASP.NET ``(s(<24>))/`` segments, query params
+``jsessionid/phpsessid/sid=<32 alnum>``, ``aspsessionid<8>=<24>``, and
+adjacent ``cfid=..&cftoken=..`` pairs; percent-encoding normalization
+— escapes of unreserved chars (alnum ``-._~``) are decoded, all other
+escapes kept verbatim (already lowercase).
+
+Not implemented (documented divergence from pywb): recursive
+percent-unescape (%2541 → A takes two passes; single pass here), path
+dot-segment removal (/a/../b), and IDN→punycode in the NATIVE version
+— ``surt_urlkey_py`` and the pandas fallback punycode non-ASCII
+hosts, the native expression expects pre-encoded (ASCII) hosts.
 """
 
 from __future__ import annotations
@@ -31,6 +42,43 @@ _SCHEME_RE = "^[a-z][a-z0-9+.-]*://"
 _USERINFO_RE = "^[^/?#]*@"
 _WWW_RE = r"^www\d*\."
 
+#: surt URLRegexTransformer session-id shapes, recast to operate on the
+#: already-lowercased URL: path ;jsessionid=<32 alnum>, ASP.NET
+#: cookieless (s(<24>))/ path segment (only before an .aspx page), an
+#: adjacent cfid/cftoken query pair, and whole session params.
+_PATH_JSESSIONID_RE = ";jsessionid=[0-9a-z]{32}"
+_PATH_ASPNET_RE = r"\((?:[a-z]\([0-9a-z]{24}\))+\)/(?=[^?]*\.aspx)"
+_QUERY_CF_RE = "cfid=[^&]+&cftoken=[^&]+&?"
+_SESSION_PARAM_RE = (
+    "^(?:(?:jsessionid|phpsessid|sid)=[0-9a-z]{32}|aspsessionid[a-z]{8}=[a-z]{24})$"
+)
+
+
+def _pct_piece(p: Column) -> Column:
+    """One post-'%' fragment: decode a leading unreserved-char escape,
+    otherwise re-attach the '%' untouched."""
+    hx = F.substring(p, 1, 2)
+    code = F.conv(hx, 16, 10).cast("int")
+    unreserved = (
+        ((code >= 48) & (code <= 57))
+        | ((code >= 97) & (code <= 122))
+        | ((code >= 65) & (code <= 90))
+        | code.isin(45, 46, 95, 126)  # - . _ ~
+    )
+    return F.when(
+        hx.rlike("^[0-9a-f]{2}$") & unreserved,
+        F.concat(F.lower(F.char(code)), F.substring(p, 3, F.length(p))),
+    ).otherwise(F.concat(F.lit("%"), p))
+
+
+def _pct_normalize(u: Column) -> Column:
+    """Single-pass percent-encoding normalization.  Never produces a
+    URL metacharacter (/?#&= are not unreserved), so it is safe to run
+    on the whole URL before parsing."""
+    parts = F.split(u, "%")
+    tail = F.transform(F.slice(parts, 2, F.size(parts)), _pct_piece)
+    return F.concat(F.element_at(parts, 1), F.array_join(tail, ""))
+
 
 def surt_urlkey(url: Column | str) -> Column:
     """SURT urlkey as a native expression tree (JVM-side, codegen)."""
@@ -38,6 +86,7 @@ def surt_urlkey(url: Column | str) -> Column:
     u = F.regexp_replace(u, _SCHEME_RE, "")
     u = F.regexp_replace(u, _USERINFO_RE, "")
     u = F.regexp_replace(u, "#.*$", "")  # fragment
+    u = _pct_normalize(u)
 
     hostport = F.regexp_extract(u, "^([^/?]*)", 1)
     rest = F.substring(u, F.length(hostport) + 1, F.length(u))
@@ -47,17 +96,28 @@ def surt_urlkey(url: Column | str) -> Column:
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     port = F.when(port.isin("", "80", "443"), F.lit("")).otherwise(F.concat(F.lit(":"), port))
     host = F.regexp_replace(hostport, r":\d+$", "")
+    host = F.regexp_replace(host, r"\.{2,}", ".")
+    host = F.regexp_replace(host, r"^\.+|\.+$", "")
     host = F.regexp_replace(host, _WWW_RE, "")
     rev_host = F.concat(F.concat_ws(",", F.reverse(F.split(host, "[.]"))), port)
 
     path = F.regexp_extract(rest, "^([^?]*)", 1)
+    path = F.regexp_replace(path, _PATH_JSESSIONID_RE, "")
+    path = F.regexp_replace(path, _PATH_ASPNET_RE, "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.when(
         rest.contains("?"),
         F.substring(rest, F.instr(rest, "?") + 1, F.length(rest)),
     ).otherwise(F.lit(""))
+    query = F.regexp_replace(query, _QUERY_CF_RE, "")
     sorted_query = F.array_join(
-        F.sort_array(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+        F.sort_array(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.rlike(_SESSION_PARAM_RE),
+            )
+        ),
+        "&",
     )
 
     return F.concat(
@@ -68,14 +128,36 @@ def surt_urlkey(url: Column | str) -> Column:
     )
 
 
+def _pct_normalize_py(s: str) -> str:
+    parts = s.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        h = p[:2]
+        if len(h) == 2 and all(c in "0123456789abcdef" for c in h):
+            code = int(h, 16)
+            if (
+                48 <= code <= 57
+                or 97 <= code <= 122
+                or 65 <= code <= 90
+                or code in (45, 46, 95, 126)
+            ):
+                out.append(chr(code).lower() + p[2:])
+                continue
+        out.append("%" + p)
+    return "".join(out)
+
+
 def surt_urlkey_py(url: str) -> str:
-    """Plain-Python reference implementation (same subset)."""
+    """Plain-Python reference implementation (same rules, plus
+    IDN→punycode for non-ASCII hosts, which native expressions can't
+    express)."""
     import re
 
     u = url.strip().lower()
     u = re.sub(_SCHEME_RE, "", u)
     u = re.sub(_USERINFO_RE, "", u)
     u = re.sub("#.*$", "", u)
+    u = _pct_normalize_py(u)
 
     m = re.match("^([^/?]*)", u)
     hostport = m.group(1)
@@ -84,15 +166,27 @@ def surt_urlkey_py(url: str) -> str:
     pm = re.search(r":(\d+)$", hostport)
     port = "" if pm is None or pm.group(1) in ("80", "443") else ":" + pm.group(1)
     host = re.sub(r":\d+$", "", hostport)
+    host = re.sub(r"\.{2,}", ".", host)
+    host = re.sub(r"^\.+|\.+$", "", host)
     host = re.sub(_WWW_RE, "", host)
+    if not host.isascii():
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            pass
     rev_host = ",".join(reversed(host.split("."))) + port
 
     qpos = rest.find("?")
     path = rest if qpos < 0 else rest[:qpos]
+    path = re.sub(_PATH_JSESSIONID_RE, "", path)
+    path = re.sub(_PATH_ASPNET_RE, "", path)
     if path == "":
         path = "/"
     query = "" if qpos < 0 else rest[qpos + 1 :]
-    params = sorted(p for p in query.split("&") if p)
+    query = re.sub(_QUERY_CF_RE, "", query)
+    params = sorted(
+        p for p in query.split("&") if p and not re.match(_SESSION_PARAM_RE, p)
+    )
     tail = "?" + "&".join(params) if params else ""
     return f"{rev_host}){path}{tail}"
 
