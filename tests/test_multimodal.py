@@ -57,6 +57,14 @@ def test_extract_features_shape_and_determinism(spark, sf_dir):
     again = {r.doc_id: r.features for r in
              extract_features(attach_fake_payload(docs), dim=16).collect()}
     assert rows == again
+    # normalize=False emits raw bucket counts: integer-valued floats
+    # whose sum is the payload byte count (the oracle-checkable form)
+    raw = {r.doc_id: r.features for r in
+           extract_features(attach_fake_payload(docs), dim=16,
+                            normalize=False).collect()}
+    for doc_id, feats in raw.items():
+        assert all(f == int(f) for f in feats)
+        assert int(sum(feats)) == len(src[doc_id].encode())
 
 
 def test_resize_fixed_size_payloads(spark, sf_dir):

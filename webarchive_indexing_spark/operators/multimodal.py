@@ -82,14 +82,19 @@ def decode_batches(df: DataFrame) -> DataFrame:
 FEATURES_SCHEMA = "doc_id bigint, features array<float>"
 
 
-def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+def extract_features(df: DataFrame, dim: int = 16, normalize: bool = True) -> DataFrame:
     """Feature extraction over Arrow batches: payload bytes → fixed-dim
-    vector (here a normalized byte histogram folded to ``dim`` buckets
-    — the deterministic stand-in for a vision/audio encoder; a real
-    model's forward pass slots into the same batch loop).  Output is
-    the ``array<float>`` shape the embedding operators (cosine / LSH /
+    vector (here a byte histogram folded to ``dim`` buckets — the
+    deterministic stand-in for a vision/audio encoder; a real model's
+    forward pass slots into the same batch loop).  Output is the
+    ``array<float>`` shape the embedding operators (cosine / LSH /
     IVF) consume downstream — this stage is how the embeddings table
-    gets made at 100 TB."""
+    gets made at 100 TB.
+
+    ``normalize=False`` emits raw bucket counts (exactly representable
+    in float32) — the oracle-checkable form; any float normalization
+    then happens JVM-side in double where Spark and DuckDB agree
+    bit-for-bit."""
 
     def fn(batches: Iterator) -> Iterator:
         import numpy as np
@@ -101,7 +106,7 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype("float32")
                 total = hist.sum()
-                feats.append(hist / total if total else hist)
+                feats.append(hist / total if normalize and total else hist)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return df.mapInPandas(fn, FEATURES_SCHEMA)

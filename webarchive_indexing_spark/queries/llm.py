@@ -994,14 +994,61 @@ def multimodal_decode_stub(spark, sf_dir):
     return decode_batches(with_bin)
 
 
-@query("multimodal_feature_pipeline", oracle=None, tier="C")
+@query(
+    "multimodal_feature_pipeline",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lower(hex(encode(text))) AS h
+      FROM documents WHERE doc_id < 100
+    ),
+    nib AS (
+      -- byte mod 16 == value of the byte's low hex nibble, i.e. the
+      -- character at every even (1-based) position of hex(utf8-bytes)
+      SELECT doc_id, h, unnest(generate_series(1, length(h) // 2)) AS i
+      FROM docs
+    ),
+    cnts AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', substr(h, 2 * i, 1)) - 1 AS dim,
+             COUNT(*) AS cnt
+      FROM nib GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.doc_id, g.dim
+      FROM docs d, (SELECT unnest(generate_series(0, 15)) AS dim) g
+    ),
+    tot AS (SELECT doc_id, SUM(cnt) AS total FROM cnts GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(g.dim AS INT) AS dim,
+           COALESCE(c.cnt, 0) AS cnt,
+           {sql_hround("CASE WHEN t.total > 0 THEN CAST(COALESCE(c.cnt, 0) AS DOUBLE) / t.total ELSE NULL END", 6)} AS frac
+    FROM grid g
+    LEFT JOIN cnts c ON g.doc_id = c.doc_id AND g.dim = c.dim
+    LEFT JOIN tot t ON g.doc_id = t.doc_id
+    """,
+    tier="C",
+)
 def multimodal_feature_pipeline(spark, sf_dir):
-    """L6 media → embedding pipeline: binary payload → fixed-size
-    'resize' → byte-histogram feature vector (the deterministic fake at
-    the encoder seam) → the array<float> shape the similarity operators
-    consume.  Rows-only; stage behavior asserted in
+    """L6 media → embedding pipeline: binary payload → byte-histogram
+    feature vector over Arrow batches (the deterministic fake at the
+    encoder seam), then unpivoted JVM-side to driver-hashable scalars
+    (doc_id, dim, cnt, frac).  The mapInPandas stage emits raw bucket
+    counts (exact in float32); the normalized fraction is computed as
+    a double division outside the UDF so Spark and the DuckDB oracle
+    agree bit-for-bit.  Array-shaped output asserted in
     tests/test_multimodal.py."""
     from ..operators.multimodal import attach_fake_payload, extract_features
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return extract_features(attach_fake_payload(d), dim=16)
+    feats = extract_features(attach_fake_payload(d), dim=16, normalize=False)
+    ex = feats.select("doc_id", F.posexplode("features").alias("dim", "f"))
+    cnt = F.col("f").cast("long")
+    total = F.sum(cnt).over(Window.partitionBy("doc_id"))
+    return ex.select(
+        "doc_id",
+        F.col("dim").cast("int").alias("dim"),
+        cnt.alias("cnt"),
+        hround(
+            F.when(total > 0, cnt.cast("double") / total), 6
+        ).alias("frac"),
+    )
