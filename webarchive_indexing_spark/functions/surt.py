@@ -18,19 +18,28 @@ Implemented pywb/surt rules (see tests/test_surt.py): lowercase; strip
 scheme / userinfo / fragment; strip ``www``+digits host prefix; strip
 ports 80/443; host dot cleanup (leading/trailing dots dropped,
 ``..`` collapsed); reverse host labels with commas; empty path →
-``/``; query params sorted, empty query dropped; session-id stripping
-per the public surt URLRegexTransformer patterns — path
+``/``; path dot-segment removal (``/a/./b`` → ``/a/b``, ``/a/../b`` →
+``/b``, RFC 3986 §5.2.4 stack semantics, never popping past root);
+query params sorted, empty query dropped; session-id stripping per the
+public surt URLRegexTransformer patterns — trailing path
 ``;jsessionid=<32>`` and ASP.NET ``(s(<24>))/`` segments, query params
 ``jsessionid/phpsessid/sid=<32 alnum>``, ``aspsessionid<8>=<24>``, and
-adjacent ``cfid=..&cftoken=..`` pairs; percent-encoding normalization
-— escapes of unreserved chars (alnum ``-._~``) are decoded, all other
+an adjacent ``cfid=..&cftoken=..`` pair anchored at a param boundary;
+percent-encoding normalization — escapes of unreserved chars (alnum
+``-._~``) are decoded, double-encoded escapes (``%25XX`` with XX hex)
+are unwrapped one level and re-examined (``%2541`` → ``a``), all other
 escapes kept verbatim (already lowercase).
 
-Not implemented (documented divergence from pywb): recursive
-percent-unescape (%2541 → A takes two passes; single pass here), path
-dot-segment removal (/a/../b), and IDN→punycode in the NATIVE version
-— ``surt_urlkey_py`` and the pandas fallback punycode non-ASCII
-hosts, the native expression expects pre-encoded (ASCII) hosts.
+Every expensive branch is gated behind a cheap ``contains`` guard
+(``%``, ``;jsessionid=``, ``.aspx``, ``cfid=``, ``/.``) — a clean URL
+pays one regex for the scheme and the split/reverse of its host, and
+none of the session/percent/dot machinery.
+
+Not implemented (documented divergence from pywb): percent-decode
+deeper than two levels (``%252541`` stays ``%2541``), and
+IDN→punycode in the NATIVE version — ``surt_urlkey_py`` and the
+pandas fallback punycode non-ASCII hosts, the native expression
+expects pre-encoded (ASCII) hosts.
 """
 
 from __future__ import annotations
@@ -43,19 +52,27 @@ _USERINFO_RE = "^[^/?#]*@"
 _WWW_RE = r"^www\d*\."
 
 #: surt URLRegexTransformer session-id shapes, recast to operate on the
-#: already-lowercased URL: path ;jsessionid=<32 alnum>, ASP.NET
-#: cookieless (s(<24>))/ path segment (only before an .aspx page), an
-#: adjacent cfid/cftoken query pair, and whole session params.
-_PATH_JSESSIONID_RE = ";jsessionid=[0-9a-z]{32}"
+#: already-lowercased URL: TRAILING path ;jsessionid=<32 alnum> (mid-
+#: path occurrences are legitimate matrix params — stripping them would
+#: merge distinct URLs under one urlkey), ASP.NET cookieless
+#: (s(<24>))/ path segment (only before an .aspx page), an adjacent
+#: cfid/cftoken query pair anchored at a param boundary (so it cannot
+#: splice remnants out of params that merely END in 'cfid='), and
+#: whole session params.
+_PATH_JSESSIONID_RE = ";jsessionid=[0-9a-z]{32}$"
 _PATH_ASPNET_RE = r"\((?:[a-z]\([0-9a-z]{24}\))+\)/(?=[^?]*\.aspx)"
-_QUERY_CF_RE = "cfid=[^&]+&cftoken=[^&]+&?"
+#: replacement is '&' — the stray separator is dropped by the empty-
+#: param filter below, keeping both '^cfid=..' and '..&cfid=..' safe.
+_QUERY_CF_RE = "(?:^|&)cfid=[^&]+&cftoken=[^&]+(?=&|$)"
 _SESSION_PARAM_RE = (
     "^(?:(?:jsessionid|phpsessid|sid)=[0-9a-z]{32}|aspsessionid[a-z]{8}=[a-z]{24})$"
 )
+_HEX2 = "^[0-9a-f]{2}$"
 
 
 def _pct_piece(p: Column) -> Column:
     """One post-'%' fragment: decode a leading unreserved-char escape,
+    unwrap a double-encoded escape (25 + two hex digits) one level, and
     otherwise re-attach the '%' untouched."""
     hx = F.substring(p, 1, 2)
     code = F.conv(hx, 16, 10).cast("int")
@@ -65,19 +82,50 @@ def _pct_piece(p: Column) -> Column:
         | ((code >= 65) & (code <= 90))
         | code.isin(45, 46, 95, 126)  # - . _ ~
     )
-    return F.when(
-        hx.rlike("^[0-9a-f]{2}$") & unreserved,
-        F.concat(F.lower(F.char(code)), F.substring(p, 3, F.length(p))),
-    ).otherwise(F.concat(F.lit("%"), p))
+    return (
+        F.when(
+            (hx == "25") & F.substring(p, 3, 2).rlike(_HEX2),
+            F.concat(F.lit("%"), F.substring(p, 3, F.length(p))),
+        )
+        .when(
+            hx.rlike(_HEX2) & unreserved,
+            F.concat(F.lower(F.char(code)), F.substring(p, 3, F.length(p))),
+        )
+        .otherwise(F.concat(F.lit("%"), p))
+    )
 
 
 def _pct_normalize(u: Column) -> Column:
-    """Single-pass percent-encoding normalization.  Never produces a
-    URL metacharacter (/?#&= are not unreserved), so it is safe to run
-    on the whole URL before parsing."""
+    """One percent-encoding normalization pass.  Never produces a URL
+    metacharacter (/?#&= are not unreserved), so it is safe to run on
+    the whole URL before parsing.  A '%25XX' double-encoding unwraps to
+    '%XX' — a second pass (gated at the call site on contains('%25'))
+    then decodes it if unreserved."""
     parts = F.split(u, "%")
     tail = F.transform(F.slice(parts, 2, F.size(parts)), _pct_piece)
     return F.concat(F.element_at(parts, 1), F.array_join(tail, ""))
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over the split segments: '.' drops, '..' pops
+    (never past root), everything else — including empty segments from
+    '//' and a trailing '/' — pushes.  A trailing '.'/'..' leaves the
+    directory form ('/a/b/..' → '/a/').  Pure array fold: stays in the
+    JVM, no UDF."""
+    segs = F.split(path, "/")
+    body = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+    stack = F.aggregate(
+        body,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(s == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    out = F.concat(F.lit("/"), F.array_join(stack, "/"))
+    last = F.element_at(segs, -1)
+    return F.when(
+        last.isin(".", "..") & (F.length(out) > 1), F.concat(out, F.lit("/"))
+    ).otherwise(out)
 
 
 def surt_urlkey(url: Column | str) -> Column:
