@@ -51,6 +51,20 @@ KNOWN = [
     ("http://example.com/a%2Fb?q=%2F", "com,example)/a%2fb?q=%2f"),
     ("http://example.com/100%25ok", "com,example)/100%25ok"),
     ("http://example.com/a%zz", "com,example)/a%zz"),
+    # --- double-encoded escapes unwrap one level, then re-decode ---
+    ("http://example.com/%2541bc", "com,example)/abc"),
+    ("http://example.com/%252fx", "com,example)/%2fx"),
+    # exactly two passes: triple-encoded only partially unwraps
+    ("http://example.com/%252541", "com,example)/%41"),
+    # --- path dot-segment removal (RFC 3986 §5.2.4) ---
+    ("http://example.com/a/./b", "com,example)/a/b"),
+    ("http://example.com/a/../b", "com,example)/b"),
+    ("http://example.com/../x", "com,example)/x"),
+    ("http://example.com/a/b/..", "com,example)/a/"),
+    ("http://example.com/a/.", "com,example)/a/"),
+    ("http://example.com/a/b/../../c/./d", "com,example)/c/d"),
+    # a dotfile segment is not a dot segment
+    ("http://example.com/a/.hidden", "com,example)/a/.hidden"),
     # --- host dot cleanup ---
     ("http://example..com./x", "com,example)/x"),
 ]
@@ -77,6 +91,9 @@ def test_native_matches_python_on_messy_urls(spark):
         "/%7Ea/%42/%2f%GG",
         "/(s(abcdefghijklmnopqrstuvwx))/p.aspx",
         "/plain%25",
+        "/a/../b/./c/%2541",
+        "/a/b/..",
+        "/%252541/.hidden",
     ]
     queries = [
         "",

@@ -36,7 +36,8 @@ pays one regex for the scheme and the split/reverse of its host, and
 none of the session/percent/dot machinery.
 
 Not implemented (documented divergence from pywb): percent-decode
-deeper than two levels (``%252541`` stays ``%2541``), and
+runs exactly two passes, so escapes nested deeper than two levels are
+only partially unwrapped (``%252541`` → ``%41``, not ``a``), and
 IDN→punycode in the NATIVE version — ``surt_urlkey_py`` and the
 pandas fallback punycode non-ASCII hosts, the native expression
 expects pre-encoded (ASCII) hosts.
@@ -70,6 +71,20 @@ _SESSION_PARAM_RE = (
 _HEX2 = "^[0-9a-f]{2}$"
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for Catalyst: evaluate ``value`` ONCE and reference
+    it as a lambda variable (a leaf) inside ``body``.
+
+    Catalyst expressions are trees, not DAGs — writing
+    ``F.when(u.contains("%"), f(u)).otherwise(u)`` inlines the whole
+    subtree of ``u`` three times, and a chain of such guarded steps
+    multiplies: ~8 steps at 3 refs each is ~3^8 copies of the base
+    expression, which blows codegen past the heap.  A single-element
+    ``transform`` binds the value to a lambda variable instead, keeping
+    the tree linear in the number of steps."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _pct_piece(p: Column) -> Column:
     """One post-'%' fragment: decode a leading unreserved-char escape,
     unwrap a double-encoded escape (25 + two hex digits) one level, and
@@ -101,9 +116,15 @@ def _pct_normalize(u: Column) -> Column:
     the whole URL before parsing.  A '%25XX' double-encoding unwraps to
     '%XX' — a second pass (gated at the call site on contains('%25'))
     then decodes it if unreserved."""
-    parts = F.split(u, "%")
-    tail = F.transform(F.slice(parts, 2, F.size(parts)), _pct_piece)
-    return F.concat(F.element_at(parts, 1), F.array_join(tail, ""))
+    return _let(
+        F.split(u, "%"),
+        lambda parts: F.concat(
+            F.element_at(parts, 1),
+            F.array_join(
+                F.transform(F.slice(parts, 2, F.size(parts)), _pct_piece), ""
+            ),
+        ),
+    )
 
 
 def _remove_dot_segments(path: Column) -> Column:
@@ -112,52 +133,103 @@ def _remove_dot_segments(path: Column) -> Column:
     '//' and a trailing '/' — pushes.  A trailing '.'/'..' leaves the
     directory form ('/a/b/..' → '/a/').  Pure array fold: stays in the
     JVM, no UDF."""
-    segs = F.split(path, "/")
-    body = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
-    stack = F.aggregate(
-        body,
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(s == ".", acc)
-        .when(s == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
-        .otherwise(F.concat(acc, F.array(s))),
+    return _let(
+        F.split(path, "/"),
+        lambda segs: _let(
+            F.aggregate(
+                F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0))),
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(s == ".", acc)
+                .when(
+                    s == "..",
+                    F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                )
+                .otherwise(F.concat(acc, F.array(s))),
+            ),
+            lambda stack: _let(
+                F.concat(F.lit("/"), F.array_join(stack, "/")),
+                lambda out: F.when(
+                    F.element_at(segs, -1).isin(".", "..") & (F.length(out) > 1),
+                    F.concat(out, F.lit("/")),
+                ).otherwise(out),
+            ),
+        ),
     )
-    out = F.concat(F.lit("/"), F.array_join(stack, "/"))
-    last = F.element_at(segs, -1)
+
+
+def _pct_pass(x: Column) -> Column:
+    """Two-pass percent normalization behind contains guards: pass 1
+    decodes unreserved escapes and unwraps one %25XX level; pass 2
+    (only reachable when the raw URL carried a '%25') finishes the
+    double-encoded case (%2541 → %41 → a).  Pass 1 can only emit a
+    '%25' if the input had one, so gating pass 2 on the raw URL is
+    sound."""
     return F.when(
-        last.isin(".", "..") & (F.length(out) > 1), F.concat(out, F.lit("/"))
-    ).otherwise(out)
+        x.contains("%"),
+        _let(
+            _pct_normalize(x),
+            lambda p1: F.when(x.contains("%25"), _pct_normalize(p1)).otherwise(p1),
+        ),
+    ).otherwise(x)
 
 
-def surt_urlkey(url: Column | str) -> Column:
-    """SURT urlkey as a native expression tree (JVM-side, codegen)."""
-    u = F.lower(F.trim(F.col(url) if isinstance(url, str) else url))
-    u = F.regexp_replace(u, _SCHEME_RE, "")
-    u = F.regexp_replace(u, _USERINFO_RE, "")
-    u = F.regexp_replace(u, "#.*$", "")  # fragment
-    u = _pct_normalize(u)
+def _rev_host(hp: Column) -> Column:
+    """hostport → reversed comma-joined host (+ non-default port).
+    Port splits off BEFORE host reversal and re-attaches after
+    (com,example:8080); default ports drop entirely."""
+    port = _let(
+        F.regexp_extract(hp, r":(\d+)$", 1),
+        lambda p: F.when(p.isin("", "80", "443"), F.lit("")).otherwise(
+            F.concat(F.lit(":"), p)
+        ),
+    )
+    host = F.regexp_replace(hp, r":\d+$", "")
+    host = _let(
+        host,
+        lambda h: F.when(
+            h.contains("..") | h.startswith(".") | h.endswith("."),
+            F.regexp_replace(F.regexp_replace(h, r"\.{2,}", "."), r"^\.+|\.+$", ""),
+        ).otherwise(h),
+    )
+    host = _let(
+        host,
+        lambda h: F.when(h.startswith("www"), F.regexp_replace(h, _WWW_RE, "")).otherwise(h),
+    )
+    return F.concat(F.concat_ws(",", F.reverse(F.split(host, "[.]"))), port)
 
-    hostport = F.regexp_extract(u, "^([^/?]*)", 1)
-    rest = F.substring(u, F.length(hostport) + 1, F.length(u))
 
-    # port splits off BEFORE host reversal and re-attaches after
-    # (com,example:8080); default ports drop entirely.
-    port = F.regexp_extract(hostport, r":(\d+)$", 1)
-    port = F.when(port.isin("", "80", "443"), F.lit("")).otherwise(F.concat(F.lit(":"), port))
-    host = F.regexp_replace(hostport, r":\d+$", "")
-    host = F.regexp_replace(host, r"\.{2,}", ".")
-    host = F.regexp_replace(host, r"^\.+|\.+$", "")
-    host = F.regexp_replace(host, _WWW_RE, "")
-    rev_host = F.concat(F.concat_ws(",", F.reverse(F.split(host, "[.]"))), port)
-
+def _path_query(rest: Column) -> Column:
+    """path+query tail of the urlkey from the post-host remainder."""
     path = F.regexp_extract(rest, "^([^?]*)", 1)
-    path = F.regexp_replace(path, _PATH_JSESSIONID_RE, "")
-    path = F.regexp_replace(path, _PATH_ASPNET_RE, "")
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = _let(
+        path,
+        lambda p: F.when(
+            p.contains(";jsessionid="), F.regexp_replace(p, _PATH_JSESSIONID_RE, "")
+        ).otherwise(p),
+    )
+    path = _let(
+        path,
+        lambda p: F.when(
+            p.contains(".aspx"), F.regexp_replace(p, _PATH_ASPNET_RE, "")
+        ).otherwise(p),
+    )
+    path = _let(path, lambda p: F.when(p == "", F.lit("/")).otherwise(p))
+    # "/." catches every "." / ".." segment (each segment follows a
+    # "/"); when absent the fold is an identity, so the guard is exact.
+    path = _let(
+        path,
+        lambda p: F.when(p.contains("/."), _remove_dot_segments(p)).otherwise(p),
+    )
     query = F.when(
         rest.contains("?"),
         F.substring(rest, F.instr(rest, "?") + 1, F.length(rest)),
     ).otherwise(F.lit(""))
-    query = F.regexp_replace(query, _QUERY_CF_RE, "")
+    query = _let(
+        query,
+        lambda q: F.when(
+            q.contains("cfid="), F.regexp_replace(q, _QUERY_CF_RE, "")
+        ).otherwise(q),
+    )
     sorted_query = F.array_join(
         F.sort_array(
             F.filter(
@@ -167,12 +239,45 @@ def surt_urlkey(url: Column | str) -> Column:
         ),
         "&",
     )
+    return _let(
+        sorted_query,
+        lambda sq: F.concat(
+            path,
+            F.when(sq == "", F.lit("")).otherwise(F.concat(F.lit("?"), sq)),
+        ),
+    )
 
-    return F.concat(
-        rev_host,
-        F.lit(")"),
-        path,
-        F.when(sorted_query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_query)),
+
+def surt_urlkey(url: Column | str) -> Column:
+    """SURT urlkey as a native expression tree (JVM-side, codegen).
+
+    `CaseWhen` branches evaluate lazily in generated code, so every
+    ``F.when(guard, expensive)`` prices a clean URL at one ``contains``
+    — the split/transform/regex machinery only runs on the (rare) URLs
+    that actually carry the construct.  Every multi-reference
+    intermediate goes through ``_let`` so the tree stays linear."""
+    u = F.lower(F.trim(F.col(url) if isinstance(url, str) else url))
+    u = F.regexp_replace(u, _SCHEME_RE, "")
+    u = _let(
+        u,
+        lambda x: F.when(
+            x.contains("@"), F.regexp_replace(x, _USERINFO_RE, "")
+        ).otherwise(x),
+    )
+    u = _let(
+        u,
+        lambda x: F.when(x.contains("#"), F.regexp_replace(x, "#.*$", "")).otherwise(x),
+    )
+    u = _let(u, _pct_pass)
+    return _let(
+        u,
+        lambda x: _let(
+            F.regexp_extract(x, "^([^/?]*)", 1),
+            lambda hp: _let(
+                F.substring(x, F.length(hp) + 1, F.length(x)),
+                lambda rest: F.concat(_rev_host(hp), F.lit(")"), _path_query(rest)),
+            ),
+        ),
     )
 
 
@@ -182,6 +287,9 @@ def _pct_normalize_py(s: str) -> str:
     for p in parts[1:]:
         h = p[:2]
         if len(h) == 2 and all(c in "0123456789abcdef" for c in h):
+            if h == "25" and all(c in "0123456789abcdef" for c in p[2:4]) and len(p) >= 4:
+                out.append("%" + p[2:])  # unwrap one double-encoding level
+                continue
             code = int(h, 16)
             if (
                 48 <= code <= 57
@@ -195,17 +303,36 @@ def _pct_normalize_py(s: str) -> str:
     return "".join(out)
 
 
+def _remove_dot_segments_py(path: str) -> str:
+    segs = path.split("/")
+    stack: list[str] = []
+    for s in segs[1:]:
+        if s == ".":
+            continue
+        if s == "..":
+            if stack:
+                stack.pop()
+            continue
+        stack.append(s)
+    out = "/" + "/".join(stack)
+    if segs[-1] in (".", "..") and len(out) > 1:
+        out += "/"
+    return out
+
+
 def surt_urlkey_py(url: str) -> str:
     """Plain-Python reference implementation (same rules, plus
     IDN→punycode for non-ASCII hosts, which native expressions can't
-    express)."""
+    express).  Runs the percent/dot passes unconditionally — they are
+    identities when the construct is absent, so output matches the
+    guard-gated native expression byte for byte."""
     import re
 
     u = url.strip().lower()
     u = re.sub(_SCHEME_RE, "", u)
     u = re.sub(_USERINFO_RE, "", u)
     u = re.sub("#.*$", "", u)
-    u = _pct_normalize_py(u)
+    u = _pct_normalize_py(_pct_normalize_py(u))
 
     m = re.match("^([^/?]*)", u)
     hostport = m.group(1)
@@ -230,6 +357,7 @@ def surt_urlkey_py(url: str) -> str:
     path = re.sub(_PATH_ASPNET_RE, "", path)
     if path == "":
         path = "/"
+    path = _remove_dot_segments_py(path)
     query = "" if qpos < 0 else rest[qpos + 1 :]
     query = re.sub(_QUERY_CF_RE, "", query)
     params = sorted(

@@ -93,25 +93,32 @@ def connected_components(
     endpoint is labeled (including endpoints whose only edge is a
     self-loop).  Returns ``(node, comp)``.
     """
-    if nodes is None:
-        # default universe = input endpoints, so a self-loop-only node
-        # still labels itself after the self-loop filter below
-        nodes = edges.select(F.col(src).alias("node")).unionByName(
-            edges.select(F.col(dst).alias("node"))
-        )
-        node_col = "node"
+    # Orient + dedup ONCE, keeping self-loops, and checkpoint BEFORE
+    # deriving anything else: both the node universe and the loop-free
+    # edge set read the materialized blocks, so the (possibly very
+    # expensive — e.g. an n-gram Jaccard self-join) upstream pair
+    # pipeline executes exactly one time.  Deriving the default node
+    # universe from raw ``edges`` instead would silently re-run it.
     # localCheckpoint (not persist): truncates the logical plan so each
-    # round analyzes ONE star-pass, and cuts the (possibly expensive)
-    # upstream pair-generation plan out of every round's analysis.
-    e = (
+    # round analyzes ONE star-pass, and cuts the upstream plan out of
+    # every round's analysis.
+    e_all = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
             F.least(F.col(src), F.col(dst)).alias("v"),
         )
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if nodes is None:
+        # default universe = input endpoints (from e_all, where
+        # self-loops survive, so a self-loop-only node still labels
+        # itself after the filter below)
+        nodes = e_all.select(F.col("u").alias("node")).unionByName(
+            e_all.select(F.col("v").alias("node"))
+        )
+        node_col = "node"
+    e = e_all.filter(F.col("u") != F.col("v"))
 
     def sig(df: DataFrame):
         # decimal accumulator: full-range int64 hashes overflow a long

@@ -123,6 +123,14 @@ def minhash_lsh_pairs(
     r = n_perm // bands
     sh = F.array_distinct(F.transform(shingles(tokens(F.col(text_col))), token_hash))
     docs = df.select(F.col(id_col).alias("id"), sh.alias("sh")).filter(F.size("sh") > 0)
+    # the signature path and BOTH verification joins consume `docs`;
+    # the three subtrees differ enough that ReuseExchange won't fire,
+    # so without this the CPU-heavy tokenize→shingle→hash explode runs
+    # three times.  localCheckpoint (not persist: its blocks are
+    # ContextCleaner-reclaimed when the DataFrame is GC'd, cache-
+    # manager entries are not) computes it once; eager=False defers to
+    # the first action so building the plan stays free.
+    docs = docs.localCheckpoint(eager=False)
     # minhash over the pre-hashed shingles: identical values to
     # minhash_signature over the raw strings (token_hash is applied
     # exactly once either way; min is duplicate-insensitive).

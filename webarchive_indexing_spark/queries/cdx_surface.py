@@ -280,19 +280,62 @@ def _zipnum_input(spark, sf_dir) -> DataFrame:
     )
 
 
-@query("zipnum_build_index", oracle=None)
+#: DuckDB twin of the CDX line string to_cdx_lines emits for
+#: _zipnum_input rows (NULL redirect/robotflags → '-').
+_ZIPNUM_LINE_SQL = (
+    "urlkey || ' ' || ts14 || ' ' || 'https://example.org/' || digest || ' ' || "
+    "mime || ' ' || CAST(status AS VARCHAR) || ' ' || digest || ' - - ' || "
+    "CAST(length AS VARCHAR) || ' ' || CAST(\"offset\" AS VARCHAR) || ' ' || filename"
+)
+
+
+@query(
+    "zipnum_build_index",
+    oracle=CDX_SQL + f"""
+    , lines AS (
+      SELECT {_ZIPNUM_LINE_SQL} AS value FROM cdx
+    ), ranked AS (
+      SELECT value, NTILE(8) OVER (ORDER BY value) AS shard_no FROM lines
+    ), rn AS (
+      SELECT value, shard_no,
+             ROW_NUMBER() OVER (PARTITION BY shard_no ORDER BY value) AS r
+      FROM ranked
+    ), blocks AS (
+      SELECT shard_no, CAST(FLOOR((r - 1) / 100) AS BIGINT) AS blk,
+             MIN(value) AS first_line
+      FROM rn GROUP BY shard_no, blk
+    )
+    SELECT 'cdx-' || lpad(CAST(shard_no - 1 AS VARCHAR), 5, '0') || '.gz' AS shard,
+           blk,
+           string_split(first_line, ' ')[1] AS first_urlkey,
+           string_split(first_line, ' ')[2] AS first_ts
+    FROM blocks
+    """,
+)
 def zipnum_build_index(spark, sf_dir):
-    """S6 ZipNum sink end-to-end [U zipnumclusterjob.py]: total-order
-    range shuffle → partition-local gzip-block writer → secondary
-    index returned as a DataFrame.  Rows-only check (byte offsets are
-    not SQL-expressible — zipnum_roundtrip_prefix value-checks the
-    written DATA end-to-end; SURVEY.md §2.5 W6 covers the SQL half)."""
+    """S6 ZipNum sink end-to-end [U zipnumclusterjob.py]: exact
+    total-order shard bounds (the reference's split-points +
+    TotalOrderPartitioner contract) → partition-local gzip-block
+    writer → secondary index.  Byte offsets are writer-local, but with
+    deterministic bounds every block's FIRST KEY and the per-shard
+    block sequence are oracle-reproducible (NTILE + row arithmetic in
+    DuckDB) — so the sink's chunking is hash-checked, not rows-only;
+    zipnum_roundtrip_prefix value-checks the written DATA itself."""
     import tempfile
 
-    from ..sinks.zipnum import write_zipnum
+    from pyspark.sql.window import Window
+
+    from ..sinks.zipnum import write_zipnum_ordered
 
     out = tempfile.mkdtemp(prefix="zipnum_query_")
-    return write_zipnum(_zipnum_input(spark, sf_dir), out, shards=8, numlines=100)
+    idx = write_zipnum_ordered(_zipnum_input(spark, sf_dir), out, shards=8, numlines=100)
+    w = Window.partitionBy("shard").orderBy("offset")
+    return idx.select(
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("blk"),
+        F.col("urlkey").alias("first_urlkey"),
+        F.col("timestamp").alias("first_ts"),
+    )
 
 
 @query(

@@ -27,6 +27,9 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
+    A,
+    B,
+    P,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signature,
@@ -300,12 +303,67 @@ def dedup_cluster_cc(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_lsh_pairs", oracle=None, tier="C")
+def _sql_lsh_pairs_oracle() -> str:
+    """DuckDB twin of minhash_lsh_pairs (8 perms, 4 bands of 2,
+    verify at Jaccard ≥ 0.7): signatures over the SAME pre-hashed
+    distinct shingles, the same band keys (sig pairs joined by '_'),
+    distinct candidate pairs, exact hashed-shingle Jaccard."""
+    shingle_set = (
+        "list_distinct(list_transform("
+        + sql_shingles("string_split(text, ' ')")
+        + f", s -> {sql_token_hash('s')}))"
+    )
+    sig = lambda j: (  # noqa: E731
+        f"list_aggregate(list_transform(sh, s -> ({A[j]} * s + {B[j]}) % {P}), 'min')"
+    )
+    sig_cols = ",\n           ".join(f"{sig(j)} AS sig_{j}" for j in range(8))
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT id, {b} AS band, CAST(sig_{2 * b} AS VARCHAR) || '_' || "
+        f"CAST(sig_{2 * b + 1} AS VARCHAR) AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    , docs0 AS (
+      SELECT doc_id AS id, {shingle_set} AS sh FROM base
+    ), d AS (
+      SELECT * FROM docs0 WHERE len(sh) > 0
+    ), sigs AS (
+      SELECT id,
+           {sig_cols}
+      FROM d
+    ), banded AS (
+      {bands}
+    ), cand AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ), verif AS (
+      SELECT a_id, b_id,
+             len(list_intersect(da.sh, db.sh)) AS i,
+             len(da.sh) + len(db.sh) AS ns
+      FROM cand
+      JOIN d da ON da.id = cand.a_id
+      JOIN d db ON db.id = cand.b_id
+    )
+    SELECT a_id, b_id, {sql_hround('i * 1.0 / (ns - i)', 4)} AS jaccard
+    FROM verif WHERE i * 1.0 / (ns - i) >= 0.7
+    """
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=BASE_SQL + _sql_lsh_pairs_oracle(),
+    tier="C",
+)
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     """L2 end-to-end MinHash-LSH near-dup pairs (8 perms, 4 bands,
-    verify at Jaccard ≥ 0.7).  Rows-only here; recall vs. the exact
-    Jaccard join is asserted in tests/test_dedup.py."""
-    return minhash_lsh_pairs(base_corpus(spark, sf_dir))
+    verify at Jaccard ≥ 0.7).  Recall vs. the exact Jaccard join is
+    asserted in tests/test_dedup.py; the oracle mirrors the banding
+    bit-for-bit (same md5-seeded hashes on both engines)."""
+    pairs = minhash_lsh_pairs(base_corpus(spark, sf_dir))
+    return pairs.select(
+        "a_id", "b_id", hround(F.col("jaccard"), 4).alias("jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

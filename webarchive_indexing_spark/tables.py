@@ -40,12 +40,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # parquet TIMESTAMP(NANOS) read as long ns (legacy conf in
-        # session.RUNTIME_CONF); floor to µs exactly as DuckDB does.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # parquet TIMESTAMP(NANOS) read as long ns (legacy conf in
+            # session.RUNTIME_CONF); floor to µs exactly as DuckDB does.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # isAdjustedToUTC=false parquet timestamps surface as NTZ;
+            # with the UTC session timezone the cast is value-preserving
+            # and restores the TIMESTAMP type the unix_micros() call
+            # sites (and DuckDB's naive-TIMESTAMP oracle reads) expect.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
