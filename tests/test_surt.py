@@ -94,6 +94,10 @@ def test_native_matches_python_on_messy_urls(spark):
         "/a/../b/./c/%2541",
         "/a/b/..",
         "/%252541/.hidden",
+        "/../../up/past/root",
+        "/a//b/../../..",
+        "/%2525%41",
+        "/.",
     ]
     queries = [
         "",
