@@ -959,6 +959,124 @@ def quality_filter_pipeline(spark, sf_dir):
 
 
 @query(
+    "quality_repetition_gopher",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g2 AS (
+      SELECT doc_id, unnest({sql_shingles('toks', 2)}) AS g FROM tk
+    ), c2 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g
+    ), a2 AS (
+      SELECT doc_id, MAX(c) AS mx2, CAST(SUM(c) AS BIGINT) AS tot2
+      FROM c2 GROUP BY doc_id
+    ), g5 AS (
+      SELECT doc_id, unnest({sql_shingles('toks', 5)}) AS g FROM tk
+    ), c5 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g
+    ), a5 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup5,
+             CAST(SUM(c) AS BIGINT) AS tot5
+      FROM c5 GROUP BY doc_id
+    )
+    SELECT a2.doc_id,
+           {sql_hround('mx2 * 1.0 / tot2', 4)} AS top2_frac,
+           {sql_hround('dup5 * 1.0 / tot5', 4)} AS dup5_frac,
+           (5 * mx2 >= tot2) AS flag_top2,
+           (10 * dup5 >= 3 * tot5) AS flag_dup5
+    FROM a2 JOIN a5 USING (doc_id)
+    """,
+    tier="C",
+)
+def quality_repetition_gopher(spark, sf_dir):
+    """L5 repetition-based quality filters (the Gopher/MassiveText
+    rules): per document, the fraction of 2-gram occurrences taken by
+    the single most frequent 2-gram (boilerplate/listing detector) and
+    the fraction of 5-gram occurrences belonging to repeated 5-grams
+    (internal duplication detector).  Flags use integer
+    cross-multiplied thresholds (top-2-gram ≥ 1/5, dup-5-gram ≥ 3/10)
+    so no float comparison can flip between engines.
+
+    Scale shape: one explode per n, partial-agg groupBy on
+    (doc_id, gram) then doc_id — map-side combine soaks the heavy
+    first key; no self-joins, no windows over the corpus."""
+    d = t(spark, sf_dir, "documents")
+
+    def gram_counts(n: int):
+        g = d.select(
+            "doc_id", F.explode(shingles(tokens(F.col("text")), n)).alias("g")
+        )
+        return g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+
+    a2 = gram_counts(2).groupBy("doc_id").agg(
+        F.max("c").alias("mx2"), F.sum("c").alias("tot2")
+    )
+    a5 = gram_counts(5).groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup5"),
+        F.sum("c").alias("tot5"),
+    )
+    j = a2.join(a5, "doc_id")
+    return j.select(
+        "doc_id",
+        hround(F.col("mx2") * F.lit(1.0) / F.col("tot2"), 4).alias("top2_frac"),
+        hround(F.col("dup5") * F.lit(1.0) / F.col("tot5"), 4).alias("dup5_frac"),
+        (5 * F.col("mx2") >= F.col("tot2")).alias("flag_top2"),
+        (10 * F.col("dup5") >= 3 * F.col("tot5")).alias("flag_dup5"),
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               {sql_shingles("string_split(text, ' ')", 8)},
+               s -> {sql_token_hash('s')}))) AS h
+      FROM documents
+    ), bench AS (
+      SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 97 = 0
+    ), train AS (
+      SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.h) AS n_shared,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM train t JOIN bench b ON t.h = b.h
+    GROUP BY t.doc_id
+    """,
+    tier="C",
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Test-set decontamination (the C4/GPT-3 hygiene pass): training
+    documents sharing any 8-gram with a held-out benchmark set (here:
+    every 97th doc stands in for the eval set) are reported with how
+    many distinct 8-grams leak and how many benchmark docs they hit.
+
+    Scale shape: the benchmark side is a tiny fraction of the corpus,
+    so its hashed 8-gram set is BROADCAST — the full training corpus
+    never shuffles; 8-grams travel as 8-byte md5-derived hashes (the
+    same payload discipline as the dedup family), and the per-doc
+    distinct explode bounds the map output."""
+    d = t(spark, sf_dir, "documents")
+    sh8 = F.array_distinct(
+        F.transform(shingles(tokens(F.col("text")), 8), token_hash)
+    )
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.explode(sh8).alias("h")
+    )
+    train = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(sh8).alias("h")
+    )
+    hits = train.join(F.broadcast(bench), "h")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("h").alias("n_shared"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )
+
+
+@query(
     "text_pmi_bigrams",
     oracle=f"""
     WITH toks AS (
