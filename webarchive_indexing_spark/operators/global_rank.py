@@ -103,6 +103,64 @@ def global_row_number_and_total(
     return parts.mapInPandas(add_rank, schema).drop("__pid"), acc
 
 
+def global_cumsum(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Inclusive global running total of ``value_col`` over the total
+    order of ``keys`` — the scale-safe twin of
+    ``SUM(v) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)``, which
+    Spark executes as a SINGLE task (empty window partition spec).
+
+    Two passes, same shape as ``global_row_number``: range partition +
+    per-partition sums to the driver (#partitions rows — bounded model
+    artifact, not data), then a map-side local cumsum shifted by the
+    partition's offset.  Deterministic when ``keys`` is a unique
+    ordering (among tied keys the running total is order-dependent)."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = sorted(
+        (r["__pid"], r["s"] or 0)
+        for r in parts.groupBy("__pid")
+        .agg(F.sum(value_col).cast("bigint").alias("s"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, s in sums:
+        offsets[pid] = acc
+        acc += s
+
+    schema = T.StructType(list(parts.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def add_cumsum(batches):
+        run = 0
+        for b in batches:
+            if len(b) == 0:
+                import pandas as pd
+
+                b[out_col] = pd.Series([], dtype="int64")
+            else:
+                start = offsets.get(int(b["__pid"].iloc[0]), 0) + run
+                b[out_col] = start + b[value_col].astype("int64").cumsum()
+                run += int(b[value_col].sum())
+            yield b
+
+    return parts.mapInPandas(add_cumsum, schema).drop("__pid")
+
+
 def total_count(df: DataFrame) -> int:
     return df.count()
 

@@ -917,6 +917,97 @@ def sample_stratified_det(spark, sf_dir):
 
 
 @query(
+    "pack_token_budget",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), run AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 512 AS chunk_id
+    FROM run
+    """,
+    tier="C",
+)
+def pack_token_budget(spark, sf_dir):
+    """Token-budget packing: lay the corpus into a deterministic token
+    stream (ordered by doc_id) and assign each document to the 512-token
+    training chunk its first token falls in — the sequence-packing
+    decision a pretraining data loader materializes.
+
+    The running total comes from ``operators.global_rank.global_cumsum``
+    (range partition + per-partition sums + map-side local cumsum) —
+    NOT ``SUM() OVER (ORDER BY)``, which Spark plans as one task
+    holding the whole corpus.  The oracle IS that single-task SQL
+    window, checking the distributed two-pass against the textbook
+    definition."""
+    from ..operators.global_rank import global_cumsum
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    c = global_cumsum(d, ["doc_id"], "n_tokens", out_col="cum_tokens")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.expr("(cum_tokens - n_tokens) div 512").alias("chunk_id"),
+    )
+
+
+@query(
+    "sample_mixture_weighted",
+    oracle=f"""
+    WITH spec AS (
+      SELECT doc_id, source,
+             [1000, 500, 250, 125][
+               CAST({sql_token_hash('source')} % 4 AS INT) + 1] AS permille
+      FROM documents
+    )
+    SELECT source, CAST(ANY_VALUE(permille) AS BIGINT) AS permille,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN
+             {sql_token_hash("'mix_' || CAST(doc_id AS VARCHAR)")} % 1000 < permille
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM spec GROUP BY source
+    """,
+    tier="C",
+)
+def sample_mixture_weighted(spark, sf_dir):
+    """Domain-mixture sampling: each source gets a target sampling rate
+    (here a deterministic 1000/500/250/125‰ ladder keyed off the source
+    name's hash — in production a broadcast spec table), and documents
+    are kept by salted-hash threshold, so the mixture is exactly
+    reproducible under retries and independent of storage order — the
+    re-weighting step that turns a raw crawl into a training mixture.
+
+    Scan-evaluated per row (hash + compare in codegen, no shuffle
+    beyond the final per-source rollup); at 100 TB the verdict column
+    would be materialized next to the data, the rollup is audit."""
+    d = t(spark, sf_dir, "documents")
+    rate_idx = token_hash(F.col("source")) % 4
+    permille = F.element_at(
+        F.array(F.lit(1000), F.lit(500), F.lit(250), F.lit(125)),
+        (rate_idx + 1).cast("int"),
+    )
+    pick = (
+        token_hash(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))) % 1000
+        < permille
+    )
+    return d.select("source", permille.alias("permille"), pick.alias("pick")).groupBy(
+        "source"
+    ).agg(
+        F.first("permille").cast("bigint").alias("permille"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("pick"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
     "quality_filter_pipeline",
     oracle=BASE_SQL + """
     , gated AS (
