@@ -128,12 +128,41 @@ def connected_components(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
 
+    def _persistent_ids(sc) -> set[int]:
+        # ids of currently-persisted RDDs (includes localCheckpoint
+        # blocks).  Best-effort JVM introspection: on failure fall back
+        # to empty (then cleanup degrades to the ContextCleaner path).
+        try:
+            return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        except Exception:  # pragma: no cover - py4j surface drift
+            return set()
+
+    sc = edges.sparkSession.sparkContext
     cur = sig(e)
+    prev_ids: set[int] = set()
     for _ in range(max_iter):
+        before = _persistent_ids(sc)
         # lazy checkpoint: the sig() action materializes the blocks, so
         # each round is ONE job instead of checkpoint-job + sig-job
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         nxt = sig(e)
+        # Deterministic two-round peak storage: the previous round's
+        # blocks are dead the moment this round is materialized, so
+        # drop them NOW instead of waiting for driver GC to cue the
+        # ContextCleaner (on long chain graphs several rounds of edge
+        # blocks could otherwise pile up).  Only ids that appeared
+        # during OUR loop are touched; e_all (persisted before the
+        # loop) backs the final labeling and stays.
+        if prev_ids:
+            try:
+                jmap = sc._jsc.getPersistentRDDs()
+                for i in prev_ids:
+                    rdd = jmap.get(i)
+                    if rdd is not None:
+                        rdd.unpersist(False)
+            except Exception:  # pragma: no cover - py4j surface drift
+                pass
+        prev_ids = _persistent_ids(sc) - before
         if nxt == cur:
             break
         cur = nxt
