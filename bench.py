@@ -52,6 +52,10 @@ HEADLINE = [
     "emb_lsh_buckets",
     "text_token_stats",
     "text_tfidf_topterms",
+    "quality_repetition_gopher",
+    "decontaminate_ngram_overlap",
+    "pack_token_budget",
+    "dedup_minhash_lsh_pairs",
 ]
 
 

@@ -236,6 +236,35 @@ def cdx_collapse_digest(spark, sf_dir):
 
 
 @query(
+    "cdx_collapse_timestamp",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14, digest FROM (
+      SELECT urlkey, ts14, digest,
+             LAG(substr(ts14, 1, 10)) OVER (
+               PARTITION BY urlkey ORDER BY ts14, digest) AS prev,
+             substr(ts14, 1, 10) AS cur
+      FROM cdx
+    ) WHERE prev IS NULL OR cur <> prev
+    """,
+)
+def cdx_collapse_timestamp(spark, sf_dir):
+    """W2 collapse=timestamp:10 [B pywb]: keep the first capture of
+    each run sharing the first 10 timestamp digits (YYYYMMDDHH — one
+    capture per urlkey per hour), the cdx-server's thinning view for
+    dense crawls.  Same run-based lag as collapse=digest — one shuffle
+    on urlkey, codegen throughout; (ts14, digest) ordering makes runs
+    deterministic under ts ties."""
+    c = derived_cdx(spark, sf_dir)
+    kept = collapse(
+        c,
+        partition_by=["urlkey"],
+        order_by=[F.col("ts14").asc(), F.col("digest").asc()],
+        collapse_key=F.substring("ts14", 1, 10),
+    )
+    return kept.select("urlkey", "ts14", "digest")
+
+
+@query(
     "cdx_closest",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14 FROM (

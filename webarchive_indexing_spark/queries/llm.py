@@ -360,7 +360,9 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     verify at Jaccard ≥ 0.7).  Recall vs. the exact Jaccard join is
     asserted in tests/test_dedup.py; the oracle mirrors the banding
     bit-for-bit (same md5-seeded hashes on both engines)."""
-    pairs = minhash_lsh_pairs(base_corpus(spark, sf_dir))
+    # whole-corpus shingle explode feeds the checkpoint — widen first
+    # (base_corpus scans as ~3 partitions; see dedup_ngram_jaccard)
+    pairs = minhash_lsh_pairs(widen(base_corpus(spark, sf_dir)))
     return pairs.select(
         "a_id", "b_id", hround(F.col("jaccard"), 4).alias("jaccard")
     )
@@ -1055,14 +1057,20 @@ def quality_filter_pipeline(spark, sf_dir):
     WITH tk AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), g2 AS (
-      SELECT doc_id, unnest({sql_shingles('toks', 2)}) AS g FROM tk
+      SELECT doc_id,
+             unnest(list_transform({sql_shingles('toks', 2)},
+                                   s -> {sql_token_hash('s')})) AS g
+      FROM tk
     ), c2 AS (
       SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g
     ), a2 AS (
       SELECT doc_id, MAX(c) AS mx2, CAST(SUM(c) AS BIGINT) AS tot2
       FROM c2 GROUP BY doc_id
     ), g5 AS (
-      SELECT doc_id, unnest({sql_shingles('toks', 5)}) AS g FROM tk
+      SELECT doc_id,
+             unnest(list_transform({sql_shingles('toks', 5)},
+                                   s -> {sql_token_hash('s')})) AS g
+      FROM tk
     ), c5 AS (
       SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g
     ), a5 AS (
@@ -1091,12 +1099,18 @@ def quality_repetition_gopher(spark, sf_dir):
 
     Scale shape: one explode per n, partial-agg groupBy on
     (doc_id, gram) then doc_id — map-side combine soaks the heavy
-    first key; no self-joins, no windows over the corpus."""
-    d = t(spark, sf_dir, "documents")
+    first key; no self-joins, no windows over the corpus.  Grams
+    travel as 8-byte md5-derived hashes (the dedup family's payload
+    discipline), identically hashed in the oracle, so the exchange is
+    fixed-width regardless of n."""
+    d = widen(t(spark, sf_dir, "documents"))
 
     def gram_counts(n: int):
         g = d.select(
-            "doc_id", F.explode(shingles(tokens(F.col("text")), n)).alias("g")
+            "doc_id",
+            F.explode(
+                F.transform(shingles(tokens(F.col("text")), n), token_hash)
+            ).alias("g"),
         )
         return g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
 
@@ -1150,7 +1164,7 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     never shuffles; 8-grams travel as 8-byte md5-derived hashes (the
     same payload discipline as the dedup family), and the per-doc
     distinct explode bounds the map output."""
-    d = t(spark, sf_dir, "documents")
+    d = widen(t(spark, sf_dir, "documents"))
     sh8 = F.array_distinct(
         F.transform(shingles(tokens(F.col("text")), 8), token_hash)
     )
