@@ -62,3 +62,30 @@ def test_exact_ntile_with_ties_stable_aggregates(spark):
     )
     assert [r.n for r in agg] == [25, 25, 25, 25]
     assert [(r.lo, r.hi) for r in agg] == [(0, 2), (2, 4), (5, 7), (7, 9)]
+
+
+def test_global_cumsum_matches_window(spark):
+    from webarchive_indexing_spark.operators.global_rank import global_cumsum
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 101).alias("v")
+    )
+    got = {
+        r["k"]: r["c"]
+        for r in global_cumsum(df, ["k"], "v", out_col="c").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["c"]
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_plan_never_single_partition(spark):
+    from webarchive_indexing_spark.operators.global_rank import global_cumsum
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    out = global_cumsum(df, ["k"], "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -133,3 +133,32 @@ def test_global_rank_stays_parallel_and_narrow(spark, sf_dir):
     cache_pos = rank_down.find("InMemoryTableScan")
     assert cache_pos != -1
     assert "Exchange" not in rank_down[:cache_pos], rank_down[:cache_pos]
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    # the benchmark n-gram set is a small fraction of the corpus and is
+    # explicitly broadcast: the training corpus must NEVER shuffle for
+    # this join (a SortMergeJoin here re-shuffles 100 TB of grams)
+    plan = _plan(spark, sf_dir, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_packing_avoids_single_partition_window(spark, sf_dir):
+    # the running total must come from the two-pass global cumsum, not
+    # SUM() OVER (ORDER BY) — which plans as Exchange SinglePartition +
+    # one Window task holding the entire corpus
+    plan = _plan(spark, sf_dir, "pack_token_budget")
+    assert "SinglePartition" not in plan, plan[:500]
+    assert "MapInPandas" in plan
+
+
+def test_mixture_sampling_verdict_is_scan_side(spark, sf_dir):
+    # the keep/drop verdict (hash + threshold) must evaluate in the
+    # scan's projection; the only exchange is the per-source rollup
+    plan = _plan(spark, sf_dir, "sample_mixture_weighted")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", final)) <= 1, final[:600]
+    assert "partial_" in final.lower() or final.count("HashAggregate") >= 2

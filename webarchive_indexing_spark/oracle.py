@@ -167,7 +167,6 @@ def run_all(
     from .registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
-    con = duckdb_connect(sf_dir)
     out: list[CompareResult] = []
     for q in REGISTRY.values():
         if names and q.name not in names:
@@ -178,7 +177,15 @@ def run_all(
                 n = df.count()
                 out.append(CompareResult(q.name, n >= 0, f"rows-only: {n}", n, -1))
             else:
-                out.append(compare(q.name, df, con, q.oracle))
+                # fresh connection per oracle: a shared connection's
+                # buffer/temp memory accumulates across ~100 heavy
+                # oracles and can OOM the process mid-sweep; per-query
+                # connections release everything and cost ~ms each
+                con = duckdb_connect(sf_dir)
+                try:
+                    out.append(compare(q.name, df, con, q.oracle))
+                finally:
+                    con.close()
         except Exception as e:  # surface, keep going
             out.append(CompareResult(q.name, False, f"EXCEPTION: {type(e).__name__}: {e}"))
     return out

@@ -500,6 +500,73 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "semdedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE ebase AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, label, embedding
+      FROM embeddings WHERE vec_id < 50
+    ), pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM ebase a JOIN ebase b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {sql_hround(sql_cosine('a.embedding', 'b.embedding'), 6)} >= 0.99
+    ), cedges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ), walk(node, comp) AS (
+      SELECT u, u FROM cedges
+      UNION
+      SELECT e.u, w.comp FROM cedges e JOIN walk w ON w.node = e.v
+    ), labels AS (
+      SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+    )
+    SELECT e.vec_id, COALESCE(l.comp, e.vec_id) AS cluster_id,
+           (COALESCE(l.comp, e.vec_id) = e.vec_id) AS keep
+    FROM ebase e LEFT JOIN labels l ON l.node = e.vec_id
+    """,
+    tier="C",
+)
+def semdedup_keep_list(spark, sf_dir):
+    """Semantic-dedup decision table (the SemDeDup shape): cosine ≥
+    0.99 pairs within coarse blocks → connected components → keep the
+    minimum-id member of every semantic cluster, everything else is
+    dropped.  The synthetic embeddings carry no natural near-dups
+    (max blocked cosine ≈ 0.47), so exact duplicates are injected
+    (vec_id+10000), mirroring the text corpus's BASE_SQL convention.
+
+    Scale shape: block-bounded pair join (LSH buckets at 100 TB), the
+    O(log d) star-contraction CC, and a left-anti-free labeling — the
+    keep verdict is pure (node == comp)."""
+    from ..operators.cc import connected_components
+    from ..operators.similarity import blocked_pairs, cosine_from_parts
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    dup = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "label", "embedding"
+    )
+    ebase = e.unionByName(dup)
+    pairs = blocked_pairs(ebase, ordered=True)
+    sim = hround(
+        cosine_from_parts(F.col("a_v"), F.col("b_v"), F.col("a_nrm"), F.col("b_nrm")), 6
+    )
+    edges = pairs.select("a_id", "b_id", sim.alias("s")).filter(
+        F.col("s") >= 0.99
+    )
+    comp = connected_components(
+        edges, src="a_id", dst="b_id",
+        nodes=ebase.select("vec_id"), node_col="vec_id",
+    )
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )
+
+
+@query(
     "emb_ivf_topk",
     oracle=sql_ivf_topk(query_vec_id=123, k=10, n_cents=16, nprobe=2),
     tier="C",
