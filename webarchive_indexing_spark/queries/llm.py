@@ -120,12 +120,31 @@ def dedup_exact_groups(spark, sf_dir):
 def dedup_minhash_signatures(spark, sf_dir):
     """L2 MinHash signatures (4 perms over word-3-shingles) — map-only,
     no shuffle; the md5-seeded hash keeps it oracle-checkable (a prod
-    deployment swaps in xxhash64 at functions.text.token_hash)."""
+    deployment swaps in xxhash64 at functions.text.token_hash).
+
+    The md5 shingle hash is projected ONCE into its own column and the
+    four permutations read the pre-hashed array — inlining
+    ``minhash_signature(sh, 4)`` directly would duplicate the md5
+    transform subtree per permutation (codegen subexpression
+    elimination skips higher-order functions), quadrupling the
+    dominant cost; the scale sniff showed 30x at 3x rows before this
+    split.  Values are identical: min is duplicate-insensitive and the
+    hash is applied exactly once either way."""
     base = base_corpus(spark, sf_dir).filter(
         (F.col("doc_id") < 200) | (F.col("doc_id") >= 20000)
     )
-    sh = shingles(tokens(F.col("text")))
-    return base.select("doc_id", *minhash_signature(sh, 4))
+    hashed = base.select(
+        "doc_id", F.transform(shingles(tokens(F.col("text"))), token_hash).alias("hs")
+    )
+    return hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("hs"), lambda s: (F.lit(A[j]) * s + F.lit(B[j])) % F.lit(P))
+            ).alias(f"sig_{j}")
+            for j in range(4)
+        ],
+    )
 
 
 @query(
