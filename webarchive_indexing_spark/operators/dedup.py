@@ -63,9 +63,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash per document: per-bit signed vote over token
-    hashes, bit set where the vote is positive."""
-    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = token_hash(F.col("tok"))
+    hashes, bit set where the vote is positive.
+
+    The token hash is projected ONCE before the aggregate — referencing
+    ``token_hash(tok)`` inside each of the 16 vote expressions would
+    evaluate the md5 16x per row (aggregate expressions share no
+    subexpression elimination), the same hidden-cost class the scale
+    sniff caught in the minhash signatures."""
+    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok")).select(
+        id_col, token_hash(F.col("tok")).alias("h")
+    )
+    h = F.col("h")
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(

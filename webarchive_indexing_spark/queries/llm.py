@@ -624,14 +624,21 @@ def text_token_stats(spark, sf_dir):
     """L5 token statistics per language: counts plus mean type-token
     ratio (per-doc ratio is one IEEE division; the mean divides the
     exact double sum — deterministic both engines)."""
-    d = t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    # split + distinct sizes projected once per row; the aggregates
+    # read scalars (inlined, the split would run 4x and the distinct
+    # 3x per row inside the agg expressions)
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        F.size(F.array_distinct(tokens(F.col("text")))).alias("n_uniq"),
+    )
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).alias("total_tokens"),
-        F.sum(F.size(F.array_distinct(toks))).alias("total_uniq"),
-        hround(F.sum(ttr) / F.count(F.lit(1)), 4).alias("avg_ttr"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_uniq").alias("total_uniq"),
+        hround(
+            F.sum(F.col("n_uniq").cast("double") / F.col("n_tok")) / F.count(F.lit(1)), 4
+        ).alias("avg_ttr"),
     )
 
 
@@ -655,8 +662,15 @@ def text_quality_score(spark, sf_dir):
     """L5 quality scoring: length band, mean token length, stopword
     ratio; the boolean gate uses integer cross-multiplication so no
     float threshold can flip between engines."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    toks = tokens(F.col("text"))
+    # project the split ONCE: referencing tokens(text) in every output
+    # column would re-split the text per column (no subexpression
+    # elimination across a projection's higher-order functions)
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", tokens(F.col("text")).alias("tk"))
+    )
+    toks = F.col("tk")
     n = F.size(toks)
     sum_len = F.aggregate(
         F.transform(toks, lambda x: F.length(x).cast("bigint")),
@@ -701,8 +715,10 @@ def text_lang_guess(spark, sf_dir):
     """L5 heuristic language ID (stopword-set voting) — confusion
     matrix against the labeled lang column.  Fixed tie-break chain
     keeps the argmax deterministic."""
-    d = t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # split once; four per-language counts then read the array column
+    # (inlining tokens(text) per count would re-split 4x per row)
+    d = t(spark, sf_dir, "documents").select("lang", tokens(F.col("text")).alias("tk"))
+    toks = F.col("tk")
     scored = d.select(
         "lang", *[stopword_count(toks, lg).alias(f"c_{lg}") for lg in ("de", "es", "fr", "en")]
     )
