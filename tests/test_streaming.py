@@ -89,6 +89,81 @@ def test_st1_incremental_cdx_ingest(spark, sf_dir):
         assert back.filter(F.col("status") == 200).count() == n1
 
 
+def test_st1_zipnum_epoch_indexing(spark, sf_dir):
+    """Incremental INDEXING: each micro-batch becomes an immutable
+    sorted ZipNum epoch; the epoch reader merges them; compaction folds
+    them into one epoch with identical query results."""
+    from webarchive_indexing_spark.sinks.zipnum import (
+        compact_zipnum_epochs,
+        list_epochs,
+        read_zipnum_epochs,
+    )
+    from webarchive_indexing_spark.streaming.incremental import stream_zipnum_epochs
+
+    with tempfile.TemporaryDirectory() as d:
+        cdx = derived_cdx(spark, sf_dir).limit(400)
+        full = cdx.select(
+            "urlkey",
+            F.col("ts14").alias("timestamp"),
+            F.lit("http://x/").alias("url"),
+            "mime",
+            "status",
+            "digest",
+            F.lit(None).cast("string").alias("redirect"),
+            F.lit(None).cast("string").alias("robotflags"),
+            "length",
+            "offset",
+            "filename",
+        )
+        inp, out, chk = (os.path.join(d, s) for s in ("in", "idx", "chk"))
+        os.makedirs(inp)
+        to_cdx_lines(full.filter(F.col("status") == 200)).coalesce(1).write.mode(
+            "overwrite"
+        ).text(os.path.join(inp, "f1"))
+        q = stream_zipnum_epochs(spark, inp + "/*/", out, chk)
+        q.awaitTermination(120)
+        assert len(list_epochs(out)) == 1
+        # second arrival -> second epoch (exactly-once via checkpoint)
+        to_cdx_lines(full.filter(F.col("status") != 200)).coalesce(1).write.mode(
+            "overwrite"
+        ).text(os.path.join(inp, "f2"))
+        q2 = stream_zipnum_epochs(spark, inp + "/*/", out, chk)
+        q2.awaitTermination(120)
+        assert len(list_epochs(out)) == 2
+
+        want_all = {tuple(r) for r in full.collect()}
+        got_all = {tuple(r) for r in read_zipnum_epochs(spark, out).collect()}
+        assert got_all == want_all
+
+        prefix = "org,example,src1"
+        want_p = {
+            tuple(r)
+            for r in full.filter(
+                (F.col("urlkey") >= prefix) & (F.col("urlkey") < prefix + "~")
+            ).collect()
+        }
+        got_p = {
+            tuple(r)
+            for r in read_zipnum_epochs(
+                spark, out, key_lo=prefix, key_hi=prefix + "~"
+            ).collect()
+        }
+        assert got_p == want_p
+
+        # compaction: one epoch, same answers
+        compact_zipnum_epochs(spark, out, shards=2, numlines=100)
+        assert len(list_epochs(out)) == 1
+        got_c = {tuple(r) for r in read_zipnum_epochs(spark, out).collect()}
+        assert got_c == want_all
+        got_cp = {
+            tuple(r)
+            for r in read_zipnum_epochs(
+                spark, out, key_lo=prefix, key_hi=prefix + "~"
+            ).collect()
+        }
+        assert got_cp == want_p
+
+
 def test_st2_windowed_counts_match_batch(spark, events):
     with tempfile.TemporaryDirectory() as d:
         sdf = _stream_events(spark, events, d)

@@ -347,3 +347,97 @@ def zipnum_prefix_query(
 ) -> DataFrame:
     """matchType=prefix over the cluster: [prefix, prefix+'~')."""
     return read_zipnum(spark, out_dir, key_lo=key_prefix, key_hi=key_prefix + "~")
+
+
+# --- epoch clusters (incremental / LSM shape) ------------------------------
+#
+# A live archive doesn't rewrite its index per crawl: each ingest batch
+# becomes an IMMUTABLE sorted cluster ("epoch" — pywb serves multiple
+# zipnum clusters side by side the same way), readers merge across
+# epochs, and a background compaction folds epochs into one cluster
+# when their count hurts read amplification.  Exactly the LSM-tree
+# contract: epochs are sorted runs, compaction is a leveled merge.
+
+
+def list_epochs(out_dir: str) -> list[str]:
+    """Epoch directories under ``out_dir``, oldest first."""
+    import re
+
+    from pyarrow import fs as pafs
+
+    fs, local_dir = _fs_for(out_dir)
+    infos = fs.get_file_info(pafs.FileSelector(local_dir, allow_not_found=True))
+    names = sorted(
+        i.base_name
+        for i in infos
+        if i.type == pafs.FileType.Directory and re.fullmatch(r"epoch-\d{6}", i.base_name)
+    )
+    return [_join(out_dir, n) for n in names]
+
+
+def write_zipnum_epoch(
+    cdx: DataFrame,
+    out_dir: str,
+    epoch_id: int,
+    *,
+    shards: int = 2,
+    numlines: int = 3000,
+) -> DataFrame:
+    """One ingest batch → one immutable sorted cluster at
+    ``out_dir/epoch-NNNNNN``."""
+    return write_zipnum(
+        cdx, _join(out_dir, f"epoch-{epoch_id:06d}"), shards=shards, numlines=numlines
+    )
+
+
+def read_zipnum_epochs(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    key_lo: str | None = None,
+    key_hi: str | None = None,
+) -> DataFrame:
+    """Merged view over every epoch: each epoch prunes its own blocks
+    against [key_lo, key_hi) independently (the secondary indexes are
+    per-epoch), then the survivors union.  Read cost grows with epoch
+    count — that is the read amplification compaction exists to bound."""
+    epochs = list_epochs(out_dir)
+    if not epochs:
+        return parse_cdx_lines(
+            spark.createDataFrame([], T.StructType([T.StructField("value", T.StringType())]))
+        )
+    dfs = [
+        read_zipnum(spark, e, key_lo=key_lo, key_hi=key_hi) for e in epochs
+    ]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def compact_zipnum_epochs(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    shards: int = 4,
+    numlines: int = 3000,
+) -> DataFrame:
+    """Fold ALL current epochs into a single new epoch (leveled merge):
+    read every epoch's rows (already sorted runs — the range shuffle
+    re-establishes total order), write one cluster as the next epoch
+    id, then drop the inputs.  Readers only ever see complete epochs:
+    the new epoch is fully written before the old directories go."""
+    epochs = list_epochs(out_dir)
+    if not epochs:
+        raise ValueError(f"no epochs to compact under {out_dir!r}")
+    merged = read_zipnum_epochs(spark, out_dir)
+    next_id = int(epochs[-1].rsplit("-", 1)[1]) + 1
+    idx = write_zipnum_epoch(
+        merged, out_dir, next_id, shards=shards, numlines=numlines
+    )
+    # the returned index df lazily re-reads the WRITTEN cluster.idx, so
+    # materialization is already done; dropping inputs is safe
+    for e in epochs:
+        fs, local = _fs_for(e)
+        fs.delete_dir(local)
+    return idx

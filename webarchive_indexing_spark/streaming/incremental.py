@@ -53,6 +53,44 @@ def stream_cdx_ingest(
     )
 
 
+def stream_zipnum_epochs(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    shards: int = 2,
+    numlines: int = 100,
+):
+    """ST1 end-to-end incremental INDEXING (not just a parquet mirror):
+    every micro-batch of arriving CDX files becomes one immutable
+    sorted ZipNum cluster — an EPOCH — under ``out_dir``; readers merge
+    epochs (sinks.zipnum.read_zipnum_epochs) and a background
+    compaction (compact_zipnum_epochs) folds them when read
+    amplification grows.  The LSM contract: sorted runs in, leveled
+    merge behind — which is how a live archive actually absorbs a new
+    crawl without rewriting the whole index.  Exactly-once per epoch
+    via the checkpointed file-source offsets (batch_id = epoch id)."""
+    from ..sinks.zipnum import write_zipnum_epoch
+
+    lines = spark.readStream.format("text").load(input_dir)
+    cdx = parse_cdx_lines(lines)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_zipnum_epoch(
+            batch_df, out_dir, int(batch_id), shards=shards, numlines=numlines
+        )
+
+    return (
+        cdx.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_counts(
     events: DataFrame,
     *,
