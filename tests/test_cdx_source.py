@@ -114,3 +114,28 @@ def test_cdxj_roundtrip_through_typed_cdx(spark, sf_dir):
     a = sorted(map(tuple, cdx.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_parse_tolerates_malformed_lines(spark):
+    """Real CDX files carry damage: short lines, non-numeric status,
+    empty lines.  The parse must yield NULLs, never throw — a single
+    bad line must not kill a 100 TB scan (ANSI mode would make the
+    int cast throw; try_cast-through-when semantics keep it NULL)."""
+    from webarchive_indexing_spark.sources.cdx import parse_cdx_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("com,ok)/ 20200101000000 http://ok/ text/html 200 D - - 10 0 f.gz",),
+            ("com,short)/ 20200101000000",),  # truncated
+            ("",),  # empty
+            ("com,bad)/ ts http://x/ mime NOTANUMBER D - - abc xyz f.gz",),
+        ],
+        "value string",
+    )
+    rows = parse_cdx_lines(lines).collect()
+    assert len(rows) == 4
+    ok = {r.urlkey: r for r in rows if r.urlkey}
+    assert ok["com,ok)/"].status == 200 and ok["com,ok)/"].length == 10
+    assert ok["com,short)/"].url is None and ok["com,short)/"].status is None
+    assert ok["com,bad)/"].status is None  # non-numeric -> NULL, no throw
+    assert ok["com,bad)/"].length is None

@@ -177,6 +177,67 @@ def cdx_match_domain(spark, sf_dir):
 
 
 @query(
+    "cdx_match_host",
+    oracle=CDX_SQL + """
+    SELECT status, COUNT(*) AS n
+    FROM cdx WHERE urlkey LIKE 'org,example,src1)%'
+    GROUP BY status
+    """,
+)
+def cdx_match_host(spark, sf_dir):
+    """P5 matchType=host [B pywb]: the EXACT host only — the ')' in
+    the prefix excludes subdomains (org,example,src1,sub)/..., which
+    matchType=domain would include).  Still a single range-prunable
+    string prefix."""
+    c = derived_cdx(spark, sf_dir)
+    return (
+        c.filter(F.col("urlkey").startswith("org,example,src1)"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cdxj_roundtrip",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp, mime, status
+    FROM cdx WHERE status <> 200
+    """,
+)
+def cdxj_roundtrip(spark, sf_dir):
+    """S4/S5 CDXJ (the Common Crawl index line format): typed CDX →
+    ``urlkey ts {json}`` lines → parsed back (JSON tail as a map) →
+    typed projection.  Hash-checking the round trip pins the NULL-
+    omission convention and the JSON escaping end-to-end against the
+    relational recomputation."""
+    from ..sources.cdx import parse_cdxj_lines, to_cdxj_lines
+
+    c = derived_cdx(spark, sf_dir).filter(F.col("status") != 200)
+    lines = to_cdxj_lines(
+        c.select(
+            "urlkey",
+            F.col("ts14").alias("timestamp"),
+            F.lit(None).cast("string").alias("url"),
+            "mime",
+            "status",
+            "digest",
+            F.lit(None).cast("string").alias("redirect"),
+            F.lit(None).cast("string").alias("robotflags"),
+            F.lit(None).cast("long").alias("length"),
+            F.lit(None).cast("long").alias("offset"),
+            F.lit(None).cast("string").alias("filename"),
+        )
+    )
+    back = parse_cdxj_lines(lines)
+    return back.select(
+        "urlkey",
+        "timestamp",
+        F.col("props").getItem("mime").alias("mime"),
+        F.col("props").getItem("status").cast("int").alias("status"),
+    )
+
+
+@query(
     "cdx_from_to",
     oracle=CDX_SQL + """
     SELECT substr(ts14, 1, 6) AS yrmo, COUNT(*) AS n

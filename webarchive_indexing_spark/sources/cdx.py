@@ -37,13 +37,18 @@ CDX_SCHEMA = T.StructType([T.StructField(n, t, True) for n, t in CDX_FIELDS])
 
 
 def parse_cdx_lines(lines: DataFrame, column: str = "value") -> DataFrame:
-    """Text lines → typed CDX DataFrame ('-' → NULL, numeric casts)."""
+    """Text lines → typed CDX DataFrame ('-' → NULL, numeric casts).
+
+    Damage-tolerant by construction: ``try_element_at`` NULLs missing
+    fields on truncated lines (``getItem`` throws under ANSI) and
+    ``try_cast`` NULLs non-numeric status/length/offset instead of
+    failing the task — one corrupt line must never kill a 100 TB scan."""
     parts = F.split(F.col(column), " ")
     cols = []
     for i, (name, dtype) in enumerate(CDX_FIELDS):
-        c = parts.getItem(i)
+        c = F.try_element_at(parts, F.lit(i + 1))
         c = F.when(c == "-", F.lit(None)).otherwise(c)
-        cols.append(c.cast(dtype).alias(name))
+        cols.append(c.try_cast(dtype).alias(name))
     return lines.select(*cols)
 
 
