@@ -145,3 +145,29 @@ def test_warc_to_zipnum_end_to_end(spark, warc_dir):
     write_zipnum(cdx, out, shards=2, numlines=2)
     back = read_zipnum(spark, out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cdx.collect()))
+
+
+def test_parse_tolerates_truncated_and_corrupt_members(spark, tmp_path):
+    """A truncated tail or garbage between members costs that file's
+    tail only — records before the damage still index; a malformed
+    WARC-Date degrades to the epoch sentinel instead of throwing."""
+    from webarchive_indexing_spark.sources.warc import (
+        build_warc_record,
+        parse_warc_file,
+    )
+
+    good = build_warc_record("http://ok.example/", "2020-01-01T00:00:00Z", b"hi")
+    bad_date = build_warc_record("http://baddate.example/", "not-a-date", b"x")
+    truncated = good[: len(good) // 2]
+
+    rows = list(parse_warc_file("a.warc.gz", good + bad_date + truncated))
+    urls = [r[2] for r in rows]
+    assert "http://ok.example/" in urls
+    assert "http://baddate.example/" in urls
+    assert [r[1] for r in rows if r[2] == "http://baddate.example/"] == [
+        "19700101000000"
+    ]
+
+    # pure garbage between members: stop, don't spin or throw
+    rows2 = list(parse_warc_file("b.warc.gz", good + b"\x00garbage\x00" + good))
+    assert [r[2] for r in rows2] == ["http://ok.example/"]

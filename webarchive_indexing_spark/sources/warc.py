@@ -85,12 +85,22 @@ def write_mini_warc(path: str, records: list[dict]) -> None:
 
 
 def iter_warc_members(data: bytes):
-    """Yield (offset, compressed_length, record_bytes) per gzip member."""
+    """Yield (offset, compressed_length, record_bytes) per gzip member.
+
+    Damage-tolerant: a corrupt or truncated member (interrupted
+    uploads leave these at the tail of real crawl files) ends THIS
+    file's iteration instead of raising through the task — at 100 TB
+    one bad WARC must cost its own tail, not the stage."""
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        record = d.decompress(data[pos:])
+        try:
+            record = d.decompress(data[pos:])
+        except zlib.error:
+            return
         consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:  # no forward progress: garbage between members
+            return
         yield pos, consumed, record
         pos += consumed
 
@@ -105,7 +115,10 @@ def _parse_headers(block: bytes) -> dict[str, str]:
 
 
 def iso_to_ts14(iso: str) -> str:
-    dt = datetime.fromisoformat(iso.replace("Z", "+00:00")).astimezone(timezone.utc)
+    try:
+        dt = datetime.fromisoformat(iso.replace("Z", "+00:00")).astimezone(timezone.utc)
+    except ValueError:  # malformed WARC-Date: epoch sentinel, keep the record
+        return "19700101000000"
     return dt.strftime("%Y%m%d%H%M%S")
 
 
