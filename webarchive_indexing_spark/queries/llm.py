@@ -586,6 +586,51 @@ def semdedup_keep_list(spark, sf_dir):
 
 
 @query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) / q.scale * 127 + 0.5) AS BIGINT)) AS BIGINT) AS q_sum,
+           CAST(MIN(CAST(FLOOR(CAST(x AS DOUBLE) / q.scale * 127 + 0.5) AS BIGINT)) AS BIGINT) AS q_min,
+           CAST(MAX(CAST(FLOOR(CAST(x AS DOUBLE) / q.scale * 127 + 0.5) AS BIGINT)) AS BIGINT) AS q_max
+    FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) e
+    JOIN q ON q.vec_id = e.vec_id
+    GROUP BY e.vec_id
+    """,
+    tier="C",
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the memory-footprint
+    trick that makes 100 TB of vectors RAM-resident for ANN): per
+    vector, scale = max |x|, q_i = floor(x_i/scale*127 + 0.5).  The
+    floor(+0.5) form is used instead of round() because the engines
+    disagree on banker's-vs-half-away rounding; floor is IEEE-exact in
+    both.  Map-only (no shuffle for the quantization itself); the
+    checksum aggregates here exist to hash-check every quantized value
+    through the oracle without emitting 64 columns."""
+    e = t(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, F.abs))
+    out = e.select("vec_id", xd.alias("_xd"), scale.alias("_scale")).select(
+        "vec_id",
+        F.transform(
+            F.col("_xd"),
+            lambda x: F.floor(x / F.col("_scale") * 127 + F.lit(0.5)).cast("bigint"),
+        ).alias("_q"),
+    )
+    return out.select(
+        "vec_id",
+        F.aggregate(F.col("_q"), F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
+        F.array_min(F.col("_q")).alias("q_min"),
+        F.array_max(F.col("_q")).alias("q_max"),
+    )
+
+
+@query(
     "emb_ivf_topk",
     oracle=sql_ivf_topk(query_vec_id=123, k=10, n_cents=16, nprobe=2),
     tier="C",
