@@ -1329,6 +1329,86 @@ def decontaminate_ngram_overlap(spark, sf_dir):
 
 
 @query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(CAST(SUM(CAST(-ln(c * 1.0 / n) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+    FROM tok JOIN freq USING (w), tot
+    GROUP BY doc_id
+    """,
+    tier="C",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality proxy: average negative log-probability
+    of each document under the corpus's own unigram distribution —
+    gibberish and boilerplate land at the distribution's tails, which
+    is the bucketing signal CCNet uses for quality tiers.
+
+    Scale shape: one explode + vocab groupBy; the vocabulary and the
+    one-row total are BROADCAST back onto the token stream, so the
+    scoring join never shuffles the corpus.  Per-token -ln(p) is
+    identical IEEE math in both engines; the per-doc mean goes through
+    the decimal-exact sum so reduction order cannot flip the hash."""
+    d = widen(t(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    nll = -F.log(F.col("c") * F.lit(1.0) / F.col("n"))
+    scored = tok.join(F.broadcast(freq), "w").crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        hround(
+            F.sum(nll.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_nll"),
+    )
+
+
+@query(
+    "curriculum_percentile",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           FLOOR((rk - 1) * 1.0 / (n - 1) * 1000000.0 + 0.5) / 1000000.0 AS pct
+    FROM r
+    """,
+    tier="C",
+)
+def curriculum_percentile(spark, sf_dir):
+    """Curriculum ordering: every document's exact global percentile
+    under a difficulty proxy (token count here; any score plugs in) —
+    the easy-to-hard ordering signal curriculum-learning data loaders
+    consume.  Exact percent_rank at scale via the two-pass global rank
+    (operators.global_rank) — the oracle's ROW_NUMBER() OVER (ORDER
+    BY) is the single-task definition it replaces."""
+    from ..operators.global_rank import global_row_number_and_total
+
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    ranked, total = global_row_number_and_total(
+        scored, ["n_tokens", "doc_id"], None, "rk"
+    )
+    pct = (F.col("rk") - 1) * F.lit(1.0) / F.lit(float(total - 1))
+    return ranked.select("doc_id", "n_tokens", hround(pct, 6).alias("pct"))
+
+
+@query(
     "text_pmi_bigrams",
     oracle=f"""
     WITH toks AS (
