@@ -56,6 +56,10 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "pack_token_budget",
     "dedup_minhash_lsh_pairs",
+    "text_unigram_logprob",
+    "curriculum_percentile",
+    "emb_quantize_int8",
+    "semdedup_keep_list",
 ]
 
 

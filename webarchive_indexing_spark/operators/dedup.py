@@ -29,7 +29,15 @@ B = [12_345, 67_891, 424_243, 987_653, 13_466_917, 21_701, 86_243, 110_503]
 
 def minhash_signature(sh: Column, n_perm: int = 4) -> list[Column]:
     """n_perm min-hash values over a shingle array column (NULL when
-    the doc has no shingles)."""
+    the doc has no shingles).
+
+    NOTE: each returned column re-applies ``token_hash`` to the whole
+    array — codegen subexpression elimination skips higher-order
+    functions, so inlining these n_perm columns into one projection
+    pays the md5 n_perm times.  On a hot path, project
+    ``transform(sh, token_hash)`` into its own column first and run
+    the permutations over the pre-hashed array (see
+    queries.llm.dedup_minhash_signatures / minhash_lsh_pairs)."""
     h = lambda s: token_hash(s)  # noqa: E731
     return [
         F.array_min(

@@ -568,11 +568,26 @@ def semdedup_keep_list(spark, sf_dir):
     )
     ebase = e.unionByName(dup)
     pairs = blocked_pairs(ebase, ordered=True)
+    # filter-verify: a plain-double cosine prunes the blocked pairs
+    # first (whole-stage codegen, ~free), the decimal-exact cosine —
+    # the engine-deterministic one the verdict uses — runs only on
+    # survivors.  The 1e-6 margin dwarfs double's ~1e-13 relative
+    # error on 64-dim dots, so no true >= 0.99 pair can be pruned;
+    # the DECISION value is still the exact score on both engines.
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("a_v"), F.col("b_v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    ) / (F.col("a_nrm") * F.col("b_nrm"))
     sim = hround(
         cosine_from_parts(F.col("a_v"), F.col("b_v"), F.col("a_nrm"), F.col("b_nrm")), 6
     )
-    edges = pairs.select("a_id", "b_id", sim.alias("s")).filter(
-        F.col("s") >= 0.99
+    edges = (
+        pairs.filter(approx >= 0.99 - 1e-6)
+        .select("a_id", "b_id", sim.alias("s"))
+        .filter(F.col("s") >= 0.99)
     )
     comp = connected_components(
         edges, src="a_id", dst="b_id",
