@@ -238,6 +238,38 @@ def cdxj_roundtrip(spark, sf_dir):
 
 
 @query(
+    "cdx_exclusion_filter",
+    oracle=CDX_SQL + """
+    SELECT status, COUNT(*) AS n
+    FROM cdx
+    WHERE NOT (urlkey LIKE 'org,example,src0)%'
+            OR urlkey LIKE 'org,example,src3)%')
+    GROUP BY status
+    """,
+)
+def cdx_exclusion_filter(spark, sf_dir):
+    """Access-control exclusion [B pywb ACL]: drop every capture whose
+    urlkey falls under a blocklist of SURT prefixes — the
+    takedown/robots enforcement pass an archive runs before serving.
+
+    The blocklist rides as a broadcast prefix table and the probe is a
+    LEFT ANTI non-equi join (startswith): with an ACL of thousands of
+    rules the broadcast nested-loop stays cheap because the build side
+    is the tiny rule list, and the index side streams through
+    untouched — never shuffled, never collected."""
+    c = derived_cdx(spark, sf_dir)
+    acl = spark.createDataFrame(
+        [("org,example,src0)",), ("org,example,src3)",)], ["prefix"]
+    )
+    kept = c.join(
+        F.broadcast(acl),
+        F.col("urlkey").startswith(F.col("prefix")),
+        "left_anti",
+    )
+    return kept.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "cdx_from_to",
     oracle=CDX_SQL + """
     SELECT substr(ts14, 1, 6) AS yrmo, COUNT(*) AS n
