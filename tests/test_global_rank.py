@@ -32,11 +32,20 @@ def test_global_row_number_matches_window(spark, nums):
 def test_global_row_number_plan_never_single_partition(spark, nums):
     # the ranking windows run over the range partitions; nothing in the
     # plan may funnel the data through one task (AQE may *coalesce* the
-    # toy-sized shuffle, but must never plant an Exchange SinglePartition)
+    # toy-sized shuffle, but must never plant an Exchange SinglePartition).
+    # The localCheckpoint that pins pass 1 truncates the final plan to
+    # Scan ExistingRDD, so the range-partitioning evidence is asserted
+    # on the pre-checkpoint stage (_range_sorted) it scans.
+    from webarchive_indexing_spark.operators.global_rank import _range_sorted
+
     ranked = global_row_number(nums, ["v"])
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+
+    pass1 = _range_sorted(nums, ["v"], 8)
+    p1 = pass1._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in p1, p1
+    assert "SinglePartition" not in p1, p1
 
 
 @pytest.mark.parametrize("n", [1, 4, 7, 1000, 1500])
@@ -89,3 +98,26 @@ def test_global_cumsum_plan_never_single_partition(spark):
     out = global_cumsum(df, ["k"], "v")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_cols_contract_projects_wide_input(spark):
+    """The self-enforcing width contract: with ``cols`` given, the
+    checkpointed intermediate (and the output) carries exactly
+    keys + cols + rank — a wide input's unused columns are never
+    pinned in block storage (VERDICT r03 nit)."""
+    wide = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("keep_me"),
+        F.repeat(F.lit("x"), 1000).alias("fat_unused"),
+        F.lit(1).alias("also_unused"),
+    )
+    out = global_row_number(wide, ["k"], cols=["keep_me"])
+    assert out.columns == ["k", "keep_me", "rank"]
+    got = {r.k: r.rank for r in out.collect()}
+    assert got == {i: i + 1 for i in range(100)}
+
+    # cumsum variant: value_col is retained implicitly
+    from webarchive_indexing_spark.operators.global_rank import global_cumsum
+
+    cs = global_cumsum(wide, ["k"], "keep_me", cols=[])
+    assert cs.columns == ["k", "keep_me", "cumsum"]

@@ -163,6 +163,23 @@ def test_st1_zipnum_epoch_indexing(spark, sf_dir):
         }
         assert got_cp == want_p
 
+        # THE collision scenario (ADVICE r03): micro-batches 0..1 were
+        # compacted into epoch-2; the next micro-batch arrives with
+        # checkpointed batch_id=2 — its epoch id must come from the
+        # manifest allocator, NOT overwrite the compacted epoch.
+        extra = full.limit(50).withColumn(
+            "urlkey", F.concat(F.lit("zz,late)/"), F.col("urlkey"))
+        )
+        to_cdx_lines(extra).coalesce(1).write.mode("overwrite").text(
+            os.path.join(inp, "f3")
+        )
+        q3 = stream_zipnum_epochs(spark, inp + "/*/", out, chk)
+        q3.awaitTermination(120)
+        assert len(list_epochs(out)) == 2  # compacted + the new batch
+        want_post = want_all | {tuple(r) for r in extra.collect()}
+        got_post = {tuple(r) for r in read_zipnum_epochs(spark, out).collect()}
+        assert got_post == want_post  # nothing lost, nothing duplicated
+
 
 def test_st2_windowed_counts_match_batch(spark, events):
     with tempfile.TemporaryDirectory() as d:

@@ -98,6 +98,13 @@ def test_native_matches_python_on_messy_urls(spark):
         "/a//b/../../..",
         "/%2525%41",
         "/.",
+        # juxtaposition-synthesized escapes: pass 1 creates '%25..' /
+        # '%41' sequences the RAW url never contained ('%%325ab' →
+        # '%25ab' → '%ab'; '%%341' → '%41' → 'a'), so pass 2 must be
+        # gated on the pass-1 RESULT, not the raw url (ADVICE r03)
+        "/%%325ab",
+        "/%%341",
+        "/x%%2532y",
     ]
     queries = [
         "",

@@ -164,6 +164,7 @@ def test_parse_tolerates_truncated_and_corrupt_members(spark, tmp_path):
     urls = [r[2] for r in rows]
     assert "http://ok.example/" in urls
     assert "http://baddate.example/" in urls
+    assert len(rows) == 2  # the truncated tail member must NOT index
     assert [r[1] for r in rows if r[2] == "http://baddate.example/"] == [
         "19700101000000"
     ]
@@ -171,3 +172,180 @@ def test_parse_tolerates_truncated_and_corrupt_members(spark, tmp_path):
     # pure garbage between members: stop, don't spin or throw
     rows2 = list(parse_warc_file("b.warc.gz", good + b"\x00garbage\x00" + good))
     assert [r[2] for r in rows2] == ["http://ok.example/"]
+
+
+def test_cleanly_truncated_member_never_yields_partial_record():
+    """zlib raises only on CORRUPT bytes; a clean mid-stream cut ends
+    with eof False and a PARTIAL payload.  Indexing it would emit a
+    second row for the same URL with a wrong digest/length — poisoning
+    digest dedup and revisit resolution (ADVICE r03).  The parser must
+    drop the partial member, keeping exactly the intact records."""
+    from webarchive_indexing_spark.sources.warc import (
+        build_warc_record,
+        parse_warc_file,
+    )
+
+    good = build_warc_record("http://ok.example/", "2020-01-01T00:00:00Z", b"payload")
+    [full_row] = list(parse_warc_file("w.warc.gz", good))
+
+    # 90% of the member: decompresses without error, eof never reached
+    rows = list(parse_warc_file("w.warc.gz", good + good[: int(len(good) * 0.9)]))
+    assert len(rows) == 1
+    assert rows[0] == full_row  # and the survivor's digest is the true one
+
+
+
+# ---------------------------------------------------------------------------
+# format interop (VERDICT r03 items 1, 2, 10)
+# ---------------------------------------------------------------------------
+
+_RECS = [
+    dict(url="http://a.example/p1", date_iso="2020-01-01T00:00:00Z", payload=b"one"),
+    dict(url="http://a.example/p2", date_iso="2020-02-01T00:00:00Z", payload=b"two"),
+    dict(url="http://b.example/", date_iso="2020-03-01T00:00:00Z", payload=b"three"),
+]
+
+
+def _cdx_core(rows):
+    """(urlkey, ts, url, mime, status, digest) — the format-independent
+    fields; offsets/lengths legitimately differ per container."""
+    return sorted(r[:6] for r in rows)
+
+
+def test_layouts_index_identically(tmp_path):
+    """member-per-record gz, single-member gz (wget-style), and plain
+    .warc must produce the SAME captures (modulo extents)."""
+    from webarchive_indexing_spark.sources.warc import parse_archive_file
+
+    paths = {}
+    for layout, name in [
+        ("member", "m.warc.gz"),
+        ("single-member", "s.warc.gz"),
+        ("plain", "p.warc"),
+    ]:
+        p = str(tmp_path / name)
+        write_mini_warc(p, _RECS, layout=layout)
+        paths[layout] = p
+
+    parsed = {
+        layout: list(parse_archive_file(p, open(p, "rb").read()))
+        for layout, p in paths.items()
+    }
+    assert len(parsed["member"]) == 3
+    assert _cdx_core(parsed["member"]) == _cdx_core(parsed["single-member"])
+    assert _cdx_core(parsed["member"]) == _cdx_core(parsed["plain"])
+
+    # single-member gz: every record reports the member's extent (the
+    # smallest gzip-seekable unit)
+    offs = {(r[9], r[8]) for r in parsed["single-member"]}
+    assert len(offs) == 1 and next(iter(offs))[0] == 0
+    # plain warc: true non-overlapping byte extents covering the file
+    spans = sorted((r[9], r[8]) for r in parsed["plain"])
+    for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+        assert o1 + l1 == o2
+    assert spans[0][0] == 0
+    assert sum(l for _, l in spans) == os.path.getsize(paths["plain"])
+
+
+def test_plain_warc_truncated_tail_dropped(tmp_path):
+    from webarchive_indexing_spark.sources.warc import parse_archive_file
+
+    p = str(tmp_path / "t.warc")
+    write_mini_warc(p, _RECS, layout="plain")
+    data = open(p, "rb").read()
+    cut = data[: len(data) - len(data) // 4]  # cuts into the last record
+    rows = list(parse_archive_file(p, cut))
+    assert [r[2] for r in rows] == ["http://a.example/p1", "http://a.example/p2"]
+
+
+def test_digest_b32_matches_pywb_encoding(tmp_path):
+    """base32 digests: uppercase RFC 4648, exactly 32 chars, no
+    padding — byte-for-byte b32encode(sha1(payload))."""
+    import base64
+
+    from webarchive_indexing_spark.sources.warc import parse_archive_file
+
+    p = str(tmp_path / "d.warc.gz")
+    write_mini_warc(p, _RECS[:1])
+    data = open(p, "rb").read()
+    [hex_row] = list(parse_archive_file(p, data))
+    [b32_row] = list(parse_archive_file(p, data, digest_b32=True))
+    want = base64.b32encode(hashlib.sha1(b"one").digest()).decode()
+    assert b32_row[5] == want
+    assert len(b32_row[5]) == 32 and "=" not in b32_row[5]
+    assert hex_row[5] == hashlib.sha1(b"one").hexdigest()
+    # identical capture otherwise
+    assert hex_row[:5] == b32_row[:5] and hex_row[6:] == b32_row[6:]
+
+
+def test_arc_golden_parity_with_warc(tmp_path):
+    """ARC legacy reader: same captures as the WARC path for the same
+    payloads (urlkey/ts/url/mime/status/digest), both .arc and
+    .arc.gz containers."""
+    from webarchive_indexing_spark.sources.warc import (
+        build_arc_filedesc,
+        build_arc_record,
+        parse_archive_file,
+    )
+
+    ts = {"2020-01-01T00:00:00Z": "20200101000000",
+          "2020-02-01T00:00:00Z": "20200201000000",
+          "2020-03-01T00:00:00Z": "20200301000000"}
+    arc_plain = build_arc_filedesc("x.arc") + b"".join(
+        build_arc_record(r["url"], ts[r["date_iso"]], r["payload"])
+        for r in _RECS
+    )
+    p_arc = str(tmp_path / "x.arc")
+    open(p_arc, "wb").write(arc_plain)
+
+    p_gz = str(tmp_path / "x.arc.gz")
+    with open(p_gz, "wb") as fh:
+        fh.write(gzip.compress(build_arc_filedesc("x.arc"), mtime=0))
+        for r in _RECS:
+            fh.write(
+                gzip.compress(
+                    build_arc_record(r["url"], ts[r["date_iso"]], r["payload"]),
+                    mtime=0,
+                )
+            )
+
+    p_warc = str(tmp_path / "x.warc.gz")
+    write_mini_warc(p_warc, _RECS)
+
+    warc_rows = list(parse_archive_file(p_warc, open(p_warc, "rb").read()))
+    arc_rows = list(parse_archive_file(p_arc, open(p_arc, "rb").read()))
+    arcgz_rows = list(parse_archive_file(p_gz, open(p_gz, "rb").read()))
+    assert _cdx_core(arc_rows) == _cdx_core(warc_rows)
+    assert _cdx_core(arcgz_rows) == _cdx_core(warc_rows)
+    # filedesc:// must not index
+    assert all("filedesc" not in r[2] for r in arc_rows)
+
+
+def test_mixed_manifest_end_to_end(spark, tmp_path):
+    """One manifest mixing all four container formats through
+    index_warcs — the dispatcher works per file inside the tasks."""
+    from webarchive_indexing_spark.sources.warc import (
+        build_arc_filedesc,
+        build_arc_record,
+    )
+
+    write_mini_warc(str(tmp_path / "a.warc.gz"), _RECS[:1])
+    write_mini_warc(str(tmp_path / "b.warc.gz"), _RECS[1:2], layout="single-member")
+    write_mini_warc(str(tmp_path / "c.warc"), _RECS[2:], layout="plain")
+    open(str(tmp_path / "d.arc"), "wb").write(
+        build_arc_filedesc("d.arc")
+        + build_arc_record("http://c.example/", "20200401000000", b"four")
+    )
+    manifest = spark.createDataFrame(
+        [(str(tmp_path / n),) for n in ("a.warc.gz", "b.warc.gz", "c.warc", "d.arc")],
+        ["path"],
+    )
+    cdx = index_warcs(spark, manifest)
+    rows = cdx.collect()
+    assert sorted(r["url"] for r in rows) == [
+        "http://a.example/p1",
+        "http://a.example/p2",
+        "http://b.example/",
+        "http://c.example/",
+    ]
+    assert all(r["urlkey"] and r["timestamp"] and r["digest"] for r in rows)

@@ -121,3 +121,78 @@ def test_uri_scheme_roundtrip(spark, cdx):
     a = sorted(map(tuple, cdx.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_epoch_id_manifest_allocation(tmp_path):
+    """One monotonic id space across stream batches and compactions:
+    fresh keys get max+1 (manifest ∪ disk), replayed keys reuse their
+    mapping, pre-manifest on-disk epochs are never overwritten."""
+    from webarchive_indexing_spark.sinks.zipnum import reserve_epoch_id
+
+    root = str(tmp_path / "idx")
+    assert reserve_epoch_id(root, "batch:0") == 0
+    assert reserve_epoch_id(root, "batch:1") == 1
+    # replay → same slot (idempotent rewrite)
+    assert reserve_epoch_id(root, "batch:0") == 0
+    # compaction reserves from the SAME space
+    assert reserve_epoch_id(root, "compact:epoch-000000-epoch-000001") == 2
+    # post-compaction batch can never land on the compacted slot
+    assert reserve_epoch_id(root, "batch:2") == 3
+    # a pre-manifest epoch dir on disk also bumps the allocator
+    os.makedirs(str(tmp_path / "idx" / "epoch-000007"))
+    assert reserve_epoch_id(root, "batch:3") == 8
+
+
+def test_list_epochs_excludes_compaction_inputs(tmp_path):
+    """During the rename→delete window both the merged epoch and its
+    inputs are on disk; readers must see exactly one copy (the merged
+    epoch), transitively through chained compactions."""
+    from webarchive_indexing_spark.sinks.zipnum import list_epochs
+
+    root = tmp_path / "idx"
+    for n in (0, 1, 2, 5, 9):
+        os.makedirs(str(root / f"epoch-{n:06d}"))
+    # epoch-5 subsumed 0..2; epoch-9 subsumed 5 — all five dirs present
+    (root / "epoch-000005" / "compaction.inputs").write_text(
+        "epoch-000000\nepoch-000001\nepoch-000002\n"
+    )
+    (root / "epoch-000009" / "compaction.inputs").write_text("epoch-000005\n")
+    live = [p.rsplit("/", 1)[1] for p in list_epochs(str(root))]
+    assert live == ["epoch-000009"]
+    # after the inputs are deleted, nothing changes for readers
+    import shutil
+
+    for n in (0, 1, 2, 5):
+        shutil.rmtree(str(root / f"epoch-{n:06d}"))
+    assert [p.rsplit("/", 1)[1] for p in list_epochs(str(root))] == ["epoch-000009"]
+
+
+def test_page_blocks_tile_range_query(spark, cluster, cdx):
+    """page=N semantics: pages are disjoint, each costs only its own
+    blocks, and their union equals the range query (VERDICT r03 #2)."""
+    from webarchive_indexing_spark.sinks.zipnum import (
+        num_pages,
+        read_zipnum_page,
+    )
+
+    d, _ = cluster
+    lo, hi = "org,example,src1", "org,example,src1~"
+    want = sorted(
+        map(tuple, read_zipnum(spark, d, key_lo=lo, key_hi=hi).collect())
+    )
+    n = num_pages(d, key_lo=lo, key_hi=hi, page_size=3)
+    assert n >= 2  # the fixture spans several pages at numlines=10
+    got, seen = [], set()
+    for p in range(n):
+        rows = [tuple(r) for r in read_zipnum_page(
+            spark, d, p, key_lo=lo, key_hi=hi, page_size=3
+        ).collect()]
+        assert rows  # no empty page inside the range
+        assert not (set(rows) & seen)  # disjoint
+        seen.update(rows)
+        got.extend(rows)
+    assert sorted(got) == want
+    # past-the-end page is empty, not an error
+    assert read_zipnum_page(
+        spark, d, n, key_lo=lo, key_hi=hi, page_size=3
+    ).count() == 0

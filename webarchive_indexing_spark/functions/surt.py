@@ -160,15 +160,21 @@ def _remove_dot_segments(path: Column) -> Column:
 def _pct_pass(x: Column) -> Column:
     """Two-pass percent normalization behind contains guards: pass 1
     decodes unreserved escapes and unwraps one %25XX level; pass 2
-    (only reachable when the raw URL carried a '%25') finishes the
-    double-encoded case (%2541 → %41 → a).  Pass 1 can only emit a
-    '%25' if the input had one, so gating pass 2 on the raw URL is
-    sound."""
+    finishes the double-encoded case (%2541 → %41 → a).
+
+    Pass 2 is gated on the PASS-1 RESULT, not the raw URL: pass 1 can
+    synthesize escapes by juxtaposition that the raw URL never
+    contained — '%%325ab' (no '%25' raw) decodes '%32'→'2' after the
+    bare '%', yielding '%25ab'; '%%341' yields '%41'.  Gating on the
+    raw URL would skip pass 2 and diverge from surt_urlkey_py, which
+    runs both passes unconditionally.  Pass 2 is an identity whenever
+    p1 carries no '%' at all, so contains('%') on p1 is exact; p1 is a
+    lambda-variable leaf, so the extra reference costs nothing."""
     return F.when(
         x.contains("%"),
         _let(
             _pct_normalize(x),
-            lambda p1: F.when(x.contains("%25"), _pct_normalize(p1)).otherwise(p1),
+            lambda p1: F.when(p1.contains("%"), _pct_normalize(p1)).otherwise(p1),
         ),
     ).otherwise(x)
 

@@ -25,12 +25,19 @@ window's clustering, so it plants an Exchange hashpartitioning(pid)
 AND re-sorts data that is already sorted.  The executed plan showed
 both; the Arrow pass removes a full shuffle + sort of the table.)
 
-The intermediate is persisted so pass 2 and pass 3 see the SAME
-physical partitioning (range-sample boundaries are deterministic for a
-fixed input, but pinning them is free at this width and removes the
-assumption).  The persisted width is whatever ``df`` carries — project
-down to the ordering keys plus the columns you need downstream BEFORE
-calling, so the cached intermediate stays a fraction of source width.
+The intermediate is pinned via ``localCheckpoint(eager=False)`` so
+pass 2 and pass 3 see the SAME physical partitioning (range-sample
+boundaries are deterministic for a fixed input, but pinning them is
+free at this width and removes the assumption).  localCheckpoint, not
+``persist``: its blocks are reclaimed by the ContextCleaner when the
+result DataFrame is garbage-collected, so a sweep of calls (ntile /
+token packing / curriculum percentile) does not accumulate session-
+lifetime cached copies of each input (same rationale as dedup.py).
+
+The pinned width is whatever ``df`` carries — pass ``cols`` to have
+the operator project to ``keys + cols`` itself (the self-enforcing
+form), or pre-project before calling; either way the checkpointed
+intermediate stays a fraction of source width.
 """
 
 from __future__ import annotations
@@ -39,19 +46,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _project(df: DataFrame, keys: list[str], cols: list[str] | None) -> DataFrame:
+    """Self-enforcing width contract: with ``cols`` given, narrow to
+    ``keys + cols`` (order-preserving, deduped) so the checkpointed
+    intermediate never pins columns the caller won't read."""
+    if cols is None:
+        return df
+    keep: list[str] = []
+    for c in [*keys, *cols]:
+        if c not in keep:
+            keep.append(c)
+    return df.select(*keep)
+
+
+def _range_sorted(df: DataFrame, keys: list[str], n: int) -> DataFrame:
+    """Pass-1 physical shape shared by rank and cumsum: ONE range
+    shuffle, per-partition sort, partition id stamped.  Exposed (and
+    plan-asserted in tests) separately because the localCheckpoint
+    that pins it truncates the executed plan to Scan ExistingRDD —
+    the range-partitioning evidence lives here, pre-checkpoint."""
+    return (
+        df.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+
 def global_row_number(
     df: DataFrame,
     keys: list[str],
     *,
     num_partitions: int | None = None,
     rank_col: str = "rank",
+    cols: list[str] | None = None,
 ) -> DataFrame:
     """Append a 1-based total-order row number over ``keys`` using the
     two-pass range-partitioned rank.  Deterministic when ``keys`` is a
     unique ordering; with ties, rank assignment among equal keys is
     arbitrary but any value-derived aggregate per rank range (count,
     min/max of the keys) is still deterministic."""
-    return global_row_number_and_total(df, keys, num_partitions, rank_col)[0]
+    return global_row_number_and_total(df, keys, num_partitions, rank_col, cols=cols)[0]
 
 
 def global_row_number_and_total(
@@ -59,6 +93,8 @@ def global_row_number_and_total(
     keys: list[str],
     num_partitions: int | None = None,
     rank_col: str = "rank",
+    *,
+    cols: list[str] | None = None,
 ) -> tuple[DataFrame, int]:
     """As global_row_number, but also returns the total row count —
     already known from the per-partition counts, so callers needing
@@ -67,11 +103,8 @@ def global_row_number_and_total(
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    parts = (
-        df.repartitionByRange(n, *keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    parts = _range_sorted(_project(df, keys, cols), keys, n).localCheckpoint(
+        eager=False
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -110,6 +143,7 @@ def global_cumsum(
     *,
     num_partitions: int | None = None,
     out_col: str = "cumsum",
+    cols: list[str] | None = None,
 ) -> DataFrame:
     """Inclusive global running total of ``value_col`` over the total
     order of ``keys`` — the scale-safe twin of
@@ -125,12 +159,11 @@ def global_cumsum(
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    parts = (
-        df.repartitionByRange(n, *keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
+    parts = _range_sorted(
+        _project(df, keys, [value_col, *(cols or [])] if cols is not None else None),
+        keys,
+        n,
+    ).localCheckpoint(eager=False)
     sums = sorted(
         (r["__pid"], r["s"] or 0)
         for r in parts.groupBy("__pid")

@@ -522,6 +522,82 @@ def zipnum_shard_plan(spark, sf_dir):
 
 
 @query(
+    "cdx_page_blocks",
+    oracle=CDX_SQL + f"""
+    , lines AS (
+      SELECT urlkey, ts14, status, digest, {_ZIPNUM_LINE_SQL} AS value FROM cdx
+    ), ranked AS (
+      SELECT *, NTILE(8) OVER (ORDER BY value) AS shard_no FROM lines
+    ), assigned AS (
+      SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY shard_no ORDER BY value)
+                            - 1) / 100) AS BIGINT) AS blk
+      FROM ranked
+    ), blocks AS (
+      SELECT shard_no, blk, MIN(value) AS first_line
+      FROM assigned GROUP BY shard_no, blk
+    ), ordered AS (
+      SELECT shard_no, blk,
+             string_split(first_line, ' ')[1] AS fk,
+             string_split(first_line, ' ')[2] AS fts,
+             LEAD(string_split(first_line, ' ')[1])
+               OVER (ORDER BY string_split(first_line, ' ')[1],
+                              string_split(first_line, ' ')[2],
+                              shard_no, blk) AS nk,
+             ROW_NUMBER()
+               OVER (ORDER BY string_split(first_line, ' ')[1],
+                              string_split(first_line, ' ')[2],
+                              shard_no, blk) AS bo
+      FROM blocks
+    ), kept AS (
+      SELECT shard_no, blk,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY bo) - 1) / 2) AS INT) AS page
+      FROM ordered
+      WHERE fk < 'org,example,src1~'
+        AND (nk IS NULL OR nk >= 'org,example,src1')
+    )
+    SELECT k.page, a.urlkey, a.ts14 AS timestamp, a.status, a.digest
+    FROM assigned a JOIN kept k USING (shard_no, blk)
+    WHERE a.urlkey >= 'org,example,src1' AND a.urlkey < 'org,example,src1~'
+    """,
+    tier="B",
+)
+def cdx_page_blocks(spark, sf_dir):
+    """O3 true ``page=N`` [B SURVEY §3.3]: cdx-server pagination slices
+    the RANGE-PRUNED SECONDARY-INDEX BLOCK LIST into runs of pageSize
+    blocks — NOT row offsets — so page k of any query costs exactly
+    pageSize block decompressions wherever it falls in a petabyte
+    index.  Built on write_zipnum_ordered (deterministic NTILE bounds
+    → the block layout itself is oracle-reproducible), then every page
+    of the prefix query is fetched via read_zipnum_page and tagged; the
+    oracle recomputes the block assignment, the [lo,hi) prune over
+    block first-keys (LEAD = successor key), and the page slicing.  A
+    hash match proves the pages are disjoint, ordered, and tile the
+    prefix result exactly."""
+    import tempfile
+    from functools import reduce
+
+    from ..sinks.zipnum import num_pages, read_zipnum_page, write_zipnum_ordered
+
+    out = tempfile.mkdtemp(prefix="zipnum_pages_")
+    write_zipnum_ordered(_zipnum_input(spark, sf_dir), out, shards=8, numlines=100)
+    lo, hi = "org,example,src1", "org,example,src1~"
+    n = num_pages(out, key_lo=lo, key_hi=hi, page_size=2)
+    pages = [
+        read_zipnum_page(
+            spark, out, p, key_lo=lo, key_hi=hi, page_size=2
+        ).select(
+            F.lit(p).cast("int").alias("page"),
+            "urlkey",
+            "timestamp",
+            "status",
+            "digest",
+        )
+        for p in range(n)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), pages)
+
+
+@query(
     "cdx_revisit_resolve",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14, orig_ts14 FROM (

@@ -50,9 +50,10 @@ def query(name: str, oracle: str | None = None, tier: str = "A"):
 
 #: Queries whose SEMANTICS changed since their last green verdict —
 #: surface them first so the next CORRECTNESS round records the change.
-#: (Round 3: the multimodal pipeline emits hashable scalars now, and
-#: the LSH pair list gained a full DuckDB oracle.)
-_VERIFY_EARLY = ("multimodal_feature_pipeline", "dedup_minhash_lsh_pairs")
+#: (Round 4: zipnum_build_index gained its NTILE oracle after its r02
+#: rows-only verdict; multimodal_decode_stub now emits hashable
+#: scalars — both need a recorded full-oracle green.)
+_VERIFY_EARLY = ("zipnum_build_index", "multimodal_decode_stub")
 
 
 def _verified_rounds() -> dict[str, int]:

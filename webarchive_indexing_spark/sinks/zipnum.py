@@ -286,18 +286,9 @@ def _prune(blocks: list[_Block], lo: str | None, hi: str | None) -> list[_Block]
     return out
 
 
-def read_zipnum(
-    spark: SparkSession,
-    out_dir: str,
-    *,
-    key_lo: str | None = None,
-    key_hi: str | None = None,
-) -> DataFrame:
-    """Read back a ZipNum cluster as a typed CDX DataFrame, reading and
-    decompressing ONLY the blocks whose key range intersects
-    [key_lo, key_hi) — distributed ranged reads, one task per block
-    batch, then a residual filter for exactness."""
-    blocks = _prune(_load_idx(out_dir), key_lo, key_hi)
+def _read_blocks(spark: SparkSession, out_dir: str, blocks: list[_Block]) -> DataFrame:
+    """Decompress exactly ``blocks`` (distributed ranged reads, one
+    task per block batch) → typed CDX DataFrame, unfiltered."""
     if not blocks:
         return parse_cdx_lines(
             spark.createDataFrame([], T.StructType([T.StructField("value", T.StringType())]))
@@ -332,14 +323,67 @@ def read_zipnum(
 
     n_slices = min(len(work), max(1, spark.sparkContext.defaultParallelism))
     rdd = spark.sparkContext.parallelize(work, n_slices).mapPartitions(read_block)
-    df = parse_cdx_lines(
+    return parse_cdx_lines(
         spark.createDataFrame(rdd, T.StructType([T.StructField("value", T.StringType())]))
     )
+
+
+def _range_filter(df: DataFrame, key_lo: str | None, key_hi: str | None) -> DataFrame:
     if key_lo is not None:
         df = df.filter(F.col("urlkey") >= key_lo)
     if key_hi is not None:
         df = df.filter(F.col("urlkey") < key_hi)
     return df
+
+
+def read_zipnum(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    key_lo: str | None = None,
+    key_hi: str | None = None,
+) -> DataFrame:
+    """Read back a ZipNum cluster as a typed CDX DataFrame, reading and
+    decompressing ONLY the blocks whose key range intersects
+    [key_lo, key_hi), then a residual filter for exactness."""
+    blocks = _prune(_load_idx(out_dir), key_lo, key_hi)
+    return _range_filter(_read_blocks(spark, out_dir, blocks), key_lo, key_hi)
+
+
+def num_pages(
+    out_dir: str,
+    *,
+    key_lo: str | None = None,
+    key_hi: str | None = None,
+    page_size: int = 1,
+) -> int:
+    """cdx-server ``showNumPages`` [B SURVEY §3.3]: pages = runs of
+    ``page_size`` consecutive index blocks intersecting the query
+    range.  Pure secondary-index arithmetic — no shard bytes move."""
+    blocks = _prune(_load_idx(out_dir), key_lo, key_hi)
+    return (len(blocks) + page_size - 1) // page_size
+
+
+def read_zipnum_page(
+    spark: SparkSession,
+    out_dir: str,
+    page: int,
+    *,
+    key_lo: str | None = None,
+    key_hi: str | None = None,
+    page_size: int = 1,
+) -> DataFrame:
+    """cdx-server ``page=N`` [B SURVEY §3.3]: the N-th run of
+    ``page_size`` index blocks from the range-pruned, key-ordered
+    block list — NOT row-offset pagination.  Each page decompresses
+    only its own blocks (cluster.idx is the paging structure, so page
+    k of a petabyte index costs page_size block reads); the residual
+    key filter trims the boundary blocks' out-of-range lines.  Pages
+    tile the full range query: disjoint, ordered, union = read_zipnum
+    over the same range."""
+    blocks = _prune(_load_idx(out_dir), key_lo, key_hi)
+    chunk = blocks[page * page_size : (page + 1) * page_size]
+    return _range_filter(_read_blocks(spark, out_dir, chunk), key_lo, key_hi)
 
 
 def zipnum_prefix_query(
@@ -357,22 +401,115 @@ def zipnum_prefix_query(
 # epochs, and a background compaction folds epochs into one cluster
 # when their count hurts read amplification.  Exactly the LSM-tree
 # contract: epochs are sorted runs, compaction is a leveled merge.
+#
+# Epoch ids come from ONE monotonic space, allocated through a tiny
+# ``epochs.json`` manifest: the stream reserves ``batch:<id>`` keys
+# (replaying a micro-batch reuses its mapped epoch — exactly-once),
+# compaction reserves ``compact:<in_lo>-<in_hi>`` keys.  Without this,
+# checkpointed batch ids (0..N-1) collide with compaction's
+# max(existing)+1 (= N): the next micro-batch would overwrite the
+# freshly-compacted epoch and silently drop all prior history.
+#
+# Compaction is crash/reader-safe via atomic rename: the merged
+# cluster is built under ``compact-tmp-*`` (invisible to list_epochs),
+# carries a ``compaction.inputs`` file naming the epochs it subsumes,
+# and renames into its ``epoch-NNNNNN`` slot before the inputs are
+# deleted.  Readers exclude subsumed inputs (transitively), so at
+# every instant they see exactly one copy of each capture: before the
+# rename the inputs, after it the merged epoch.
+#
+# Single-coordinator assumption: manifest read-modify-write and the
+# rename are driver-side; one ingest stream plus one compactor per
+# index root (the usage both docstrings describe), not N concurrent
+# uncoordinated writers.
+
+_EPOCH_MANIFEST = "epochs.json"
+_COMPACT_INPUTS = "compaction.inputs"
 
 
-def list_epochs(out_dir: str) -> list[str]:
-    """Epoch directories under ``out_dir``, oldest first."""
+def _read_epoch_manifest(out_dir: str) -> dict[str, int]:
+    import json
+
+    fs, local_dir = _fs_for(out_dir)
+    try:
+        with fs.open_input_stream(
+            _join(local_dir, _EPOCH_MANIFEST), compression=None
+        ) as fh:
+            return {str(k): int(v) for k, v in json.loads(fh.read().decode()).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_epoch_manifest(out_dir: str, manifest: dict[str, int]) -> None:
+    import json
+
+    fs, local_dir = _fs_for(out_dir)
+    fs.create_dir(local_dir, recursive=True)
+    with fs.open_output_stream(
+        _join(local_dir, _EPOCH_MANIFEST), compression=None
+    ) as fh:
+        fh.write(json.dumps(manifest, sort_keys=True).encode())
+
+
+def reserve_epoch_id(out_dir: str, key: str) -> int:
+    """Allocate (or look up) the epoch id for ``key`` in the manifest.
+
+    Replay-safe: a key already present returns its original id, so a
+    re-delivered micro-batch rewrites ITS OWN epoch instead of taking a
+    fresh slot.  A fresh key gets max(manifest ids ∪ on-disk epoch
+    ids) + 1 — on-disk ids are included so pre-manifest clusters (or a
+    manually-dropped manifest) can never be overwritten."""
+    manifest = _read_epoch_manifest(out_dir)
+    if key in manifest:
+        return manifest[key]
+    ids = set(manifest.values())
+    for e in _epoch_names(out_dir):
+        ids.add(int(e.rsplit("-", 1)[1]))
+    nid = max(ids, default=-1) + 1
+    manifest[key] = nid
+    _write_epoch_manifest(out_dir, manifest)
+    return nid
+
+
+def _epoch_names(out_dir: str) -> list[str]:
+    """All on-disk epoch directory basenames, unfiltered, sorted."""
     import re
 
     from pyarrow import fs as pafs
 
     fs, local_dir = _fs_for(out_dir)
     infos = fs.get_file_info(pafs.FileSelector(local_dir, allow_not_found=True))
-    names = sorted(
+    return sorted(
         i.base_name
         for i in infos
         if i.type == pafs.FileType.Directory and re.fullmatch(r"epoch-\d{6}", i.base_name)
     )
-    return [_join(out_dir, n) for n in names]
+
+
+def _subsumed_names(out_dir: str) -> set[str]:
+    """Epoch basenames subsumed by a COMPLETED compaction (transitive:
+    an excluded epoch's own ``compaction.inputs`` still counts, so a
+    chain epoch-9⊇epoch-5⊇epoch-0..4 excludes everything but 9)."""
+    fs, _ = _fs_for(out_dir)
+    subsumed: set[str] = set()
+    for name in _epoch_names(out_dir):
+        try:
+            with fs.open_input_stream(
+                _join(_fs_for(out_dir)[1], name, _COMPACT_INPUTS), compression=None
+            ) as fh:
+                subsumed.update(fh.read().decode().split())
+        except OSError:
+            continue
+    return subsumed
+
+
+def list_epochs(out_dir: str) -> list[str]:
+    """LIVE epoch directories under ``out_dir``, oldest first —
+    on-disk epochs minus those a completed compaction has subsumed
+    (their data is already in the merged epoch; reading both would
+    duplicate every capture during the rename→delete window)."""
+    dead = _subsumed_names(out_dir)
+    return [_join(out_dir, n) for n in _epoch_names(out_dir) if n not in dead]
 
 
 def write_zipnum_epoch(
@@ -422,22 +559,58 @@ def compact_zipnum_epochs(
     shards: int = 4,
     numlines: int = 3000,
 ) -> DataFrame:
-    """Fold ALL current epochs into a single new epoch (leveled merge):
-    read every epoch's rows (already sorted runs — the range shuffle
-    re-establishes total order), write one cluster as the next epoch
-    id, then drop the inputs.  Readers only ever see complete epochs:
-    the new epoch is fully written before the old directories go."""
+    """Fold ALL live epochs into a single new epoch (leveled merge),
+    atomically for readers and crashes:
+
+    1. build the merged cluster under ``compact-tmp-NNNNNN`` — a name
+       ``list_epochs`` never matches, so readers still see the inputs;
+    2. record the input epoch names in ``compaction.inputs`` inside it;
+    3. rename into the ``epoch-NNNNNN`` slot (one atomic metadata op on
+       local/HDFS) — from this instant readers pick up the merged
+       epoch and, via the inputs file, stop reading the inputs;
+    4. delete the input directories (pure space reclaim — correctness
+       no longer depends on it, so a crash here just leaves garbage
+       that the next compaction's input-exclusion ignores).
+
+    The epoch id comes from the shared manifest allocator, keyed by the
+    input range so a crashed-and-rerun compaction of the same inputs is
+    idempotent (same slot, rewritten)."""
     epochs = list_epochs(out_dir)
     if not epochs:
         raise ValueError(f"no epochs to compact under {out_dir!r}")
     merged = read_zipnum_epochs(spark, out_dir)
-    next_id = int(epochs[-1].rsplit("-", 1)[1]) + 1
-    idx = write_zipnum_epoch(
-        merged, out_dir, next_id, shards=shards, numlines=numlines
+    in_names = [e.rsplit("/", 1)[1] for e in epochs]
+    next_id = reserve_epoch_id(
+        out_dir, f"compact:{in_names[0]}-{in_names[-1]}"
     )
-    # the returned index df lazily re-reads the WRITTEN cluster.idx, so
-    # materialization is already done; dropping inputs is safe
+    tmp = _join(out_dir, f"compact-tmp-{next_id:06d}")
+    fs, root_local = _fs_for(out_dir)
+    # stale tmp from a crashed run: rebuild from scratch
+    try:
+        fs.delete_dir(_join(root_local, f"compact-tmp-{next_id:06d}"))
+    except OSError:
+        pass
+    write_zipnum(merged, tmp, shards=shards, numlines=numlines)
+    _, tmp_local = _fs_for(tmp)
+    with fs.open_output_stream(
+        _join(tmp_local, _COMPACT_INPUTS), compression=None
+    ) as fh:
+        fh.write(("\n".join(in_names) + "\n").encode())
+    final = _join(root_local, f"epoch-{next_id:06d}")
+    fs.move(tmp_local, final)
+    # cluster.loc was written against the tmp path; repoint the shard
+    # paths at the renamed slot (names are unchanged, it's pure text)
+    final_uri = _join(out_dir, f"epoch-{next_id:06d}")
+    with fs.open_input_stream(_join(final, "cluster.loc"), compression=None) as fh:
+        names = [line.split("\t")[0] for line in fh.read().decode().splitlines()]
+    with fs.open_output_stream(_join(final, "cluster.loc"), compression=None) as fh:
+        for s in names:
+            fh.write(f"{s}\t{_join(final_uri, s)}\n".encode())
     for e in epochs:
-        fs, local = _fs_for(e)
-        fs.delete_dir(local)
-    return idx
+        efs, local = _fs_for(e)
+        efs.delete_dir(local)
+    return (
+        spark.read.schema(IDX_SCHEMA)
+        .options(sep="\t", quote="", lineSep="\n")
+        .csv(_join(out_dir, f"epoch-{next_id:06d}", "cluster.idx"))
+    )

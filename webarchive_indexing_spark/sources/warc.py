@@ -13,11 +13,30 @@ yields plain tuples, so everything downstream is DataFrame-land.
 The skip-existing probe (S7) is a distributed left-anti join instead
 of the reference's per-file S3 HEAD loop.
 
-WARC subset implemented: gzip-member-per-record files; ``response``
-``revisit`` ``request`` ``metadata`` record types; HTTP status +
-Content-Type extraction; SHA-1 payload digest (hex, upstream uses
-base32 — documented divergence).  Enough to index the synthetic
-fixtures and any record-per-member WARC.
+Formats handled (``parse_archive_file`` dispatches by magic bytes, so
+one manifest can mix them — matching the reference's "WARC/ARC" claim
+[U indexwarcsjob.py::_load_and_index ~L80-130], which delegated to
+pywb's DefaultRecordParser):
+
+* ``.warc.gz`` member-per-record (the Common Crawl / IIPC layout):
+  each CDX row carries the member's COMPRESSED (offset, length) — the
+  replay-correct seekable extent.
+* ``.warc.gz`` with several records per gzip member (wget and ARC-era
+  tools emit these): records are split on WARC Content-Length inside
+  the decompressed member; every record in a member reports the
+  MEMBER's compressed extent — gzip cannot start mid-member, so the
+  member is the smallest seekable unit and a replayer scans it.
+* plain ``.warc`` (uncompressed): true byte (offset, length) of each
+  record — directly seekable.
+* ``.arc(.gz)`` legacy: v1/v2 ``filedesc://`` version block, one
+  space-separated header line per record (URL, IP, 14-digit date,
+  mime, length); same offset semantics as the WARC variants.
+
+Record types indexed: ``response`` ``revisit`` (WARC), every non-
+filedesc ARC record; HTTP status + Content-Type extraction; SHA-1
+payload digest — hex by default, ``digest_b32=True`` emits pywb's
+uppercase unpadded base32 so digests JOIN cleanly against existing
+CDX/CDXJ indexes built by the upstream toolchain.
 """
 
 from __future__ import annotations
@@ -43,7 +62,7 @@ CRLF = b"\r\n"
 # ---------------------------------------------------------------------------
 
 
-def build_warc_record(
+def build_warc_record_plain(
     url: str,
     date_iso: str,
     payload: bytes,
@@ -52,7 +71,8 @@ def build_warc_record(
     mime: str = "text/html",
     status: int = 200,
 ) -> bytes:
-    """One WARC record as an independent gzip member."""
+    """One WARC record, uncompressed (header block + HTTP block +
+    record separator) — the unit every layout below composes."""
     if rec_type == "response":
         http = (
             f"HTTP/1.1 {status} OK\r\nContent-Type: {mime}\r\n"
@@ -68,15 +88,31 @@ def build_warc_record(
         f"Content-Length: {len(http)}\r\n"
         f"Content-Type: application/http; msgtype=response\r\n"
     ).encode()
-    record = headers + CRLF + http + CRLF + CRLF
-    return gzip.compress(record, mtime=0)
+    return headers + CRLF + http + CRLF + CRLF
 
 
-def write_mini_warc(path: str, records: list[dict]) -> None:
-    """Concatenated gzip members → a standard .warc.gz file."""
+def build_warc_record(url: str, date_iso: str, payload: bytes, **kw) -> bytes:
+    """One WARC record as an independent gzip member."""
+    return gzip.compress(build_warc_record_plain(url, date_iso, payload, **kw), mtime=0)
+
+
+def write_mini_warc(path: str, records: list[dict], *, layout: str = "member") -> None:
+    """Fixture writer for every container layout the parser handles:
+    ``member`` = one gzip member per record (standard .warc.gz);
+    ``single-member`` = ALL records in one gzip member (wget-style);
+    ``plain`` = uncompressed .warc."""
     with open(path, "wb") as fh:
-        for r in records:
-            fh.write(build_warc_record(**r))
+        if layout == "member":
+            for r in records:
+                fh.write(build_warc_record(**r))
+        elif layout == "single-member":
+            blob = b"".join(build_warc_record_plain(**r) for r in records)
+            fh.write(gzip.compress(blob, mtime=0))
+        elif layout == "plain":
+            for r in records:
+                fh.write(build_warc_record_plain(**r))
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -97,6 +133,14 @@ def iter_warc_members(data: bytes):
         try:
             record = d.decompress(data[pos:])
         except zlib.error:
+            return
+        if not d.eof:
+            # cleanly truncated tail member: zlib raises only on
+            # CORRUPT bytes — a mid-stream cut never reaches the
+            # trailer/CRC, so decompress returns the partial payload
+            # with eof False.  Yielding it would index a partial
+            # record with a wrong SHA-1/length, poisoning digest
+            # dedup and revisit resolution downstream.
             return
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:  # no forward progress: garbage between members
@@ -122,48 +166,251 @@ def iso_to_ts14(iso: str) -> str:
     return dt.strftime("%Y%m%d%H%M%S")
 
 
-def parse_warc_file(filename: str, data: bytes):
-    """Yield one CDX tuple per indexable record (response/revisit)."""
-    short = filename.rsplit("/", 1)[-1]
-    for offset, clen, record in iter_warc_members(data):
-        head_end = record.find(CRLF + CRLF)
-        if head_end < 0:
-            continue
-        wheaders = _parse_headers(record[:head_end])
-        first = record.split(CRLF, 1)[0]
-        if not first.startswith(b"WARC/"):
-            continue
-        rec_type = wheaders.get("warc-type", "")
-        if rec_type not in ("response", "revisit"):
-            continue
-        url = wheaders.get("warc-target-uri", "")
-        ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
-        body = record[head_end + 4 :].rstrip(b"\r\n")
+def _sha1_digest(payload: bytes, b32: bool) -> str:
+    """SHA-1 of the payload: lowercase hex (engine default) or pywb's
+    uppercase unpadded base32 (20 bytes → exactly 32 chars, so no '='
+    padding ever appears) for interop joins against upstream CDX."""
+    h = hashlib.sha1(payload)
+    if b32:
+        import base64
 
-        status, mime, payload = None, None, body
-        if body.startswith(b"HTTP/"):
-            http_end = body.find(CRLF + CRLF)
-            if http_end >= 0:
-                status_line = body.split(CRLF, 1)[0].decode("latin-1", "replace")
-                parts = status_line.split(" ")
-                status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
-                hh = _parse_headers(body[:http_end])
-                mime = (hh.get("content-type") or "").split(";")[0].strip() or None
-                payload = body[http_end + 4 :]
-        digest = hashlib.sha1(payload).hexdigest()
-        yield (
-            surt_urlkey_py(url),
-            ts14,
-            url,
-            mime if rec_type != "revisit" else "warc/revisit",
-            status,
-            digest,
-            None,
-            None,
-            clen,
-            offset,
-            short,
-        )
+        return base64.b32encode(h.digest()).decode("ascii")
+    return h.hexdigest()
+
+
+def split_warc_records(stream: bytes):
+    """Split a decompressed byte stream into WARC records using each
+    record's Content-Length header: (uncompressed_offset,
+    uncompressed_length, record_bytes) per record.  A record whose
+    header block is unparseable (or whose declared body overruns the
+    stream — a truncated plain .warc) ends the iteration: partial
+    records must not be indexed with wrong digests."""
+    pos = 0
+    n = len(stream)
+    while pos < n:
+        # tolerate blank separator lines between records
+        while pos < n and stream[pos : pos + 2] == CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        head_end = stream.find(CRLF + CRLF, pos)
+        if head_end < 0 or not stream[pos:].startswith(b"WARC/"):
+            return
+        headers = _parse_headers(stream[pos:head_end])
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_end = head_end + 4 + clen
+        if body_end > n:
+            return  # declared body overruns the stream: truncated tail
+        # reported length runs to the next record start (separator
+        # CRLFs included) — warcio's uncompressed-offset convention,
+        # so extents tile the file exactly
+        nxt = body_end
+        while nxt < n and stream[nxt : nxt + 2] == CRLF:
+            nxt += 2
+        yield pos, nxt - pos, stream[pos:body_end]
+        pos = nxt
+
+
+def _index_warc_record(record: bytes, *, digest_b32: bool):
+    """CDX fields (urlkey..robotflags) for ONE complete WARC record, or
+    None for types that don't index (request/metadata/warcinfo)."""
+    head_end = record.find(CRLF + CRLF)
+    if head_end < 0 or not record.startswith(b"WARC/"):
+        return None
+    wheaders = _parse_headers(record[:head_end])
+    rec_type = wheaders.get("warc-type", "")
+    if rec_type not in ("response", "revisit"):
+        return None
+    url = wheaders.get("warc-target-uri", "")
+    ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
+    body = record[head_end + 4 :].rstrip(b"\r\n")
+
+    status, mime, payload = None, None, body
+    if body.startswith(b"HTTP/"):
+        http_end = body.find(CRLF + CRLF)
+        if http_end >= 0:
+            status_line = body.split(CRLF, 1)[0].decode("latin-1", "replace")
+            parts = status_line.split(" ")
+            status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
+            hh = _parse_headers(body[:http_end])
+            mime = (hh.get("content-type") or "").split(";")[0].strip() or None
+            payload = body[http_end + 4 :]
+    return (
+        surt_urlkey_py(url),
+        ts14,
+        url,
+        mime if rec_type != "revisit" else "warc/revisit",
+        status,
+        _sha1_digest(payload, digest_b32),
+        None,
+        None,
+    )
+
+
+def parse_warc_file(filename: str, data: bytes, *, digest_b32: bool = False):
+    """Yield one CDX tuple per indexable record of a ``.warc.gz``.
+
+    Offset semantics: the COMPRESSED member extent — for the usual
+    member-per-record file that is the record itself; a member holding
+    several records (split on Content-Length) stamps each with the
+    member's extent, the smallest gzip-seekable unit."""
+    short = filename.rsplit("/", 1)[-1]
+    for offset, clen, member in iter_warc_members(data):
+        records = list(split_warc_records(member))
+        if not records:
+            # header-block-unparseable member: keep legacy tolerance —
+            # try the whole member as one record (e.g. LF-only headers
+            # would land here and be skipped by the record indexer)
+            records = [(0, len(member), member)]
+        for _, _, record in records:
+            fields = _index_warc_record(record, digest_b32=digest_b32)
+            if fields is not None:
+                yield (*fields, clen, offset, short)
+
+
+def parse_plain_warc(filename: str, data: bytes, *, digest_b32: bool = False):
+    """Uncompressed ``.warc``: records split on Content-Length, each
+    CDX row carrying its true (uncompressed) byte offset + length."""
+    short = filename.rsplit("/", 1)[-1]
+    for offset, rlen, record in split_warc_records(data):
+        fields = _index_warc_record(record, digest_b32=digest_b32)
+        if fields is not None:
+            yield (*fields, rlen, offset, short)
+
+
+# ---------------------------------------------------------------------------
+# ARC legacy format (v1/v2)
+# ---------------------------------------------------------------------------
+
+
+def build_arc_record(
+    url: str,
+    ts14: str,
+    payload: bytes,
+    *,
+    mime: str = "text/html",
+    status: int = 200,
+    ip: str = "0.0.0.0",
+) -> bytes:
+    """One ARC v1 record (uncompressed): space-separated header line,
+    HTTP response block, newline separator."""
+    http = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {mime}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload
+    header = f"{url} {ip} {ts14} {mime} {len(http)}\n".encode()
+    return header + http + b"\n"
+
+
+def build_arc_filedesc(filename: str, ts14: str = "20200101000000") -> bytes:
+    """The mandatory leading version block of an ARC file."""
+    body = (
+        b"1 0 InternetArchive\n"
+        b"URL IP-address Archive-date Content-type Archive-length\n"
+    )
+    header = f"filedesc://{filename} 0.0.0.0 {ts14} text/plain {len(body)}\n".encode()
+    return header + body + b"\n"
+
+
+def split_arc_records(stream: bytes):
+    """Split an uncompressed ARC stream into records on the header
+    line's length field: (offset, length, header_fields, http_block).
+    Stops at the first malformed or overrunning record (truncation)."""
+    pos = 0
+    n = len(stream)
+    while pos < n:
+        while pos < n and stream[pos : pos + 1] == b"\n":
+            pos += 1
+        if pos >= n:
+            return
+        eol = stream.find(b"\n", pos)
+        if eol < 0:
+            return
+        fields = stream[pos:eol].decode("latin-1", "replace").split(" ")
+        if len(fields) < 5:
+            return
+        try:
+            blen = int(fields[-1])
+        except ValueError:
+            return
+        body_end = eol + 1 + blen
+        if body_end > n:
+            return  # truncated tail
+        yield pos, body_end - pos, fields, stream[eol + 1 : body_end]
+        pos = body_end
+
+
+def _index_arc_record(fields: list[str], http: bytes, *, digest_b32: bool):
+    """CDX fields for one ARC record; None for the filedesc:// block."""
+    url = fields[0]
+    if url.startswith("filedesc://"):
+        return None
+    ts14 = fields[2] if len(fields[2]) == 14 and fields[2].isdigit() else "19700101000000"
+    mime = fields[3].split(";")[0].strip() or None
+    status, payload = None, http
+    if http.startswith(b"HTTP/"):
+        http_end = http.find(CRLF + CRLF)
+        if http_end >= 0:
+            parts = http.split(CRLF, 1)[0].decode("latin-1", "replace").split(" ")
+            status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
+            hh = _parse_headers(http[:http_end])
+            mime = (hh.get("content-type") or "").split(";")[0].strip() or mime
+            payload = http[http_end + 4 :]
+    return (
+        surt_urlkey_py(url),
+        ts14,
+        url,
+        mime,
+        status,
+        _sha1_digest(payload, digest_b32),
+        None,
+        None,
+    )
+
+
+def parse_arc_file(filename: str, data: bytes, *, digest_b32: bool = False):
+    """``.arc`` / ``.arc.gz``: same offset semantics as the WARC
+    variants (compressed member extent for .gz, true byte extent for
+    plain files)."""
+    short = filename.rsplit("/", 1)[-1]
+    if data[:2] == b"\x1f\x8b":
+        for offset, clen, member in iter_warc_members(data):
+            for _, _, fields, http in split_arc_records(member):
+                row = _index_arc_record(fields, http, digest_b32=digest_b32)
+                if row is not None:
+                    yield (*row, clen, offset, short)
+    else:
+        for offset, rlen, fields, http in split_arc_records(data):
+            row = _index_arc_record(fields, http, digest_b32=digest_b32)
+            if row is not None:
+                yield (*row, rlen, offset, short)
+
+
+# ---------------------------------------------------------------------------
+# format dispatch
+# ---------------------------------------------------------------------------
+
+
+def parse_archive_file(filename: str, data: bytes, *, digest_b32: bool = False):
+    """Sniff the container + record format from the BYTES (extensions
+    lie in the wild) and dispatch: gzip magic → member iteration, then
+    WARC/ARC by the first record's signature."""
+    if data[:2] == b"\x1f\x8b":
+        probe = next(iter_warc_members(data), None)
+        if probe is None:
+            return iter(())
+        head = probe[2][:16]
+        if head.startswith(b"WARC/"):
+            return parse_warc_file(filename, data, digest_b32=digest_b32)
+        return parse_arc_file(filename, data, digest_b32=digest_b32)
+    if data.startswith(b"WARC/"):
+        return parse_plain_warc(filename, data, digest_b32=digest_b32)
+    if data.startswith(b"filedesc://"):
+        return parse_arc_file(filename, data, digest_b32=digest_b32)
+    return iter(())
 
 
 # ---------------------------------------------------------------------------
@@ -172,14 +419,21 @@ def parse_warc_file(filename: str, data: bytes):
 
 
 def index_warcs(
-    spark: SparkSession, manifest: DataFrame, *, files_per_task: int = 2
+    spark: SparkSession,
+    manifest: DataFrame,
+    *,
+    files_per_task: int = 2,
+    digest_b32: bool = False,
 ) -> DataFrame:
-    """S1+S2: manifest (column ``path``) → typed CDX DataFrame.
+    """S1+S2: manifest (column ``path``) → typed CDX DataFrame; mixed
+    WARC/ARC, gzipped or plain, all dispatch per file by magic bytes.
 
     Task granularity mirrors the reference's linespermap=2 [U]; each
     task streams its files (whole-member reads, O(file) memory only
     for the fixture-scale in-memory path — the seam for true streaming
-    reads is marked in the partition fn)."""
+    reads is marked in the partition fn).  ``digest_b32=True`` emits
+    pywb-compatible base32 digests for joining against existing CC
+    indexes."""
     n_files = manifest.count()
     n_parts = max(1, n_files // files_per_task)
 
@@ -188,7 +442,7 @@ def index_warcs(
             path = row[0]
             with open(path, "rb") as fh:  # seam: FS/S3 streaming reader
                 data = fh.read()
-            yield from parse_warc_file(path, data)
+            yield from parse_archive_file(path, data, digest_b32=digest_b32)
 
     rdd = manifest.select("path").repartition(n_parts).rdd.mapPartitions(parse)
     return spark.createDataFrame(rdd, CDX_SCHEMA)

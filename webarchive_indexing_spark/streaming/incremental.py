@@ -70,8 +70,19 @@ def stream_zipnum_epochs(
     amplification grows.  The LSM contract: sorted runs in, leveled
     merge behind — which is how a live archive actually absorbs a new
     crawl without rewriting the whole index.  Exactly-once per epoch
-    via the checkpointed file-source offsets (batch_id = epoch id)."""
-    from ..sinks.zipnum import write_zipnum_epoch
+    via the checkpointed file-source offsets PLUS the epoch manifest:
+    each batch_id is mapped to an epoch id drawn from the same
+    monotonic space compaction allocates from (``reserve_epoch_id``),
+    so a post-compaction micro-batch can never land on — and wipe —
+    the merged epoch's slot; a replayed batch reuses its mapped id
+    (idempotent rewrite), and a replay whose epoch was already folded
+    into a compacted cluster is skipped outright (its rows are
+    durable in the merged epoch — rewriting would duplicate them)."""
+    from ..sinks.zipnum import (
+        _subsumed_names,
+        reserve_epoch_id,
+        write_zipnum_epoch,
+    )
 
     lines = spark.readStream.format("text").load(input_dir)
     cdx = parse_cdx_lines(lines)
@@ -79,8 +90,11 @@ def stream_zipnum_epochs(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        epoch_id = reserve_epoch_id(out_dir, f"batch:{int(batch_id)}")
+        if f"epoch-{epoch_id:06d}" in _subsumed_names(out_dir):
+            return
         write_zipnum_epoch(
-            batch_df, out_dir, int(batch_id), shards=shards, numlines=numlines
+            batch_df, out_dir, epoch_id, shards=shards, numlines=numlines
         )
 
     return (
