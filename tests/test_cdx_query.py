@@ -144,3 +144,41 @@ def test_spark_hashes(spark):
     ).collect()[0]
     assert r.h1 == hashlib.sha1(b"hello").hexdigest()
     assert isinstance(r.h2, int) and isinstance(r.h3, int)
+
+
+def test_match_glob(spark):
+    from webarchive_indexing_spark.operators.cdx_query import (
+        cdx_query,
+        glob_to_like,
+        match_glob,
+    )
+
+    rows = [
+        ("com,example)/doc/17", "20200101000000"),
+        ("com,example)/doc/107", "20200101000000"),
+        ("com,example)/doc/1x7", "20200101000000"),
+        ("com,example)/doc/127?a=1", "20200101000000"),
+        ("com,example)/doc/27", "20200101000000"),
+        ("com,other)/doc/17", "20200101000000"),
+        ("com,example)/d_c/17", "20200101000000"),  # '_' must be literal
+    ]
+    cdx = spark.createDataFrame(rows, ["urlkey", "timestamp"])
+    got = {
+        r.urlkey
+        for r in match_glob(cdx, "http://example.com/doc/1*7").collect()
+    }
+    assert got == {
+        "com,example)/doc/17",
+        "com,example)/doc/107",
+        "com,example)/doc/1x7",
+    }
+    # LIKE metacharacters in the key stay literal
+    assert glob_to_like("a)/d_c/1*7") == "a)/d\\_c/1%7"
+    # the same semantics through the full cdx_query surface
+    got2 = {
+        r.urlkey
+        for r in cdx_query(
+            cdx, "http://example.com/doc/1*7", match_type="glob"
+        ).collect()
+    }
+    assert got2 == got

@@ -33,7 +33,7 @@ def test_decode_batches_schema_and_values(spark, sf_dir):
         raw = src[doc_id].encode()
         assert r.n_bytes == len(raw)
         assert r.first_byte == raw[0]
-        assert r.content_id == hashlib.sha1(raw).hexdigest()[:16]
+        assert r.content_id == hashlib.sha256(raw).hexdigest()[:16]
         assert r.media_kind in ("image", "audio", "video")
 
 

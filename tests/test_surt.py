@@ -67,6 +67,25 @@ KNOWN = [
     ("http://example.com/a/.hidden", "com,example)/a/.hidden"),
     # --- host dot cleanup ---
     ("http://example..com./x", "com,example)/x"),
+    # --- mixed-case schemes and uppercase %-escapes (lower() first) ---
+    ("HtTpS://Example.com/A", "com,example)/a"),
+    ("http://example.com/%7EUser/%4a%4B", "com,example)/~user/jk"),
+    ("http://example.com/p?u=%4A&v=%7E", "com,example)/p?u=j&v=~"),
+    # bare/truncated escapes survive verbatim
+    ("http://example.com/x%", "com,example)/x%"),
+    ("http://example.com/x%2", "com,example)/x%2"),
+    ("http://example.com/%%%", "com,example)/%%%"),
+]
+
+#: IDN hosts: surt_urlkey_py (and the pandas fallback) punycode them;
+#: the NATIVE expression documents ASCII-host-only — so these pairs are
+#: asserted on the Python/pandas paths, not the codegen path.
+KNOWN_IDN = [
+    ("http://bücher.example/", "example,xn--bcher-kva)/"),
+    ("https://WWW.Bücher.Example/x?b=2&a=1", "example,xn--bcher-kva)/x?a=1&b=2"),
+    ("http://☃.example/s", "example,xn--n3h)/s"),
+    # already-encoded punycode passes through untouched (idempotent)
+    ("http://xn--bcher-kva.example/", "example,xn--bcher-kva)/"),
 ]
 
 
@@ -105,12 +124,19 @@ def test_native_matches_python_on_messy_urls(spark):
         "/%%325ab",
         "/%%341",
         "/x%%2532y",
+        # bare / truncated / piled-up escapes
+        "/%",
+        "/x%2",
+        "/%%",
+        "/%25%32%35",
+        "/%gg%41",
     ]
     queries = [
         "",
         "?b=2&a=%41&sid=0123456789abcdef0123456789abcdef",
         "?cfid=9&cftoken=t0&z=1",
         "?only=%7e",
+        "?U=%4A&v=%2541&w=%25",
     ]
     urls = [f"http://{h}{p}{q}" for h in hosts for p in paths for q in queries]
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
@@ -124,6 +150,18 @@ def test_pandas_udf_matches(spark):
     udf = surt_urlkey_pandas()
     got = [r[0] for r in df.select(udf("url")).collect()]
     assert got == [e for _, e in KNOWN]
+
+
+@pytest.mark.parametrize("url,expected", KNOWN_IDN)
+def test_idn_punycode_python(url, expected):
+    assert surt_urlkey_py(url) == expected
+
+
+def test_idn_punycode_pandas(spark):
+    df = spark.createDataFrame([(u,) for u, _ in KNOWN_IDN], ["url"])
+    udf = surt_urlkey_pandas()
+    got = [r[0] for r in df.select(udf("url")).collect()]
+    assert got == [e for _, e in KNOWN_IDN]
 
 
 _hosts = st.lists(

@@ -9,7 +9,8 @@ then applying the identical residual pipeline.
 
 Parameter → plan mapping:
   url/match_type  exact: key equality; prefix: [k, k+'~');
-                  domain: host-reversal prefix     (P5)
+                  domain: host-reversal prefix; glob: mid-path '*'
+                  wildcards — literal-prefix range + LIKE residual (P5)
   from_/to        14-digit prefix range, string compare  (P4)
   filters         'field:regex', '!field:regex', 'field~substr' (P2)
   collapse        'field' or 'field:N' run-based keep-first (W2)
@@ -38,7 +39,44 @@ def _key_range(url: str, match_type: str) -> tuple[str, str | None, str | None]:
     if match_type in ("host", "domain"):
         host = key.split(")")[0]
         return None, host, host + "~"
+    if match_type == "glob":
+        # everything before the first '*' is a literal SURT prefix —
+        # the range-prunable part; the full pattern is a residual
+        pre = key.split("*", 1)[0]
+        return None, pre, pre + "~"
     raise ValueError(f"unknown match_type {match_type!r}")
+
+
+def glob_to_like(key: str) -> str:
+    """SURT-key glob → SQL LIKE pattern: '*' becomes '%', everything
+    else is literal (LIKE metacharacters get backslash-escaped).
+    pywb's url-wildcard rules use only '*' — a '?' in a URL is the
+    query separator, never a wildcard."""
+    out = []
+    for ch in key:
+        if ch == "*":
+            out.append("%")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def match_glob(cdx: DataFrame, url: str) -> DataFrame:
+    """P5 matchType=glob [B pywb fuzzy/url-wildcard subset]: ``url``
+    may carry mid-path ``*`` wildcards.  The key range [literal-prefix,
+    prefix+'~') does the heavy lifting — on ZipNum storage it prunes
+    blocks exactly like matchType=prefix, so a glob over one host
+    never scans the whole index — and the LIKE residual (JVM
+    codegen, no UDF) finishes the match."""
+    key = surt_urlkey_py(url)
+    pre = key.split("*", 1)[0]
+    return cdx.filter(
+        (F.col("urlkey") >= pre)
+        & (F.col("urlkey") < pre + "~")
+        & F.col("urlkey").like(glob_to_like(key))
+    )
 
 
 def _apply_filters(df: DataFrame, filters: list[str]) -> DataFrame:
@@ -76,6 +114,8 @@ def cdx_query(
         df = cdx.filter(F.col("urlkey") == exact)
     else:
         df = cdx.filter((F.col("urlkey") >= lo) & (F.col("urlkey") < hi))
+    if match_type == "glob":
+        df = df.filter(F.col("urlkey").like(glob_to_like(surt_urlkey_py(url))))
 
     if from_ is not None:
         df = df.filter(F.col("timestamp") >= from_.ljust(14, "0"))

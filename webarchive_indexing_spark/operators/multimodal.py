@@ -7,7 +7,7 @@ the bytes never round-trip row-at-a-time.
 
 The actual media decoding is STUBBED (this container ships no
 image/audio libraries): ``decode_batches`` computes deterministic
-pseudo-features (payload length, first-byte value, sha1 prefix) in
+pseudo-features (payload length, first-byte value, sha256 prefix) in
 place of pixel decoding, and ``decode_image_real`` raises
 ``NotImplementedError`` at the exact seam where a real decoder (PIL /
 ffmpeg) plugs in.  Everything Spark-side — schema, batching,
@@ -70,8 +70,11 @@ def decode_batches(df: DataFrame) -> DataFrame:
                     "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype(
                         "int32"
                     ),
+                    # sha256, not sha1: same content-addressing
+                    # semantics, but recomputable by every SQL engine
+                    # the result might be checked against
                     "content_id": payloads.map(
-                        lambda b: hashlib.sha1(b).hexdigest()[:16]
+                        lambda b: hashlib.sha256(b).hexdigest()[:16]
                     ),
                 }
             )

@@ -198,6 +198,29 @@ def cdx_match_host(spark, sf_dir):
 
 
 @query(
+    "cdx_match_glob",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14, status FROM cdx
+    WHERE urlkey LIKE 'org,example,src1)/doc/1%1%'
+    """,
+    tier="B",
+)
+def cdx_match_glob(spark, sf_dir):
+    """P5 matchType=glob [B pywb url-wildcard subset]: a mid-path
+    ``*`` in the query URL.  The literal prefix before the star stays
+    a range-prunable key constraint (block pruning on ZipNum, shard
+    pruning on sorted parquet); the LIKE residual is pure codegen.
+    The messy input URL also re-exercises SURT: the wildcard must
+    survive canonicalization untouched."""
+    from ..operators.cdx_query import match_glob
+
+    c = derived_cdx(spark, sf_dir)
+    return match_glob(c, "https://WWW.Src1.Example.org:443/doc/1*1*").select(
+        "urlkey", "ts14", "status"
+    )
+
+
+@query(
     "cdxj_roundtrip",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14 AS timestamp, mime, status

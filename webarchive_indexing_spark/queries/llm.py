@@ -1503,13 +1503,42 @@ def text_pmi_bigrams(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("multimodal_decode_stub", oracle=None, tier="C")
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_kind,
+             encode(text) AS payload,
+             -- sha256(VARCHAR) hashes the UTF-8 bytes == sha256(payload)
+             sha256(text) AS payload_sha
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, media_kind,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN octet_length(payload) > 0
+                THEN 16 * (strpos('0123456789abcdef',
+                                  substr(lower(hex(payload)), 1, 1)) - 1)
+                   + (strpos('0123456789abcdef',
+                             substr(lower(hex(payload)), 2, 1)) - 1)
+                ELSE -1 END AS INT) AS first_byte,
+           substr(payload_sha, 1, 16) AS content_id
+    FROM src
+    """,
+    tier="C",
+)
 def multimodal_decode_stub(spark, sf_dir):
     """L6 multimodal columns: documents gain an opaque binary payload +
     typed metadata struct; a mapInPandas stage 'decodes' each batch
     (real decoder stubbed — no image/audio libs in this container; the
     Arrow batch shape, schema and partitioning are the real thing).
-    Rows-only check; schema/values asserted in tests/test_multimodal.py."""
+
+    Every output column is a deterministic function of the payload
+    bytes (length, first byte, sha256 content id), so the whole Arrow
+    round trip — binary column in, typed batch out — is value-hashed
+    against the oracle's byte arithmetic, not just row-counted."""
     from ..operators.multimodal import attach_fake_payload, decode_batches
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
