@@ -60,6 +60,9 @@ HEADLINE = [
     "curriculum_percentile",
     "emb_quantize_int8",
     "semdedup_keep_list",
+    "cdx_page_blocks",
+    "dedup_paragraph_chunks",
+    "cdx_crawl_diff",
 ]
 
 

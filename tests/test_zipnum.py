@@ -196,3 +196,62 @@ def test_page_blocks_tile_range_query(spark, cluster, cdx):
     assert read_zipnum_page(
         spark, d, n, key_lo=lo, key_hi=hi, page_size=3
     ).count() == 0
+
+
+def test_compaction_sweeps_orphaned_dead_epochs(spark, tmp_path):
+    """A crash between rename and input-delete leaves dead epoch dirs;
+    the next compaction reclaims them without resurrecting their rows."""
+    import glob
+
+    from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+    from webarchive_indexing_spark.sinks.zipnum import (
+        compact_zipnum_epochs,
+        list_epochs,
+        read_zipnum_epochs,
+        reserve_epoch_id,
+        write_zipnum_epoch,
+    )
+
+    root = str(tmp_path / "idx")
+    cdx = derived_cdx(spark, "/root/testdata/sf0.001").limit(120)
+    full = cdx.select(
+        "urlkey",
+        F.col("ts14").alias("timestamp"),
+        F.lit("http://x/").alias("url"),
+        "mime",
+        "status",
+        "digest",
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(None).cast("string").alias("robotflags"),
+        "length",
+        "offset",
+        "filename",
+    ).cache()
+    h1 = full.filter(F.col("status") == 200)
+    h2 = full.filter(F.col("status") != 200)
+    write_zipnum_epoch(h1, root, reserve_epoch_id(root, "batch:0"), shards=2, numlines=20)
+    write_zipnum_epoch(h2, root, reserve_epoch_id(root, "batch:1"), shards=2, numlines=20)
+    compact_zipnum_epochs(spark, root, shards=2, numlines=20)
+
+    # simulate the crash: resurrect a dead input dir next to the
+    # merged epoch by marking it subsumed again
+    import os
+    import shutil
+
+    merged = list_epochs(root)[0]
+    dead = os.path.join(root, "epoch-000000")
+    shutil.copytree(merged, dead)
+    os.remove(os.path.join(dead, "compaction.inputs"))
+    with open(os.path.join(merged, "compaction.inputs"), "w") as fh:
+        fh.write("epoch-000000\nepoch-000001\n")
+    assert len(glob.glob(os.path.join(root, "epoch-*"))) == 2
+    # readers already see exactly one copy
+    assert read_zipnum_epochs(spark, root).count() == full.count()
+    # the next compaction sweeps the orphan and keeps the data intact
+    compact_zipnum_epochs(spark, root, shards=2, numlines=20)
+    want = {tuple(r) for r in full.collect()}
+    got = {tuple(r) for r in read_zipnum_epochs(spark, root).collect()}
+    assert got == want
+    assert "epoch-000000" not in {
+        p.rsplit("/", 1)[1] for p in glob.glob(os.path.join(root, "epoch-*"))
+    }

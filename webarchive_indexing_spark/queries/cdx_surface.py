@@ -682,6 +682,143 @@ def cdx_num_pages(spark, sf_dir):
 
 
 @query(
+    "cdx_server_composed",
+    oracle=CDX_SQL + """
+    , hit AS (
+      SELECT urlkey, ts14 AS timestamp, mime, status FROM cdx
+      WHERE urlkey LIKE 'org,example,src3%'
+        AND ts14 >= '20150000000000' AND ts14 <= '20169999999999'
+        AND status = 200
+        AND NOT regexp_matches(mime, 'image.*')
+    ), runs AS (
+      SELECT *, LAG(substr(timestamp, 1, 6)) OVER (
+               PARTITION BY urlkey ORDER BY timestamp) AS prev
+      FROM hit
+    )
+    SELECT urlkey, timestamp, mime, status FROM runs
+    WHERE prev IS NULL OR substr(timestamp, 1, 6) <> prev
+    """,
+    tier="B",
+)
+def cdx_server_composed(spark, sf_dir):
+    """[B] the COMPOSED cdx-server GET /index surface end-to-end
+    through operators.cdx_query (not hand-assembled plan pieces):
+    matchType=domain + from/to + filter=status:200 +
+    filter=!mime:image.* + collapse=timestamp:6 + fl= projection in a
+    single call — proving the parameter→plan mapping composes the
+    same physical pipeline the individual P/W-tier queries verified
+    one at a time."""
+    from ..operators.cdx_query import cdx_query
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+    return cdx_query(
+        c,
+        "http://src3.example.org/",
+        match_type="domain",
+        from_="2015",
+        to="2016",
+        filters=["status:200", "!mime:image.*"],
+        collapse="timestamp:6",
+        fields=["urlkey", "timestamp", "mime", "status"],
+    )
+
+
+@query(
+    "cdx_crawl_diff",
+    oracle=CDX_SQL + """
+    , a AS (SELECT DISTINCT urlkey, digest FROM cdx WHERE ts14 < '2016'),
+      b AS (SELECT DISTINCT urlkey, digest FROM cdx WHERE ts14 >= '2016')
+    , au AS (SELECT urlkey, MIN(digest) AS d_a FROM a GROUP BY urlkey)
+    , bu AS (SELECT urlkey, MIN(digest) AS d_b FROM b GROUP BY urlkey)
+    SELECT COALESCE(au.urlkey, bu.urlkey) AS urlkey,
+           CASE WHEN au.urlkey IS NULL THEN 'added'
+                WHEN bu.urlkey IS NULL THEN 'removed'
+                WHEN d_a <> d_b THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM au FULL OUTER JOIN bu ON au.urlkey = bu.urlkey
+    WHERE NOT (au.urlkey IS NOT NULL AND bu.urlkey IS NOT NULL AND d_a = d_b)
+    """,
+    tier="B",
+)
+def cdx_crawl_diff(spark, sf_dir):
+    """[B] cross-crawl diff — the report an archive operator runs after
+    every crawl: which URLs appeared, disappeared, or changed content
+    between two crawl windows.  Representative digest per URL per
+    window (MIN — deterministic), then ONE full outer join on urlkey;
+    both sides are pre-aggregated to URL granularity before the join,
+    so the shuffle carries one row per URL, not per capture, and the
+    join keys are the same urlkey both sides — AQE handles the residual
+    skew.  'unchanged' rows are filtered out (the interesting set)."""
+    c = derived_cdx(spark, sf_dir)
+    a = (
+        c.filter(F.col("ts14") < "2016")
+        .groupBy("urlkey")
+        .agg(F.min("digest").alias("d_a"))
+    )
+    b = (
+        c.filter(F.col("ts14") >= "2016")
+        .groupBy("urlkey")
+        .agg(F.min("digest").alias("d_b"))
+    )
+    j = a.withColumnRenamed("urlkey", "uk_a").join(
+        b.withColumnRenamed("urlkey", "uk_b"),
+        F.col("uk_a") == F.col("uk_b"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("uk_a").isNull(), "added")
+        .when(F.col("uk_b").isNull(), "removed")
+        .when(F.col("d_a") != F.col("d_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("uk_a"), F.col("uk_b")).alias("urlkey"),
+            change.alias("change"),
+        )
+        .filter(F.col("change") != "unchanged")
+    )
+
+
+@query(
+    "cdx_temporal_coverage",
+    oracle=CDX_SQL + """
+    SELECT urlkey,
+           MIN(ts14) AS first_ts,
+           MAX(ts14) AS last_ts,
+           COUNT(*) AS n_captures,
+           COUNT(DISTINCT substr(ts14, 1, 4)) AS n_years,
+           CAST(SUM(CASE WHEN substr(ts14, 1, 4) = '2016' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_2016
+    FROM cdx
+    WHERE urlkey LIKE 'org,example,src2)%'
+    GROUP BY urlkey
+    """,
+    tier="B",
+)
+def cdx_temporal_coverage(spark, sf_dir):
+    """[B] temporal coverage — the per-URL capture calendar behind the
+    wayback machine's calendar page: first/last capture, total count,
+    distinct years covered, and a per-year drilldown column.  One
+    hash aggregate over the host's key range (range-prunable prefix),
+    partial-aggregated map-side; the year is a substring of ts14, so
+    no date parsing touches the hot path."""
+    c = derived_cdx(spark, sf_dir)
+    yr = F.substring("ts14", 1, 4)
+    return (
+        c.filter(F.col("urlkey").startswith("org,example,src2)"))
+        .groupBy("urlkey")
+        .agg(
+            F.min("ts14").alias("first_ts"),
+            F.max("ts14").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_captures"),
+            F.countDistinct(yr).alias("n_years"),
+            F.sum(F.when(yr == "2016", 1).otherwise(0)).alias("n_2016"),
+        )
+    )
+
+
+@query(
     "cdx_host_stats",
     oracle=CDX_SQL + """
     SELECT split_part(urlkey, ')', 1) AS host,

@@ -575,6 +575,17 @@ def compact_zipnum_epochs(
     The epoch id comes from the shared manifest allocator, keyed by the
     input range so a crashed-and-rerun compaction of the same inputs is
     idempotent (same slot, rewritten)."""
+    # reclaim dead epochs a crashed predecessor never deleted.
+    # Ascending id order keeps the exclusion chain consistent if THIS
+    # sweep crashes too: a subsuming epoch (higher id, by manifest
+    # monotonicity) is only removed after everything it excludes.
+    root_fs, root_local_ = _fs_for(out_dir)
+    for name in sorted(_subsumed_names(out_dir) & set(_epoch_names(out_dir))):
+        try:
+            root_fs.delete_dir(_join(root_local_, name))
+        except OSError:
+            pass
+
     epochs = list_epochs(out_dir)
     if not epochs:
         raise ValueError(f"no epochs to compact under {out_dir!r}")
