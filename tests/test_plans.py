@@ -123,15 +123,17 @@ def test_global_rank_stays_parallel_and_narrow(spark, sf_dir):
     # zipnum_shard_plan ranks the whole table: the two-pass rank must
     # never plant an Exchange SinglePartition (the scale killer a bare
     # Window.orderBy would cause), and the ranking pass itself must sit
-    # directly on the cached range partitions (MapInPandas over
-    # InMemoryTableScan) — no extra exchange, no re-sort.
+    # directly on the pinned range partitions — since the switch to
+    # localCheckpoint (ContextCleaner-reclaimable, see global_rank.py)
+    # the pinned source renders as "Scan ExistingRDD" — with no extra
+    # exchange or re-sort between MapInPandas and that source.
     plan = _plan(spark, sf_dir, "zipnum_shard_plan")
     assert "SinglePartition" not in plan, plan[:500]
     assert "MapInPandas" in plan
     final = plan.split("== Initial Plan ==", 1)[0]
     rank_down = final.split("MapInPandas", 1)[1]
-    cache_pos = rank_down.find("InMemoryTableScan")
-    assert cache_pos != -1
+    cache_pos = rank_down.find("Scan ExistingRDD")
+    assert cache_pos != -1, rank_down[:500]
     assert "Exchange" not in rank_down[:cache_pos], rank_down[:cache_pos]
 
 

@@ -103,3 +103,38 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     r4 = {r.vec_id for r in ivf_topk(emb, 123, k=10, nprobe=4).collect()}
     assert len(r2 & exact) <= len(r4 & exact)
     assert r2
+
+
+def test_pq_adc_zero_shuffle_plan(spark, sf_dir):
+    """PQ/ADC must plan like IVF: one scan, map-side encode + literal
+    table lookup, TakeOrderedAndProject — no Exchange anywhere (the
+    codebook and query distance table are inlined literals)."""
+    df = REGISTRY["emb_pq_adc_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.vec_id != 77 for r in rows)
+    assert all(r.approx_dist >= 0.0 for r in rows)
+    # 4 subspaces x 3 bits: code_key fits in 12 bits
+    assert all(0 <= r.code_key < (1 << 12) for r in rows)
+
+
+def test_pq_quality_vs_exact_neighbours(spark, sf_dir):
+    """PQ sanity: with the codebook degenerated to ONE subspace whose
+    codes cover the whole vector, ADC ranks by distance-to-nearest-
+    codeword — every vector coded to the query's own codeword sorts
+    first (approx_dist == the query's own-cell distance, the minimum
+    possible).  More usefully: approx distances are monotone in the
+    codes, so equal codes ⇒ equal approx_dist (the quantization
+    invariant that makes the code a valid shard/dedup key)."""
+    from webarchive_indexing_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = pq_adc_topk(emb, 77, k=50, n_sub=4, k_codes=8).collect()
+    by_code = {}
+    for r in rows:
+        by_code.setdefault(r.code_key, set()).add(r.approx_dist)
+    for code, dists in by_code.items():
+        assert len(dists) == 1, f"code {code} maps to {dists}"

@@ -501,3 +501,181 @@ def sql_lsh_buckets(n_planes: int = 8, dim: int = 64) -> str:
         f"SELECT vec_id, {sql_lsh_bucket_expr('embedding', n_planes, dim)} AS bucket "
         "FROM embeddings"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN path
+# ---------------------------------------------------------------------------
+
+
+def _dec_sqdist(a: Column, b: Column) -> Column:
+    """Exact-decimal squared-L2 distance between two equal-length float
+    arrays.  Per-element ``(x−y)²`` is two IEEE double ops (identical
+    in any engine); the reduction goes through DECIMAL so partition
+    order cannot perturb the sum (same contract as ``_dec_dot``)."""
+    d = F.zip_with(
+        a,
+        b,
+        lambda x, y: (
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ).cast(DEC),
+    )
+    return F.aggregate(d, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC))
+
+
+def sql_dec_sqdist(a: str, b: str, offset: int | str = 0, dim: int = 64) -> str:
+    """DuckDB twin of ``_dec_sqdist`` over ``a[offset+1 .. offset+dim]``
+    (``offset`` may be a SQL expression, e.g. ``s.m * 16``)."""
+    idx = f"(({offset}) + i)" if offset else "i"
+    diff = f"(CAST({a}[{idx}] AS DOUBLE) - CAST({b}[{idx}] AS DOUBLE))"
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+        f"CAST({diff} * {diff} AS DECIMAL(28,14))))"
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the classic IVFADC building block (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into ``n_sub`` subspaces, encode every subspace as the id of
+    its nearest sub-centroid (``k_codes`` per subspace), and rank
+    candidates by the sum of *precomputed* query→sub-centroid
+    distances looked up by code.  This is how 100 TB of float vectors
+    become ``n_sub`` bytes each and still answer top-k: the scan reads
+    codes, not floats, and the distance "computation" is a table
+    lookup.
+
+    Sub-codebooks here are the sub-vectors of the first ``k_codes``
+    embeddings (the same deterministic model-artifact stand-in as
+    ``ivf_topk``'s centroids — a production system swaps in k-means-
+    trained codebooks; the plan shape is identical).  The codebook
+    (``k_codes × dim`` floats) and the query vector are collected once
+    and inlined as literals, so encoding is a map-only argmin and the
+    ADC lookup is ``element_at`` on a constant array — the whole query
+    plans as scan → project → TakeOrderedAndProject: ZERO shuffles.
+
+    The query-side distance table is built from literal-only Spark
+    expressions (not driver floats), so its decimal semantics are the
+    engine's own and match the DuckDB oracle bit-for-bit.
+
+    Output: ``(vec_id, code_key, approx_dist)`` where ``code_key``
+    packs the per-subspace codes little-endian (3 bits each for
+    k_codes=8) — the value the oracle can recompute relationally.
+    """
+    assert dim % n_sub == 0, "dim must divide evenly into subspaces"
+    sub_dim = dim // n_sub
+
+    from ..queries.helpers import hround
+
+    rows = (
+        embeddings.filter(F.col(id_col) < k_codes).select(id_col, vec_col).collect()
+    )
+    cvecs = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    qv = [float(x) for x in qrow[0][vec_col]]
+
+    def lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(v) for v in vals])
+
+    codes: list[Column] = []
+    adists: list[Column] = []
+    for m in range(n_sub):
+        lo, hi = m * sub_dim, (m + 1) * sub_dim
+        v_sub = F.slice(F.col(vec_col), lo + 1, sub_dim)
+        cands = F.array(
+            *[
+                F.struct(
+                    _dec_sqdist(v_sub, lit_vec(cvecs[j][lo:hi])).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(k_codes)
+            ]
+        )
+        code_m = F.array_min(cands).getField("j")
+        codes.append(code_m)
+        # query→sub-centroid distance table: literal-only expression →
+        # engine-exact decimals, constant-folded by Catalyst
+        qtab = F.array(
+            *[
+                _dec_sqdist(lit_vec(qv[lo:hi]), lit_vec(cvecs[j][lo:hi]))
+                for j in range(k_codes)
+            ]
+        )
+        adists.append(F.element_at(qtab, code_m + F.lit(1)))
+
+    bits = max(1, (k_codes - 1).bit_length())
+    code_key = functools.reduce(
+        lambda x, y: x + y,
+        [c.cast("bigint") * F.lit(1 << (bits * m)) for m, c in enumerate(codes)],
+    ).alias("code_key")
+    approx = functools.reduce(lambda x, y: (x + y).cast(DEC), adists)
+
+    out = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            code_key,
+            hround(approx.cast("double"), 6).alias("approx_dist"),
+        )
+    )
+    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def sql_pq_adc_topk(
+    query_vec_id: int = 77,
+    k: int = 10,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``pq_adc_topk`` — fully relational: sub-codebook
+    and query distance table from the same embeddings view, encoding
+    via window argmin, ADC via join on (subspace, code)."""
+    from ..queries.helpers import sql_hround
+
+    sub_dim = dim // n_sub
+    bits = max(1, (k_codes - 1).bit_length())
+    edist = sql_dec_sqdist("e.embedding", "c.cvec", f"s.m * {sub_dim}", sub_dim)
+    qdist = sql_dec_sqdist("q.qv", "c.cvec", f"s.m * {sub_dim}", sub_dim)
+    return f"""
+    WITH cb AS (
+      SELECT vec_id AS j, embedding AS cvec FROM embeddings WHERE vec_id < {k_codes}
+    ), sub AS (
+      SELECT unnest(generate_series(0, {n_sub - 1})) AS m
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+    ), dists AS (
+      SELECT e.vec_id, s.m, c.j, {edist} AS d
+      FROM embeddings e CROSS JOIN sub s CROSS JOIN cb c
+      WHERE e.vec_id <> {query_vec_id}
+    ), assign AS (
+      SELECT vec_id, m, j FROM (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), qd AS (
+      SELECT s.m, c.j, {qdist} AS qdist
+      FROM q CROSS JOIN sub s CROSS JOIN cb c
+    ), adc AS (
+      SELECT a.vec_id,
+             CAST(SUM(a.j * (1 << ({bits} * a.m))) AS BIGINT) AS code_key,
+             SUM(qd.qdist) AS adist
+      FROM assign a JOIN qd ON a.m = qd.m AND a.j = qd.j
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, code_key, {sql_hround('CAST(adist AS DOUBLE)', 6)} AS approx_dist
+    FROM adc ORDER BY approx_dist ASC, vec_id ASC LIMIT {k}
+    """

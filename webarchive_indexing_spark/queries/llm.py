@@ -43,8 +43,10 @@ from ..operators.similarity import (
     ivf_topk,
     knn_blocked,
     lsh_buckets,
+    pq_adc_topk,
     sql_cosine,
     sql_ivf_topk,
+    sql_pq_adc_topk,
     sql_lsh_bucket_expr,
     sql_lsh_buckets,
 )
@@ -741,6 +743,26 @@ def emb_ivf_topk(spark, sf_dir):
     scan, zero shuffles, ~7/8 of the data never scored."""
     return ivf_topk(
         t(spark, sf_dir, "embeddings"), query_vec_id=123, k=10, n_cents=16, nprobe=2
+    )
+
+
+@query(
+    "emb_pq_adc_topk",
+    oracle=sql_pq_adc_topk(query_vec_id=77, k=10, n_sub=4, k_codes=8),
+    tier="C",
+)
+def emb_pq_adc_topk(spark, sf_dir):
+    """L3 product-quantization ANN (Jégou et al. 2011): vectors are
+    encoded as 4 sub-codebook ids (3 bits each here; a byte each in
+    production) by a map-only inlined-literal argmin per subspace, and
+    candidates are ranked by asymmetric distance — the sum of
+    precomputed query→sub-centroid distances looked up by code.  At
+    100 TB this is the representation that makes the vector corpus
+    RAM-resident (dim×4 bytes → n_sub bytes per vector) while the
+    scan stays exact-decimal deterministic; one scan, zero shuffles,
+    TakeOrderedAndProject to the driver (plan-asserted)."""
+    return pq_adc_topk(
+        t(spark, sf_dir, "embeddings"), query_vec_id=77, k=10, n_sub=4, k_codes=8
     )
 
 
