@@ -138,3 +138,32 @@ def test_pq_quality_vs_exact_neighbours(spark, sf_dir):
         by_code.setdefault(r.code_key, set()).add(r.approx_dist)
     for code, dists in by_code.items():
         assert len(dists) == 1, f"code {code} maps to {dists}"
+
+
+def test_kmeans_update_shuffles_centroids_not_vectors(spark, sf_dir):
+    """Lloyd assignment must be map-only (inlined-literal argmin, no
+    join) and the final aggregate must partial-aggregate map-side so
+    the exchange carries k rows of sums, not vectors."""
+    df = REGISTRY["emb_kmeans_lloyd"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("HashAggregate") >= 2 or "partial_" in plan.lower()
+    rows = df.collect()
+    assert sum(r.n_members for r in rows) > 0
+    assert all(r.inertia >= 0.0 for r in rows)
+
+
+def test_kmeans_inertia_monotone_in_iterations(spark, sf_dir):
+    """Lloyd's invariant: total inertia is non-increasing with more
+    iterations (each assign and each update step can only lower the
+    objective)."""
+    from webarchive_indexing_spark.operators.kmeans import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tot = {
+        it: sum(r.inertia for r in kmeans_lloyd(emb, k=8, iters=it).collect())
+        for it in (1, 2, 3)
+    }
+    # 1e-3 slack: per-cluster inertia is hround(4)-ed before summing
+    assert tot[2] <= tot[1] + 1e-3, tot
+    assert tot[3] <= tot[2] + 1e-3, tot

@@ -50,6 +50,7 @@ from ..operators.similarity import (
     sql_lsh_bucket_expr,
     sql_lsh_buckets,
 )
+from ..operators.kmeans import kmeans_lloyd, sql_kmeans_lloyd
 from ..registry import query
 from .helpers import hround, sql_hround, t, widen
 
@@ -764,6 +765,24 @@ def emb_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(
         t(spark, sf_dir, "embeddings"), query_vec_id=77, k=10, n_sub=4, k_codes=8
     )
+
+
+@query(
+    "emb_kmeans_lloyd",
+    oracle=sql_kmeans_lloyd(k=8, iters=2),
+    tier="C",
+)
+def emb_kmeans_lloyd(spark, sf_dir):
+    """Iterative k-means (Lloyd) over the embeddings table — the
+    trainer for the IVF/PQ quantizers: two iterations of map-only
+    assignment against inlined-literal centroids plus a centroid
+    update whose exchange carries k×64 decimal partial sums (not
+    vectors), centroids round-tripping through the driver as a model
+    artifact between iterations.  Output is the per-cluster k-means
+    objective after the final assignment — member count and inertia —
+    exact-decimal deterministic against the oracle's fully-relational
+    two-iteration CTE chain."""
+    return kmeans_lloyd(t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
 # ---------------------------------------------------------------------------
