@@ -221,6 +221,100 @@ def cdx_match_glob(spark, sf_dir):
 
 
 @query(
+    "cdx_fuzzy_match",
+    oracle=CDX_SQL + """
+    , lookups AS (
+      SELECT doc_id,
+             'org,example,' || source || ')/doc/' || doc_id ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN '?_cb=' || doc_id || '&a=1&b=2' ELSE '' END AS key_exact,
+             'org,example,' || source || ')/doc/' || doc_id ||
+               CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS key_fuzzy
+      FROM documents WHERE doc_id < 300
+    ), ex AS (
+      SELECT l.doc_id, 'exact' AS via, c.ts14
+      FROM lookups l JOIN cdx c ON l.key_exact = c.urlkey
+    ), fz AS (
+      SELECT l.doc_id, 'fuzzy' AS via, c.ts14
+      FROM lookups l JOIN cdx c ON l.key_fuzzy = c.urlkey
+      WHERE NOT EXISTS (SELECT 1 FROM cdx c2 WHERE c2.urlkey = l.key_exact)
+    ), u AS (SELECT * FROM ex UNION ALL SELECT * FROM fz)
+    SELECT doc_id, via, COUNT(*) AS n_captures,
+           MIN(ts14) AS first_ts, MAX(ts14) AS last_ts
+    FROM u GROUP BY doc_id, via
+    """,
+    tier="B",
+)
+def cdx_fuzzy_match(spark, sf_dir):
+    """Fuzzy matching [B pywb fuzzy-match rules subset]: when a
+    lookup's exact urlkey has no captures, a rule strips known
+    cache-buster params from the URL (here ``_cb=<digits>``, the shape
+    of pywb's ``[?&](_|cb|...)=\\d+`` default rules), re-canonicalizes
+    and retries.  Done as a BATCH resolver — the cdx-server does this
+    per request; a replay-QA pipeline does it for millions of lookups
+    at once:
+
+    * both the exact and the fuzzy key are derived scan-side (regex
+      strip + SURT, all codegen);
+    * exact hits, the misses (left anti on the same join key — the
+      shuffle partitioning is reused), and the fuzzy retry join are
+      three joins all keyed on urlkey;
+    * SURT's query-param sorting is re-exercised end-to-end: the
+      cache-buster sorts FIRST in the canonical key (``_`` < ``a``),
+      so only canonicalization-aware stripping can make these hit.
+    """
+    c = derived_cdx(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    doc = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.upper(F.substring("source", 1, 1)),
+        F.expr("substring(source, 2)"),
+        F.lit(".Example.org:443/doc/"),
+        doc.cast("string"),
+        F.when(
+            doc % 3 == 0,
+            F.concat(F.lit("?b=2&a=1&_cb="), doc.cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    lookups = d.select(
+        "doc_id",
+        surt_urlkey(url).alias("key_exact"),
+        surt_urlkey(F.regexp_replace(url, "&_cb=[0-9]+", "")).alias("key_fuzzy"),
+    )
+    # lookups and cdx share lineage (both derive from documents):
+    # alias each side so the three joins are unambiguous
+    cap = c.select("urlkey", "ts14")
+    ex = (
+        lookups.alias("lk")
+        .join(cap.alias("cx"), F.col("lk.key_exact") == F.col("cx.urlkey"))
+        .select(F.col("lk.doc_id"), F.lit("exact").alias("via"), F.col("cx.ts14"))
+    )
+    misses = (
+        lookups.alias("lk")
+        .join(
+            cap.select("urlkey").alias("cy"),
+            F.col("lk.key_exact") == F.col("cy.urlkey"),
+            "left_anti",
+        )
+    )
+    fz = (
+        misses.alias("ms")
+        .join(cap.alias("cz"), F.col("ms.key_fuzzy") == F.col("cz.urlkey"))
+        .select(F.col("ms.doc_id"), F.lit("fuzzy").alias("via"), F.col("cz.ts14"))
+    )
+    return (
+        ex.unionByName(fz)
+        .groupBy("doc_id", "via")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.min("ts14").alias("first_ts"),
+            F.max("ts14").alias("last_ts"),
+        )
+    )
+
+
+@query(
     "cdxj_roundtrip",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14 AS timestamp, mime, status

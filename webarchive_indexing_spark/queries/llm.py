@@ -1246,6 +1246,65 @@ def pack_token_budget(spark, sf_dir):
     )
 
 
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 400
+    ), base AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {_CHUNK_W} THEN 1
+                  ELSE CAST(CEIL((len(toks) - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM docs
+    ), fan AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS ci
+      FROM base
+    )
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, ci * {_CHUNK_S} + 1,
+                               ci * {_CHUNK_S} + {_CHUNK_W})) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, ci * {_CHUNK_S} + 1,
+                                          ci * {_CHUNK_S} + {_CHUNK_W}), ' ')) AS chunk_md5
+    FROM fan
+    """,
+    tier="C",
+)
+def text_chunk_sliding(spark, sf_dir):
+    """Sliding-window document chunking (context-window prep for
+    training/RAG): each document fans out to overlapping 32-token
+    windows at stride 24, the last window keeping its natural shorter
+    tail.  Pure built-ins — ``sequence`` + ``explode`` for the fan-out,
+    ``slice`` for the window — so the 1→N expansion happens JVM-side
+    inside whole-stage codegen with no shuffle at all; at 100 TB this
+    is a map-only stage whose output feeds ``pack_token_budget``.
+    Chunks are emitted as md5 fingerprints (stable, hashable) rather
+    than text to keep the checked surface value-dense."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chunks = F.when(n_tok <= _CHUNK_W, F.lit(1)).otherwise(
+        F.ceil((n_tok - F.lit(_CHUNK_W)).cast("double") / _CHUNK_S) + 1
+    )
+    fan = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("ci"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("ci") * _CHUNK_S + 1, _CHUNK_W)
+    return fan.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
 @query(
     "sample_mixture_weighted",
     oracle=f"""
@@ -1727,3 +1786,124 @@ def multimodal_feature_pipeline(spark, sf_dir):
             F.when(total > 0, cnt.cast("double") / total), 6
         ).alias("frac"),
     )
+
+
+@query(
+    "multimodal_phash_near_dup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lower(hex(encode(text))) AS h
+      FROM documents WHERE doc_id < 400
+    ),
+    nib AS (
+      SELECT doc_id, h, unnest(generate_series(1, length(h) // 2)) AS i
+      FROM docs
+    ),
+    cnts AS (
+      -- byte value = 16*hi + lo nibble; byte % 32 = 16*(hi%2) + lo
+      SELECT doc_id,
+             16 * ((strpos('0123456789abcdef', substr(h, 2 * i - 1, 1)) - 1) % 2)
+               + (strpos('0123456789abcdef', substr(h, 2 * i, 1)) - 1) AS dim,
+             COUNT(*) AS cnt
+      FROM nib GROUP BY 1, 2
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN cnt % 2 = 1 THEN (1 << dim) ELSE 0 END)
+                  AS BIGINT) AS phash
+      FROM cnts GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, phash, b.b, (phash >> (8 * b.b)) & 255 AS bv
+      FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT pa.doc_id AS a_id, pb.doc_id AS b_id,
+             pa.phash AS a_ph, pb.phash AS b_ph
+      FROM bands pa JOIN bands pb
+        ON pa.b = pb.b AND pa.bv = pb.bv AND pa.doc_id < pb.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a_ph, b_ph)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(a_ph, b_ph)) <= 6
+    """,
+    tier="C",
+)
+def multimodal_phash_near_dup(spark, sf_dir):
+    """L6 fingerprint near-duplicate detection over binary media
+    payloads — the image-dedup shape (pHash family): decode → coarse
+    feature histogram (the Arrow-batched mapInPandas stand-in for a
+    real decoder) → one PARITY bit per bucket → 32-bit fingerprint →
+    banded LSH join (4 bands × 8 bits) for candidates → exact Hamming
+    verify via ``bit_count(xor)``.
+
+    Parity bits, not the classic above-mean bits: with text-shaped
+    fake payloads every document shares its language's byte
+    distribution, so mean-threshold bits are near-identical corpus-
+    wide and the "near-dup" set degenerates to all-pairs (measured:
+    73 k of 80 k possible pairs).  A parity bit flips on ANY ±1
+    change to its bucket, so a small payload edit moves ≤ 2·edits
+    bits while unrelated payloads land ~16 apart — the fingerprint
+    separates the replica structure the documents table actually
+    contains.  A real pHash (DCT of a 32×32 grayscale) slots into the
+    same mapInPandas seam with the identical downstream plan.
+
+    Scale shape: fingerprint and band keys are map-side columns; the
+    only shuffle is the band-bucket equi-join (never all-pairs), and
+    the Hamming verify is integer codegen on the candidate set — the
+    same blocked-verify discipline as the MinHash and SimHash paths."""
+    from ..operators.multimodal import attach_fake_payload, extract_features
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    feats = extract_features(attach_fake_payload(d), dim=32, normalize=False)
+    import functools as _ft
+
+    farr = F.transform(F.col("features"), lambda x: x.cast("long"))
+    base = feats.select("doc_id", farr.alias("f"))
+    phash = _ft.reduce(
+        lambda x, y: x + y,
+        [
+            F.when(
+                F.element_at(F.col("f"), i + 1) % 2 == 1, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i in range(32)
+        ],
+    ).cast("bigint")
+    ph = base.select("doc_id", phash.alias("phash"))
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("phash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "phash", F.col("bb.b").alias("b"), F.col("bb.bv").alias("bv"))
+    cand = (
+        bands.alias("pa")
+        .join(
+            bands.alias("pb"),
+            (F.col("pa.b") == F.col("pb.b"))
+            & (F.col("pa.bv") == F.col("pb.bv"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("a_id"),
+            F.col("pb.doc_id").alias("b_id"),
+            F.col("pa.phash").alias("a_ph"),
+            F.col("pb.phash").alias("b_ph"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph")))
+    return cand.select(
+        "a_id", "b_id", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 6)
