@@ -12,6 +12,7 @@ from webarchive_indexing_spark.operators.dedup import (
     simhash16,
 )
 from webarchive_indexing_spark.queries.llm import base_corpus
+from webarchive_indexing_spark.registry import REGISTRY
 
 
 @pytest.fixture(scope="module")
@@ -66,3 +67,14 @@ def test_simhash_locality(base):
 
     far = [ham(sh[100 + i], sh[200 + i]) for i in range(40)]
     assert statistics.mean(far) > statistics.mean(near)
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """The property that makes a Bloom prefilter sound: every actual
+    duplicate is flagged maybe_dup (false positives allowed, false
+    negatives never)."""
+    rows = REGISTRY["dedup_bloom_prefilter"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.maybe_dup for r in rows if r.actual_dup)
+    # and the sketch is doing SOME filtering: not everything is maybe
+    assert any(not r.maybe_dup for r in rows)

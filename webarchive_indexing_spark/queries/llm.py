@@ -1907,3 +1907,91 @@ def multimodal_phash_near_dup(spark, sf_dir):
     return cand.select(
         "a_id", "b_id", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= 6)
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS s
+    ), docs AS (
+      SELECT doc_id, md5(text) AS dg FROM documents
+    ), seen AS (
+      SELECT DISTINCT dg FROM docs WHERE doc_id % 7 = 0
+    ), bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(dg || '#' || CAST(s.s AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM seen CROSS JOIN seeds s
+    ), cand AS (
+      SELECT d.doc_id, d.dg, s.s,
+             CAST(('0x' || substr(md5(d.dg || '#' || CAST(s.s AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM docs d CROSS JOIN seeds s
+    ), hits AS (
+      SELECT c.doc_id, ANY_VALUE(c.dg) AS dg, COUNT(b.pos) AS nhit
+      FROM cand c LEFT JOIN bits b ON c.pos = b.pos
+      GROUP BY c.doc_id
+    )
+    SELECT h.doc_id,
+           h.nhit = {_BLOOM_K} AS maybe_dup,
+           (h.dg IN (SELECT dg FROM seen)) AS actual_dup
+    FROM hits h
+    """,
+    tier="C",
+)
+def dedup_bloom_prefilter(spark, sf_dir):
+    """L1 Bloom-filter dedup prefilter — the cheap first stage of
+    cross-crawl dedup at 100 TB: the previous crawl's digest ledger
+    (here docs with ``doc_id % 7 == 0``) is folded into an m=4096,
+    k=3 Bloom bit-set; the corpus scan then flags each document
+    definitely-new vs maybe-seen with ZERO shuffle of the corpus —
+    only maybe-seen rows (a few % with a sized filter) proceed to the
+    exact-join verify.  The guarantee that makes this sound is
+    no-false-negatives: ``actual_dup ⇒ maybe_dup`` (pinned in
+    tests/test_dedup.py).
+
+    The bit-set is a model artifact: built with one tiny job over the
+    ledger, collected (≤ m positions), and inlined so membership is a
+    map-side literal-array lookup inside codegen.  At real scale the
+    literal array becomes a broadcast ``spark.util.sketch.BloomFilter``
+    (or SQL ``bloom_filter_agg``) — same two-job shape, same scan-side
+    verdict; hashes here are md5-derived so the DuckDB oracle can
+    recompute every bit.
+
+    Output carries the ground truth next to the sketch verdict, so
+    the oracle check also verifies the false-positive bookkeeping."""
+    import functools as _ft
+
+    d = t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("dg"))
+
+    def positions(dg_col):
+        return [
+            token_hash(F.concat(dg_col, F.lit(f"#{s}"))) % _BLOOM_M
+            for s in range(_BLOOM_K)
+        ]
+
+    seen = d.filter(F.col("doc_id") % 7 == 0)
+    bit_rows = (
+        seen.select(F.explode(F.array(*positions(F.col("dg")))).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bit_lit = F.array(*[F.lit(p) for p in sorted(int(r["pos"]) for r in bit_rows)])
+    maybe = _ft.reduce(
+        lambda x, y: x & y,
+        [F.array_contains(bit_lit, p) for p in positions(F.col("dg"))],
+    )
+    marker = seen.select("dg").distinct().withColumn("__seen", F.lit(1))
+    return (
+        d.alias("dd")
+        .join(F.broadcast(marker.alias("mk")), "dg", "left")
+        .select(
+            F.col("doc_id"),
+            maybe.alias("maybe_dup"),
+            F.col("__seen").isNotNull().alias("actual_dup"),
+        )
+    )
