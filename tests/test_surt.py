@@ -218,3 +218,39 @@ def test_sort_prefix_ordering(host, path):
     key = surt_urlkey_py(f"http://{host}/{path}")
     hostkey = surt_urlkey_py(f"http://{host}/").split(")")[0]
     assert hostkey <= key < hostkey + "~"
+
+
+def test_auto_router_punycodes_idn_hosts(spark):
+    """surt_urlkey_auto must equal the Python reference on a mixed
+    ASCII/IDN batch: ASCII rows via the native expression, non-ASCII
+    rows punycoded by the pandas fallback."""
+    from webarchive_indexing_spark.functions.surt import (
+        surt_urlkey_auto,
+        surt_urlkey_py,
+    )
+
+    urls = [
+        "https://www.Example.COM:443/a/../b?x=2&a=1",
+        "https://www.münchen.de/straße?q=1",
+        "http://bücher.example:80/path",
+        "https://www.日本.jp/",
+        "http://plain.org/ok",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r.url: r.urlkey for r in surt_urlkey_auto(df, "url").collect()}
+    for u in urls:
+        assert got[u] == surt_urlkey_py(u), u
+
+
+def test_auto_router_ascii_branch_has_no_python(spark):
+    """The ASCII side of the split must stay pure codegen — no
+    Arrow/Python eval node in its plan."""
+    from pyspark.sql import functions as F
+    from webarchive_indexing_spark.functions.surt import surt_urlkey
+
+    df = spark.createDataFrame([("http://a.com/x",)], ["url"])
+    fast = df.filter(~F.col("url").rlike("[^\\x00-\\x7F]")).withColumn(
+        "urlkey", surt_urlkey("url")
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:400]

@@ -376,11 +376,24 @@ def surt_urlkey_py(url: str) -> str:
 def surt_urlkey_pandas():
     """Arrow-batched pandas-UDF fallback (for plans that must match
     pywb edge cases the native subset skips — swap implementations
-    here, keep call sites unchanged)."""
+    here, keep call sites unchanged).
+
+    The UDF closure references module-level functions
+    (``surt_urlkey_py`` and its helpers); cloudpickle serializes those
+    BY REFERENCE by default, so an executor whose Python can't import
+    this package (driver launched outside the repo, no --py-files)
+    dies with ModuleNotFoundError.  Registering the module for
+    by-value pickling ships the function bodies inside the task
+    closure instead — kilobytes, once per stage — making the fallback
+    deployment-independent."""
+    import sys
+
     import pandas  # noqa: PLC0415 — module-level global so pyspark can
     # resolve the stringified type hints (PEP 563 is active here)
+    from pyspark import cloudpickle  # the serializer pyspark actually uses
 
     globals()["pandas"] = pandas
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -388,3 +401,28 @@ def surt_urlkey_pandas():
         return urls.map(lambda s: surt_urlkey_py(s) if s is not None else None)
 
     return _surt
+
+
+def surt_urlkey_auto(df, url_col: str, out_col: str = "urlkey"):
+    """Hybrid canonicalizer closing the documented IDN divergence:
+    ASCII URLs (the overwhelming majority of any crawl) go through the
+    native expression — pure codegen, zero Python — while URLs with a
+    non-ASCII byte anywhere route through the pandas fallback, whose
+    Python implementation punycodes IDN hosts exactly like
+    ``surt_urlkey_py``.
+
+    A union-split, not a ``when()``: Spark extracts Python UDFs into
+    their own plan node and evaluates them on EVERY row regardless of
+    the branch condition, so guarding with ``when`` would put Python
+    back on the 100 TB hot path.  Splitting filters each side at the
+    scan (the ASCII predicate is codegen) and only the non-ASCII
+    sliver ever crosses the Arrow boundary.  The cost is scanning the
+    source twice — at scale, feed this a cached/checkpointed stage or
+    accept two cheap pushdown scans; either way Python work stays
+    proportional to the IDN fraction."""
+    is_ascii = ~F.col(url_col).rlike("[^\\x00-\\x7F]")
+    fast = df.filter(is_ascii).withColumn(out_col, surt_urlkey(url_col))
+    slow = df.filter(~is_ascii).withColumn(
+        out_col, surt_urlkey_pandas()(F.col(url_col))
+    )
+    return fast.unionByName(slow)
