@@ -279,3 +279,52 @@ def test_custom_stateful_running_counts(spark, events):
             " GROUP BY user_id HAVING n > 1)"
         ).collect()[0].c
         assert inter > 0
+
+
+def test_st6_stream_stream_interval_join(spark, events):
+    """Stream-stream interval join (two watermarked file streams)
+    must produce exactly the batch join's pair set."""
+    from webarchive_indexing_spark.streaming.incremental import stream_stream_join
+
+    with tempfile.TemporaryDirectory() as d:
+        sdf = _stream_events(spark, events, d)
+        schema = events.schema
+        sdf2 = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .json(os.path.join(d, "src"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        joined = stream_stream_join(
+            sdf.filter(F.col("event_type") == "view"),
+            sdf2.filter(F.col("event_type") == "click"),
+            within_seconds=3600,
+            watermark="10 days",
+        )
+        _run_to_memory(joined, "ssj", mode="append")
+        got = {
+            (r.view_id, r.click_id)
+            for r in spark.sql("SELECT * FROM ssj").collect()
+        }
+
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    want = {
+        (r.view_id, r.click_id)
+        for r in v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 3600 SECONDS")),
+        ).collect()
+    }
+    assert want, "fixture must produce at least one attributed pair"
+    assert got == want

@@ -255,3 +255,30 @@ def test_compaction_sweeps_orphaned_dead_epochs(spark, tmp_path):
     assert "epoch-000000" not in {
         p.rsplit("/", 1)[1] for p in glob.glob(os.path.join(root, "epoch-*"))
     }
+
+
+def test_read_zipnum_pages_batch_equals_per_page(spark, cluster, cdx):
+    """The one-job batch pagination must reproduce the per-request
+    API exactly: same page assignment, same rows, one read stage."""
+    from webarchive_indexing_spark.sinks.zipnum import (
+        num_pages,
+        read_zipnum_page,
+        read_zipnum_pages,
+    )
+
+    d, _ = cluster
+    lo, hi = "org,example,src1", "org,example,src1~"
+    batch = read_zipnum_pages(spark, d, key_lo=lo, key_hi=hi, page_size=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.page, set()).add(tuple(r)[1:])
+    n = num_pages(d, key_lo=lo, key_hi=hi, page_size=3)
+    assert set(got) == set(range(n))
+    for p in range(n):
+        want = {
+            tuple(r)
+            for r in read_zipnum_page(
+                spark, d, p, key_lo=lo, key_hi=hi, page_size=3
+            ).collect()
+        }
+        assert got[p] == want, f"page {p}"

@@ -691,27 +691,15 @@ def cdx_page_blocks(spark, sf_dir):
     hash match proves the pages are disjoint, ordered, and tile the
     prefix result exactly."""
     import tempfile
-    from functools import reduce
 
-    from ..sinks.zipnum import num_pages, read_zipnum_page, write_zipnum_ordered
+    from ..sinks.zipnum import read_zipnum_pages, write_zipnum_ordered
 
     out = tempfile.mkdtemp(prefix="zipnum_pages_")
     write_zipnum_ordered(_zipnum_input(spark, sf_dir), out, shards=8, numlines=100)
     lo, hi = "org,example,src1", "org,example,src1~"
-    n = num_pages(out, key_lo=lo, key_hi=hi, page_size=2)
-    pages = [
-        read_zipnum_page(
-            spark, out, p, key_lo=lo, key_hi=hi, page_size=2
-        ).select(
-            F.lit(p).cast("int").alias("page"),
-            "urlkey",
-            "timestamp",
-            "status",
-            "digest",
-        )
-        for p in range(n)
-    ]
-    return reduce(lambda a, b: a.unionByName(b), pages)
+    return read_zipnum_pages(
+        spark, out, key_lo=lo, key_hi=hi, page_size=2
+    ).select("page", "urlkey", "timestamp", "status", "digest")
 
 
 @query(

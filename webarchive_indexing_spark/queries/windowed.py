@@ -415,3 +415,61 @@ def events_funnel_stages(spark, sf_dir):
         .groupBy(stage.alias("stage"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_view_click_attrib",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT v.user_id, epoch_us(c.c_ts) - epoch_us(v.v_ts) AS d_us
+      FROM v JOIN c
+        ON v.user_id = c.user_id
+       AND c.c_ts >= v.v_ts
+       AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id, COUNT(*) AS n_pairs,
+           MIN(d_us) AS min_lag_us, MAX(d_us) AS max_lag_us
+    FROM p GROUP BY user_id
+    """,
+)
+def events_view_click_attrib(spark, sf_dir):
+    """ST6 batch twin of the stream-stream interval join
+    (``streaming.incremental.stream_stream_join``): clicks attributed
+    to same-user views within the previous hour, rolled up per user.
+    The join is equi on user_id with an event-time interval residual —
+    Catalyst plans one shuffle on the key and evaluates the range
+    bound as a post-join filter inside codegen; in the streaming form
+    the identical condition is what bounds the join state."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    pairs = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 3600 SECONDS")),
+    )
+    lag_us = F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))
+    return (
+        pairs.select(F.col("v_user").alias("user_id"), lag_us.alias("d_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("d_us").alias("min_lag_us"),
+            F.max("d_us").alias("max_lag_us"),
+        )
+    )

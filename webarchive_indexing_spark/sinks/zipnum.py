@@ -393,6 +393,83 @@ def zipnum_prefix_query(
     return read_zipnum(spark, out_dir, key_lo=key_prefix, key_hi=key_prefix + "~")
 
 
+def read_zipnum_pages(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    key_lo: str | None = None,
+    key_hi: str | None = None,
+    page_size: int = 1,
+) -> DataFrame:
+    """EVERY page of a range query in ONE distributed read, each row
+    tagged with its ``page`` ordinal.
+
+    ``read_zipnum_page`` is the per-REQUEST API (the cdx-server
+    answers one ``page=N`` per HTTP call; one page costs ``page_size``
+    block reads).  A batch consumer that wants the whole pagination —
+    page-tiling verification, parallel export, page-addressed
+    downstream work — must not issue N single-page reads: that is N
+    driver-planned jobs, each re-loading the secondary index (measured
+    8.8 s vs 1 s at sf0.1 for ~175 pages).  Here the pruned block list
+    is tagged with ``ordinal // page_size`` ONCE and all blocks stream
+    through the same ranged-read stage; the page column rides along
+    with each decompressed line."""
+    blocks = _prune(_load_idx(out_dir), key_lo, key_hi)
+    from ..sources.cdx import CDX_FIELDS
+
+    page_field = T.StructField("page", T.IntegerType())
+    if not blocks:
+        empty = T.StructType([page_field, T.StructField("value", T.StringType())])
+        parsed = _parse_with_page(spark.createDataFrame([], empty))
+        return parsed
+    fs, local_dir = _fs_for(out_dir)
+    with fs.open_input_stream(_join(local_dir, "cluster.loc"), compression=None) as fh:
+        loc = dict(
+            line.split("\t") for line in fh.read().decode("utf-8").splitlines()
+        )
+    work = [
+        (i // page_size, loc[b.shard], b.offset, b.length)
+        for i, b in enumerate(blocks)
+    ]
+
+    def read_block(items):
+        import gzip
+
+        handles: dict[str, object] = {}
+        try:
+            for page, path, off, ln in items:
+                fh = handles.get(path)
+                if fh is None:
+                    bfs, bpath = _fs_for(path)
+                    fh = handles[path] = bfs.open_input_file(bpath)
+                data = fh.read_at(ln, off)
+                for line in gzip.decompress(data).decode("utf-8").splitlines():
+                    yield (page, line)
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    n_slices = min(len(work), max(1, spark.sparkContext.defaultParallelism))
+    rdd = spark.sparkContext.parallelize(work, n_slices).mapPartitions(read_block)
+    schema = T.StructType([page_field, T.StructField("value", T.StringType())])
+    return _range_filter(
+        _parse_with_page(spark.createDataFrame(rdd, schema)), key_lo, key_hi
+    )
+
+
+def _parse_with_page(lines: DataFrame) -> DataFrame:
+    """parse_cdx_lines with the page tag carried through."""
+    from ..sources.cdx import CDX_FIELDS
+
+    parts = F.split(F.col("value"), " ")
+    cols = [F.col("page")]
+    for i, (name, dtype) in enumerate(CDX_FIELDS):
+        c = F.try_element_at(parts, F.lit(i + 1))
+        c = F.when(c == "-", F.lit(None)).otherwise(c)
+        cols.append(c.try_cast(dtype).alias(name))
+    return lines.select(*cols)
+
+
 # --- epoch clusters (incremental / LSM shape) ------------------------------
 #
 # A live archive doesn't rewrite its index per crawl: each ingest batch

@@ -171,3 +171,43 @@ def stream_running_counts(events: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    within_seconds: int = 3600,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """ST6: watermarked stream-stream interval join — attribute each
+    click to the same user's views from the preceding hour (the ad-
+    attribution / crawl-fetch-to-render correlation shape).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can size the join state: each side
+    buffers only rows younger than ``watermark + within`` and evicts
+    as the watermark advances — state stays proportional to the
+    interval, not the stream.  Inner-join matches emit as soon as both
+    rows have arrived (no watermark wait), which is why the batch twin
+    (``events_view_click_attrib``) is an exact-equality oracle for the
+    availableNow run in tests/test_streaming.py."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (
+            F.col("c_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS")
+        ),
+    ).select("v_user", "view_id", "click_id", "v_ts", "c_ts")
