@@ -11,7 +11,7 @@ Spark-first shape, per Lloyd iteration:
 1. **Assignment is map-only.**  The k×dim centroid matrix is a model
    artifact, not data: it is collected once (k rows) and inlined as
    literals, so nearest-centroid assignment is an ``array_min`` over k
-   exact-decimal squared distances inside whole-stage codegen — no
+   rounded-double squared distances inside whole-stage codegen — no
    join, no shuffle, no Python.
 2. **The update shuffles centroids, not vectors.**  Per-dimension sums
    are 64 decimal aggregate columns with map-side partial aggregation:
@@ -29,10 +29,15 @@ At 100 TB each iteration is one scan + one kilobyte-scale exchange;
 the number of *jobs* grows with iterations (inherent to Lloyd — each
 update is a global barrier), not the per-iteration cost.
 
-Determinism contract: distances accumulate in DECIMAL (see
-``similarity._dec_sqdist``), argmin ties break toward the smaller
-centroid id, and emitted means/inertia are rounded with ``hround`` —
-so Spark and the DuckDB oracle agree bit-for-bit at any partitioning.
+Determinism contract: assignment distances are 6-dp-rounded
+plain-double folds (``similarity.sqdist6`` — fold drift is orders of
+magnitude below the rounding grain, and decimal accumulation here
+measured ~3x slower end-to-end by defeating codegen); argmin ties
+break toward the smaller centroid id; centroid-update sums DO go
+through DECIMAL (their exact values feed the next iteration); the
+inertia sums the rounded distances through DECIMAL(18,6) (exact for
+6-dp values) — so Spark and the DuckDB oracle agree bit-for-bit at
+any partitioning.
 """
 
 from __future__ import annotations
@@ -40,26 +45,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import DEC, _dec_sqdist, sql_dec_sqdist
+from .similarity import nearest_sqdist6_expr, nearest_sqdist6_sql, sql_sqdist6
 
 
-def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
-
-
-def _nearest(vec_col: Column, cents: dict[int, list[float]]) -> Column:
-    """struct(d, cid) of the nearest centroid — exact-decimal distance,
-    ties to the smaller cid (matches the oracle's ORDER BY d, cid)."""
-    cands = F.array(
-        *[
-            F.struct(
-                _dec_sqdist(vec_col, _lit_vec(cv)).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cv in sorted(cents.items())
-        ]
-    )
-    return F.array_min(cands)
+def _nearest(vec_name: str, cents: dict[int, list[float]]) -> Column:
+    """struct(d, cid) of the nearest centroid — 6-dp-rounded double
+    distance, ties to the smaller cid (matches the oracle's
+    ORDER BY d, cid).  One parsed expression (py4j-cheap; see
+    similarity.nearest_sqdist6_expr)."""
+    return nearest_sqdist6_expr(vec_name, cents, id_field="cid")
 
 
 def kmeans_lloyd(
@@ -82,6 +76,7 @@ def kmeans_lloyd(
     """
     from ..queries.helpers import hround
 
+    spark = embeddings.sparkSession
     rows = (
         embeddings.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
     )
@@ -89,27 +84,38 @@ def kmeans_lloyd(
         int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows
     }
 
+    # every projection below is string-built and handed to the JVM in
+    # ONE selectExpr / spark.sql call: Column-by-Column construction
+    # of the 64 per-dimension aggregates measured ~2.5 s of pure py4j
+    # round-trips per iteration at steady state
     xd = [
-        F.element_at(F.col(vec_col), i).cast("double").cast(DEC).alias(f"x{i}")
+        f"CAST(CAST(element_at({vec_col}, {i}) AS DOUBLE) AS DECIMAL(28,14))"
+        f" AS x{i}"
         for i in range(1, dim + 1)
     ]
     for _ in range(iters - 1):
-        assigned = embeddings.select(
-            _nearest(F.col(vec_col), cents).getField("cid").alias("cid"), *xd
+        assigned = embeddings.selectExpr(
+            f"({nearest_sqdist6_sql(vec_col, cents, id_field='cid')}).cid AS cid",
+            *xd,
         )
-        upd = assigned.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(f"x{i}").alias(f"s{i}") for i in range(1, dim + 1)],
+        sums = ", ".join(f"SUM(x{i}) AS s{i}" for i in range(1, dim + 1))
+        upd = spark.sql(
+            f"SELECT cid, COUNT(1) AS n, {sums} FROM {{a}} GROUP BY cid",
+            a=assigned,
         )
         cents = {
             int(r["cid"]): [float(r[f"s{i}"]) / int(r["n"]) for i in range(1, dim + 1)]
             for r in upd.collect()
         }
 
-    final = embeddings.select(_nearest(F.col(vec_col), cents).alias("c"))
+    final = embeddings.selectExpr(
+        f"{nearest_sqdist6_sql(vec_col, cents, id_field='cid')} AS c"
+    )
     return final.groupBy(F.col("c").getField("cid").alias("cid")).agg(
         F.count(F.lit(1)).alias("n_members"),
-        hround(F.sum(F.col("c").getField("d")).cast("double"), 4).alias("inertia"),
+        hround(
+            F.sum(F.col("c").getField("d").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("inertia"),
     )
 
 
@@ -120,7 +126,7 @@ def sql_kmeans_lloyd(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     iteration one more CTE pair."""
     from ..queries.helpers import sql_hround
 
-    d_from_vecs = sql_dec_sqdist("e.embedding", "c.cvec", 0, dim)
+    d_from_vecs = sql_sqdist6("e.embedding", "c.cvec", 0, dim)
 
     parts = [
         f"c0 AS (SELECT vec_id AS cid, embedding AS cvec "
@@ -153,13 +159,20 @@ def sql_kmeans_lloyd(k: int = 8, iters: int = 2, dim: int = 64) -> str:
 
     # final assignment against the long-form centroids: distance terms
     # per (vec, cid, dim), decimal-summed
+    from ..queries.helpers import sql_hround as _shr
+
     diff = "(CAST(e.embedding[c.i] AS DOUBLE) - c.cv)"
+    # the long-form (cid,i,cv) centroids force a relational fold here;
+    # ORDER BY i inside the SUM pins the same left-to-right reduction
+    # the Spark fold uses, then the 6-dp rounding matches sqdist6
     parts.append(
         f"""dfin AS (
-      SELECT e.vec_id, c.cid,
-             SUM(CAST({diff} * {diff} AS DECIMAL(28,14))) AS d
-      FROM embeddings e CROSS JOIN {prev} c
-      GROUP BY e.vec_id, c.cid
+      SELECT vec_id, cid, {_shr('dsum', 6)} AS d FROM (
+        SELECT e.vec_id, c.cid,
+               SUM({diff} * {diff} ORDER BY c.i) AS dsum
+        FROM embeddings e CROSS JOIN {prev} c
+        GROUP BY e.vec_id, c.cid
+      )
     )"""
     )
     parts.append(
@@ -176,7 +189,7 @@ def sql_kmeans_lloyd(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         + ",\n    ".join(parts)
         + f"""
     SELECT cid, COUNT(*) AS n_members,
-           {sql_hround('CAST(SUM(d) AS DOUBLE)', 4)} AS inertia
+           {sql_hround('CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE)', 4)} AS inertia
     FROM afin GROUP BY cid
     """
     )

@@ -29,6 +29,17 @@ from pyspark.sql.window import Window
 DEC = "decimal(28,14)"
 
 
+def lit_double_array(vals: list[float]) -> Column:
+    """Literal array<double> built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(v) ...])`` costs one py4j round-trip per element
+    — a 64-dim codebook of 8x4 sub-vectors is thousands of driver→JVM
+    calls and measured ~3 s of pure expression-construction time per
+    PQ query build.  ``repr(float)`` round-trips the exact double bits
+    through SQL parsing, so the literal is bit-identical."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
 def _dec_dot(a: Column, b: Column) -> Column:
     """Exact-decimal dot product of two float arrays."""
     prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
@@ -316,8 +327,7 @@ def ivf_topk(
     qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
     qv = [float(x) for x in qrow[0][vec_col]]
 
-    def lit_vec(vals: list[float]) -> Column:
-        return F.array(*[F.lit(v) for v in vals])
+    lit_vec = lit_double_array
 
     def py_norm(vals: list[float]) -> float:
         acc = 0.0
@@ -508,31 +518,107 @@ def sql_lsh_buckets(n_planes: int = 8, dim: int = 64) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _dec_sqdist(a: Column, b: Column) -> Column:
-    """Exact-decimal squared-L2 distance between two equal-length float
-    arrays.  Per-element ``(x−y)²`` is two IEEE double ops (identical
-    in any engine); the reduction goes through DECIMAL so partition
-    order cannot perturb the sum (same contract as ``_dec_dot``)."""
+def sqdist6(a: Column, b: Column) -> Column:
+    """Squared-L2 distance between two equal-length float arrays as a
+    plain-double fold, half-up rounded to 6 dp.
+
+    Same determinism bargain as ``ivf_topk``'s cell scores: each
+    ``(x−y)²`` term is IEEE-exact in every engine, only the reduction
+    order can drift, and fold drift over ≤64 terms (~1e-14 relative)
+    is far below the 1e-6 rounding grain — so the rounded value is
+    engine-stable while the fold stays inside whole-stage codegen
+    (a DECIMAL accumulation here measured 5-10x slower end-to-end on
+    the PQ/k-means paths: per-element decimal casts defeat codegen).
+    Downstream sums of these rounded values must go through
+    DECIMAL(18,6) (exact for 6-dp values) — see ``pq_adc_topk``."""
+    from ..queries.helpers import hround
+
     d = F.zip_with(
         a,
         b,
         lambda x, y: (
             (x.cast("double") - y.cast("double"))
             * (x.cast("double") - y.cast("double"))
-        ).cast(DEC),
+        ),
     )
-    return F.aggregate(d, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC))
+    return hround(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x), 6)
 
 
-def sql_dec_sqdist(a: str, b: str, offset: int | str = 0, dim: int = 64) -> str:
-    """DuckDB twin of ``_dec_sqdist`` over ``a[offset+1 .. offset+dim]``
+def sql_sqdist6(a: str, b: str, offset: int | str = 0, dim: int = 64) -> str:
+    """DuckDB twin of ``sqdist6`` over ``a[offset+1 .. offset+dim]``
     (``offset`` may be a SQL expression, e.g. ``s.m * 16``)."""
+    from ..queries.helpers import sql_hround
+
     idx = f"(({offset}) + i)" if offset else "i"
     diff = f"(CAST({a}[{idx}] AS DOUBLE) - CAST({b}[{idx}] AS DOUBLE))"
-    return (
-        f"list_sum(list_transform(range(1, {dim + 1}), i -> "
-        f"CAST({diff} * {diff} AS DECIMAL(28,14))))"
+    return sql_hround(
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> {diff} * {diff}))", 6
     )
+
+
+def sqdist6_sql_terms(vec_name: str, cvals: list[float], lo: int = 0) -> str:
+    """Spark-SQL text of ``sqdist6(vec[lo+1 ..], literal cvals)``: an
+    explicit left-associated term chain (bit-identical to the
+    F.aggregate left fold — ``0.0 + t1 == t1``) followed by the
+    hround(6) floor formula.  Generated as TEXT because building the
+    same tree with Column operations costs one py4j round-trip per
+    node — measured seconds per query for a PQ codebook — while one
+    ``F.expr`` parse is JVM-side and O(ms)."""
+    terms = []
+    for i, c in enumerate(cvals):
+        e = f"(CAST(element_at({vec_name}, {lo + i + 1}) AS DOUBLE) - {float(c)!r}D)"
+        terms.append(f"{e} * {e}")
+    chain = " + ".join(terms)
+    return f"(CAST(FLOOR(({chain}) * 1000000.0D + 0.5D) AS DOUBLE) / 1000000.0D)"
+
+
+def nearest_sqdist6_sql(
+    vec_name: str,
+    cents: dict[int, list[float]],
+    *,
+    lo: int = 0,
+    length: int | None = None,
+    id_field: str = "j",
+) -> str:
+    """SQL text of ``array_min`` over ``named_struct(d, id)``
+    candidates — nearest centroid (6-dp-rounded squared-L2, ties to
+    the smaller id).  The shared argmin core of PQ encoding and Lloyd
+    assignment; callers embed it in a selectExpr/spark.sql statement
+    so a whole assignment stage is one driver→JVM parse."""
+    structs = []
+    for cid, cv in sorted(cents.items()):
+        sub = cv if length is None else cv[lo : lo + length]
+        structs.append(
+            f"named_struct('d', {sqdist6_sql_terms(vec_name, sub, lo)}, "
+            f"'{id_field}', {cid})"
+        )
+    return f"array_min(array({', '.join(structs)}))"
+
+
+def nearest_sqdist6_expr(
+    vec_name: str,
+    cents: dict[int, list[float]],
+    *,
+    lo: int = 0,
+    length: int | None = None,
+    id_field: str = "j",
+) -> Column:
+    return F.expr(
+        nearest_sqdist6_sql(
+            vec_name, cents, lo=lo, length=length, id_field=id_field
+        )
+    )
+
+
+def py_sqdist6(a: list[float], b: list[float]) -> float:
+    """Python twin of sqdist6 for literal-only (model-artifact) inputs
+    — same IEEE ops in the same order, then py_hround(6)."""
+    from ..queries.helpers import py_hround
+
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return py_hround(acc, 6)
 
 
 def pq_adc_topk(
@@ -566,9 +652,10 @@ def pq_adc_topk(
     ADC lookup is ``element_at`` on a constant array — the whole query
     plans as scan → project → TakeOrderedAndProject: ZERO shuffles.
 
-    The query-side distance table is built from literal-only Spark
-    expressions (not driver floats), so its decimal semantics are the
-    engine's own and match the DuckDB oracle bit-for-bit.
+    The query-side distance table is literal×literal arithmetic —
+    computed once with the Python twin of ``sqdist6`` (identical IEEE
+    ops in identical order) and inlined as exact DECIMAL(18,6)
+    literals the oracle reproduces relationally.
 
     Output: ``(vec_id, code_key, approx_dist)`` where ``code_key``
     packs the per-subspace codes little-endian (3 bits each for
@@ -586,49 +673,43 @@ def pq_adc_topk(
     qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
     qv = [float(x) for x in qrow[0][vec_col]]
 
-    def lit_vec(vals: list[float]) -> Column:
-        return F.array(*[F.lit(v) for v in vals])
-
-    codes: list[Column] = []
+    # encode: one parsed argmin expression per subspace
+    enc = embeddings.filter(F.col(id_col) != query_vec_id).select(
+        F.col(id_col),
+        *[
+            nearest_sqdist6_expr(
+                vec_col, cvecs, lo=m * sub_dim, length=sub_dim
+            ).alias(f"c{m}")
+            for m in range(n_sub)
+        ],
+    )
+    # query→sub-centroid distance table: pure model-artifact arithmetic
+    # (literal × literal), computed with the Python twin of sqdist6 and
+    # inlined as DECIMAL(18,6) literals (exact for 6-dp values) so the
+    # n_sub-term ADC sum is reduction-order-free
     adists: list[Column] = []
     for m in range(n_sub):
         lo, hi = m * sub_dim, (m + 1) * sub_dim
-        v_sub = F.slice(F.col(vec_col), lo + 1, sub_dim)
-        cands = F.array(
-            *[
-                F.struct(
-                    _dec_sqdist(v_sub, lit_vec(cvecs[j][lo:hi])).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j in range(k_codes)
-            ]
+        tab = ",".join(
+            f"CAST({py_sqdist6(qv[lo:hi], cvecs[j][lo:hi])!r}D AS DECIMAL(18,6))"
+            for j in range(k_codes)
         )
-        code_m = F.array_min(cands).getField("j")
-        codes.append(code_m)
-        # query→sub-centroid distance table: literal-only expression →
-        # engine-exact decimals, constant-folded by Catalyst
-        qtab = F.array(
-            *[
-                _dec_sqdist(lit_vec(qv[lo:hi]), lit_vec(cvecs[j][lo:hi]))
-                for j in range(k_codes)
-            ]
-        )
-        adists.append(F.element_at(qtab, code_m + F.lit(1)))
+        adists.append(F.expr(f"element_at(array({tab}), c{m}.j + 1)"))
 
     bits = max(1, (k_codes - 1).bit_length())
     code_key = functools.reduce(
         lambda x, y: x + y,
-        [c.cast("bigint") * F.lit(1 << (bits * m)) for m, c in enumerate(codes)],
+        [
+            F.col(f"c{m}").getField("j").cast("bigint") * F.lit(1 << (bits * m))
+            for m in range(n_sub)
+        ],
     ).alias("code_key")
-    approx = functools.reduce(lambda x, y: (x + y).cast(DEC), adists)
+    approx = functools.reduce(lambda x, y: x + y, adists)
 
-    out = (
-        embeddings.filter(F.col(id_col) != query_vec_id)
-        .select(
-            F.col(id_col),
-            code_key,
-            hround(approx.cast("double"), 6).alias("approx_dist"),
-        )
+    out = enc.select(
+        F.col(id_col),
+        code_key,
+        approx.cast("double").alias("approx_dist"),
     )
     return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
@@ -643,12 +724,10 @@ def sql_pq_adc_topk(
     """DuckDB twin of ``pq_adc_topk`` — fully relational: sub-codebook
     and query distance table from the same embeddings view, encoding
     via window argmin, ADC via join on (subspace, code)."""
-    from ..queries.helpers import sql_hround
-
     sub_dim = dim // n_sub
     bits = max(1, (k_codes - 1).bit_length())
-    edist = sql_dec_sqdist("e.embedding", "c.cvec", f"s.m * {sub_dim}", sub_dim)
-    qdist = sql_dec_sqdist("q.qv", "c.cvec", f"s.m * {sub_dim}", sub_dim)
+    edist = sql_sqdist6("e.embedding", "c.cvec", f"s.m * {sub_dim}", sub_dim)
+    qdist = sql_sqdist6("q.qv", "c.cvec", f"s.m * {sub_dim}", sub_dim)
     return f"""
     WITH cb AS (
       SELECT vec_id AS j, embedding AS cvec FROM embeddings WHERE vec_id < {k_codes}
@@ -672,10 +751,10 @@ def sql_pq_adc_topk(
     ), adc AS (
       SELECT a.vec_id,
              CAST(SUM(a.j * (1 << ({bits} * a.m))) AS BIGINT) AS code_key,
-             SUM(qd.qdist) AS adist
+             SUM(CAST(qd.qdist AS DECIMAL(18,6))) AS adist
       FROM assign a JOIN qd ON a.m = qd.m AND a.j = qd.j
       GROUP BY a.vec_id
     )
-    SELECT vec_id, code_key, {sql_hround('CAST(adist AS DOUBLE)', 6)} AS approx_dist
+    SELECT vec_id, code_key, CAST(adist AS DOUBLE) AS approx_dist
     FROM adc ORDER BY approx_dist ASC, vec_id ASC LIMIT {k}
     """
