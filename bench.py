@@ -63,6 +63,14 @@ HEADLINE = [
     "cdx_page_blocks",
     "dedup_paragraph_chunks",
     "cdx_crawl_diff",
+    # round 4
+    "q3_shipping_priority",
+    "emb_pq_adc_topk",
+    "emb_kmeans_lloyd",
+    "text_chunk_sliding",
+    "multimodal_phash_near_dup",
+    "cdx_fuzzy_match",
+    "dedup_bloom_prefilter",
 ]
 
 

@@ -426,3 +426,21 @@ def surt_urlkey_auto(df, url_col: str, out_col: str = "urlkey"):
         out_col, surt_urlkey_pandas()(F.col(url_col))
     )
     return fast.unionByName(slow)
+
+
+_EXPR_CACHE: dict[str, Column] = {}
+
+
+def surt_urlkey_cached(col_name: str) -> Column:
+    """``surt_urlkey(F.col(col_name))`` memoized per column NAME.
+
+    The native SURT tree is ~hundreds of expression nodes and costs
+    ~1 s of py4j round-trips to construct (measured — it was the
+    fixed driver-side overhead of every cdx-family query).  Column
+    objects are immutable unresolved expressions, so one tree keyed
+    on an input column name is safely reusable across DataFrames and
+    queries; callers project their URL expression onto that name
+    first (``df.withColumn("__url", url)``)."""
+    if col_name not in _EXPR_CACHE:
+        _EXPR_CACHE[col_name] = surt_urlkey(F.col(col_name))
+    return _EXPR_CACHE[col_name]

@@ -929,3 +929,52 @@ def fn_cast(spark, sf_dir):
         .groupBy("bal_int", "nation_str")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example.org:8080/doc/' || doc_id
+               || '?a=' || (doc_id % 5) || '&b=2#frag' AS url
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, 'a=([^&#]*)', 1) AS param_a,
+           regexp_extract(url, '#(.*)$', 1) AS frag
+    FROM u
+    """,
+)
+def fn_url_parse(spark, sf_dir):
+    """F3/F9 URL decomposition via Spark's native ``parse_url``
+    (PROTOCOL / HOST / PATH / QUERY / QUERY:key / REF) — the
+    structural complement of the SURT canonicalizer for per-component
+    analytics (host rollups, parameter mining).  The oracle recomputes
+    every component with independent regexes, so this cross-checks
+    Spark's Java-URI-based extraction against a second implementation
+    rather than itself."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.org:8080/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?a="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&b=2#frag"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("a")).alias("param_a"),
+        F.parse_url("url", F.lit("REF")).alias("frag"),
+    )
