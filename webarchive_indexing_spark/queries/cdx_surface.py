@@ -993,3 +993,67 @@ def cdx_timemap(spark, sf_dir):
             F.max("gap_s").alias("max_gap_s"),
         )
     )
+
+
+@query(
+    "cdx_fetch_plan",
+    oracle=CDX_SQL + """
+    , ranges AS (
+      SELECT filename, "offset" AS off, "offset" + length AS endoff
+      FROM cdx
+    ), flagged AS (
+      SELECT filename, off, endoff,
+             CASE WHEN LAG(endoff) OVER w IS NULL
+                       OR off - LAG(endoff) OVER w > 500
+                  THEN 1 ELSE 0 END AS new_run
+      FROM ranges WINDOW w AS (PARTITION BY filename ORDER BY off, endoff)
+    ), runs AS (
+      SELECT filename, off, endoff,
+             CAST(SUM(new_run) OVER (PARTITION BY filename
+                                     ORDER BY off, endoff
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM flagged
+    )
+    SELECT filename, run_id,
+           COUNT(*) AS n_captures,
+           CAST(MIN(off) AS BIGINT) AS run_start,
+           CAST(MAX(endoff) - MIN(off) AS BIGINT) AS run_bytes
+    FROM runs GROUP BY filename, run_id
+    """,
+    tier="B",
+)
+def cdx_fetch_plan(spark, sf_dir):
+    """Ranged-GET fetch planning: captures to be retrieved from the
+    same WARC are coalesced into byte-range runs when the gap to the
+    previous capture's end is ≤ 500 bytes — the read-amplification
+    trick every archive bulk-exporter uses (one ranged GET per run
+    instead of per record; pywb's zipnum reader does the same for
+    index blocks).  The run assignment is the sessionize pattern over
+    byte offsets instead of timestamps: lag → new-run flag →
+    running-sum run id, all inside one window partitioned by the
+    file — at scale each WARC's ranges are co-located by the
+    partition key and nothing else shuffles."""
+    from pyspark.sql.window import Window
+
+    c = derived_cdx(spark, sf_dir)
+    r = c.select(
+        "filename",
+        F.col("offset").alias("off"),
+        (F.col("offset") + F.col("length")).alias("endoff"),
+    )
+    w = Window.partitionBy("filename").orderBy("off", "endoff")
+    prev_end = F.lag("endoff").over(w)
+    new_run = F.when(
+        prev_end.isNull() | (F.col("off") - prev_end > 500), 1
+    ).otherwise(0)
+    runs = r.withColumn(
+        "run_id",
+        F.sum(new_run).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return runs.groupBy("filename", "run_id").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.min("off").cast("bigint").alias("run_start"),
+        (F.max("endoff") - F.min("off")).cast("bigint").alias("run_bytes"),
+    )

@@ -1995,3 +1995,71 @@ def dedup_bloom_prefilter(spark, sf_dir):
             F.col("__seen").isNotNull().alias("actual_dup"),
         )
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), uni AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ), bi AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+    ), cnt AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+    )
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(CAST(SUM(CAST(-ln(c12 * 1.0 / c1) AS DECIMAL(18,6)))
+                 AS DOUBLE) / COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS avg_nll
+    FROM bi
+    JOIN cnt ON bi.w1 = cnt.w1 AND bi.w2 = cnt.w2
+    JOIN uni ON bi.w1 = uni.w
+    GROUP BY bi.doc_id
+    """,
+    tier="C",
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM document scoring — one order up from
+    ``text_unigram_logprob`` toward the 5-gram KenLM CCNet actually
+    uses: each document's mean −ln p(w2|w1) under the corpus's own
+    bigram MLE (p = c(w1 w2)/c(w1); in-corpus scoring means every
+    bigram has support, so no smoothing branch).  Single-token
+    documents have no bigrams and drop out — both engines agree by
+    construction.
+
+    Scale shape: bigrams ride as the same shingle strings the dedup
+    family hashes; the bigram table and vocabulary are aggregates
+    BROADCAST back onto the gram stream (a fixed external LM would be
+    a broadcast model file), so the corpus itself shuffles only for
+    the two count aggregations.  The per-token −ln is identical IEEE
+    libm math in both engines at double precision; the per-doc mean
+    routes through the decimal-exact sum."""
+    d = widen(t(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    grams = d.select(
+        "doc_id", F.explode(shingles(toks, 2)).alias("g")
+    ).select(
+        "doc_id",
+        "g",
+        F.substring_index(F.col("g"), " ", 1).alias("w1"),
+    )
+    cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
+    uni = d.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    nll = -F.log(F.col("c12") * F.lit(1.0) / F.col("c1"))
+    scored = grams.join(F.broadcast(cnt), "g").join(
+        F.broadcast(uni), grams["w1"] == uni["w"]
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        hround(
+            F.sum(nll.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_nll"),
+    )
