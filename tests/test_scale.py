@@ -167,3 +167,18 @@ def test_kmeans_inertia_monotone_in_iterations(spark, sf_dir):
     # 1e-3 slack: per-cluster inertia is hround(4)-ed before summing
     assert tot[2] <= tot[1] + 1e-3, tot
     assert tot[3] <= tot[2] + 1e-3, tot
+
+
+def test_power_iteration_energy_monotone(spark, sf_dir):
+    """Power iteration maximizes the captured energy Σ(x·v)² over unit
+    directions, so more iterations can only increase it (up to the
+    6-dp score rounding)."""
+    from webarchive_indexing_spark.operators.pca import power_iteration_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    energy = {}
+    for it in (1, 2, 3):
+        rows = power_iteration_scores(emb, iters=it).collect()
+        energy[it] = sum(r.pc1_score ** 2 for r in rows)
+    assert energy[2] >= energy[1] - 1e-3, energy
+    assert energy[3] >= energy[2] - 1e-3, energy

@@ -2063,3 +2063,106 @@ def text_bigram_logprob(spark, sf_dir):
             F.sum(nll.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_nll"),
     )
+
+
+@query(
+    "sample_temperature_sources",
+    oracle=f"""
+    WITH cnts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n,
+             CAST({sql_hround('POWER(n, 0.7)', 6)} AS DECIMAL(18,6)) AS w6
+      FROM cnts
+    ), z AS (
+      SELECT SUM(w6) AS z, SUM(n) AS ntot FROM w
+    ), rates AS (
+      SELECT w.source, w.n,
+             CAST(FLOOR(LEAST(1.0,
+               (CAST(w.w6 AS DOUBLE) / CAST(z.z AS DOUBLE))
+                 * CAST((z.ntot + 1) // 2 AS DOUBLE) / w.n)
+               * 1000000.0 + 0.5) AS BIGINT) AS rate_micro
+      FROM w CROSS JOIN z
+    )
+    SELECT d.source,
+           CAST(ANY_VALUE(r.n) AS BIGINT) AS n_total,
+           ANY_VALUE(r.rate_micro) AS rate_micro,
+           CAST(SUM(CASE WHEN
+             {sql_token_hash("'temp_' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+               < r.rate_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source
+    """,
+    tier="C",
+)
+def sample_temperature_sources(spark, sf_dir):
+    """Temperature-scaled source sampling (the multilingual-LM α=0.7
+    recipe: sample source s with probability ∝ n_s^α, upweighting
+    small sources) at a 50%-of-corpus doc budget.  The per-source
+    rates are a MODEL ARTIFACT: one tiny count aggregate is
+    collected, the α-power shares and micro-rate thresholds are
+    computed on the driver (same IEEE pow/divide the oracle runs, the
+    share normalizer summed in exact DECIMAL so source order can't
+    perturb it), and the keep verdict is a salted-hash threshold
+    evaluated in the scan — reproducible under retries, no shuffle of
+    the corpus beyond the audit rollup."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from .helpers import py_hround
+
+    d = t(spark, sf_dir, "documents")
+    cnt_rows = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    ns = {r["source"]: int(r["n"]) for r in cnt_rows}
+    ntot = sum(ns.values())
+    m_target = (ntot + 1) // 2
+    w6 = {
+        s: Decimal(py_hround(math.pow(n, 0.7), 6)).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+        for s, n in ns.items()
+    }
+    z = sum(w6.values())
+    spec_rows = []
+    for s, n in ns.items():
+        rate = min(1.0, (float(w6[s]) / float(z)) * float(m_target) / n)
+        thr = int(math.floor(rate * 1000000.0 + 0.5))
+        spec_rows.append((s, n, thr))
+    spec = spark.createDataFrame(
+        spec_rows, "source string, n_total bigint, rate_micro bigint"
+    )
+    keep = (
+        token_hash(F.concat(F.lit("temp_"), F.col("doc_id").cast("string"))) % 1000000
+        < F.col("rate_micro")
+    )
+    return (
+        d.join(F.broadcast(spec), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_total").alias("n_total"),
+            F.first("rate_micro").alias("rate_micro"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+from ..operators.pca import sql_power_iteration_scores  # noqa: E402
+
+
+@query(
+    "emb_power_iteration",
+    oracle=sql_power_iteration_scores(iters=2),
+    tier="C",
+)
+def emb_power_iteration(spark, sf_dir):
+    """Leading principal direction by power iteration (un-centered
+    Gram-matrix PCA) — the dimensionality-reduction primitive for
+    whitening / OPQ / embedding-health probes.  Two iterations: each
+    is a map-only inlined-direction projection plus a matrix-vector
+    aggregate whose exchange carries 64 decimal sums, the direction
+    round-tripping through the driver as a model artifact (the
+    Lloyd/k-means discipline).  Output: every vector's projection on
+    the final direction."""
+    from ..operators.pca import power_iteration_scores
+
+    return power_iteration_scores(t(spark, sf_dir, "embeddings"), iters=2)
