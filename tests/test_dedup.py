@@ -78,3 +78,47 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     assert all(r.maybe_dup for r in rows if r.actual_dup)
     # and the sketch is doing SOME filtering: not everything is maybe
     assert any(not r.maybe_dup for r in rows)
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    """The distributed learner must reproduce textbook BPE (greedy
+    leftmost merging, argmax pair by count then lexicographic) on a
+    handcrafted corpus."""
+    from collections import Counter
+
+    from webarchive_indexing_spark.operators.bpe import bpe_learn_merges
+
+    texts = ["low low low lower lowest", "new newer newest low", "wide wider"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+
+    # reference implementation
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            words[w] += 1
+    segs = {w: list(w) for w in words}
+    expect = []
+    for rank in range(1, 4):
+        pc = Counter()
+        for w, c in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, a, b, cnt))
+        for w in words:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_learn_merges(df, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    assert got == expect, (got, expect)

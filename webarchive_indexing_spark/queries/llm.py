@@ -2166,3 +2166,25 @@ def emb_power_iteration(spark, sf_dir):
     from ..operators.pca import power_iteration_scores
 
     return power_iteration_scores(t(spark, sf_dir, "embeddings"), iters=2)
+
+
+@query(
+    "text_bpe_learn_merges",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.bpe", fromlist=["sql_bpe_learn_merges"]
+    ).sql_bpe_learn_merges(n_merges=3, doc_limit=300),
+    tier="C",
+)
+def text_bpe_learn_merges(spark, sf_dir):
+    """BPE tokenizer training (Sennrich et al. 2016), distributed:
+    learn the corpus's first 3 merge rules.  Per round: one explode +
+    aggregate over the DISTINCT-WORD list (vocabulary-sized shuffle,
+    never the raw token stream), a 1-row argmax to the driver, and a
+    map-side guarded string replace whose left-to-right non-overlap
+    semantics are exactly greedy-leftmost BPE — identical in DuckDB,
+    which is what lets an iterative tokenizer trainer be value-hashed
+    end-to-end.  Output is the merge table a tokenizer ships."""
+    from ..operators.bpe import bpe_learn_merges
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return bpe_learn_merges(d, n_merges=3)
