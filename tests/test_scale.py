@@ -182,3 +182,17 @@ def test_power_iteration_energy_monotone(spark, sf_dir):
         energy[it] = sum(r.pc1_score ** 2 for r in rows)
     assert energy[2] >= energy[1] - 1e-3, energy
     assert energy[3] >= energy[2] - 1e-3, energy
+
+
+def test_ivf_pq_zero_shuffle_and_probe_prunes(spark, sf_dir):
+    """The composed IVF+PQ query must stay shuffle-free (both model
+    artifacts inlined) and actually prune: every returned row's cell
+    is one of the nprobe probed cells."""
+    df = REGISTRY["emb_ivf_pq_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert len({r.cell for r in rows}) <= 4
+    assert all(r.vec_id != 55 for r in rows)

@@ -758,3 +758,142 @@ def sql_pq_adc_topk(
     SELECT vec_id, code_key, CAST(adist AS DOUBLE) AS approx_dist
     FROM adc ORDER BY approx_dist ASC, vec_id ASC LIMIT {k}
     """
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed — the shape of FAISS's IVFADC (Jégou et al.
+    2011): a coarse quantizer prunes the scan to the ``nprobe`` cells
+    nearest the query, and ranking inside the survivors is PQ
+    asymmetric distance (codes + literal lookup table), never raw
+    floats.  At 100 TB this is THE billion-vector serving layout:
+    cells bound the rows touched, codes bound the bytes per row.
+
+    Flat-PQ variant: codes quantize the vector itself; production
+    IVFADC quantizes the RESIDUAL x − c(cell) (per-cell lookup
+    tables — same plan shape, k_codes× more literals).  Both model
+    artifacts (cell centroids, sub-codebooks) are deterministic
+    stand-ins from the first rows, collected once and inlined; the
+    whole query still plans scan → map-side cell argmin + encode +
+    probe filter → TakeOrderedAndProject with ZERO shuffles.
+    """
+    assert dim % n_sub == 0
+    sub_dim = dim // n_sub
+
+    rows = (
+        embeddings.filter(F.col(id_col) < max(n_cells, k_codes))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    vecs = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
+    cents = {i: vecs[i] for i in range(n_cells)}
+    cbook = {j: vecs[j] for j in range(k_codes)}
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    qv = [float(x) for x in qrow[0][vec_col]]
+
+    # probe cells: driver-side twin of the engine's rounded distances
+    probe = sorted(
+        cents, key=lambda c: (py_sqdist6(qv, cents[c]), c)
+    )[:nprobe]
+
+    cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
+    enc_cols = [
+        nearest_sqdist6_expr(
+            vec_col, cbook, lo=m * sub_dim, length=sub_dim
+        ).alias(f"c{m}")
+        for m in range(n_sub)
+    ]
+    pruned = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), cell.getField("cid").alias("cell"), *enc_cols)
+        .filter(F.col("cell").isin(probe))
+    )
+    adists = []
+    for m in range(n_sub):
+        lo, hi = m * sub_dim, (m + 1) * sub_dim
+        tab = ",".join(
+            f"CAST({py_sqdist6(qv[lo:hi], cbook[j][lo:hi])!r}D AS DECIMAL(18,6))"
+            for j in range(k_codes)
+        )
+        adists.append(F.expr(f"element_at(array({tab}), c{m}.j + 1)"))
+    approx = functools.reduce(lambda x, y: x + y, adists)
+    out = pruned.select(
+        F.col(id_col),
+        F.col("cell"),
+        approx.cast("double").alias("approx_dist"),
+    )
+    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def sql_ivf_pq_topk(
+    query_vec_id: int = 55,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``ivf_pq_topk`` — fully relational."""
+    sub_dim = dim // n_sub
+    cdist = sql_sqdist6("e.embedding", "c.cvec", 0, dim)
+    qcdist = sql_sqdist6("q.qv", "c.cvec", 0, dim)
+    edist = sql_sqdist6("e.embedding", "b.cvec", f"s.m * {sub_dim}", sub_dim)
+    qdist = sql_sqdist6("q.qv", "b.cvec", f"s.m * {sub_dim}", sub_dim)
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {n_cells}
+    ), cb AS (
+      SELECT vec_id AS j, embedding AS cvec FROM embeddings
+      WHERE vec_id < {k_codes}
+    ), sub AS (
+      SELECT unnest(generate_series(0, {n_sub - 1})) AS m
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+    ), cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cdist} ASC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id <> {query_vec_id}
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qcdist} ASC, c.cid ASC) AS rn
+        FROM cents c CROSS JOIN q
+      ) WHERE rn <= {nprobe}
+    ), surv AS (
+      SELECT vec_id, embedding, cell FROM cells
+      WHERE cell IN (SELECT cid FROM probe)
+    ), assign AS (
+      SELECT vec_id, m, j FROM (
+        SELECT e.vec_id, s.m, b.j,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.m
+                                  ORDER BY {edist} ASC, b.j ASC) AS rn
+        FROM surv e CROSS JOIN sub s CROSS JOIN cb b
+      ) WHERE rn = 1
+    ), qd AS (
+      SELECT s.m, b.j, CAST({qdist} AS DECIMAL(18,6)) AS qdist
+      FROM q CROSS JOIN sub s CROSS JOIN cb b
+    ), adc AS (
+      SELECT a.vec_id, SUM(qd.qdist) AS adist
+      FROM assign a JOIN qd ON a.m = qd.m AND a.j = qd.j
+      GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, s.cell, CAST(a.adist AS DOUBLE) AS approx_dist
+    FROM surv s JOIN adc a ON s.vec_id = a.vec_id
+    ORDER BY approx_dist ASC, s.vec_id ASC LIMIT {k}
+    """

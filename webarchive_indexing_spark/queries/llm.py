@@ -40,11 +40,13 @@ from ..operators.dedup import (
 from ..operators.similarity import (
     cosine,
     cosine_topk,
+    ivf_pq_topk,
     ivf_topk,
     knn_blocked,
     lsh_buckets,
     pq_adc_topk,
     sql_cosine,
+    sql_ivf_pq_topk,
     sql_ivf_topk,
     sql_pq_adc_topk,
     sql_lsh_bucket_expr,
@@ -764,6 +766,23 @@ def emb_pq_adc_topk(spark, sf_dir):
     TakeOrderedAndProject to the driver (plan-asserted)."""
     return pq_adc_topk(
         t(spark, sf_dir, "embeddings"), query_vec_id=77, k=10, n_sub=4, k_codes=8
+    )
+
+
+@query(
+    "emb_ivf_pq_topk",
+    oracle=sql_ivf_pq_topk(query_vec_id=55, k=10, n_cells=16, nprobe=4),
+    tier="C",
+)
+def emb_ivf_pq_topk(spark, sf_dir):
+    """L3 IVF+PQ composed (the FAISS IVFADC layout, flat-PQ variant):
+    coarse cells prune the scan to 4 of 16 cells nearest the query,
+    PQ asymmetric distance ranks the survivors from 3-bit codes and a
+    literal lookup table — rows touched bounded by the probe, bytes
+    per row bounded by the code width, zero shuffles, exact-decimal
+    deterministic ADC sums."""
+    return ivf_pq_topk(
+        t(spark, sf_dir, "embeddings"), query_vec_id=55, k=10, n_cells=16, nprobe=4
     )
 
 

@@ -473,3 +473,58 @@ def events_view_click_attrib(spark, sf_dir):
             F.max("d_us").alias("max_lag_us"),
         )
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type,
+             ANY_VALUE(m.med) AS med,
+             quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_hround('ANY_VALUE(m.med)', 4)} AS med,
+           {sql_hround('ANY_VALUE(m.mad)', 4)} AS mad,
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3.5 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly counting per event type: median + MAD (median
+    absolute deviation), then the modified-z-score rule
+    |x − med| > 3.5·1.4826·MAD — the outlier detector that survives
+    the heavy tails that break mean/stddev z-scores (crawl latency
+    spikes, bot bursts).
+
+    Two grouped exact-percentile passes (each a per-group sort-based
+    aggregate; at 100 TB both swap to the mergeable
+    ``approx_percentile`` sketch with identical plan shape) and a
+    broadcast of the per-type (med, mad) rows back onto the scan for
+    the verdict — the events stream shuffles only for the two grouped
+    aggregates."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+    )
+    scored = ev.join(F.broadcast(mad), "event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > 3.5 * 1.4826 * F.col("mad")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        hround(F.first("med"), 4).alias("med"),
+        hround(F.first("mad"), 4).alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+    )
