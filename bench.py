@@ -66,11 +66,19 @@ HEADLINE = [
     # round 4
     "q3_shipping_priority",
     "emb_pq_adc_topk",
+    "emb_ivf_pq_topk",
     "emb_kmeans_lloyd",
+    "emb_power_iteration",
     "text_chunk_sliding",
+    "text_bigram_logprob",
+    "text_bpe_learn_merges",
     "multimodal_phash_near_dup",
     "cdx_fuzzy_match",
+    "cdx_fetch_plan",
     "dedup_bloom_prefilter",
+    "sample_temperature_sources",
+    "events_anomaly_mad",
+    "events_view_click_attrib",
 ]
 
 
