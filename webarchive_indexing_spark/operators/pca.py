@@ -40,13 +40,15 @@ def _round6_sql(chain: str) -> str:
 
 
 def _dot6_sql(vec_name: str, vals: list[float]) -> str:
-    """Spark-SQL text of round6(vec·vals): explicit left-associated
-    product chain (same order as a fold), then the hround(6) formula."""
-    terms = [
-        f"(CAST(element_at({vec_name}, {i + 1}) AS DOUBLE) * {float(v)!r}D)"
-        for i, v in enumerate(vals)
-    ]
-    return _round6_sql(" + ".join(terms))
+    """Spark-SQL text of round6(vec·vals) as a higher-order fold (same
+    left-to-right order as a flat chain; see
+    similarity.sqdist6_sql_terms for why a fold and not a chain)."""
+    lits = ",".join(f"{float(v)!r}D" for v in vals)
+    fold = (
+        f"aggregate(zip_with({vec_name}, array({lits}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, x) -> a + x)"
+    )
+    return _round6_sql(fold)
 
 
 def power_iteration_scores(

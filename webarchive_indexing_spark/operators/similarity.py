@@ -557,19 +557,27 @@ def sql_sqdist6(a: str, b: str, offset: int | str = 0, dim: int = 64) -> str:
 
 
 def sqdist6_sql_terms(vec_name: str, cvals: list[float], lo: int = 0) -> str:
-    """Spark-SQL text of ``sqdist6(vec[lo+1 ..], literal cvals)``: an
-    explicit left-associated term chain (bit-identical to the
-    F.aggregate left fold — ``0.0 + t1 == t1``) followed by the
-    hround(6) floor formula.  Generated as TEXT because building the
-    same tree with Column operations costs one py4j round-trip per
-    node — measured seconds per query for a PQ codebook — while one
-    ``F.expr`` parse is JVM-side and O(ms)."""
-    terms = []
-    for i, c in enumerate(cvals):
-        e = f"(CAST(element_at({vec_name}, {lo + i + 1}) AS DOUBLE) - {float(c)!r}D)"
-        terms.append(f"{e} * {e}")
-    chain = " + ".join(terms)
-    return f"(CAST(FLOOR(({chain}) * 1000000.0D + 0.5D) AS DOUBLE) / 1000000.0D)"
+    """Spark-SQL text of ``sqdist6(vec[lo+1 ..], literal cvals)`` as a
+    higher-order fold, then the hround(6) floor formula.
+
+    Generated as TEXT because building the same tree with Column
+    operations costs one py4j round-trip per node — measured seconds
+    per query for a PQ codebook — while one ``F.expr`` parse is
+    JVM-side and O(ms).  A fold, NOT a flattened ``t1 + t2 + …``
+    chain: 16 chains of 64 terms blow generated code past the codegen
+    method limits and the whole projection drops to interpreted
+    expression eval (measured 7x slower end-to-end); the fold is a
+    ~20-node tree using the array higher-order evaluator.  Fold order
+    equals the flat left-associated chain (``0.0 + t1 == t1``), so
+    results are bit-identical."""
+    n = len(cvals)
+    lits = ",".join(f"{float(c)!r}D" for c in cvals)
+    fold = (
+        f"aggregate(zip_with(slice({vec_name}, {lo + 1}, {n}), array({lits}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (a, x) -> a + x)"
+    )
+    return f"(CAST(FLOOR(({fold}) * 1000000.0D + 0.5D) AS DOUBLE) / 1000000.0D)"
 
 
 def nearest_sqdist6_sql(
