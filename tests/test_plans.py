@@ -164,3 +164,37 @@ def test_mixture_sampling_verdict_is_scan_side(spark, sf_dir):
 
     assert len(re.findall(r"Exchange hashpartitioning", final)) <= 1, final[:600]
     assert "partial_" in final.lower() or final.count("HashAggregate") >= 2
+
+
+def test_fuzzy_match_single_index_join(spark, sf_dir):
+    # the batch fuzzy resolver must join the index ONCE (key fan-out +
+    # window fallback), not once per rule stage — three joins here
+    # would triple-shuffle a petabyte index
+    plan = _plan(spark, sf_dir, "cdx_fuzzy_match")
+    n_joins = plan.count("Join")
+    assert n_joins <= 2, f"{n_joins} joins:\n{plan[:800]}"
+
+
+def test_chunk_sliding_is_shuffle_free(spark, sf_dir):
+    # 1->N chunk fan-out is a map-only Generate; any Exchange means
+    # the expansion shuffles the corpus
+    plan = _plan(spark, sf_dir, "text_chunk_sliding")
+    assert "Exchange" not in plan, plan[:500]
+    assert "Generate" in plan
+
+
+def test_phash_near_dup_band_join_not_cartesian(spark, sf_dir):
+    # candidates must come from the band-bucket equi-join; a cartesian
+    # or broadcast-nested-loop here is the all-pairs blowup
+    plan = _plan(spark, sf_dir, "multimodal_phash_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_verdict_is_scan_side(spark, sf_dir):
+    # the bloom membership test is a literal-array lookup in the
+    # scan's projection; the only join is the broadcast ground-truth
+    # marker
+    plan = _plan(spark, sf_dir, "dedup_bloom_prefilter")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
