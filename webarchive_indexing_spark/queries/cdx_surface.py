@@ -1057,3 +1057,37 @@ def cdx_fetch_plan(spark, sf_dir):
         F.min("off").cast("bigint").alias("run_start"),
         (F.max("endoff") - F.min("off")).cast("bigint").alias("run_bytes"),
     )
+
+
+_IDN_CASES = [
+    ("https://www.münchen.de/straße?q=1", "de,xn--mnchen-3ya)/straße?q=1"),
+    ("http://bücher.example:80/path", "example,xn--bcher-kva)/path"),
+    ("https://www.日本.jp/", "jp,xn--wgv71a)/"),
+    (
+        "https://WWW.Ascii.Example.org:443/a/../b?b=2&a=1",
+        "org,example,ascii)/b?a=1&b=2",
+    ),
+    ("http://xn--dj-kia.example/pre-encoded", "example,xn--dj-kia)/pre-encoded"),
+]
+
+
+@query(
+    "cdx_surt_idn_urlkey",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{u}', '{k}')" for u, k in _IDN_CASES)
+    + ") t(url, urlkey)",
+    tier="B",
+)
+def cdx_surt_idn_urlkey(spark, sf_dir):
+    """F1 SURT with IDN hosts through the hybrid router
+    (``surt_urlkey_auto``): non-ASCII hosts are punycoded by the
+    pandas fallback while ASCII URLs stay on the native codegen path —
+    one plan, both branches exercised, checked against golden keys
+    (the expected values are pywb/surt semantics: host punycoded,
+    path bytes preserved, ports/query/dot-segments normalized).
+    This closes the round-3 'IDN divergence' gap as a driver-checked
+    query, not just a pytest."""
+    from ..functions.surt import surt_urlkey_auto
+
+    df = spark.createDataFrame([(u,) for u, _ in _IDN_CASES], ["url"])
+    return surt_urlkey_auto(df, "url").select("url", "urlkey")

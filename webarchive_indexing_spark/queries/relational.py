@@ -978,3 +978,42 @@ def fn_url_parse(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY"), F.lit("a")).alias("param_a"),
         F.parse_url("url", F.lit("REF")).alias("frag"),
     )
+
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "agg_pivot_unpivot",
+    oracle=f"""
+    WITH p AS (
+      SELECT source,
+             {", ".join(f"CAST(SUM(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS {lg}" for lg in _LANGS)}
+      FROM documents GROUP BY source
+    )
+    SELECT source, lang, n FROM (
+      {" UNION ALL ".join(f"SELECT source, '{lg}' AS lang, {lg} AS n FROM p" for lg in _LANGS)}
+    ) WHERE n > 0
+    """,
+)
+def agg_pivot_unpivot(spark, sf_dir):
+    """Pivot + unpivot round trip: per-source document counts pivoted
+    into one column per language (``groupBy().pivot(values=...)`` —
+    the explicit value list keeps it one pass; value-less pivot adds a
+    distinct-scan job), then melted back with ``unpivot`` and zero
+    rows dropped.  The oracle states the same contract as conditional
+    aggregation + UNION ALL, so the hash match pins both directions.
+    Pivot at scale is just a grouped aggregate whose exchange carries
+    one row per (group × |values|) — no new shuffle shape."""
+    d = t(spark, sf_dir, "documents")
+    p = (
+        d.groupBy("source")
+        .pivot("lang", list(_LANGS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_LANGS))
+    )
+    return (
+        p.unpivot("source", list(_LANGS), "lang", "n")
+        .filter(F.col("n") > 0)
+        .select("source", "lang", F.col("n").cast("bigint").alias("n"))
+    )
