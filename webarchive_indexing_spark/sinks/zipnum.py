@@ -415,8 +415,6 @@ def read_zipnum_pages(
     through the same ranged-read stage; the page column rides along
     with each decompressed line."""
     blocks = _prune(_load_idx(out_dir), key_lo, key_hi)
-    from ..sources.cdx import CDX_FIELDS
-
     page_field = T.StructField("page", T.IntegerType())
     if not blocks:
         empty = T.StructType([page_field, T.StructField("value", T.StringType())])
