@@ -76,3 +76,66 @@ def test_two_stage_equals_one_call(spark, warc_manifest):
         a = query_index(spark, out1, "https://example.com/", match_type="prefix")
         b = query_index(spark, out2, "https://example.com/", match_type="prefix")
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_incremental_update_index(spark, warc_manifest):
+    """update_index: epoch-per-batch ingest with skip-existing, replay
+    idempotence, and compaction folding — the live-archive loop."""
+    import glob
+
+    from webarchive_indexing_spark.plans.pipeline import update_index
+    from webarchive_indexing_spark.sinks.zipnum import (
+        list_epochs,
+        read_zipnum_epochs,
+    )
+    from webarchive_indexing_spark.sources.warc import write_mini_warc
+
+    d = os.path.dirname(warc_manifest)
+    paths = sorted(glob.glob(os.path.join(d, "crawl-*.warc.gz")))
+    with tempfile.TemporaryDirectory() as out:
+        # batch 1: first two WARCs
+        m1 = spark.createDataFrame([(p,) for p in paths[:2]], ["path"])
+        e1 = update_index(spark, m1, out, shards=2, numlines=3)
+        assert e1 is not None
+        base = read_zipnum_epochs(spark, out).count()
+        assert base > 0
+
+        # batch 2: all four WARCs, two already indexed -> only the new
+        # two land, in a second epoch
+        m2 = spark.createDataFrame([(p,) for p in paths], ["path"])
+        e2 = update_index(spark, m2, out, indexed=m1, shards=2, numlines=3)
+        assert e2 is not None and e2 != e1
+        assert len(list_epochs(out)) == 2
+        full = read_zipnum_epochs(spark, out)
+        total = full.count()
+        assert total > base
+        want = {tuple(r) for r in full.collect()}
+
+        # replay of batch 2 (same paths, same skip set): same epoch id,
+        # content unchanged
+        e2b = update_index(spark, m2, out, indexed=m1, shards=2, numlines=3)
+        assert e2b == e2
+        assert {tuple(r) for r in read_zipnum_epochs(spark, out).collect()} == want
+
+        # batch 3 with compaction: one folded epoch, same content
+        extra = os.path.join(d, "crawl-99.warc.gz")
+        write_mini_warc(
+            extra,
+            [
+                dict(
+                    url="https://example.com/late/1",
+                    date_iso="2017-05-05T00:00:00Z",
+                    payload=b"late body",
+                )
+            ],
+        )
+        m3 = spark.createDataFrame([(extra,)], ["path"])
+        e3 = update_index(spark, m3, out, shards=2, numlines=3, compact=True)
+        assert e3 is not None
+        assert len(list_epochs(out)) == 1  # everything folded
+        after = {tuple(r) for r in read_zipnum_epochs(spark, out).collect()}
+        assert want < after and len(after) == len(want) + 1
+
+        # replay of a batch whose epoch was compacted away: no-op
+        assert update_index(spark, m3, out, shards=2, numlines=3) is None
+        assert {tuple(r) for r in read_zipnum_epochs(spark, out).collect()} == after

@@ -96,3 +96,58 @@ def query_index(
     """cdx-server GET /index over a built cluster: matchType, from/to,
     filter, collapse, closest, sort, fields, limit — block-pruned."""
     return cdx_query_zipnum(spark, cluster_dir, url, **params)
+
+
+def update_index(
+    spark: SparkSession,
+    manifest: str | DataFrame,
+    out_dir: str,
+    *,
+    indexed: DataFrame | None = None,
+    shards: int = 2,
+    numlines: int = 3000,
+    files_per_task: int = 2,
+    compact: bool = False,
+) -> int | None:
+    """Incremental crawl ingest — the composed plan a live archive
+    actually runs per batch (the reference reruns all three jobs from
+    scratch; here the index is the epoch LSM from sinks.zipnum):
+
+    1. ``--skip-existing`` anti-join drops WARCs already indexed
+       (``indexed`` = DataFrame of previously ingested paths);
+    2. the remainder parses and lands as ONE new immutable sorted
+       epoch — readers merge epochs, nothing is rewritten;
+    3. ``compact=True`` folds all live epochs afterwards (crash/
+       reader-safe rename protocol).
+
+    Replay-safe: the epoch id is reserved under a key derived from the
+    batch's WARC paths, so a retried batch rewrites its own epoch, and
+    a batch whose epoch was already folded into a compaction is a
+    no-op.  Returns the epoch id, or None when there was nothing new
+    to index (or the batch is already durable in a merged epoch)."""
+    import hashlib
+
+    from ..sinks.zipnum import (
+        _subsumed_names,
+        reserve_epoch_id,
+        write_zipnum_epoch,
+    )
+    from ..sources.warc import index_warcs, skip_existing
+
+    m = _manifest_df(spark, manifest)
+    if indexed is not None:
+        m = skip_existing(m, indexed)
+    paths = sorted(r["path"] for r in m.select("path").collect())
+    if not paths:
+        return None
+    key = "update:" + hashlib.md5("\n".join(paths).encode()).hexdigest()
+    epoch_id = reserve_epoch_id(out_dir, key)
+    if f"epoch-{epoch_id:06d}" in _subsumed_names(out_dir):
+        return None  # replay of a batch already folded by compaction
+    cdx = index_warcs(spark, m, files_per_task=files_per_task)
+    write_zipnum_epoch(cdx, out_dir, epoch_id, shards=shards, numlines=numlines)
+    if compact:
+        from ..sinks.zipnum import compact_zipnum_epochs
+
+        compact_zipnum_epochs(spark, out_dir, shards=shards, numlines=numlines)
+    return epoch_id
