@@ -1017,3 +1017,66 @@ def agg_pivot_unpivot(spark, sf_dir):
         .filter(F.col("n") > 0)
         .select("source", "lang", F.col("n").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS lo_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+           CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shr3,
+           CAST(bit_count(o_orderkey) AS INT) AS popcnt
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """F5-adjacent bitwise family: and/or/xor, shifts, popcount — the
+    primitives the fingerprint/banding operators (SimHash, pHash,
+    LSH bucketing) are built from, checked standalone."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).cast("bigint").alias("xored"),
+        F.shiftleft(k, 2).cast("bigint").alias("shl2"),
+        F.shiftright(k, 3).cast("bigint").alias("shr3"),
+        F.bit_count(k).cast("int").alias("popcnt"),
+    )
+
+
+@query(
+    "sql_interface_flagship",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_interface_flagship(spark, sf_dir):
+    """The pure-SQL front door: tables registered as temp views
+    (tables.load_tables), the query written as ``spark.sql`` text —
+    proving a SQL-only consumer gets the same engine (identical
+    Catalyst plan as the DataFrame chain; the decimal-routed sum
+    discipline works verbatim in SQL)."""
+    from ..tables import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
