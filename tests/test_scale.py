@@ -196,3 +196,42 @@ def test_ivf_pq_zero_shuffle_and_probe_prunes(spark, sf_dir):
     assert 0 < len(rows) <= 10
     assert len({r.cell for r in rows}) <= 4
     assert all(r.vec_id != 55 for r in rows)
+
+
+def test_chunk_sliding_tiles_reconstruct_documents(spark, sf_dir):
+    """Sliding chunks must tile: taking the first `stride` tokens of
+    every chunk except the last, then the whole last chunk, rebuilds
+    each document's token stream exactly (no token lost or duplicated
+    at window boundaries)."""
+    from pyspark.sql import functions as F
+
+    W, S = 32, 24
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .collect()
+    }
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_chunks = F.when(n_tok <= W, F.lit(1)).otherwise(
+        F.ceil((n_tok - F.lit(W)).cast("double") / S) + 1
+    )
+    fan = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("ci"),
+    ).select(
+        "doc_id", "ci", F.slice(F.col("toks"), F.col("ci") * S + 1, W).alias("chunk")
+    )
+    got: dict[int, dict[int, list[str]]] = {}
+    for r in fan.collect():
+        got.setdefault(r.doc_id, {})[r.ci] = list(r.chunk)
+    for doc_id, chunks in got.items():
+        last = max(chunks)
+        rebuilt: list[str] = []
+        for i in range(last):
+            rebuilt.extend(chunks[i][:S])
+        rebuilt.extend(chunks[last])
+        assert rebuilt == docs[doc_id], doc_id
