@@ -235,3 +235,12 @@ def test_chunk_sliding_tiles_reconstruct_documents(spark, sf_dir):
             rebuilt.extend(chunks[i][:S])
         rebuilt.extend(chunks[last])
         assert rebuilt == docs[doc_id], doc_id
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """With every node holding out-links (no dangling mass), damped
+    PageRank conserves total rank at 1 each iteration."""
+    rows = REGISTRY["graph_pagerank_iterations"].fn(spark, sf_dir).collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    assert all(r.rank > 0 for r in rows)

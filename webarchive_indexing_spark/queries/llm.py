@@ -2207,3 +2207,107 @@ def text_bpe_learn_merges(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return bpe_learn_merges(d, n_merges=3)
+
+
+@query(
+    "graph_pagerank_iterations",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src, dst FROM (
+        SELECT doc_id, unnest([
+          (doc_id * 13 + 7) % (SELECT n FROM n),
+          (doc_id * 29 + 3) % (SELECT n FROM n),
+          (doc_id * 7 + 1) % (SELECT n FROM n)
+        ]) AS dst
+        FROM documents
+      )
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (
+      SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / n.n AS r
+      FROM documents CROSS JOIN n
+    ),
+    c1 AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r0.r / deg.outdeg AS DECIMAL(28,14))) AS DOUBLE) AS m
+      FROM edges e
+      JOIN r0 ON e.src = r0.node
+      JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT r0.node,
+             0.15 / n.n + 0.85 * COALESCE(c1.m, CAST(0.0 AS DOUBLE)) AS r
+      FROM r0 LEFT JOIN c1 ON r0.node = c1.node CROSS JOIN n
+    ),
+    c2 AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r1.r / deg.outdeg AS DECIMAL(28,14))) AS DOUBLE) AS m
+      FROM edges e
+      JOIN r1 ON e.src = r1.node
+      JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT r1.node,
+             0.15 / n.n + 0.85 * COALESCE(c2.m, CAST(0.0 AS DOUBLE)) AS r
+      FROM r1 LEFT JOIN c2 ON r1.node = c2.node CROSS JOIN n
+    )
+    SELECT node, FLOOR(r * 100000000.0 + 0.5) / 100000000.0 AS rank
+    FROM r2
+    """,
+    tier="C",
+)
+def graph_pagerank_iterations(spark, sf_dir):
+    """PageRank, two damped iterations over a deterministic link graph
+    (3 out-edges per page derived from doc_id — the host/page
+    reputation signal crawl prioritization and quality weighting use;
+    a real archive builds the same edges from href extraction).
+
+    Scale shape — the part that matters at a billion nodes: the rank
+    vector is DATA, not a driver artifact; each iteration is one
+    equi-join of edges⋈ranks (both partitioned by src — at scale
+    co-partitioned/bucketed so the adjacency never re-shuffles) plus a
+    groupBy(dst) whose exchange carries (node, partial-sum) pairs.
+    Contribution sums route through DECIMAL so in-link arrival order
+    cannot perturb the hash; everything else is identical IEEE
+    arithmetic in both engines."""
+    d = t(spark, sf_dir, "documents")
+    n = d.count()  # metadata-sized; the oracle computes the same COUNT
+    doc = F.col("doc_id")
+    edges = d.select(
+        doc.alias("src"),
+        F.explode(
+            F.array(
+                (doc * 13 + 7) % n, (doc * 29 + 3) % n, (doc * 7 + 1) % n
+            )
+        ).alias("dst"),
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = d.select(doc.alias("node"), (F.lit(1.0) / n).alias("r"))
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("r") / F.col("outdeg")).cast("decimal(28,14)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("m"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / n
+                    + F.lit(0.85) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "node", hround(F.col("r"), 8).alias("rank")
+    )
