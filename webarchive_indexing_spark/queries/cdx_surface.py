@@ -1091,3 +1091,34 @@ def cdx_surt_idn_urlkey(spark, sf_dir):
 
     df = spark.createDataFrame([(u,) for u, _ in _IDN_CASES], ["url"])
     return surt_urlkey_auto(df, "url").select("url", "urlkey")
+
+
+@query(
+    "cdx_latest_snapshot",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp, status, digest FROM (
+      SELECT urlkey, ts14, status, digest,
+             ROW_NUMBER() OVER (PARTITION BY urlkey
+                                ORDER BY ts14 DESC, digest DESC) AS rn
+      FROM cdx WHERE status = 200
+    ) WHERE rn = 1
+    """,
+    tier="B",
+)
+def cdx_latest_snapshot(spark, sf_dir):
+    """The wayback default view [B]: the newest successful (status
+    200) capture per URL — one window pass keyed on urlkey (the
+    index's range-sort key, so at scale the per-key ordering is
+    partition-local to co-located data), digest as the deterministic
+    tie-break within equal timestamps."""
+    from pyspark.sql.window import Window
+
+    c = derived_cdx(spark, sf_dir).filter(F.col("status") == 200)
+    w = Window.partitionBy("urlkey").orderBy(
+        F.col("ts14").desc(), F.col("digest").desc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("urlkey", F.col("ts14").alias("timestamp"), "status", "digest")
+    )

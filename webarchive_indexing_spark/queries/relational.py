@@ -1080,3 +1080,99 @@ def sql_interface_flagship(spark, sf_dir):
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "ops_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 11 = 3 THEN 'delete'
+                  WHEN o_orderkey % 7 = 0 THEN 'update' END AS op,
+             o_totalprice + 100.0 AS new_price
+      FROM orders
+      WHERE o_orderkey % 11 = 3 OR o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS key, 'insert' AS op,
+             CAST(o_orderkey AS DOUBLE) AS new_price
+      FROM orders WHERE o_orderkey % 13 = 1
+    )
+    SELECT COALESCE(b.o_orderkey, c.key) AS key,
+           CASE WHEN c.op IS NULL THEN 'kept' ELSE c.op END AS action,
+           CASE WHEN c.op = 'update' OR c.op = 'insert'
+                THEN c.new_price ELSE b.o_totalprice END AS price
+    FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.key
+    WHERE c.op IS DISTINCT FROM 'delete'
+    """,
+)
+def ops_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (upsert + delete) as a declarative plan —
+    the index-maintenance op the epoch/compaction machinery implements
+    physically, here at row granularity: a change batch (updates for
+    keys ≡0 mod 7, deletes for ≡3 mod 11, inserts beyond the key
+    space) applied to the snapshot via ONE full outer join on the key
+    + conditional projection.  At scale both sides hash-shuffle once
+    on the merge key (or zero times on bucketed tables); no MERGE
+    statement or transactional format is required for the semantics —
+    Delta/Iceberg add the commit protocol, not the plan shape."""
+    o = t(spark, sf_dir, "orders")
+    upd = o.filter((F.col("o_orderkey") % 11 == 3) | (F.col("o_orderkey") % 7 == 0)).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 11 == 3, "delete").otherwise("update").alias("op"),
+        (F.col("o_totalprice") + 100.0).alias("new_price"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 1).select(
+        (F.col("o_orderkey") + 1000000).alias("key"),
+        F.lit("insert").alias("op"),
+        F.col("o_orderkey").cast("double").alias("new_price"),
+    )
+    changes = upd.unionByName(ins)
+    base = o.select("o_orderkey", "o_totalprice")
+    merged = base.join(changes, base["o_orderkey"] == changes["key"], "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "delete"))
+        .select(
+            F.coalesce(F.col("o_orderkey"), F.col("key")).alias("key"),
+            F.coalesce(F.col("op"), F.lit("kept")).alias("action"),
+            F.when(
+                F.col("op").isin("update", "insert"), F.col("new_price")
+            ).otherwise(F.col("o_totalprice")).alias("price"),
+        )
+    )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                     WHEN o_totalprice >= 600000.0 THEN 21
+                     ELSE 1 + FLOOR(o_totalprice / 30000.0) END AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY bucket
+    """,
+)
+def agg_histogram_width_bucket(spark, sf_dir):
+    """Equi-width histogram via Spark's ``width_bucket`` — the
+    profiling aggregate behind data-quality dashboards and
+    shard-balance checks; one partial+final aggregate, 20 groups
+    cross the wire.  DuckDB ships no width_bucket, so the oracle
+    states the definition explicitly — ``1 + FLOOR(v / w)`` with the
+    same IEEE division/floor Spark's operator performs (bucket width
+    600000/20 = 30000 is exact), under/overflow pinned to 0 / n+1."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(20)).alias(
+                "bucket"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
