@@ -198,3 +198,62 @@ def test_bloom_prefilter_verdict_is_scan_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_bloom_prefilter")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_mirror_prunes_files(spark, sf_dir):
+    """SURVEY §3.3/§4: a parquet mirror of the index laid out by a
+    urlkey-derived partition column must answer a host query by
+    reading ONLY the matching partition directory (partition pruning —
+    the file-level binary-search analogue of cluster.idx; parquet
+    min/max footer stats additionally skip row groups WITHIN files,
+    which numFiles cannot show but PushedFilters asserts elsewhere).
+    Asserted from the scan node's runtime metrics."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+
+    d = tempfile.mkdtemp(prefix="cdx_mirror_")
+    (
+        derived_cdx(spark, sf_dir)
+        .withColumn("host", F.regexp_extract("urlkey", r"^([^)]*)\)", 1))
+        .repartition("host")
+        .sortWithinPartitions("urlkey", "ts14")
+        .write.mode("overwrite")
+        .partitionBy("host")
+        .parquet(d)
+    )
+    full = spark.read.parquet(d)
+    n_files = len(full.inputFiles())
+    assert n_files >= 2
+
+    pruned = full.filter(full.host == "org,example,src1")
+    # collect() runs THIS Dataset's own QueryExecution (count() builds
+    # a separate plan), which is what populates its scan metrics
+    assert len(pruned.collect()) > 0
+
+    def scan_metrics(df):
+        plans = [df._jdf.queryExecution().executedPlan()]
+        while plans:
+            p = plans.pop()
+            if "AdaptiveSparkPlan" in p.getClass().getName():
+                plans.append(p.executedPlan())
+                continue
+            if "FileSourceScan" in p.getClass().getName() or "FileScan" in p.nodeName():
+                out = {}
+                it = p.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    out[str(kv._1())] = kv._2().value()
+                return out
+            for i in range(p.children().size()):
+                plans.append(p.children().apply(i))
+        return {}
+
+    m = scan_metrics(pruned)
+    files_read = m.get("numFiles", m.get("filesNum"))
+    assert files_read is not None and files_read > 0, m
+    assert files_read < n_files, (
+        f"prefix filter read all {n_files} files — no pruning"
+    )
