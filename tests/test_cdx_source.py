@@ -139,3 +139,27 @@ def test_parse_tolerates_malformed_lines(spark):
     assert ok["com,short)/"].url is None and ok["com,short)/"].status is None
     assert ok["com,bad)/"].status is None  # non-numeric -> NULL, no throw
     assert ok["com,bad)/"].length is None
+
+
+def test_orc_mirror_roundtrip(spark, sf_dir):
+    """S8: the index mirrors to ORC (Spark-native, no extra jars) with
+    full fidelity — same rows back, and predicate pushdown reaches the
+    ORC reader just like parquet."""
+    import tempfile
+
+    from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+
+    d = tempfile.mkdtemp(prefix="cdx_orc_")
+    src = derived_cdx(spark, sf_dir)
+    src.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.filter(back.status == 200)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "status" in plan.split(
+        "PushedFilters: [", 1
+    )[1].split("]", 1)[0]

@@ -528,3 +528,47 @@ def events_anomaly_mad(spark, sf_dir):
         hround(F.first("mad"), 4).alias("mad"),
         F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
     )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_30d,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2)
+                AS DOUBLE) AS sum_30d
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_num
+      FROM orders
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """W4 value-based frame (``rangeBetween``): per customer, the
+    trailing-30-day order count and spend at every order — a RANGE
+    frame over the day number, which unlike a ROWS frame grows and
+    shrinks with the data's actual event-time density (ties land in
+    the same frame).  One window pass keyed on the customer."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.unix_timestamp("o_orderdate") / F.lit(86400)).cast("bigint").alias(
+            "day_num"
+        ),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("sum_30d"),
+    )
