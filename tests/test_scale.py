@@ -244,3 +244,21 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     total = sum(r.rank for r in rows)
     assert abs(total - 1.0) < 1e-4, total
     assert all(r.rank > 0 for r in rows)
+
+
+def test_weighted_priority_favors_heavy_docs(spark, sf_dir):
+    """Efraimidis-Spirakis correctness signal: the weighted sample's
+    mean weight must exceed the corpus mean (heavier docs are
+    proportionally likelier), and the plan must be a scan +
+    TakeOrderedAndProject (no shuffle)."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["sample_weighted_priority"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    sample_mean = df.agg(F.avg("weight")).collect()[0][0]
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)

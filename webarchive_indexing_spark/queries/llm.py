@@ -2311,3 +2311,49 @@ def graph_pagerank_iterations(spark, sf_dir):
     return ranks.select(
         "node", hround(F.col("r"), 8).alias("rank")
     )
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             FLOOR((-ln((CAST({sql_token_hash("'es_' || CAST(doc_id AS VARCHAR)")}
+                         % 1000000 AS DOUBLE) + 0.5) / 1000000.0) / n_chars)
+                   * 100000000.0 + 0.5) / 100000000.0 AS k
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, k AS priority
+    FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 200
+    """,
+    tier="C",
+)
+def sample_weighted_priority(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement at any scale — the
+    Efraimidis-Spirakis priority trick (keys ``-ln(u)/w`` are
+    exponential with rate w; the k smallest keys are exactly a
+    w-weighted sample): the mixture-sampling primitive when weights
+    are per-DOCUMENT (length, quality score) instead of per-source
+    rates.  Deterministic u from a salted hash, so the sample is
+    reproducible under retries; the whole job is a scan-side key
+    projection + TakeOrderedAndProject — no shuffle, k rows out.
+    Per-row ln/divide is identical IEEE libm math in both engines,
+    rounded to 8 dp before ranking (ties broken by doc_id)."""
+    d = t(spark, sf_dir, "documents")
+    u = (
+        (
+            token_hash(F.concat(F.lit("es_"), F.col("doc_id").cast("string")))
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    key = hround(-F.log(u) / F.col("n_chars"), 8)
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key.alias("priority"),
+        )
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(200)
+    )
