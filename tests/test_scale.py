@@ -169,6 +169,55 @@ def test_kmeans_inertia_monotone_in_iterations(spark, sf_dir):
     assert tot[3] <= tot[2] + 1e-3, tot
 
 
+def test_kmeans_oracle_parity_any_iters(spark, sf_dir):
+    """sql_kmeans_lloyd must compile AND match the Spark twin for
+    iters beyond the default — the iters>=3 oracle referenced c.cvec
+    against a long-form CTE and failed to bind (ADVICE r4 low); the
+    list-form pivot fixes it for any depth."""
+    import duckdb
+
+    from webarchive_indexing_spark.operators.kmeans import (
+        kmeans_lloyd,
+        sql_kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    for iters in (1, 3):
+        got = sorted(
+            (r.cid, r.n_members, r.inertia)
+            for r in kmeans_lloyd(emb, k=8, iters=iters).collect()
+        )
+        want = sorted(
+            (int(c), int(n), float(i))
+            for c, n, i in con.execute(sql_kmeans_lloyd(8, iters)).fetchall()
+        )
+        assert got == want, f"iters={iters}"
+
+
+def test_seed_vectors_reject_non_contiguous_ids(spark, sf_dir):
+    """collect_seed_vectors must fail loudly when the id space is not
+    0..n-1 (filtered corpus) instead of KeyError-ing downstream or
+    silently training on fewer centroids (ADVICE r4 low)."""
+    import pytest as _pytest
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_seed_vectors,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    holey = emb.filter(F.col("vec_id") != 3)
+    with _pytest.raises(ValueError, match="not contiguous"):
+        collect_seed_vectors(holey, 8)
+    # intact corpus still seeds fine
+    assert len(collect_seed_vectors(emb, 8)) == 8
+
+
 def test_power_iteration_energy_monotone(spark, sf_dir):
     """Power iteration maximizes the captured energy Σ(x·v)² over unit
     directions, so more iterations can only increase it (up to the

@@ -242,6 +242,45 @@ def test_auto_router_punycodes_idn_hosts(spark):
         assert got[u] == surt_urlkey_py(u), u
 
 
+def test_auto_router_preserves_null_urls(spark):
+    """rlike(NULL) is NULL, which fails BOTH sides of a naive
+    ascii/non-ascii split — the router must still emit the row (with a
+    NULL urlkey), matching the damage-tolerance contract of the plain
+    surt_urlkey path (ADVICE r4 medium)."""
+    from webarchive_indexing_spark.functions.surt import surt_urlkey_auto
+
+    rows = [("https://a.example/x",), (None,), ("https://bücher.example/y",)]
+    df = spark.createDataFrame(rows, "url string")
+    out = surt_urlkey_auto(df, "url").collect()
+    assert len(out) == 3, "NULL-url row was dropped by the router"
+    by_url = {r.url: r.urlkey for r in out}
+    assert by_url[None] is None
+    assert by_url["https://a.example/x"] == "example,a)/x"
+    assert by_url["https://bücher.example/y"] == "example,xn--bcher-kva)/y"
+
+
+def test_expr_cache_keyed_by_gateway(spark):
+    """The memoized SURT Column cache must not serve entries across a
+    JVM restart (ADVICE r4): its keys carry the gateway epoch, and a
+    different epoch's entries are evicted on next use."""
+    from pyspark.sql import functions as F
+    from webarchive_indexing_spark.functions import surt as m
+
+    c1 = m.surt_urlkey_cached("__url")
+    epoch = m._gateway_epoch()
+    assert epoch != 0
+    assert (epoch, "__url") in m._EXPR_CACHE
+    # simulate a stale entry from a previous JVM: different epoch key
+    m._EXPR_CACHE[(epoch - 1, "__stale")] = c1
+    c2 = m.surt_urlkey_cached("__other")
+    assert c2 is not None
+    assert (epoch - 1, "__stale") not in m._EXPR_CACHE, (
+        "stale-gateway entries must be evicted"
+    )
+    # same-session memoization still holds
+    assert m.surt_urlkey_cached("__url") is c1
+
+
 def test_auto_router_ascii_branch_has_no_python(spark):
     """The ASCII side of the split must stay pure codegen — no
     Arrow/Python eval node in its plan."""

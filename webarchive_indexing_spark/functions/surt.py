@@ -419,28 +419,60 @@ def surt_urlkey_auto(df, url_col: str, out_col: str = "urlkey"):
     sliver ever crosses the Arrow boundary.  The cost is scanning the
     source twice — at scale, feed this a cached/checkpointed stage or
     accept two cheap pushdown scans; either way Python work stays
-    proportional to the IDN fraction."""
-    is_ascii = ~F.col(url_col).rlike("[^\\x00-\\x7F]")
+    proportional to the IDN fraction.
+
+    NULL routing: ``rlike(NULL)`` is NULL, which fails BOTH a filter
+    and its negation — a naive split would silently DROP rows with a
+    NULL url instead of indexing them with a NULL key (real crawl
+    manifests contain such rows; damage tolerance must preserve them).
+    NULLs ride the fast side, whose native expression already yields
+    NULL for NULL input."""
+    c = F.col(url_col)
+    is_ascii = c.isNull() | ~c.rlike("[^\\x00-\\x7F]")
     fast = df.filter(is_ascii).withColumn(out_col, surt_urlkey(url_col))
-    slow = df.filter(~is_ascii).withColumn(
+    slow = df.filter(c.isNotNull() & c.rlike("[^\\x00-\\x7F]")).withColumn(
         out_col, surt_urlkey_pandas()(F.col(url_col))
     )
     return fast.unionByName(slow)
 
 
-_EXPR_CACHE: dict[str, Column] = {}
+#: (gateway epoch, column name) → memoized Column.  A Column holds a
+#: reference into a specific JVM gateway, so a cache keyed on the name
+#: alone hands back DEAD objects after the SparkSession is stopped and
+#: recreated in the same Python process (failure mode: every cdx-family
+#: query in the second session dies on a stale py4j handle).  Keying by
+#: the active SparkContext's identity invalidates automatically on
+#: restart; stale epochs are dropped so the dict never grows past one
+#: session's worth of entries.
+_EXPR_CACHE: dict[tuple[int, str], Column] = {}
+
+
+def _gateway_epoch() -> int:
+    """Identity of the live JVM gateway (0 when no context is up).
+    ``id(jvm gateway)`` changes whenever the JVM is torn down and
+    relaunched, which is exactly the lifetime of a cached Column."""
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    return id(ctx._gateway) if ctx is not None else 0
 
 
 def surt_urlkey_cached(col_name: str) -> Column:
-    """``surt_urlkey(F.col(col_name))`` memoized per column NAME.
+    """``surt_urlkey(F.col(col_name))`` memoized per column NAME and
+    per JVM gateway.
 
     The native SURT tree is ~hundreds of expression nodes and costs
     ~1 s of py4j round-trips to construct (measured — it was the
     fixed driver-side overhead of every cdx-family query).  Column
     objects are immutable unresolved expressions, so one tree keyed
     on an input column name is safely reusable across DataFrames and
-    queries; callers project their URL expression onto that name
-    first (``df.withColumn("__url", url)``)."""
-    if col_name not in _EXPR_CACHE:
-        _EXPR_CACHE[col_name] = surt_urlkey(F.col(col_name))
-    return _EXPR_CACHE[col_name]
+    queries WITHIN one JVM; the gateway-epoch key evicts entries from
+    a stopped session (ADVICE r4).  Callers project their URL
+    expression onto that name first (``df.withColumn("__url", url)``)."""
+    key = (_gateway_epoch(), col_name)
+    if key not in _EXPR_CACHE:
+        # drop entries from dead gateways before inserting
+        for k in [k for k in _EXPR_CACHE if k[0] != key[0]]:
+            del _EXPR_CACHE[k]
+        _EXPR_CACHE[key] = surt_urlkey(F.col(col_name))
+    return _EXPR_CACHE[key]

@@ -76,13 +76,12 @@ def kmeans_lloyd(
     """
     from ..queries.helpers import hround
 
+    from .similarity import collect_seed_vectors
+
     spark = embeddings.sparkSession
-    rows = (
-        embeddings.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+    cents: dict[int, list[float]] = collect_seed_vectors(
+        embeddings, k, id_col=id_col, vec_col=vec_col
     )
-    cents: dict[int, list[float]] = {
-        int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows
-    }
 
     # every projection below is string-built and handed to the JVM in
     # ONE selectExpr / spark.sql call: Column-by-Column construction
@@ -155,24 +154,28 @@ def sql_kmeans_lloyd(k: int = 8, iters: int = 2, dim: int = 64) -> str:
       FROM a{it} a CROSS JOIN dims d GROUP BY a.cid, d.i
     )"""
         )
-        prev = f"cl{it}"
+        # pivot back to (cid, cvec) LIST form so the NEXT assignment's
+        # d_from_vecs (which references c.cvec) binds — without this the
+        # oracle failed to compile for iters >= 3 while the Spark twin
+        # ran (ADVICE r4 low).  cv is already the double the Spark
+        # driver computes, so the round-trip is lossless.
+        parts.append(
+            f"""c{it} AS (
+      SELECT cid, list(cv ORDER BY i) AS cvec FROM cl{it} GROUP BY cid
+    )"""
+        )
+        prev = f"c{it}"
 
-    # final assignment against the long-form centroids: distance terms
-    # per (vec, cid, dim), decimal-summed
-    from ..queries.helpers import sql_hround as _shr
-
-    diff = "(CAST(e.embedding[c.i] AS DOUBLE) - c.cv)"
-    # the long-form (cid,i,cv) centroids force a relational fold here;
-    # ORDER BY i inside the SUM pins the same left-to-right reduction
-    # the Spark fold uses, then the 6-dp rounding matches sqdist6
+    # final assignment: every iteration's centroid table is list-form
+    # (c0 seeds are lists; each cl{it} is pivoted back via c{it}), so
+    # the final distance reuses the SAME list_transform fold as the
+    # intermediate assignments — identical order and 6-dp rounding, and
+    # the oracle now compiles for ANY iters (ADVICE r4: the long-form
+    # dfin bound only when prev happened to be a cl{it} CTE).
     parts.append(
         f"""dfin AS (
-      SELECT vec_id, cid, {_shr('dsum', 6)} AS d FROM (
-        SELECT e.vec_id, c.cid,
-               SUM({diff} * {diff} ORDER BY c.i) AS dsum
-        FROM embeddings e CROSS JOIN {prev} c
-        GROUP BY e.vec_id, c.cid
-      )
+      SELECT e.vec_id, c.cid, {d_from_vecs} AS d
+      FROM embeddings e CROSS JOIN {prev} c
     )"""
     )
     parts.append(

@@ -40,6 +40,51 @@ def lit_double_array(vals: list[float]) -> Column:
     return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
 
 
+def collect_seed_vectors(
+    embeddings: DataFrame,
+    n: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """Collect the ``n`` seed vectors with ids ``0..n-1`` as a
+    model-artifact dict, VERIFYING the id space is actually contiguous.
+
+    The stand-in quantizer seeds used by ivf/pq/ivfadc/k-means assume
+    ``ids 0..n-1`` exist exactly once; on a filtered or sampled corpus
+    ``filter(id < n)`` can return fewer rows, and downstream
+    ``cvecs[j] for j in range(n)`` would either KeyError on the driver
+    or silently train on fewer centroids than requested (ADVICE r4).
+    Fail loudly with the observed ids instead."""
+    rows = (
+        embeddings.filter(F.col(id_col) < n).select(id_col, vec_col).collect()
+    )
+    out = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
+    if sorted(out) != list(range(n)):
+        raise ValueError(
+            f"seed id space not contiguous 0..{n - 1}: got {len(out)} ids "
+            f"{sorted(out)[:8]}{'...' if len(out) > 8 else ''} — re-rank "
+            f"ids (row_number) or pass a corpus containing the seed rows"
+        )
+    return out
+
+
+def collect_query_vector(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Collect the single query vector, failing loudly when absent."""
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    )
+    if not qrow:
+        raise ValueError(f"query vector id {query_vec_id} not found in corpus")
+    return [float(x) for x in qrow[0][vec_col]]
+
+
 def _dec_dot(a: Column, b: Column) -> Column:
     """Exact-decimal dot product of two float arrays."""
     prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
@@ -318,14 +363,12 @@ def ivf_topk(
 
     from ..queries.helpers import hround
 
-    rows = (
-        embeddings.filter(F.col(id_col) < n_cents)
-        .select(id_col, vec_col)
-        .collect()
+    cents = collect_seed_vectors(
+        embeddings, n_cents, id_col=id_col, vec_col=vec_col
     )
-    cents = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
-    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
-    qv = [float(x) for x in qrow[0][vec_col]]
+    qv = collect_query_vector(
+        embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
+    )
 
     lit_vec = lit_double_array
 
@@ -674,12 +717,12 @@ def pq_adc_topk(
 
     from ..queries.helpers import hround
 
-    rows = (
-        embeddings.filter(F.col(id_col) < k_codes).select(id_col, vec_col).collect()
+    cvecs = collect_seed_vectors(
+        embeddings, k_codes, id_col=id_col, vec_col=vec_col
     )
-    cvecs = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
-    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
-    qv = [float(x) for x in qrow[0][vec_col]]
+    qv = collect_query_vector(
+        embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
+    )
 
     # encode: one parsed argmin expression per subspace
     enc = embeddings.filter(F.col(id_col) != query_vec_id).select(
@@ -799,16 +842,14 @@ def ivf_pq_topk(
     assert dim % n_sub == 0
     sub_dim = dim // n_sub
 
-    rows = (
-        embeddings.filter(F.col(id_col) < max(n_cells, k_codes))
-        .select(id_col, vec_col)
-        .collect()
+    vecs = collect_seed_vectors(
+        embeddings, max(n_cells, k_codes), id_col=id_col, vec_col=vec_col
     )
-    vecs = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
     cents = {i: vecs[i] for i in range(n_cells)}
     cbook = {j: vecs[j] for j in range(k_codes)}
-    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
-    qv = [float(x) for x in qrow[0][vec_col]]
+    qv = collect_query_vector(
+        embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
+    )
 
     # probe cells: driver-side twin of the engine's rounded distances
     probe = sorted(

@@ -50,10 +50,9 @@ def query(name: str, oracle: str | None = None, tier: str = "A"):
 
 #: Queries whose SEMANTICS changed since their last green verdict —
 #: surface them first so the next CORRECTNESS round records the change.
-#: (Round 4: zipnum_build_index gained its NTILE oracle after its r02
-#: rows-only verdict; multimodal_decode_stub now emits hashable
-#: scalars — both need a recorded full-oracle green.)
-_VERIFY_EARLY = ("zipnum_build_index", "multimodal_decode_stub")
+#: (Round 5: cleared — the two round-4 pins recorded full greens, so
+#: the window is purely stalest-first again.)
+_VERIFY_EARLY: tuple[str, ...] = ()
 
 
 def _verified_rounds() -> dict[str, int]:

@@ -418,8 +418,12 @@ def read_zipnum_pages(
     page_field = T.StructField("page", T.IntegerType())
     if not blocks:
         empty = T.StructType([page_field, T.StructField("value", T.StringType())])
-        parsed = _parse_with_page(spark.createDataFrame([], empty))
-        return parsed
+        # same tail as the non-empty path (a no-op on zero rows, but
+        # keeping the branches symmetric prevents divergence if this
+        # branch is ever fed a non-empty placeholder — ADVICE r4)
+        return _range_filter(
+            _parse_with_page(spark.createDataFrame([], empty)), key_lo, key_hi
+        )
     fs, local_dir = _fs_for(out_dir)
     with fs.open_input_stream(_join(local_dir, "cluster.loc"), compression=None) as fh:
         loc = dict(
