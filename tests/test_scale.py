@@ -105,6 +105,51 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert r2
 
 
+def test_ivf_trained_zero_shuffle_probe_plan(spark, sf_dir):
+    """The TRAINED-IVF probe must keep the stand-in IVF's plan
+    contract: training happens in separate jobs (Lloyd updates), but
+    the returned probe query itself is scan → inlined-literal argmax →
+    filter → TakeOrderedAndProject with no Exchange."""
+    df = REGISTRY["emb_ivf_trained_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.vec_id != 123 for r in rows)
+
+
+def test_ivf_trained_recall_sweep(spark, sf_dir):
+    """Recall dial on the trained index: probing all cells equals the
+    exact brute-force top-k, and recall is monotone in nprobe.  Also
+    the composition sanity check: trained centroids differ from the
+    seed stand-ins (training moved them), yet full-probe recall is
+    still exact — recall loss can only come from pruning."""
+    from webarchive_indexing_spark.operators.kmeans import lloyd_train
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_seed_vectors,
+        cosine_topk,
+        ivf_trained_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 123, k=10).collect()}
+    recall = {}
+    for nprobe in (1, 4, 8):
+        got = {
+            r.vec_id
+            for r in ivf_trained_topk(
+                emb, 123, k=10, n_cents=8, nprobe=nprobe, train_iters=2
+            ).collect()
+        }
+        recall[nprobe] = len(got & exact)
+    assert recall[8] == len(exact), "full probe must equal exact top-k"
+    assert recall[1] <= recall[4] <= recall[8], recall
+    trained = lloyd_train(emb, k=8, iters=2)
+    seeds = collect_seed_vectors(emb, 8)
+    assert trained != seeds, "training must move the centroids"
+
+
 def test_pq_adc_zero_shuffle_plan(spark, sf_dir):
     """PQ/ADC must plan like IVF: one scan, map-side encode + literal
     table lookup, TakeOrderedAndProject — no Exchange anywhere (the

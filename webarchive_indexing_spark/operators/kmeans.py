@@ -56,7 +56,7 @@ def _nearest(vec_name: str, cents: dict[int, list[float]]) -> Column:
     return nearest_sqdist6_expr(vec_name, cents, id_field="cid")
 
 
-def kmeans_lloyd(
+def lloyd_train(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 2,
@@ -64,18 +64,17 @@ def kmeans_lloyd(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Run ``iters`` Lloyd iterations (assign → update, final iteration
-    assign-only) starting from the first ``k`` vectors as centroids
-    (deterministic seeding; production swaps in k-means‖ sampling —
-    the plan shape per iteration is identical).
+) -> dict[int, list[float]]:
+    """Run ``iters - 1`` Lloyd update steps and return the trained
+    centroid model artifact (the centroids the ``iters``-th assignment
+    would use) — the quantizer a production IVF/IVFADC index is built
+    from (``ivf_trained_topk`` composes this with the probe scan).
 
-    Returns per-cluster convergence stats ``(cid, n_members,
-    inertia)`` — the k-means objective per cluster after the final
-    assignment, the value an operator pipeline checks for convergence.
-    """
-    from ..queries.helpers import hround
-
+    Seeding is the first ``k`` vectors (deterministic; production
+    swaps in k-means‖ sampling — the per-iteration plan shape is
+    identical).  Driver math is limited to ``float(decimal_sum) / n``
+    — correctly-rounded IEEE ops a fully-relational engine reproduces
+    bit-for-bit, so the returned floats are oracle-reconstructible."""
     from .similarity import collect_seed_vectors
 
     spark = embeddings.sparkSession
@@ -106,6 +105,30 @@ def kmeans_lloyd(
             int(r["cid"]): [float(r[f"s{i}"]) / int(r["n"]) for i in range(1, dim + 1)]
             for r in upd.collect()
         }
+    return cents
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations (assign → update, final iteration
+    assign-only) starting from the first ``k`` vectors as centroids.
+
+    Returns per-cluster convergence stats ``(cid, n_members,
+    inertia)`` — the k-means objective per cluster after the final
+    assignment, the value an operator pipeline checks for convergence.
+    """
+    from ..queries.helpers import hround
+
+    cents = lloyd_train(
+        embeddings, k, iters, dim, id_col=id_col, vec_col=vec_col
+    )
 
     final = embeddings.selectExpr(
         f"{nearest_sqdist6_sql(vec_col, cents, id_field='cid')} AS c"
@@ -118,13 +141,14 @@ def kmeans_lloyd(
     )
 
 
-def sql_kmeans_lloyd(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """DuckDB twin of ``kmeans_lloyd`` — fully relational: assignment
-    via window argmin over the vectors×centroids cross join, the
-    centroid update via an exact-decimal per-dimension aggregate, each
-    iteration one more CTE pair."""
-    from ..queries.helpers import sql_hround
-
+def sql_lloyd_centroid_ctes(
+    k: int = 8, iters: int = 2, dim: int = 64
+) -> tuple[list[str], str]:
+    """The relational twin of ``lloyd_train``: a list of CTE strings
+    deriving the trained centroids, plus the name of the final
+    centroid CTE (always list-shaped ``(cid, cvec)``).  Shared by the
+    ``sql_kmeans_lloyd`` oracle and the trained-IVF oracle so both
+    reconstruct EXACTLY the centroids the Spark driver inlines."""
     d_from_vecs = sql_sqdist6("e.embedding", "c.cvec", 0, dim)
 
     parts = [
@@ -166,27 +190,39 @@ def sql_kmeans_lloyd(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         )
         prev = f"c{it}"
 
+    return parts, prev
+
+
+def sql_kmeans_lloyd(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of ``kmeans_lloyd`` — fully relational: assignment
+    via window argmin over the vectors×centroids cross join, the
+    centroid update via an exact-decimal per-dimension aggregate, each
+    iteration one more CTE triple (assign / long-form update / pivot
+    back to list form)."""
+    from ..queries.helpers import sql_hround
+
+    parts, prev = sql_lloyd_centroid_ctes(k, iters, dim)
+    d_from_vecs = sql_sqdist6("e.embedding", "c.cvec", 0, dim)
+
     # final assignment: every iteration's centroid table is list-form
     # (c0 seeds are lists; each cl{it} is pivoted back via c{it}), so
     # the final distance reuses the SAME list_transform fold as the
     # intermediate assignments — identical order and 6-dp rounding, and
     # the oracle now compiles for ANY iters (ADVICE r4: the long-form
     # dfin bound only when prev happened to be a cl{it} CTE).
-    parts.append(
+    parts = parts + [
         f"""dfin AS (
       SELECT e.vec_id, c.cid, {d_from_vecs} AS d
       FROM embeddings e CROSS JOIN {prev} c
-    )"""
-    )
-    parts.append(
+    )""",
         """afin AS (
       SELECT vec_id, cid, d FROM (
         SELECT vec_id, cid, d,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
         FROM dfin
       ) WHERE rn = 1
-    )"""
-    )
+    )""",
+    ]
     return (
         "WITH "
         + ",\n    ".join(parts)

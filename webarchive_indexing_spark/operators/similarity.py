@@ -366,6 +366,37 @@ def ivf_topk(
     cents = collect_seed_vectors(
         embeddings, n_cents, id_col=id_col, vec_col=vec_col
     )
+    return ivf_probe_topk(
+        embeddings,
+        cents,
+        query_vec_id,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ivf_probe_topk(
+    embeddings: DataFrame,
+    cents: dict[int, list[float]],
+    query_vec_id: int,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF probe scan against an ARBITRARY centroid model artifact
+    — the shared back half of ``ivf_topk`` (seed stand-ins) and
+    ``ivf_trained_topk`` (lloyd_train output).  Plan shape is
+    independent of where the centroids came from: scan → map-only cell
+    argmax over inlined literals → probe filter →
+    TakeOrderedAndProject.  ZERO shuffles."""
+    import math
+
+    from ..queries.helpers import hround, py_hround
+
     qv = collect_query_vector(
         embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
     )
@@ -414,8 +445,6 @@ def ivf_topk(
             acc += x * y
         return acc
 
-    from ..queries.helpers import py_hround
-
     ranked = sorted(
         cents, key=lambda c: (-py_hround(py_dot(qv, cents[c]) / cnorm[c], 6), c)
     )
@@ -433,6 +462,107 @@ def ivf_topk(
     return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_trained_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cents: int = 8,
+    nprobe: int = 2,
+    train_iters: int = 2,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production IVF shape: train the coarse quantizer with Lloyd
+    k-means (``operators.kmeans.lloyd_train`` — ``train_iters - 1``
+    update rounds, centroid-sized exchanges only), then build + probe
+    the inverted file with the TRAINED centroids.
+
+    This is the round-5 composition closing the 'stand-in centroids'
+    gap: at 100 TB centroid quality is the recall knob, and this runs
+    the engine's own trainer and index against each other.  Training
+    adds ``train_iters - 1`` scan+kilobyte-exchange jobs; the probe
+    query itself still plans scan → map-only argmax → filter →
+    TakeOrderedAndProject with ZERO shuffles (same assertion as the
+    stand-in IVF).  The trained centroids are driver floats derived
+    from exact-decimal sums, so the DuckDB oracle reconstructs them
+    bit-for-bit relationally (``sql_lloyd_centroid_ctes``)."""
+    from .kmeans import lloyd_train
+
+    cents = lloyd_train(
+        embeddings, k=n_cents, iters=train_iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return ivf_probe_topk(
+        embeddings,
+        cents,
+        query_vec_id,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def _sql_ivf_probe(
+    pre_parts: list[str],
+    cents_src: str,
+    query_vec_id: int,
+    k: int,
+    nprobe: int,
+    dim: int,
+) -> str:
+    """Shared relational IVF probe body over a ``(cid, cvec)`` CTE
+    named ``cents_src`` (seed stand-ins or the Lloyd-trained chain):
+    window argmax cell assignment → nprobe probe-cell ranking →
+    exact cosine top-k inside the probed cells."""
+    from ..queries.helpers import sql_hround
+
+    def ddot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    cscore = sql_hround(f"{ddot('e.embedding', 'c.cvec')} / c.cnorm", 6)
+    qscore = sql_hround(f"{ddot('q.qv', 'c.cvec')} / c.cnorm", 6)
+    esim = sql_hround(sql_cosine("cells.embedding", "q.qv", dim), 6)
+    parts = pre_parts + [
+        f"""cents AS (
+      SELECT cid, cvec, sqrt({ddot('cvec', 'cvec')}) AS cnorm FROM {cents_src}
+    )""",
+        f"""q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+    )""",
+        f"""scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id ORDER BY {cscore} DESC, c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    )""",
+        """cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM scored WHERE rn = 1
+    )""",
+        f"""probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qscore} DESC, c.cid ASC) AS rn
+        FROM cents c CROSS JOIN q
+      ) WHERE rn <= {nprobe}
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT cells.vec_id, cells.cell, {esim} AS cos_sim
+    FROM cells CROSS JOIN q
+    WHERE cells.cell IN (SELECT cid FROM probe) AND cells.vec_id <> {query_vec_id}
+    ORDER BY cos_sim DESC, cells.vec_id ASC LIMIT {k}
+    """
+    )
+
+
 def sql_ivf_topk(
     query_vec_id: int = 123,
     k: int = 10,
@@ -445,43 +575,29 @@ def sql_ivf_topk(
     Cell scores are the same plain-double ``dot(v,c)/‖c‖`` (64-term
     fold drift ≪ the 1e-6 rounding grain); the output cosine is the
     decimal-exact one."""
-
-    from ..queries.helpers import sql_hround
-
-    def ddot(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
-            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-        )
-
-    cscore = sql_hround(f"{ddot('e.embedding', 'c.cvec')} / c.cnorm", 6)
-    qscore = sql_hround(f"{ddot('q.qv', 'c.cvec')} / c.cnorm", 6)
-    esim = sql_hround(sql_cosine("cells.embedding", "q.qv", dim), 6)
-    return f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding AS cvec,
-             sqrt({ddot('embedding', 'embedding')}) AS cnorm
-      FROM embeddings WHERE vec_id < {n_cents}
-    ), q AS (
-      SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
-    ), scored AS (
-      SELECT e.vec_id, e.embedding, c.cid,
-             ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id ORDER BY {cscore} DESC, c.cid ASC) AS rn
-      FROM embeddings e CROSS JOIN cents c
-    ), cells AS (
-      SELECT vec_id, embedding, cid AS cell FROM scored WHERE rn = 1
-    ), probe AS (
-      SELECT cid FROM (
-        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qscore} DESC, c.cid ASC) AS rn
-        FROM cents c CROSS JOIN q
-      ) WHERE rn <= {nprobe}
+    seed = (
+        f"cseed AS (SELECT vec_id AS cid, embedding AS cvec "
+        f"FROM embeddings WHERE vec_id < {n_cents})"
     )
-    SELECT cells.vec_id, cells.cell, {esim} AS cos_sim
-    FROM cells CROSS JOIN q
-    WHERE cells.cell IN (SELECT cid FROM probe) AND cells.vec_id <> {query_vec_id}
-    ORDER BY cos_sim DESC, cells.vec_id ASC LIMIT {k}
-    """
+    return _sql_ivf_probe([seed], "cseed", query_vec_id, k, nprobe, dim)
+
+
+def sql_ivf_trained_topk(
+    query_vec_id: int = 123,
+    k: int = 10,
+    n_cents: int = 8,
+    nprobe: int = 2,
+    train_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``ivf_trained_topk``: the Lloyd centroid CTE
+    chain (``sql_lloyd_centroid_ctes`` — exact-decimal update sums, so
+    the relational centroids equal the Spark driver's floats bit for
+    bit) feeding the same relational IVF probe body."""
+    from .kmeans import sql_lloyd_centroid_ctes
+
+    parts, prev = sql_lloyd_centroid_ctes(n_cents, train_iters, dim)
+    return _sql_ivf_probe(parts, prev, query_vec_id, k, nprobe, dim)
 
 
 def _planes(n_planes: int, dim: int) -> list[list[int]]:

@@ -42,12 +42,14 @@ from ..operators.similarity import (
     cosine_topk,
     ivf_pq_topk,
     ivf_topk,
+    ivf_trained_topk,
     knn_blocked,
     lsh_buckets,
     pq_adc_topk,
     sql_cosine,
     sql_ivf_pq_topk,
     sql_ivf_topk,
+    sql_ivf_trained_topk,
     sql_pq_adc_topk,
     sql_lsh_bucket_expr,
     sql_lsh_buckets,
@@ -802,6 +804,35 @@ def emb_kmeans_lloyd(spark, sf_dir):
     exact-decimal deterministic against the oracle's fully-relational
     two-iteration CTE chain."""
     return kmeans_lloyd(t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@query(
+    "emb_ivf_trained_topk",
+    oracle=sql_ivf_trained_topk(
+        query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=2
+    ),
+    tier="C",
+)
+def emb_ivf_trained_topk(spark, sf_dir):
+    """L3 trained-ANN composition (the production IVF shape, closing
+    the 'stand-in centroids' seam): Lloyd k-means trains the 8-cell
+    coarse quantizer (one scan + one centroid-sized decimal exchange
+    per update round), then the SAME engine builds and probes the
+    inverted file with the trained centroids — map-only inlined-literal
+    cell argmax, 3-of-8 probe filter, exact cosine top-k on the
+    survivors.  The probe query plans with ZERO shuffles (plan-asserted
+    in tests/test_plans.py); the oracle reconstructs the trained
+    centroids relationally from the same exact-decimal update
+    (operators/kmeans.sql_lloyd_centroid_ctes) so both engines rank
+    identical cells and survivors."""
+    return ivf_trained_topk(
+        t(spark, sf_dir, "embeddings"),
+        query_vec_id=123,
+        k=10,
+        n_cents=8,
+        nprobe=3,
+        train_iters=2,
+    )
 
 
 # ---------------------------------------------------------------------------
