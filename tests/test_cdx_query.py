@@ -182,3 +182,39 @@ def test_match_glob(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_fuzzy_rule_table_first_match_wins(spark):
+    """The data-driven fuzzy-rule engine: first applicable rule wins
+    (pywb ordered-rules semantics), strips re-join cleanly at any
+    param position, and clean keys pass through rule-less."""
+    from webarchive_indexing_spark.operators.cdx_query import (
+        DEFAULT_FUZZY_RULES,
+        apply_fuzzy_rules,
+    )
+
+    cases = [
+        # (key, expected_fuzzy, expected_rule)
+        ("com,ex)/p?_cb=123&a=1", "com,ex)/p?a=1", "cachebust"),
+        ("com,ex)/p?a=1&cb=9", "com,ex)/p?a=1", "cachebust"),
+        ("com,ex)/p?rand=4", "com,ex)/p", "cachebust"),
+        ("com,ex)/p?a=1&b=2&callback=jsonp77", "com,ex)/p?a=1&b=2", "jsonp"),
+        ("com,ex)/p?callback=jsonp1&z=9", "com,ex)/p?z=9", "jsonp"),
+        ("com,ex)/p?a=1&sid=42", "com,ex)/p?a=1", "session"),
+        ("com,ex)/p?phpsessid=ab12", "com,ex)/p", "session"),
+        # jsonp outranks cachebust when both match (ordered table)
+        ("com,ex)/p?_cb=1&callback=jsonp2", "com,ex)/p?_cb=1", "jsonp"),
+        # clean keys: no rule, fuzzy == exact
+        ("com,ex)/p?a=1&b=2", "com,ex)/p?a=1&b=2", None),
+        ("com,ex)/p", "com,ex)/p", None),
+        # callback without the jsonp shape is NOT stripped (real param)
+        ("com,ex)/p?callback=home", "com,ex)/p?callback=home", None),
+    ]
+    df = spark.createDataFrame([(k,) for k, _, _ in cases], "key string")
+    out = {
+        r.key: (r.key_fuzzy, r.fuzzy_rule)
+        for r in apply_fuzzy_rules(df, "key").collect()
+    }
+    for key, want_fuzzy, want_rule in cases:
+        assert out[key] == (want_fuzzy, want_rule), (key, out[key])
+    assert len(DEFAULT_FUZZY_RULES) >= 3

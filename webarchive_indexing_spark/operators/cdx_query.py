@@ -79,6 +79,99 @@ def match_glob(cdx: DataFrame, url: str) -> DataFrame:
     )
 
 
+class FuzzyRule:
+    """One pywb-style fuzzy-match rule: a regex over the CANONICAL
+    urlkey whose match is stripped before the retry lookup.  The
+    pattern must capture the leading ``[?&]`` separator as group 1 and
+    allow a trailing ``&`` so a mid-query strip re-joins cleanly; the
+    shared trailing ``[?&]$`` cleanup handles a stripped last param.
+
+    Modeled on pywb's default fuzzy rules file [U pywb
+    rules.yaml fuzzy_lookup defaults]: rules are an ORDERED table
+    (first applicable rule wins), matched against the canonicalized
+    key, not the raw URL."""
+
+    __slots__ = ("name", "pattern")
+
+    def __init__(self, name: str, pattern: str):
+        self.name = name
+        self.pattern = pattern
+
+
+#: the default rule table (ordered, first match wins).  Generalizes the
+#: round-4 single `_cb` regex into the pywb-default families: jQuery/
+#: generic digit cache busters, jsonp callbacks, and session params in
+#: shapes the SURT canonicalizer keeps (its own session-strip only
+#: fires on 32-char alnum values).
+DEFAULT_FUZZY_RULES: tuple[FuzzyRule, ...] = (
+    FuzzyRule("jsonp", r"([?&])callback=jsonp[0-9]+&?"),
+    FuzzyRule("cachebust", r"([?&])(?:_cb|cb|_|bust|rand)=[0-9]+&?"),
+    FuzzyRule(
+        "session", r"([?&])(?:jsessionid|phpsessid|sessionid|sid)=[0-9a-z]+&?"
+    ),
+)
+
+
+def apply_fuzzy_rules(
+    df: DataFrame,
+    key_col: str,
+    rules: tuple[FuzzyRule, ...] = DEFAULT_FUZZY_RULES,
+    *,
+    fuzzy_col: str = "key_fuzzy",
+    rule_col: str = "fuzzy_rule",
+) -> DataFrame:
+    """Scan-side fuzzy-key derivation from a rule TABLE: adds
+    ``fuzzy_col`` (the key with the first matching rule's params
+    stripped; equals the key when no rule applies) and ``rule_col``
+    (the rule name, or NULL).  Pure regexp expressions — stays inside
+    whole-stage codegen; the rule table is compiled into one
+    first-match-wins CASE chain, so adding rules never adds scans or
+    joins (the resolver stays ONE fan-out join downstream)."""
+    key = F.col(key_col)
+
+    def strip(rule: FuzzyRule):
+        return F.regexp_replace(
+            F.regexp_replace(key, rule.pattern, "$1"), r"[?&]$", ""
+        )
+
+    rule_expr = F.lit(None).cast("string")
+    fuzzy_expr = key
+    # build the CASE chain back-to-front so earlier rules win
+    for rule in reversed(rules):
+        cond = key.rlike(rule.pattern)
+        rule_expr = F.when(cond, F.lit(rule.name)).otherwise(rule_expr)
+        fuzzy_expr = F.when(cond, strip(rule)).otherwise(fuzzy_expr)
+    return df.withColumn(fuzzy_col, fuzzy_expr).withColumn(rule_col, rule_expr)
+
+
+def sql_fuzzy_rule_exprs(
+    key: str, rules: tuple[FuzzyRule, ...] = DEFAULT_FUZZY_RULES
+) -> tuple[str, str]:
+    """DuckDB twins of ``apply_fuzzy_rules`` generated from the SAME
+    rule table: ``(rule_case, fuzzy_case)`` SQL expressions.  DuckDB
+    regexp_replace needs the 'g' flag to match Spark's replace-all and
+    ``\\1`` backreferences instead of ``$1``."""
+
+    def strip(rule: FuzzyRule) -> str:
+        return (
+            f"regexp_replace(regexp_replace({key}, '{rule.pattern}', '\\1', 'g'),"
+            f" '[?&]$', '')"
+        )
+
+    rule_arms = " ".join(
+        f"WHEN regexp_matches({key}, '{r.pattern}') THEN '{r.name}'"
+        for r in rules
+    )
+    fuzzy_arms = " ".join(
+        f"WHEN regexp_matches({key}, '{r.pattern}') THEN {strip(r)}"
+        for r in rules
+    )
+    return (
+        f"CASE {rule_arms} ELSE NULL END",
+        f"CASE {fuzzy_arms} ELSE {key} END",
+    )
+
+
 def _apply_filters(df: DataFrame, filters: list[str]) -> DataFrame:
     for f in filters:
         neg = f.startswith("!")

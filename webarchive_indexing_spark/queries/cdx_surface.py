@@ -220,99 +220,136 @@ def cdx_match_glob(spark, sf_dir):
     )
 
 
-@query(
-    "cdx_fuzzy_match",
-    oracle=CDX_SQL + """
-    , lookups AS (
+def _fuzzy_oracle() -> str:
+    """Oracle for cdx_fuzzy_match, generated from the SAME rule table
+    the engine compiles (operators.cdx_query.DEFAULT_FUZZY_RULES) —
+    the data-driven contract: adding a rule changes exactly one tuple
+    and both engines pick it up."""
+    from ..operators.cdx_query import sql_fuzzy_rule_exprs
+
+    rule_case, fuzzy_case = sql_fuzzy_rule_exprs("key_exact")
+    return CDX_SQL + f"""
+    , lookups0 AS (
       SELECT doc_id,
              'org,example,' || source || ')/doc/' || doc_id ||
-               CASE WHEN doc_id % 3 = 0
-                    THEN '?_cb=' || doc_id || '&a=1&b=2' ELSE '' END AS key_exact,
-             'org,example,' || source || ')/doc/' || doc_id ||
-               CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS key_fuzzy
+               CASE doc_id % 4
+                 WHEN 0 THEN CASE WHEN doc_id % 3 = 0
+                      THEN '?_cb=' || doc_id || '&a=1&b=2'
+                      ELSE '?_cb=' || doc_id END
+                 WHEN 1 THEN CASE WHEN doc_id % 3 = 0
+                      THEN '?a=1&b=2&callback=jsonp' || doc_id
+                      ELSE '?callback=jsonp' || doc_id END
+                 WHEN 2 THEN CASE WHEN doc_id % 3 = 0
+                      THEN '?a=1&b=2&sid=' || doc_id
+                      ELSE '?sid=' || doc_id END
+                 ELSE CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END
+               END AS key_exact
       FROM documents WHERE doc_id < 300
-    ), ex AS (
-      SELECT l.doc_id, 'exact' AS via, c.ts14
-      FROM lookups l JOIN cdx c ON l.key_exact = c.urlkey
-    ), fz AS (
-      SELECT l.doc_id, 'fuzzy' AS via, c.ts14
-      FROM lookups l JOIN cdx c ON l.key_fuzzy = c.urlkey
-      WHERE NOT EXISTS (SELECT 1 FROM cdx c2 WHERE c2.urlkey = l.key_exact)
-    ), u AS (SELECT * FROM ex UNION ALL SELECT * FROM fz)
-    SELECT doc_id, via, COUNT(*) AS n_captures,
+    ), lookups AS (
+      SELECT doc_id, key_exact,
+             {rule_case} AS fuzzy_rule,
+             {fuzzy_case} AS key_fuzzy
+      FROM lookups0
+    ), keys AS (
+      SELECT doc_id, key_exact AS k, 'exact' AS via, '' AS rule FROM lookups
+      UNION ALL
+      SELECT doc_id, key_fuzzy AS k, 'fuzzy' AS via,
+             COALESCE(fuzzy_rule, '') AS rule FROM lookups
+    ), m AS (
+      SELECT k.doc_id, k.via, k.rule, c.ts14,
+             MAX(CASE WHEN k.via = 'exact' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k.doc_id) AS he
+      FROM keys k JOIN cdx c ON k.k = c.urlkey
+    )
+    SELECT doc_id, via, rule, COUNT(*) AS n_captures,
            MIN(ts14) AS first_ts, MAX(ts14) AS last_ts
-    FROM u GROUP BY doc_id, via
-    """,
+    FROM m WHERE via = 'exact' OR he = 0
+    GROUP BY doc_id, via, rule
+    """
+
+
+@query(
+    "cdx_fuzzy_match",
+    oracle=_fuzzy_oracle(),
     tier="B",
 )
 def cdx_fuzzy_match(spark, sf_dir):
-    """Fuzzy matching [B pywb fuzzy-match rules subset]: when a
-    lookup's exact urlkey has no captures, a rule strips known
-    cache-buster params from the URL (here ``_cb=<digits>``, the shape
-    of pywb's ``[?&](_|cb|...)=\\d+`` default rules), re-canonicalizes
-    and retries.  Done as a BATCH resolver — the cdx-server does this
-    per request; a replay-QA pipeline does it for millions of lookups
-    at once:
+    """Fuzzy matching [B pywb fuzzy-match rules]: when a lookup's
+    exact urlkey has no captures, the first applicable rule from a
+    DATA-DRIVEN rule table (``operators.cdx_query.DEFAULT_FUZZY_RULES``
+    — digit cache busters, jsonp ``callback=``, session params in
+    shapes SURT keeps, mirroring pywb's default fuzzy rules file [U])
+    strips the matched params and retries.  Round 5 generalized the
+    single `_cb` regex into the table; this batch exercises THREE
+    distinct rules (doc_id%4 picks the junk-param family) plus a
+    no-rule control group.  Done as a BATCH resolver — the cdx-server
+    does this per request; a replay-QA pipeline does it for millions
+    of lookups at once:
 
-    * both the exact and the fuzzy key are derived scan-side (regex
-      strip + SURT, all codegen);
-    * exact hits, the misses (left anti on the same join key — the
-      shuffle partitioning is reused), and the fuzzy retry join are
-      three joins all keyed on urlkey;
-    * SURT's query-param sorting is re-exercised end-to-end: the
-      cache-buster sorts FIRST in the canonical key (``_`` < ``a``),
-      so only canonicalization-aware stripping can make these hit.
+    * exact and fuzzy keys are derived scan-side (SURT + the rule
+      table compiled to ONE first-match-wins CASE chain of regexps,
+      all codegen — adding rules never adds joins);
+    * ONE equi-join: each lookup fans out to its (exact, fuzzy) key
+      pair, joins the index once, and a per-lookup window keeps exact
+      hits and lets fuzzy rows survive only when the lookup had no
+      exact hit (also dedups the no-rule case where the keys are
+      equal);
+    * SURT's query-param sorting is re-exercised end-to-end: ``_cb``
+      sorts FIRST in the canonical key while ``callback``/``sid`` sort
+      after the base params, so only canonicalization-aware stripping
+      can make these hit.
     """
+    from ..operators.cdx_query import apply_fuzzy_rules
+
     c = derived_cdx(spark, sf_dir)
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     doc = F.col("doc_id")
+    r = F.pmod(doc, F.lit(4))
+    q3 = doc % 3 == 0
+    junk = (
+        F.when(r == 0, F.concat(F.lit("_cb="), doc.cast("string")))
+        .when(r == 1, F.concat(F.lit("callback=jsonp"), doc.cast("string")))
+        .when(r == 2, F.concat(F.lit("sid="), doc.cast("string")))
+    )
+    # junk param FIRST, base params unsorted — SURT must both sort and
+    # keep the junk for the rule table to strip post-canonicalization
+    qs = F.when(
+        r <= 2,
+        F.concat(
+            F.lit("?"), junk, F.when(q3, F.lit("&b=2&a=1")).otherwise(F.lit(""))
+        ),
+    ).otherwise(F.when(q3, F.lit("?b=2&a=1")).otherwise(F.lit("")))
     url = F.concat(
         F.lit("https://WWW."),
         F.upper(F.substring("source", 1, 1)),
         F.expr("substring(source, 2)"),
         F.lit(".Example.org:443/doc/"),
         doc.cast("string"),
-        F.when(
-            doc % 3 == 0,
-            F.concat(F.lit("?b=2&a=1&_cb="), doc.cast("string")),
-        ).otherwise(F.lit("")),
+        qs,
     )
-    # pywb's fuzzy rules pattern-match the CANONICAL key (surt-format
-    # rules in the rule file), so the fuzzy key derives from key_exact
-    # with one regex — no second canonicalization pass; the trailing
-    # [?&] cleanup covers a stripped-last-param key
-    lookups = d.withColumn("__url", url).select(
-        "doc_id", surt_urlkey_cached("__url").alias("key_exact")
-    ).withColumn(
-        "key_fuzzy",
-        F.regexp_replace(
-            F.regexp_replace(F.col("key_exact"), r"([?&])_cb=[0-9]+&?", "$1"),
-            r"[?&]$",
-            "",
+    lookups = apply_fuzzy_rules(
+        d.withColumn("__url", url).select(
+            "doc_id", surt_urlkey_cached("__url").alias("key_exact")
         ),
+        "key_exact",
     )
-    # ONE equi-join, not three: each lookup fans out to its (exact,
-    # fuzzy) key pair, joins the index once, and a per-lookup window
-    # decides the fallback — exact rows win; fuzzy rows survive only
-    # when the lookup had no exact hit.  This also dedups the
-    # no-op-strip case (key_fuzzy == key_exact for URLs without a
-    # cache-buster) for free.  vs the exact-join + left-anti +
-    # retry-join formulation this runs the SURT derivation once
-    # instead of three times and shuffles the index once (measured
-    # 3.4 s → ~1 s at sf0.1).
     keys = lookups.select(
         "doc_id",
         F.explode(
             F.array(
                 F.struct(
-                    F.col("key_exact").alias("k"), F.lit("exact").alias("via")
+                    F.col("key_exact").alias("k"),
+                    F.lit("exact").alias("via"),
+                    F.lit("").alias("rule"),
                 ),
                 F.struct(
-                    F.col("key_fuzzy").alias("k"), F.lit("fuzzy").alias("via")
+                    F.col("key_fuzzy").alias("k"),
+                    F.lit("fuzzy").alias("via"),
+                    F.coalesce(F.col("fuzzy_rule"), F.lit("")).alias("rule"),
                 ),
             )
         ).alias("kv"),
-    ).select("doc_id", F.col("kv.k").alias("k"), F.col("kv.via").alias("via"))
+    ).select("doc_id", "kv.k", "kv.via", "kv.rule")
     cap = c.select("urlkey", "ts14")
     m = keys.alias("lk").join(cap.alias("cx"), F.col("lk.k") == F.col("cx.urlkey"))
     from pyspark.sql.window import Window
@@ -321,9 +358,9 @@ def cdx_fuzzy_match(spark, sf_dir):
         Window.partitionBy("doc_id")
     )
     return (
-        m.select("doc_id", "via", "ts14", has_exact.alias("he"))
+        m.select("doc_id", "via", "rule", "ts14", has_exact.alias("he"))
         .filter((F.col("via") == "exact") | (F.col("he") == 0))
-        .groupBy("doc_id", "via")
+        .groupBy("doc_id", "via", "rule")
         .agg(
             F.count(F.lit(1)).alias("n_captures"),
             F.min("ts14").alias("first_ts"),
