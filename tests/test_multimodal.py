@@ -100,3 +100,73 @@ def test_sample_frames_video_only_fanout(spark, sf_dir):
             range(len(frames))
         )
         assert all(len(f.frame) <= 16 for f in frames)
+
+
+def test_decode_image_real_golden():
+    """Golden decode: PPM P6/P3 (comments, arbitrary whitespace) and
+    BMP (bottom-up + top-down, row padding, BGR order) all recover the
+    same known image; codec formats stay behind NotImplementedError."""
+    import pytest as _pytest
+
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_bmp,
+        build_ppm,
+        decode_image_real,
+    )
+
+    rgb = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]  # 2x2
+    want = (2, 2, 55.0, 65.0, 75.0)
+
+    def stats(d):
+        return (d["width"], d["height"], d["mean_r"], d["mean_g"], d["mean_b"])
+
+    assert stats(decode_image_real(build_ppm(2, 2, rgb))) == want
+    assert stats(decode_image_real(build_bmp(2, 2, rgb))) == want
+
+    # P3 ASCII with a header comment and ragged whitespace
+    p3 = b"P3\n# test comment\n 2  2\n255\n" + " ".join(map(str, rgb)).encode()
+    assert stats(decode_image_real(p3)) == want
+
+    # top-down BMP (negative height): same logical image
+    bottom_up = build_bmp(2, 2, rgb)
+    import struct
+
+    h = struct.unpack_from("<i", bottom_up, 22)[0]
+    row_bytes = ((2 * 3 + 3) // 4) * 4
+    raster = bottom_up[54:]
+    flipped = b"".join(
+        raster[r * row_bytes : (r + 1) * row_bytes] for r in range(h - 1, -1, -1)
+    )
+    top_down = bytearray(bottom_up[:54] + flipped)
+    struct.pack_into("<i", top_down, 22, -h)
+    assert stats(decode_image_real(bytes(top_down))) == want
+
+    # BMP row padding must be skipped, not decoded (w=2 → 2 pad bytes)
+    assert row_bytes == 8
+
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(b"\xff\xd8\xff\xe0JFIF...")
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG\r\n\x1a\n...")
+    with _pytest.raises(ValueError):
+        decode_image_real(build_ppm(2, 2, rgb)[:-3])  # truncated raster
+
+
+def test_decode_images_damage_tolerant(spark):
+    """Undecodable payloads become format='unsupported' rows with NULL
+    stats — per-row damage tolerance, never a task failure."""
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_ppm,
+        decode_images,
+    )
+
+    rows = [
+        (1, bytearray(build_ppm(1, 1, [9, 9, 9]))),
+        (2, bytearray(b"\xff\xd8jpegish")),
+        (3, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_images(df).collect()}
+    assert got[1].format == "ppm" and got[1].mean_r == 9.0
+    assert got[2].format == "unsupported" and got[2].width is None
+    assert got[3].format == "unsupported"

@@ -5,13 +5,15 @@ columns plus a typed metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so
 the bytes never round-trip row-at-a-time.
 
-The actual media decoding is STUBBED (this container ships no
-image/audio libraries): ``decode_batches`` computes deterministic
-pseudo-features (payload length, first-byte value, sha256 prefix) in
-place of pixel decoding, and ``decode_image_real`` raises
-``NotImplementedError`` at the exact seam where a real decoder (PIL /
-ffmpeg) plugs in.  Everything Spark-side — schema, batching,
-partition sizing — is real and tested.
+Decoding status (round 5): ``decode_image_real`` REALLY decodes the
+two dependency-free raster formats — PPM (P3 ASCII / P6 binary) and
+uncompressed 24-bpp BMP (bottom-up rows, 4-byte row padding, BGR
+channel order) — header parse + per-channel pixel means in pure
+Python/numpy, no PIL.  ``NotImplementedError`` remains ONLY for
+formats that genuinely need an external codec (JPEG/PNG/video).
+``decode_batches`` keeps the format-agnostic pseudo-feature path for
+opaque payloads.  Everything Spark-side — schema, batching, partition
+sizing — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -45,10 +47,202 @@ def attach_fake_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Seam for a real decoder; deliberately unimplemented here."""
+    """Decode a raster image payload to
+    ``{format, width, height, mean_r, mean_g, mean_b}``.
+
+    Pure-Python decoders for the two formats whose specs need no
+    external codec: PPM (netpbm P3/P6) and uncompressed 24-bpp BMP.
+    The ``NotImplementedError`` seam now covers ONLY genuinely
+    codec-requiring formats (JPEG/PNG/video — PIL/ffmpeg plug in
+    here).  Means are ``int_sum / count`` — one exact integer sum and
+    one IEEE division, so they are bit-reproducible by any engine."""
+    b = bytes(payload)
+    if b[:2] in (b"P6", b"P3"):
+        return _decode_ppm(b)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg — not available in this environment"
+        "only PPM (P3/P6) and 24-bpp BMP decode natively; "
+        "JPEG/PNG/video require PIL/ffmpeg — not available here"
     )
+
+
+def _ppm_tokens(b: bytes):
+    """netpbm header tokenizer: whitespace-separated tokens, ``#``
+    comments running to end-of-line.  Yields (token, end_offset)."""
+    i = 0
+    while i < len(b):
+        c = b[i : i + 1]
+        if c == b"#":
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace() and b[j : j + 1] != b"#":
+                j += 1
+            yield b[i:j], j
+            i = j
+
+
+def _rgb_means(fmt: str, w: int, h: int, rgb: list[int]) -> dict:
+    n = w * h
+    if len(rgb) != 3 * n:
+        raise ValueError(f"{fmt}: expected {3 * n} samples, got {len(rgb)}")
+    return {
+        "format": fmt,
+        "width": w,
+        "height": h,
+        "mean_r": sum(rgb[0::3]) / n,
+        "mean_g": sum(rgb[1::3]) / n,
+        "mean_b": sum(rgb[2::3]) / n,
+    }
+
+
+def _decode_ppm(b: bytes) -> dict:
+    toks = _ppm_tokens(b)
+    magic, _ = next(toks)
+    fields = []
+    end = 0
+    for tok, end in toks:
+        fields.append(int(tok))
+        if len(fields) == 3:
+            break
+    if len(fields) < 3:
+        raise ValueError("ppm: truncated header")
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"ppm: unsupported dims/maxval {w}x{h}/{maxval}")
+    if magic == b"P6":
+        # exactly ONE whitespace byte separates maxval from the raster
+        raster = b[end + 1 : end + 1 + 3 * w * h]
+        return _rgb_means("ppm", w, h, list(raster))
+    vals = [int(tok) for tok, _ in _ppm_tokens(b[end:])]
+    return _rgb_means("ppm", w, h, vals)
+
+
+def _decode_bmp(b: bytes) -> dict:
+    import struct
+
+    if len(b) < 54:
+        raise ValueError("bmp: truncated header")
+    pix_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"bmp: only uncompressed 24-bpp supported (got {bpp}-bpp, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = ((w * 3 + 3) // 4) * 4  # rows pad to 4-byte boundaries
+    rgb: list[int] = []
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        off = pix_off + src_row * row_bytes
+        line = b[off : off + w * 3]
+        if len(line) < w * 3:
+            raise ValueError("bmp: truncated raster")
+        for x in range(w):
+            bl, g, r = line[3 * x : 3 * x + 3]  # BGR on disk
+            rgb.extend((r, g, bl))
+    return _rgb_means("bmp", w, h, rgb)
+
+
+def build_ppm(w: int, h: int, rgb: list[int]) -> bytes:
+    """Encode an RGB sample list as binary PPM (P6) — fixture builder
+    shared by tests and the oracle-checked decode query."""
+    assert len(rgb) == 3 * w * h
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + bytes(rgb)
+
+
+def build_bmp(w: int, h: int, rgb: list[int]) -> bytes:
+    """Encode an RGB sample list as an uncompressed bottom-up 24-bpp
+    BMP, including the 4-byte row padding the decoder must skip."""
+    import struct
+
+    assert len(rgb) == 3 * w * h
+    row_bytes = ((w * 3 + 3) // 4) * 4
+    raster = bytearray()
+    for row in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for x in range(w):
+            r, g, bl = rgb[3 * (row * w + x) : 3 * (row * w + x) + 3]
+            line += bytes((bl, g, r))  # BGR on disk
+        line += b"\x00" * (row_bytes - len(line))
+        raster += line
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return bytes(header) + bytes(raster)
+
+
+IMAGE_FIXTURE_SCHEMA = "doc_id bigint, payload binary"
+
+
+def synthesize_image_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic image fixtures: per doc, a (4 + id%5)×(3 + id%4)
+    image whose sample ``i`` is ``(doc_id*7 + i*13) % 256``, encoded
+    PPM for even ids and BMP for odd — pure arithmetic, so a SQL
+    oracle can recompute every decoded statistic without touching
+    binary.  Arrow-batched like every payload stage."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 4
+                rgb = [(i * 7 + j * 13) % 256 for j in range(3 * w * h)]
+                payloads.append(
+                    build_ppm(w, h, rgb) if i % 2 == 0 else build_bmp(w, h, rgb)
+                )
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(fn, IMAGE_FIXTURE_SCHEMA)
+
+
+DECODE_REAL_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """The REAL decode stage: Arrow-batched ``mapInPandas`` over
+    ``(doc_id, payload)`` calling ``decode_image_real`` per payload.
+    Decode failures surface as ``format='unsupported'`` with NULL
+    stats rather than killing the task — at 100 TB a crawl's media
+    column always contains undecodable members, and damage tolerance
+    must be per-row."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_image_real(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    d = {
+                        "format": "unsupported",
+                        "width": None,
+                        "height": None,
+                        "mean_r": None,
+                        "mean_g": None,
+                        "mean_b": None,
+                    }
+                rows.append({"doc_id": doc_id, **d})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, DECODE_REAL_SCHEMA)
 
 
 def decode_batches(df: DataFrame) -> DataFrame:
