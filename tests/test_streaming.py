@@ -181,6 +181,98 @@ def test_st1_zipnum_epoch_indexing(spark, sf_dir):
         assert got_post == want_post  # nothing lost, nothing duplicated
 
 
+def test_epoch_protocol_interleaved_compaction_replay(spark, sf_dir):
+    """The ADVICE-r4 collision scenario verbatim, as an interleaving:
+    ingest batches 0,1 → compact → LATE REPLAY of pre-compaction batch
+    id 0 (must be skipped: its rows are durable in the merged epoch) →
+    new batch 2 → idempotent immediate replay of batch 2 (same slot,
+    rewritten, no duplicates) → second compaction → late replay of
+    batch 2 again (now subsumed → skipped).  Invariants at every step:
+    zero row loss, zero duplication, the merged read equals the union
+    of delivered batches.
+
+    Drives the protocol functions directly (reserve_epoch_id /
+    _subsumed_names / write_zipnum_epoch) — the same calls
+    stream_zipnum_epochs' foreachBatch makes — because a real
+    checkpoint never re-delivers; replay is exactly the
+    checkpoint-lost/at-least-once path the manifest must absorb."""
+    from webarchive_indexing_spark.sinks.zipnum import (
+        _subsumed_names,
+        compact_zipnum_epochs,
+        list_epochs,
+        read_zipnum_epochs,
+        reserve_epoch_id,
+        write_zipnum_epoch,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "idx")
+        cdx = derived_cdx(spark, sf_dir).limit(300)
+        full = cdx.select(
+            "urlkey",
+            F.col("ts14").alias("timestamp"),
+            F.lit("http://x/").alias("url"),
+            "mime",
+            "status",
+            "digest",
+            F.lit(None).cast("string").alias("redirect"),
+            F.lit(None).cast("string").alias("robotflags"),
+            "length",
+            "offset",
+            "filename",
+        ).cache()
+        b0 = full.filter(F.col("status") == 200)
+        b1 = full.filter(F.col("status") != 200)
+        b2 = full.limit(40).withColumn(
+            "urlkey", F.concat(F.lit("zz,late)/"), F.col("urlkey"))
+        )
+
+        def deliver(batch_df, batch_id) -> str:
+            """foreachBatch merge body from stream_zipnum_epochs."""
+            eid = reserve_epoch_id(out, f"batch:{int(batch_id)}")
+            if f"epoch-{eid:06d}" in _subsumed_names(out):
+                return "skipped"
+            write_zipnum_epoch(batch_df, out, eid, shards=2, numlines=100)
+            return "written"
+
+        def snapshot():
+            return {tuple(r) for r in read_zipnum_epochs(spark, out).collect()}
+
+        assert deliver(b0, 0) == "written"
+        assert deliver(b1, 1) == "written"
+        want01 = {tuple(r) for r in b0.collect()} | {tuple(r) for r in b1.collect()}
+        assert snapshot() == want01
+
+        compact_zipnum_epochs(spark, out, shards=2, numlines=100)
+        assert len(list_epochs(out)) == 1
+        assert snapshot() == want01
+
+        # late replay of PRE-compaction batch 0: skipped, nothing lost,
+        # nothing duplicated, no resurrected epoch directory
+        assert deliver(b0, 0) == "skipped"
+        assert len(list_epochs(out)) == 1
+        assert snapshot() == want01
+
+        # new batch after compaction: fresh slot past the merged epoch
+        assert deliver(b2, 2) == "written"
+        want012 = want01 | {tuple(r) for r in b2.collect()}
+        assert snapshot() == want012
+
+        # immediate at-least-once replay of batch 2 (checkpoint lost
+        # BEFORE any compaction): same manifest slot, idempotent
+        # rewrite — still exactly one copy of every row
+        assert deliver(b2, 2) == "written"
+        assert snapshot() == want012
+
+        # interleave a second compaction, then the same replay again:
+        # now the slot is subsumed and the replay must be skipped
+        compact_zipnum_epochs(spark, out, shards=2, numlines=100)
+        assert len(list_epochs(out)) == 1
+        assert deliver(b2, 2) == "skipped"
+        assert snapshot() == want012
+        full.unpersist()
+
+
 def test_st2_windowed_counts_match_batch(spark, events):
     with tempfile.TemporaryDirectory() as d:
         sdf = _stream_events(spark, events, d)

@@ -282,3 +282,45 @@ def test_read_zipnum_pages_batch_equals_per_page(spark, cluster, cdx):
             ).collect()
         }
         assert got[p] == want, f"page {p}"
+
+
+def test_composed_server_query_prunes_blocks(spark, sf_dir):
+    """cdx_server_composed_zipnum must touch ONLY the secondary-index
+    blocks intersecting the domain key range (the binary-search
+    analogue, asserted from the same _prune the reader uses), and its
+    per-page residual pipeline must respect every composed parameter."""
+    import tempfile
+
+    from webarchive_indexing_spark.queries.cdx_surface import _zipnum_input
+    from webarchive_indexing_spark.sinks.zipnum import (
+        _load_idx,
+        _prune,
+        read_zipnum_pages,
+        write_zipnum_ordered,
+    )
+
+    d = tempfile.mkdtemp(prefix="zipnum_srv_test_")
+    write_zipnum_ordered(_zipnum_input(spark, sf_dir), d, shards=8, numlines=100)
+    lo, hi = "org,example,src3", "org,example,src3~"
+    blocks = _load_idx(d)
+    kept = _prune(blocks, lo, hi)
+    assert 0 < len(kept) < len(blocks), "range must prune strictly"
+
+    rows = read_zipnum_pages(spark, d, key_lo=lo, key_hi=hi, page_size=2).collect()
+    assert rows, "pruned page read returned nothing"
+    n_pages = len({r.page for r in rows})
+    # pages tile the kept block list in runs of page_size
+    assert n_pages == (len(kept) + 1) // 2
+
+    from webarchive_indexing_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["cdx_server_composed_zipnum"].fn(spark, sf_dir).collect()
+    assert out
+    by_page = {}
+    for r in out:
+        assert r.urlkey.startswith("org,example,src3")
+        assert "2015" <= r.timestamp < "2017"
+        assert r.status == 200 and not r.mime.startswith("image")
+        by_page.setdefault(r.page, []).append(r)
+    assert all(len(v) <= 5 for v in by_page.values()), "per-page limit"

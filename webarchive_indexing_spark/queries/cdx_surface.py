@@ -758,6 +758,107 @@ def cdx_page_blocks(spark, sf_dir):
 
 
 @query(
+    "cdx_server_composed_zipnum",
+    oracle=CDX_SQL + f"""
+    , lines AS (
+      SELECT urlkey, ts14, mime, status, {_ZIPNUM_LINE_SQL} AS value FROM cdx
+    ), ranked AS (
+      SELECT *, NTILE(8) OVER (ORDER BY value) AS shard_no FROM lines
+    ), assigned AS (
+      SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY shard_no ORDER BY value)
+                            - 1) / 100) AS BIGINT) AS blk
+      FROM ranked
+    ), blocks AS (
+      SELECT shard_no, blk, MIN(value) AS first_line
+      FROM assigned GROUP BY shard_no, blk
+    ), ordered AS (
+      SELECT shard_no, blk,
+             string_split(first_line, ' ')[1] AS fk,
+             LEAD(string_split(first_line, ' ')[1])
+               OVER (ORDER BY string_split(first_line, ' ')[1],
+                              string_split(first_line, ' ')[2],
+                              shard_no, blk) AS nk,
+             ROW_NUMBER()
+               OVER (ORDER BY string_split(first_line, ' ')[1],
+                              string_split(first_line, ' ')[2],
+                              shard_no, blk) AS bo
+      FROM blocks
+    ), kept AS (
+      SELECT shard_no, blk,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY bo) - 1) / 2) AS INT) AS page
+      FROM ordered
+      WHERE fk < 'org,example,src3~'
+        AND (nk IS NULL OR nk >= 'org,example,src3')
+    ), hit AS (
+      SELECT k.page, a.urlkey, a.ts14 AS timestamp, a.mime, a.status
+      FROM assigned a JOIN kept k USING (shard_no, blk)
+      WHERE a.urlkey >= 'org,example,src3' AND a.urlkey < 'org,example,src3~'
+        AND a.ts14 >= '2015' AND a.ts14 < '2017'
+        AND a.status = 200
+        AND NOT regexp_matches(a.mime, 'image.*')
+    ), runs AS (
+      SELECT *, LAG(substr(timestamp, 1, 6)) OVER (
+               PARTITION BY page, urlkey ORDER BY timestamp) AS prev
+      FROM hit
+    ), coll AS (
+      SELECT page, urlkey, timestamp, mime, status FROM runs
+      WHERE prev IS NULL OR substr(timestamp, 1, 6) <> prev
+    )
+    SELECT page, urlkey, timestamp, mime, status FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY page ORDER BY urlkey, timestamp) AS rn
+      FROM coll
+    ) WHERE rn <= 5
+    """,
+    tier="B",
+)
+def cdx_server_composed_zipnum(spark, sf_dir):
+    """[B round 5] the composed cdx-server parameter set run NATIVELY
+    against ZipNum files — the production path, not the parquet
+    mirror: matchType=domain (secondary-index BLOCK PRUNING to the
+    src3 key range before any decompression) + page tiling
+    (pageSize=2 block runs, ALL pages in one tagged job via
+    read_zipnum_pages) + from/to + filter=status:200 +
+    filter=!mime:image.* + collapse=timestamp:6 + per-page limit=5 —
+    the exact residual pipeline a pywb front end runs per request,
+    here as one batch plan.  Built on write_zipnum_ordered
+    (deterministic NTILE bounds), so the DuckDB oracle recomputes the
+    physical block layout, the [lo,hi) prune over block first-keys,
+    the page slicing, and the residual query — a hash match proves
+    the ZipNum read path AND the composition.  Block pruning is
+    additionally metric-asserted in tests/test_zipnum.py."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..sinks.zipnum import read_zipnum_pages, write_zipnum_ordered
+
+    out = tempfile.mkdtemp(prefix="zipnum_srv_")
+    write_zipnum_ordered(_zipnum_input(spark, sf_dir), out, shards=8, numlines=100)
+    lo, hi = "org,example,src3", "org,example,src3~"
+    pages = read_zipnum_pages(spark, out, key_lo=lo, key_hi=hi, page_size=2)
+    ts = F.col("timestamp")
+    hit = pages.filter(
+        (ts >= "2015")
+        & (ts < "2017")
+        & (F.col("status") == 200)
+        & ~F.col("mime").rlike("image.*")
+    )
+    w_runs = Window.partitionBy("page", "urlkey").orderBy("timestamp")
+    prev = F.lag(F.substring("timestamp", 1, 6)).over(w_runs)
+    coll = (
+        hit.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNull() | (F.substring("timestamp", 1, 6) != F.col("__prev")))
+    )
+    w_lim = Window.partitionBy("page").orderBy("urlkey", "timestamp")
+    return (
+        coll.withColumn("__rn", F.row_number().over(w_lim))
+        .filter(F.col("__rn") <= 5)
+        .select("page", "urlkey", "timestamp", "mime", "status")
+    )
+
+
+@query(
     "cdx_revisit_resolve",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14, orig_ts14 FROM (
