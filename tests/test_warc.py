@@ -349,3 +349,74 @@ def test_mixed_manifest_end_to_end(spark, tmp_path):
         "http://c.example/",
     ]
     assert all(r["urlkey"] and r["timestamp"] and r["digest"] for r in rows)
+
+
+def test_record_types_opt_in_request_metadata(tmp_path):
+    """pywb include-all semantics: request/metadata records index only
+    when opted into via record_types; request rows carry the request
+    block's Content-Type and no status; metadata rows the WARC record's
+    own Content-Type; warcinfo never indexes even when listed."""
+    from webarchive_indexing_spark.sources.warc import (
+        build_warc_record_plain,
+        parse_plain_warc,
+    )
+
+    req_http = (
+        b"GET /page HTTP/1.1\r\nHost: x.example\r\n"
+        b"Content-Type: application/x-www-form-urlencoded\r\n\r\nq=1"
+    )
+    recs = (
+        build_warc_record_plain(
+            "http://x.example/page", "2020-01-02T03:04:05Z", b"<html>hi</html>"
+        )
+        + build_warc_record_plain(
+            "http://x.example/page",
+            "2020-01-02T03:04:05Z",
+            req_http,
+            rec_type="request",
+        )
+        + build_warc_record_plain(
+            "http://x.example/page",
+            "2020-01-02T03:04:06Z",
+            b"via: crawler\r\n",
+            rec_type="metadata",
+        )
+        + build_warc_record_plain(
+            "http://x.example/", "2020-01-02T03:04:07Z", b"software: test\r\n",
+            rec_type="warcinfo",
+        )
+    )
+    # metadata records carry their Content-Type in the WARC headers —
+    # patch the fixture's generic header for that record
+    recs = recs.replace(
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: http://x.example/page\r\n"
+        b"WARC-Date: 2020-01-02T03:04:06Z\r\n"
+        b"Content-Length: 14\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n",
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: http://x.example/page\r\n"
+        b"WARC-Date: 2020-01-02T03:04:06Z\r\n"
+        b"Content-Length: 14\r\n"
+        b"Content-Type: application/warc-fields\r\n",
+    )
+
+    default_rows = list(parse_plain_warc("f.warc", recs))
+    assert [r[3] for r in default_rows] == ["text/html"]  # response only
+
+    all_rows = list(
+        parse_plain_warc(
+            "f.warc",
+            recs,
+            record_types=("response", "revisit", "request", "metadata", "warcinfo"),
+        )
+    )
+    assert len(all_rows) == 3  # warcinfo still excluded
+    by_type = {r[3]: r for r in all_rows}
+    assert "text/html" in by_type
+    req = by_type["application/x-www-form-urlencoded"]
+    assert req[4] is None  # no status on request rows
+    assert req[0] == "example,x)/page"
+    meta = by_type["application/warc-fields"]
+    assert meta[4] is None
+    assert meta[1] == "20200102030406"

@@ -758,6 +758,148 @@ def cdx_page_blocks(spark, sf_dir):
 
 
 @query(
+    "cdx_show_dupecount",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp, digest,
+           CAST(ROW_NUMBER() OVER (PARTITION BY digest ORDER BY ts14) - 1
+                AS BIGINT) AS dupecount
+    FROM cdx WHERE urlkey LIKE 'org,example,src2)%'
+    """,
+    tier="B",
+)
+def cdx_show_dupecount(spark, sf_dir):
+    """[B pywb ``showDupeCount=true``]: each capture carries how many
+    EARLIER captures in the result set share its payload digest —
+    dupecount=0 marks the original, >0 marks revisit-shaped rows the
+    replay UI can badge.  One window (partition digest, order
+    timestamp) over the match scope; at 100 TB the digest partition is
+    the same shuffle key the revisit-resolve join already uses, so a
+    composed server pipeline computes both in one exchange."""
+    from pyspark.sql.window import Window
+
+    c = derived_cdx(spark, sf_dir).filter(
+        F.col("urlkey").startswith("org,example,src2)")
+    )
+    w = Window.partitionBy("digest").orderBy("ts14")
+    return c.select(
+        "urlkey",
+        F.col("ts14").alias("timestamp"),
+        "digest",
+        (F.row_number().over(w) - 1).cast("bigint").alias("dupecount"),
+    )
+
+
+@query(
+    "cdx_output_json",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp,
+           '{"urlkey":"' || urlkey ||
+           '","timestamp":"' || ts14 ||
+           '","url":"https://example.org/' || digest ||
+           '","mime":"' || mime ||
+           '","status":' || CAST(status AS VARCHAR) ||
+           ',"digest":"' || digest ||
+           '","length":' || CAST(length AS VARCHAR) ||
+           ',"offset":' || CAST("offset" AS VARCHAR) ||
+           ',"filename":"' || filename || '"}' AS json_line
+    FROM cdx WHERE urlkey LIKE 'org,example,src4)%'
+    """,
+    tier="B",
+)
+def cdx_output_json(spark, sf_dir):
+    """[B pywb ``output=json``]: the cdx-server's JSON line format —
+    one compact JSON object per capture, string fields quoted, numeric
+    fields bare, '-' placeholder fields omitted (pywb drops them in
+    json output).  Spark side uses the REAL ``to_json(struct(...))``
+    operator (field order = struct order, no whitespace — the exact
+    grammar the oracle re-derives by concatenation), so the hash match
+    pins Spark's JSON serializer against a byte-level spec.  Map-only:
+    formatting never shuffles."""
+    c = derived_cdx(spark, sf_dir).filter(
+        F.col("urlkey").startswith("org,example,src4)")
+    )
+    return c.select(
+        "urlkey",
+        F.col("ts14").alias("timestamp"),
+        F.to_json(
+            F.struct(
+                F.col("urlkey"),
+                F.col("ts14").alias("timestamp"),
+                F.concat(F.lit("https://example.org/"), F.col("digest")).alias("url"),
+                F.col("mime"),
+                F.col("status"),
+                F.col("digest"),
+                F.col("length"),
+                F.col("offset"),
+                F.col("filename"),
+            )
+        ).alias("json_line"),
+    )
+
+
+@query(
+    "cdx_page_reverse",
+    oracle=CDX_SQL + f"""
+    , lines AS (
+      SELECT urlkey, ts14, status, {_ZIPNUM_LINE_SQL} AS value FROM cdx
+    ), ranked AS (
+      SELECT *, NTILE(8) OVER (ORDER BY value) AS shard_no FROM lines
+    ), assigned AS (
+      SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY shard_no ORDER BY value)
+                            - 1) / 100) AS BIGINT) AS blk
+      FROM ranked
+    ), blocks AS (
+      SELECT shard_no, blk, MIN(value) AS first_line
+      FROM assigned GROUP BY shard_no, blk
+    ), ordered AS (
+      SELECT shard_no, blk,
+             string_split(first_line, ' ')[1] AS fk,
+             LEAD(string_split(first_line, ' ')[1])
+               OVER (ORDER BY string_split(first_line, ' ')[1],
+                              string_split(first_line, ' ')[2],
+                              shard_no, blk) AS nk,
+             ROW_NUMBER()
+               OVER (ORDER BY string_split(first_line, ' ')[1],
+                              string_split(first_line, ' ')[2],
+                              shard_no, blk) AS bo
+      FROM blocks
+    ), fwd AS (
+      SELECT shard_no, blk,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY bo) - 1) / 2) AS INT) AS page
+      FROM ordered
+      WHERE fk < 'org,example,src2~'
+        AND (nk IS NULL OR nk >= 'org,example,src2')
+    ), kept AS (
+      SELECT shard_no, blk, MAX(page) OVER () - page AS page FROM fwd
+    )
+    SELECT k.page, a.urlkey, a.ts14 AS timestamp, a.status
+    FROM assigned a JOIN kept k USING (shard_no, blk)
+    WHERE a.urlkey >= 'org,example,src2' AND a.urlkey < 'org,example,src2~'
+    """,
+    tier="B",
+)
+def cdx_page_reverse(spark, sf_dir):
+    """[B] ``page=`` combined with ``sort=reverse`` [pywb]: reverse
+    pagination numbers the SAME block runs from the end of the pruned
+    secondary-index range, so reverse page 0 holds the newest keys —
+    still exactly pageSize block decompressions per request, wherever
+    the page falls.  One tagged batch job over all pages
+    (``read_zipnum_pages(reverse=True)``); the oracle recomputes the
+    forward page tiling and flips the numbering (``max(page) - page``),
+    proving forward/reverse pages mirror block-for-block."""
+    import tempfile
+
+    from ..sinks.zipnum import read_zipnum_pages, write_zipnum_ordered
+
+    out = tempfile.mkdtemp(prefix="zipnum_rev_")
+    write_zipnum_ordered(_zipnum_input(spark, sf_dir), out, shards=8, numlines=100)
+    lo, hi = "org,example,src2", "org,example,src2~"
+    return read_zipnum_pages(
+        spark, out, key_lo=lo, key_hi=hi, page_size=2, reverse=True
+    ).select("page", "urlkey", "timestamp", "status")
+
+
+@query(
     "cdx_server_composed_zipnum",
     oracle=CDX_SQL + f"""
     , lines AS (

@@ -400,6 +400,7 @@ def read_zipnum_pages(
     key_lo: str | None = None,
     key_hi: str | None = None,
     page_size: int = 1,
+    reverse: bool = False,
 ) -> DataFrame:
     """EVERY page of a range query in ONE distributed read, each row
     tagged with its ``page`` ordinal.
@@ -413,7 +414,13 @@ def read_zipnum_pages(
     8.8 s vs 1 s at sf0.1 for ~175 pages).  Here the pruned block list
     is tagged with ``ordinal // page_size`` ONCE and all blocks stream
     through the same ranged-read stage; the page column rides along
-    with each decompressed line."""
+    with each decompressed line.
+
+    ``reverse=True`` is the pywb ``sort=reverse`` pagination: page 0
+    becomes the LAST block run of the range (newest keys first when
+    the caller then sorts within pages descending) — page runs are
+    unchanged, only their numbering flips, so forward page ``p`` ==
+    reverse page ``n_pages - 1 - p``."""
     blocks = _prune(_load_idx(out_dir), key_lo, key_hi)
     page_field = T.StructField("page", T.IntegerType())
     if not blocks:
@@ -429,8 +436,14 @@ def read_zipnum_pages(
         loc = dict(
             line.split("\t") for line in fh.read().decode("utf-8").splitlines()
         )
+    last_page = (len(blocks) - 1) // page_size
     work = [
-        (i // page_size, loc[b.shard], b.offset, b.length)
+        (
+            (last_page - i // page_size) if reverse else i // page_size,
+            loc[b.shard],
+            b.offset,
+            b.length,
+        )
         for i, b in enumerate(blocks)
     ]
 

@@ -32,8 +32,12 @@ pywb's DefaultRecordParser):
   space-separated header line per record (URL, IP, 14-digit date,
   mime, length); same offset semantics as the WARC variants.
 
-Record types indexed: ``response`` ``revisit`` (WARC), every non-
-filedesc ARC record; HTTP status + Content-Type extraction; SHA-1
+Record types indexed: ``response`` ``revisit`` by default (pywb's
+cdx-indexer defaults); ``record_types=`` opts into ``request`` /
+``metadata`` / ``resource`` rows (pywb include-all semantics — request
+rows carry the request block's Content-Type and no status, metadata/
+resource rows the WARC record's own Content-Type); every non-filedesc
+ARC record; HTTP status + Content-Type extraction; SHA-1
 payload digest — hex by default, ``digest_b32=True`` emits pywb's
 uppercase unpadded base32 so digests JOIN cleanly against existing
 CDX/CDXJ indexes built by the upstream toolchain.
@@ -214,30 +218,54 @@ def split_warc_records(stream: bytes):
         pos = nxt
 
 
-def _index_warc_record(record: bytes, *, digest_b32: bool):
-    """CDX fields (urlkey..robotflags) for ONE complete WARC record, or
-    None for types that don't index (request/metadata/warcinfo)."""
+#: default indexed record types — what pywb's cdx-indexer emits
+#: without flags; request/metadata/resource are opt-in [U pywb
+#: cdx-indexer include_all/record-type options].
+DEFAULT_RECORD_TYPES: tuple[str, ...] = ("response", "revisit")
+
+
+def _index_warc_record(
+    record: bytes,
+    *,
+    digest_b32: bool,
+    record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+):
+    """CDX fields (urlkey..robotflags) for ONE complete WARC record,
+    or None for types outside ``record_types`` (warcinfo never
+    indexes).  Opt-in types follow pywb's shapes: ``request`` rows
+    carry the request block's Content-Type and no status;
+    ``metadata``/``resource`` rows carry the WARC record's own
+    Content-Type (e.g. application/warc-fields)."""
     head_end = record.find(CRLF + CRLF)
     if head_end < 0 or not record.startswith(b"WARC/"):
         return None
     wheaders = _parse_headers(record[:head_end])
     rec_type = wheaders.get("warc-type", "")
-    if rec_type not in ("response", "revisit"):
+    if rec_type == "warcinfo" or rec_type not in record_types:
         return None
     url = wheaders.get("warc-target-uri", "")
     ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
     body = record[head_end + 4 :].rstrip(b"\r\n")
 
     status, mime, payload = None, None, body
+    http_end = body.find(CRLF + CRLF)
+    first_line = body.split(CRLF, 1)[0]
     if body.startswith(b"HTTP/"):
-        http_end = body.find(CRLF + CRLF)
         if http_end >= 0:
-            status_line = body.split(CRLF, 1)[0].decode("latin-1", "replace")
+            status_line = first_line.decode("latin-1", "replace")
             parts = status_line.split(" ")
             status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
             hh = _parse_headers(body[:http_end])
             mime = (hh.get("content-type") or "").split(";")[0].strip() or None
             payload = body[http_end + 4 :]
+    elif rec_type == "request" and first_line.endswith((b"HTTP/1.0", b"HTTP/1.1")):
+        # an HTTP request block: "METHOD /path HTTP/1.x"
+        if http_end >= 0:
+            hh = _parse_headers(body[:http_end])
+            mime = (hh.get("content-type") or "").split(";")[0].strip() or None
+            payload = body[http_end + 4 :]
+    elif rec_type in ("metadata", "resource"):
+        mime = (wheaders.get("content-type") or "").split(";")[0].strip() or None
     return (
         surt_urlkey_py(url),
         ts14,
@@ -250,7 +278,13 @@ def _index_warc_record(record: bytes, *, digest_b32: bool):
     )
 
 
-def parse_warc_file(filename: str, data: bytes, *, digest_b32: bool = False):
+def parse_warc_file(
+    filename: str,
+    data: bytes,
+    *,
+    digest_b32: bool = False,
+    record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+):
     """Yield one CDX tuple per indexable record of a ``.warc.gz``.
 
     Offset semantics: the COMPRESSED member extent — for the usual
@@ -266,17 +300,27 @@ def parse_warc_file(filename: str, data: bytes, *, digest_b32: bool = False):
             # would land here and be skipped by the record indexer)
             records = [(0, len(member), member)]
         for _, _, record in records:
-            fields = _index_warc_record(record, digest_b32=digest_b32)
+            fields = _index_warc_record(
+                record, digest_b32=digest_b32, record_types=record_types
+            )
             if fields is not None:
                 yield (*fields, clen, offset, short)
 
 
-def parse_plain_warc(filename: str, data: bytes, *, digest_b32: bool = False):
+def parse_plain_warc(
+    filename: str,
+    data: bytes,
+    *,
+    digest_b32: bool = False,
+    record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+):
     """Uncompressed ``.warc``: records split on Content-Length, each
     CDX row carrying its true (uncompressed) byte offset + length."""
     short = filename.rsplit("/", 1)[-1]
     for offset, rlen, record in split_warc_records(data):
-        fields = _index_warc_record(record, digest_b32=digest_b32)
+        fields = _index_warc_record(
+            record, digest_b32=digest_b32, record_types=record_types
+        )
         if fields is not None:
             yield (*fields, rlen, offset, short)
 
@@ -394,7 +438,13 @@ def parse_arc_file(filename: str, data: bytes, *, digest_b32: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def parse_archive_file(filename: str, data: bytes, *, digest_b32: bool = False):
+def parse_archive_file(
+    filename: str,
+    data: bytes,
+    *,
+    digest_b32: bool = False,
+    record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+):
     """Sniff the container + record format from the BYTES (extensions
     lie in the wild) and dispatch: gzip magic → member iteration, then
     WARC/ARC by the first record's signature."""
@@ -404,10 +454,14 @@ def parse_archive_file(filename: str, data: bytes, *, digest_b32: bool = False):
             return iter(())
         head = probe[2][:16]
         if head.startswith(b"WARC/"):
-            return parse_warc_file(filename, data, digest_b32=digest_b32)
+            return parse_warc_file(
+                filename, data, digest_b32=digest_b32, record_types=record_types
+            )
         return parse_arc_file(filename, data, digest_b32=digest_b32)
     if data.startswith(b"WARC/"):
-        return parse_plain_warc(filename, data, digest_b32=digest_b32)
+        return parse_plain_warc(
+            filename, data, digest_b32=digest_b32, record_types=record_types
+        )
     if data.startswith(b"filedesc://"):
         return parse_arc_file(filename, data, digest_b32=digest_b32)
     return iter(())
@@ -424,6 +478,7 @@ def index_warcs(
     *,
     files_per_task: int = 2,
     digest_b32: bool = False,
+    record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
 ) -> DataFrame:
     """S1+S2: manifest (column ``path``) → typed CDX DataFrame; mixed
     WARC/ARC, gzipped or plain, all dispatch per file by magic bytes.
@@ -433,7 +488,8 @@ def index_warcs(
     for the fixture-scale in-memory path — the seam for true streaming
     reads is marked in the partition fn).  ``digest_b32=True`` emits
     pywb-compatible base32 digests for joining against existing CC
-    indexes."""
+    indexes; ``record_types`` widens indexing to request/metadata/
+    resource records (pywb include-all)."""
     n_files = manifest.count()
     n_parts = max(1, n_files // files_per_task)
 
@@ -442,7 +498,9 @@ def index_warcs(
             path = row[0]
             with open(path, "rb") as fh:  # seam: FS/S3 streaming reader
                 data = fh.read()
-            yield from parse_archive_file(path, data, digest_b32=digest_b32)
+            yield from parse_archive_file(
+                path, data, digest_b32=digest_b32, record_types=record_types
+            )
 
     rdd = manifest.select("path").repartition(n_parts).rdd.mapPartitions(parse)
     return spark.createDataFrame(rdd, CDX_SCHEMA)
