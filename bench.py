@@ -79,6 +79,12 @@ HEADLINE = [
     "sample_temperature_sources",
     "events_anomaly_mad",
     "events_view_click_attrib",
+    # round 5
+    "emb_ivf_trained_topk",
+    "cdx_server_composed_zipnum",
+    "multimodal_decode_real",
+    "cdx_show_dupecount",
+    "cdx_output_json",
 ]
 
 
