@@ -150,6 +150,20 @@ def test_ivf_trained_recall_sweep(spark, sf_dir):
     assert trained != seeds, "training must move the centroids"
 
 
+def test_ivfadc_trained_zero_shuffle_probe_plan(spark, sf_dir):
+    """Fully trained IVFADC: five Lloyd chains feed the model
+    artifacts, but the SERVING plan must stay the ivf_pq shape — one
+    scan, inlined-literal cell + code argmins, probe filter,
+    TakeOrderedAndProject, no Exchange."""
+    df = REGISTRY["emb_ivfadc_trained_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.approx_dist >= 0.0 for r in rows)
+
+
 def test_pq_adc_zero_shuffle_plan(spark, sf_dir):
     """PQ/ADC must plan like IVF: one scan, map-side encode + literal
     table lookup, TakeOrderedAndProject — no Exchange anywhere (the

@@ -142,27 +142,44 @@ def kmeans_lloyd(
 
 
 def sql_lloyd_centroid_ctes(
-    k: int = 8, iters: int = 2, dim: int = 64
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    *,
+    prefix: str = "",
+    vec_sql=None,
 ) -> tuple[list[str], str]:
     """The relational twin of ``lloyd_train``: a list of CTE strings
     deriving the trained centroids, plus the name of the final
     centroid CTE (always list-shaped ``(cid, cvec)``).  Shared by the
-    ``sql_kmeans_lloyd`` oracle and the trained-IVF oracle so both
-    reconstruct EXACTLY the centroids the Spark driver inlines."""
-    d_from_vecs = sql_sqdist6("e.embedding", "c.cvec", 0, dim)
+    ``sql_kmeans_lloyd`` oracle and the trained-IVF/IVFADC oracles so
+    all reconstruct EXACTLY the centroids the Spark driver inlines.
+
+    ``vec_sql(alias)`` renders the training vector for a table alias
+    (default the full ``embedding`` list; the per-subspace PQ trainer
+    passes a 1-based-inclusive slice like ``a.embedding[17:32]``);
+    ``prefix`` namespaces the CTEs so several chains (coarse cells +
+    one per subspace) compose in ONE statement."""
+    if vec_sql is None:
+        def vec_sql(alias: str) -> str:
+            return f"{alias}.embedding"
+
+    d_from_vecs = sql_sqdist6(vec_sql("e"), "c.cvec", 0, dim)
 
     parts = [
-        f"c0 AS (SELECT vec_id AS cid, embedding AS cvec "
+        f"{prefix}c0 AS (SELECT vec_id AS cid, {vec_sql('embeddings')} AS cvec "
         f"FROM embeddings WHERE vec_id < {k})",
-        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
+        f"{prefix}dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
     ]
-    prev = "c0"
+    prev = f"{prefix}c0"
     for it in range(1, iters):
-        # assignment against a (cid, cvec) list-shaped centroid table
+        # assignment against a (cid, cvec) list-shaped centroid table;
+        # the (possibly sliced) training vector is projected AS
+        # embedding so the update below is slice-agnostic
         parts.append(
-            f"""a{it} AS (
+            f"""{prefix}a{it} AS (
       SELECT vec_id, embedding, cid FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
+        SELECT e.vec_id, {vec_sql('e')} AS embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {d_from_vecs} ASC, c.cid ASC) AS rn
         FROM embeddings e CROSS JOIN {prev} c
@@ -171,11 +188,11 @@ def sql_lloyd_centroid_ctes(
         )
         # per-dimension exact-decimal mean -> (cid, i, cv) long form
         parts.append(
-            f"""cl{it} AS (
+            f"""{prefix}cl{it} AS (
       SELECT a.cid, d.i,
              CAST(SUM(CAST(CAST(a.embedding[d.i] AS DOUBLE) AS DECIMAL(28,14)))
                   AS DOUBLE) / COUNT(*) AS cv
-      FROM a{it} a CROSS JOIN dims d GROUP BY a.cid, d.i
+      FROM {prefix}a{it} a CROSS JOIN {prefix}dims d GROUP BY a.cid, d.i
     )"""
         )
         # pivot back to (cid, cvec) LIST form so the NEXT assignment's
@@ -184,11 +201,11 @@ def sql_lloyd_centroid_ctes(
         # ran (ADVICE r4 low).  cv is already the double the Spark
         # driver computes, so the round-trip is lossless.
         parts.append(
-            f"""c{it} AS (
-      SELECT cid, list(cv ORDER BY i) AS cvec FROM cl{it} GROUP BY cid
+            f"""{prefix}c{it} AS (
+      SELECT cid, list(cv ORDER BY i) AS cvec FROM {prefix}cl{it} GROUP BY cid
     )"""
         )
-        prev = f"c{it}"
+        prev = f"{prefix}c{it}"
 
     return parts, prev
 

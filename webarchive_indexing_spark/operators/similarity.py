@@ -1001,6 +1001,195 @@ def ivf_pq_topk(
     return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def ivfadc_trained_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    train_iters: int = 2,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully TRAINED IVFADC: Lloyd k-means trains BOTH model artifacts
+    — the coarse cell quantizer on whole vectors and one PQ
+    sub-codebook per subspace on the sliced sub-vectors (how FAISS
+    actually trains an IVFPQ index) — then builds and probes the index
+    in the same engine.  Completes the round-5 trained-ANN composition
+    past ``ivf_trained_topk``: nothing in the serving path is a
+    stand-in any more.
+
+    Training cost: ``(1 + n_sub) × (train_iters - 1)`` scan+kilobyte-
+    exchange jobs (cells + each subspace).  The probe query itself is
+    unchanged from ``ivf_pq_topk``: scan → map-side inlined-literal
+    cell argmin + per-subspace code argmin → probe filter → ADC
+    literal-table sum → TakeOrderedAndProject, ZERO shuffles.  All
+    trained floats derive from exact-decimal sums, so the DuckDB
+    oracle reconstructs every centroid and codebook relationally
+    (``sql_lloyd_centroid_ctes`` chains, one per artifact)."""
+    import functools
+
+    from .kmeans import lloyd_train
+
+    assert dim % n_sub == 0
+    sub_dim = dim // n_sub
+
+    cents = lloyd_train(
+        embeddings, k=n_cells, iters=train_iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cbooks: list[dict[int, list[float]]] = []
+    for m in range(n_sub):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias("subvec"),
+        )
+        cbooks.append(
+            lloyd_train(
+                sub, k=k_codes, iters=train_iters, dim=sub_dim,
+                id_col=id_col, vec_col="subvec",
+            )
+        )
+    qv = collect_query_vector(
+        embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
+    )
+
+    probe = sorted(cents, key=lambda c: (py_sqdist6(qv, cents[c]), c))[:nprobe]
+
+    cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
+    # per-subspace codebooks are ALREADY sub_dim-length: slice only the
+    # data vector (lo), never the codeword (length=None)
+    enc_cols = [
+        nearest_sqdist6_expr(vec_col, cbooks[m], lo=m * sub_dim).alias(f"c{m}")
+        for m in range(n_sub)
+    ]
+    pruned = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), cell.getField("cid").alias("cell"), *enc_cols)
+        .filter(F.col("cell").isin(probe))
+    )
+    adists = []
+    for m in range(n_sub):
+        lo, hi = m * sub_dim, (m + 1) * sub_dim
+        tab = ",".join(
+            f"CAST({py_sqdist6(qv[lo:hi], cbooks[m][j])!r}D AS DECIMAL(18,6))"
+            for j in range(k_codes)
+        )
+        adists.append(F.expr(f"element_at(array({tab}), c{m}.j + 1)"))
+    approx = functools.reduce(lambda x, y: x + y, adists)
+    out = pruned.select(
+        F.col(id_col),
+        F.col("cell"),
+        approx.cast("double").alias("approx_dist"),
+    )
+    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def _sql_sqdist6_asym(a: str, b: str, a_off: int | str, dim: int) -> str:
+    """sqdist6 where only ``a`` is offset (``b`` is an already-sliced
+    sub_dim-length codeword list)."""
+    from ..queries.helpers import sql_hround
+
+    diff = f"(CAST({a}[{a_off} + i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return sql_hround(
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> {diff} * {diff}))", 6
+    )
+
+
+def sql_ivfadc_trained_topk(
+    query_vec_id: int = 55,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    train_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``ivfadc_trained_topk`` — fully relational: one
+    Lloyd CTE chain for the coarse cells, one per subspace for the PQ
+    codebooks (trained on the SLICED sub-vectors), then the IVF+ADC
+    probe body over the trained artifacts."""
+    from .kmeans import sql_lloyd_centroid_ctes
+
+    assert dim % n_sub == 0
+    sub_dim = dim // n_sub
+
+    parts, cell_src = sql_lloyd_centroid_ctes(
+        n_cells, train_iters, dim, prefix="cc"
+    )
+    cb_selects = []
+    for m in range(n_sub):
+        lo = m * sub_dim
+
+        def vec_sql(alias: str, lo=lo) -> str:
+            return f"{alias}.embedding[{lo + 1}:{lo + sub_dim}]"
+
+        sub_parts, sub_src = sql_lloyd_centroid_ctes(
+            k_codes, train_iters, sub_dim, prefix=f"s{m}", vec_sql=vec_sql
+        )
+        parts += sub_parts
+        cb_selects.append(f"SELECT {m} AS m, cid AS j, cvec FROM {sub_src}")
+
+    cdist = sql_sqdist6("e.embedding", "c.cvec", 0, dim)
+    qcdist = sql_sqdist6("q.qv", "c.cvec", 0, dim)
+    edist = _sql_sqdist6_asym("e.embedding", "b.cvec", "b.m * %d" % sub_dim, sub_dim)
+    qdist = _sql_sqdist6_asym("q.qv", "b.cvec", "b.m * %d" % sub_dim, sub_dim)
+    parts += [
+        f"cb AS ({' UNION ALL '.join(cb_selects)})",
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id})",
+        f"""cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cdist} ASC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN {cell_src} c
+        WHERE e.vec_id <> {query_vec_id}
+      ) WHERE rn = 1
+    )""",
+        f"""probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qcdist} ASC, c.cid ASC) AS rn
+        FROM {cell_src} c CROSS JOIN q
+      ) WHERE rn <= {nprobe}
+    )""",
+        """surv AS (
+      SELECT vec_id, embedding, cell FROM cells
+      WHERE cell IN (SELECT cid FROM probe)
+    )""",
+        f"""assign AS (
+      SELECT vec_id, m, j FROM (
+        SELECT e.vec_id, b.m, b.j,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.m
+                                  ORDER BY {edist} ASC, b.j ASC) AS rn
+        FROM surv e CROSS JOIN cb b
+      ) WHERE rn = 1
+    )""",
+        f"""qd AS (
+      SELECT b.m, b.j, CAST({qdist} AS DECIMAL(18,6)) AS qdist
+      FROM q CROSS JOIN cb b
+    )""",
+        """adc AS (
+      SELECT a.vec_id, SUM(qd.qdist) AS adist
+      FROM assign a JOIN qd ON a.m = qd.m AND a.j = qd.j
+      GROUP BY a.vec_id
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT s.vec_id, s.cell, CAST(a.adist AS DOUBLE) AS approx_dist
+    FROM surv s JOIN adc a ON s.vec_id = a.vec_id
+    ORDER BY approx_dist ASC, s.vec_id ASC LIMIT {k}
+    """
+    )
+
+
 def sql_ivf_pq_topk(
     query_vec_id: int = 55,
     k: int = 10,

@@ -43,6 +43,7 @@ from ..operators.similarity import (
     ivf_pq_topk,
     ivf_topk,
     ivf_trained_topk,
+    ivfadc_trained_topk,
     knn_blocked,
     lsh_buckets,
     pq_adc_topk,
@@ -50,6 +51,7 @@ from ..operators.similarity import (
     sql_ivf_pq_topk,
     sql_ivf_topk,
     sql_ivf_trained_topk,
+    sql_ivfadc_trained_topk,
     sql_pq_adc_topk,
     sql_lsh_bucket_expr,
     sql_lsh_buckets,
@@ -831,6 +833,36 @@ def emb_ivf_trained_topk(spark, sf_dir):
         k=10,
         n_cents=8,
         nprobe=3,
+        train_iters=2,
+    )
+
+
+@query(
+    "emb_ivfadc_trained_topk",
+    oracle=sql_ivfadc_trained_topk(
+        query_vec_id=55, k=10, n_cells=8, nprobe=3, n_sub=4, k_codes=8,
+        train_iters=2,
+    ),
+    tier="C",
+)
+def emb_ivfadc_trained_topk(spark, sf_dir):
+    """L3 fully TRAINED IVFADC (round 5): Lloyd trains the coarse
+    cells on whole vectors AND one PQ codebook per subspace on the
+    sliced sub-vectors — the way FAISS trains IVFPQ — then the same
+    engine builds and probes the index: map-only cell argmin +
+    per-subspace code argmin over inlined trained literals, 3-of-8
+    probe prune, ADC literal-table ranking, zero shuffles in the
+    serving plan.  The oracle reconstructs all five trained artifacts
+    relationally (one exact-decimal Lloyd CTE chain each), so the
+    hash match proves the full train→index→query composition."""
+    return ivfadc_trained_topk(
+        t(spark, sf_dir, "embeddings"),
+        query_vec_id=55,
+        k=10,
+        n_cells=8,
+        nprobe=3,
+        n_sub=4,
+        k_codes=8,
         train_iters=2,
     )
 

@@ -50,9 +50,11 @@ def query(name: str, oracle: str | None = None, tier: str = "A"):
 
 #: Queries whose SEMANTICS changed since their last green verdict —
 #: surface them first so the next CORRECTNESS round records the change.
-#: (Round 5: cleared — the two round-4 pins recorded full greens, so
-#: the window is purely stalest-first again.)
-_VERIFY_EARLY: tuple[str, ...] = ()
+#: (Round 5: cdx_fuzzy_match gained the data-driven rule table and a
+#: new `rule` output column after its round-4 green — without the pin
+#: its fresh r4 verdict keeps it out of the 50-query window.  Clear
+#: once a post-change green is recorded.)
+_VERIFY_EARLY: tuple[str, ...] = ("cdx_fuzzy_match",)
 
 
 def _verified_rounds() -> dict[str, int]:
