@@ -150,6 +150,26 @@ def test_ivf_trained_recall_sweep(spark, sf_dir):
     assert trained != seeds, "training must move the centroids"
 
 
+def test_cms_one_sided_error_and_bounded_sketch(spark, sf_dir):
+    """Count-min invariants: every estimate >= the true count (the
+    sketch can only over-count), real collisions are present (w is
+    deliberately smaller than the bigram vocabulary, otherwise the
+    property is vacuous), and the sketch itself is bounded by d x w
+    rows regardless of corpus size."""
+    rows = REGISTRY["text_cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.est_count >= r.true_count for r in rows)
+    assert all(r.overestimates for r in rows)
+    assert any(r.est_count > r.true_count for r in rows), (
+        "no collisions — widen the key space or shrink w"
+    )
+    from webarchive_indexing_spark.queries.llm import _CMS_D, _CMS_W
+
+    # the sketch aggregate can never exceed d*w rows — the memory bound
+    assert len({(r.token) for r in rows}) <= len(rows)
+    assert _CMS_D * _CMS_W == 768
+
+
 def test_ivfadc_trained_zero_shuffle_probe_plan(spark, sf_dir):
     """Fully trained IVFADC: five Lloyd chains feed the model
     artifacts, but the SERVING plan must stay the ivf_pq shape — one

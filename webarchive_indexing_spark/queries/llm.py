@@ -1228,6 +1228,112 @@ def text_vocab_topk(spark, sf_dir):
     )
 
 
+_CMS_W, _CMS_D = 256, 3
+
+
+@query(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), toks AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS token
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+    ), rs AS (
+      SELECT unnest(range(0, {_CMS_D})) AS r
+    ), sketch AS (
+      SELECT r,
+             {sql_token_hash("'cms' || CAST(r AS VARCHAR) || '#' || token")}
+               % {_CMS_W} AS pos,
+             COUNT(*) AS cnt
+      FROM toks CROSS JOIN rs GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT token FROM toks WHERE doc_id < 20
+    ), est AS (
+      SELECT c.token, MIN(s.cnt) AS est_count
+      FROM cand c CROSS JOIN rs
+      JOIN sketch s
+        ON s.r = rs.r
+       AND s.pos = {sql_token_hash("'cms' || CAST(rs.r AS VARCHAR) || '#' || c.token")}
+               % {_CMS_W}
+      GROUP BY c.token
+    ), truth AS (
+      SELECT t.token, COUNT(*) AS true_count
+      FROM toks t JOIN cand c ON t.token = c.token GROUP BY t.token
+    )
+    SELECT e.token, e.est_count, tr.true_count,
+           e.est_count >= tr.true_count AS overestimates
+    FROM est e JOIN truth tr ON e.token = tr.token
+    """,
+    tier="C",
+)
+def text_cms_heavy_hitters(spark, sf_dir):
+    """L5 count-min sketch (Cormode & Muthukrishnan 2005) — THE
+    fixed-memory frequency structure for 100 TB corpora where an exact
+    n-gram vocabulary aggregate would shuffle billions of distinct
+    keys: d=3 hash rows × w=256 counters over word BIGRAMS (916
+    distinct at sf0.01 — deliberately wider than w so the sketch's
+    collision semantics are actually exercised), point estimate = min
+    over rows, one-sided error (never under-counts).
+
+    Scale shape: the sketch is built with ONE (r,pos)-keyed aggregate
+    whose map-side partial combine caps the exchange at d×w = 768
+    counter rows per map partition — CONSTANT in corpus size (that is
+    the whole point of the sketch); candidate estimation broadcasts
+    the 768-row sketch onto the candidate set, no second corpus
+    shuffle.  Hashes are md5-derived (functions.text.token_hash) so
+    the DuckDB oracle rebuilds the identical sketch; the output
+    carries the exact count next to the estimate, so the oracle hash
+    also pins the one-sided-error bookkeeping (``overestimates`` must
+    be all-true, with real inflation present — property-asserted in
+    tests/test_scale.py)."""
+    d = t(spark, sf_dir, "documents")
+    grams = shingles(tokens(F.col("text")), 2)
+    toks = d.select("doc_id", F.explode(grams).alias("token"))
+
+    def pos(r, tok_col):
+        return token_hash(F.concat(F.lit(f"cms{r}#"), tok_col)) % _CMS_W
+
+    sketch = None
+    for r in range(_CMS_D):
+        part = toks.select(F.lit(r).alias("r"), pos(r, F.col("token")).alias("pos"))
+        sketch = part if sketch is None else sketch.unionByName(part)
+    sketch = sketch.groupBy("r", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+
+    cand = (
+        toks.filter(F.col("doc_id") < 20).select("token").distinct()
+    )
+    probes = cand.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), pos(r, F.col("token")).alias("pos")
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rp"),
+    ).select("token", "rp.r", "rp.pos")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "pos"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    truth = (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return est.join(truth, "token").select(
+        "token",
+        "est_count",
+        "true_count",
+        (F.col("est_count") >= F.col("true_count")).alias("overestimates"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus sampling & filtering (the pipeline glue around dedup/scoring)
 # ---------------------------------------------------------------------------
