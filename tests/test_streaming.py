@@ -420,3 +420,84 @@ def test_st6_stream_stream_interval_join(spark, events):
     }
     assert want, "fixture must produce at least one attributed pair"
     assert got == want
+
+
+def test_tombstone_epochs_takedown_semantics(spark, sf_dir):
+    """Exclusion/takedown through the LSM: a tombstone epoch hides
+    matching captures from every data epoch (whole-url and exact
+    capture forms); compaction physically drops the excluded rows AND
+    carries the tombstone list forward so captures of a taken-down URL
+    arriving in LATER crawls stay hidden; tombstone replay after
+    compaction is a no-op."""
+    from webarchive_indexing_spark.sinks.zipnum import (
+        _read_tombstones,
+        compact_zipnum_epochs,
+        list_epochs,
+        read_zipnum_epochs,
+        reserve_epoch_id,
+        write_tombstone_epoch,
+        write_zipnum_epoch,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "idx")
+        cdx = derived_cdx(spark, sf_dir).limit(200)
+        full = cdx.select(
+            "urlkey",
+            F.col("ts14").alias("timestamp"),
+            F.lit("http://x/").alias("url"),
+            "mime",
+            "status",
+            "digest",
+            F.lit(None).cast("string").alias("redirect"),
+            F.lit(None).cast("string").alias("robotflags"),
+            "length",
+            "offset",
+            "filename",
+        ).cache()
+        rows = full.collect()
+        all_keys = {(r.urlkey, r.timestamp) for r in rows}
+        # pick one urlkey for whole-URL takedown, one single capture
+        wild_key = rows[0].urlkey
+        exact_cap = next(
+            (r.urlkey, r.timestamp) for r in rows if r.urlkey != wild_key
+        )
+
+        eid = reserve_epoch_id(out, "batch:0")
+        write_zipnum_epoch(full, out, eid, shards=2, numlines=100)
+
+        tdf = spark.createDataFrame(
+            [(wild_key, None), (exact_cap[0], exact_cap[1])],
+            "urlkey string, timestamp string",
+        )
+        write_tombstone_epoch(tdf, out, "takedown-1")
+
+        def visible():
+            return {
+                (r.urlkey, r.timestamp)
+                for r in read_zipnum_epochs(spark, out).collect()
+            }
+
+        hidden = {kt for kt in all_keys if kt[0] == wild_key} | {exact_cap}
+        assert visible() == all_keys - hidden
+        assert hidden, "fixture must actually hide something"
+
+        # compaction: excluded rows physically dropped, tombstones carried
+        compact_zipnum_epochs(spark, out, shards=2, numlines=100)
+        assert len(list_epochs(out)) == 1
+        assert visible() == all_keys - hidden
+        wild, exact = _read_tombstones(out)
+        assert wild == [wild_key] and exact == [exact_cap]
+
+        # a LATER crawl re-captures the taken-down URL: still hidden
+        recrawl = full.filter(F.col("urlkey") == wild_key).withColumn(
+            "timestamp", F.concat(F.lit("2029"), F.substring("timestamp", 5, 10))
+        )
+        eid2 = reserve_epoch_id(out, "batch:1")
+        write_zipnum_epoch(recrawl, out, eid2, shards=2, numlines=100)
+        assert visible() == all_keys - hidden
+
+        # tombstone replay after compaction: no-op, nothing resurfaces
+        write_tombstone_epoch(tdf, out, "takedown-1")
+        assert visible() == all_keys - hidden
+        full.unpersist()

@@ -619,6 +619,83 @@ def write_zipnum_epoch(
     )
 
 
+_TOMBSTONES = "tombstones"
+
+
+def write_tombstone_epoch(
+    keys: DataFrame, out_dir: str, batch_key: str
+) -> int:
+    """Takedown/exclusion handling through the SAME LSM protocol as
+    data ingest: one immutable epoch whose payload is a sorted
+    tombstone list instead of a cluster.  A tombstone row is
+    ``(urlkey, timestamp)`` for one capture, or ``timestamp = NULL``
+    for every capture of the urlkey (the pywb-ACL-shaped whole-URL
+    takedown).  Readers hide matching captures from EVERY epoch —
+    past and future crawls alike, the legal-takedown semantics — and
+    compaction physically drops the excluded rows while carrying the
+    tombstone list forward in the merged epoch.
+
+    Takedown lists are metadata-sized (a court order, not a crawl), so
+    the collect here and the broadcast anti-joins at read time are the
+    right plan at any index size; the epoch-id comes from the shared
+    manifest allocator, so tombstone writes interleave safely with
+    ingest batches and compaction (same replay/idempotency contract,
+    keyed on ``batch_key``)."""
+    eid = reserve_epoch_id(out_dir, f"tombstone:{batch_key}")
+    name = f"epoch-{eid:06d}"
+    if name in _subsumed_names(out_dir):
+        # late replay of an already-compacted tombstone batch: its
+        # lines are durable in the merged epoch's carried list
+        return eid
+    rows = keys.select("urlkey", "timestamp").collect()
+    lines = sorted(
+        f"{r['urlkey']}\t{r['timestamp'] if r['timestamp'] is not None else '*'}"
+        for r in rows
+    )
+    fs, local = _fs_for(out_dir)
+    fs.create_dir(_join(local, name), recursive=True)
+    with fs.open_output_stream(
+        _join(local, name, _TOMBSTONES), compression=None
+    ) as fh:
+        fh.write(("\n".join(lines) + "\n").encode())
+    return eid
+
+
+def _read_tombstones(out_dir: str) -> tuple[list[str], list[tuple[str, str]]]:
+    """(whole-url keys, exact (urlkey, ts) pairs) across all LIVE
+    epochs — tombstone-only epochs plus carried-forward lists inside
+    compacted epochs."""
+    fs, _ = _fs_for(out_dir)
+    wild: list[str] = []
+    exact: list[tuple[str, str]] = []
+    for e in list_epochs(out_dir):
+        _, local = _fs_for(e)
+        try:
+            with fs.open_input_stream(
+                _join(local, _TOMBSTONES), compression=None
+            ) as fh:
+                text = fh.read().decode("utf-8")
+        except OSError:
+            continue
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            k, ts = line.split("\t", 1)
+            if ts == "*":
+                wild.append(k)
+            else:
+                exact.append((k, ts))
+    return sorted(set(wild)), sorted(set(exact))
+
+
+def _has_cluster(epoch_dir: str) -> bool:
+    from pyarrow import fs as pafs
+
+    fs, local = _fs_for(epoch_dir)
+    info = fs.get_file_info(_join(local, "cluster.idx"))
+    return info.type == pafs.FileType.File
+
+
 def read_zipnum_epochs(
     spark: SparkSession,
     out_dir: str,
@@ -628,9 +705,11 @@ def read_zipnum_epochs(
 ) -> DataFrame:
     """Merged view over every epoch: each epoch prunes its own blocks
     against [key_lo, key_hi) independently (the secondary indexes are
-    per-epoch), then the survivors union.  Read cost grows with epoch
-    count — that is the read amplification compaction exists to bound."""
-    epochs = list_epochs(out_dir)
+    per-epoch), then the survivors union, then live tombstones hide
+    taken-down captures (broadcast anti-joins — exclusion lists are
+    metadata-sized).  Read cost grows with epoch count — that is the
+    read amplification compaction exists to bound."""
+    epochs = [e for e in list_epochs(out_dir) if _has_cluster(e)]
     if not epochs:
         return parse_cdx_lines(
             spark.createDataFrame([], T.StructType([T.StructField("value", T.StringType())]))
@@ -641,6 +720,15 @@ def read_zipnum_epochs(
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df)
+    wild, exact = _read_tombstones(out_dir)
+    if wild:
+        wdf = out.sparkSession.createDataFrame([(k,) for k in wild], "urlkey string")
+        out = out.join(F.broadcast(wdf), "urlkey", "left_anti")
+    if exact:
+        edf = out.sparkSession.createDataFrame(
+            list(exact), "urlkey string, timestamp string"
+        )
+        out = out.join(F.broadcast(edf), ["urlkey", "timestamp"], "left_anti")
     return out
 
 
@@ -699,6 +787,19 @@ def compact_zipnum_epochs(
         _join(tmp_local, _COMPACT_INPUTS), compression=None
     ) as fh:
         fh.write(("\n".join(in_names) + "\n").encode())
+    # carry the takedown list forward: the merged cluster is already
+    # physically free of excluded rows (read path applied them), but
+    # FUTURE ingest epochs must stay hidden too — legal-takedown
+    # semantics, so tombstones survive every compaction.
+    wild, exact = _read_tombstones(out_dir)
+    if wild or exact:
+        lines = sorted(
+            [f"{k}\t*" for k in wild] + [f"{k}\t{ts}" for k, ts in exact]
+        )
+        with fs.open_output_stream(
+            _join(tmp_local, _TOMBSTONES), compression=None
+        ) as fh:
+            fh.write(("\n".join(lines) + "\n").encode())
     final = _join(root_local, f"epoch-{next_id:06d}")
     fs.move(tmp_local, final)
     # cluster.loc was written against the tmp path; repoint the shard
