@@ -85,6 +85,39 @@ def collect_query_vector(
     return [float(x) for x in qrow[0][vec_col]]
 
 
+def collect_seeds_and_query(
+    embeddings: DataFrame,
+    n: int,
+    query_vec_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[dict[int, list[float]], list[float]]:
+    """Seeds 0..n-1 AND the query vector in ONE collect job (a single
+    pushed-down `id < n OR id = q` scan) — the model-artifact fetch
+    every ANN query starts with.  Two separate collects cost two
+    driver-scheduled jobs; at a ~0.15 s/job floor that was measurable
+    on every ANN bench entry.  Same contiguity guarantee as
+    ``collect_seed_vectors``."""
+    rows = (
+        embeddings.filter(
+            (F.col(id_col) < n) | (F.col(id_col) == query_vec_id)
+        )
+        .select(id_col, vec_col)
+        .collect()
+    )
+    vecs = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
+    qv = vecs.get(int(query_vec_id))
+    if qv is None:
+        raise ValueError(f"query vector id {query_vec_id} not found in corpus")
+    seeds = {i: v for i, v in vecs.items() if i < n}
+    if sorted(seeds) != list(range(n)):
+        raise ValueError(
+            f"seed id space not contiguous 0..{n - 1}: got {sorted(seeds)[:8]}"
+        )
+    return seeds, qv
+
+
 def _dec_dot(a: Column, b: Column) -> Column:
     """Exact-decimal dot product of two float arrays."""
     prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
@@ -363,8 +396,8 @@ def ivf_topk(
 
     from ..queries.helpers import hround
 
-    cents = collect_seed_vectors(
-        embeddings, n_cents, id_col=id_col, vec_col=vec_col
+    cents, qv = collect_seeds_and_query(
+        embeddings, n_cents, query_vec_id, id_col=id_col, vec_col=vec_col
     )
     return ivf_probe_topk(
         embeddings,
@@ -374,6 +407,7 @@ def ivf_topk(
         nprobe=nprobe,
         id_col=id_col,
         vec_col=vec_col,
+        qv=qv,
     )
 
 
@@ -386,20 +420,23 @@ def ivf_probe_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    qv: list[float] | None = None,
 ) -> DataFrame:
     """The IVF probe scan against an ARBITRARY centroid model artifact
     — the shared back half of ``ivf_topk`` (seed stand-ins) and
     ``ivf_trained_topk`` (lloyd_train output).  Plan shape is
     independent of where the centroids came from: scan → map-only cell
     argmax over inlined literals → probe filter →
-    TakeOrderedAndProject.  ZERO shuffles."""
+    TakeOrderedAndProject.  ZERO shuffles.  Pass ``qv`` when the
+    caller already fetched the query vector (one fewer collect job)."""
     import math
 
     from ..queries.helpers import hround, py_hround
 
-    qv = collect_query_vector(
-        embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
-    )
+    if qv is None:
+        qv = collect_query_vector(
+            embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
+        )
 
     lit_vec = lit_double_array
 
@@ -833,11 +870,8 @@ def pq_adc_topk(
 
     from ..queries.helpers import hround
 
-    cvecs = collect_seed_vectors(
-        embeddings, k_codes, id_col=id_col, vec_col=vec_col
-    )
-    qv = collect_query_vector(
-        embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
+    cvecs, qv = collect_seeds_and_query(
+        embeddings, k_codes, query_vec_id, id_col=id_col, vec_col=vec_col
     )
 
     # encode: one parsed argmin expression per subspace
@@ -958,14 +992,12 @@ def ivf_pq_topk(
     assert dim % n_sub == 0
     sub_dim = dim // n_sub
 
-    vecs = collect_seed_vectors(
-        embeddings, max(n_cells, k_codes), id_col=id_col, vec_col=vec_col
+    vecs, qv = collect_seeds_and_query(
+        embeddings, max(n_cells, k_codes), query_vec_id,
+        id_col=id_col, vec_col=vec_col,
     )
     cents = {i: vecs[i] for i in range(n_cells)}
     cbook = {j: vecs[j] for j in range(k_codes)}
-    qv = collect_query_vector(
-        embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
-    )
 
     # probe cells: driver-side twin of the engine's rounded distances
     probe = sorted(
