@@ -218,3 +218,40 @@ def test_fuzzy_rule_table_first_match_wins(spark):
     for key, want_fuzzy, want_rule in cases:
         assert out[key] == (want_fuzzy, want_rule), (key, out[key])
     assert len(DEFAULT_FUZZY_RULES) >= 3
+
+
+def test_cdx_query_fuzzy_fallback_param(spark):
+    """pywb per-request fuzzy semantics through the composed API:
+    exact hits win outright; when the exact key has no captures the
+    rule-stripped key answers; both in ONE plan (no second query)."""
+    from webarchive_indexing_spark.operators.cdx_query import (
+        cdx_query,
+        fuzzy_key_py,
+    )
+
+    rows = [
+        ("com,example)/page?a=1", "20200101000000"),
+        ("com,example)/page?a=1", "20200102000000"),
+        ("com,example)/other?a=1&sid=9", "20200103000000"),
+    ]
+    cdx = spark.createDataFrame(rows, ["urlkey", "timestamp"])
+
+    # exact key missing (cache buster) -> fuzzy key answers
+    got = cdx_query(
+        cdx, "http://example.com/page?a=1&_cb=123", fuzzy=True
+    ).collect()
+    assert {r.urlkey for r in got} == {"com,example)/page?a=1"}
+    assert len(got) == 2
+
+    # exact key present -> fuzzy candidates suppressed
+    got2 = cdx_query(
+        cdx, "http://example.com/other?a=1&sid=9", fuzzy=True
+    ).collect()
+    assert {r.urlkey for r in got2} == {"com,example)/other?a=1&sid=9"}
+
+    # fuzzy=False keeps strict-exact behavior
+    assert not cdx_query(cdx, "http://example.com/page?a=1&_cb=123").collect()
+
+    # the python twin mirrors the column rules
+    assert fuzzy_key_py("com,ex)/p?_cb=1&a=1") == ("com,ex)/p?a=1", "cachebust")
+    assert fuzzy_key_py("com,ex)/p?a=1") == ("com,ex)/p?a=1", None)

@@ -172,6 +172,23 @@ def sql_fuzzy_rule_exprs(
     )
 
 
+def fuzzy_key_py(
+    key: str, rules: tuple[FuzzyRule, ...] = DEFAULT_FUZZY_RULES
+) -> tuple[str, str | None]:
+    """Python twin of ``apply_fuzzy_rules`` for single-request paths
+    (one lookup key on the driver — no reason to plan a rule CASE
+    chain): returns ``(fuzzy_key, rule_name)``; the key unchanged and
+    ``None`` when no rule applies.  Same first-match-wins order and
+    trailing-separator cleanup as the column version."""
+    import re
+
+    for rule in rules:
+        if re.search(rule.pattern, key):
+            stripped = re.sub(rule.pattern, r"\1", key)
+            return re.sub(r"[?&]$", "", stripped), rule.name
+    return key, None
+
+
 def _apply_filters(df: DataFrame, filters: list[str]) -> DataFrame:
     for f in filters:
         neg = f.startswith("!")
@@ -199,12 +216,32 @@ def cdx_query(
     sort_reverse: bool = False,
     fields: list[str] | None = None,
     limit: int | None = None,
+    fuzzy: bool = False,
 ) -> DataFrame:
     """The full cdx-server GET /index parameter surface over a typed
-    CDX DataFrame (column ``timestamp`` = 14-digit string)."""
+    CDX DataFrame (column ``timestamp`` = 14-digit string).
+
+    ``fuzzy=True`` (matchType=exact only — pywb semantics) falls back
+    to the rule-stripped key when the exact key has no captures: the
+    plan scans BOTH keys in one pushed-down ``IN`` filter and a
+    window keeps fuzzy rows only when no exact row exists — one job,
+    never a second query round-trip, and the post-pushdown volume is
+    the captures of at most two urlkeys."""
     exact, lo, hi = _key_range(url, match_type)
     if exact is not None:
-        df = cdx.filter(F.col("urlkey") == exact)
+        fz, _rule = fuzzy_key_py(exact) if fuzzy else (exact, None)
+        if fuzzy and fz != exact:
+            from pyspark.sql.window import Window
+
+            df = cdx.filter(F.col("urlkey").isin([exact, fz]))
+            has_exact = F.max(
+                F.when(F.col("urlkey") == exact, 1).otherwise(0)
+            ).over(Window.partitionBy())
+            df = df.withColumn("__he", has_exact).filter(
+                (F.col("urlkey") == exact) | (F.col("__he") == 0)
+            ).drop("__he")
+        else:
+            df = cdx.filter(F.col("urlkey") == exact)
     else:
         df = cdx.filter((F.col("urlkey") >= lo) & (F.col("urlkey") < hi))
     if match_type == "glob":
