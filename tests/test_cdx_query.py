@@ -255,3 +255,32 @@ def test_cdx_query_fuzzy_fallback_param(spark):
     # the python twin mirrors the column rules
     assert fuzzy_key_py("com,ex)/p?_cb=1&a=1") == ("com,ex)/p?a=1", "cachebust")
     assert fuzzy_key_py("com,ex)/p?a=1") == ("com,ex)/p?a=1", None)
+
+
+def test_fuzzy_rules_python_column_parity(spark):
+    """Property: fuzzy_key_py and the compiled column CASE chain are
+    the same function — generated keys with random junk params agree
+    on both the stripped key and the rule name."""
+    import random
+
+    from webarchive_indexing_spark.operators.cdx_query import (
+        apply_fuzzy_rules,
+        fuzzy_key_py,
+    )
+
+    rng = random.Random(42)
+    parts = ["a=1", "b=2", "x=yz", "_cb=123", "cb=9", "rand=77",
+             "callback=jsonp5", "callback=real", "sid=4f2", "phpsessid=aa11",
+             "jsessionid=deadbeef", "bust=0"]
+    keys = []
+    for _ in range(120):
+        n = rng.randint(0, 4)
+        q = "&".join(rng.sample(parts, n)) if n else ""
+        keys.append("com,ex)/p" + ("?" + q if q else ""))
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {
+        r.key: (r.key_fuzzy, r.fuzzy_rule)
+        for r in apply_fuzzy_rules(df, "key").collect()
+    }
+    for k in keys:
+        assert got[k] == fuzzy_key_py(k), k
