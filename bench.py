@@ -85,6 +85,8 @@ HEADLINE = [
     "multimodal_decode_real",
     "cdx_show_dupecount",
     "cdx_output_json",
+    "emb_ivfadc_trained_topk",
+    "text_cms_heavy_hitters",
 ]
 
 
