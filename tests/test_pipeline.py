@@ -139,3 +139,63 @@ def test_incremental_update_index(spark, warc_manifest):
         # replay of a batch whose epoch was compacted away: no-op
         assert update_index(spark, m3, out, shards=2, numlines=3) is None
         assert {tuple(r) for r in read_zipnum_epochs(spark, out).collect()} == after
+
+
+def test_takedown_composed_plan(spark, sf_dir):
+    """plans.pipeline.takedown: tombstone epoch through the composed
+    API, immediate hiding, physical purge with compact=True, replay
+    no-op under the same content-derived batch key."""
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.plans.pipeline import takedown
+    from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+    from webarchive_indexing_spark.sinks.zipnum import (
+        list_epochs,
+        read_zipnum_epochs,
+        reserve_epoch_id,
+        write_zipnum_epoch,
+    )
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "idx")
+        full = (
+            derived_cdx(spark, sf_dir)
+            .limit(100)
+            .select(
+                "urlkey",
+                F.col("ts14").alias("timestamp"),
+                F.lit("http://x/").alias("url"),
+                "mime",
+                "status",
+                "digest",
+                F.lit(None).cast("string").alias("redirect"),
+                F.lit(None).cast("string").alias("robotflags"),
+                "length",
+                "offset",
+                "filename",
+            )
+        )
+        eid = reserve_epoch_id(out, "batch:0")
+        write_zipnum_epoch(full, out, eid, shards=2, numlines=50)
+        victim = full.limit(1).collect()[0].urlkey
+        n_before = read_zipnum_epochs(spark, out).count()
+        n_victim = (
+            read_zipnum_epochs(spark, out)
+            .filter(F.col("urlkey") == victim)
+            .count()
+        )
+        assert n_victim > 0
+
+        tid = takedown(spark, [(victim, None)], out, compact=True)
+        assert tid > eid
+        after = read_zipnum_epochs(spark, out)
+        assert after.filter(F.col("urlkey") == victim).count() == 0
+        assert after.count() == n_before - n_victim
+        assert len(list_epochs(out)) == 1  # compacted, tombstones carried
+
+        # replay with the same content -> same epoch id, still clean
+        tid2 = takedown(spark, [(victim, None)], out)
+        assert tid2 == tid
+        assert read_zipnum_epochs(spark, out).count() == n_before - n_victim

@@ -151,3 +151,44 @@ def update_index(
 
         compact_zipnum_epochs(spark, out_dir, shards=shards, numlines=numlines)
     return epoch_id
+
+
+def takedown(
+    spark: SparkSession,
+    keys,
+    out_dir: str,
+    *,
+    batch_key: str | None = None,
+    compact: bool = False,
+    shards: int = 2,
+    numlines: int = 3000,
+) -> int:
+    """Composed takedown/exclusion plan — the legal-request workflow a
+    live archive runs: ``keys`` (DataFrame with ``urlkey`` +
+    ``timestamp``, or a list of ``(urlkey, timestamp_or_None)``
+    tuples; NULL timestamp = every capture of the urlkey) lands as ONE
+    tombstone epoch through the same manifest-allocated LSM protocol
+    as crawl ingest, hiding matching captures from every reader
+    immediately — past epochs AND future crawls.  ``compact=True``
+    additionally folds the index so the excluded rows are PHYSICALLY
+    purged from storage (the tombstone list itself is carried forward
+    by compaction).  Replay-safe under ``batch_key`` (default: content
+    hash of the key list)."""
+    import hashlib
+
+    from ..sinks.zipnum import compact_zipnum_epochs, write_tombstone_epoch
+
+    if not isinstance(keys, DataFrame):
+        keys = spark.createDataFrame(
+            [(k, ts) for k, ts in keys], "urlkey string, timestamp string"
+        )
+    if batch_key is None:
+        rows = sorted(
+            f"{r['urlkey']}\t{r['timestamp']}"
+            for r in keys.select("urlkey", "timestamp").collect()
+        )
+        batch_key = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    eid = write_tombstone_epoch(keys, out_dir, batch_key)
+    if compact:
+        compact_zipnum_epochs(spark, out_dir, shards=shards, numlines=numlines)
+    return eid
