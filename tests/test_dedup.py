@@ -122,3 +122,46 @@ def test_bpe_merges_match_reference_implementation(spark):
         for r in bpe_learn_merges(df, n_merges=3).orderBy("merge_rank").collect()
     ]
     assert got == expect, (got, expect)
+
+
+def test_prefix_filter_jaccard_no_false_negatives(spark, sf_dir):
+    """PPJoin prefix filtering is LOSSLESS: the prefix-candidate join
+    must recover exactly the brute-force all-pairs Jaccard >= 0.7 set
+    (and its candidate volume must actually prune vs all-pairs)."""
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.registry import REGISTRY, _ensure_loaded
+    from webarchive_indexing_spark.functions.text import tokens
+    from webarchive_indexing_spark.tables import load_table
+
+    _ensure_loaded()
+    got = {
+        (r.a_id, r.b_id)
+        for r in REGISTRY["dedup_jaccard_prefix_filter"].fn(spark, sf_dir).collect()
+    }
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("arr")
+        )
+        .withColumn("n", F.size("arr"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("a_id"), F.col("arr").alias("aa"), F.col("n").alias("na")
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"), F.col("arr").alias("ab"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("aa"), F.col("ab")))
+    uni = F.col("na") + F.col("nb") - inter
+    brute = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(inter * 10 >= 7 * uni)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    assert got == brute
+    assert brute, "threshold too strict for the fixture"

@@ -217,6 +217,7 @@ def cdx_query(
     fields: list[str] | None = None,
     limit: int | None = None,
     fuzzy: bool = False,
+    resume_key: tuple[str, str] | None = None,
 ) -> DataFrame:
     """The full cdx-server GET /index parameter surface over a typed
     CDX DataFrame (column ``timestamp`` = 14-digit string).
@@ -226,7 +227,16 @@ def cdx_query(
     plan scans BOTH keys in one pushed-down ``IN`` filter and a
     window keeps fuzzy rows only when no exact row exists — one job,
     never a second query round-trip, and the post-pushdown volume is
-    the captures of at most two urlkeys."""
+    the captures of at most two urlkeys.
+
+    ``resume_key=(urlkey, timestamp)`` is pywb's ``resumeKey``
+    continuation: the request resumes strictly AFTER that row in
+    (urlkey, timestamp) order — with ``limit``, a client pages an
+    arbitrarily large result set in bounded requests, and because the
+    predicate is a sargable range over the leading sort key it still
+    prunes ZipNum blocks / parquet row groups instead of skipping
+    rows.  The next resume key is simply the last row the client
+    received."""
     exact, lo, hi = _key_range(url, match_type)
     if exact is not None:
         fz, _rule = fuzzy_key_py(exact) if fuzzy else (exact, None)
@@ -246,6 +256,13 @@ def cdx_query(
         df = cdx.filter((F.col("urlkey") >= lo) & (F.col("urlkey") < hi))
     if match_type == "glob":
         df = df.filter(F.col("urlkey").like(glob_to_like(surt_urlkey_py(url))))
+
+    if resume_key is not None:
+        rk, rts = resume_key
+        df = df.filter(
+            (F.col("urlkey") > rk)
+            | ((F.col("urlkey") == rk) & (F.col("timestamp") > rts))
+        )
 
     if from_ is not None:
         df = df.filter(F.col("timestamp") >= from_.ljust(14, "0"))

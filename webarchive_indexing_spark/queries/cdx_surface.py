@@ -900,6 +900,56 @@ def cdx_page_reverse(spark, sf_dir):
 
 
 @query(
+    "cdx_resume_key",
+    oracle=CDX_SQL + """
+    SELECT CAST(FLOOR((rn - 1) / 40) AS INT) AS request_no,
+           urlkey, timestamp, status
+    FROM (
+      SELECT urlkey, ts14 AS timestamp, status,
+             ROW_NUMBER() OVER (ORDER BY urlkey, ts14) AS rn
+      FROM cdx WHERE urlkey LIKE 'org,example,src0)%'
+    ) WHERE rn <= 80
+    """,
+    tier="B",
+)
+def cdx_resume_key(spark, sf_dir):
+    """[B pywb ``resumeKey``/``showResumeKey``]: paging a large result
+    set in bounded requests — request 1 is the prefix query with
+    ``limit=40``; its LAST ROW is the opaque resume key; request 2
+    re-issues the query with ``resume_key=`` and continues strictly
+    after it.  The continuation predicate is a sargable range over the
+    leading sort key, so every resumed request still block-prunes
+    (ZipNum) / row-group-prunes (parquet) rather than skipping rows —
+    the property that makes deep paging O(page), not O(offset).  The
+    driver-side key handoff between the two requests here is exactly
+    the client/server round-trip; the oracle recomputes both pages
+    from one ranked scan and a hash match proves the stitched pages
+    tile the result without gap or overlap."""
+    from ..operators.cdx_query import cdx_query
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+    url, mt, L = "http://src0.example.org/", "domain", 40
+    fields = ["urlkey", "timestamp", "status"]
+    page1 = cdx_query(c, url, match_type=mt, fields=fields, limit=L)
+    rows1 = page1.collect()
+    out1 = spark.createDataFrame(rows1, page1.schema).withColumn(
+        "request_no", F.lit(0)
+    )
+    if len(rows1) < L:
+        return out1.select("request_no", *fields)
+    last = rows1[-1]
+    page2 = cdx_query(
+        c,
+        url,
+        match_type=mt,
+        fields=fields,
+        limit=L,
+        resume_key=(last.urlkey, last.timestamp),
+    ).withColumn("request_no", F.lit(1))
+    return out1.unionByName(page2).select("request_no", *fields)
+
+
+@query(
     "cdx_server_composed_zipnum",
     oracle=CDX_SQL + f"""
     , lines AS (

@@ -1228,6 +1228,121 @@ def text_vocab_topk(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_jaccard_prefix_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 400
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+    ), ordered AS (
+      SELECT t.doc_id,
+             list(t.token ORDER BY f.df, t.token) AS arr,
+             COUNT(*) AS n
+      FROM tok t JOIN dfreq f ON t.token = f.token
+      GROUP BY t.doc_id
+    ), pre AS (
+      SELECT doc_id, arr, n,
+             CAST(n - FLOOR((7 * n + 9) / 10) + 1 AS BIGINT) AS p
+      FROM ordered
+    ), pfx AS (
+      SELECT doc_id, unnest(arr[1:CAST(p AS INT)]) AS token FROM pre
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM pfx a JOIN pfx b ON a.token = b.token AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(len(list_intersect(x.arr, y.arr)) AS BIGINT) AS inter,
+           CAST(x.n + y.n - len(list_intersect(x.arr, y.arr)) AS BIGINT) AS uni
+    FROM cand c
+    JOIN pre x ON x.doc_id = c.a_id
+    JOIN pre y ON y.doc_id = c.b_id
+    WHERE len(list_intersect(x.arr, y.arr)) * 10
+          >= 7 * (x.n + y.n - len(list_intersect(x.arr, y.arr)))
+    """,
+    tier="C",
+)
+def dedup_jaccard_prefix_filter(spark, sf_dir):
+    """L2 set-similarity join with PREFIX FILTERING (the
+    PPJoin/AllPairs family, Chaudhuri et al. / Xiao et al.) — the
+    scale path for token-set Jaccard dedup: order every document's
+    distinct tokens by ascending global document frequency (rarest
+    first), keep only the first ``n - ceil(t*n) + 1`` as its PREFIX;
+    two documents can reach Jaccard >= t ONLY if their prefixes share
+    a token, so the candidate join runs on the rare-token prefixes
+    instead of all tokens — at 100 TB that turns the candidate volume
+    from head-token-quadratic into rare-token-bounded (stop words
+    never generate pairs).
+
+    Plan: tokens explode once; the document-frequency table is
+    vocabulary-sized and broadcasts; per-doc frequency-ordered arrays
+    come from one grouped sort_array (no window); candidates are one
+    prefix-token equi-join; verification is a JVM-side
+    ``array_intersect`` on the two inlined arrays.  The >= t verdict
+    compares ``10*inter >= 7*union`` in INTEGERS — exact in both
+    engines, no float boundary.  No-false-negative property vs the
+    brute-force all-pairs join is pinned in tests/test_dedup.py."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(F.broadcast(dfreq), "token")
+    ordered = ranked.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("df"), F.col("token")))
+        ).alias("st"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pre = ordered.select(
+        "doc_id",
+        F.transform(F.col("st"), lambda x: x.getField("token")).alias("arr"),
+        "n",
+        (F.col("n") - F.floor((7 * F.col("n") + 9) / 10) + 1)
+        .cast("int")
+        .alias("p"),
+    )
+    pfx = pre.select(
+        "doc_id", F.explode(F.slice(F.col("arr"), 1, F.col("p"))).alias("token")
+    )
+    cand = (
+        pfx.alias("a")
+        .join(
+            pfx.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    x = pre.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("n_a"),
+    )
+    y = pre.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    uni = F.col("n_a") + F.col("n_b") - inter
+    return (
+        cand.join(x, "a_id")
+        .join(y, "b_id")
+        .filter(inter * 10 >= 7 * uni)
+        .select(
+            "a_id",
+            "b_id",
+            inter.cast("bigint").alias("inter"),
+            uni.cast("bigint").alias("uni"),
+        )
+    )
+
+
 _CMS_W, _CMS_D = 256, 3
 
 
