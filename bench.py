@@ -87,6 +87,9 @@ HEADLINE = [
     "cdx_output_json",
     "emb_ivfadc_trained_topk",
     "text_cms_heavy_hitters",
+    "emb_ivfadc_residual_topk",
+    "dedup_jaccard_prefix_filter",
+    "cdx_resume_key",
 ]
 
 

