@@ -324,3 +324,54 @@ def test_composed_server_query_prunes_blocks(spark, sf_dir):
         assert r.status == 200 and not r.mime.startswith("image")
         by_page.setdefault(r.page, []).append(r)
     assert all(len(v) <= 5 for v in by_page.values()), "per-page limit"
+
+
+def test_resume_key_paging_prunes_blocks(spark, sf_dir):
+    """Deep paging over ZipNum is O(page) in blocks READ: a resumed
+    request lifts the prune lower bound to the resume key — fewer
+    blocks than the unresumed query — and stitched pages still tile
+    the full result exactly."""
+    import tempfile
+
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query_zipnum
+    from webarchive_indexing_spark.queries.cdx_surface import _zipnum_input
+    from webarchive_indexing_spark.sinks.zipnum import (
+        _load_idx,
+        _prune,
+        write_zipnum_ordered,
+    )
+
+    d = tempfile.mkdtemp(prefix="zipnum_resume_")
+    write_zipnum_ordered(_zipnum_input(spark, sf_dir), d, shards=8, numlines=100)
+    url, mt, L = "http://src1.example.org/", "domain", 50
+    fields = ["urlkey", "timestamp", "status"]
+
+    pages, resume = [], None
+    while True:
+        page = cdx_query_zipnum(
+            spark, d, url, match_type=mt, fields=fields, limit=L,
+            resume_key=resume,
+        ).collect()
+        pages.append(page)
+        if len(page) < L:
+            break
+        resume = (page[-1].urlkey, page[-1].timestamp)
+
+    stitched = [tuple(r) for p in pages for r in p]
+    want = sorted(
+        tuple(r)
+        for r in cdx_query_zipnum(
+            spark, d, url, match_type=mt, fields=fields
+        ).collect()
+    )
+    assert sorted(stitched) == want
+    assert len(stitched) == len(set(stitched)), "pages must not overlap"
+    assert len(pages) >= 3, "fixture should need several pages"
+
+    # the resumed request touches strictly fewer blocks
+    blocks = _load_idx(d)
+    lo, hi = "org,example,src1", "org,example,src1~"
+    assert resume is not None
+    n_full = len(_prune(blocks, lo, hi))
+    n_resumed = len(_prune(blocks, max(lo, resume[0]), hi))
+    assert n_resumed < n_full

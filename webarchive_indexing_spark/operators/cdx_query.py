@@ -309,9 +309,17 @@ def cdx_query_zipnum(
 ) -> DataFrame:
     """Same surface against a ZipNum cluster: the urlkey constraint
     prunes secondary-index blocks first (§3.3 binary-search analogue);
-    everything else is the shared residual pipeline."""
+    everything else is the shared residual pipeline.
+
+    A ``resume_key`` continuation LIFTS the block-prune lower bound to
+    the resume urlkey — deep paging stays O(page) in blocks READ, not
+    just rows returned (``_prune`` keeps the block whose key range
+    contains the resume key, so no row at the boundary is lost)."""
     from ..sinks.zipnum import read_zipnum
 
     exact, lo, hi = _key_range(url, match_type)
+    rk = kwargs.get("resume_key")
+    if rk is not None:
+        lo = rk[0] if lo is None else max(lo, rk[0])
     pruned = read_zipnum(spark, cluster_dir, key_lo=lo, key_hi=hi)
     return cdx_query(pruned, url, match_type=match_type, **kwargs)
