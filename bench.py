@@ -90,6 +90,7 @@ HEADLINE = [
     "emb_ivfadc_residual_topk",
     "dedup_jaccard_prefix_filter",
     "cdx_resume_key",
+    "pretrain_corpus_verdicts",
 ]
 
 

@@ -1260,6 +1260,104 @@ def text_vocab_topk(spark, sf_dir):
 
 
 @query(
+    "pretrain_corpus_verdicts",
+    oracle=BASE_SQL + f"""
+    , prep AS (
+      SELECT doc_id, source, lang,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM base
+    ), scored AS (
+      SELECT doc_id, source, lang, n_tok, keep_id,
+             {sql_stopword_count('toks')} AS stop_cnt,
+             {sql_token_hash("'mix_' || CAST(doc_id AS VARCHAR)")} % 100 AS mix_h,
+             CASE lang WHEN 'en' THEN 95 WHEN 'de' THEN 80
+                       WHEN 'fr' THEN 80 WHEN 'es' THEN 70 ELSE 0 END AS rate
+      FROM prep
+    )
+    SELECT scored.doc_id, scored.source,
+           CASE
+             WHEN doc_id <> keep_id THEN 'exact_dup'
+             WHEN n_tok < 20 THEN 'too_short'
+             WHEN n_tok > 2000 THEN 'too_long'
+             WHEN lang = 'zh' THEN 'bad_lang'
+             WHEN stop_cnt * 20 < n_tok THEN 'low_quality'
+             WHEN mix_h >= rate THEN 'sampled_out'
+             ELSE 'kept'
+           END AS reason,
+           (doc_id = keep_id AND n_tok BETWEEN 20 AND 2000
+            AND lang <> 'zh' AND stop_cnt * 20 >= n_tok
+            AND mix_h < rate) AS kept,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(FLOOR((n_tok + 511) / 512) AS BIGINT) AS n_chunks
+    FROM scored
+    """,
+    tier="C",
+)
+def pretrain_corpus_verdicts(spark, sf_dir):
+    """The COMPOSED pretraining-data decision layer — every cleaning
+    stage a corpus pipeline runs before tokenization, in one plan with
+    a per-document verdict and the FIRST failing reason (the funnel
+    audit a data team actually materializes):
+
+    1. exact dedup (md5 window-min — the only shuffle, keyed on a
+       16-byte hash, text never crosses the exchange);
+    2. length gates (20..2000 tokens);
+    3. language gate (drop ``zh`` — the pretend latin-script target);
+    4. quality gate (stopword ratio >= 5%, integer cross-multiplied —
+       no float boundary);
+    5. per-language mixture sampling (salted-hash verdict against a
+       language rate ladder — reproducible under retry, scan-side);
+    plus the downstream bookkeeping (token count, 512-token chunk
+    count) packing needs.  Runs on the dup-injected base corpus so the
+    dedup stage demonstrably fires.  Everything after the dedup window is
+    scan-side codegen; at 100 TB this runs as ONE pass over the
+    corpus + one hash-keyed exchange."""
+    base = base_corpus(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    keep_id = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    g = base.select(
+        "doc_id",
+        "source",
+        "lang",
+        keep_id.alias("keep_id"),
+        F.size(toks).alias("n_tok"),
+        stopword_count(toks).alias("stop_cnt"),
+        (token_hash(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))) % 100)
+        .alias("mix_h"),
+    ).withColumn(
+        "rate",
+        F.when(F.col("lang") == "en", 95)
+        .when(F.col("lang").isin("de", "fr"), 80)
+        .when(F.col("lang") == "es", 70)
+        .otherwise(0),
+    )
+    not_dup = F.col("doc_id") == F.col("keep_id")
+    len_ok = F.col("n_tok").between(20, 2000)
+    lang_ok = F.col("lang") != "zh"
+    qual_ok = F.col("stop_cnt") * 20 >= F.col("n_tok")
+    mix_ok = F.col("mix_h") < F.col("rate")
+    reason = (
+        F.when(~not_dup, "exact_dup")
+        .when(F.col("n_tok") < 20, "too_short")
+        .when(F.col("n_tok") > 2000, "too_long")
+        .when(~lang_ok, "bad_lang")
+        .when(~qual_ok, "low_quality")
+        .when(~mix_ok, "sampled_out")
+        .otherwise("kept")
+    )
+    return g.select(
+        "doc_id",
+        "source",
+        reason.alias("reason"),
+        (not_dup & len_ok & lang_ok & qual_ok & mix_ok).alias("kept"),
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.floor((F.col("n_tok") + 511) / 512).cast("bigint").alias("n_chunks"),
+    )
+
+
+@query(
     "dedup_jaccard_prefix_filter",
     oracle="""
     WITH tok AS (
