@@ -1432,6 +1432,12 @@ def dedup_jaccard_prefix_filter(spark, sf_dir):
         .cast("int")
         .alias("p"),
     )
+    # the prefix index (one array-row per doc) feeds FOUR plan branches
+    # (both self-join sides + both verify sides); without a checkpoint
+    # the grouped sort re-runs per branch (plan showed 4x the exchange
+    # count).  Lazy localCheckpoint = the standard PPJoin "build the
+    # index once" step; GC-reclaimable like operators/global_rank.
+    pre = pre.localCheckpoint(eager=False)
     pfx = pre.select(
         "doc_id", F.explode(F.slice(F.col("arr"), 1, F.col("p"))).alias("token")
     )
