@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_jaccard_prefix_filter",
     "cdx_resume_key",
     "pretrain_corpus_verdicts",
+    "q5_local_supplier_volume",
 ]
 
 
