@@ -32,14 +32,23 @@ def asof_join(
     *,
     strict: bool = False,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each probe row, attach ``payload`` columns of the build row
     with the greatest ``build_ts`` <= ``probe_ts`` (< if ``strict``)
-    within the same ``on`` key.
+    within the same ``on`` key; ``direction='forward'`` flips the
+    semantics to the SMALLEST ``build_ts`` >= ``probe_ts`` (> if
+    strict) — the "next event after" join (post-event attribution,
+    next-deploy lookup).  Forward is the same union-trick plan with
+    the timestamp ordering reversed; the side tie-break is direction-
+    independent (equal-ts build rows sort before the probe unless
+    strict), so cost and shuffle shape are identical.
 
-    ``how='inner'`` drops probes with no earlier build row;
+    ``how='inner'`` drops probes with no matching build row;
     ``how='left'`` keeps them with NULL payload.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     pcols = probe.columns
     p = probe.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(probe_ts))
     b = build.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(build_ts))
@@ -55,11 +64,15 @@ def asof_join(
     unioned = p.select(*dict.fromkeys(cols)).unionByName(b.select(*dict.fromkeys(cols)))
 
     # strict: a build row at exactly probe_ts must NOT match → order it
-    # after the probe row; non-strict: before.
+    # after the probe row; non-strict: before.  Forward direction =
+    # identical construction over the REVERSED time axis.
     side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), side_order)
+        .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -238,6 +238,39 @@ def asof_join_nearest(spark, sf_dir):
 
 
 @query(
+    "asof_join_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, v.event_id AS next_view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    """,
+)
+def asof_join_forward(spark, sf_dir):
+    """J7 as-of join, FORWARD direction (round 5): the first 'view'
+    AT-OR-AFTER each 'purchase' of the same user — post-event
+    attribution (did the buyer come back?).  Same union-trick plan as
+    the backward as-of over the reversed time axis: one shuffle, no
+    per-key fan-out, cost independent of build-row multiplicity;
+    DuckDB oracles it natively with ``ASOF JOIN ... >=``."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("next_view_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        probe_ts="ts",
+        build_ts="view_ts",
+        payload=["next_view_event_id"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "next_view_event_id")
+
+
+@query(
     "sessionize_gaps",
     oracle=f"""
     WITH flagged AS (
