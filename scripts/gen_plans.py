@@ -38,6 +38,10 @@ PICKS = {
     "dedup_bloom_prefilter": "Bloom membership is (word >> bit) & 1 over a 64-long literal bitmask inside the scan projection; the only join is the broadcast ground-truth marker.",
     "text_cms_heavy_hitters": "Sketch build: token-keyed partial aggregate capped at d×w rows per task; estimation joins the broadcast 768-row sketch — the corpus shuffles once, bounded.",
     "cdx_show_dupecount": "One window exchange keyed on digest — the same key revisit-resolve shuffles on, so a composed pipeline shares it.",
+    "emb_ivfadc_residual_topk": "Residual serving algebra via combined-codeword literal tables: runtime fold encode + 2-D element_at ADC, zero exchanges, no per-cell branches.",
+    "pretrain_corpus_verdicts": "The whole cleaning funnel in one pass: exactly ONE exchange (the md5 dedup window); every later gate is scan-side codegen.",
+    "dedup_jaccard_prefix_filter": "PPJoin: checkpointed prefix index feeds both self-join sides and both verify sides; all joins broadcast at this scale, no cartesian.",
+    "q5_local_supplier_volume": "TPC-H Q5: dim chain broadcasts, lineitem-orders is the only big-big join, local-supplier condition rides the supplier join as an equi-key.",
 }
 
 
