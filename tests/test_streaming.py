@@ -501,3 +501,69 @@ def test_tombstone_epochs_takedown_semantics(spark, sf_dir):
         write_tombstone_epoch(tdf, out, "takedown-1")
         assert visible() == all_keys - hidden
         full.unpersist()
+
+
+def test_stream_takedowns_feed(spark, sf_dir):
+    """Takedown feed → tombstone epochs via the streaming path:
+    checkpointed exactly-once per batch, captures hidden after each
+    micro-batch, wildcard and exact lines both parsed."""
+    from webarchive_indexing_spark.sinks.zipnum import (
+        read_zipnum_epochs,
+        reserve_epoch_id,
+        write_zipnum_epoch,
+    )
+    from webarchive_indexing_spark.streaming.incremental import stream_takedowns
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "idx")
+        inp, chk = os.path.join(d, "in"), os.path.join(d, "chk")
+        os.makedirs(inp)
+        full = (
+            derived_cdx(spark, sf_dir)
+            .limit(120)
+            .select(
+                "urlkey",
+                F.col("ts14").alias("timestamp"),
+                F.lit("http://x/").alias("url"),
+                "mime",
+                "status",
+                "digest",
+                F.lit(None).cast("string").alias("redirect"),
+                F.lit(None).cast("string").alias("robotflags"),
+                "length",
+                "offset",
+                "filename",
+            )
+        )
+        rows = full.collect()
+        eid = reserve_epoch_id(out, "batch:0")
+        write_zipnum_epoch(full, out, eid, shards=2, numlines=60)
+
+        wild_key = rows[0].urlkey
+        exact = next(
+            (r.urlkey, r.timestamp) for r in rows if r.urlkey != wild_key
+        )
+        feed = f"{wild_key}\t*\n{exact[0]}\t{exact[1]}\n"
+        os.makedirs(os.path.join(inp, "f1"))
+        with open(os.path.join(inp, "f1", "takedown.txt"), "w") as fh:
+            fh.write(feed)
+
+        q = stream_takedowns(spark, inp + "/*/", out, chk)
+        q.awaitTermination(120)
+
+        vis = {
+            (r.urlkey, r.timestamp)
+            for r in read_zipnum_epochs(spark, out).collect()
+        }
+        hidden = {
+            (r.urlkey, r.timestamp) for r in rows if r.urlkey == wild_key
+        } | {exact}
+        assert vis == {(r.urlkey, r.timestamp) for r in rows} - hidden
+
+        # re-running the stream (no new files) is a no-op
+        q2 = stream_takedowns(spark, inp + "/*/", out, chk)
+        q2.awaitTermination(120)
+        assert {
+            (r.urlkey, r.timestamp)
+            for r in read_zipnum_epochs(spark, out).collect()
+        } == vis

@@ -105,6 +105,47 @@ def stream_zipnum_epochs(
     )
 
 
+def stream_takedowns(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """ST1 companion: a FEED of takedown requests (text files, one
+    ``urlkey<TAB>ts14_or_*`` line each — the shape a legal-request
+    queue exports) streams into tombstone epochs through the same
+    manifest-allocated LSM protocol as crawl ingest.  Each micro-batch
+    is one tombstone epoch; matching captures disappear from readers
+    at the next query, past and future crawls alike; compaction later
+    purges them physically.  Exactly-once via checkpointed offsets +
+    the ``tombstone:batch:N`` manifest key (idempotent rewrite;
+    post-compaction replays are skipped inside write_tombstone_epoch)."""
+    from ..sinks.zipnum import write_tombstone_epoch
+
+    lines = spark.readStream.format("text").load(input_dir)
+    keys = lines.select(
+        F.split(F.col("value"), "\t").getItem(0).alias("urlkey"),
+        F.when(
+            F.split(F.col("value"), "\t").getItem(1) == "*", F.lit(None)
+        )
+        .otherwise(F.split(F.col("value"), "\t").getItem(1))
+        .cast("string")
+        .alias("timestamp"),
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_tombstone_epoch(batch_df, out_dir, f"batch:{int(batch_id)}")
+
+    return (
+        keys.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_counts(
     events: DataFrame,
     *,
