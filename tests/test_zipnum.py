@@ -375,3 +375,55 @@ def test_resume_key_paging_prunes_blocks(spark, sf_dir):
     n_full = len(_prune(blocks, lo, hi))
     n_resumed = len(_prune(blocks, max(lo, resume[0]), hi))
     assert n_resumed < n_full
+
+
+def test_incremental_host_stats_maintenance(spark, sf_dir):
+    """IVM over epochs: per-epoch partials compute ONCE (a second
+    maintenance pass scans zero epochs; a new epoch costs exactly one
+    scan), the merged report equals a full recompute, and compaction
+    resets cleanly."""
+    import tempfile
+
+    from webarchive_indexing_spark.queries.cdx_surface import _zipnum_input
+    from webarchive_indexing_spark.sinks.stats import (
+        compute_host_stats,
+        materialize_host_stats,
+        merged_host_stats,
+    )
+    from webarchive_indexing_spark.sinks.zipnum import (
+        compact_zipnum_epochs,
+        read_zipnum_epochs,
+        reserve_epoch_id,
+        write_zipnum_epoch,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        out = f"{d}/idx"
+        full = _zipnum_input(spark, sf_dir)
+        b0 = full.filter(F.col("status") == 200)
+        b1 = full.filter(F.col("status") != 200)
+        write_zipnum_epoch(b0, out, reserve_epoch_id(out, "batch:0"),
+                           shards=2, numlines=200)
+        assert materialize_host_stats(spark, out) == 1
+
+        def as_map(df):
+            return {
+                r.host: (r.n_captures, r.total_bytes, r.first_ts, r.last_ts)
+                for r in df.collect()
+            }
+
+        want0 = as_map(compute_host_stats(read_zipnum_epochs(spark, out)))
+        assert as_map(merged_host_stats(spark, out)) == want0
+
+        # second epoch: maintenance scans ONLY the new epoch
+        write_zipnum_epoch(b1, out, reserve_epoch_id(out, "batch:1"),
+                           shards=2, numlines=200)
+        assert materialize_host_stats(spark, out) == 1
+        assert materialize_host_stats(spark, out) == 0  # idempotent
+        want = as_map(compute_host_stats(read_zipnum_epochs(spark, out)))
+        assert as_map(merged_host_stats(spark, out)) == want
+
+        # compaction: merged epoch needs one fresh partial, report holds
+        compact_zipnum_epochs(spark, out, shards=2, numlines=200)
+        assert materialize_host_stats(spark, out) == 1
+        assert as_map(merged_host_stats(spark, out)) == want
