@@ -108,6 +108,7 @@ def update_index(
     numlines: int = 3000,
     files_per_task: int = 2,
     compact: bool = False,
+    maintain_stats: bool = False,
 ) -> int | None:
     """Incremental crawl ingest — the composed plan a live archive
     actually runs per batch (the reference reruns all three jobs from
@@ -118,7 +119,10 @@ def update_index(
     2. the remainder parses and lands as ONE new immutable sorted
        epoch — readers merge epochs, nothing is rewritten;
     3. ``compact=True`` folds all live epochs afterwards (crash/
-       reader-safe rename protocol).
+       reader-safe rename protocol);
+    4. ``maintain_stats=True`` updates the per-epoch host-stats
+       partials (sinks.stats IVM — scans only epochs lacking one,
+       i.e. the batch just written / the fresh compaction output).
 
     Replay-safe: the epoch id is reserved under a key derived from the
     batch's WARC paths, so a retried batch rewrites its own epoch, and
@@ -150,6 +154,10 @@ def update_index(
         from ..sinks.zipnum import compact_zipnum_epochs
 
         compact_zipnum_epochs(spark, out_dir, shards=shards, numlines=numlines)
+    if maintain_stats:
+        from ..sinks.stats import materialize_host_stats
+
+        materialize_host_stats(spark, out_dir)
     return epoch_id
 
 
