@@ -284,3 +284,27 @@ def test_fuzzy_rules_python_column_parity(spark):
     }
     for k in keys:
         assert got[k] == fuzzy_key_py(k), k
+
+
+def test_negative_limit_returns_tail(spark):
+    """pywb limit=-N: the LAST N rows of the sort order, still in
+    forward order — via a reversed TakeOrdered, never a full sort."""
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query
+
+    rows = [
+        ("com,example)/p", f"2020010100{i:04d}"[:14].ljust(14, "0"))
+        for i in range(9)
+    ]
+    cdx = spark.createDataFrame(
+        [(k, t.replace(" ", "0")) for k, t in rows], ["urlkey", "timestamp"]
+    )
+    url = "http://example.com/p"
+    all_ts = [r.timestamp for r in cdx_query(cdx, url).collect()]
+    tail = [r.timestamp for r in cdx_query(cdx, url, limit=-3).collect()]
+    assert tail == all_ts[-3:]
+    # fl= projection that drops the sort keys still works
+    only = cdx_query(cdx, url, limit=-2, fields=["timestamp"]).collect()
+    assert [r.timestamp for r in only] == all_ts[-2:]
+    # positive limit unchanged
+    head = [r.timestamp for r in cdx_query(cdx, url, limit=3).collect()]
+    assert head == all_ts[:3]

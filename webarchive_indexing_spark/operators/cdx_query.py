@@ -292,10 +292,26 @@ def cdx_query(
     else:
         df = df.orderBy(F.col("urlkey").asc(), F.col("timestamp").asc())
 
+    if limit is not None:
+        if limit < 0:
+            # pywb limit=-N: the LAST N rows of the sort order.  Take
+            # N under the reversed ordering (TakeOrderedAndProject —
+            # still no full sort), then restore the requested order.
+            # Applied BEFORE the field projection so the sort keys are
+            # still available even when fl= drops them.
+            rev = [
+                F.col("urlkey").desc(),
+                F.col("timestamp").asc() if sort_reverse else F.col("timestamp").desc(),
+            ]
+            fwd = [
+                F.col("urlkey").asc(),
+                F.col("timestamp").desc() if sort_reverse else F.col("timestamp").asc(),
+            ]
+            df = df.orderBy(*rev).limit(-limit).orderBy(*fwd)
+        else:
+            df = df.limit(limit)
     if fields:
         df = df.select(*fields)
-    if limit is not None:
-        df = df.limit(limit)
     return df
 
 
