@@ -478,3 +478,37 @@ def test_parser_never_raises_on_fuzzed_bytes():
         assert len(rows) <= 8  # never invents unbounded rows
 
     fuzz()
+
+
+def test_wet_conversion_records_index(tmp_path):
+    """Common Crawl WET support: a .warc.gz of `conversion` records
+    (plain-text extracts) indexes via record_types=('conversion',) —
+    urlkey/date from WARC headers, text/plain mime, digest over the
+    extracted text; the default record set still ignores WET files."""
+    import gzip
+
+    from webarchive_indexing_spark.sources.warc import parse_archive_file
+
+    def wet_record(url, text):
+        body = text.encode()
+        headers = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "WARC-Date: 2021-03-04T05:06:07Z\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "Content-Type: text/plain\r\n"
+        ).encode()
+        return gzip.compress(headers + b"\r\n" + body + b"\r\n\r\n", mtime=0)
+
+    data = wet_record("http://a.example/x", "extracted text one") + wet_record(
+        "http://b.example/y", "extracted text two"
+    )
+    assert list(parse_archive_file("f.warc.wet.gz", data)) == []
+    rows = list(
+        parse_archive_file("f.warc.wet.gz", data, record_types=("conversion",))
+    )
+    assert [r[0] for r in rows] == ["example,a)/x", "example,b)/y"]
+    assert all(r[3] == "text/plain" for r in rows)
+    assert all(r[1] == "20210304050607" for r in rows)
+    assert all(r[4] is None for r in rows)  # no HTTP status on WET

@@ -264,7 +264,9 @@ def _index_warc_record(
             hh = _parse_headers(body[:http_end])
             mime = (hh.get("content-type") or "").split(";")[0].strip() or None
             payload = body[http_end + 4 :]
-    elif rec_type in ("metadata", "resource"):
+    elif rec_type in ("metadata", "resource", "conversion"):
+        # conversion = Common Crawl WET plain-text extracts: the WARC
+        # record's own Content-Type (text/plain), payload is the body
         mime = (wheaders.get("content-type") or "").split(";")[0].strip() or None
     return (
         surt_urlkey_py(url),
