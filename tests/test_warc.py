@@ -512,3 +512,62 @@ def test_wet_conversion_records_index(tmp_path):
     assert all(r[3] == "text/plain" for r in rows)
     assert all(r[1] == "20210304050607" for r in rows)
     assert all(r[4] is None for r in rows)  # no HTTP status on WET
+
+
+def test_wat_link_extraction_feeds_graph(spark, tmp_path):
+    """Common Crawl WAT: metadata-record JSON envelopes yield the
+    outlink edge list, SURT keys derived scan-side — the input the
+    link-graph operators (PageRank, host reports) consume.  Damaged
+    envelopes cost their own record only."""
+    from webarchive_indexing_spark.sources.warc import (
+        build_wat_record,
+        parse_wat_links,
+        wat_link_edges,
+    )
+
+    wat = (
+        build_wat_record(
+            "http://a.example/page",
+            "2021-01-02T03:04:05Z",
+            ["http://b.example/x", "https://C.example:443/y?b=2&a=1"],
+        )
+        + build_wat_record("http://nolinks.example/", "2021-01-02T03:04:06Z", [])
+        + build_wat_record("http://b.example/x", "2021-01-02T03:04:07Z",
+                           ["http://a.example/page"])
+    )
+    edges = list(parse_wat_links("f.warc.wat.gz", wat))
+    assert len(edges) == 3
+    assert ("http://a.example/page", "20210102030405", "http://b.example/x") in edges
+
+    # a record with an unparseable envelope yields nothing; the valid
+    # record in the same file still does
+    import gzip as _gz
+
+    bad_body = b'{"Envelope": not json'
+    bad = _gz.compress(
+        (
+            "WARC/1.0\r\nWARC-Type: metadata\r\n"
+            "WARC-Target-URI: http://bad.example/\r\n"
+            "WARC-Date: 2021-01-02T03:04:08Z\r\n"
+            f"Content-Length: {len(bad_body)}\r\n"
+            "Content-Type: application/json\r\n"
+        ).encode()
+        + b"\r\n"
+        + bad_body
+        + b"\r\n\r\n",
+        mtime=0,
+    )
+    mixed = bad + build_wat_record(
+        "http://ok.example/", "2021-01-02T03:04:09Z", ["http://t.example/"]
+    )
+    got = list(parse_wat_links("f.warc.wat.gz", mixed))
+    assert got == [("http://ok.example/", "20210102030409", "http://t.example/")]
+
+    p = tmp_path / "f.warc.wat.gz"
+    p.write_bytes(wat)
+    manifest = spark.createDataFrame([(str(p),)], ["path"])
+    df = wat_link_edges(spark, manifest)
+    rows = {(r.src_key, r.target_key) for r in df.collect()}
+    assert ("example,a)/page", "example,b)/x") in rows
+    assert ("example,a)/page", "example,c)/y?a=1&b=2") in rows  # SURT-normalized
+    assert ("example,b)/x", "example,a)/page") in rows

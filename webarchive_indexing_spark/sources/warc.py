@@ -254,7 +254,14 @@ def _index_warc_record(
         if http_end >= 0:
             status_line = first_line.decode("latin-1", "replace")
             parts = status_line.split(" ")
-            status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
+            status = (
+                int(parts[1])
+                # isascii guard: str.isdigit accepts Unicode digits
+                # (e.g. '\u00b9') that int() rejects — damaged bytes
+                # must cost the field, never the task (fuzz-found)
+                if len(parts) > 1 and parts[1].isascii() and parts[1].isdigit()
+                else None
+            )
             hh = _parse_headers(body[:http_end])
             mime = (hh.get("content-type") or "").split(";")[0].strip() or None
             payload = body[http_end + 4 :]
@@ -394,14 +401,25 @@ def _index_arc_record(fields: list[str], http: bytes, *, digest_b32: bool):
     url = fields[0]
     if url.startswith("filedesc://"):
         return None
-    ts14 = fields[2] if len(fields[2]) == 14 and fields[2].isdigit() else "19700101000000"
+    ts14 = (
+        fields[2]
+        if len(fields[2]) == 14 and fields[2].isascii() and fields[2].isdigit()
+        else "19700101000000"
+    )
     mime = fields[3].split(";")[0].strip() or None
     status, payload = None, http
     if http.startswith(b"HTTP/"):
         http_end = http.find(CRLF + CRLF)
         if http_end >= 0:
             parts = http.split(CRLF, 1)[0].decode("latin-1", "replace").split(" ")
-            status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
+            status = (
+                int(parts[1])
+                # isascii guard: str.isdigit accepts Unicode digits
+                # (e.g. '\u00b9') that int() rejects — damaged bytes
+                # must cost the field, never the task (fuzz-found)
+                if len(parts) > 1 and parts[1].isascii() and parts[1].isdigit()
+                else None
+            )
             hh = _parse_headers(http[:http_end])
             mime = (hh.get("content-type") or "").split(";")[0].strip() or mime
             payload = http[http_end + 4 :]
@@ -522,3 +540,113 @@ def skip_existing(manifest: DataFrame, existing: DataFrame) -> DataFrame:
         ).alias("__k")
     )
     return mk.join(ek, "__k", "left_anti").drop("__k")
+
+
+# ---------------------------------------------------------------------------
+# WAT (Common Crawl web archive metadata) — outlink extraction
+# ---------------------------------------------------------------------------
+
+
+def build_wat_record(url: str, date_iso: str, links: list[str]) -> bytes:
+    """Fixture writer: one WAT ``metadata`` record whose JSON envelope
+    carries ``links`` in the Common Crawl WAT layout
+    (Envelope → Payload-Metadata → HTTP-Response-Metadata →
+    HTML-Metadata → Links[].url)."""
+    import gzip
+    import json
+
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {"WARC-Target-URI": url},
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Links": [{"path": "A@/href", "url": u} for u in links]
+                    }
+                }
+            },
+        }
+    }
+    body = json.dumps(env, sort_keys=True).encode()
+    headers = (
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date_iso}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "Content-Type: application/json\r\n"
+    ).encode()
+    return gzip.compress(headers + CRLF + body + CRLF + CRLF, mtime=0)
+
+
+def parse_wat_links(filename: str, data: bytes):
+    """Yield ``(src_url, ts14, target_url)`` per outlink of a WAT
+    file's metadata records — the edge list the link-graph operators
+    (PageRank, host-degree reports) consume.  Damage tolerance
+    matches the CDX indexer: an unparseable JSON envelope costs its
+    own record, never the task; envelopes without HTML link metadata
+    (robots.txt entries, non-HTML responses) yield nothing."""
+    import json
+
+    for _, _, member in iter_warc_members(data):
+        records = list(split_warc_records(member)) or [(0, len(member), member)]
+        for _, _, record in records:
+            head_end = record.find(CRLF + CRLF)
+            if head_end < 0 or not record.startswith(b"WARC/"):
+                continue
+            wheaders = _parse_headers(record[:head_end])
+            if wheaders.get("warc-type", "") != "metadata":
+                continue
+            src = wheaders.get("warc-target-uri", "")
+            ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
+            body = record[head_end + 4 :].rstrip(b"\r\n")
+            try:
+                env = json.loads(body)
+            except ValueError:
+                continue
+            links = (
+                env.get("Envelope", {})
+                .get("Payload-Metadata", {})
+                .get("HTTP-Response-Metadata", {})
+                .get("HTML-Metadata", {})
+                .get("Links", [])
+            )
+            for link in links:
+                url = link.get("url") if isinstance(link, dict) else None
+                if url:
+                    yield (src, ts14, url)
+
+
+def wat_link_edges(
+    spark: SparkSession,
+    manifest: DataFrame,
+    *,
+    files_per_task: int = 2,
+) -> DataFrame:
+    """Manifest of WAT paths → typed edge DataFrame ``(src_url, ts14,
+    target_url, src_key, target_key)`` with SURT keys derived
+    scan-side (the join/partition keys the graph operators use).
+    Same task-granularity shape as ``index_warcs``."""
+    n_files = manifest.count()
+    n_parts = max(1, n_files // files_per_task)
+
+    def parse(rows):
+        for row in rows:
+            path = row[0]
+            with open(path, "rb") as fh:  # seam: FS/S3 streaming reader
+                data = fh.read()
+            yield from parse_wat_links(path, data)
+
+    rdd = manifest.select("path").repartition(n_parts).rdd.mapPartitions(parse)
+    edges = spark.createDataFrame(
+        rdd, "src_url string, ts14 string, target_url string"
+    )
+    from ..functions.surt import surt_urlkey_cached
+
+    return (
+        edges.withColumn("__url", F.col("src_url"))
+        .withColumn("src_key", surt_urlkey_cached("__url"))
+        .withColumn("__url", F.col("target_url"))
+        .withColumn("target_key", surt_urlkey_cached("__url"))
+        .drop("__url")
+    )
