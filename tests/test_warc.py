@@ -571,3 +571,66 @@ def test_wat_link_extraction_feeds_graph(spark, tmp_path):
     assert ("example,a)/page", "example,b)/x") in rows
     assert ("example,a)/page", "example,c)/y?a=1&b=2") in rows  # SURT-normalized
     assert ("example,b)/x", "example,a)/page") in rows
+
+
+def test_streaming_member_reader_equivalence(tmp_path):
+    """The bounded-memory streaming reader must yield byte-identical
+    results to the in-memory parser across awkward chunk sizes
+    (member boundaries mid-chunk, 1-byte chunks) and keep the
+    truncated-tail tolerance."""
+    import io
+
+    from webarchive_indexing_spark.sources.warc import (
+        build_warc_record,
+        iter_warc_members,
+        iter_warc_members_stream,
+        parse_warc_file,
+        parse_warc_file_stream,
+    )
+
+    data = b"".join(
+        build_warc_record(
+            f"http://s{i}.example/p", "2020-05-06T07:08:09Z", b"x" * (10 + i)
+        )
+        for i in range(5)
+    )
+    want_members = list(iter_warc_members(data))
+    want_rows = list(parse_warc_file("f.warc.gz", data))
+    assert len(want_rows) == 5
+
+    for chunk in (1, 7, 64, 1 << 20):
+        got_members = list(iter_warc_members_stream(io.BytesIO(data), chunk))
+        assert got_members == want_members, f"chunk={chunk}"
+        got_rows = list(
+            parse_warc_file_stream("f.warc.gz", io.BytesIO(data), chunk_size=chunk)
+        )
+        assert got_rows == want_rows, f"chunk={chunk}"
+
+    # truncated tail: the complete members still parse, no raise
+    cut = data[: len(data) - 8]
+    got_cut = list(iter_warc_members_stream(io.BytesIO(cut), 13))
+    assert got_cut == want_members[:4]
+    # corrupt mid-file: iteration stops at the damage.  The flip must
+    # hit the DEFLATE payload (offset+30), not the gzip header's mtime
+    # field (offset+4..7), which zlib legitimately ignores.
+    bad = bytearray(data)
+    bad[want_members[2][0] + 30] ^= 0xFF
+    got_bad = list(iter_warc_members_stream(io.BytesIO(bytes(bad)), 17))
+    assert got_bad == want_members[:2]
+
+
+def test_index_warcs_streaming_path_equivalence(spark, warc_dir):
+    """index_warcs(streaming=True) — the bounded-memory default —
+    must produce exactly the in-memory path's rows over the mixed
+    fixture set (member-per-record gzip dispatched streaming, the
+    rest down the whole-file path)."""
+    manifest = spark.createDataFrame(
+        [(os.path.join(warc_dir, f),) for f in sorted(os.listdir(warc_dir))],
+        ["path"],
+    )
+    stream_rows = sorted(map(tuple, index_warcs(spark, manifest).collect()))
+    memory_rows = sorted(
+        map(tuple, index_warcs(spark, manifest, streaming=False).collect())
+    )
+    assert stream_rows == memory_rows
+    assert len(stream_rows) == 4

@@ -153,6 +153,69 @@ def iter_warc_members(data: bytes):
         pos += consumed
 
 
+def iter_warc_members_stream(fh, chunk_size: int = 1 << 20):
+    """Streaming twin of ``iter_warc_members`` over a FILE HANDLE:
+    yields the same (offset, compressed_length, member_bytes) triples
+    while holding only O(current member + chunk) in memory — the
+    bounded-memory read path for multi-GB crawl WARCs (the in-memory
+    variant is O(file); this was the documented seam in
+    ``index_warcs``).  Same damage tolerance: a corrupt or truncated
+    member ends the file's iteration, never raises."""
+    offset = 0
+    carry = b""
+    while True:
+        # prime the first byte(s) of the next member (or detect EOF)
+        if not carry:
+            carry = fh.read(chunk_size)
+            if not carry:
+                return
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = []
+        fed = 0
+        while True:
+            data, carry = carry, b""
+            if not data:
+                data = fh.read(chunk_size)
+            if not data:
+                return  # mid-member EOF: cleanly truncated tail
+            try:
+                out.append(d.decompress(data))
+            except zlib.error:
+                return  # corrupt bytes: drop this file's tail
+            fed += len(data)
+            if d.eof:
+                carry = d.unused_data
+                break
+        consumed = fed - len(carry)
+        if consumed <= 0:  # garbage between members: no forward progress
+            return
+        yield offset, consumed, b"".join(out)
+        offset += consumed
+
+
+def parse_warc_file_stream(
+    filename: str,
+    fh,
+    *,
+    digest_b32: bool = False,
+    record_types: tuple[str, ...] | None = None,
+    chunk_size: int = 1 << 20,
+):
+    """``parse_warc_file`` over a file handle via the streaming member
+    iterator — identical CDX tuples, O(member) memory."""
+    if record_types is None:
+        record_types = DEFAULT_RECORD_TYPES
+    short = filename.rsplit("/", 1)[-1]
+    for offset, clen, member in iter_warc_members_stream(fh, chunk_size):
+        records = list(split_warc_records(member)) or [(0, len(member), member)]
+        for _, _, record in records:
+            fields = _index_warc_record(
+                record, digest_b32=digest_b32, record_types=record_types
+            )
+            if fields is not None:
+                yield (*fields, clen, offset, short)
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     out: dict[str, str] = {}
     for line in block.split(CRLF)[1:]:  # [0] is the version/status line
@@ -499,24 +562,45 @@ def index_warcs(
     files_per_task: int = 2,
     digest_b32: bool = False,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+    streaming: bool = True,
 ) -> DataFrame:
     """S1+S2: manifest (column ``path``) → typed CDX DataFrame; mixed
     WARC/ARC, gzipped or plain, all dispatch per file by magic bytes.
 
-    Task granularity mirrors the reference's linespermap=2 [U]; each
-    task streams its files (whole-member reads, O(file) memory only
-    for the fixture-scale in-memory path — the seam for true streaming
-    reads is marked in the partition fn).  ``digest_b32=True`` emits
-    pywb-compatible base32 digests for joining against existing CC
-    indexes; ``record_types`` widens indexing to request/metadata/
-    resource records (pywb include-all)."""
+    Task granularity mirrors the reference's linespermap=2 [U].
+    ``streaming=True`` (default) reads gzipped WARCs — the dominant
+    format, and the one real crawls ship multi-GB files in — through
+    the BOUNDED-MEMORY member iterator (O(current member + chunk) per
+    task instead of O(file); the round-4 'streaming reader seam' made
+    real).  A decompress-peek of the first 16 bytes routes legacy
+    .arc.gz and the plain formats down the whole-file path (their
+    record splitters need the full buffer; legacy files are small).
+    ``digest_b32=True`` emits pywb-compatible base32 digests for
+    joining against existing CC indexes; ``record_types`` widens
+    indexing to request/metadata/resource/conversion records."""
     n_files = manifest.count()
     n_parts = max(1, n_files // files_per_task)
 
     def parse(rows):
         for row in rows:
             path = row[0]
-            with open(path, "rb") as fh:  # seam: FS/S3 streaming reader
+            with open(path, "rb") as fh:  # seam: FS/S3 reader (pyarrow.fs)
+                probe = fh.read(512)
+                fh.seek(0)
+                if streaming and probe[:2] == b"\x1f\x8b":
+                    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                    try:
+                        head = d.decompress(probe, 16)
+                    except zlib.error:
+                        head = b""
+                    if head.startswith(b"WARC/"):
+                        yield from parse_warc_file_stream(
+                            path,
+                            fh,
+                            digest_b32=digest_b32,
+                            record_types=record_types,
+                        )
+                        continue
                 data = fh.read()
             yield from parse_archive_file(
                 path, data, digest_b32=digest_b32, record_types=record_types
