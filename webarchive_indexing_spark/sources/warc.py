@@ -582,9 +582,15 @@ def index_warcs(
     n_parts = max(1, n_files // files_per_task)
 
     def parse(rows):
+        # pyarrow.fs dispatch: local paths, s3://, hdfs://, gs:// all
+        # open the same way on executors (the reference's boto reads
+        # [U indexwarcsjob.py] were S3-only) — the S1/S3 connector row
+        from ..sinks.zipnum import _fs_for
+
         for row in rows:
             path = row[0]
-            with open(path, "rb") as fh:  # seam: FS/S3 reader (pyarrow.fs)
+            fs, local = _fs_for(path)
+            with fs.open_input_file(local) as fh:
                 probe = fh.read(512)
                 fh.seek(0)
                 if streaming and probe[:2] == b"\x1f\x8b":
@@ -715,9 +721,12 @@ def wat_link_edges(
     n_parts = max(1, n_files // files_per_task)
 
     def parse(rows):
+        from ..sinks.zipnum import _fs_for
+
         for row in rows:
             path = row[0]
-            with open(path, "rb") as fh:  # seam: FS/S3 streaming reader
+            fs, local = _fs_for(path)
+            with fs.open_input_file(local) as fh:
                 data = fh.read()
             yield from parse_wat_links(path, data)
 
