@@ -50,11 +50,10 @@ def query(name: str, oracle: str | None = None, tier: str = "A"):
 
 #: Queries whose SEMANTICS changed since their last green verdict —
 #: surface them first so the next CORRECTNESS round records the change.
-#: (Round 5: cdx_fuzzy_match gained the data-driven rule table and a
-#: new `rule` output column after its round-4 green — without the pin
-#: its fresh r4 verdict keeps it out of the 50-query window.  Clear
-#: once a post-change green is recorded.)
-_VERIFY_EARLY: tuple[str, ...] = ("cdx_fuzzy_match",)
+#: (Round 6: cdx_fuzzy_match's post-rule-table green landed in r5, so
+#: the pin is cleared; the window is pure stalest-first again.  Re-pin
+#: any query whose output changes after its latest green.)
+_VERIFY_EARLY: tuple[str, ...] = ()
 
 
 def _verified_rounds() -> dict[str, int]:
