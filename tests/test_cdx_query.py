@@ -204,11 +204,21 @@ def test_fuzzy_rule_table_first_match_wins(spark):
         ("com,ex)/p?phpsessid=ab12", "com,ex)/p", "session"),
         # jsonp outranks cachebust when both match (ordered table)
         ("com,ex)/p?_cb=1&callback=jsonp2", "com,ex)/p?_cb=1", "jsonp"),
-        # clean keys: no rule, fuzzy == exact
-        ("com,ex)/p?a=1&b=2", "com,ex)/p?a=1&b=2", None),
+        # no family rule → the LAST-RESORT removeall strips the whole
+        # query (pywb's terminal fuzzy_lookup rule)
+        ("com,ex)/p?a=1&b=2", "com,ex)/p", "removeall"),
+        ("com,ex)/p?callback=home", "com,ex)/p", "removeall"),
+        # no query at all: no rule, fuzzy == exact
         ("com,ex)/p", "com,ex)/p", None),
-        # callback without the jsonp shape is NOT stripped (real param)
-        ("com,ex)/p?callback=home", "com,ex)/p?callback=home", None),
+        # SURT-prefix-scoped rule (pywb per-domain blocks): volatile
+        # CDN params strip under com,googlevideo only; elsewhere the
+        # same params fall through to removeall
+        (
+            "com,googlevideo,r4)/videoplayback?id=9&itag=5&sig=x",
+            "com,googlevideo,r4)/videoplayback?id=9",
+            "googlevideo",
+        ),
+        ("com,ex)/videoplayback?id=9&itag=5&sig=x", "com,ex)/videoplayback", "removeall"),
     ]
     df = spark.createDataFrame([(k,) for k, _, _ in cases], "key string")
     out = {
@@ -254,7 +264,9 @@ def test_cdx_query_fuzzy_fallback_param(spark):
 
     # the python twin mirrors the column rules
     assert fuzzy_key_py("com,ex)/p?_cb=1&a=1") == ("com,ex)/p?a=1", "cachebust")
-    assert fuzzy_key_py("com,ex)/p?a=1") == ("com,ex)/p?a=1", None)
+    # removeall terminal: any no-family query key gets the bare-path fallback
+    assert fuzzy_key_py("com,ex)/p?a=1") == ("com,ex)/p", "removeall")
+    assert fuzzy_key_py("com,ex)/p") == ("com,ex)/p", None)
 
 
 def test_fuzzy_rules_python_column_parity(spark):
@@ -284,6 +296,83 @@ def test_fuzzy_rules_python_column_parity(spark):
     }
     for k in keys:
         assert got[k] == fuzzy_key_py(k), k
+
+
+def test_fuzzy_retry_after_filtered_empty(spark):
+    """pywb retries the fuzzy key when the FILTERED query is empty —
+    an exact key whose rows all fail the residual filters must not
+    suppress the fuzzy captures (round-6 ADVICE fix)."""
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query
+
+    rows = [
+        ("com,example)/page?_cb=5&a=1", "20200101000000", 404),
+        ("com,example)/page?a=1", "20200102000000", 200),
+    ]
+    cdx = spark.createDataFrame(rows, ["urlkey", "timestamp", "status"])
+    url = "http://example.com/page?a=1&_cb=5"
+
+    # exact key EXISTS but every exact row fails status:200 → fuzzy answers
+    got = cdx_query(cdx, url, fuzzy=True, filters=["status:200"]).collect()
+    assert [r.urlkey for r in got] == ["com,example)/page?a=1"]
+
+    # without filters the surviving exact rows still win outright
+    got2 = cdx_query(cdx, url, fuzzy=True).collect()
+    assert {r.urlkey for r in got2} == {"com,example)/page?_cb=5&a=1"}
+
+
+def test_negative_limit_with_closest(spark):
+    """limit=-N under an active closest= ordering reverses the CLOSEST
+    order (farthest N, returned closest-first), not a hardcoded
+    (urlkey, timestamp) — round-6 ADVICE fix."""
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query
+
+    rows = [("com,example)/p", f"202001010000{i:02d}") for i in range(6)]
+    cdx = spark.createDataFrame(rows, ["urlkey", "timestamp"])
+    url = "http://example.com/p"
+    full = [r.timestamp for r in cdx_query(cdx, url, closest="20200101000002").collect()]
+    assert full == [f"202001010000{i:02d}" for i in (2, 1, 3, 0, 4, 5)]
+    tail = [
+        r.timestamp
+        for r in cdx_query(cdx, url, closest="20200101000002", limit=-2).collect()
+    ]
+    assert tail == full[-2:]
+
+
+def test_resume_key_tiebreak_and_guards(spark):
+    """Same-second recrawls at a page boundary: the 2-tuple resume key
+    (pywb-compatible) skips boundary duplicates; the 3-tuple form with
+    tiebreak= pages gap-free; unsupported combinations raise."""
+    import pytest as _pytest
+
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query
+
+    rows = [("com,example)/p", "20200101000000", d) for d in "abcdef"]
+    cdx = spark.createDataFrame(rows, ["urlkey", "timestamp", "digest"])
+    url = "http://example.com/p"
+
+    p1 = cdx_query(cdx, url, limit=3, tiebreak="digest").collect()
+    assert [r.digest for r in p1] == ["a", "b", "c"]
+    last = p1[-1]
+    p2 = cdx_query(
+        cdx,
+        url,
+        limit=3,
+        tiebreak="digest",
+        resume_key=(last.urlkey, last.timestamp, last.digest),
+    ).collect()
+    assert [r.digest for r in p2] == ["d", "e", "f"]  # gap-free tiling
+
+    # 2-tuple form drops the boundary's same-(urlkey, timestamp) run —
+    # documented pywb-compatible lossy behavior
+    p2_lossy = cdx_query(
+        cdx, url, limit=3, resume_key=(last.urlkey, last.timestamp)
+    ).collect()
+    assert p2_lossy == []
+
+    with _pytest.raises(ValueError, match="sort_reverse or closest"):
+        cdx_query(cdx, url, resume_key=("k", "t"), sort_reverse=True)
+    with _pytest.raises(ValueError, match="tiebreak"):
+        cdx_query(cdx, url, resume_key=("k", "t", "d"))
 
 
 def test_negative_limit_returns_tail(spark):

@@ -543,7 +543,20 @@ def test_stream_takedowns_feed(spark, sf_dir):
         exact = next(
             (r.urlkey, r.timestamp) for r in rows if r.urlkey != wild_key
         )
-        feed = f"{wild_key}\t*\n{exact[0]}\t{exact[1]}\n"
+        # a damaged feed line naming `victim` must be QUARANTINED, not
+        # widen to a whole-URL wildcard takedown (round-6 ADVICE fix)
+        victim = next(
+            r.urlkey
+            for r in rows
+            if r.urlkey not in (wild_key, exact[0])
+        )
+        feed = (
+            f"{wild_key}\t*\n{exact[0]}\t{exact[1]}\n"
+            f"{victim}\n"  # no tab → malformed
+            f"{victim}\t2020\n"  # short ts → malformed
+            f"{victim}\tlater\textra\n"  # 3 fields → malformed
+            "\t*\n"  # empty urlkey → malformed
+        )
         os.makedirs(os.path.join(inp, "f1"))
         with open(os.path.join(inp, "f1", "takedown.txt"), "w") as fh:
             fh.write(feed)
@@ -559,6 +572,8 @@ def test_stream_takedowns_feed(spark, sf_dir):
             (r.urlkey, r.timestamp) for r in rows if r.urlkey == wild_key
         } | {exact}
         assert vis == {(r.urlkey, r.timestamp) for r in rows} - hidden
+        # every capture of the malformed-line victim is still visible
+        assert {(r.urlkey, r.timestamp) for r in rows if r.urlkey == victim} <= vis
 
         # re-running the stream (no new files) is a no-op
         q2 = stream_takedowns(spark, inp + "/*/", out, chk)

@@ -89,26 +89,47 @@ class FuzzyRule:
     Modeled on pywb's default fuzzy rules file [U pywb
     rules.yaml fuzzy_lookup defaults]: rules are an ORDERED table
     (first applicable rule wins), matched against the canonicalized
-    key, not the raw URL."""
+    key, not the raw URL.
 
-    __slots__ = ("name", "pattern")
+    ``key_prefix`` scopes the rule to one SURT subtree — pywb's
+    rules.yaml keys every rule block by a SURT prefix (per-domain
+    rules, e.g. the youtube/googlevideo entries); ``None`` means
+    global.  A scoped rule participates in the same first-match-wins
+    chain, guarded by a LIKE-prefix test (still sargable codegen)."""
 
-    def __init__(self, name: str, pattern: str):
+    __slots__ = ("name", "pattern", "key_prefix")
+
+    def __init__(self, name: str, pattern: str, key_prefix: str | None = None):
         self.name = name
         self.pattern = pattern
+        self.key_prefix = key_prefix
 
+
+#: pywb's last-resort rule: when no parameter-family rule applies,
+#: retry with the ENTIRE query string stripped [U pywb rules.yaml
+#: default fuzzy_lookup tail].  The captured '?' plus the shared
+#: trailing-separator cleanup leaves the bare path key.
+REMOVEALL_RULE = FuzzyRule("removeall", r"(\?).*$")
 
 #: the default rule table (ordered, first match wins).  Generalizes the
 #: round-4 single `_cb` regex into the pywb-default families: jQuery/
-#: generic digit cache busters, jsonp callbacks, and session params in
+#: generic digit cache busters, jsonp callbacks, session params in
 #: shapes the SURT canonicalizer keeps (its own session-strip only
-#: fires on 32-char alnum values).
+#: fires on 32-char alnum values), a domain-SCOPED example mirroring
+#: pywb's googlevideo block (CDN volatile params — fires only under
+#: its SURT prefix), and the strip-entire-query terminal fallback.
 DEFAULT_FUZZY_RULES: tuple[FuzzyRule, ...] = (
     FuzzyRule("jsonp", r"([?&])callback=jsonp[0-9]+&?"),
     FuzzyRule("cachebust", r"([?&])(?:_cb|cb|_|bust|rand)=[0-9]+&?"),
     FuzzyRule(
         "session", r"([?&])(?:jsessionid|phpsessid|sessionid|sid)=[0-9a-z]+&?"
     ),
+    FuzzyRule(
+        "googlevideo",
+        r"([?&])(?:(?:expire|ip|ipbits|itag|signature|sig|key|ratebypass|mime)=[^&]*&?)+",
+        key_prefix="com,googlevideo",
+    ),
+    REMOVEALL_RULE,
 )
 
 
@@ -139,6 +160,8 @@ def apply_fuzzy_rules(
     # build the CASE chain back-to-front so earlier rules win
     for rule in reversed(rules):
         cond = key.rlike(rule.pattern)
+        if rule.key_prefix is not None:
+            cond = cond & key.startswith(rule.key_prefix)
         rule_expr = F.when(cond, F.lit(rule.name)).otherwise(rule_expr)
         fuzzy_expr = F.when(cond, strip(rule)).otherwise(fuzzy_expr)
     return df.withColumn(fuzzy_col, fuzzy_expr).withColumn(rule_col, rule_expr)
@@ -158,14 +181,14 @@ def sql_fuzzy_rule_exprs(
             f" '[?&]$', '')"
         )
 
-    rule_arms = " ".join(
-        f"WHEN regexp_matches({key}, '{r.pattern}') THEN '{r.name}'"
-        for r in rules
-    )
-    fuzzy_arms = " ".join(
-        f"WHEN regexp_matches({key}, '{r.pattern}') THEN {strip(r)}"
-        for r in rules
-    )
+    def cond(rule: FuzzyRule) -> str:
+        c = f"regexp_matches({key}, '{rule.pattern}')"
+        if rule.key_prefix is not None:
+            c += f" AND starts_with({key}, '{rule.key_prefix}')"
+        return c
+
+    rule_arms = " ".join(f"WHEN {cond(r)} THEN '{r.name}'" for r in rules)
+    fuzzy_arms = " ".join(f"WHEN {cond(r)} THEN {strip(r)}" for r in rules)
     return (
         f"CASE {rule_arms} ELSE NULL END",
         f"CASE {fuzzy_arms} ELSE {key} END",
@@ -183,6 +206,8 @@ def fuzzy_key_py(
     import re
 
     for rule in rules:
+        if rule.key_prefix is not None and not key.startswith(rule.key_prefix):
+            continue
         if re.search(rule.pattern, key):
             stripped = re.sub(rule.pattern, r"\1", key)
             return re.sub(r"[?&]$", "", stripped), rule.name
@@ -217,17 +242,21 @@ def cdx_query(
     fields: list[str] | None = None,
     limit: int | None = None,
     fuzzy: bool = False,
-    resume_key: tuple[str, str] | None = None,
+    resume_key: tuple[str, str] | tuple[str, str, str] | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """The full cdx-server GET /index parameter surface over a typed
     CDX DataFrame (column ``timestamp`` = 14-digit string).
 
     ``fuzzy=True`` (matchType=exact only — pywb semantics) falls back
-    to the rule-stripped key when the exact key has no captures: the
-    plan scans BOTH keys in one pushed-down ``IN`` filter and a
-    window keeps fuzzy rows only when no exact row exists — one job,
-    never a second query round-trip, and the post-pushdown volume is
-    the captures of at most two urlkeys.
+    to the rule-stripped key when the exact key's FILTERED result is
+    empty (pywb retries the fuzzy key when the whole query comes back
+    empty, so exact rows that all fail ``from_``/``to``/``filters``
+    do not suppress the fuzzy captures): the plan scans BOTH keys in
+    one pushed-down ``IN`` filter, applies the residual filters, and
+    a window keeps fuzzy rows only when no exact row survived — one
+    job, never a second query round-trip, and the post-pushdown
+    volume is the captures of at most two urlkeys.
 
     ``resume_key=(urlkey, timestamp)`` is pywb's ``resumeKey``
     continuation: the request resumes strictly AFTER that row in
@@ -236,20 +265,21 @@ def cdx_query(
     predicate is a sargable range over the leading sort key it still
     prunes ZipNum blocks / parquet row groups instead of skipping
     rows.  The next resume key is simply the last row the client
-    received."""
+    received.  The 2-tuple form is pywb-compatible and, like pywb,
+    drops boundary rows that share the last row's exact (urlkey,
+    timestamp) — pass ``tiebreak="digest"`` (any column unique within
+    a same-second run) and a 3-tuple ``(urlkey, timestamp, tieval)``
+    for gap-free paging over same-second recrawls: the tiebreak column
+    joins the sort order and the continuation predicate.  resume_key
+    assumes the default ascending order; combining it with
+    ``sort_reverse`` or ``closest`` raises."""
     exact, lo, hi = _key_range(url, match_type)
+    fuzzy_pending = False
     if exact is not None:
         fz, _rule = fuzzy_key_py(exact) if fuzzy else (exact, None)
         if fuzzy and fz != exact:
-            from pyspark.sql.window import Window
-
             df = cdx.filter(F.col("urlkey").isin([exact, fz]))
-            has_exact = F.max(
-                F.when(F.col("urlkey") == exact, 1).otherwise(0)
-            ).over(Window.partitionBy())
-            df = df.withColumn("__he", has_exact).filter(
-                (F.col("urlkey") == exact) | (F.col("__he") == 0)
-            ).drop("__he")
+            fuzzy_pending = True
         else:
             df = cdx.filter(F.col("urlkey") == exact)
     else:
@@ -258,10 +288,21 @@ def cdx_query(
         df = df.filter(F.col("urlkey").like(glob_to_like(surt_urlkey_py(url))))
 
     if resume_key is not None:
-        rk, rts = resume_key
+        if sort_reverse or closest is not None:
+            raise ValueError(
+                "resume_key pages the default (urlkey, timestamp) ascending "
+                "order; it cannot combine with sort_reverse or closest"
+            )
+        rk, rts = resume_key[0], resume_key[1]
+        after_ts = F.col("timestamp") > rts
+        if len(resume_key) == 3:
+            if tiebreak is None:
+                raise ValueError("a 3-tuple resume_key requires tiebreak=")
+            after_ts = after_ts | (
+                (F.col("timestamp") == rts) & (F.col(tiebreak) > resume_key[2])
+            )
         df = df.filter(
-            (F.col("urlkey") > rk)
-            | ((F.col("urlkey") == rk) & (F.col("timestamp") > rts))
+            (F.col("urlkey") > rk) | ((F.col("urlkey") == rk) & after_ts)
         )
 
     if from_ is not None:
@@ -270,6 +311,21 @@ def cdx_query(
         df = df.filter(F.col("timestamp") <= to.ljust(14, "9"))
     if filters:
         df = _apply_filters(df, filters)
+
+    if fuzzy_pending:
+        # after the residual filters, so a fully-filtered-out exact
+        # window falls back to the fuzzy captures (pywb's empty-result
+        # -triggered retry), not just a missing exact key
+        from pyspark.sql.window import Window
+
+        has_exact = F.max(
+            F.when(F.col("urlkey") == exact, 1).otherwise(0)
+        ).over(Window.partitionBy())
+        df = (
+            df.withColumn("__he", has_exact)
+            .filter((F.col("urlkey") == exact) | (F.col("__he") == 0))
+            .drop("__he")
+        )
 
     if collapse:
         field, _, width = collapse.partition(":")
@@ -283,32 +339,33 @@ def cdx_query(
             collapse_key=ckey,
         )
 
+    # forward + reversed forms of whichever ordering is active, so
+    # limit=-N reverses the ACTUAL sort (closest included), not a
+    # hardcoded (urlkey, timestamp)
     if closest is not None:
         target = int(closest.ljust(14, "0"))
         dist = F.abs(F.col("timestamp").cast("bigint") - F.lit(target))
-        df = df.orderBy(dist.asc(), F.col("timestamp").asc())
+        fwd = [dist.asc(), F.col("timestamp").asc()]
+        rev = [dist.desc(), F.col("timestamp").desc()]
     elif sort_reverse:
-        df = df.orderBy(F.col("urlkey").asc(), F.col("timestamp").desc())
+        fwd = [F.col("urlkey").asc(), F.col("timestamp").desc()]
+        rev = [F.col("urlkey").desc(), F.col("timestamp").asc()]
     else:
-        df = df.orderBy(F.col("urlkey").asc(), F.col("timestamp").asc())
-
-    if limit is not None:
-        if limit < 0:
-            # pywb limit=-N: the LAST N rows of the sort order.  Take
-            # N under the reversed ordering (TakeOrderedAndProject —
-            # still no full sort), then restore the requested order.
-            # Applied BEFORE the field projection so the sort keys are
-            # still available even when fl= drops them.
-            rev = [
-                F.col("urlkey").desc(),
-                F.col("timestamp").asc() if sort_reverse else F.col("timestamp").desc(),
-            ]
-            fwd = [
-                F.col("urlkey").asc(),
-                F.col("timestamp").desc() if sort_reverse else F.col("timestamp").asc(),
-            ]
-            df = df.orderBy(*rev).limit(-limit).orderBy(*fwd)
-        else:
+        fwd = [F.col("urlkey").asc(), F.col("timestamp").asc()]
+        rev = [F.col("urlkey").desc(), F.col("timestamp").desc()]
+    if tiebreak is not None and closest is None:
+        fwd.append(F.col(tiebreak).desc() if sort_reverse else F.col(tiebreak).asc())
+        rev.append(F.col(tiebreak).asc() if sort_reverse else F.col(tiebreak).desc())
+    if limit is not None and limit < 0:
+        # pywb limit=-N: the LAST N rows of the sort order.  Take N
+        # under the reversed ordering (TakeOrderedAndProject — still
+        # no full sort), then restore the requested order.  Applied
+        # BEFORE the field projection so the sort keys are still
+        # available even when fl= drops them.
+        df = df.orderBy(*rev).limit(-limit).orderBy(*fwd)
+    else:
+        df = df.orderBy(*fwd)
+        if limit is not None:
             df = df.limit(limit)
     if fields:
         df = df.select(*fields)

@@ -220,19 +220,43 @@ def cdx_match_glob(spark, sf_dir):
     )
 
 
+def _fuzzy_match_rules():
+    """The cdx_fuzzy_match rule table: the global default families
+    plus a SURT-prefix-SCOPED rule (pywb's per-domain rules.yaml
+    blocks — here scoped to the src3 subtree so the same ``track=``
+    param strips under src3 and falls through elsewhere) and the
+    strip-entire-query terminal fallback."""
+    from ..operators.cdx_query import (
+        DEFAULT_FUZZY_RULES,
+        REMOVEALL_RULE,
+        FuzzyRule,
+    )
+
+    return DEFAULT_FUZZY_RULES[:3] + (
+        FuzzyRule(
+            "tracker",
+            r"([?&])track=[a-z0-9]+&?",
+            key_prefix="org,example,src3)",
+        ),
+        REMOVEALL_RULE,
+    )
+
+
 def _fuzzy_oracle() -> str:
     """Oracle for cdx_fuzzy_match, generated from the SAME rule table
-    the engine compiles (operators.cdx_query.DEFAULT_FUZZY_RULES) —
-    the data-driven contract: adding a rule changes exactly one tuple
-    and both engines pick it up."""
+    the engine compiles (``_fuzzy_match_rules``) — the data-driven
+    contract: adding a rule changes exactly one tuple and both engines
+    pick it up."""
     from ..operators.cdx_query import sql_fuzzy_rule_exprs
 
-    rule_case, fuzzy_case = sql_fuzzy_rule_exprs("key_exact")
+    rule_case, fuzzy_case = sql_fuzzy_rule_exprs(
+        "key_exact", _fuzzy_match_rules()
+    )
     return CDX_SQL + f"""
     , lookups0 AS (
       SELECT doc_id,
              'org,example,' || source || ')/doc/' || doc_id ||
-               CASE doc_id % 4
+               CASE doc_id % 5
                  WHEN 0 THEN CASE WHEN doc_id % 3 = 0
                       THEN '?_cb=' || doc_id || '&a=1&b=2'
                       ELSE '?_cb=' || doc_id END
@@ -242,6 +266,9 @@ def _fuzzy_oracle() -> str:
                  WHEN 2 THEN CASE WHEN doc_id % 3 = 0
                       THEN '?a=1&b=2&sid=' || doc_id
                       ELSE '?sid=' || doc_id END
+                 WHEN 3 THEN CASE WHEN doc_id % 3 = 0
+                      THEN '?a=1&b=2&track=t' || doc_id
+                      ELSE '?track=t' || doc_id END
                  ELSE CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END
                END AS key_exact
       FROM documents WHERE doc_id < 300
@@ -276,45 +303,51 @@ def _fuzzy_oracle() -> str:
 def cdx_fuzzy_match(spark, sf_dir):
     """Fuzzy matching [B pywb fuzzy-match rules]: when a lookup's
     exact urlkey has no captures, the first applicable rule from a
-    DATA-DRIVEN rule table (``operators.cdx_query.DEFAULT_FUZZY_RULES``
-    — digit cache busters, jsonp ``callback=``, session params in
-    shapes SURT keeps, mirroring pywb's default fuzzy rules file [U])
-    strips the matched params and retries.  Round 5 generalized the
-    single `_cb` regex into the table; this batch exercises THREE
-    distinct rules (doc_id%4 picks the junk-param family) plus a
-    no-rule control group.  Done as a BATCH resolver — the cdx-server
-    does this per request; a replay-QA pipeline does it for millions
-    of lookups at once:
+    DATA-DRIVEN rule table (``_fuzzy_match_rules`` — digit cache
+    busters, jsonp ``callback=``, session params in shapes SURT keeps,
+    a SURT-prefix-SCOPED ``track=`` rule, and the strip-entire-query
+    terminal fallback, mirroring pywb's default fuzzy rules file [U])
+    strips the matched params and retries.  doc_id%5 picks the
+    junk-param family; the %5 classes interleave with the %20 source
+    cycle so the scoped family (r=3) spans src3/src8/src13/src18 —
+    the scoped rule fires ONLY under its src3 prefix, while the same
+    ``track=`` key on the other sources falls through to ``removeall``
+    (a fuzzy hit for bare-key docs, an honest miss for query-key
+    docs).  Done as a BATCH resolver — the cdx-server does this per
+    request; a replay-QA pipeline does it for millions of lookups at
+    once:
 
     * exact and fuzzy keys are derived scan-side (SURT + the rule
       table compiled to ONE first-match-wins CASE chain of regexps,
-      all codegen — adding rules never adds joins);
+      prefix guards included, all codegen — adding rules never adds
+      joins);
     * ONE equi-join: each lookup fans out to its (exact, fuzzy) key
       pair, joins the index once, and a per-lookup window keeps exact
       hits and lets fuzzy rows survive only when the lookup had no
       exact hit (also dedups the no-rule case where the keys are
       equal);
     * SURT's query-param sorting is re-exercised end-to-end: ``_cb``
-      sorts FIRST in the canonical key while ``callback``/``sid`` sort
-      after the base params, so only canonicalization-aware stripping
-      can make these hit.
+      sorts FIRST in the canonical key while ``callback``/``sid``/
+      ``track`` sort after the base params, so only canonicalization-
+      aware stripping can make these hit.
     """
     from ..operators.cdx_query import apply_fuzzy_rules
 
     c = derived_cdx(spark, sf_dir)
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     doc = F.col("doc_id")
-    r = F.pmod(doc, F.lit(4))
+    r = F.pmod(doc, F.lit(5))
     q3 = doc % 3 == 0
     junk = (
         F.when(r == 0, F.concat(F.lit("_cb="), doc.cast("string")))
         .when(r == 1, F.concat(F.lit("callback=jsonp"), doc.cast("string")))
         .when(r == 2, F.concat(F.lit("sid="), doc.cast("string")))
+        .when(r == 3, F.concat(F.lit("track=t"), doc.cast("string")))
     )
     # junk param FIRST, base params unsorted — SURT must both sort and
     # keep the junk for the rule table to strip post-canonicalization
     qs = F.when(
-        r <= 2,
+        r <= 3,
         F.concat(
             F.lit("?"), junk, F.when(q3, F.lit("&b=2&a=1")).otherwise(F.lit(""))
         ),
@@ -332,6 +365,7 @@ def cdx_fuzzy_match(spark, sf_dir):
             "doc_id", surt_urlkey_cached("__url").alias("key_exact")
         ),
         "key_exact",
+        _fuzzy_match_rules(),
     )
     keys = lookups.select(
         "doc_id",
@@ -947,6 +981,229 @@ def cdx_resume_key(spark, sf_dir):
         resume_key=(last.urlkey, last.timestamp),
     ).withColumn("request_no", F.lit(1))
     return out1.unionByName(page2).select("request_no", *fields)
+
+
+@query(
+    "cdx_resume_key_tiebreak",
+    oracle=CDX_SQL + """
+    , dup AS (
+      SELECT urlkey, ts14, digest FROM cdx
+      UNION ALL
+      SELECT urlkey, ts14, digest || 'x' AS digest FROM cdx
+    )
+    SELECT CAST(FLOOR((rn - 1) / 41) AS INT) AS request_no,
+           urlkey, timestamp, digest
+    FROM (
+      SELECT urlkey, ts14 AS timestamp, digest,
+             ROW_NUMBER() OVER (ORDER BY urlkey, ts14, digest) AS rn
+      FROM dup WHERE urlkey LIKE 'org,example,src5)%'
+    ) WHERE rn <= 82
+    """,
+    tier="B",
+)
+def cdx_resume_key_tiebreak(spark, sf_dir):
+    """[B round-6 ADVICE fix: resumeKey over same-second recrawls]
+    Every capture is duplicated at the SAME (urlkey, timestamp) with a
+    distinct digest, and the page size (41) is odd so a page boundary
+    always lands INSIDE a duplicate pair.  The pywb-compatible 2-tuple
+    resume key would silently drop the pair's second row between
+    pages; the 3-tuple ``(urlkey, timestamp, digest)`` form with
+    ``tiebreak="digest"`` joins the tiebreak column to both the sort
+    order and the continuation predicate, so the stitched pages tile
+    the duplicate-heavy result gap-free — which the oracle's single
+    ranked scan hash-verifies.  The continuation predicate stays
+    sargable on the leading (urlkey, timestamp) keys; the digest test
+    only refines the boundary row."""
+    from ..operators.cdx_query import cdx_query
+
+    base = derived_cdx(spark, sf_dir).select(
+        "urlkey", F.col("ts14").alias("timestamp"), "digest"
+    )
+    dup = base.unionByName(
+        base.withColumn("digest", F.concat(F.col("digest"), F.lit("x")))
+    )
+    url, mt, L = "http://src5.example.org/", "domain", 41
+    fields = ["urlkey", "timestamp", "digest"]
+    page1 = cdx_query(
+        dup, url, match_type=mt, fields=fields, limit=L, tiebreak="digest"
+    )
+    rows1 = page1.collect()
+    out1 = spark.createDataFrame(rows1, page1.schema).withColumn(
+        "request_no", F.lit(0)
+    )
+    if len(rows1) < L:
+        return out1.select("request_no", *fields)
+    last = rows1[-1]
+    page2 = cdx_query(
+        dup,
+        url,
+        match_type=mt,
+        fields=fields,
+        limit=L,
+        tiebreak="digest",
+        resume_key=(last.urlkey, last.timestamp, last.digest),
+    ).withColumn("request_no", F.lit(1))
+    return out1.unionByName(page2).select("request_no", *fields)
+
+
+@query(
+    "cdx_fuzzy_filtered_retry",
+    oracle=CDX_SQL + """
+    , aug AS (
+      SELECT urlkey, ts14, status FROM cdx
+      UNION ALL
+      SELECT urlkey || '?_cb=77' AS urlkey, ts14, 404 AS status
+      FROM cdx WHERE urlkey = 'org,example,src1)/doc/101'
+    ), r0 AS (
+      SELECT urlkey, ts14, status,
+             MAX(CASE WHEN urlkey = 'org,example,src1)/doc/101?_cb=77'
+                      THEN 1 ELSE 0 END) OVER () AS he
+      FROM aug
+      WHERE urlkey IN ('org,example,src1)/doc/101?_cb=77',
+                       'org,example,src1)/doc/101')
+        AND status = 200
+    ), r1 AS (
+      SELECT urlkey, ts14, status,
+             MAX(CASE WHEN urlkey = 'org,example,src1)/doc/101?_cb=77'
+                      THEN 1 ELSE 0 END) OVER () AS he
+      FROM aug
+      WHERE urlkey IN ('org,example,src1)/doc/101?_cb=77',
+                       'org,example,src1)/doc/101')
+        AND status = 404
+    )
+    SELECT 0 AS request_no, urlkey, ts14 AS timestamp, status FROM r0
+    WHERE urlkey = 'org,example,src1)/doc/101?_cb=77' OR he = 0
+    UNION ALL
+    SELECT 1 AS request_no, urlkey, ts14 AS timestamp, status FROM r1
+    WHERE urlkey = 'org,example,src1)/doc/101?_cb=77' OR he = 0
+    """,
+    tier="B",
+)
+def cdx_fuzzy_filtered_retry(spark, sf_dir):
+    """[B pywb empty-result-triggered fuzzy retry — round-6 ADVICE
+    fix]: ``fuzzy=True`` must fall back to the rule-stripped key when
+    the exact key's FILTERED window is empty, not only when the exact
+    key has zero captures at all.  Fixture: doc 101's captures are
+    duplicated under a cache-busted key with status=404.  Request 0
+    (``filter=status:200``) finds exact rows but they all fail the
+    filter → the fuzzy (stripped) captures answer.  Request 1
+    (``filter=status:404``) keeps the exact rows → fuzzy suppressed.
+    Both requests run through the composed per-request API
+    (``operators.cdx_query.cdx_query``); the plan is still one
+    pushed-down 2-key IN scan + residual filter + one global window
+    per request."""
+    from ..operators.cdx_query import cdx_query
+
+    base = derived_cdx(spark, sf_dir).select(
+        "urlkey", F.col("ts14").alias("timestamp"), "status"
+    )
+    synth = (
+        base.filter(F.col("urlkey") == "org,example,src1)/doc/101")
+        .withColumn("urlkey", F.concat(F.col("urlkey"), F.lit("?_cb=77")))
+        .withColumn("status", F.lit(404))
+    )
+    aug = base.unionByName(synth)
+    url = "https://src1.example.org/doc/101?_cb=77"
+    fields = ["urlkey", "timestamp", "status"]
+    r0 = cdx_query(
+        aug, url, fuzzy=True, filters=["status:200"], fields=fields
+    ).withColumn("request_no", F.lit(0))
+    r1 = cdx_query(
+        aug, url, fuzzy=True, filters=["status:404"], fields=fields
+    ).withColumn("request_no", F.lit(1))
+    return r0.unionByName(r1).select("request_no", *fields)
+
+
+@query(
+    "cdx_timemap_linkformat",
+    oracle=CDX_SQL + """
+    , sub AS (
+      SELECT urlkey, ts14 FROM cdx
+      WHERE urlkey >= 'org,example,src4' AND urlkey < 'org,example,src4)~'
+    ), ranked AS (
+      SELECT urlkey, ts14,
+             ROW_NUMBER() OVER (PARTITION BY urlkey ORDER BY ts14) AS rn,
+             COUNT(*) OVER (PARTITION BY urlkey) AS n
+      FROM sub
+    ), mementos AS (
+      SELECT urlkey, CAST(rn AS INT) AS line_no,
+             '<https://web.archive.example/web/' || ts14 || 'id_/' || urlkey
+               || '>; rel="'
+               || CASE WHEN rn = 1 AND rn = n THEN 'first last memento'
+                       WHEN rn = 1 THEN 'first memento'
+                       WHEN rn = n THEN 'last memento'
+                       ELSE 'memento' END
+               || '"; datetime="'
+               || strftime(strptime(ts14, '%Y%m%d%H%M%S'),
+                           '%a, %d %b %Y %H:%M:%S GMT')
+               || '"' || CASE WHEN rn = n THEN '' ELSE ',' END AS line
+      FROM ranked
+    )
+    SELECT urlkey, 0 AS line_no,
+           '<' || urlkey || '>; rel="original",' AS line
+    FROM (SELECT DISTINCT urlkey FROM sub)
+    UNION ALL
+    SELECT urlkey, line_no, line FROM mementos
+    """,
+    tier="B",
+)
+def cdx_timemap_linkformat(spark, sf_dir):
+    """Memento TimeMap wire format [B RFC 7089 §5 application/
+    link-format; pywb /timemap/link/ endpoint]: per URI-R, the
+    ``<uri>; rel="..."; datetime="..."`` link-value lines — rel
+    first/last memento markers, RFC-1123 datetimes, comma-continuation
+    on every line except the map's last.  Pure map-side projection
+    (concat + date_format over one ranked window on the urlkey the
+    index is already sorted by); the hash pins the exact line grammar
+    both engines must emit, like ``cdx_output_json`` does for the JSON
+    lines."""
+    from pyspark.sql.window import Window
+
+    c = derived_cdx(spark, sf_dir).filter(
+        (F.col("urlkey") >= "org,example,src4")
+        & (F.col("urlkey") < "org,example,src4)~")
+    )
+    w = Window.partitionBy("urlkey")
+    rn = F.row_number().over(w.orderBy("ts14"))
+    n = F.count(F.lit(1)).over(w)
+    sub = c.select("urlkey", "ts14").withColumn("rn", rn).withColumn("n", n)
+    rel = (
+        F.when((F.col("rn") == 1) & (F.col("rn") == F.col("n")), "first last memento")
+        .when(F.col("rn") == 1, "first memento")
+        .when(F.col("rn") == F.col("n"), "last memento")
+        .otherwise("memento")
+    )
+    http_date = F.date_format(
+        F.to_timestamp("ts14", "yyyyMMddHHmmss"), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+    )
+    mementos = sub.select(
+        "urlkey",
+        F.col("rn").alias("line_no"),
+        F.concat(
+            F.lit("<https://web.archive.example/web/"),
+            F.col("ts14"),
+            F.lit("id_/"),
+            F.col("urlkey"),
+            F.lit('>; rel="'),
+            rel,
+            F.lit('"; datetime="'),
+            http_date,
+            F.lit('"'),
+            F.when(F.col("rn") == F.col("n"), "").otherwise(","),
+        ).alias("line"),
+    )
+    original = (
+        c.select("urlkey")
+        .distinct()
+        .select(
+            "urlkey",
+            F.lit(0).alias("line_no"),
+            F.concat(F.lit("<"), F.col("urlkey"), F.lit('>; rel="original",')).alias(
+                "line"
+            ),
+        )
+    )
+    return original.unionByName(mementos)
 
 
 @query(

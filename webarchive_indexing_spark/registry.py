@@ -50,10 +50,11 @@ def query(name: str, oracle: str | None = None, tier: str = "A"):
 
 #: Queries whose SEMANTICS changed since their last green verdict —
 #: surface them first so the next CORRECTNESS round records the change.
-#: (Round 6: cdx_fuzzy_match's post-rule-table green landed in r5, so
-#: the pin is cleared; the window is pure stalest-first again.  Re-pin
-#: any query whose output changes after its latest green.)
-_VERIFY_EARLY: tuple[str, ...] = ()
+#: (Round 6: cdx_fuzzy_match gained SURT-prefix-scoped rules and the
+#: removeall terminal fallback after its round-5 green — its %5 lookup
+#: classes and rule/fuzzy columns changed, so it needs a fresh driver
+#: verdict.  Clear once the post-change green is recorded.)
+_VERIFY_EARLY: tuple[str, ...] = ("cdx_fuzzy_match",)
 
 
 def _verified_rounds() -> dict[str, int]:

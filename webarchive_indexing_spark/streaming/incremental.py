@@ -119,18 +119,31 @@ def stream_takedowns(
     at the next query, past and future crawls alike; compaction later
     purges them physically.  Exactly-once via checkpointed offsets +
     the ``tombstone:batch:N`` manifest key (idempotent rewrite;
-    post-compaction replays are skipped inside write_tombstone_epoch)."""
+    post-compaction replays are skipped inside write_tombstone_epoch).
+
+    Malformed lines are QUARANTINED, not widened: a NULL timestamp is
+    the whole-URL wildcard tombstone, so a damaged line (no tab, bad
+    ts) must never default there — only lines shaped exactly
+    ``urlkey<TAB>(14-digit ts | *)`` pass; the rest drop at the scan
+    (round-6 ADVICE fix)."""
     from ..sinks.zipnum import write_tombstone_epoch
 
     lines = spark.readStream.format("text").load(input_dir)
-    keys = lines.select(
-        F.split(F.col("value"), "\t").getItem(0).alias("urlkey"),
-        F.when(
-            F.split(F.col("value"), "\t").getItem(1) == "*", F.lit(None)
+    parts = F.split(F.col("value"), "\t")
+    ts_raw = parts.getItem(1)
+    keys = (
+        lines.filter(
+            (F.size(parts) == 2)
+            & (F.length(parts.getItem(0)) > 0)
+            & ((ts_raw == "*") | ts_raw.rlike(r"^[0-9]{14}$"))
         )
-        .otherwise(F.split(F.col("value"), "\t").getItem(1))
-        .cast("string")
-        .alias("timestamp"),
+        .select(
+            parts.getItem(0).alias("urlkey"),
+            F.when(ts_raw == "*", F.lit(None))
+            .otherwise(ts_raw)
+            .cast("string")
+            .alias("timestamp"),
+        )
     )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
