@@ -163,3 +163,75 @@ def test_orc_mirror_roundtrip(spark, sf_dir):
     assert "PushedFilters: [" in plan and "status" in plan.split(
         "PushedFilters: [", 1
     )[1].split("]", 1)[0]
+
+
+def test_cdx_header_grammar():
+    """`` CDX ...`` header parsing: delimiter detection, letter→column
+    mapping, checksum precedence, duplicate handling, rejects."""
+    import pytest
+
+    from webarchive_indexing_spark.sources.cdx import parse_cdx_header
+
+    # classic 11-field
+    assert parse_cdx_header(" CDX N b a m s k r M S V g") == [
+        "urlkey", "timestamp", "url", "mime", "status", "digest",
+        "redirect", "robotflags", "length", "offset", "filename",
+    ]
+    # 9-field with unknown letters positionally dropped
+    assert parse_cdx_header(" CDX A b e a m s c k r V g") == [
+        "urlkey", "timestamp", None, "url", "mime", "status",
+        None,  # old-style checksum 'c' dropped when 'k' present
+        "digest", "redirect", "offset", "filename",
+    ]
+    # no 'k': old-style 'c' becomes the digest
+    assert parse_cdx_header(" CDX N b c g") == [
+        "urlkey", "timestamp", "digest", "filename",
+    ]
+    # first occurrence wins when two letters map to one column
+    assert parse_cdx_header(" CDX N A b") == ["urlkey", None, "timestamp"]
+    # tab-delimited form: first char is the delimiter
+    assert parse_cdx_header("\tCDX\tN\tb\tg") == ["urlkey", "timestamp", "filename"]
+    # bare (no leading delimiter) accepted
+    assert parse_cdx_header("CDX N b") == ["urlkey", "timestamp"]
+    with pytest.raises(ValueError):
+        parse_cdx_header("org,example)/ 20200101000000 - text/html 200")
+    with pytest.raises(ValueError):
+        parse_cdx_header(" CDX Nb multi")
+
+
+def test_read_cdx_auto_dialects(spark):
+    """read_cdx_auto: header-declared 9-field and tab-delimited files
+    load into the canonical schema (missing columns NULL, header lines
+    dropped); headerless files fall back to the classic 11-field parse."""
+    import gzip
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.sources.cdx import read_cdx_auto
+
+    d9 = tempfile.mkdtemp(prefix="cdx9_")
+    with gzip.open(os.path.join(d9, "a.cdx.gz"), "wt") as fh:
+        fh.write(" CDX N b a m s k r V g\n")
+        fh.write("com,ex)/1 20200101000000 http://ex.com/1 text/html 200 DIG1 - 512 f.warc.gz\n")
+        fh.write("com,ex)/2 20200102000000 - text/html 301 DIG2 http://ex.com/3 1024 f.warc.gz\n")
+    rows = {r.urlkey: r for r in read_cdx_auto(spark, d9).collect()}
+    assert len(rows) == 2  # header line dropped
+    r1 = rows["com,ex)/1"]
+    assert (r1.timestamp, r1.url, r1.status, r1.digest) == (
+        "20200101000000", "http://ex.com/1", 200, "DIG1")
+    assert r1.offset == 512 and r1.filename == "f.warc.gz"
+    assert r1.length is None and r1.robotflags is None  # not in dialect
+    assert rows["com,ex)/2"].redirect == "http://ex.com/3"
+
+    dt = tempfile.mkdtemp(prefix="cdxt_")
+    with open(os.path.join(dt, "t.cdx"), "w") as fh:
+        fh.write("\tCDX\tN\tb\ts\tg\n")
+        fh.write("com,ex)/t\t20200103000000\t404\tg.warc.gz\n")
+    rt = read_cdx_auto(spark, dt).collect()
+    assert len(rt) == 1 and rt[0].status == 404 and rt[0].filename == "g.warc.gz"
+
+    dh = tempfile.mkdtemp(prefix="cdxh_")
+    with open(os.path.join(dh, "h.cdx"), "w") as fh:
+        fh.write("com,ex)/h 20200104000000 http://ex.com/h text/html 200 D - - 9 99 h.warc.gz\n")
+    rh = read_cdx_auto(spark, dh).collect()
+    assert len(rh) == 1 and rh[0].length == 9 and rh[0].offset == 99

@@ -427,3 +427,41 @@ def test_incremental_host_stats_maintenance(spark, sf_dir):
         compact_zipnum_epochs(spark, out, shards=2, numlines=200)
         assert materialize_host_stats(spark, out) == 1
         assert as_map(merged_host_stats(spark, out)) == want
+
+
+def test_loc_multi_location_failover(spark, cdx):
+    """pywb multi-location ``cluster.loc`` [U pywb zipnum loc]: the
+    writer emits ``shard<TAB>primary<TAB>replica`` when given
+    ``replica_dirs``; the ranged reader falls back to the first
+    AVAILABLE location, so a missing primary shard file does not fail
+    the read — and single-path loc files still parse identically."""
+    import shutil
+
+    from webarchive_indexing_spark.sinks.zipnum import _fs_for, _read_loc
+
+    d = tempfile.mkdtemp(prefix="zipnum_primary_")
+    rep = tempfile.mkdtemp(prefix="zipnum_replica_")
+    write_zipnum(cdx, d, shards=SHARDS, numlines=NUMLINES, replica_dirs=[rep])
+
+    # loc carries the multi-path form
+    fs, local = _fs_for(d)
+    loc = _read_loc(fs, local)
+    assert all(len(paths) == 2 for paths in loc.values())
+
+    # populate the replica, then break the primary's first shard
+    names = sorted(loc)
+    for s in names:
+        shutil.copy(os.path.join(d, s), os.path.join(rep, s))
+    expected = sorted(
+        map(tuple, read_zipnum(spark, d).select("urlkey", "timestamp").collect())
+    )
+    os.remove(os.path.join(d, names[0]))
+    got = sorted(
+        map(tuple, read_zipnum(spark, d).select("urlkey", "timestamp").collect())
+    )
+    assert got == expected
+
+    # with the replica shard ALSO gone, the read fails loudly
+    os.remove(os.path.join(rep, names[0]))
+    with pytest.raises(Exception):
+        read_zipnum(spark, d).count()

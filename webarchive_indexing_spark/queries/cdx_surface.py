@@ -404,6 +404,56 @@ def cdx_fuzzy_match(spark, sf_dir):
 
 
 @query(
+    "cdx_legacy_9field",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp,
+           CAST(NULL AS VARCHAR) AS url,
+           mime, status, digest,
+           CAST(NULL AS VARCHAR) AS redirect,
+           CAST(NULL AS VARCHAR) AS robotflags,
+           CAST(NULL AS BIGINT) AS length,
+           CAST("offset" AS BIGINT) AS offset,
+           filename
+    FROM cdx
+    WHERE urlkey >= 'org,example,src6' AND urlkey < 'org,example,src6)~'
+    """,
+)
+def cdx_legacy_9field(spark, sf_dir):
+    """S5 legacy CDX dialects [U CDX spec; pywb cdx formats]: real
+    archives carry 9/10-field CDX files whose field order is declared
+    by the `` CDX ...`` header line, not fixed at 11 fields.  Fixture:
+    the src6 subtree serialized as a gzipped 9-field ``CDX N b a m s
+    k r V g`` archive (url/redirect '-', no robotflags/length
+    columns); ``read_cdx_auto`` sniffs the header (one driver-side
+    metadata-sized peek), maps positions dynamically, drops repeated
+    header lines, and loads into the canonical 11-column schema —
+    missing dialect columns come back NULL, which the oracle pins
+    column-by-column.  The scan stays a declarative split-projection
+    with the same try_element_at/try_cast damage tolerance as the
+    classic reader."""
+    import gzip
+    import os
+    import tempfile
+
+    from ..sources.cdx import read_cdx_auto
+
+    c = derived_cdx(spark, sf_dir).filter(
+        (F.col("urlkey") >= "org,example,src6")
+        & (F.col("urlkey") < "org,example,src6)~")
+    )
+    rows = c.select("urlkey", "ts14", "mime", "status", "digest", "offset", "filename").collect()
+    d = tempfile.mkdtemp(prefix="cdx_legacy_")
+    with gzip.open(os.path.join(d, "legacy.cdx.gz"), "wt") as fh:
+        fh.write(" CDX N b a m s k r V g\n")
+        for r in rows:
+            fh.write(
+                f"{r.urlkey} {r.ts14} - {r.mime} {r.status} {r.digest} - "
+                f"{r.offset} {r.filename}\n"
+            )
+    return read_cdx_auto(spark, d)
+
+
+@query(
     "cdxj_roundtrip",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14 AS timestamp, mime, status

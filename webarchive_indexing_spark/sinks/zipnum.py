@@ -131,12 +131,43 @@ def _prepare_dir(out_dir: str):
     return fs, local_dir
 
 
+def _read_loc(fs, local_dir: str) -> dict[str, list[str]]:
+    """Parse ``cluster.loc``: ``shard<TAB>path[<TAB>path2...]`` —
+    pywb's loc format allows MULTIPLE replica locations per shard for
+    failover [U pywb zipnum loc]; single-path files parse to
+    one-element lists so both forms read through the same map."""
+    with fs.open_input_stream(
+        _join(local_dir, "cluster.loc"), compression=None
+    ) as fh:
+        out: dict[str, list[str]] = {}
+        for line in fh.read().decode("utf-8").splitlines():
+            parts = line.split("\t")
+            if len(parts) >= 2:
+                out[parts[0]] = parts[1:]
+        return out
+
+
+def _open_first_available(paths: list[str]):
+    """Open the first reachable replica of a shard (executor-side
+    failover: a missing/unreachable primary falls through to the next
+    location; only when every replica fails does the task error)."""
+    last: Exception | None = None
+    for p in paths:
+        try:
+            bfs, bpath = _fs_for(p)
+            return bfs.open_input_file(bpath)
+        except (OSError, FileNotFoundError) as e:  # includes ArrowIOError
+            last = e
+    raise last if last is not None else FileNotFoundError("empty loc entry")
+
+
 def write_zipnum(
     cdx: DataFrame,
     out_dir: str,
     *,
     shards: int = 8,
     numlines: int = 3000,
+    replica_dirs: list[str] | None = None,
 ) -> DataFrame:
     """Build a ZipNum cluster from a (typed) CDX DataFrame; returns the
     secondary index as a DataFrame and writes ``cluster.idx`` +
@@ -157,7 +188,9 @@ def write_zipnum(
         )
     )
     idx_rdd = lines.rdd.mapPartitionsWithIndex(_write_shard(out_dir, numlines))
-    return _finalize_zipnum(cdx.sparkSession, fs, out_dir, local_dir, idx_rdd)
+    return _finalize_zipnum(
+        cdx.sparkSession, fs, out_dir, local_dir, idx_rdd, replica_dirs
+    )
 
 
 def write_zipnum_ordered(
@@ -166,6 +199,7 @@ def write_zipnum_ordered(
     *,
     shards: int = 8,
     numlines: int = 3000,
+    replica_dirs: list[str] | None = None,
 ) -> DataFrame:
     """``write_zipnum`` with DETERMINISTIC shard bounds: exact global
     ranks (two-pass, operators.global_rank) replace the sampled
@@ -190,10 +224,15 @@ def write_zipnum_ordered(
         .map(lambda kv: (kv[0][1],), preservesPartitioning=True)
     )
     idx_rdd = part.mapPartitionsWithIndex(_write_shard(out_dir, numlines))
-    return _finalize_zipnum(cdx.sparkSession, fs, out_dir, local_dir, idx_rdd)
+    return _finalize_zipnum(
+        cdx.sparkSession, fs, out_dir, local_dir, idx_rdd, replica_dirs
+    )
 
 
-def _finalize_zipnum(spark, fs, out_dir: str, local_dir: str, idx_rdd) -> DataFrame:
+def _finalize_zipnum(
+    spark, fs, out_dir: str, local_dir: str, idx_rdd,
+    replica_dirs: list[str] | None = None,
+) -> DataFrame:
     """Common tail: distributed single-file ``cluster.idx`` write +
     rename, ``cluster.loc`` from the filesystem listing, and the
     read-back index DataFrame."""
@@ -240,9 +279,13 @@ def _finalize_zipnum(spark, fs, out_dir: str, local_dir: str, idx_rdd) -> DataFr
         for i in fs.get_file_info(pafs.FileSelector(local_dir))
         if re.fullmatch(r"cdx-\d{5}\.gz", i.base_name)
     )
+    # multi-path form when replicas are given: shard<TAB>primary[<TAB>replica...]
     with fs.open_output_stream(_join(local_dir, "cluster.loc"), compression=None) as fh:
         for s in shard_names:
-            fh.write(f"{s}\t{_join(out_dir, s)}\n".encode())
+            paths = [_join(out_dir, s)] + [
+                _join(rd, s) for rd in (replica_dirs or [])
+            ]
+            fh.write(("\t".join([s] + paths) + "\n").encode())
 
     return (
         spark.read.schema(IDX_SCHEMA)
@@ -294,11 +337,8 @@ def _read_blocks(spark: SparkSession, out_dir: str, blocks: list[_Block]) -> Dat
             spark.createDataFrame([], T.StructType([T.StructField("value", T.StringType())]))
         )
     fs, local_dir = _fs_for(out_dir)
-    with fs.open_input_stream(_join(local_dir, "cluster.loc"), compression=None) as fh:
-        loc = dict(
-            line.split("\t") for line in fh.read().decode("utf-8").splitlines()
-        )
-    work = [(loc[b.shard], b.offset, b.length) for b in blocks]
+    loc = _read_loc(fs, local_dir)
+    work = [(tuple(loc[b.shard]), b.offset, b.length) for b in blocks]
 
     def read_block(items):
         import gzip
@@ -307,13 +347,13 @@ def _read_blocks(spark: SparkSession, out_dir: str, blocks: list[_Block]) -> Dat
         # key-sorted, so a task usually touches 1-2 shards), positioned
         # read_at instead of seek+read — on S3 each read_at is exactly
         # one ranged GET and the handle carries no cursor state.
-        handles: dict[str, object] = {}
+        # `paths` is the shard's replica list: first-available failover.
+        handles: dict[tuple, object] = {}
         try:
-            for path, off, ln in items:
-                fh = handles.get(path)
+            for paths, off, ln in items:
+                fh = handles.get(paths)
                 if fh is None:
-                    bfs, bpath = _fs_for(path)
-                    fh = handles[path] = bfs.open_input_file(bpath)
+                    fh = handles[paths] = _open_first_available(list(paths))
                 data = fh.read_at(ln, off)
                 for line in gzip.decompress(data).decode("utf-8").splitlines():
                     yield (line,)
@@ -432,15 +472,12 @@ def read_zipnum_pages(
             _parse_with_page(spark.createDataFrame([], empty)), key_lo, key_hi
         )
     fs, local_dir = _fs_for(out_dir)
-    with fs.open_input_stream(_join(local_dir, "cluster.loc"), compression=None) as fh:
-        loc = dict(
-            line.split("\t") for line in fh.read().decode("utf-8").splitlines()
-        )
+    loc = _read_loc(fs, local_dir)
     last_page = (len(blocks) - 1) // page_size
     work = [
         (
             (last_page - i // page_size) if reverse else i // page_size,
-            loc[b.shard],
+            tuple(loc[b.shard]),
             b.offset,
             b.length,
         )
@@ -450,13 +487,12 @@ def read_zipnum_pages(
     def read_block(items):
         import gzip
 
-        handles: dict[str, object] = {}
+        handles: dict[tuple, object] = {}
         try:
-            for page, path, off, ln in items:
-                fh = handles.get(path)
+            for page, paths, off, ln in items:
+                fh = handles.get(paths)
                 if fh is None:
-                    bfs, bpath = _fs_for(path)
-                    fh = handles[path] = bfs.open_input_file(bpath)
+                    fh = handles[paths] = _open_first_available(list(paths))
                 data = fh.read_at(ln, off)
                 for line in gzip.decompress(data).decode("utf-8").splitlines():
                     yield (page, line)

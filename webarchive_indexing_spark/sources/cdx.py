@@ -75,6 +75,106 @@ def read_cdx_gz(spark: SparkSession, path: str) -> DataFrame:
     return parse_cdx_lines(spark.read.text(path))
 
 
+#: CDX header letter → typed column (the IA CDX legend subset this
+#: schema types; pywb reads the same letters [U pywb cdx formats]).
+#: Letters outside the map (e=IP, v=uncompressed offset, n=doc length,
+#: h/p/o url parts, ...) parse positionally and are dropped.
+CDX_LETTER_COLUMNS = {
+    "N": "urlkey",  # massaged url
+    "A": "urlkey",  # canonized url (older writers)
+    "b": "timestamp",
+    "a": "url",
+    "m": "mime",
+    "s": "status",
+    "k": "digest",  # new-style checksum
+    "c": "digest",  # old-style checksum (only when no 'k' column)
+    "r": "redirect",
+    "M": "robotflags",  # meta tags (AIF)
+    "S": "length",  # compressed record size
+    "V": "offset",  # compressed arc file offset
+    "g": "filename",
+}
+
+
+def parse_cdx_header(header: str) -> list[str | None]:
+    """`` CDX A b e a m s c k r V g``-style header line → per-position
+    column names (``None`` = positionally parsed but dropped).
+
+    Grammar [U CDX file format spec; pywb cdxobject]: the line's FIRST
+    character is the field delimiter, followed by the literal ``CDX``
+    and the delimiter-separated field letters; bare ``CDX ...`` (no
+    leading delimiter) is accepted too.  When both old- and new-style
+    checksum columns are present (``c`` and ``k``), ``k`` wins and the
+    ``c`` position is dropped."""
+    if header.startswith("CDX"):
+        delim, body = " ", header[3:]
+    elif len(header) > 4 and header[1:4] == "CDX" and header[0] == header[4]:
+        delim, body = header[0], header[4:]
+    else:
+        raise ValueError(f"not a CDX header line: {header!r}")
+    letters = [x for x in body.split(delim) if x]
+    if not letters or any(len(x) != 1 for x in letters):
+        raise ValueError(f"malformed CDX header fields: {header!r}")
+    cols: list[str | None] = []
+    seen: set[str] = set()
+    for ch in letters:
+        name = CDX_LETTER_COLUMNS.get(ch)
+        if ch == "c" and "k" in letters:
+            name = None  # new-style checksum outranks old-style
+        if name in seen:
+            name = None  # first occurrence wins (e.g. N before A)
+        cols.append(name)
+        if name is not None:
+            seen.add(name)
+    return cols
+
+
+def parse_cdx_lines_positional(
+    lines: DataFrame, positions: list[str | None], column: str = "value",
+    delim: str = " ",
+) -> DataFrame:
+    """Text lines → typed CDX DataFrame under an EXPLICIT field order
+    (from ``parse_cdx_header``).  Columns absent from the dialect come
+    back NULL, so every 9/10/11-field archive loads into the one
+    canonical schema.  Same damage tolerance as ``parse_cdx_lines``
+    (``try_element_at`` + ``try_cast``), same all-JVM projection."""
+    # \Q...\E-quote the delimiter — split() takes a Java regex
+    parts = F.split(F.col(column), "\\Q" + delim + "\\E")
+    types = dict(CDX_FIELDS)
+    by_name = {name: i for i, name in enumerate(positions) if name is not None}
+    cols = []
+    for name, dtype in CDX_FIELDS:
+        if name in by_name:
+            c = F.try_element_at(parts, F.lit(by_name[name] + 1))
+            c = F.when(c == "-", F.lit(None)).otherwise(c).try_cast(dtype)
+        else:
+            c = F.lit(None).cast(types[name])
+        cols.append(c.alias(name))
+    return lines.select(*cols)
+
+
+def read_cdx_auto(spark: SparkSession, path: str) -> DataFrame:
+    """S5 dialect-sniffing CDX scan: peeks the first line — a
+    `` CDX ...`` header maps field positions dynamically (9/10/11-field
+    legacy archives all load); no header falls back to the classic
+    11-field order.  The sniff is ONE driver-side ``head`` over the
+    pruned first partition (metadata-sized at any corpus size); the
+    scan itself stays a declarative split-projection, and header lines
+    (each file of a legacy archive repeats the header) are dropped by
+    an exact-match filter."""
+    lines = spark.read.text(path)
+    first = lines.head(1)
+    header = first[0].value if first else ""
+    try:
+        positions = parse_cdx_header(header)
+    except ValueError:
+        return parse_cdx_lines(lines)
+    delim = " " if header.startswith("CDX") else header[0]
+    return parse_cdx_lines_positional(
+        lines.filter(F.col("value") != header), positions, delim=delim
+    )
+
+
 def parse_cdxj_lines(lines: DataFrame, column: str = "value") -> DataFrame:
     """CDXJ scan: ``urlkey SP timestamp SP {json}`` → urlkey, timestamp,
     and the JSON tail as a map column (dynamic keys)."""
