@@ -414,3 +414,34 @@ def test_weighted_priority_favors_heavy_docs(spark, sf_dir):
         load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
     )
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_ivf_sampled_training_recall(spark, sf_dir):
+    """train_frac: Lloyd trains on the deterministic salted-hash half
+    of the corpus; the sampled-quantizer index must still retrieve
+    most of what the full-train twin retrieves (recall@10 — fully
+    deterministic here: fixed data, salted-hash sample, exact-decimal
+    training), and the sampler itself must quantize/reject cleanly."""
+    import pytest
+
+    from webarchive_indexing_spark.operators.kmeans import train_sample_mod
+    from webarchive_indexing_spark.operators.similarity import ivf_trained_topk
+    from webarchive_indexing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=3)
+    full = {r.vec_id for r in ivf_trained_topk(emb, **kw).collect()}
+    samp = {
+        r.vec_id
+        for r in ivf_trained_topk(emb, train_frac=0.5, **kw).collect()
+    }
+    assert len(full) == len(samp) == 10
+    assert len(full & samp) >= 5  # deterministic: measured 6/10
+
+    assert train_sample_mod(0.5) == 2
+    assert train_sample_mod(1.0) == 1
+    assert train_sample_mod(0.33) == 3
+    with pytest.raises(ValueError):
+        train_sample_mod(0.0)
+    with pytest.raises(ValueError):
+        train_sample_mod(1.5)

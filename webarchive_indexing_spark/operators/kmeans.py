@@ -56,6 +56,15 @@ def _nearest(vec_name: str, cents: dict[int, list[float]]) -> Column:
     return nearest_sqdist6_expr(vec_name, cents, id_field="cid")
 
 
+def train_sample_mod(train_frac: float) -> int:
+    """Quantize a training fraction to the hash modulus the sampler
+    actually applies (keep rows where ``hash % mod == 0`` — i.e. the
+    fraction is quantized to ``1/round(1/frac)``)."""
+    if not 0 < train_frac <= 1:
+        raise ValueError(f"train_frac must be in (0, 1]: {train_frac}")
+    return max(1, round(1.0 / train_frac))
+
+
 def lloyd_train(
     embeddings: DataFrame,
     k: int = 8,
@@ -64,6 +73,7 @@ def lloyd_train(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_frac: float | None = None,
 ) -> dict[int, list[float]]:
     """Run ``iters - 1`` Lloyd update steps and return the trained
     centroid model artifact (the centroids the ``iters``-th assignment
@@ -74,13 +84,28 @@ def lloyd_train(
     swaps in k-means‖ sampling — the per-iteration plan shape is
     identical).  Driver math is limited to ``float(decimal_sum) / n``
     — correctly-rounded IEEE ops a fully-relational engine reproduces
-    bit-for-bit, so the returned floats are oracle-reconstructible."""
+    bit-for-bit, so the returned floats are oracle-reconstructible.
+
+    ``train_frac`` is the 100 TB knob: Lloyd scans the training set
+    once per update round, and quantizer quality needs a sample, not
+    the corpus (FAISS trains IVF/PQ on ~1e5-1e6 vectors regardless of
+    corpus size).  The sample is the deterministic salted-hash filter
+    (``token_hash('ktrain_' || id) % round(1/frac) == 0`` — idempotent
+    under retry/speculation, scan-side, no shuffle, reconstructible
+    relationally via ``train_mod=``); seeding still reads ids
+    ``0..k-1`` from the full corpus, so the seed contract is unchanged
+    on any sample."""
+    from ..functions.text import token_hash
     from .similarity import collect_seed_vectors
 
     spark = embeddings.sparkSession
     cents: dict[int, list[float]] = collect_seed_vectors(
         embeddings, k, id_col=id_col, vec_col=vec_col
     )
+    if train_frac is not None and train_frac < 1.0:
+        mod = train_sample_mod(train_frac)
+        h = token_hash(F.concat(F.lit("ktrain_"), F.col(id_col).cast("string")))
+        embeddings = embeddings.filter(h % mod == 0)
 
     # every projection below is string-built and handed to the JVM in
     # ONE selectExpr / spark.sql call: Column-by-Column construction
@@ -148,6 +173,7 @@ def sql_lloyd_centroid_ctes(
     *,
     prefix: str = "",
     vec_sql=None,
+    train_mod: int | None = None,
 ) -> tuple[list[str], str]:
     """The relational twin of ``lloyd_train``: a list of CTE strings
     deriving the trained centroids, plus the name of the final
@@ -159,10 +185,23 @@ def sql_lloyd_centroid_ctes(
     (default the full ``embedding`` list; the per-subspace PQ trainer
     passes a 1-based-inclusive slice like ``a.embedding[17:32]``);
     ``prefix`` namespaces the CTEs so several chains (coarse cells +
-    one per subspace) compose in ONE statement."""
+    one per subspace) compose in ONE statement.
+
+    ``train_mod`` reconstructs the sampled training path
+    (``lloyd_train(train_frac=...)``): every assignment scan keeps only
+    rows with ``token_hash('ktrain_' || vec_id) % train_mod == 0`` —
+    the identical salted-hash verdict, so sampled-trained centroids
+    stay bit-reconstructible."""
+    from ..functions.text import sql_token_hash
+
     if vec_sql is None:
         def vec_sql(alias: str) -> str:
             return f"{alias}.embedding"
+
+    train_where = ""
+    if train_mod is not None and train_mod > 1:
+        h = sql_token_hash("'ktrain_' || CAST(e.vec_id AS VARCHAR)")
+        train_where = f" WHERE {h} % {train_mod} = 0"
 
     d_from_vecs = sql_sqdist6(vec_sql("e"), "c.cvec", 0, dim)
 
@@ -182,7 +221,7 @@ def sql_lloyd_centroid_ctes(
         SELECT e.vec_id, {vec_sql('e')} AS embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {d_from_vecs} ASC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN {prev} c
+        FROM (SELECT * FROM embeddings e{train_where}) e CROSS JOIN {prev} c
       ) WHERE rn = 1
     )"""
         )

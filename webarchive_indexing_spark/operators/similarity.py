@@ -510,11 +510,15 @@ def ivf_trained_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_frac: float | None = None,
 ) -> DataFrame:
     """The production IVF shape: train the coarse quantizer with Lloyd
     k-means (``operators.kmeans.lloyd_train`` — ``train_iters - 1``
     update rounds, centroid-sized exchanges only), then build + probe
-    the inverted file with the TRAINED centroids.
+    the inverted file with the TRAINED centroids.  ``train_frac``
+    trains on the deterministic salted-hash sample instead of the full
+    corpus — the knob that keeps per-round training scans bounded at
+    100 TB (the index build/probe still covers every vector).
 
     This is the round-5 composition closing the 'stand-in centroids'
     gap: at 100 TB centroid quality is the recall knob, and this runs
@@ -529,7 +533,7 @@ def ivf_trained_topk(
 
     cents = lloyd_train(
         embeddings, k=n_cents, iters=train_iters, dim=dim,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, train_frac=train_frac,
     )
     return ivf_probe_topk(
         embeddings,
@@ -626,14 +630,18 @@ def sql_ivf_trained_topk(
     nprobe: int = 2,
     train_iters: int = 2,
     dim: int = 64,
+    train_mod: int | None = None,
 ) -> str:
     """DuckDB twin of ``ivf_trained_topk``: the Lloyd centroid CTE
     chain (``sql_lloyd_centroid_ctes`` — exact-decimal update sums, so
     the relational centroids equal the Spark driver's floats bit for
-    bit) feeding the same relational IVF probe body."""
+    bit) feeding the same relational IVF probe body.  ``train_mod``
+    reconstructs the sampled-training variant (``train_frac=1/mod``)."""
     from .kmeans import sql_lloyd_centroid_ctes
 
-    parts, prev = sql_lloyd_centroid_ctes(n_cents, train_iters, dim)
+    parts, prev = sql_lloyd_centroid_ctes(
+        n_cents, train_iters, dim, train_mod=train_mod
+    )
     return _sql_ivf_probe(parts, prev, query_vec_id, k, nprobe, dim)
 
 

@@ -840,6 +840,40 @@ def emb_ivf_trained_topk(spark, sf_dir):
 
 
 @query(
+    "emb_ivf_sampled_topk",
+    oracle=sql_ivf_trained_topk(
+        query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=3,
+        train_mod=2,
+    ),
+    tier="C",
+)
+def emb_ivf_sampled_topk(spark, sf_dir):
+    """L3 SAMPLED-training IVF (round 6 — the 100 TB training story):
+    identical to ``emb_ivf_trained_topk`` but Lloyd trains on the
+    deterministic salted-hash HALF of the corpus
+    (``train_frac=0.5`` → ``token_hash('ktrain_'||vec_id) % 2 == 0``)
+    over three rounds, while the index build + probe still cover every
+    vector.  This is how production quantizers train — FAISS fits
+    IVF/PQ on a bounded sample regardless of corpus size — so each
+    Lloyd round's scan cost is capped by the sample, not the corpus.
+    The sampler is a scan-side filter (no shuffle, idempotent under
+    retry), and the oracle reconstructs the SAMPLED training
+    relationally (``train_mod=2`` in the Lloyd CTE chain), so the
+    hash match proves sampled centroids, cell assignment, and probe
+    ranking end-to-end; a recall-vs-full-train property lives in
+    tests/test_scale.py."""
+    return ivf_trained_topk(
+        t(spark, sf_dir, "embeddings"),
+        query_vec_id=123,
+        k=10,
+        n_cents=8,
+        nprobe=3,
+        train_iters=3,
+        train_frac=0.5,
+    )
+
+
+@query(
     "emb_ivfadc_trained_topk",
     oracle=sql_ivfadc_trained_topk(
         query_vec_id=55, k=10, n_cells=8, nprobe=3, n_sub=4, k_codes=8,
