@@ -445,3 +445,49 @@ def test_ivf_sampled_training_recall(spark, sf_dir):
         train_sample_mod(0.0)
     with pytest.raises(ValueError):
         train_sample_mod(1.5)
+
+
+def test_banded_rewrites_equal_naive_joins(spark, sf_dir):
+    """The banded range-join rewrites are semantics-preserving: the
+    engine's banded plans equal the naive unbanded joins row-for-row
+    at sf0.001 (this pin moved out of the DuckDB oracles in round 6 so
+    the oracle twins stay bounded on perturbed replica scales)."""
+    from webarchive_indexing_spark.queries.relational import (
+        join_range_banded,
+        join_theta_range,
+    )
+    from webarchive_indexing_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+
+    naive_theta = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & ((F.col("b.us") - F.col("a.us")).between(0, 60_000_000)),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    assert sorted(map(tuple, join_theta_range(spark, sf_dir).collect())) == sorted(
+        map(tuple, naive_theta.collect())
+    )
+
+    naive_range = (
+        a.join(
+            b,
+            (F.col("a.event_id") != F.col("b.event_id"))
+            & ((F.col("b.us") - F.col("a.us")).between(0, 5_000_000)),
+        )
+        .groupBy(
+            F.floor(F.col("a.us") / 3_600_000_000).cast("bigint").alias("hour_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    assert sorted(map(tuple, join_range_banded(spark, sf_dir).collect())) == sorted(
+        map(tuple, naive_range.collect())
+    )

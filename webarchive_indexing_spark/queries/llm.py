@@ -1139,7 +1139,8 @@ def text_winnowing_fingerprints(spark, sf_dir):
       FROM hs
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM fps a JOIN fps b ON a.fp = b.fp
+    WHERE a.doc_id < b.doc_id
     GROUP BY a_id, b_id HAVING COUNT(*) >= 2
     """),
     tier="C",
