@@ -92,6 +92,12 @@ HEADLINE = [
     "cdx_resume_key",
     "pretrain_corpus_verdicts",
     "q5_local_supplier_volume",
+    # round 6
+    "cdx_legacy_9field",
+    "emb_ivf_sampled_topk",
+    "cdx_resume_key_tiebreak",
+    "cdx_timemap_linkformat",
+    "cdx_fuzzy_filtered_retry",
 ]
 
 

@@ -634,3 +634,48 @@ def test_index_warcs_streaming_path_equivalence(spark, warc_dir):
     )
     assert stream_rows == memory_rows
     assert len(stream_rows) == 4
+
+
+def test_wat_page_metadata_surface(spark, tmp_path):
+    """WAT beyond outlinks: Head.Title / Metas description / response
+    Server + Content-Type headers / link count per record, NULL-safe
+    on partial envelopes, SURT-keyed for CDX joins."""
+    from webarchive_indexing_spark.sources.warc import (
+        build_wat_record,
+        parse_wat_meta,
+        wat_page_meta,
+    )
+
+    wat = (
+        build_wat_record(
+            "http://a.example/page",
+            "2021-01-02T03:04:05Z",
+            ["http://b.example/x", "http://c.example/y"],
+            title="A page",
+            server="nginx/1.18",
+            content_type="text/html; charset=utf-8",
+            metas=[("keywords", "k1,k2"), ("Description", "hello world")],
+        )
+        + build_wat_record(
+            # partial envelope: no Head, no Headers, no links
+            "http://bare.example/", "2021-01-02T03:04:06Z", []
+        )
+    )
+    rows = list(parse_wat_meta("f.warc.wat.gz", wat))
+    assert len(rows) == 2
+    full = next(r for r in rows if r[0] == "http://a.example/page")
+    assert full == (
+        "http://a.example/page", "20210102030405", "A page", "hello world",
+        "nginx/1.18", "text/html; charset=utf-8", 2,
+    )
+    bare = next(r for r in rows if r[0] == "http://bare.example/")
+    assert bare[2:] == (None, None, None, None, 0)
+
+    p = tmp_path / "m.warc.wat.gz"
+    p.write_bytes(wat)
+    manifest = spark.createDataFrame([(str(p),)], ["path"])
+    df = wat_page_meta(spark, manifest)
+    got = {r.urlkey: r for r in df.collect()}
+    assert got["example,a)/page"].title == "A page"
+    assert got["example,a)/page"].server == "nginx/1.18"
+    assert got["example,bare)/"].n_links == 0

@@ -141,6 +141,11 @@ def update_index(
     m = _manifest_df(spark, manifest)
     if indexed is not None:
         m = skip_existing(m, indexed)
+    # driver-side collect is BOUNDED by construction: manifest rows are
+    # file paths, not captures — one Common Crawl crawl is ~10^5 WARC
+    # paths (≈ MBs); the sort exists only so the replay-idempotency key
+    # below is independent of task/scan order.  A manifest too large to
+    # collect would mean >>10^8 WARC files per batch — split the batch.
     paths = sorted(r["path"] for r in m.select("path").collect())
     if not paths:
         return None

@@ -637,24 +637,45 @@ def skip_existing(manifest: DataFrame, existing: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def build_wat_record(url: str, date_iso: str, links: list[str]) -> bytes:
+def build_wat_record(
+    url: str,
+    date_iso: str,
+    links: list[str],
+    *,
+    title: str | None = None,
+    server: str | None = None,
+    content_type: str | None = None,
+    metas: list[tuple[str, str]] | None = None,
+) -> bytes:
     """Fixture writer: one WAT ``metadata`` record whose JSON envelope
-    carries ``links`` in the Common Crawl WAT layout
+    carries ``links`` — and optionally the page-metadata fields WAT
+    consumers read beyond outlinks (``Head.Title``, ``Head.Metas``,
+    response ``Headers``) — in the Common Crawl WAT layout
     (Envelope → Payload-Metadata → HTTP-Response-Metadata →
-    HTML-Metadata → Links[].url)."""
+    HTML-Metadata → Links[].url / Head.*; → Headers.*)."""
     import gzip
     import json
 
+    html_meta: dict = {"Links": [{"path": "A@/href", "url": u} for u in links]}
+    head: dict = {}
+    if title is not None:
+        head["Title"] = title
+    if metas:
+        head["Metas"] = [{"name": n, "content": c} for n, c in metas]
+    if head:
+        html_meta["Head"] = head
+    resp_meta: dict = {"HTML-Metadata": html_meta}
+    headers: dict = {}
+    if server is not None:
+        headers["Server"] = server
+    if content_type is not None:
+        headers["Content-Type"] = content_type
+    if headers:
+        resp_meta["Headers"] = headers
     env = {
         "Envelope": {
             "WARC-Header-Metadata": {"WARC-Target-URI": url},
-            "Payload-Metadata": {
-                "HTTP-Response-Metadata": {
-                    "HTML-Metadata": {
-                        "Links": [{"path": "A@/href", "url": u} for u in links]
-                    }
-                }
-            },
+            "Payload-Metadata": {"HTTP-Response-Metadata": resp_meta},
         }
     }
     body = json.dumps(env, sort_keys=True).encode()
@@ -705,6 +726,101 @@ def parse_wat_links(filename: str, data: bytes):
                 url = link.get("url") if isinstance(link, dict) else None
                 if url:
                     yield (src, ts14, url)
+
+
+def parse_wat_meta(filename: str, data: bytes):
+    """Yield ``(url, ts14, title, description, server, content_type,
+    n_links)`` per WAT metadata record — the page-metadata surface WAT
+    consumers read beyond outlinks (titles for text-metadata queries,
+    ``Server``/``Content-Type`` response headers for host technology
+    reports, meta descriptions for snippet corpora).  Same damage
+    tolerance as ``parse_wat_links``: a record missing any field
+    yields NULLs for it, an unparseable envelope costs its own record
+    only."""
+    import json
+
+    for _, _, member in iter_warc_members(data):
+        records = list(split_warc_records(member)) or [(0, len(member), member)]
+        for _, _, record in records:
+            head_end = record.find(CRLF + CRLF)
+            if head_end < 0 or not record.startswith(b"WARC/"):
+                continue
+            wheaders = _parse_headers(record[:head_end])
+            if wheaders.get("warc-type", "") != "metadata":
+                continue
+            url = wheaders.get("warc-target-uri", "")
+            ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
+            body = record[head_end + 4 :].rstrip(b"\r\n")
+            try:
+                env = json.loads(body)
+            except ValueError:
+                continue
+            resp = (
+                env.get("Envelope", {})
+                .get("Payload-Metadata", {})
+                .get("HTTP-Response-Metadata", {})
+            )
+            if not isinstance(resp, dict):
+                continue
+            html = resp.get("HTML-Metadata", {})
+            html = html if isinstance(html, dict) else {}
+            head = html.get("Head", {})
+            head = head if isinstance(head, dict) else {}
+            title = head.get("Title")
+            desc = None
+            for m in head.get("Metas", []) or []:
+                if isinstance(m, dict) and m.get("name", "").lower() == "description":
+                    desc = m.get("content")
+                    break
+            headers = resp.get("Headers", {})
+            headers = headers if isinstance(headers, dict) else {}
+            links = html.get("Links", [])
+            yield (
+                url,
+                ts14,
+                title if isinstance(title, str) else None,
+                desc if isinstance(desc, str) else None,
+                headers.get("Server"),
+                headers.get("Content-Type"),
+                len(links) if isinstance(links, list) else 0,
+            )
+
+
+def wat_page_meta(
+    spark: SparkSession,
+    manifest: DataFrame,
+    *,
+    files_per_task: int = 2,
+) -> DataFrame:
+    """Manifest of WAT paths → typed page-metadata DataFrame ``(url,
+    ts14, title, description, server, content_type, n_links, urlkey)``
+    with the SURT key derived scan-side — joinable against the CDX
+    index on its native key.  Same task-granularity shape as
+    ``index_warcs``/``wat_link_edges``."""
+    n_files = manifest.count()
+    n_parts = max(1, n_files // files_per_task)
+
+    def parse(rows):
+        from ..sinks.zipnum import _fs_for
+
+        for row in rows:
+            path = row[0]
+            fs, local = _fs_for(path)
+            with fs.open_input_file(local) as fh:
+                data = fh.read()
+            yield from parse_wat_meta(path, data)
+
+    rdd = manifest.select("path").repartition(n_parts).rdd.mapPartitions(parse)
+    meta = spark.createDataFrame(
+        rdd,
+        "url string, ts14 string, title string, description string, "
+        "server string, content_type string, n_links int",
+    )
+    from ..functions.surt import surt_urlkey_cached
+
+    return meta.withColumn("__url", F.col("url")).withColumn(
+        "urlkey", surt_urlkey_cached("__url")
+    ).drop("__url")
 
 
 def wat_link_edges(
