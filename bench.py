@@ -98,6 +98,7 @@ HEADLINE = [
     "cdx_resume_key_tiebreak",
     "cdx_timemap_linkformat",
     "cdx_fuzzy_filtered_retry",
+    "cdx_show_paged_index",
 ]
 
 

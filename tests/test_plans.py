@@ -257,3 +257,24 @@ def test_partitioned_mirror_prunes_files(spark, sf_dir):
     assert files_read < n_files, (
         f"prefix filter read all {n_files} files — no pruning"
     )
+
+
+def test_fuzzy_filtered_retry_prunes_documents_scan(spark, sf_dir):
+    """cdx_fuzzy_filtered_retry derives its fixture through
+    derived_cdx(doc_pred=...): the subtree predicate must reach the
+    DOCUMENTS parquet scan as a pushed filter (a urlkey filter could
+    not push below the SURT projection — the doc_id form exists
+    precisely so the scan prunes)."""
+    plan = _plan(spark, sf_dir, "cdx_fuzzy_filtered_retry")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "doc_id" in pushed, pushed
+
+
+def test_paged_index_reads_no_shard_bytes(spark, sf_dir):
+    """showPagedIndex answers from cluster.idx alone: the plan is a
+    local-relation scan of the pruned block list — no ranged shard
+    reads, no RDD parse stage (contrast cdx_page_blocks, whose plan
+    contains the block-read scan)."""
+    plan = _plan(spark, sf_dir, "cdx_show_paged_index")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan

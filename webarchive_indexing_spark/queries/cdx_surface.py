@@ -48,9 +48,17 @@ WITH cdx AS (
 """
 
 
-def derived_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of CDX_SQL — but via real URL strings + native SURT."""
+def derived_cdx(spark: SparkSession, sf_dir: str, doc_pred=None) -> DataFrame:
+    """Spark twin of CDX_SQL — but via real URL strings + native SURT.
+
+    ``doc_pred`` (a Column predicate over the documents table) lets a
+    query prune the derivation at the PARQUET SCAN — a urlkey filter
+    on the derived frame cannot push below the SURT projection, but a
+    doc_id/source predicate can, so single-subtree fixtures skip the
+    canonicalization work for the rest of the corpus."""
     d = t(spark, sf_dir, "documents")
+    if doc_pred is not None:
+        d = d.filter(doc_pred)
     doc = F.col("doc_id")
     k = F.col("k")
     exploded = d.withColumn(
@@ -984,6 +992,75 @@ def cdx_page_reverse(spark, sf_dir):
 
 
 @query(
+    "cdx_show_paged_index",
+    oracle=CDX_SQL + f"""
+    , lines AS (
+      SELECT {_ZIPNUM_LINE_SQL} AS value FROM cdx
+    ), ranked AS (
+      SELECT value, NTILE(8) OVER (ORDER BY value) AS shard_no FROM lines
+    ), assigned AS (
+      SELECT value, shard_no,
+             CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY shard_no ORDER BY value)
+                         - 1) / 20) AS BIGINT) AS blk
+      FROM ranked
+    ), blocks AS (
+      SELECT shard_no, blk, MIN(value) AS first_line
+      FROM assigned GROUP BY shard_no, blk
+    ), ordered AS (
+      SELECT shard_no, blk,
+             string_split(first_line, ' ')[1] AS fk,
+             string_split(first_line, ' ')[2] AS fts,
+             LEAD(string_split(first_line, ' ')[1])
+               OVER (ORDER BY string_split(first_line, ' ')[1],
+                              string_split(first_line, ' ')[2],
+                              shard_no, blk) AS nk,
+             ROW_NUMBER()
+               OVER (ORDER BY string_split(first_line, ' ')[1],
+                              string_split(first_line, ' ')[2],
+                              shard_no, blk) AS bo
+      FROM blocks
+    ), kept AS (
+      SELECT shard_no, fk, fts,
+             ROW_NUMBER() OVER (ORDER BY bo) AS krn
+      FROM ordered
+      WHERE fk < 'org,example,src2~'
+        AND (nk IS NULL OR nk >= 'org,example,src2')
+    )
+    SELECT CAST(FLOOR((krn - 1) / 2) AS INT) AS page,
+           fk AS urlkey, fts AS timestamp,
+           'cdx-' || lpad(CAST(shard_no - 1 AS VARCHAR), 5, '0') || '.gz' AS shard
+    FROM kept
+    """,
+    tier="B",
+)
+def cdx_show_paged_index(spark, sf_dir):
+    """[B pywb ``showPagedIndex=true``]: paged queries can return the
+    secondary-index lines themselves instead of decompressed CDX —
+    the cc-index bulk-export handshake (clients take the idx page,
+    then issue their own ranged block fetches).  The engine answers
+    from the range-pruned ``cluster.idx`` alone — ZERO shard bytes
+    read, result metadata-sized (one row per block) — while the
+    oracle recomputes every block's first key/timestamp and shard
+    assignment from the NTILE tiling, so the hash pins the page
+    numbering, the block boundary keys, and the shard naming of the
+    export surface (byte offsets stay writer-local, as in
+    ``zipnum_shard_plan``)."""
+    import tempfile
+
+    from ..sinks.zipnum import read_zipnum_paged_index, write_zipnum_ordered
+
+    out = tempfile.mkdtemp(prefix="zipnum_pidx_")
+    write_zipnum_ordered(_zipnum_input(spark, sf_dir), out, shards=8, numlines=20)
+    return read_zipnum_paged_index(
+        spark,
+        out,
+        key_lo="org,example,src2",
+        key_hi="org,example,src2~",
+        page_size=2,
+    ).select("page", "urlkey", "timestamp", "shard")
+
+
+@query(
     "cdx_resume_key",
     oracle=CDX_SQL + """
     SELECT CAST(FLOOR((rn - 1) / 40) AS INT) AS request_no,
@@ -1101,6 +1178,7 @@ def cdx_resume_key_tiebreak(spark, sf_dir):
     oracle=CDX_SQL + """
     , aug AS (
       SELECT urlkey, ts14, status FROM cdx
+      WHERE urlkey LIKE 'org,example,src1)%'
       UNION ALL
       SELECT urlkey || '?_cb=77' AS urlkey, ts14, 404 AS status
       FROM cdx WHERE urlkey = 'org,example,src1)/doc/101'
@@ -1141,12 +1219,15 @@ def cdx_fuzzy_filtered_retry(spark, sf_dir):
     Both requests run through the composed per-request API
     (``operators.cdx_query.cdx_query``); the plan is still one
     pushed-down 2-key IN scan + residual filter + one global window
-    per request."""
+    per request.  The fixture derivation is pruned to the src1 subtree
+    AT THE DOCUMENTS SCAN (``doc_pred`` — a urlkey filter could not
+    push below the SURT projection) since both requests only touch
+    src1 keys."""
     from ..operators.cdx_query import cdx_query
 
-    base = derived_cdx(spark, sf_dir).select(
-        "urlkey", F.col("ts14").alias("timestamp"), "status"
-    )
+    base = derived_cdx(
+        spark, sf_dir, doc_pred=F.pmod(F.col("doc_id"), F.lit(20)) == 1
+    ).select("urlkey", F.col("ts14").alias("timestamp"), "status")
     synth = (
         base.filter(F.col("urlkey") == "org,example,src1)/doc/101")
         .withColumn("urlkey", F.concat(F.col("urlkey"), F.lit("?_cb=77")))

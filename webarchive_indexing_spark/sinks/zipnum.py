@@ -404,6 +404,44 @@ def num_pages(
     return (len(blocks) + page_size - 1) // page_size
 
 
+def read_zipnum_paged_index(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    key_lo: str | None = None,
+    key_hi: str | None = None,
+    page_size: int = 1,
+    page: int | None = None,
+) -> DataFrame:
+    """pywb ``showPagedIndex=true`` [B pywb zipnum / cc-index bulk
+    export]: return the SECONDARY-INDEX lines of the range-pruned,
+    page-tagged block list instead of decompressed CDX lines — the
+    bulk-download handshake where clients fetch idx pages first and
+    then issue their own ranged block reads.  Zero shard bytes move;
+    the result is metadata-sized (one row per block) by construction,
+    so the driver-side build mirrors ``num_pages``.  ``page=None``
+    returns every page (the batch twin); ``page=N`` one request's
+    worth."""
+    blocks = _prune(_load_idx(out_dir), key_lo, key_hi)
+    rows = [
+        (i // page_size, b.urlkey, b.timestamp, b.shard, b.offset, b.length)
+        for i, b in enumerate(blocks)
+    ]
+    if page is not None:
+        rows = [r for r in rows if r[0] == page]
+    schema = T.StructType(
+        [
+            T.StructField("page", T.IntegerType()),
+            T.StructField("urlkey", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("shard", T.StringType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("length", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def read_zipnum_page(
     spark: SparkSession,
     out_dir: str,
