@@ -42,6 +42,10 @@ PICKS = {
     "pretrain_corpus_verdicts": "The whole cleaning funnel in one pass: exactly ONE exchange (the md5 dedup window); every later gate is scan-side codegen.",
     "dedup_jaccard_prefix_filter": "PPJoin: checkpointed prefix index feeds both self-join sides and both verify sides; all joins broadcast at this scale, no cartesian.",
     "q5_local_supplier_volume": "TPC-H Q5: dim chain broadcasts, lineitem-orders is the only big-big join, local-supplier condition rides the supplier join as an equi-key.",
+    "emb_ivf_sampled_topk": "Sampled training (round 6): the salted-hash sample is a scan-side filter in each Lloyd round; the serving probe is the same zero-exchange plan as the full-train twin.",
+    "cdx_fuzzy_filtered_retry": "Per-request fuzzy retry: the 2-key IN filter + doc_id subtree predicate both reach the scan; one global window decides exact-vs-fuzzy AFTER the residual filters.",
+    "cdx_show_paged_index": "showPagedIndex: a LocalTableScan of the range-pruned cluster.idx block list — no shard reads, no parse stage; the paging structure IS the answer.",
+    "cdx_legacy_9field": "Header-driven dialect scan: one positional split projection with try_element_at/try_cast damage tolerance; absent dialect columns are NULL literals, zero extra passes.",
 }
 
 
