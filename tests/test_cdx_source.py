@@ -235,3 +235,32 @@ def test_read_cdx_auto_dialects(spark):
         fh.write("com,ex)/h 20200104000000 http://ex.com/h text/html 200 D - - 9 99 h.warc.gz\n")
     rh = read_cdx_auto(spark, dh).collect()
     assert len(rh) == 1 and rh[0].length == 9 and rh[0].offset == 99
+
+
+def test_positional_parser_never_raises(spark):
+    """Damage-tolerance property (hypothesis): arbitrary junk lines —
+    truncated, overlong, non-numeric, control chars — parse to rows
+    with NULLs under ANY header-declared field order; one corrupt line
+    must never kill a scan.  Mirrors the WARC byte-fuzz pin."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webarchive_indexing_spark.sources.cdx import (
+        parse_cdx_header,
+        parse_cdx_lines_positional,
+    )
+
+    positions = parse_cdx_header(" CDX A b e a m s c k r V g")
+    printable = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+        max_size=120,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(printable, min_size=1, max_size=8))
+    def prop(lines):
+        df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+        rows = parse_cdx_lines_positional(df, positions).collect()
+        assert len(rows) == len(lines)  # no line lost, no exception
+
+    prop()

@@ -170,8 +170,13 @@ def read_cdx_auto(spark: SparkSession, path: str) -> DataFrame:
     except ValueError:
         return parse_cdx_lines(lines)
     delim = " " if header.startswith("CDX") else header[0]
+    # drop every header-SHAPED line, not just byte-identical ones — a
+    # multi-file archive repeats the header per file and whitespace
+    # can drift; a data line cannot collide (CDX urlkeys are lowercase
+    # SURT, never the literal uppercase 'CDX' first field)
+    is_header = F.col("value").rlike(r"^[ \t]?CDX[ \t]")
     return parse_cdx_lines_positional(
-        lines.filter(F.col("value") != header), positions, delim=delim
+        lines.filter(~is_header), positions, delim=delim
     )
 
 
