@@ -397,3 +397,16 @@ def test_negative_limit_returns_tail(spark):
     # positive limit unchanged
     head = [r.timestamp for r in cdx_query(cdx, url, limit=3).collect()]
     assert head == all_ts[:3]
+
+
+def test_zipnum_fuzzy_fallback_prunes_both_keys(spark, cdx, cluster):
+    """Review fix (round 6): cdx_query_zipnum(fuzzy=True) must widen
+    the block-prune range to the rule-stripped key — the fuzzy
+    fallback's captures live in blocks BEFORE the exact key's range
+    and were silently dropped."""
+    # doc 101's bare key exists; the cache-busted key does not
+    url = "https://src1.example.org/doc/101?_cb=9"
+    a = cdx_query(cdx, url, fuzzy=True).collect()
+    assert a and all(r.urlkey == "org,example,src1)/doc/101" for r in a)
+    b = cdx_query_zipnum(spark, cluster, url, fuzzy=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -679,3 +679,51 @@ def test_wat_page_metadata_surface(spark, tmp_path):
     assert got["example,a)/page"].title == "A page"
     assert got["example,a)/page"].server == "nginx/1.18"
     assert got["example,bare)/"].n_links == 0
+
+
+def test_wat_meta_damage_tolerance_on_hostile_envelopes():
+    """Review fix (round 6): type-confused WAT envelopes (Metas name
+    null, non-string header values, non-dict payload levels, JSON
+    bodies that are arrays) must degrade to NULL fields or skip their
+    own record — never raise through the scan."""
+    import gzip as _gz
+    import json as _json
+
+    from webarchive_indexing_spark.sources.warc import parse_wat_meta
+
+    def rec(env) -> bytes:
+        body = _json.dumps(env).encode()
+        return _gz.compress(
+            (
+                "WARC/1.0\r\nWARC-Type: metadata\r\n"
+                "WARC-Target-URI: http://h.example/\r\n"
+                "WARC-Date: 2021-01-02T03:04:05Z\r\n"
+                f"Content-Length: {len(body)}\r\n"
+                "Content-Type: application/json\r\n"
+            ).encode()
+            + b"\r\n" + body + b"\r\n\r\n",
+            mtime=0,
+        )
+
+    hostile = (
+        rec([1, 2, 3])  # JSON body not an object -> record skipped
+        + rec({"Envelope": {"Payload-Metadata": 3}})  # non-dict level
+        + rec({"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {
+            "HTML-Metadata": {
+                "Head": {"Title": 7,
+                         "Metas": [{"name": None, "content": "x"},
+                                   "junk",
+                                   {"name": "description", "content": 5},
+                                   {"name": "Description", "content": "ok"}]},
+                "Links": "not-a-list"},
+            "Headers": {"Server": 123, "Content-Type": ["a"]}}}}})
+    )
+    rows = list(parse_wat_meta("h.warc.wat.gz", hostile))
+    # first record skipped (not an object); the other two yield NULLs
+    assert len(rows) == 2
+    assert rows[0][2:] == (None, None, None, None, 0)
+    url, ts, title, desc, server, ctype, n_links = rows[1]
+    assert title is None and server is None and ctype is None
+    # first matching description wins; its non-string content -> NULL
+    assert desc is None
+    assert n_links == 0

@@ -387,10 +387,21 @@ def cdx_query_zipnum(
     A ``resume_key`` continuation LIFTS the block-prune lower bound to
     the resume urlkey — deep paging stays O(page) in blocks READ, not
     just rows returned (``_prune`` keeps the block whose key range
-    contains the resume key, so no row at the boundary is lost)."""
+    contains the resume key, so no row at the boundary is lost).
+
+    ``fuzzy=True`` WIDENS the prune range to cover the rule-stripped
+    key as well (it sorts before the exact key — removeall and every
+    param-strip rule only shorten the key), so the fallback's captures
+    are actually read; without this the fuzzy path would scan only the
+    exact key's blocks and silently return empty."""
     from ..sinks.zipnum import read_zipnum
 
     exact, lo, hi = _key_range(url, match_type)
+    if exact is not None and kwargs.get("fuzzy"):
+        fz, _rule = fuzzy_key_py(exact)
+        if fz != exact:
+            lo = min(lo, fz) if lo is not None else fz
+            hi = max(hi, fz + "!") if hi is not None else fz + "!"
     rk = kwargs.get("resume_key")
     if rk is not None:
         lo = rk[0] if lo is None else max(lo, rk[0])

@@ -102,10 +102,16 @@ def lloyd_train(
     cents: dict[int, list[float]] = collect_seed_vectors(
         embeddings, k, id_col=id_col, vec_col=vec_col
     )
-    if train_frac is not None and train_frac < 1.0:
+    if train_frac is not None:
         mod = train_sample_mod(train_frac)
-        h = token_hash(F.concat(F.lit("ktrain_"), F.col(id_col).cast("string")))
-        embeddings = embeddings.filter(h % mod == 0)
+        # mod == 1 (frac quantizes to "keep all") installs NO filter —
+        # mirrors the SQL twin's `train_mod > 1` guard and avoids a
+        # per-row hash that keeps every row anyway
+        if mod > 1:
+            h = token_hash(
+                F.concat(F.lit("ktrain_"), F.col(id_col).cast("string"))
+            )
+            embeddings = embeddings.filter(h % mod == 0)
 
     # every projection below is string-built and handed to the JVM in
     # ONE selectExpr / spark.sql call: Column-by-Column construction

@@ -240,7 +240,13 @@ def _fuzzy_match_rules():
         FuzzyRule,
     )
 
-    return DEFAULT_FUZZY_RULES[:3] + (
+    # select the global families BY NAME (a positional slice would
+    # silently pick the wrong rules if the default table is reordered)
+    by_name = {r.name: r for r in DEFAULT_FUZZY_RULES}
+    return (
+        by_name["jsonp"],
+        by_name["cachebust"],
+        by_name["session"],
         FuzzyRule(
             "tracker",
             r"([?&])track=[a-z0-9]+&?",

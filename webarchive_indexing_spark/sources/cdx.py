@@ -140,7 +140,6 @@ def parse_cdx_lines_positional(
     (``try_element_at`` + ``try_cast``), same all-JVM projection."""
     # \Q...\E-quote the delimiter — split() takes a Java regex
     parts = F.split(F.col(column), "\\Q" + delim + "\\E")
-    types = dict(CDX_FIELDS)
     by_name = {name: i for i, name in enumerate(positions) if name is not None}
     cols = []
     for name, dtype in CDX_FIELDS:
@@ -148,7 +147,7 @@ def parse_cdx_lines_positional(
             c = F.try_element_at(parts, F.lit(by_name[name] + 1))
             c = F.when(c == "-", F.lit(None)).otherwise(c).try_cast(dtype)
         else:
-            c = F.lit(None).cast(types[name])
+            c = F.lit(None).cast(dtype)
         cols.append(c.alias(name))
     return lines.select(*cols)
 
@@ -171,10 +170,13 @@ def read_cdx_auto(spark: SparkSession, path: str) -> DataFrame:
         return parse_cdx_lines(lines)
     delim = " " if header.startswith("CDX") else header[0]
     # drop every header-SHAPED line, not just byte-identical ones — a
-    # multi-file archive repeats the header per file and whitespace
-    # can drift; a data line cannot collide (CDX urlkeys are lowercase
-    # SURT, never the literal uppercase 'CDX' first field)
-    is_header = F.col("value").rlike(r"^[ \t]?CDX[ \t]")
+    # multi-file archive repeats the header per file and the letter
+    # list can drift; built from the DETECTED delimiter so any
+    # delimiter character works.  A data line cannot collide: CDX
+    # urlkeys are lowercase SURT, never the literal uppercase 'CDX'
+    # first field.
+    q = "\\Q" + delim + "\\E"
+    is_header = F.col("value").rlike(f"^(?:{q})?CDX{q}")
     return parse_cdx_lines_positional(
         lines.filter(~is_header), positions, delim=delim
     )

@@ -690,16 +690,15 @@ def build_wat_record(
     return gzip.compress(headers + CRLF + body + CRLF + CRLF, mtime=0)
 
 
-def parse_wat_links(filename: str, data: bytes):
-    """Yield ``(src_url, ts14, target_url)`` per outlink of a WAT
-    file's metadata records — the edge list the link-graph operators
-    (PageRank, host-degree reports) consume.  Damage tolerance
-    matches the CDX indexer: an unparseable JSON envelope costs its
-    own record, never the task; envelopes without HTML link metadata
-    (robots.txt entries, non-HTML responses) yield nothing."""
+def _iter_wat_envelopes(members):
+    """(offset, length, member) triples → ``(warc_headers, envelope)``
+    per parseable WAT ``metadata`` record.  Damage tolerance shared by
+    every WAT extractor: non-WARC members, non-metadata records,
+    non-JSON bodies, and JSON bodies that are not objects each cost
+    their own record only."""
     import json
 
-    for _, _, member in iter_warc_members(data):
+    for _, _, member in members:
         records = list(split_warc_records(member)) or [(0, len(member), member)]
         for _, _, record in records:
             head_end = record.find(CRLF + CRLF)
@@ -708,24 +707,85 @@ def parse_wat_links(filename: str, data: bytes):
             wheaders = _parse_headers(record[:head_end])
             if wheaders.get("warc-type", "") != "metadata":
                 continue
-            src = wheaders.get("warc-target-uri", "")
-            ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
             body = record[head_end + 4 :].rstrip(b"\r\n")
             try:
                 env = json.loads(body)
             except ValueError:
                 continue
-            links = (
-                env.get("Envelope", {})
-                .get("Payload-Metadata", {})
-                .get("HTTP-Response-Metadata", {})
-                .get("HTML-Metadata", {})
-                .get("Links", [])
-            )
-            for link in links:
-                url = link.get("url") if isinstance(link, dict) else None
-                if url:
-                    yield (src, ts14, url)
+            if not isinstance(env, dict):
+                continue
+            yield wheaders, env
+
+
+def _dig(d, *keys) -> dict:
+    """Nested dict lookup that returns {} the moment any level is
+    missing or not a dict — a WAT envelope with Payload-Metadata: 3
+    must degrade to NULL fields, not an AttributeError in a task."""
+    for k in keys:
+        d = d.get(k) if isinstance(d, dict) else None
+    return d if isinstance(d, dict) else {}
+
+
+def _wat_links_rows(members):
+    """Member triples → ``(src_url, ts14, target_url)`` outlink rows."""
+    for wheaders, env in _iter_wat_envelopes(members):
+        src = wheaders.get("warc-target-uri", "")
+        ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
+        links = _dig(
+            env, "Envelope", "Payload-Metadata", "HTTP-Response-Metadata",
+            "HTML-Metadata",
+        ).get("Links", [])
+        if not isinstance(links, list):
+            continue
+        for link in links:
+            url = link.get("url") if isinstance(link, dict) else None
+            if isinstance(url, str) and url:
+                yield (src, ts14, url)
+
+
+def _wat_meta_rows(members):
+    """Member triples → ``(url, ts14, title, description, server,
+    content_type, n_links)`` page-metadata rows.  Every field is
+    type-guarded to its schema (non-string values → NULL) so one
+    odd envelope can never fail row conversion or the task."""
+    for wheaders, env in _iter_wat_envelopes(members):
+        url = wheaders.get("warc-target-uri", "")
+        ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
+        resp = _dig(env, "Envelope", "Payload-Metadata", "HTTP-Response-Metadata")
+        html = _dig(resp, "HTML-Metadata")
+        head = _dig(html, "Head")
+        title = head.get("Title")
+        desc = None
+        metas = head.get("Metas")
+        for m in metas if isinstance(metas, list) else []:
+            name = m.get("name") if isinstance(m, dict) else None
+            if isinstance(name, str) and name.lower() == "description":
+                c = m.get("content")
+                desc = c if isinstance(c, str) else None
+                break
+        headers = _dig(resp, "Headers")
+        server = headers.get("Server")
+        ctype = headers.get("Content-Type")
+        links = html.get("Links")
+        yield (
+            url,
+            ts14,
+            title if isinstance(title, str) else None,
+            desc,
+            server if isinstance(server, str) else None,
+            ctype if isinstance(ctype, str) else None,
+            len(links) if isinstance(links, list) else 0,
+        )
+
+
+def parse_wat_links(filename: str, data: bytes):
+    """Yield ``(src_url, ts14, target_url)`` per outlink of a WAT
+    file's metadata records — the edge list the link-graph operators
+    (PageRank, host-degree reports) consume.  Damage tolerance
+    matches the CDX indexer: an unparseable JSON envelope costs its
+    own record, never the task; envelopes without HTML link metadata
+    (robots.txt entries, non-HTML responses) yield nothing."""
+    yield from _wat_links_rows(iter_warc_members(data))
 
 
 def parse_wat_meta(filename: str, data: bytes):
@@ -735,55 +795,40 @@ def parse_wat_meta(filename: str, data: bytes):
     ``Server``/``Content-Type`` response headers for host technology
     reports, meta descriptions for snippet corpora).  Same damage
     tolerance as ``parse_wat_links``: a record missing any field
-    yields NULLs for it, an unparseable envelope costs its own record
-    only."""
-    import json
+    yields NULLs for it (non-string values included), an unparseable
+    envelope costs its own record only."""
+    yield from _wat_meta_rows(iter_warc_members(data))
 
-    for _, _, member in iter_warc_members(data):
-        records = list(split_warc_records(member)) or [(0, len(member), member)]
-        for _, _, record in records:
-            head_end = record.find(CRLF + CRLF)
-            if head_end < 0 or not record.startswith(b"WARC/"):
-                continue
-            wheaders = _parse_headers(record[:head_end])
-            if wheaders.get("warc-type", "") != "metadata":
-                continue
-            url = wheaders.get("warc-target-uri", "")
-            ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
-            body = record[head_end + 4 :].rstrip(b"\r\n")
-            try:
-                env = json.loads(body)
-            except ValueError:
-                continue
-            resp = (
-                env.get("Envelope", {})
-                .get("Payload-Metadata", {})
-                .get("HTTP-Response-Metadata", {})
-            )
-            if not isinstance(resp, dict):
-                continue
-            html = resp.get("HTML-Metadata", {})
-            html = html if isinstance(html, dict) else {}
-            head = html.get("Head", {})
-            head = head if isinstance(head, dict) else {}
-            title = head.get("Title")
-            desc = None
-            for m in head.get("Metas", []) or []:
-                if isinstance(m, dict) and m.get("name", "").lower() == "description":
-                    desc = m.get("content")
-                    break
-            headers = resp.get("Headers", {})
-            headers = headers if isinstance(headers, dict) else {}
-            links = html.get("Links", [])
-            yield (
-                url,
-                ts14,
-                title if isinstance(title, str) else None,
-                desc if isinstance(desc, str) else None,
-                headers.get("Server"),
-                headers.get("Content-Type"),
-                len(links) if isinstance(links, list) else 0,
-            )
+
+def _wat_scan(
+    spark: SparkSession,
+    manifest: DataFrame,
+    row_fn,
+    schema: str,
+    files_per_task: int,
+) -> DataFrame:
+    """Shared manifest→rows scaffold for the WAT extractors: the same
+    task granularity as ``index_warcs``, pyarrow.fs opens (s3/hdfs/gs
+    URIs work on executors), and BOUNDED-MEMORY streaming member reads
+    (``iter_warc_members_stream`` — O(member + chunk) per task, the
+    repo's default ingest path; a full-file read would be O(file) on
+    multi-GB crawl WATs)."""
+    n_files = manifest.count()
+    n_parts = max(1, n_files // files_per_task)
+
+    def parse(rows):
+        from ..sinks.zipnum import _fs_for
+
+        for row in rows:
+            fs, local = _fs_for(row[0])
+            # compression=None: pyarrow's 'detect' default would
+            # transparently gunzip .gz paths and hide the member
+            # boundaries the streaming iterator parses
+            with fs.open_input_stream(local, compression=None) as fh:
+                yield from row_fn(iter_warc_members_stream(fh))
+
+    rdd = manifest.select("path").repartition(n_parts).rdd.mapPartitions(parse)
+    return spark.createDataFrame(rdd, schema)
 
 
 def wat_page_meta(
@@ -795,29 +840,17 @@ def wat_page_meta(
     """Manifest of WAT paths → typed page-metadata DataFrame ``(url,
     ts14, title, description, server, content_type, n_links, urlkey)``
     with the SURT key derived scan-side — joinable against the CDX
-    index on its native key.  Same task-granularity shape as
-    ``index_warcs``/``wat_link_edges``."""
-    n_files = manifest.count()
-    n_parts = max(1, n_files // files_per_task)
-
-    def parse(rows):
-        from ..sinks.zipnum import _fs_for
-
-        for row in rows:
-            path = row[0]
-            fs, local = _fs_for(path)
-            with fs.open_input_file(local) as fh:
-                data = fh.read()
-            yield from parse_wat_meta(path, data)
-
-    rdd = manifest.select("path").repartition(n_parts).rdd.mapPartitions(parse)
-    meta = spark.createDataFrame(
-        rdd,
-        "url string, ts14 string, title string, description string, "
-        "server string, content_type string, n_links int",
-    )
+    index on its native key."""
     from ..functions.surt import surt_urlkey_cached
 
+    meta = _wat_scan(
+        spark,
+        manifest,
+        _wat_meta_rows,
+        "url string, ts14 string, title string, description string, "
+        "server string, content_type string, n_links int",
+        files_per_task,
+    )
     return meta.withColumn("__url", F.col("url")).withColumn(
         "urlkey", surt_urlkey_cached("__url")
     ).drop("__url")
@@ -831,27 +864,16 @@ def wat_link_edges(
 ) -> DataFrame:
     """Manifest of WAT paths → typed edge DataFrame ``(src_url, ts14,
     target_url, src_key, target_key)`` with SURT keys derived
-    scan-side (the join/partition keys the graph operators use).
-    Same task-granularity shape as ``index_warcs``."""
-    n_files = manifest.count()
-    n_parts = max(1, n_files // files_per_task)
-
-    def parse(rows):
-        from ..sinks.zipnum import _fs_for
-
-        for row in rows:
-            path = row[0]
-            fs, local = _fs_for(path)
-            with fs.open_input_file(local) as fh:
-                data = fh.read()
-            yield from parse_wat_links(path, data)
-
-    rdd = manifest.select("path").repartition(n_parts).rdd.mapPartitions(parse)
-    edges = spark.createDataFrame(
-        rdd, "src_url string, ts14 string, target_url string"
-    )
+    scan-side (the join/partition keys the graph operators use)."""
     from ..functions.surt import surt_urlkey_cached
 
+    edges = _wat_scan(
+        spark,
+        manifest,
+        _wat_links_rows,
+        "src_url string, ts14 string, target_url string",
+        files_per_task,
+    )
     return (
         edges.withColumn("__url", F.col("src_url"))
         .withColumn("src_key", surt_urlkey_cached("__url"))
