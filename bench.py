@@ -99,6 +99,7 @@ HEADLINE = [
     "cdx_timemap_linkformat",
     "cdx_fuzzy_filtered_retry",
     "cdx_show_paged_index",
+    "zipnum_cdxj_roundtrip",
 ]
 
 

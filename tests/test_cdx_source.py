@@ -264,3 +264,22 @@ def test_positional_parser_never_raises(spark):
         assert len(rows) == len(lines)  # no line lost, no exception
 
     prop()
+
+
+def test_parse_cdx_any_lines_mixed(spark):
+    """Mixed classic/CDXJ input in ONE frame: per-line conditional
+    dispatch types both; NULL-omitted JSON fields == '-' fields."""
+    from webarchive_indexing_spark.sources.cdx import parse_cdx_any_lines
+
+    rows = [
+        # classic 11-field
+        ("com,a)/ 20200101000000 http://a.com/ text/html 200 DIGA - - 10 100 a.warc.gz",),
+        # CDXJ with spaces inside the JSON tail and omitted fields
+        ('com,b)/ 20200102000000 {"url": "http://b.com/x y", "status": "301", "digest": "DIGB"}',),
+    ]
+    df = spark.createDataFrame(rows, ["value"])
+    got = {r.urlkey: r for r in parse_cdx_any_lines(df).collect()}
+    a, b = got["com,a)/"], got["com,b)/"]
+    assert (a.status, a.length, a.offset, a.redirect) == (200, 10, 100, None)
+    assert (b.url, b.status, b.digest) == ("http://b.com/x y", 301, "DIGB")
+    assert b.mime is None and b.length is None  # omitted JSON keys -> NULL

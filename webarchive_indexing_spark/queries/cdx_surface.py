@@ -763,6 +763,44 @@ def zipnum_roundtrip_prefix(spark, sf_dir):
 
 
 @query(
+    "zipnum_cdxj_roundtrip",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp,
+           'https://example.org/' || digest AS url,
+           mime, status, digest,
+           CAST(NULL AS VARCHAR) AS redirect,
+           CAST(NULL AS VARCHAR) AS robotflags,
+           CAST(length AS BIGINT) AS length,
+           CAST("offset" AS BIGINT) AS "offset",
+           filename
+    FROM cdx WHERE urlkey LIKE 'org,example,src7%'
+    """,
+)
+def zipnum_cdxj_roundtrip(spark, sf_dir):
+    """S6 CDXJ-format cluster (round 6): the REAL Common Crawl index
+    stores ``urlkey ts {json}`` lines in its ZipNum shards, not the
+    classic 11-field form.  ``write_zipnum(line_format='cdxj')``
+    serializes blocks in that wire format (same leading ``urlkey ts``
+    prefix, so every sort/prune/page invariant is untouched) and the
+    reader's mixed-format line parser (``parse_cdx_any_lines`` — a
+    per-line conditional on the third field's leading '{', no driver
+    probe, no second scan) types them back: NULL-omitted JSON fields
+    come back NULL exactly like classic '-' fields.  Same
+    write→prune→read→parse value check as ``zipnum_roundtrip_prefix``,
+    through the other wire format."""
+    import tempfile
+
+    from ..sinks.zipnum import write_zipnum, zipnum_prefix_query
+
+    out = tempfile.mkdtemp(prefix="zipnum_cdxj_")
+    write_zipnum(
+        _zipnum_input(spark, sf_dir), out, shards=8, numlines=100,
+        line_format="cdxj",
+    )
+    return zipnum_prefix_query(spark, out, "org,example,src7")
+
+
+@query(
     "zipnum_shard_plan",
     oracle=CDX_SQL + """
     SELECT shard, COUNT(*) AS n_lines,

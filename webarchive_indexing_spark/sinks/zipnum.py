@@ -168,6 +168,7 @@ def write_zipnum(
     shards: int = 8,
     numlines: int = 3000,
     replica_dirs: list[str] | None = None,
+    line_format: str = "cdx",
 ) -> DataFrame:
     """Build a ZipNum cluster from a (typed) CDX DataFrame; returns the
     secondary index as a DataFrame and writes ``cluster.idx`` +
@@ -182,7 +183,8 @@ def write_zipnum(
     never re-trigger the side-effecting shard writes."""
     fs, local_dir = _prepare_dir(out_dir)
 
-    lines = to_cdx_lines(
+    to_lines = _line_writer(line_format)
+    lines = to_lines(
         cdx.repartitionByRange(shards, "urlkey", "timestamp").sortWithinPartitions(
             "urlkey", "timestamp"
         )
@@ -200,6 +202,7 @@ def write_zipnum_ordered(
     shards: int = 8,
     numlines: int = 3000,
     replica_dirs: list[str] | None = None,
+    line_format: str = "cdx",
 ) -> DataFrame:
     """``write_zipnum`` with DETERMINISTIC shard bounds: exact global
     ranks (two-pass, operators.global_rank) replace the sampled
@@ -216,7 +219,7 @@ def write_zipnum_ordered(
     from ..operators.global_rank import exact_ntile
 
     fs, local_dir = _prepare_dir(out_dir)
-    lines = to_cdx_lines(cdx)
+    lines = _line_writer(line_format)(cdx)
     tiles = exact_ntile(lines, ["value"], shards, tile_col="shard")
     part = (
         tiles.rdd.map(lambda r: ((r["shard"] - 1, r["value"]), None))
@@ -329,11 +332,32 @@ def _prune(blocks: list[_Block], lo: str | None, hi: str | None) -> list[_Block]
     return out
 
 
-def _read_blocks(spark: SparkSession, out_dir: str, blocks: list[_Block]) -> DataFrame:
+def _line_writer(line_format: str):
+    """line_format → lines serializer.  "cdx" = classic 11-field;
+    "cdxj" = the ``urlkey ts {json}`` form the real Common Crawl
+    cluster stores (both sort identically on the leading
+    ``urlkey ts`` prefix, so every block/prune invariant holds)."""
+    from ..sources.cdx import to_cdxj_lines
+
+    if line_format == "cdx":
+        return to_cdx_lines
+    if line_format == "cdxj":
+        return to_cdxj_lines
+    raise ValueError(f"unknown line_format {line_format!r}")
+
+
+def _read_blocks(
+    spark: SparkSession, out_dir: str, blocks: list[_Block], parser=None
+) -> DataFrame:
     """Decompress exactly ``blocks`` (distributed ranged reads, one
-    task per block batch) → typed CDX DataFrame, unfiltered."""
+    task per block batch) → typed CDX DataFrame, unfiltered.
+    ``parser`` defaults to the mixed classic/CDXJ line parser, so
+    clusters in either (or both) formats read back typed."""
+    from ..sources.cdx import parse_cdx_any_lines
+
+    parser = parser or parse_cdx_any_lines
     if not blocks:
-        return parse_cdx_lines(
+        return parser(
             spark.createDataFrame([], T.StructType([T.StructField("value", T.StringType())]))
         )
     fs, local_dir = _fs_for(out_dir)
@@ -363,7 +387,7 @@ def _read_blocks(spark: SparkSession, out_dir: str, blocks: list[_Block]) -> Dat
 
     n_slices = min(len(work), max(1, spark.sparkContext.defaultParallelism))
     rdd = spark.sparkContext.parallelize(work, n_slices).mapPartitions(read_block)
-    return parse_cdx_lines(
+    return parser(
         spark.createDataFrame(rdd, T.StructType([T.StructField("value", T.StringType())]))
     )
 

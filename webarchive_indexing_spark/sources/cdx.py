@@ -182,6 +182,38 @@ def read_cdx_auto(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def parse_cdx_any_lines(lines: DataFrame, column: str = "value") -> DataFrame:
+    """Typed parse of MIXED classic-CDX / CDXJ lines in one projection.
+
+    The real Common Crawl ZipNum cluster stores CDXJ (``urlkey ts
+    {json}``) while classic archives store the positional 11-field
+    form; a reader that serves both (pywb sniffs per line [U pywb cdx
+    formats]) dispatches on the third field's leading ``{`` — a pure
+    conditional column, no second scan, no driver-side format probe.
+    The JSON tail may contain spaces, so it is cut at the first
+    `` {`` rather than split positionally.  Same damage tolerance as
+    both dedicated parsers (``try_element_at`` + ``try_cast`` +
+    ``from_json`` → NULL on malformed JSON)."""
+    v = F.col(column)
+    parts = F.split(v, " ")
+    third = F.try_element_at(parts, F.lit(3))
+    is_j = third.startswith("{")
+    props = F.from_json(
+        F.substring(v, F.instr(v, " {") + 1, F.length(v)), "map<string,string>"
+    )
+    jkeys = dict(CDXJ_KEYS)
+    cols = [
+        F.try_element_at(parts, F.lit(1)).alias("urlkey"),
+        F.try_element_at(parts, F.lit(2)).alias("timestamp"),
+    ]
+    for i, (name, dtype) in enumerate(CDX_FIELDS[2:], start=3):
+        classic = F.try_element_at(parts, F.lit(i))
+        classic = F.when(classic == "-", F.lit(None)).otherwise(classic)
+        c = F.when(is_j, props.getItem(jkeys[name])).otherwise(classic)
+        cols.append(c.try_cast(dtype).alias(name))
+    return lines.select(*cols)
+
+
 def parse_cdxj_lines(lines: DataFrame, column: str = "value") -> DataFrame:
     """CDXJ scan: ``urlkey SP timestamp SP {json}`` → urlkey, timestamp,
     and the JSON tail as a map column (dynamic keys)."""
