@@ -199,3 +199,36 @@ def test_takedown_composed_plan(spark, sf_dir):
         tid2 = takedown(spark, [(victim, None)], out)
         assert tid2 == tid
         assert read_zipnum_epochs(spark, out).count() == n_before - n_victim
+
+
+def test_cli_front_door(spark, warc_manifest, tmp_path, capsys):
+    """The __main__ CLI mirrors the reference's job invocations:
+    two-stage index-warcs + zipnum-cluster, then query — all through
+    argv, no driver code."""
+    import os
+
+    from webarchive_indexing_spark.__main__ import main
+
+    cdx_dir = str(tmp_path / "cdx")
+    out_dir = str(tmp_path / "cluster")
+
+    assert main(["index-warcs", warc_manifest, cdx_dir]) == 0
+    assert any(f.endswith(".gz") for f in os.listdir(cdx_dir))
+    assert main(["zipnum-cluster", cdx_dir, out_dir, "--shards", "2",
+                 "--numlines", "10"]) == 0
+    assert os.path.exists(os.path.join(out_dir, "cluster.idx"))
+
+    # pick any indexed urlkey and query it back through the CLI
+    from webarchive_indexing_spark.sinks.zipnum import read_zipnum
+
+    some = read_zipnum(spark, out_dir).select("urlkey", "url").first()
+    assert main(["query", out_dir, some.url, "--match-type", "exact"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert lines and all(ln.split(" ")[0] == some.urlkey for ln in lines)
+
+    assert main(["query", out_dir, some.url, "--output", "json",
+                 "--limit", "1"]) == 0
+    import json as _json
+
+    j = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln]
+    assert len(j) == 1 and j[0]["urlkey"] == some.urlkey

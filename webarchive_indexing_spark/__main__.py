@@ -1,0 +1,139 @@
+"""CLI front door mirroring the reference's job invocations
+[U README: "python indexwarcsjob.py ...", "python samplecdxjob.py
+...", "python zipnumclusterjob.py ..." via mrjob], so a reference
+user can run the same workflow without writing driver code:
+
+    python -m webarchive_indexing_spark index-warcs  MANIFEST CDX_DIR
+    python -m webarchive_indexing_spark zipnum-cluster CDX_DIR OUT_DIR
+    python -m webarchive_indexing_spark build-index  MANIFEST OUT_DIR
+    python -m webarchive_indexing_spark update-index MANIFEST OUT_DIR
+    python -m webarchive_indexing_spark query OUT_DIR URL [options]
+
+``build-index`` is jobs 1+2+3 in one call (the split-point sampling
+job is subsumed by Spark's range partitioner); ``index-warcs`` +
+``zipnum-cluster`` are the two-stage form with the per-WARC CDX
+artifact materialized, exactly the reference's operating mode.
+``query`` serves the cdx-server GET /index parameter set over the
+built cluster and prints classic CDX lines (or ``--output json``).
+
+Spark config comes from the ambient environment (spark-submit /
+SPARK_* env); local runs default to ``local[*]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="webarchive_indexing_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    iw = sub.add_parser("index-warcs", help="job 1: manifest -> per-WARC gzipped CDX")
+    iw.add_argument("manifest")
+    iw.add_argument("cdx_dir")
+    iw.add_argument("--files-per-task", type=int, default=2)
+
+    zc = sub.add_parser("zipnum-cluster", help="jobs 2+3: CDX dir -> ZipNum cluster")
+    zc.add_argument("cdx_dir")
+    zc.add_argument("out_dir")
+    zc.add_argument("--shards", type=int, default=8)
+    zc.add_argument("--numlines", type=int, default=3000)
+
+    bi = sub.add_parser("build-index", help="jobs 1+2+3 in one call")
+    bi.add_argument("manifest")
+    bi.add_argument("out_dir")
+    bi.add_argument("--shards", type=int, default=8)
+    bi.add_argument("--numlines", type=int, default=3000)
+    bi.add_argument("--files-per-task", type=int, default=2)
+
+    ui = sub.add_parser("update-index", help="incremental crawl ingest (epoch LSM)")
+    ui.add_argument("manifest")
+    ui.add_argument("out_dir")
+    ui.add_argument("--shards", type=int, default=2)
+    ui.add_argument("--numlines", type=int, default=3000)
+    ui.add_argument("--compact", action="store_true")
+
+    q = sub.add_parser("query", help="cdx-server GET /index over a cluster")
+    q.add_argument("cluster_dir")
+    q.add_argument("url")
+    q.add_argument("--match-type", default="exact",
+                   choices=["exact", "prefix", "host", "domain", "glob"])
+    q.add_argument("--from", dest="from_", default=None, metavar="TS")
+    q.add_argument("--to", default=None, metavar="TS")
+    q.add_argument("--filter", action="append", default=[], dest="filters")
+    q.add_argument("--collapse", default=None)
+    q.add_argument("--closest", default=None)
+    q.add_argument("--sort-reverse", action="store_true")
+    q.add_argument("--fuzzy", action="store_true")
+    q.add_argument("--limit", type=int, default=None)
+    q.add_argument("--fields", default=None, help="comma-separated fl= projection")
+    q.add_argument("--output", default="text", choices=["text", "json"])
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from .session import tune
+
+    spark = SparkSession.builder.getOrCreate()
+    tune(spark)
+
+    if args.cmd == "index-warcs":
+        from .plans.pipeline import index_to_cdx_gz
+
+        index_to_cdx_gz(
+            spark, args.manifest, args.cdx_dir, files_per_task=args.files_per_task
+        )
+    elif args.cmd == "zipnum-cluster":
+        from .plans.pipeline import cluster_from_cdx_gz
+
+        cluster_from_cdx_gz(
+            spark, args.cdx_dir, args.out_dir,
+            shards=args.shards, numlines=args.numlines,
+        )
+    elif args.cmd == "build-index":
+        from .plans.pipeline import build_index
+
+        build_index(
+            spark, args.manifest, args.out_dir,
+            shards=args.shards, numlines=args.numlines,
+            files_per_task=args.files_per_task,
+        )
+    elif args.cmd == "update-index":
+        from .plans.pipeline import update_index
+
+        epoch = update_index(
+            spark, args.manifest, args.out_dir,
+            shards=args.shards, numlines=args.numlines, compact=args.compact,
+        )
+        print(f"epoch: {epoch}" if epoch is not None else "up to date")
+    elif args.cmd == "query":
+        from .plans.pipeline import query_index
+        from .sources.cdx import to_cdx_lines
+
+        df = query_index(
+            spark, args.cluster_dir, args.url,
+            match_type=args.match_type, from_=args.from_, to=args.to,
+            filters=args.filters or None, collapse=args.collapse,
+            closest=args.closest, sort_reverse=args.sort_reverse,
+            fuzzy=args.fuzzy, limit=args.limit,
+            fields=args.fields.split(",") if args.fields else None,
+        )
+        # per-request surface: the result is bounded (limit= or one
+        # key's captures) — printing through the driver is the point
+        if args.output == "json":
+            for row in df.toJSON().collect():
+                print(row)
+        else:
+            out = to_cdx_lines(df) if args.fields is None else df
+            for row in out.collect():
+                print(" ".join("-" if v is None else str(v) for v in row))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
