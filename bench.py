@@ -100,6 +100,8 @@ HEADLINE = [
     "cdx_fuzzy_filtered_retry",
     "cdx_show_paged_index",
     "zipnum_cdxj_roundtrip",
+    "cdx_collapse_multi",
+    "dedup_duplicate_spans",
 ]
 
 

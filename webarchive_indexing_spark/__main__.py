@@ -63,7 +63,8 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--from", dest="from_", default=None, metavar="TS")
     q.add_argument("--to", default=None, metavar="TS")
     q.add_argument("--filter", action="append", default=[], dest="filters")
-    q.add_argument("--collapse", default=None)
+    q.add_argument("--collapse", action="append", default=None,
+                   help="repeatable: field or field:N")
     q.add_argument("--closest", default=None)
     q.add_argument("--sort-reverse", action="store_true")
     q.add_argument("--fuzzy", action="store_true")

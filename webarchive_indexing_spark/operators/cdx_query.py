@@ -13,7 +13,7 @@ Parameter → plan mapping:
                   wildcards — literal-prefix range + LIKE residual (P5)
   from_/to        14-digit prefix range, string compare  (P4)
   filters         'field:regex', '!field:regex', 'field~substr' (P2)
-  collapse        'field' or 'field:N' run-based keep-first (W2)
+  collapse        'field' / 'field:N' / [several] run-based keep-first (W2)
   closest         per-urlkey nearest-timestamp ordering (O4/J7)
   sort_reverse    latest-first within urlkey (O5)
   fields          projection (P1)
@@ -236,7 +236,7 @@ def cdx_query(
     from_: str | None = None,
     to: str | None = None,
     filters: list[str] | None = None,
-    collapse: str | None = None,
+    collapse: str | list[str] | None = None,
     closest: str | None = None,
     sort_reverse: bool = False,
     fields: list[str] | None = None,
@@ -328,10 +328,19 @@ def cdx_query(
         )
 
     if collapse:
-        field, _, width = collapse.partition(":")
-        ckey = F.col(field).cast("string")
-        if width:
-            ckey = F.substring(ckey, 1, int(width))
+        # pywb/IA accept REPEATED collapse= params: a capture is
+        # skipped only when ALL collapse fields match the previous
+        # one.  All-match over N fields == equality of the N-field
+        # STRUCT, so multi-collapse stays the same single lag window.
+        specs = [collapse] if isinstance(collapse, str) else list(collapse)
+        keys = []
+        for spec in specs:
+            field, _, width = spec.partition(":")
+            ck = F.col(field).cast("string")
+            if width:
+                ck = F.substring(ck, 1, int(width))
+            keys.append(ck)
+        ckey = keys[0] if len(keys) == 1 else F.struct(*keys)
         df = run_collapse(
             df,
             partition_by=["urlkey"],

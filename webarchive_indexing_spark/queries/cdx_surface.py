@@ -468,6 +468,42 @@ def cdx_legacy_9field(spark, sf_dir):
 
 
 @query(
+    "cdx_collapse_multi",
+    oracle=CDX_SQL + """
+    , runs AS (
+      SELECT urlkey, ts14, status,
+             LAG(substr(ts14, 1, 6)) OVER w AS pts,
+             LAG(status) OVER w AS pst
+      FROM cdx WHERE urlkey LIKE 'org,example,src8)%'
+      WINDOW w AS (PARTITION BY urlkey ORDER BY ts14)
+    )
+    SELECT urlkey, ts14 AS timestamp, status FROM runs
+    WHERE pts IS NULL OR substr(ts14, 1, 6) <> pts OR status <> pst
+    """,
+    tier="B",
+)
+def cdx_collapse_multi(spark, sf_dir):
+    """W2 repeated ``collapse=`` [B pywb/IA cdx-server]: a capture is
+    skipped only when ALL collapse fields match the previous one —
+    here ``collapse=timestamp:6&collapse=status`` (same month AND same
+    status → one row).  All-match over N fields is equality of the
+    N-field STRUCT, so the plan is the IDENTICAL single lag window as
+    single-field collapse — adding collapse dimensions never adds
+    shuffles.  Runs through the composed API (``cdx_query`` with a
+    collapse list)."""
+    from ..operators.cdx_query import cdx_query
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+    return cdx_query(
+        c,
+        "http://src8.example.org/",
+        match_type="domain",
+        collapse=["timestamp:6", "status"],
+        fields=["urlkey", "timestamp", "status"],
+    )
+
+
+@query(
     "cdxj_roundtrip",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14 AS timestamp, mime, status

@@ -117,6 +117,102 @@ def dedup_exact_groups(spark, sf_dir):
 
 
 @query(
+    "dedup_duplicate_spans",
+    oracle=BASE_SQL + f"""
+    , toks8 AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM base
+      WHERE doc_id < 120 OR doc_id >= 10000
+    ), grams AS (
+      SELECT doc_id,
+             unnest(range(1, len(sh) + 1)) AS pos,
+             unnest(list_transform(sh, s -> {sql_token_hash('s')})) AS h
+      FROM (SELECT doc_id, {sql_shingles('tk', 8)} AS sh FROM toks8)
+    ), dupg AS (
+      SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1
+    ), cov AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (h)
+    ), marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL OR pos - LAG(pos) OVER w > 8
+                  THEN 1 ELSE 0 END AS ns
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), sp AS (
+      SELECT doc_id, pos,
+             CAST(SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+      FROM marked
+    )
+    SELECT doc_id, span_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + 7 AS span_end,
+           MAX(pos) + 7 - MIN(pos) + 1 AS n_tokens
+    FROM sp GROUP BY doc_id, span_id
+    HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 12
+    """,
+    tier="C",
+)
+def dedup_duplicate_spans(spark, sf_dir):
+    """L1/L5 EXACT duplicate-SPAN detection (the bounded relational
+    form of Lee et al. 2022's suffix-array substring dedup): find the
+    maximal token spans that occur more than once ANYWHERE in the
+    corpus — the spans a substring-level deduper would cut, catching
+    boilerplate and quoted passages that whole-doc dedup misses.
+
+    Shape: positional 8-gram rolling hashes (posexplode — the position
+    rides along), a gram-frequency semi-join keeps positions covered
+    by any repeated gram, and per-doc interval MERGE turns covered
+    gram starts into maximal spans — the same sessionize pattern as
+    gap-based windows: new-span flag when the gap exceeds the gram
+    width, running sum for the span id, one group-by for the extent.
+    Spans shorter than 12 tokens are noise-filtered.
+
+    Scale: shuffles carry (doc_id, pos, 8-byte hash) triples, never
+    text; the frequency pass partial-aggregates map-side; the merge
+    windows partition on doc_id (the natural key).  At 100 TB the
+    suffix-array construction this replaces is the intractable part —
+    gram-hash cover + interval union is the standard scalable
+    approximation (a span is flagged iff all its k-grams repeat,
+    exact for spans >= k with no hash collisions)."""
+    from pyspark.sql.window import Window
+
+    k = 8
+    base = base_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") < 120) | (F.col("doc_id") >= 10000)
+    )
+    toks = F.split(F.col("text"), " ")
+    g = base.select(
+        "doc_id", F.posexplode(shingles(toks, k)).alias("pos0", "gram")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        token_hash(F.col("gram")).alias("h"),
+    )
+    g = widen(g)
+    dupg = g.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") > 1
+    )
+    cov = g.join(dupg.select("h"), "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    ns = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    sp = cov.withColumn(
+        "span_id",
+        F.sum(ns).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sp.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .withColumn(
+            "n_tokens", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .filter(F.col("n_tokens") >= 12)
+    )
+
+
+@query(
     "dedup_paragraph_chunks",
     oracle=BASE_SQL + """
     , toks AS (
