@@ -410,3 +410,44 @@ def test_zipnum_fuzzy_fallback_prunes_both_keys(spark, cdx, cluster):
     assert a and all(r.urlkey == "org,example,src1)/doc/101" for r in a)
     b = cdx_query_zipnum(spark, cluster, url, fuzzy=True).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_multi_collapse_matches_python_reference(spark):
+    """Property: list-collapse (all-fields-match run skip) equals a
+    row-by-row python reference over randomized runs — pins the
+    struct-key formulation against the written pywb/IA semantics."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(300):
+        rows.append(
+            (
+                f"com,ex)/p{rng.randint(0, 2)}",
+                f"20{rng.randint(10, 12)}0{rng.randint(1, 9)}01{rng.randint(0, 9)}00000"[:14],
+                rng.choice([200, 301]),
+            )
+        )
+    # unique (urlkey, timestamp): equal sort keys would make the
+    # engine's within-tie order (and thus run membership) unspecified
+    rows = sorted((u, t, s) for (u, t), s in {(u, t): s for u, t, s in rows}.items())
+    df = spark.createDataFrame(rows, ["urlkey", "timestamp", "status"])
+
+    got = [
+        (r.urlkey, r.timestamp, r.status)
+        for r in cdx_query(
+            df, "http://ex.com/", match_type="domain",
+            collapse=["timestamp:6", "status"],
+        ).collect()
+    ]
+
+    expect, prev = [], None
+    for r in rows:
+        if (
+            prev is None
+            or r[0] != prev[0]
+            or (r[1][:6], r[2]) != (prev[1][:6], prev[2])
+        ):
+            expect.append(r)
+        prev = r
+    assert got == expect
