@@ -102,6 +102,7 @@ HEADLINE = [
     "zipnum_cdxj_roundtrip",
     "cdx_collapse_multi",
     "dedup_duplicate_spans",
+    "cdx_acl_longest_prefix",
 ]
 
 

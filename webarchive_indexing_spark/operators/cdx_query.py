@@ -214,6 +214,50 @@ def fuzzy_key_py(
     return key, None
 
 
+def apply_acl(
+    cdx: DataFrame,
+    rules: list[tuple[str, str]],
+    *,
+    default: str = "allow",
+    key_col: str = "urlkey",
+    access_col: str = "access",
+) -> DataFrame:
+    """pywb access-control lists [U pywb wb-manager .aclj]: each rule
+    is ``(surt_prefix, access)`` with access ∈ {allow, block,
+    exclude}; the rule with the LONGEST matching prefix wins (an
+    ``exclude`` on a host can carve back an ``allow`` on one page and
+    vice versa).  Adds ``access_col`` with the winning verdict
+    (``default`` when no rule matches) and drops ``exclude`` rows —
+    pywb hides excluded captures from the index entirely while
+    ``block`` rows stay listed (playback returns 451).
+
+    The rule table compiles to ONE first-match-wins CASE chain of
+    ``startswith`` tests ordered longest-prefix-first — a map-side
+    codegen projection like the fuzzy-rule table; the index never
+    shuffles and the rules are expression literals, so thousands of
+    rules stay a scan-side cost."""
+    key = F.col(key_col)
+    acc = F.lit(default)
+    # iterate shortest -> longest: each wrap puts the LONGER prefix
+    # earlier in the final CASE chain, so the longest match wins
+    for prefix, access in sorted(rules, key=lambda r: (len(r[0]), r[0])):
+        acc = F.when(key.startswith(prefix), F.lit(access)).otherwise(acc)
+    out = cdx.withColumn(access_col, acc)
+    return out.filter(F.col(access_col) != "exclude")
+
+
+def sql_acl_access(
+    key: str, rules: list[tuple[str, str]], *, default: str = "allow"
+) -> str:
+    """DuckDB twin of ``apply_acl``'s verdict expression, generated
+    from the SAME rule list (longest-prefix-first CASE chain)."""
+    arms = " ".join(
+        f"WHEN starts_with({key}, '{p}') THEN '{a}'"
+        for p, a in sorted(rules, key=lambda r: (-len(r[0]), r[0]))
+    )
+    return f"CASE {arms} ELSE '{default}' END"
+
+
 def _apply_filters(df: DataFrame, filters: list[str]) -> DataFrame:
     for f in filters:
         neg = f.startswith("!")

@@ -575,6 +575,61 @@ def cdx_exclusion_filter(spark, sf_dir):
     return kept.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
+_ACL_RULES = [
+    ("org,example,src9", "exclude"),
+    ("org,example,src9)/doc/9", "allow"),
+    ("org,example,src19", "block"),
+    # doc 39 is the src19 doc with a query string (39%20=19, 39%3=0)
+    ("org,example,src19)/doc/39", "exclude"),
+]
+
+
+def _acl_oracle() -> str:
+    from ..operators.cdx_query import sql_acl_access
+
+    verdict = sql_acl_access("urlkey", _ACL_RULES)
+    return CDX_SQL + f"""
+    , judged AS (
+      SELECT urlkey, ts14 AS timestamp, status,
+             {verdict} AS access
+      FROM cdx
+      WHERE urlkey >= 'org,example,src1' AND urlkey < 'org,example,src:'
+    )
+    SELECT urlkey, timestamp, status, access FROM judged
+    WHERE access <> 'exclude'
+    """
+
+
+@query(
+    "cdx_acl_longest_prefix",
+    oracle=_acl_oracle(),
+    tier="B",
+)
+def cdx_acl_longest_prefix(spark, sf_dir):
+    """[B pywb wb-manager .aclj ACLs]: access rules keyed by SURT
+    prefix where the LONGEST matching prefix wins — here a host-wide
+    ``exclude`` with one page carved back to ``allow``
+    (src9 vs src9)/doc/9*), and a host-wide ``block`` (listed, 451 on
+    playback) with one query-keyed page carved OUT to ``exclude``
+    (src19 vs src19)/doc/19?*).  The rule table compiles to one
+    longest-prefix-first CASE chain of startswith tests
+    (``operators.cdx_query.apply_acl``) — map-side codegen, index
+    never shuffles — and the oracle runs the SAME generated chain, so
+    the hash pins the precedence order itself.  Note the prefix-range
+    scan covers src1* and src9/src19 (the '):'-bounded range), giving
+    allow/block/exclude and default-allow rows in one result."""
+    from ..operators.cdx_query import apply_acl
+
+    c = derived_cdx(spark, sf_dir).filter(
+        (F.col("urlkey") >= "org,example,src1")
+        & (F.col("urlkey") < "org,example,src:")
+    )
+    return apply_acl(
+        c.select("urlkey", F.col("ts14").alias("timestamp"), "status"),
+        _ACL_RULES,
+    )
+
+
 @query(
     "cdx_from_to",
     oracle=CDX_SQL + """
