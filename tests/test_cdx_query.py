@@ -451,3 +451,28 @@ def test_multi_collapse_matches_python_reference(spark):
             expect.append(r)
         prev = r
     assert got == expect
+
+
+def test_filter_modifiers_exact_contains_regex(spark):
+    """pywb filter= modifier set: '=field:value' exact,
+    '~field:substr' contains, bare 'field:regex' regex search, all
+    invertible with '!'."""
+    rows = [
+        ("com,ex)/a", "20200101000000", "text/html"),
+        ("com,ex)/a", "20200102000000", "text/html; charset=utf-8"),
+        ("com,ex)/a", "20200103000000", "application/json"),
+    ]
+    cdx = spark.createDataFrame(rows, ["urlkey", "timestamp", "mime"])
+    url = "http://ex.com/a"
+
+    exact = cdx_query(cdx, url, filters=["=mime:text/html"]).collect()
+    assert [r.timestamp for r in exact] == ["20200101000000"]
+
+    contains = cdx_query(cdx, url, filters=["~mime:html"]).collect()
+    assert len(contains) == 2
+
+    regex = cdx_query(cdx, url, filters=["mime:^text/.*utf-8$"]).collect()
+    assert [r.timestamp for r in regex] == ["20200102000000"]
+
+    inv = cdx_query(cdx, url, filters=["!=mime:text/html"]).collect()
+    assert len(inv) == 2

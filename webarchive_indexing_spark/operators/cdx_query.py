@@ -259,10 +259,20 @@ def sql_acl_access(
 
 
 def _apply_filters(df: DataFrame, filters: list[str]) -> DataFrame:
+    """pywb filter= modifiers [U pywb cdxobject]: ``field:regex``
+    (regex search), ``~field:substr`` / ``field~substr`` (contains),
+    ``=field:value`` (exact field equality), each invertible with a
+    leading ``!``."""
     for f in filters:
         neg = f.startswith("!")
         body = f[1:] if neg else f
-        if "~" in body.split(":")[0] or (":" not in body and "~" in body):
+        if body.startswith("="):
+            field, val = body[1:].split(":", 1)
+            cond = F.col(field).cast("string") == val
+        elif body.startswith("~"):
+            field, sub = body[1:].split(":", 1)
+            cond = F.col(field).cast("string").contains(sub)
+        elif "~" in body.split(":")[0] or (":" not in body and "~" in body):
             field, sub = body.split("~", 1)
             cond = F.col(field).cast("string").contains(sub)
         else:
