@@ -465,3 +465,26 @@ def test_loc_multi_location_failover(spark, cdx):
     os.remove(os.path.join(rep, names[0]))
     with pytest.raises(Exception):
         read_zipnum(spark, d).count()
+
+
+def test_cdxj_cluster_reads_identically_through_pages_api(spark, cdx):
+    """Review fix (round 6): the batch paging API must parse the same
+    wire formats as the per-request readers — a CDXJ-format cluster
+    read through read_zipnum_pages equals the ranged read, row for
+    row (it previously mis-split the JSON tail positionally)."""
+    from webarchive_indexing_spark.sinks.zipnum import (
+        read_zipnum,
+        read_zipnum_pages,
+    )
+
+    d = tempfile.mkdtemp(prefix="zipnum_cdxj_pages_")
+    write_zipnum(cdx, d, shards=SHARDS, numlines=NUMLINES, line_format="cdxj")
+    lo, hi = "org,example,src2", "org,example,src2~"
+    a = sorted(
+        map(
+            tuple,
+            read_zipnum_pages(spark, d, key_lo=lo, key_hi=hi).drop("page").collect(),
+        )
+    )
+    b = sorted(map(tuple, read_zipnum(spark, d, key_lo=lo, key_hi=hi).collect()))
+    assert a == b and a

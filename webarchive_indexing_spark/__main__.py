@@ -124,14 +124,15 @@ def main(argv: list[str] | None = None) -> int:
             fuzzy=args.fuzzy, limit=args.limit,
             fields=args.fields.split(",") if args.fields else None,
         )
-        # per-request surface: the result is bounded (limit= or one
-        # key's captures) — printing through the driver is the point
+        # stream through the driver: toLocalIterator holds one
+        # partition at a time, so an unbounded prefix/domain query
+        # without --limit cannot OOM the driver heap
         if args.output == "json":
-            for row in df.toJSON().collect():
+            for row in df.toJSON().toLocalIterator():
                 print(row)
         else:
             out = to_cdx_lines(df) if args.fields is None else df
-            for row in out.collect():
+            for row in out.toLocalIterator():
                 print(" ".join("-" if v is None else str(v) for v in row))
     return 0
 

@@ -232,30 +232,46 @@ def apply_acl(
     ``block`` rows stay listed (playback returns 451).
 
     The rule table compiles to ONE first-match-wins CASE chain of
-    ``startswith`` tests ordered longest-prefix-first — a map-side
-    codegen projection like the fuzzy-rule table; the index never
-    shuffles and the rules are expression literals, so thousands of
-    rules stay a scan-side cost."""
-    key = F.col(key_col)
-    acc = F.lit(default)
-    # iterate shortest -> longest: each wrap puts the LONGER prefix
-    # earlier in the final CASE chain, so the longest match wins
-    for prefix, access in sorted(rules, key=lambda r: (len(r[0]), r[0])):
-        acc = F.when(key.startswith(prefix), F.lit(access)).otherwise(acc)
-    out = cdx.withColumn(access_col, acc)
+    ``startswith`` tests ordered longest-prefix-first, built as a
+    SINGLE parsed SQL expression (per MEMORY: a py4j when/otherwise
+    loop costs ~3 driver round-trips per rule and nests CaseWhen
+    thousands deep on a real .aclj) — a map-side codegen projection
+    like the fuzzy-rule table; the index never shuffles, so thousands
+    of rules stay a scan-side cost.  Spark and the DuckDB twin share
+    the SAME generated chain (``_acl_case``), so precedence —
+    including duplicate-prefix resolution (first listed wins) — is
+    identical by construction."""
+    expr = _acl_case(key_col, rules, default)
+    out = cdx.withColumn(access_col, F.expr(expr))
     return out.filter(F.col(access_col) != "exclude")
+
+
+def _sq(s: str) -> str:
+    """Single-quote-escape a literal for the generated SQL."""
+    return s.replace("'", "''")
+
+
+def _acl_case(key: str, rules: list[tuple[str, str]], default: str) -> str:
+    """The shared longest-prefix-first CASE chain.  Sort key
+    ``(-len, prefix)`` with a STABLE sort: equal-length distinct
+    prefixes cannot both match one key, and duplicate prefixes resolve
+    to the first listed rule — in both engines, because both run this
+    exact string.  The prefix test is ``substr(key, 1, N) = prefix``
+    because Spark spells it ``startswith`` and DuckDB ``starts_with``
+    — ``substr`` is the spelling they share."""
+    arms = " ".join(
+        f"WHEN substr({key}, 1, {len(p)}) = '{_sq(p)}' THEN '{_sq(a)}'"
+        for p, a in sorted(rules, key=lambda r: (-len(r[0]), r[0]))
+    )
+    return f"CASE {arms} ELSE '{_sq(default)}' END"
 
 
 def sql_acl_access(
     key: str, rules: list[tuple[str, str]], *, default: str = "allow"
 ) -> str:
-    """DuckDB twin of ``apply_acl``'s verdict expression, generated
-    from the SAME rule list (longest-prefix-first CASE chain)."""
-    arms = " ".join(
-        f"WHEN starts_with({key}, '{p}') THEN '{a}'"
-        for p, a in sorted(rules, key=lambda r: (-len(r[0]), r[0]))
-    )
-    return f"CASE {arms} ELSE '{default}' END"
+    """DuckDB twin of ``apply_acl``'s verdict expression — literally
+    the same generated chain."""
+    return _acl_case(key, rules, default)
 
 
 def _apply_filters(df: DataFrame, filters: list[str]) -> DataFrame:
@@ -452,11 +468,12 @@ def cdx_query_zipnum(
     just rows returned (``_prune`` keeps the block whose key range
     contains the resume key, so no row at the boundary is lost).
 
-    ``fuzzy=True`` WIDENS the prune range to cover the rule-stripped
-    key as well (it sorts before the exact key — removeall and every
-    param-strip rule only shorten the key), so the fallback's captures
-    are actually read; without this the fuzzy path would scan only the
-    exact key's blocks and silently return empty."""
+    ``fuzzy=True`` WIDENS the prune range to the UNION of the exact
+    and rule-stripped keys' ranges (min/max — a mid-string strip like
+    ``?_cb=1&a=1`` → ``?a=1`` can sort AFTER the exact key, so neither
+    ordering may be assumed), so the fallback's captures are actually
+    read; without this the fuzzy path would scan only the exact key's
+    blocks and silently return empty."""
     from ..sinks.zipnum import read_zipnum
 
     exact, lo, hi = _key_range(url, match_type)

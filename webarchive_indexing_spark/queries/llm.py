@@ -176,8 +176,14 @@ def dedup_duplicate_spans(spark, sf_dir):
     from pyspark.sql.window import Window
 
     k = 8
-    base = base_corpus(spark, sf_dir).filter(
-        (F.col("doc_id") < 120) | (F.col("doc_id") >= 10000)
+    # widen BEFORE the gram/hash projection: the scan is 1-3 parquet
+    # partitions and Catalyst won't push a projection below a
+    # repartition, so widening after would leave the dominant
+    # posexplode+md5 stage on a few cores (review r6)
+    base = widen(
+        base_corpus(spark, sf_dir).filter(
+            (F.col("doc_id") < 120) | (F.col("doc_id") >= 10000)
+        )
     )
     toks = F.split(F.col("text"), " ")
     g = base.select(
@@ -187,7 +193,6 @@ def dedup_duplicate_spans(spark, sf_dir):
         (F.col("pos0") + 1).cast("bigint").alias("pos"),
         token_hash(F.col("gram")).alias("h"),
     )
-    g = widen(g)
     dupg = g.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") > 1
     )

@@ -571,16 +571,13 @@ def read_zipnum_pages(
 
 
 def _parse_with_page(lines: DataFrame) -> DataFrame:
-    """parse_cdx_lines with the page tag carried through."""
-    from ..sources.cdx import CDX_FIELDS
+    """The mixed classic/CDXJ line parse with the page tag carried
+    through — the batch paging API must type the same wire formats as
+    the per-request readers (``_read_blocks``), or a CDXJ cluster
+    read through pages would silently mis-split."""
+    from ..sources.cdx import parse_cdx_any_lines
 
-    parts = F.split(F.col("value"), " ")
-    cols = [F.col("page")]
-    for i, (name, dtype) in enumerate(CDX_FIELDS):
-        c = F.try_element_at(parts, F.lit(i + 1))
-        c = F.when(c == "-", F.lit(None)).otherwise(c)
-        cols.append(c.try_cast(dtype).alias(name))
-    return lines.select(*cols)
+    return parse_cdx_any_lines(lines, keep=["page"])
 
 
 # --- epoch clusters (incremental / LSM shape) ------------------------------

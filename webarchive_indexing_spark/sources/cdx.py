@@ -182,7 +182,9 @@ def read_cdx_auto(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def parse_cdx_any_lines(lines: DataFrame, column: str = "value") -> DataFrame:
+def parse_cdx_any_lines(
+    lines: DataFrame, column: str = "value", keep: list[str] | None = None
+) -> DataFrame:
     """Typed parse of MIXED classic-CDX / CDXJ lines in one projection.
 
     The real Common Crawl ZipNum cluster stores CDXJ (``urlkey ts
@@ -202,16 +204,22 @@ def parse_cdx_any_lines(lines: DataFrame, column: str = "value") -> DataFrame:
         F.substring(v, F.instr(v, " {") + 1, F.length(v)), "map<string,string>"
     )
     jkeys = dict(CDXJ_KEYS)
+
+    def dash_null(c):
+        return F.when(c == "-", F.lit(None)).otherwise(c)
+
+    # urlkey/timestamp get the same '-' -> NULL mapping as every other
+    # field — the classic writer serializes NULL keys as '-', and the
+    # roundtrip must give NULL back, not a literal dash
     cols = [
-        F.try_element_at(parts, F.lit(1)).alias("urlkey"),
-        F.try_element_at(parts, F.lit(2)).alias("timestamp"),
+        dash_null(F.try_element_at(parts, F.lit(1))).alias("urlkey"),
+        dash_null(F.try_element_at(parts, F.lit(2))).alias("timestamp"),
     ]
     for i, (name, dtype) in enumerate(CDX_FIELDS[2:], start=3):
-        classic = F.try_element_at(parts, F.lit(i))
-        classic = F.when(classic == "-", F.lit(None)).otherwise(classic)
+        classic = dash_null(F.try_element_at(parts, F.lit(i)))
         c = F.when(is_j, props.getItem(jkeys[name])).otherwise(classic)
         cols.append(c.try_cast(dtype).alias(name))
-    return lines.select(*cols)
+    return lines.select(*[F.col(k) for k in (keep or [])], *cols)
 
 
 def parse_cdxj_lines(lines: DataFrame, column: str = "value") -> DataFrame:
