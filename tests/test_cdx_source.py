@@ -283,3 +283,27 @@ def test_parse_cdx_any_lines_mixed(spark):
     assert (a.status, a.length, a.offset, a.redirect) == (200, 10, 100, None)
     assert (b.url, b.status, b.digest) == ("http://b.com/x y", 301, "DIGB")
     assert b.mime is None and b.length is None  # omitted JSON keys -> NULL
+
+
+def test_any_lines_parser_never_raises(spark):
+    """Damage-tolerance property for the DEFAULT cluster read parser
+    (mixed classic/CDXJ): junk lines — braces mid-line, truncated
+    JSON, control chars — parse to NULL-padded rows, never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webarchive_indexing_spark.sources.cdx import parse_cdx_any_lines
+
+    printable = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+        max_size=120,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(printable, min_size=1, max_size=8))
+    def prop(lines):
+        df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+        rows = parse_cdx_any_lines(df).collect()
+        assert len(rows) == len(lines)
+
+    prop()
