@@ -1,0 +1,220 @@
+"""pywb config-file loader tests (sources/pywb_config): both file
+grammars, round-trips to the in-code tables, and the quarantine
+posture — a malformed entry never widens a rule and never kills the
+load."""
+
+from __future__ import annotations
+
+import pytest
+
+from webarchive_indexing_spark.operators.cdx_query import (
+    FuzzyRule,
+    apply_fuzzy_rules,
+    fuzzy_key_py,
+    sql_acl_access,
+)
+from webarchive_indexing_spark.sources.pywb_config import (
+    dump_aclj,
+    dump_fuzzy_rules,
+    load_aclj,
+    load_fuzzy_rules,
+    parse_aclj_lines,
+    parse_fuzzy_rules_obj,
+)
+
+
+def _rules_eq(a, b):
+    return [(r.name, r.pattern, r.key_prefix) for r in a] == [
+        (r.name, r.pattern, r.key_prefix) for r in b
+    ]
+
+
+# --- rules.yaml ------------------------------------------------------------
+
+
+def test_dump_load_roundtrip_identity(tmp_path):
+    from webarchive_indexing_spark.queries.cdx_surface import _fuzzy_match_rules
+
+    rules = _fuzzy_match_rules()
+    p = tmp_path / "rules.yaml"
+    p.write_text(dump_fuzzy_rules(rules))
+    loaded, bad = load_fuzzy_rules(str(p))
+    assert bad == []
+    assert _rules_eq(loaded, rules)
+
+
+def test_plain_string_and_match_forms(tmp_path):
+    p = tmp_path / "rules.yaml"
+    p.write_text(
+        """
+rules:
+  - url_prefix: ''
+    fuzzy_lookup: '([?&])_=[0-9]+&?'
+  - url_prefix: 'com,example)'
+    fuzzy_lookup:
+      match: '([?&])v=[0-9]+&?'
+  - url_prefix: ['com,a)', 'com,b)']
+    fuzzy_lookup:
+      match:
+        regex: '([?&])x=[0-9]+&?'
+"""
+    )
+    loaded, bad = load_fuzzy_rules(str(p))
+    assert bad == []
+    # list url_prefix fans out to one scoped rule per prefix, in order
+    assert [(r.key_prefix, r.pattern) for r in loaded] == [
+        (None, "([?&])_=[0-9]+&?"),
+        ("com,example)", "([?&])v=[0-9]+&?"),
+        ("com,a)", "([?&])x=[0-9]+&?"),
+        ("com,b)", "([?&])x=[0-9]+&?"),
+    ]
+    # anonymous pywb rules get deterministic derived names
+    assert [r.name for r in loaded] == [
+        "rule0",
+        "rule1:com,example)",
+        "rule2:com,a)",
+        "rule2:com,b)",
+    ]
+
+
+def test_args_keep_list_semantics(tmp_path):
+    """pywb's ``args:`` form — keep only the named params.  Java-regex
+    only (negative lookahead), so pinned here, not via DuckDB."""
+    p = tmp_path / "rules.yaml"
+    p.write_text(
+        """
+rules:
+  - url_prefix: 'com,youtube)/get_video_info'
+    fuzzy_lookup:
+      args:
+        - video_id
+        - html5
+"""
+    )
+    (rule,), bad = load_fuzzy_rules(str(p))
+    assert bad == []
+    rules = (rule,)
+    key = "com,youtube)/get_video_info?el=x&html5=1&t=9&video_id=abc"
+    fz, name = fuzzy_key_py(key, rules)
+    assert fz == "com,youtube)/get_video_info?html5=1&video_id=abc"
+    assert name == rule.name
+    # adjacent junk params strip in ONE replace-all pass
+    key2 = "com,youtube)/get_video_info?a=1&b=2&video_id=abc&c=3"
+    assert fuzzy_key_py(key2, rules)[0] == "com,youtube)/get_video_info?video_id=abc"
+    # only kept params present -> rule must NOT fire (no zero-width match)
+    key3 = "com,youtube)/get_video_info?html5=1&video_id=abc"
+    assert fuzzy_key_py(key3, rules) == (key3, None)
+    # prefix scope: same params elsewhere fall through
+    key4 = "com,vimeo)/watch?el=x&video_id=abc"
+    assert fuzzy_key_py(key4, rules) == (key4, None)
+    # a param NAME that extends a kept name is junk (video_idx != video_id)
+    key5 = "com,youtube)/get_video_info?video_idx=1&video_id=abc"
+    assert fuzzy_key_py(key5, rules)[0] == "com,youtube)/get_video_info?video_id=abc"
+
+
+def test_args_rule_spark_parity(spark, tmp_path):
+    p = tmp_path / "rules.yaml"
+    p.write_text(
+        "rules:\n"
+        "  - url_prefix: 'com,youtube)'\n"
+        "    fuzzy_lookup:\n"
+        "      args: [video_id]\n"
+    )
+    rules, bad = load_fuzzy_rules(str(p))
+    assert bad == []
+    keys = [
+        "com,youtube)/watch?t=1&video_id=abc",
+        "com,youtube)/watch?video_id=abc",
+        "com,youtube)/watch",
+        "com,other)/watch?t=1&video_id=abc",
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["k"]: (r["key_fuzzy"], r["fuzzy_rule"])
+        for r in apply_fuzzy_rules(df, "k", rules).collect()
+    }
+    for k in keys:
+        assert got[k] == fuzzy_key_py(k, rules), k
+
+
+def test_rules_yaml_quarantine():
+    obj = {
+        "rules": [
+            "not-a-mapping",
+            {"url_prefix": "com,x)"},  # no fuzzy_lookup
+            {"url_prefix": 7, "fuzzy_lookup": "a"},  # bad prefix type
+            {"url_prefix": "", "fuzzy_lookup": "(unclosed"},  # bad regex
+            {"url_prefix": "", "fuzzy_lookup": {"args": []}},  # empty args
+            {"url_prefix": "", "fuzzy_lookup": {"args": [1]}},  # bad args
+            {"url_prefix": "", "fuzzy_lookup": "([?&])ok=1&?"},  # good
+        ]
+    }
+    rules, bad = parse_fuzzy_rules_obj(obj)
+    assert len(rules) == 1 and rules[0].pattern == "([?&])ok=1&?"
+    assert len(bad) == 6
+
+
+def test_rules_yaml_top_level_damage(tmp_path):
+    p = tmp_path / "rules.yaml"
+    p.write_text(":\n  - ::bad yaml::")
+    rules, bad = load_fuzzy_rules(str(p))
+    assert rules == () and len(bad) == 1
+    p.write_text("just a string")
+    rules, bad = load_fuzzy_rules(str(p))
+    assert rules == () and len(bad) == 1
+
+
+def test_ignored_pywb_response_keys(tmp_path):
+    """filter/replace/type keys (pywb response tuning) are accepted
+    and ignored — the match regex still loads."""
+    p = tmp_path / "rules.yaml"
+    p.write_text(
+        """
+rules:
+  - url_prefix: 'com,facebook)'
+    fuzzy_lookup:
+      match: '([?&])data=[^&]+&?'
+      filter: ['urlkey:{0}']
+      replace: '?'
+      type: 'fuzzy'
+"""
+    )
+    (rule,), bad = load_fuzzy_rules(str(p))
+    assert bad == [] and rule.pattern == "([?&])data=[^&]+&?"
+
+
+# --- .aclj -----------------------------------------------------------------
+
+
+def test_aclj_roundtrip_and_precedence(tmp_path):
+    from webarchive_indexing_spark.queries.cdx_surface import _ACL_RULES
+
+    p = tmp_path / "access.aclj"
+    p.write_text(dump_aclj(_ACL_RULES, url_prefix="https://example.org/"))
+    # wb-manager convention: reverse-key-sorted lines
+    keys = [ln.split(" - ")[0] for ln in p.read_text().splitlines()]
+    assert keys == sorted(keys, reverse=True)
+    loaded, bad = load_aclj(str(p))
+    assert bad == []
+    assert sorted(loaded) == sorted(_ACL_RULES)
+    # the compiled verdict chain is order-insensitive for distinct
+    # prefixes: file order and in-code order produce the same SQL
+    assert sql_acl_access("k", loaded) == sql_acl_access("k", _ACL_RULES)
+
+
+def test_aclj_quarantine_never_widens():
+    lines = [
+        'com,example) - {"access": "allow"}',
+        "",  # blank line: skipped silently
+        ' - {"access": "exclude"}',  # blank surt -> would be a wildcard
+        "com,example,evil)",  # no separator
+        "com,example,evil) - {broken json",
+        'com,example,evil) - {"access": "nuke-it"}',  # unknown access
+        'com,example,evil) - ["access", "block"]',  # non-dict json
+        'com,ok) - {"access": "allow_ignore_embargo", "url": "x"}',
+    ]
+    rules, bad = parse_aclj_lines(lines)
+    assert rules == [("com,example)", "allow"), ("com,ok)", "allow")]
+    assert len(bad) == 5
+    # none of the quarantined lines became a rule for the evil subtree
+    assert not any("evil" in p for p, _ in rules)

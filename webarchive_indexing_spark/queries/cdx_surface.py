@@ -345,6 +345,13 @@ def cdx_fuzzy_match(spark, sf_dir):
       ``track`` sort after the base params, so only canonicalization-
       aware stripping can make these hit.
     """
+    return _fuzzy_match_plan(spark, sf_dir, _fuzzy_match_rules())
+
+
+def _fuzzy_match_plan(spark, sf_dir, rules):
+    """The shared batch fuzzy-resolver plan (see ``cdx_fuzzy_match``):
+    parameterized on the rule table so the in-code-table query and the
+    rules.yaml-loaded twin run the IDENTICAL plan."""
     from ..operators.cdx_query import apply_fuzzy_rules
 
     c = derived_cdx(spark, sf_dir)
@@ -379,7 +386,7 @@ def cdx_fuzzy_match(spark, sf_dir):
             "doc_id", surt_urlkey_cached("__url").alias("key_exact")
         ),
         "key_exact",
-        _fuzzy_match_rules(),
+        rules,
     )
     keys = lookups.select(
         "doc_id",
@@ -627,6 +634,75 @@ def cdx_acl_longest_prefix(spark, sf_dir):
     return apply_acl(
         c.select("urlkey", F.col("ts14").alias("timestamp"), "status"),
         _ACL_RULES,
+    )
+
+
+@query(
+    "cdx_fuzzy_match_from_rules",
+    oracle=_fuzzy_oracle(),
+    tier="B",
+)
+def cdx_fuzzy_match_from_rules(spark, sf_dir):
+    """P5 fuzzy matching driven by a REAL pywb ``rules.yaml`` file
+    [U pywb default rules.yaml grammar]: the ``cdx_fuzzy_match`` rule
+    table serialized into pywb's file format (per-SURT ``url_prefix``
+    blocks, ``fuzzy_lookup`` match-regex mappings), written as a
+    fixture, loaded back through ``sources.pywb_config
+    .load_fuzzy_rules`` (the quarantine parser), and run through the
+    IDENTICAL batch-resolver plan — so the oracle hash pins that a
+    pywb operator's config file, loaded unmodified, produces
+    byte-identical results to the in-code table.  The file is
+    driver-side metadata (KBs); everything downstream is the same
+    scan-side codegen CASE chain."""
+    import os
+    import tempfile
+
+    from ..sources.pywb_config import dump_fuzzy_rules, load_fuzzy_rules
+
+    d = tempfile.mkdtemp(prefix="pywb_rules_")
+    path = os.path.join(d, "rules.yaml")
+    with open(path, "w") as fh:
+        fh.write(dump_fuzzy_rules(_fuzzy_match_rules()))
+    rules, bad = load_fuzzy_rules(path)
+    if bad:  # fixture we just wrote — any quarantine is a code bug
+        raise ValueError(f"fixture rules.yaml quarantined entries: {bad}")
+    return _fuzzy_match_plan(spark, sf_dir, rules)
+
+
+@query(
+    "cdx_acl_from_aclj",
+    oracle=_acl_oracle(),
+    tier="B",
+)
+def cdx_acl_from_aclj(spark, sf_dir):
+    """ACLs driven by a REAL wb-manager ``.aclj`` file [U pywb
+    wb-manager acl]: the ``cdx_acl_longest_prefix`` rule list
+    serialized as reverse-key-sorted ``<surt> - {json}`` lines,
+    written as a fixture, loaded back through ``sources.pywb_config
+    .load_aclj`` (quarantine parser — a damaged line can never widen
+    to a wildcard), and applied through the same longest-prefix-wins
+    compiled CASE chain — the oracle hash pins that an archive's
+    access-control file drops in unmodified."""
+    import os
+    import tempfile
+
+    from ..operators.cdx_query import apply_acl
+    from ..sources.pywb_config import dump_aclj, load_aclj
+
+    d = tempfile.mkdtemp(prefix="pywb_aclj_")
+    path = os.path.join(d, "access.aclj")
+    with open(path, "w") as fh:
+        fh.write(dump_aclj(_ACL_RULES, url_prefix="https://example.org/"))
+    rules, bad = load_aclj(path)
+    if bad:  # fixture we just wrote — any quarantine is a code bug
+        raise ValueError(f"fixture aclj quarantined lines: {bad}")
+    c = derived_cdx(spark, sf_dir).filter(
+        (F.col("urlkey") >= "org,example,src1")
+        & (F.col("urlkey") < "org,example,src:")
+    )
+    return apply_acl(
+        c.select("urlkey", F.col("ts14").alias("timestamp"), "status"),
+        rules,
     )
 
 

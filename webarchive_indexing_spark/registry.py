@@ -50,11 +50,11 @@ def query(name: str, oracle: str | None = None, tier: str = "A"):
 
 #: Queries whose SEMANTICS changed since their last green verdict —
 #: surface them first so the next CORRECTNESS round records the change.
-#: (Round 6: cdx_fuzzy_match gained SURT-prefix-scoped rules and the
-#: removeall terminal fallback after its round-5 green — its %5 lookup
-#: classes and rule/fuzzy columns changed, so it needs a fresh driver
-#: verdict.  Clear once the post-change green is recorded.)
-_VERIFY_EARLY: tuple[str, ...] = ("cdx_fuzzy_match",)
+#: (Round 6's cdx_fuzzy_match pin is recorded green in
+#: CORRECTNESS_r06.json, so the window is back to pure stalest-first.
+#: Re-pin here ONLY when a change alters an already-green query's
+#: semantics.)
+_VERIFY_EARLY: tuple[str, ...] = ()
 
 
 def _verified_rounds() -> dict[str, int]:
