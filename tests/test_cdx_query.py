@@ -111,6 +111,35 @@ def test_collapse_digest_runs(spark, cdx):
         assert len(kept) == len(runs)
 
 
+def test_collapse_to_last_keeps_run_tails(spark, cdx):
+    """collapseToLast ≡ keep-first's mirror: per urlkey, the kept rows
+    are the LAST element of each digest run (python groupby ref)."""
+    from itertools import groupby
+
+    url = "https://src5.example.org/x"
+    full = cdx_query(cdx, url, match_type="domain").collect()
+    last = cdx_query(
+        cdx, url, match_type="domain", collapse="digest", collapse_to_last=True
+    ).collect()
+    first = cdx_query(cdx, url, match_type="domain", collapse="digest").collect()
+    assert len(last) == len(first)  # same runs, other representative
+    assert {(r.urlkey, r.timestamp) for r in last} != {
+        (r.urlkey, r.timestamp) for r in first
+    }
+    expect = set()
+    for key, grp in groupby(full, key=lambda r: r.urlkey):
+        for _, run in groupby(grp, key=lambda r: r.digest):
+            expect.add((key, list(run)[-1].timestamp))
+    assert {(r.urlkey, r.timestamp) for r in last} == expect
+
+
+def test_collapse_keep_validation(spark, cdx):
+    from webarchive_indexing_spark.operators.collapse import collapse
+
+    with pytest.raises(ValueError, match="keep"):
+        collapse(cdx, ["urlkey"], ["timestamp"], F.col("digest"), keep="middle")
+
+
 def test_closest_ordering(spark, cdx):
     out = cdx_query(
         cdx, "https://src1.example.org/doc/101", match_type="exact", closest="20160601"

@@ -307,6 +307,7 @@ def cdx_query(
     to: str | None = None,
     filters: list[str] | None = None,
     collapse: str | list[str] | None = None,
+    collapse_to_last: bool = False,
     closest: str | None = None,
     sort_reverse: bool = False,
     fields: list[str] | None = None,
@@ -411,11 +412,14 @@ def cdx_query(
                 ck = F.substring(ck, 1, int(width))
             keys.append(ck)
         ckey = keys[0] if len(keys) == 1 else F.struct(*keys)
+        # collapseToLast [U pywb query API]: represent each run by its
+        # LATEST capture instead of its first — same window either way
         df = run_collapse(
             df,
             partition_by=["urlkey"],
             order_by=[F.col("timestamp").asc()],
             collapse_key=ckey,
+            keep="last" if collapse_to_last else "first",
         )
 
     # forward + reversed forms of whichever ordering is active, so

@@ -22,15 +22,25 @@ def collapse(
     partition_by: list[str],
     order_by: list[str | Column],
     collapse_key: Column,
+    *,
+    keep: str = "first",
 ) -> DataFrame:
-    """Keep the first row of each run of equal ``collapse_key``.
+    """Keep the first (or last) row of each run of equal ``collapse_key``.
 
     ``partition_by`` scopes runs (cdx: the urlkey); ``order_by`` is
-    the index order within the partition (cdx: timestamp).  Rows where
-    the key differs from the previous row's survive; the first row of
-    each partition always survives (lag is NULL there).
+    the index order within the partition (cdx: timestamp).
+
+    ``keep="first"`` (default): rows where the key differs from the
+    PREVIOUS row's survive; the first row of each partition always
+    survives (lag is NULL there).  ``keep="last"`` — pywb's
+    ``collapseToLast`` [U pywb query API] — mirrors it with ``lead``:
+    rows where the key differs from the NEXT row's survive, so each
+    run is represented by its latest capture.  Same single window,
+    same one shuffle, either direction.
     """
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
-    prev = F.lag(collapse_key).over(w)
-    keep = prev.isNull() | (collapse_key != prev)
-    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+    adj = (F.lag if keep == "first" else F.lead)(collapse_key).over(w)
+    cond = adj.isNull() | (collapse_key != adj)
+    return df.withColumn("__keep", cond).filter(F.col("__keep")).drop("__keep")

@@ -766,6 +766,43 @@ def cdx_collapse_digest(spark, sf_dir):
 
 
 @query(
+    "cdx_collapse_to_last",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp, digest FROM (
+      SELECT urlkey, ts14, digest,
+             LEAD(substr(ts14, 1, 4)) OVER (
+               PARTITION BY urlkey ORDER BY ts14) AS nxt,
+             substr(ts14, 1, 4) AS cur
+      FROM cdx WHERE urlkey LIKE 'org,example,src5)%'
+    ) WHERE nxt IS NULL OR cur <> nxt
+    """,
+    tier="B",
+)
+def cdx_collapse_to_last(spark, sf_dir):
+    """W2 ``collapseToLast`` [U pywb query API]: each run of captures
+    sharing a collapse key (here ``timestamp:4`` — same year) is
+    represented by its LAST capture instead of its first — the
+    "latest snapshot per period" view.  Mirror image of keep-first:
+    one ``lead`` window instead of ``lag``, same single shuffle
+    (operators/collapse.py keep=).  Runs through the composed API
+    (``cdx_query(collapse=..., collapse_to_last=True)``); on this
+    fixture most urlkeys span 2-3 years with multiple captures per
+    year, so first- and last-kept rows genuinely differ and the hash
+    pins the direction."""
+    from ..operators.cdx_query import cdx_query
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+    return cdx_query(
+        c,
+        "http://src5.example.org/",
+        match_type="domain",
+        collapse="timestamp:4",
+        collapse_to_last=True,
+        fields=["urlkey", "timestamp", "digest"],
+    )
+
+
+@query(
     "cdx_collapse_timestamp",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14, digest FROM (
