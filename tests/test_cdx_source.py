@@ -72,6 +72,39 @@ def test_cdx_gz_sink_is_standard_gzip(spark, sf_dir):
         assert back.count() == 200
 
 
+def test_cdx_gz_header_emission_roundtrip(spark, sf_dir):
+    """header=True: every part file leads with the EXACT pywb header
+    line, rows stay sorted below it, and read_cdx_auto loads the
+    archive back losslessly (headers dropped, positions mapped)."""
+    from webarchive_indexing_spark.sources.cdx import (
+        CDX11_HEADER,
+        read_cdx_auto,
+    )
+
+    assert CDX11_HEADER == " CDX N b a m s k r M S V g"
+    cdx = _sample_cdx(spark, sf_dir).limit(120)
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "cdx")
+        write_cdx_gz(cdx.repartition(3), out, header=True)
+        files = glob.glob(os.path.join(out, "*.txt.gz"))
+        assert len(files) == 3
+        for f in files:
+            with gzip.open(f, "rt") as fh:
+                lines = fh.read().splitlines()
+            assert lines[0] == CDX11_HEADER
+            keys = [tuple(ln.split(" ")[:2]) for ln in lines[1:]]
+            assert keys == sorted(keys)
+        back = read_cdx_auto(spark, out)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, cdx.collect())
+        )
+        # custom dialect string passes through verbatim
+        write_cdx_gz(cdx.coalesce(1), out, header=" CDX N b a g")
+        f = glob.glob(os.path.join(out, "*.txt.gz"))[0]
+        with gzip.open(f, "rt") as fh:
+            assert fh.readline().rstrip("\n") == " CDX N b a g"
+
+
 def test_cdxj_parse(spark):
     rows = [
         ('com,example)/a 20150101000000 {"url": "http://example.com/a", "status": "200"}',),

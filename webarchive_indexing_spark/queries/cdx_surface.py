@@ -475,6 +475,57 @@ def cdx_legacy_9field(spark, sf_dir):
 
 
 @query(
+    "cdx_header_roundtrip",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp,
+           'https://e/' || urlkey AS url,
+           mime, status, digest,
+           CAST(NULL AS VARCHAR) AS redirect,
+           CAST(NULL AS VARCHAR) AS robotflags,
+           CAST(length AS BIGINT) AS length,
+           CAST("offset" AS BIGINT) AS offset,
+           filename
+    FROM cdx
+    WHERE urlkey >= 'org,example,src7' AND urlkey < 'org,example,src7)~'
+    """,
+)
+def cdx_header_roundtrip(spark, sf_dir):
+    """S4/S5 self-describing CDX archives [U CDX spec; pywb
+    write_cdx_index]: ``write_cdx_gz(header=True)`` emits the
+    `` CDX N b a m s k r M S V g`` header line at every file head
+    (Arrow-batched per-partition prepend), and ``read_cdx_auto``
+    sniffs it back, maps positions from the DECLARED order, and drops
+    the repeated per-file header lines — closing the write/read
+    dialect asymmetry (files we write carry their own description for
+    pywb and third-party toolchains alike).  The fixture writes 3
+    part files so the hash also pins multi-file header dropping."""
+    import tempfile
+
+    from ..sources.cdx import read_cdx_auto, write_cdx_gz
+
+    c = derived_cdx(spark, sf_dir).filter(
+        (F.col("urlkey") >= "org,example,src7")
+        & (F.col("urlkey") < "org,example,src7)~")
+    )
+    full = c.select(
+        "urlkey",
+        F.col("ts14").alias("timestamp"),
+        F.concat(F.lit("https://e/"), F.col("urlkey")).alias("url"),
+        "mime",
+        "status",
+        "digest",
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(None).cast("string").alias("robotflags"),
+        F.col("length").cast("long").alias("length"),
+        F.col("offset").cast("long").alias("offset"),
+        "filename",
+    )
+    d = tempfile.mkdtemp(prefix="cdx_header_")
+    write_cdx_gz(full.repartition(3), d, header=True)
+    return read_cdx_auto(spark, d)
+
+
+@query(
     "cdx_collapse_multi",
     oracle=CDX_SQL + """
     , runs AS (

@@ -61,13 +61,47 @@ def to_cdx_lines(cdx: DataFrame) -> DataFrame:
     return cdx.select(F.concat_ws(" ", *parts).alias("value"))
 
 
-def write_cdx_gz(cdx: DataFrame, path: str, *, sorted_within: bool = True) -> None:
+#: the canonical 11-field header line pywb's writer emits at file head
+#: [U CDX file format spec: delimiter char, literal CDX, field letters]
+#: — matches CDX_FIELDS positionally, so header-declared and classic
+#: parses agree on files we write.
+CDX11_HEADER = " CDX N b a m s k r M S V g"
+
+
+def write_cdx_gz(
+    cdx: DataFrame,
+    path: str,
+    *,
+    sorted_within: bool = True,
+    header: bool | str = False,
+) -> None:
     """S4 gzipped-CDX sink: partition-local sort (the reference sorts
-    each per-WARC CDX with pywb ``sort=True``) then gzip text."""
+    each per-WARC CDX with pywb ``sort=True``) then gzip text.
+
+    ``header=True`` writes the `` CDX N b a m s k r M S V g`` header
+    line at the head of every output file (pywb's ``write_cdx_index``
+    emits it per file [U CDX spec]), making the archive
+    self-describing for ``read_cdx_auto`` and third-party CDX
+    toolchains; pass a string to emit a custom dialect line.  The
+    prepend is an Arrow-batched per-partition map (one file per
+    partition, header before the first batch) — no RDD, no driver
+    round-trip, partition-local sort preserved."""
     out = cdx
     if sorted_within:
         out = out.sortWithinPartitions("urlkey", "timestamp")
-    to_cdx_lines(out).write.mode("overwrite").option("compression", "gzip").text(path)
+    lines = to_cdx_lines(out)
+    if header:
+        hdr = CDX11_HEADER if header is True else header
+        schema = lines.schema
+
+        def prepend(batches):
+            import pandas as pd
+
+            yield pd.DataFrame({"value": [hdr]})
+            yield from batches
+
+        lines = lines.mapInPandas(prepend, schema=schema)
+    lines.write.mode("overwrite").option("compression", "gzip").text(path)
 
 
 def read_cdx_gz(spark: SparkSession, path: str) -> DataFrame:
