@@ -1637,6 +1637,125 @@ def cdx_timemap_linkformat(spark, sf_dir):
 
 
 @query(
+    "cdx_timemap_json",
+    oracle=CDX_SQL + """
+    , ranked AS (
+      SELECT urlkey, ts14,
+             ROW_NUMBER() OVER (PARTITION BY urlkey ORDER BY ts14) AS rn,
+             COUNT(*) OVER (PARTITION BY urlkey) AS n
+      FROM cdx
+      WHERE urlkey >= 'org,example,src4' AND urlkey < 'org,example,src4)~'
+    )
+    SELECT urlkey, CAST(rn AS INT) AS line_no,
+           '{"urlkey":"' || urlkey ||
+           '","timestamp":"' || ts14 ||
+           '","memento":"https://web.archive.example/web/' || ts14
+             || 'id_/' || urlkey ||
+           '","rel":"' ||
+           CASE WHEN rn = 1 AND rn = n THEN 'first last memento'
+                WHEN rn = 1 THEN 'first memento'
+                WHEN rn = n THEN 'last memento'
+                ELSE 'memento' END ||
+           '","datetime":"' ||
+           strftime(strptime(ts14, '%Y%m%d%H%M%S'),
+                    '%a, %d %b %Y %H:%M:%S GMT') || '"}' AS line
+    FROM ranked
+    """,
+    tier="B",
+)
+def cdx_timemap_json(spark, sf_dir):
+    """Memento TimeMap, JSON serialization [B pywb /timemap/json/
+    endpoint]: one compact JSON object per memento — rewrite URL,
+    first/last rel markers, RFC-1123 datetime — emitted with the REAL
+    ``to_json(struct(...))`` serializer while the oracle re-derives
+    the byte-exact grammar by concatenation (same pinning pattern as
+    ``cdx_output_json``).  Same single ranked window as the
+    link-format TimeMap; serialization itself is map-only."""
+    from pyspark.sql.window import Window
+
+    c = derived_cdx(spark, sf_dir).filter(
+        (F.col("urlkey") >= "org,example,src4")
+        & (F.col("urlkey") < "org,example,src4)~")
+    )
+    w = Window.partitionBy("urlkey")
+    rn = F.row_number().over(w.orderBy("ts14"))
+    n = F.count(F.lit(1)).over(w)
+    sub = c.select("urlkey", "ts14").withColumn("rn", rn).withColumn("n", n)
+    rel = (
+        F.when((F.col("rn") == 1) & (F.col("rn") == F.col("n")), "first last memento")
+        .when(F.col("rn") == 1, "first memento")
+        .when(F.col("rn") == F.col("n"), "last memento")
+        .otherwise("memento")
+    )
+    http_date = F.date_format(
+        F.to_timestamp("ts14", "yyyyMMddHHmmss"), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+    )
+    return sub.select(
+        "urlkey",
+        F.col("rn").alias("line_no"),
+        F.to_json(
+            F.struct(
+                F.col("urlkey"),
+                F.col("ts14").alias("timestamp"),
+                F.concat(
+                    F.lit("https://web.archive.example/web/"),
+                    F.col("ts14"),
+                    F.lit("id_/"),
+                    F.col("urlkey"),
+                ).alias("memento"),
+                rel.alias("rel"),
+                http_date.alias("datetime"),
+            )
+        ).alias("line"),
+    )
+
+
+@query(
+    "cdx_timemap_cdxj",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp,
+           urlkey || ' ' || ts14 ||
+           ' {"url":"https://e/' || urlkey ||
+           '","mime":"' || mime ||
+           '","status":"' || CAST(status AS VARCHAR) ||
+           '","digest":"' || digest || '"}' AS line
+    FROM cdx
+    WHERE urlkey >= 'org,example,src4' AND urlkey < 'org,example,src4)~'
+    """,
+    tier="B",
+)
+def cdx_timemap_cdxj(spark, sf_dir):
+    """Memento TimeMap, CDXJ serialization [B pywb /timemap/cdxj/
+    endpoint]: the mementos of each URI-R as CDXJ lines (``urlkey ts
+    {json}``), emitted through the engine's OWN CDXJ writer
+    (``sources.cdx.to_cdxj_lines`` — the NULL-omission and map-order
+    conventions the ZipNum CDXJ clusters use) against a
+    concatenation-derived oracle — so the hash pins the writer's
+    exact line grammar, not a parallel reimplementation.  Map-only
+    projection; the per-URI-R ordering is the index order itself."""
+    from ..sources.cdx import cdxj_line_expr
+
+    c = derived_cdx(spark, sf_dir).filter(
+        (F.col("urlkey") >= "org,example,src4")
+        & (F.col("urlkey") < "org,example,src4)~")
+    )
+    full = c.select(
+        "urlkey",
+        F.col("ts14").alias("timestamp"),
+        F.concat(F.lit("https://e/"), F.col("urlkey")).alias("url"),
+        "mime",
+        "status",
+        "digest",
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(None).cast("string").alias("robotflags"),
+        F.lit(None).cast("long").alias("length"),
+        F.lit(None).cast("long").alias("offset"),
+        F.lit(None).cast("string").alias("filename"),
+    )
+    return full.select("urlkey", "timestamp", cdxj_line_expr().alias("line"))
+
+
+@query(
     "cdx_server_composed_zipnum",
     oracle=CDX_SQL + f"""
     , lines AS (

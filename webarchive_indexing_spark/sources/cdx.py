@@ -286,12 +286,14 @@ CDXJ_KEYS = [
 ]
 
 
-def to_cdxj_lines(cdx: DataFrame) -> DataFrame:
-    """Typed CDX DataFrame → CDXJ lines (``urlkey ts {json}``), the
-    format the Common Crawl index serves.  NULL fields are omitted
-    from the JSON (CDXJ convention) rather than written as '-';
-    ``to_json`` over a map built from the non-null entries keeps the
-    whole conversion JVM-side."""
+def cdxj_line_expr() -> "F.Column":
+    """The CDXJ line (``urlkey ts {json}``) as a COLUMN expression
+    over a typed CDX frame — shared by the file sink
+    (``to_cdxj_lines``) and serializing queries (TimeMap CDXJ) so
+    there is exactly one implementation of the line grammar.  NULL
+    fields are omitted from the JSON (CDXJ convention) rather than
+    written as '-'; ``to_json`` over a map built from the non-null
+    entries keeps the whole conversion JVM-side."""
     entries = []
     for col, key in CDXJ_KEYS:
         entries.append(
@@ -310,14 +312,18 @@ def to_cdxj_lines(cdx: DataFrame) -> DataFrame:
     # concat_ws silently DROPS null args, which would shift the line to
     # two fields and corrupt the parse — key columns fall back to '-'
     # (same placeholder as the classic-CDX twin).
-    return cdx.select(
-        F.concat_ws(
-            " ",
-            F.coalesce(F.col("urlkey"), F.lit("-")),
-            F.coalesce(F.col("timestamp"), F.lit("-")),
-            js,
-        ).alias("value")
+    return F.concat_ws(
+        " ",
+        F.coalesce(F.col("urlkey"), F.lit("-")),
+        F.coalesce(F.col("timestamp"), F.lit("-")),
+        js,
     )
+
+
+def to_cdxj_lines(cdx: DataFrame) -> DataFrame:
+    """Typed CDX DataFrame → CDXJ lines, the format the Common Crawl
+    index serves (grammar: ``cdxj_line_expr``)."""
+    return cdx.select(cdxj_line_expr().alias("value"))
 
 
 def cdxj_to_cdx(cdxj: DataFrame) -> DataFrame:
