@@ -232,3 +232,47 @@ def test_cli_front_door(spark, warc_manifest, tmp_path, capsys):
 
     j = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln]
     assert len(j) == 1 and j[0]["urlkey"] == some.urlkey
+
+
+def test_cli_query_with_acl(spark, warc_manifest, tmp_path, capsys):
+    """--acl FILE serves wb-manager access control end-to-end: an
+    excluded capture disappears from the listing, a blocked one stays
+    listed, and a malformed acl line is quarantined with a warning
+    instead of widening or failing."""
+    from webarchive_indexing_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cluster")
+    assert main(["build-index", warc_manifest, out_dir, "--shards", "2",
+                 "--numlines", "10"]) == 0
+
+    acl = tmp_path / "access.aclj"
+    acl.write_text(
+        'com,example)/page/1 - {"access": "block"}\n'
+        'com,example)/page/0 - {"access": "exclude"}\n'
+        "garbage line without separator\n"
+    )
+    assert main(["query", out_dir, "https://example.com/", "--match-type",
+                 "domain", "--acl", str(acl)]) == 0
+    cap = capsys.readouterr()
+    keys = [ln.split(" ")[0] for ln in cap.out.splitlines() if ln.strip()]
+    assert keys, "expected listed captures"
+    assert not any(k.startswith("com,example)/page/0") for k in keys)
+    assert any(k.startswith("com,example)/page/1") for k in keys)
+    assert any(k.startswith("com,example)/page/2") for k in keys)
+    assert "unparseable acl line skipped" in cap.err
+
+    # without --acl the excluded subtree is listed (control)
+    assert main(["query", out_dir, "https://example.com/", "--match-type",
+                 "domain"]) == 0
+    keys = [ln.split(" ")[0]
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert any(k.startswith("com,example)/page/0") for k in keys)
+
+    # json output carries the access verdict for blocked rows
+    assert main(["query", out_dir, "https://example.com/page/1-1",
+                 "--output", "json", "--acl", str(acl)]) == 0
+    import json as _json
+
+    rows = [_json.loads(ln)
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert rows and all(r["access"] == "block" for r in rows)

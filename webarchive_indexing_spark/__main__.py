@@ -68,6 +68,9 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--closest", default=None)
     q.add_argument("--sort-reverse", action="store_true")
     q.add_argument("--fuzzy", action="store_true")
+    q.add_argument("--acl", default=None, metavar="ACLJ",
+                   help="wb-manager .aclj file: excluded captures vanish, "
+                        "blocked ones stay listed")
     q.add_argument("--limit", type=int, default=None)
     q.add_argument("--fields", default=None, help="comma-separated fl= projection")
     q.add_argument("--output", default="text", choices=["text", "json"])
@@ -116,6 +119,14 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.pipeline import query_index
         from .sources.cdx import to_cdx_lines
 
+        acl_rules = None
+        if args.acl:
+            from .sources.pywb_config import load_aclj
+
+            acl_rules, bad = load_aclj(args.acl)
+            for ln in bad:  # quarantined, never widened — surface them
+                print(f"warning: unparseable acl line skipped: {ln}",
+                      file=sys.stderr)
         df = query_index(
             spark, args.cluster_dir, args.url,
             match_type=args.match_type, from_=args.from_, to=args.to,
@@ -123,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
             closest=args.closest, sort_reverse=args.sort_reverse,
             fuzzy=args.fuzzy, limit=args.limit,
             fields=args.fields.split(",") if args.fields else None,
+            acl_rules=acl_rules,
         )
         # stream through the driver: toLocalIterator holds one
         # partition at a time, so an unbounded prefix/domain query

@@ -315,6 +315,8 @@ def cdx_query(
     fuzzy: bool = False,
     resume_key: tuple[str, str] | tuple[str, str, str] | None = None,
     tiebreak: str | None = None,
+    acl_rules: list[tuple[str, str]] | None = None,
+    acl_default: str = "allow",
 ) -> DataFrame:
     """The full cdx-server GET /index parameter surface over a typed
     CDX DataFrame (column ``timestamp`` = 14-digit string).
@@ -357,6 +359,13 @@ def cdx_query(
         df = cdx.filter((F.col("urlkey") >= lo) & (F.col("urlkey") < hi))
     if match_type == "glob":
         df = df.filter(F.col("urlkey").like(glob_to_like(surt_urlkey_py(url))))
+
+    if acl_rules is not None:
+        # access control FIRST [U pywb ACL]: excluded captures vanish
+        # before limit/collapse/fuzzy see them (they must not consume
+        # limit slots or suppress a fuzzy retry); blocked rows stay
+        # listed, tagged in the `access` column (playback returns 451).
+        df = apply_acl(df, acl_rules, default=acl_default)
 
     if resume_key is not None:
         if sort_reverse or closest is not None:
