@@ -103,6 +103,13 @@ HEADLINE = [
     "cdx_collapse_multi",
     "dedup_duplicate_spans",
     "cdx_acl_longest_prefix",
+    # round 7
+    "cdx_fuzzy_match_from_rules",
+    "cdx_acl_from_aclj",
+    "cdx_collapse_to_last",
+    "cdx_header_roundtrip",
+    "cdx_timemap_json",
+    "cdx_timemap_cdxj",
 ]
 
 
@@ -128,17 +135,34 @@ def main() -> None:
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # PINS.json: the per-query capability pins (quiet best-of-4 /
+    # authored BASELINE.md values).  Report this run against them so
+    # a single driver run carries its own baseline comparison; only
+    # meaningful at the pinned scale factor (sf0.1).
+    pins_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PINS.json")
+    if os.path.exists(pins_path) and sf == "0.1":
+        with open(pins_path) as fh:
+            pins = json.load(fh)["pins"]
+        shared = [n for n in timings if n in pins]
+        pin_sum = sum(pins[n]["sec"] for n in shared)
+        if pin_sum > 0:
+            out["vs_pins"] = {
+                "queries": len(shared),
+                "pinned_sec": round(pin_sum, 3),
+                "measured_sec": round(sum(timings[n] for n in shared), 3),
+                "ratio": round(sum(timings[n] for n in shared) / pin_sum, 3),
+                "over_2x": sorted(
+                    n for n in shared if timings[n] > 2 * pins[n]["sec"]
+                ),
             }
-        )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
