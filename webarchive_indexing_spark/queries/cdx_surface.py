@@ -451,26 +451,34 @@ def cdx_legacy_9field(spark, sf_dir):
     missing dialect columns come back NULL, which the oracle pins
     column-by-column.  The scan stays a declarative split-projection
     with the same try_element_at/try_cast damage tolerance as the
-    classic reader."""
-    import gzip
-    import os
+    classic reader; the fixture itself is written DISTRIBUTED
+    (``write_lines_gz`` with the dialect header at each file head —
+    the same executor-side path a real legacy-archive producer would
+    use), never through driver-side row iteration."""
     import tempfile
 
-    from ..sources.cdx import read_cdx_auto
+    from ..sources.cdx import read_cdx_auto, write_lines_gz
 
     c = derived_cdx(spark, sf_dir).filter(
         (F.col("urlkey") >= "org,example,src6")
         & (F.col("urlkey") < "org,example,src6)~")
     )
-    rows = c.select("urlkey", "ts14", "mime", "status", "digest", "offset", "filename").collect()
+    lines = c.select(
+        F.concat_ws(
+            " ",
+            "urlkey",
+            "ts14",
+            F.lit("-"),
+            "mime",
+            F.col("status").cast("string"),
+            "digest",
+            F.lit("-"),
+            F.col("offset").cast("string"),
+            "filename",
+        ).alias("value")
+    )
     d = tempfile.mkdtemp(prefix="cdx_legacy_")
-    with gzip.open(os.path.join(d, "legacy.cdx.gz"), "wt") as fh:
-        fh.write(" CDX N b a m s k r V g\n")
-        for r in rows:
-            fh.write(
-                f"{r.urlkey} {r.ts14} - {r.mime} {r.status} {r.digest} - "
-                f"{r.offset} {r.filename}\n"
-            )
+    write_lines_gz(lines, d, header=" CDX N b a m s k r V g")
     return read_cdx_auto(spark, d)
 
 

@@ -89,9 +89,20 @@ def write_cdx_gz(
     out = cdx
     if sorted_within:
         out = out.sortWithinPartitions("urlkey", "timestamp")
-    lines = to_cdx_lines(out)
-    if header:
-        hdr = CDX11_HEADER if header is True else header
+    hdr = CDX11_HEADER if header is True else (header or None)
+    write_lines_gz(to_cdx_lines(out), path, header=hdr)
+
+
+def write_lines_gz(
+    lines: DataFrame, path: str, *, header: str | None = None
+) -> None:
+    """Gzip text sink for a one-column ``value`` line frame, with an
+    optional per-file header line — the distributed write primitive
+    behind ``write_cdx_gz`` and the legacy-dialect fixtures (one file
+    per partition; the header prepend is an Arrow-batched
+    per-partition map, no RDD, partition order preserved)."""
+    if header is not None:
+        hdr = header
         schema = lines.schema
 
         def prepend(batches):
