@@ -727,3 +727,124 @@ def test_wat_meta_damage_tolerance_on_hostile_envelopes():
     # first matching description wins; its non-string content -> NULL
     assert desc is None
     assert n_links == 0
+
+
+def test_wat_asset_classes_and_header_map(spark, tmp_path):
+    """Full WAT surface (round 7): body link classes (A@/href,
+    IMG@/src), Head.Scripts, Head.Link with rel, and the complete
+    HTTP response header MAP — type-guarded like every WAT extractor."""
+    from webarchive_indexing_spark.sources.warc import (
+        build_wat_record,
+        parse_wat_assets,
+        parse_wat_headers,
+        wat_page_assets,
+        wat_response_headers,
+    )
+
+    wat = (
+        build_wat_record(
+            "http://a.example/page",
+            "2021-01-02T03:04:05Z",
+            ["http://b.example/x", "http://img.example/i.png"],
+            link_paths=["A@/href", "IMG@/src"],
+            scripts=["http://cdn.example/app.js"],
+            head_links=[("http://cdn.example/site.css", "stylesheet")],
+            server="nginx/1.18",
+            content_type="text/html",
+            extra_headers={"Cache-Control": "max-age=60",
+                           "X-Frame-Options": "DENY"},
+        )
+        + build_wat_record("http://bare.example/", "2021-01-02T03:04:06Z", [])
+    )
+    assets = list(parse_wat_assets("f.warc.wat.gz", wat))
+    by_class = {}
+    for src, ts, url, cls, rel in assets:
+        assert src == "http://a.example/page" and ts == "20210102030405"
+        by_class.setdefault(cls, []).append((url, rel))
+    assert by_class == {
+        "A@/href": [("http://b.example/x", None)],
+        "IMG@/src": [("http://img.example/i.png", None)],
+        "SCRIPT@/src": [("http://cdn.example/app.js", None)],
+        "LINK@/href": [("http://cdn.example/site.css", "stylesheet")],
+    }
+
+    hdrs = {u: h for u, _, h in parse_wat_headers("f.warc.wat.gz", wat)}
+    assert hdrs["http://a.example/page"] == {
+        "Server": "nginx/1.18",
+        "Content-Type": "text/html",
+        "Cache-Control": "max-age=60",
+        "X-Frame-Options": "DENY",
+    }
+    assert hdrs["http://bare.example/"] == {}
+
+    p = tmp_path / "m.warc.wat.gz"
+    p.write_bytes(wat)
+    manifest = spark.createDataFrame([(str(p),)], ["path"])
+    adf = wat_page_assets(spark, manifest)
+    rows = adf.collect()
+    assert {r.link_class for r in rows} == {
+        "A@/href", "IMG@/src", "SCRIPT@/src", "LINK@/href"
+    }
+    assert all(r.src_key == "example,a)/page" for r in rows)
+    css = next(r for r in rows if r.link_class == "LINK@/href")
+    assert css.target_key == "example,cdn)/site.css" and css.rel == "stylesheet"
+
+    hdf = wat_response_headers(spark, manifest)
+    from pyspark.sql import functions as _F
+
+    got = {
+        r.urlkey: r.h
+        for r in hdf.select(
+            "urlkey", _F.element_at("headers", "Cache-Control").alias("h")
+        ).collect()
+    }
+    assert got["example,a)/page"] == "max-age=60"
+    assert got["example,bare)/"] is None
+
+
+def test_wat_asset_and_header_damage_tolerance():
+    """Hostile envelopes degrade per-entry/per-record, never raise:
+    non-dict link entries, numeric urls, non-string header values,
+    non-list Scripts."""
+    import gzip as _gz
+    import json as _json
+
+    from webarchive_indexing_spark.sources.warc import (
+        parse_wat_assets,
+        parse_wat_headers,
+    )
+
+    def rec(env) -> bytes:
+        body = _json.dumps(env).encode()
+        head = (
+            "WARC/1.0\r\nWARC-Type: metadata\r\n"
+            "WARC-Target-URI: http://x.example/\r\n"
+            "WARC-Date: 2021-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return _gz.compress(head + body + b"\r\n\r\n", mtime=0)
+
+    env = {
+        "Envelope": {
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Links": ["junk", {"url": 7}, {"url": "http://ok/"},
+                                  {"url": "http://cls/", "path": 9}],
+                        "Head": {"Scripts": "not-a-list",
+                                 "Link": [{"url": "http://l/", "rel": 3}]},
+                    },
+                    "Headers": {"Server": "ok", "Bad": 42, 7: "alsobad"},
+                }
+            }
+        }
+    }
+    rows = list(parse_wat_assets("f", rec(env)))
+    assert ("http://x.example/", "20210101000000", "http://ok/", "A@/href", None) in rows
+    assert ("http://x.example/", "20210101000000", "http://cls/", "A@/href", None) in rows
+    assert ("http://x.example/", "20210101000000", "http://l/", "LINK@/href", None) in rows
+    assert len(rows) == 3
+    (hrow,) = parse_wat_headers("f", rec(env))
+    # JSON stringifies the 7 key on the wire, so it survives as "7";
+    # the non-string VALUE (42) drops its entry
+    assert hrow[2] == {"Server": "ok", "7": "alsobad"}

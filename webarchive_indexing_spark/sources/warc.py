@@ -646,6 +646,10 @@ def build_wat_record(
     server: str | None = None,
     content_type: str | None = None,
     metas: list[tuple[str, str]] | None = None,
+    scripts: list[str] | None = None,
+    head_links: list[tuple[str, str]] | None = None,
+    extra_headers: dict[str, str] | None = None,
+    link_paths: list[str] | None = None,
 ) -> bytes:
     """Fixture writer: one WAT ``metadata`` record whose JSON envelope
     carries ``links`` — and optionally the page-metadata fields WAT
@@ -656,16 +660,25 @@ def build_wat_record(
     import gzip
     import json
 
-    html_meta: dict = {"Links": [{"path": "A@/href", "url": u} for u in links]}
+    paths = link_paths or ["A@/href"] * len(links)
+    html_meta: dict = {
+        "Links": [{"path": p, "url": u} for p, u in zip(paths, links)]
+    }
     head: dict = {}
     if title is not None:
         head["Title"] = title
     if metas:
         head["Metas"] = [{"name": n, "content": c} for n, c in metas]
+    if scripts:
+        head["Scripts"] = [{"path": "SCRIPT@/src", "url": u} for u in scripts]
+    if head_links:
+        head["Link"] = [
+            {"path": "LINK@/href", "url": u, "rel": r} for u, r in head_links
+        ]
     if head:
         html_meta["Head"] = head
     resp_meta: dict = {"HTML-Metadata": html_meta}
-    headers: dict = {}
+    headers: dict = dict(extra_headers or {})
     if server is not None:
         headers["Server"] = server
     if content_type is not None:
@@ -776,6 +789,134 @@ def _wat_meta_rows(members):
             ctype if isinstance(ctype, str) else None,
             len(links) if isinstance(links, list) else 0,
         )
+
+
+def _wat_asset_rows(members):
+    """Member triples → ``(src_url, ts14, target_url, link_class,
+    rel)`` rows covering EVERY link class a full WAT consumer reads
+    [U Common Crawl WAT spec]: body links with their ``path`` class
+    (``A@/href``, ``IMG@/src``, ...), ``Head.Scripts``
+    (``SCRIPT@/src``), and ``Head.Link`` stylesheet/alternate entries
+    (``LINK@/href``, with ``rel``).  Same type-guarded damage
+    tolerance as the other extractors."""
+    for wheaders, env in _iter_wat_envelopes(members):
+        src = wheaders.get("warc-target-uri", "")
+        ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
+        html = _dig(
+            env, "Envelope", "Payload-Metadata", "HTTP-Response-Metadata",
+            "HTML-Metadata",
+        )
+        head = _dig(html, "Head")
+
+        def rows(entries, default_class, rel_key=None):
+            if not isinstance(entries, list):
+                return
+            for e in entries:
+                if not isinstance(e, dict):
+                    continue
+                url = e.get("url")
+                if not (isinstance(url, str) and url):
+                    continue
+                cls = e.get("path")
+                rel = e.get(rel_key) if rel_key else None
+                yield (
+                    src,
+                    ts14,
+                    url,
+                    cls if isinstance(cls, str) else default_class,
+                    rel if isinstance(rel, str) else None,
+                )
+
+        yield from rows(html.get("Links"), "A@/href")
+        yield from rows(head.get("Scripts"), "SCRIPT@/src")
+        yield from rows(head.get("Link"), "LINK@/href", rel_key="rel")
+
+
+def _wat_header_rows(members):
+    """Member triples → ``(url, ts14, headers)`` rows, ``headers``
+    being the FULL HTTP-response-header map (string-valued entries
+    only — a type-confused value drops its own entry, never the
+    record)."""
+    for wheaders, env in _iter_wat_envelopes(members):
+        url = wheaders.get("warc-target-uri", "")
+        ts14 = iso_to_ts14(wheaders.get("warc-date", "1970-01-01T00:00:00Z"))
+        headers = _dig(
+            env, "Envelope", "Payload-Metadata", "HTTP-Response-Metadata",
+            "Headers",
+        )
+        yield (
+            url,
+            ts14,
+            {k: v for k, v in headers.items()
+             if isinstance(k, str) and isinstance(v, str)},
+        )
+
+
+def parse_wat_assets(filename: str, data: bytes):
+    """Yield ``(src_url, ts14, target_url, link_class, rel)`` per
+    asset reference — the script/css/img link classes beyond the
+    ``A@/href`` outlinks ``parse_wat_links`` serves."""
+    yield from _wat_asset_rows(iter_warc_members(data))
+
+
+def parse_wat_headers(filename: str, data: bytes):
+    """Yield ``(url, ts14, headers_map)`` per WAT record — the full
+    HTTP response header map for host-technology / caching-policy /
+    security-header reports."""
+    yield from _wat_header_rows(iter_warc_members(data))
+
+
+def wat_page_assets(
+    spark: SparkSession,
+    manifest: DataFrame,
+    *,
+    files_per_task: int = 2,
+) -> DataFrame:
+    """Manifest of WAT paths → typed asset-reference DataFrame
+    ``(src_url, ts14, target_url, link_class, rel, src_key,
+    target_key)`` with SURT keys derived scan-side — the input for
+    asset-dependency graphs (which hosts serve a page's scripts/css)
+    and replay-completeness audits."""
+    from ..functions.surt import surt_urlkey_cached
+
+    assets = _wat_scan(
+        spark,
+        manifest,
+        _wat_asset_rows,
+        "src_url string, ts14 string, target_url string, "
+        "link_class string, rel string",
+        files_per_task,
+    )
+    return (
+        assets.withColumn("__url", F.col("src_url"))
+        .withColumn("src_key", surt_urlkey_cached("__url"))
+        .withColumn("__url", F.col("target_url"))
+        .withColumn("target_key", surt_urlkey_cached("__url"))
+        .drop("__url")
+    )
+
+
+def wat_response_headers(
+    spark: SparkSession,
+    manifest: DataFrame,
+    *,
+    files_per_task: int = 2,
+) -> DataFrame:
+    """Manifest of WAT paths → ``(url, ts14, headers map<string,
+    string>, urlkey)``.  The map column explodes/projects JVM-side
+    (``map_keys``/``element_at``) for header-population queries."""
+    from ..functions.surt import surt_urlkey_cached
+
+    hdrs = _wat_scan(
+        spark,
+        manifest,
+        _wat_header_rows,
+        "url string, ts14 string, headers map<string,string>",
+        files_per_task,
+    )
+    return hdrs.withColumn("__url", F.col("url")).withColumn(
+        "urlkey", surt_urlkey_cached("__url")
+    ).drop("__url")
 
 
 def parse_wat_links(filename: str, data: bytes):
