@@ -110,6 +110,8 @@ HEADLINE = [
     "cdx_header_roundtrip",
     "cdx_timemap_json",
     "cdx_timemap_cdxj",
+    "text_mojibake_score",
+    "decontaminate_containment",
 ]
 
 

@@ -2993,3 +2993,180 @@ def sample_weighted_priority(spark, sf_dir):
         .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
         .limit(200)
     )
+
+
+@query(
+    "text_mojibake_score",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0
+                  THEN replace(text, 'e', 'Ã©') ELSE text END AS text
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, length(text) AS n_chars,
+             (length(text) - length(replace(text, 'Ã©', ''))) / 2 AS n_bad_pair,
+             (length(text) - length(replace(text, 'Ã', ''))) AS n_lead
+      FROM corpus
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_lead > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           FLOOR(CAST(SUM(CAST(n_bad_pair * 1000.0 / n_chars
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_permille
+    FROM scored GROUP BY source
+    """,
+    tier="C",
+)
+def text_mojibake_score(spark, sf_dir):
+    """L5 encoding-damage QA — the cleaning signal the length/stopword
+    quality filters miss: double-encoded UTF-8 ("Ã©" where "é" was
+    meant, the classic UTF-8-read-as-Latin-1 corruption that pollutes
+    real web crawls).  The fixture corrupts every 7th document
+    deterministically (e → Ã© — identical replace in both engines);
+    the detector counts mojibake lead bytes and scores marker density
+    per mille, aggregated per source (the granularity a pipeline acts
+    on: drop or re-decode a feed, not a document).
+
+    Scale shape: pure scan-side string arithmetic — marker counts via
+    length-difference (no regex, so no engine dialect seams), one
+    partial-aggregated groupBy on the low-cardinality source key;
+    nothing but (source, counts) ever shuffles.  Density mean rides
+    the decimal-exact path (helpers.dsum discipline)."""
+    d = widen(t(spark, sf_dir, "documents"))
+    text = F.when(
+        F.col("doc_id") % 7 == 0, F.expr("replace(text, 'e', 'Ã©')")
+    ).otherwise(F.col("text"))
+    scored = d.select(
+        "source",
+        F.length(text).alias("n_chars"),
+        (
+            (F.length(text) - F.length(F.replace(text, F.lit("Ã©"), F.lit(""))))
+            / 2
+        ).alias("n_bad_pair"),
+        (F.length(text) - F.length(F.replace(text, F.lit("Ã"), F.lit("")))).alias(
+            "n_lead"
+        ),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_lead") > 0).cast("int")).cast("bigint").alias("n_flagged"),
+        hround(
+            F.sum(
+                (F.col("n_bad_pair") * 1000.0 / F.col("n_chars")).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_permille"),
+    )
+
+
+@query(
+    "decontaminate_containment",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 30000 AS doc_id,
+             text || ' padding tokens appended for containment fixture' AS text
+      FROM documents WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT doc_id + 40000 AS doc_id,
+             array_to_string(string_split(text, ' ')[1:14], ' ')
+               || ' short quote padding tokens appended for containment fixture'
+               AS text
+      FROM documents WHERE doc_id % 97 = 0
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               {sql_shingles("string_split(text, ' ')", 8)},
+               s -> {sql_token_hash('s')}))) AS h
+      FROM corpus
+    ), bench AS (
+      SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 97 = 0
+    ), bsize AS (
+      SELECT bench_id, COUNT(*) AS n_bench FROM bench GROUP BY bench_id
+    ), train AS (
+      SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0
+    ), shared AS (
+      SELECT t.doc_id, b.bench_id, COUNT(DISTINCT t.h) AS n_shared
+      FROM train t JOIN bench b ON t.h = b.h
+      GROUP BY t.doc_id, b.bench_id
+    )
+    SELECT s.doc_id, s.bench_id, s.n_shared,
+           FLOOR(s.n_shared * 10000.0 / z.n_bench + 0.5) / 10000.0
+             AS containment,
+           CASE WHEN s.n_shared * 1.0 / z.n_bench >= 0.8 THEN 'leaked'
+                ELSE 'partial' END AS verdict
+    FROM shared s JOIN bsize z USING (bench_id)
+    """,
+    tier="C",
+)
+def decontaminate_containment(spark, sf_dir):
+    """Asymmetric n-gram CONTAINMENT decontamination — the refinement
+    of ``decontaminate_ngram_overlap`` real eval-hygiene pipelines
+    use: a training doc is 'leaked' when it contains MOST of a
+    benchmark doc (|grams(t) ∩ grams(b)| / |grams(b)| ≥ 0.8), which
+    catches short benchmark items quoted inside long training pages —
+    symmetric Jaccard dilutes exactly those.  Fixture: every 97th doc
+    is the benchmark set; injected +30000 training docs embed a full
+    benchmark doc plus padding (containment 1.0 by construction) and
+    +40000 docs QUOTE only the benchmark doc's first 14 tokens (7
+    shared 8-grams over a much larger benchmark gram set → partial),
+    so both verdict classes appear and the threshold direction is
+    pinned.
+
+    Scale shape: same broadcast discipline as the overlap query — the
+    benchmark gram set AND its per-doc sizes are benchmark-sized
+    (tiny) broadcasts; the training corpus contributes 8-byte hashed
+    grams to one pair-grouped partial aggregation, and only matched
+    (train, bench) pairs ever shuffle.  The containment division is
+    driver-free arithmetic, half-up-rounded identically in both
+    engines."""
+    d = t(spark, sf_dir, "documents")
+    injected = d.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" padding tokens appended for containment fixture"),
+        ).alias("text"),
+    )
+    quoted = d.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 40000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(tokens(F.col("text")), 1, 14), " "),
+            F.lit(
+                " short quote padding tokens appended for containment fixture"
+            ),
+        ).alias("text"),
+    )
+    corpus = widen(
+        d.select("doc_id", "text").unionByName(injected).unionByName(quoted)
+    )
+    sh8 = F.array_distinct(
+        F.transform(shingles(tokens(F.col("text")), 8), token_hash)
+    )
+    grams = corpus.select("doc_id", F.explode(sh8).alias("h"))
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    bsize = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    shared = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+    )
+    frac = F.col("n_shared") * 1.0 / F.col("n_bench")
+    return shared.join(F.broadcast(bsize), "bench_id").select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        (F.floor(F.col("n_shared") * 10000.0 / F.col("n_bench") + 0.5) / 10000.0)
+        .alias("containment"),
+        F.when(frac >= 0.8, "leaked").otherwise("partial").alias("verdict"),
+    )
