@@ -278,3 +278,51 @@ def test_paged_index_reads_no_shard_bytes(spark, sf_dir):
     contains the block-read scan)."""
     plan = _plan(spark, sf_dir, "cdx_show_paged_index")
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_acl_chain_is_map_side_zero_exchange(spark, sf_dir):
+    """The compiled longest-prefix ACL CASE chain must stay a scan-side
+    projection: thousands of rules = zero shuffles, whether the table
+    came from code or from a loaded .aclj file."""
+    for name in ("cdx_acl_longest_prefix", "cdx_acl_from_aclj"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} shuffles the index: {plan[:400]}"
+        assert "Join" not in plan, f"{name} plans a join for the rule table"
+
+
+def test_timemap_serializations_single_window_exchange(spark, sf_dir):
+    """TimeMap emission is one ranked window (one hash exchange on the
+    urlkey) + map-only string building — a second exchange would mean
+    the serializer re-shuffles per format."""
+    for name in ("cdx_timemap_json", "cdx_timemap_cdxj"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") <= 1, (
+            f"{name}: more than one hash exchange\n{plan[:500]}"
+        )
+        assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mojibake_score_partial_aggregates(spark, sf_dir):
+    """Encoding QA is one corpus scan: marker arithmetic in the
+    projection, partial aggregation below the single source-key
+    exchange — only (source, counts) rows cross the wire."""
+    plan = _plan(spark, sf_dir, "text_mojibake_score")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 2  # widen + agg
+    import re
+
+    partials = re.findall(
+        r"HashAggregate\(keys=.*?partial_.*?output=\[([^\]]*)\]", plan
+    )
+    assert partials, "expected a partial (map-side) aggregate"
+    for out in partials:
+        assert "text#" not in out, f"raw text crosses the shuffle: {out}"
+
+
+def test_containment_bench_side_is_broadcast(spark, sf_dir):
+    """Decontamination must broadcast the benchmark gram set and its
+    sizes — a sort-merge join here would shuffle the full training
+    gram stream by hash value at 100 TB."""
+    plan = _plan(spark, sf_dir, "decontaminate_containment")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
