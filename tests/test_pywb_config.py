@@ -218,3 +218,88 @@ def test_aclj_quarantine_never_widens():
     assert len(bad) == 5
     # none of the quarantined lines became a rule for the evil subtree
     assert not any("evil" in p for p, _ in rules)
+
+
+# --- fuzz: the quarantine can never raise or widen ------------------------
+
+
+def test_aclj_fuzz_never_raises_never_widens():
+    """Property (hypothesis): ARBITRARY text lines through the aclj
+    parser never raise, and no surviving rule has a blank prefix or an
+    access outside the known set — a damaged feed line can never
+    become a wildcard rule (same posture as the takedown-feed
+    quarantine)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.one_of(
+        st.text(max_size=80),
+        st.text(alphabet=' -{}":,abcdexclude', max_size=60),
+        st.builds(
+            lambda k, a: f'{k} - {{"access": "{a}"}}',
+            st.text(max_size=20),
+            st.text(max_size=12),
+        ),
+    )
+
+    @given(st.lists(line, max_size=20))
+    @settings(max_examples=200, deadline=None)
+    def prop(lines):
+        rules, bad = parse_aclj_lines(lines)
+        for prefix, access in rules:
+            assert prefix.strip() != ""
+            assert access in {"allow", "block", "exclude"}
+        # every input line is accounted for: parsed, quarantined, or blank
+        assert len(rules) + len(bad) <= len(lines)
+
+    prop()
+
+
+def test_rules_yaml_fuzz_never_raises():
+    """Property (hypothesis): arbitrary parsed-YAML shapes through the
+    rules parser never raise; every surviving rule carries a
+    compilable pattern and a string-or-None prefix."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalar = st.one_of(
+        st.none(), st.integers(), st.text(max_size=20), st.booleans()
+    )
+    fuzzy = st.one_of(
+        scalar,
+        st.dictionaries(
+            st.sampled_from(["match", "args", "name", "filter", "replace"]),
+            st.one_of(
+                scalar,
+                st.lists(scalar, max_size=3),
+                st.dictionaries(
+                    st.sampled_from(["regex", "args"]), scalar, max_size=2
+                ),
+            ),
+            max_size=4,
+        ),
+    )
+    entry = st.one_of(
+        scalar,
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "url_prefix": st.one_of(scalar, st.lists(scalar, max_size=3)),
+                "fuzzy_lookup": fuzzy,
+            },
+        ),
+    )
+    top = st.one_of(scalar, st.fixed_dictionaries({"rules": st.lists(entry, max_size=6)}))
+
+    @given(top)
+    @settings(max_examples=200, deadline=None)
+    def prop(obj):
+        rules, bad = parse_fuzzy_rules_obj(obj)
+        for r in rules:
+            re.compile(r.pattern)  # loader guaranteed compilable
+            assert r.key_prefix is None or isinstance(r.key_prefix, str)
+            assert isinstance(r.name, str) and r.name
+
+    prop()
