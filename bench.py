@@ -112,6 +112,7 @@ HEADLINE = [
     "cdx_timemap_cdxj",
     "text_mojibake_score",
     "decontaminate_containment",
+    "cdx_collapse_group_count",
 ]
 
 

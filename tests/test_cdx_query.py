@@ -505,3 +505,36 @@ def test_filter_modifiers_exact_contains_regex(spark):
 
     inv = cdx_query(cdx, url, filters=["!=mime:text/html"]).collect()
     assert len(inv) == 2
+
+
+def test_collapse_group_count_matches_run_sizes(spark, cdx):
+    """showGroupCount [U IA cdx-server API]: each kept row carries the
+    size of the run it represents, for keep-first AND keep-last, and
+    the counts sum back to the uncollapsed total (python groupby ref)."""
+    from itertools import groupby
+
+    url = "https://src5.example.org/x"
+    full = cdx_query(cdx, url, match_type="domain").collect()
+    expect = {}  # (urlkey, first_ts, last_ts) -> run size
+    for key, grp in groupby(full, key=lambda r: r.urlkey):
+        for _, run in groupby(grp, key=lambda r: r.digest):
+            rows = list(run)
+            expect[(key, rows[0].timestamp, rows[-1].timestamp)] = len(rows)
+
+    for to_last in (False, True):
+        got = cdx_query(
+            cdx,
+            url,
+            match_type="domain",
+            collapse="digest",
+            collapse_to_last=to_last,
+            show_group_count=True,
+        ).collect()
+        assert sum(r.groupcount for r in got) == len(full)
+        for r in got:
+            match = [
+                n
+                for (k, f, l), n in expect.items()
+                if k == r.urlkey and (l if to_last else f) == r.timestamp
+            ]
+            assert match == [r.groupcount], (r, match)

@@ -326,3 +326,31 @@ def test_containment_bench_side_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "decontaminate_containment")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_collapse_group_count_adds_no_exchange(spark, sf_dir):
+    """showGroupCount's run-size window must reuse the collapse
+    window's hashpartitioning(urlkey) — partitioning by (urlkey, run)
+    is satisfied by the existing urlkey clustering, so the annotation
+    costs a local sort, never a second shuffle."""
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query
+    from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+    from pyspark.sql import functions as F
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+
+    def plan_of(gc):
+        fields = ["urlkey", "timestamp"] + (["groupcount"] if gc else [])
+        df = cdx_query(
+            c,
+            "http://src3.example.org/",
+            match_type="domain",
+            collapse="timestamp:4",
+            show_group_count=gc,
+            fields=fields,
+        )
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    base, with_gc = plan_of(False), plan_of(True)
+    assert with_gc.count("Exchange") == base.count("Exchange"), with_gc[:600]
+    assert with_gc.count("Exchange hashpartitioning") == 1

@@ -308,6 +308,7 @@ def cdx_query(
     filters: list[str] | None = None,
     collapse: str | list[str] | None = None,
     collapse_to_last: bool = False,
+    show_group_count: bool = False,
     closest: str | None = None,
     sort_reverse: bool = False,
     fields: list[str] | None = None,
@@ -429,6 +430,9 @@ def cdx_query(
             order_by=[F.col("timestamp").asc()],
             collapse_key=ckey,
             keep="last" if collapse_to_last else "first",
+            # IA showGroupCount=true: annotate each kept row with its
+            # run size (same single shuffle — see operators.collapse)
+            group_count_col="groupcount" if show_group_count else None,
         )
 
     # forward + reversed forms of whichever ordering is active, so

@@ -24,6 +24,7 @@ def collapse(
     collapse_key: Column,
     *,
     keep: str = "first",
+    group_count_col: str | None = None,
 ) -> DataFrame:
     """Keep the first (or last) row of each run of equal ``collapse_key``.
 
@@ -37,10 +38,25 @@ def collapse(
     rows where the key differs from the NEXT row's survive, so each
     run is represented by its latest capture.  Same single window,
     same one shuffle, either direction.
+
+    ``group_count_col`` (IA cdx-server ``showGroupCount=true`` [U IA
+    wayback cdx-server API]) attaches the size of each run to its kept
+    representative — the "N captures collapsed here" annotation.  The
+    run id is the classic gaps-and-islands running sum of change
+    flags; both extra windows share the SAME partitioning and
+    ordering as the lag/lead, so the whole feature stays ONE shuffle.
     """
     if keep not in ("first", "last"):
         raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     adj = (F.lag if keep == "first" else F.lead)(collapse_key).over(w)
     cond = adj.isNull() | (collapse_key != adj)
-    return df.withColumn("__keep", cond).filter(F.col("__keep")).drop("__keep")
+    if group_count_col is None:
+        return df.withColumn("__keep", cond).filter(F.col("__keep")).drop("__keep")
+    prev = F.lag(collapse_key).over(w)
+    change = (prev.isNull() | (collapse_key != prev)).cast("bigint")
+    run_id = F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    out = df.withColumn("__keep", cond).withColumn("__run", run_id)
+    cw = Window.partitionBy(*partition_by, "__run")
+    out = out.withColumn(group_count_col, F.count(F.lit(1)).over(cw))
+    return out.filter(F.col("__keep")).drop("__keep", "__run")

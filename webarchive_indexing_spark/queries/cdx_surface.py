@@ -862,6 +862,52 @@ def cdx_collapse_to_last(spark, sf_dir):
 
 
 @query(
+    "cdx_collapse_group_count",
+    oracle=CDX_SQL + """
+    , runs AS (
+      SELECT urlkey, ts14, substr(ts14, 1, 4) AS cur,
+             CASE WHEN LAG(substr(ts14, 1, 4)) OVER w IS NULL
+                    OR substr(ts14, 1, 4) <> LAG(substr(ts14, 1, 4)) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM cdx WHERE urlkey LIKE 'org,example,src3)%'
+      WINDOW w AS (PARTITION BY urlkey ORDER BY ts14)
+    ), ids AS (
+      SELECT urlkey, ts14, chg,
+             SUM(chg) OVER (PARTITION BY urlkey ORDER BY ts14
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    )
+    SELECT urlkey, ts14 AS timestamp,
+           CAST(COUNT(*) OVER (PARTITION BY urlkey, run_id) AS BIGINT)
+             AS groupcount
+    FROM ids QUALIFY chg = 1
+    """,
+    tier="B",
+)
+def cdx_collapse_group_count(spark, sf_dir):
+    """[U IA wayback cdx-server ``showGroupCount=true``]: collapsed
+    results annotated with how many captures each kept row stands for
+    — the "12 snapshots this year" count a calendar UI renders
+    without a second query.  Same-year runs collapse to their first
+    capture carrying the run size; the gaps-and-islands run id and
+    the count window share the collapse window's partitioning and
+    ordering, so the annotation adds ZERO shuffles to plain collapse
+    (plan-asserted).  Runs through the composed API
+    (``cdx_query(collapse=..., show_group_count=True)``)."""
+    from ..operators.cdx_query import cdx_query
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+    return cdx_query(
+        c,
+        "http://src3.example.org/",
+        match_type="domain",
+        collapse="timestamp:4",
+        show_group_count=True,
+        fields=["urlkey", "timestamp", "groupcount"],
+    )
+
+
+@query(
     "cdx_collapse_timestamp",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14, digest FROM (
