@@ -113,6 +113,7 @@ HEADLINE = [
     "text_mojibake_score",
     "decontaminate_containment",
     "cdx_collapse_group_count",
+    "cdx_show_skip_count",
 ]
 
 

@@ -538,3 +538,71 @@ def test_collapse_group_count_matches_run_sizes(spark, cdx):
                 if k == r.urlkey and (l if to_last else f) == r.timestamp
             ]
             assert match == [r.groupcount], (r, match)
+
+
+def test_show_skip_count_matches_python_reference(spark, cdx):
+    """showSkipCount + lastskiptimestamp [U IA cdx-server API]: each
+    kept row reports the captures dropped since the previous kept row
+    and the timestamp of the most recently dropped one; verified
+    against a per-urlkey python walk of the uncollapsed stream."""
+    from itertools import groupby
+
+    url = "https://src5.example.org/x"
+    full = cdx_query(cdx, url, match_type="domain").collect()
+    expect = {}  # (urlkey, kept_ts) -> (skipcount, lastskipts)
+    for key, grp in groupby(full, key=lambda r: r.urlkey):
+        skipped, last_ts = 0, None
+        for r in grp:
+            prev = expect.get((key, "__prev"))
+            if prev is None or r.digest != prev:
+                expect[(key, r.timestamp)] = (
+                    skipped,
+                    last_ts if skipped else None,
+                )
+                skipped = 0
+            else:
+                skipped += 1
+                last_ts = r.timestamp
+            expect[(key, "__prev")] = r.digest
+    expect = {k: v for k, v in expect.items() if k[1] != "__prev"}
+
+    got = cdx_query(
+        cdx,
+        url,
+        match_type="domain",
+        collapse="digest",
+        show_skip_count=True,
+    ).collect()
+    assert len(got) == len(expect)
+    # NB: skips trailing the LAST kept row of a urlkey are reported by
+    # no survivor (IA semantics: "skipped since the previous returned
+    # row"), so the sums match the reference walk, not total - kept.
+    assert sum(r.skipcount for r in got) == sum(n for n, _ in expect.values())
+    for r in got:
+        assert expect[(r.urlkey, r.timestamp)] == (
+            r.skipcount,
+            r.lastskiptimestamp,
+        ), r
+
+
+def test_show_skip_count_year_collapse_nonzero(spark, cdx):
+    """A dense multi-year urlkey collapsed to timestamp:4 must report
+    nonzero mid-stream skipcounts whose lastskiptimestamp is always the
+    capture immediately preceding the kept row."""
+    got = cdx_query(
+        cdx,
+        "http://src3.example.org/",
+        match_type="domain",
+        collapse="timestamp:4",
+        show_skip_count=True,
+    ).collect()
+    assert any(r.skipcount > 0 for r in got)
+    full = cdx_query(cdx, "http://src3.example.org/", match_type="domain").collect()
+    idx = {(r.urlkey, r.timestamp): i for i, r in enumerate(full)}
+    for r in got:
+        if r.skipcount > 0:
+            prev = full[idx[(r.urlkey, r.timestamp)] - 1]
+            assert prev.urlkey == r.urlkey
+            assert r.lastskiptimestamp == prev.timestamp, r
+        else:
+            assert r.lastskiptimestamp is None, r

@@ -354,3 +354,32 @@ def test_collapse_group_count_adds_no_exchange(spark, sf_dir):
     base, with_gc = plan_of(False), plan_of(True)
     assert with_gc.count("Exchange") == base.count("Exchange"), with_gc[:600]
     assert with_gc.count("Exchange hashpartitioning") == 1
+
+
+def test_show_skip_count_adds_no_exchange(spark, sf_dir):
+    """showSkipCount's survivor-gap window runs after the collapse
+    filter but partitions by the same urlkey the collapse window
+    already clustered — so the skip annotations (skipcount +
+    lastskiptimestamp lag) cost local sorts, never a second shuffle."""
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query
+    from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+
+    def plan_of(sc):
+        fields = ["urlkey", "timestamp"] + (
+            ["skipcount", "lastskiptimestamp"] if sc else []
+        )
+        df = cdx_query(
+            c,
+            "http://src3.example.org/",
+            match_type="domain",
+            collapse="timestamp:4",
+            show_skip_count=sc,
+            fields=fields,
+        )
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    base, with_sc = plan_of(False), plan_of(True)
+    assert with_sc.count("Exchange") == base.count("Exchange"), with_sc[:600]
+    assert with_sc.count("Exchange hashpartitioning") == 1

@@ -309,6 +309,7 @@ def cdx_query(
     collapse: str | list[str] | None = None,
     collapse_to_last: bool = False,
     show_group_count: bool = False,
+    show_skip_count: bool = False,
     closest: str | None = None,
     sort_reverse: bool = False,
     fields: list[str] | None = None,
@@ -433,6 +434,12 @@ def cdx_query(
             # IA showGroupCount=true: annotate each kept row with its
             # run size (same single shuffle — see operators.collapse)
             group_count_col="groupcount" if show_group_count else None,
+            # IA showSkipCount=true (+ lastskiptimestamp): captures
+            # skipped since the previous kept row, and when
+            skip_count_col="skipcount" if show_skip_count else None,
+            skip_ts=("timestamp", "lastskiptimestamp")
+            if show_skip_count
+            else None,
         )
 
     # forward + reversed forms of whichever ordering is active, so

@@ -25,6 +25,8 @@ def collapse(
     *,
     keep: str = "first",
     group_count_col: str | None = None,
+    skip_count_col: str | None = None,
+    skip_ts: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Keep the first (or last) row of each run of equal ``collapse_key``.
 
@@ -45,18 +47,50 @@ def collapse(
     run id is the classic gaps-and-islands running sum of change
     flags; both extra windows share the SAME partitioning and
     ordering as the lag/lead, so the whole feature stays ONE shuffle.
+
+    ``skip_count_col`` (IA cdx-server ``showSkipCount=true`` [U IA
+    wayback cdx-server API]) attaches, to each kept row, how many
+    captures the collapse skipped since the previously kept row —
+    computed as the row-number gap between consecutive survivors, so
+    it needs no per-run state.  ``skip_ts=(src_col, out_col)`` adds
+    IA's companion ``lastskiptimestamp``: the ``src_col`` value of
+    the most recently skipped capture (NULL when nothing was
+    skipped) — in index order that capture is always the row
+    immediately before the kept one, i.e. a plain ``lag`` on the
+    SAME window.  The post-filter gap window re-uses the partition
+    clustering, so these annotations are also shuffle-neutral.
     """
     if keep not in ("first", "last"):
         raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     adj = (F.lag if keep == "first" else F.lead)(collapse_key).over(w)
     cond = adj.isNull() | (collapse_key != adj)
-    if group_count_col is None:
+    if group_count_col is None and skip_count_col is None:
         return df.withColumn("__keep", cond).filter(F.col("__keep")).drop("__keep")
-    prev = F.lag(collapse_key).over(w)
-    change = (prev.isNull() | (collapse_key != prev)).cast("bigint")
-    run_id = F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    out = df.withColumn("__keep", cond).withColumn("__run", run_id)
-    cw = Window.partitionBy(*partition_by, "__run")
-    out = out.withColumn(group_count_col, F.count(F.lit(1)).over(cw))
-    return out.filter(F.col("__keep")).drop("__keep", "__run")
+    out = df.withColumn("__keep", cond)
+    drop = ["__keep"]
+    if group_count_col is not None:
+        prev = F.lag(collapse_key).over(w)
+        change = (prev.isNull() | (collapse_key != prev)).cast("bigint")
+        run_id = F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        out = out.withColumn("__run", run_id)
+        cw = Window.partitionBy(*partition_by, "__run")
+        out = out.withColumn(group_count_col, F.count(F.lit(1)).over(cw))
+        drop.append("__run")
+    if skip_count_col is not None:
+        out = out.withColumn("__rn", F.row_number().over(w))
+        if skip_ts is not None:
+            out = out.withColumn("__pts", F.lag(skip_ts[0]).over(w))
+        out = out.filter(F.col("__keep"))
+        kw = Window.partitionBy(*partition_by).orderBy(*order_by)
+        gap = F.col("__rn") - F.coalesce(F.lag("__rn").over(kw), F.lit(0)) - 1
+        out = out.withColumn(skip_count_col, gap)
+        drop.append("__rn")
+        if skip_ts is not None:
+            out = out.withColumn(
+                skip_ts[1],
+                F.when(F.col(skip_count_col) > 0, F.col("__pts")),
+            )
+            drop.append("__pts")
+        return out.drop(*drop)
+    return out.filter(F.col("__keep")).drop(*drop)

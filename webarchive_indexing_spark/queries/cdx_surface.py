@@ -908,6 +908,55 @@ def cdx_collapse_group_count(spark, sf_dir):
 
 
 @query(
+    "cdx_show_skip_count",
+    oracle=CDX_SQL + """
+    , marked AS (
+      SELECT urlkey, ts14,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(ts14) OVER w AS pts,
+             CASE WHEN LAG(substr(ts14, 1, 4)) OVER w IS NULL
+                    OR substr(ts14, 1, 4) <> LAG(substr(ts14, 1, 4)) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM cdx WHERE urlkey LIKE 'org,example,src3)%'
+      WINDOW w AS (PARTITION BY urlkey ORDER BY ts14)
+    ), kept AS (SELECT * FROM marked WHERE chg = 1)
+    SELECT urlkey, ts14 AS timestamp,
+           CAST(rn - COALESCE(LAG(rn) OVER kw, 0) - 1 AS BIGINT)
+             AS skipcount,
+           CASE WHEN rn - COALESCE(LAG(rn) OVER kw, 0) - 1 > 0
+                THEN pts END AS lastskiptimestamp
+    FROM kept
+    WINDOW kw AS (PARTITION BY urlkey ORDER BY ts14)
+    """,
+    tier="B",
+)
+def cdx_show_skip_count(spark, sf_dir):
+    """[U IA wayback cdx-server ``showSkipCount=true`` +
+    ``lastskiptimestamp``]: each collapsed row reports how many
+    captures the collapse dropped since the previously returned row,
+    and the timestamp of the most recently dropped one — what a
+    client uses to tell "sparse year" from "dense year rendered as
+    one row" without re-querying uncollapsed.  skipcount is the
+    row-number gap between consecutive survivors; in index order the
+    last skipped capture is always the row immediately before the
+    kept one, so lastskiptimestamp is a plain lag on the SAME
+    window — both annotations reuse the collapse exchange
+    (shuffle-neutral, plan-asserted alongside showGroupCount)."""
+    from ..operators.cdx_query import cdx_query
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+    out = cdx_query(
+        c,
+        "http://src3.example.org/",
+        match_type="domain",
+        collapse="timestamp:4",
+        show_skip_count=True,
+        fields=["urlkey", "timestamp", "skipcount", "lastskiptimestamp"],
+    )
+    return out.withColumn("skipcount", F.col("skipcount").cast("bigint"))
+
+
+@query(
     "cdx_collapse_timestamp",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14, digest FROM (
