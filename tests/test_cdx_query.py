@@ -606,3 +606,170 @@ def test_show_skip_count_year_collapse_nonzero(spark, cdx):
             assert r.lastskiptimestamp == prev.timestamp, r
         else:
             assert r.lastskiptimestamp is None, r
+
+
+# --- round 8: wildcard inference, embargo, replace rules -------------------
+
+
+def test_infer_match_type_forms():
+    """URL-wildcard sugar: 'example.com/*' → prefix, '*.example.com'
+    → domain, bare → exact; explicit match_type always wins; other
+    wildcard placements raise instead of guessing."""
+    from webarchive_indexing_spark.operators.cdx_query import infer_match_type
+
+    assert infer_match_type("https://a.com/docs/*", None) == (
+        "https://a.com/docs/", "prefix",
+    )
+    assert infer_match_type("a.com/docs/*", None) == ("a.com/docs/", "prefix")
+    assert infer_match_type("*.a.com", None) == ("a.com", "domain")
+    assert infer_match_type("https://a.com/x", None) == (
+        "https://a.com/x", "exact",
+    )
+    # explicit wins — the wildcard URL passes through untouched (glob)
+    assert infer_match_type("a.com/d/1*1", "glob") == ("a.com/d/1*1", "glob")
+    for bad in ("a.com/d/*/img", "*.a.com/*", "a.com/d/1*1"):
+        with pytest.raises(ValueError):
+            infer_match_type(bad, None)
+
+
+def test_wildcard_inference_equals_explicit(spark, cdx):
+    """The sugared spelling returns the same captures as the explicit
+    matchType — through BOTH the DataFrame path and the ZipNum
+    block-pruned path (the prune range must come from the INFERRED
+    type, not default-exact)."""
+    sugared = cdx_query(cdx, "https://src1.example.org/doc/10*")
+    explicit = cdx_query(
+        cdx, "https://src1.example.org/doc/10", match_type="prefix"
+    )
+    assert sugared.collect() == explicit.collect()
+    assert sugared.count() > 0
+
+    sugared = cdx_query(cdx, "*.src1.example.org")
+    explicit = cdx_query(cdx, "src1.example.org", match_type="domain")
+    assert sugared.count() == explicit.count() > 0
+
+
+def test_wildcard_inference_zipnum(spark, cluster, cdx):
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query_zipnum
+
+    got = cdx_query_zipnum(spark, cluster, "https://src1.example.org/doc/10*")
+    want = cdx_query(cdx, "https://src1.example.org/doc/10", match_type="prefix")
+    assert [r["urlkey"] for r in got.collect()] == [
+        r["urlkey"] for r in want.collect()
+    ]
+
+
+def test_apply_acl_empty_rules(spark, cdx):
+    """An empty rule list (empty .aclj, or every line quarantined)
+    lists everything under the default verdict — no zero-arm CASE
+    ParseException."""
+    from webarchive_indexing_spark.operators.cdx_query import apply_acl
+
+    out = apply_acl(cdx.limit(10), [])
+    rows = out.collect()
+    assert len(rows) == 10 and all(r["access"] == "allow" for r in rows)
+    # and through the full query surface
+    got = cdx_query(cdx, "src1.example.org", match_type="domain", acl_rules=[])
+    assert got.count() > 0
+
+
+def test_embargo_verdicts_match_python_reference(spark, cdx):
+    """Embargo end-to-end on Spark vs a row-at-a-time Python
+    reference: captures newer than the as_of-relative threshold are
+    hidden unless their longest-prefix rule says allow_ignore_embargo
+    (which displays as plain allow); at a later as_of the same
+    captures return."""
+    from datetime import datetime, timedelta
+
+    from webarchive_indexing_spark.operators.cdx_query import apply_acl
+
+    rules = [
+        ("org,example,src1)", "allow_ignore_embargo"),
+        ("org,example,src2)", "block"),
+    ]
+    embargo = {"newer": {"days": 365}}
+    sample = cdx.filter(F.col("urlkey") < "org,example,src4").select(
+        "urlkey", "timestamp"
+    )
+    ref_rows = sample.collect()
+
+    def ref_verdict(urlkey, ts, as_of):
+        matches = [r for r in rules if urlkey.startswith(r[0])]
+        access = max(matches, key=lambda r: len(r[0]))[1] if matches else "allow"
+        thr = (
+            datetime.strptime(as_of, "%Y%m%d%H%M%S") - timedelta(days=365)
+        ).strftime("%Y%m%d%H%M%S")
+        if access == "allow_ignore_embargo":
+            return "allow"
+        if ts > thr and access != "exclude":
+            return "exclude"
+        return access
+
+    for as_of in ("20160601000000", "20190601000000"):
+        got = {
+            (r["urlkey"], r["timestamp"]): r["access"]
+            for r in apply_acl(
+                sample, rules, embargo=embargo, as_of=as_of
+            ).collect()
+        }
+        want = {
+            (r["urlkey"], r["timestamp"]): ref_verdict(
+                r["urlkey"], r["timestamp"], as_of
+            )
+            for r in ref_rows
+        }
+        want = {k: v for k, v in want.items() if v != "exclude"}
+        assert got == want
+    # the two clocks genuinely differ: early as_of hides rows the
+    # late one lists
+    early = apply_acl(sample, rules, embargo=embargo, as_of="20160601000000")
+    late = apply_acl(sample, rules, embargo=embargo, as_of="20190601000000")
+    assert early.count() < late.count()
+
+
+def test_cdx_query_embargo_without_acl(spark, cdx):
+    """embargo= with no .aclj still enforces (empty rule list → bare
+    default verdict + embargo compare), and allow rows carry the
+    access column."""
+    got = cdx_query(
+        cdx,
+        "src1.example.org",
+        match_type="domain",
+        embargo={"before": "2016"},
+    )
+    rows = got.collect()
+    assert rows and all(r["timestamp"] >= "2016" for r in rows)
+    control = cdx_query(cdx, "src1.example.org", match_type="domain")
+    assert control.count() > len(rows)
+
+
+def test_replace_rule_spark_python_parity(spark):
+    """FuzzyRule.replace: Spark column, shared-SQL string, and Python
+    twins all rewrite identically — including $ and backslash in the
+    Spark replacement escape path."""
+    from webarchive_indexing_spark.operators.cdx_query import (
+        FuzzyRule,
+        apply_fuzzy_rules,
+        fuzzy_key_py,
+    )
+
+    rules = (
+        FuzzyRule("ver", r"v=[0-9]+", replace="v=0"),
+        FuzzyRule("money", r"p=[0-9]+", replace="p=$1"),  # literal $1
+    )
+    keys = [
+        "com,x)/a?b=1&v=777",
+        "com,x)/a?p=42",
+        "com,x)/a?v=777",  # trailing-cleanup no-op for rewrites
+        "com,x)/a",
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["k"]: (r["key_fuzzy"], r["fuzzy_rule"])
+        for r in apply_fuzzy_rules(df, "k", rules).collect()
+    }
+    assert got["com,x)/a?b=1&v=777"] == ("com,x)/a?b=1&v=0", "ver")
+    assert got["com,x)/a?p=42"] == ("com,x)/a?p=$1", "money")
+    assert got["com,x)/a"] == ("com,x)/a", None)
+    for k in keys:
+        assert got[k] == fuzzy_key_py(k, rules), k

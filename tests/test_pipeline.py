@@ -276,3 +276,103 @@ def test_cli_query_with_acl(spark, warc_manifest, tmp_path, capsys):
     rows = [_json.loads(ln)
             for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     assert rows and all(r["access"] == "block" for r in rows)
+
+
+def test_cli_query_embargo_and_wildcard(spark, warc_manifest, tmp_path, capsys):
+    """Round-8 CLI surface: --embargo/--as-of hide embargoed captures
+    (failing CLOSED on a malformed block), and a wildcard URL with no
+    --match-type infers prefix."""
+    from webarchive_indexing_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cluster")
+    assert main(["build-index", warc_manifest, out_dir, "--shards", "2",
+                 "--numlines", "10"]) == 0
+
+    # wildcard URL, no --match-type -> prefix inference
+    assert main(["query", out_dir, "https://example.com/page/*"]) == 0
+    keys = [ln.split(" ")[0]
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert keys and all(k.startswith("com,example)/page/") for k in keys)
+    n_all = len(keys)
+
+    # after: 1990 embargoes every modern capture -> empty listing
+    emb = tmp_path / "config.yaml"
+    emb.write_text("embargo:\n    after: 1990\n")
+    assert main(["query", out_dir, "https://example.com/page/*",
+                 "--embargo", str(emb)]) == 0
+    assert not capsys.readouterr().out.strip()
+
+    # before: 1990 embargoes nothing -> listing unchanged
+    emb.write_text("embargo:\n    before: 1990\n")
+    assert main(["query", out_dir, "https://example.com/page/*",
+                 "--embargo", str(emb)]) == 0
+    assert len([ln for ln in capsys.readouterr().out.splitlines()
+                if ln.strip()]) == n_all
+
+    # malformed block -> fail CLOSED (exit 2, reason on stderr)
+    emb.write_text("embargo:\n    newer:\n        fortnights: 2\n")
+    assert main(["query", out_dir, "https://example.com/page/*",
+                 "--embargo", str(emb)]) == 2
+    assert "embargo config rejected" in capsys.readouterr().err
+
+    # newer: without --as-of -> explicit refusal, not a traceback
+    emb.write_text("embargo:\n    newer:\n        days: 30\n")
+    assert main(["query", out_dir, "https://example.com/page/*",
+                 "--embargo", str(emb)]) == 2
+    assert "--as-of" in capsys.readouterr().err
+
+    # newer: with an as_of far in the future embargoes nothing
+    assert main(["query", out_dir, "https://example.com/page/*",
+                 "--embargo", str(emb), "--as-of", "29990101000000"]) == 0
+    assert len([ln for ln in capsys.readouterr().out.splitlines()
+                if ln.strip()]) == n_all
+
+
+def test_cli_query_fuzzy_rules_file(spark, warc_manifest, tmp_path, capsys):
+    """--fuzzy-rules FILE wires rules.yaml into the query path the way
+    --acl wires .aclj: the file's table (not the built-in default)
+    decides which captures a fuzzy query returns, and quarantined
+    rules warn instead of half-applying."""
+    from webarchive_indexing_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cluster")
+    assert main(["build-index", warc_manifest, out_dir, "--shards", "2",
+                 "--numlines", "10"]) == 0
+
+    # find a real indexed bare-path url to decorate with a junk param
+    from webarchive_indexing_spark.sinks.zipnum import read_zipnum
+
+    some = read_zipnum(spark, out_dir).select("urlkey", "url").first()
+    junked = some.url + "?x=9"
+
+    # a rules file whose strip rule fires on x= -> captures found,
+    # and whose damaged sibling rule warns
+    rules = tmp_path / "rules.yaml"
+    rules.write_text(
+        "rules:\n"
+        "  - url_prefix: ''\n"
+        "    fuzzy_lookup: '(?P<bad>y)=1'\n"
+        "  - url_prefix: ''\n"
+        "    fuzzy_lookup: '([?&])x=[0-9]+&?'\n"
+    )
+    assert main(["query", out_dir, junked, "--fuzzy-rules", str(rules)]) == 0
+    cap = capsys.readouterr()
+    keys = [ln.split(" ")[0] for ln in cap.out.splitlines() if ln.strip()]
+    assert keys and all(k == some.urlkey for k in keys)
+    assert "fuzzy rule quarantined" in cap.err
+
+    # a table with no applicable rule -> the same lookup finds nothing
+    # (the DEFAULT table's removeall would have matched: the FILE is
+    # what decides)
+    rules.write_text(
+        "rules:\n"
+        "  - url_prefix: ''\n"
+        "    fuzzy_lookup: '([?&])zz=1&?'\n"
+    )
+    assert main(["query", out_dir, junked, "--fuzzy-rules", str(rules)]) == 0
+    assert not capsys.readouterr().out.strip()
+
+    # control: the built-in default table via plain --fuzzy DOES match
+    # (removeall), proving the file replaced it above
+    assert main(["query", out_dir, junked, "--fuzzy"]) == 0
+    assert capsys.readouterr().out.strip()

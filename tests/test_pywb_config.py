@@ -164,9 +164,14 @@ def test_rules_yaml_top_level_damage(tmp_path):
     assert rules == () and len(bad) == 1
 
 
-def test_ignored_pywb_response_keys(tmp_path):
-    """filter/replace/type keys (pywb response tuning) are accepted
-    and ignored — the match regex still loads."""
+def test_replace_honored_filter_quarantined(tmp_path):
+    """pywb fuzzy_lookup sibling keys: ``replace:`` is HONORED (the
+    matched span rewrites to the literal), ``filter:`` QUARANTINES
+    the whole rule (param-echo result filtering isn't implemented —
+    loading the match half alone would return MORE captures than the
+    deployment's pywb, so a half-applied rule is never allowed), and
+    ``type:`` stays ignored.  No rule is ever silently
+    half-applied."""
     p = tmp_path / "rules.yaml"
     p.write_text(
         """
@@ -175,12 +180,62 @@ rules:
     fuzzy_lookup:
       match: '([?&])data=[^&]+&?'
       filter: ['urlkey:{0}']
-      replace: '?'
+      type: 'fuzzy'
+  - url_prefix: ''
+    fuzzy_lookup:
+      match: 'a=[0-9]+'
+      replace: 'a=1'
       type: 'fuzzy'
 """
     )
-    (rule,), bad = load_fuzzy_rules(str(p))
-    assert bad == [] and rule.pattern == "([?&])data=[^&]+&?"
+    rules, bad = load_fuzzy_rules(str(p))
+    # rule 0 quarantined WHOLE (not loaded without its filter), with
+    # a reason naming the cause
+    assert len(rules) == 1 and len(bad) == 1
+    assert "filter" in bad[0] and "half-applied" in bad[0]
+    (rule,) = rules
+    assert rule.pattern == "a=[0-9]+" and rule.replace == "a=1"
+    # the loaded replace rule REWRITES instead of stripping
+    assert fuzzy_key_py("com,x)/p?a=777&b=2", (rule,)) == (
+        "com,x)/p?a=1&b=2",
+        rule.name,
+    )
+    # replace values that cannot embed identically in the shared-SQL
+    # chain quarantine at load, not at query time
+    p.write_text(
+        """
+rules:
+  - url_prefix: ''
+    fuzzy_lookup:
+      match: 'a=[0-9]+'
+      replace: "it's"
+"""
+    )
+    rules, bad = load_fuzzy_rules(str(p))
+    assert rules == () and len(bad) == 1
+
+
+def test_python_only_regex_quarantined(tmp_path):
+    """A rule regex Python's re accepts but Spark's Java engine (or
+    the shared-SQL embedding) rejects quarantines at LOAD time — a
+    bad pattern degrades to that rule not loading, never to a
+    PatternSyntaxException killing the whole query."""
+    p = tmp_path / "rules.yaml"
+    p.write_text(
+        """
+rules:
+  - url_prefix: ''
+    fuzzy_lookup: '(?P<name>cb)=[0-9]+'
+  - url_prefix: ''
+    fuzzy_lookup: "it's=[0-9]+"
+  - url_prefix: ''
+    fuzzy_lookup: '([?&])ok=[0-9]+&?'
+"""
+    )
+    rules, bad = load_fuzzy_rules(str(p))
+    assert [r.pattern for r in rules] == ["([?&])ok=[0-9]+&?"]
+    assert len(bad) == 2
+    assert any("(?P" in b for b in bad)
 
 
 # --- .aclj -----------------------------------------------------------------
@@ -214,10 +269,18 @@ def test_aclj_quarantine_never_widens():
         'com,ok) - {"access": "allow_ignore_embargo", "url": "x"}',
     ]
     rules, bad = parse_aclj_lines(lines)
-    assert rules == [("com,example)", "allow"), ("com,ok)", "allow")]
+    # allow_ignore_embargo survives DISTINCT (embargo exemption)
+    assert rules == [
+        ("com,example)", "allow"),
+        ("com,ok)", "allow_ignore_embargo"),
+    ]
     assert len(bad) == 5
     # none of the quarantined lines became a rule for the evil subtree
     assert not any("evil" in p for p, _ in rules)
+    # a backslash key is outside the SURT alphabet and cannot embed
+    # identically in the shared Spark/DuckDB chain — quarantined
+    rules, bad = parse_aclj_lines(['com,e\\vil) - {"access": "exclude"}'])
+    assert rules == [] and len(bad) == 1
 
 
 # --- fuzz: the quarantine can never raise or widen ------------------------
@@ -248,7 +311,10 @@ def test_aclj_fuzz_never_raises_never_widens():
         rules, bad = parse_aclj_lines(lines)
         for prefix, access in rules:
             assert prefix.strip() != ""
-            assert access in {"allow", "block", "exclude"}
+            assert access in {
+                "allow", "block", "exclude", "allow_ignore_embargo",
+            }
+            assert "\\" not in prefix
         # every input line is accounted for: parsed, quarantined, or blank
         assert len(rules) + len(bad) <= len(lines)
 
@@ -303,3 +369,144 @@ def test_rules_yaml_fuzz_never_raises():
             assert isinstance(r.name, str) and r.name
 
     prop()
+
+
+# --- embargo (config.yaml) -------------------------------------------------
+
+
+def test_embargo_load_happy_path(tmp_path):
+    from webarchive_indexing_spark.sources.pywb_config import load_embargo
+
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        """
+collection: web
+embargo:
+    newer:
+        days: 366
+"""
+    )
+    emb, bad = load_embargo(str(p))
+    assert bad == [] and emb == {"newer": {"days": 366}}
+    # fixed-date forms normalize YAML ints to ts14-prefix strings
+    p.write_text("embargo:\n    before: 20200101\n")
+    emb, bad = load_embargo(str(p))
+    assert bad == [] and emb == {"before": "20200101"}
+
+
+def test_embargo_all_or_nothing(tmp_path):
+    """One malformed part poisons the WHOLE block: dropping just the
+    bad clause would SERVE captures the operator meant to hide — the
+    one widening direction the quarantine posture forbids."""
+    from webarchive_indexing_spark.sources.pywb_config import (
+        load_embargo,
+        parse_embargo_obj,
+    )
+
+    # valid newer + unknown sibling -> nothing loads
+    emb, bad = parse_embargo_obj(
+        {"embargo": {"newer": {"days": 366}, "embargoo": 1}}
+    )
+    assert emb is None and bad
+    # valid newer + bad unit in older -> nothing loads
+    emb, bad = parse_embargo_obj(
+        {"embargo": {"newer": {"days": 1}, "older": {"days": "soon"}}}
+    )
+    assert emb is None and bad
+    # file without an embargo block is a REPORTED reason, not a
+    # silent no-embargo
+    p = tmp_path / "config.yaml"
+    p.write_text("collection: web\n")
+    emb, bad = load_embargo(str(p))
+    assert emb is None and bad
+
+
+def test_embargo_fuzz_never_raises_all_or_nothing():
+    """Property (hypothesis): arbitrary YAML-ish shapes through the
+    embargo parser never raise, and the outcome is binary — either a
+    fully-validated block that apply_acl accepts verbatim, or None
+    plus reasons.  Never a partial block."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webarchive_indexing_spark.operators.cdx_query import sql_acl_access
+    from webarchive_indexing_spark.sources.pywb_config import parse_embargo_obj
+
+    scalar = st.one_of(
+        st.none(), st.booleans(), st.integers(-5, 10**15), st.text(max_size=16)
+    )
+    duration = st.dictionaries(
+        st.one_of(st.sampled_from(["years", "days", "hours", "minutes",
+                                   "seconds", "weeks", ""]), st.text(max_size=8)),
+        st.one_of(scalar, st.integers(0, 10**6)),
+        max_size=4,
+    )
+    block = st.dictionaries(
+        st.one_of(st.sampled_from(["before", "after", "newer", "older",
+                                   "embargoo", ""]), st.text(max_size=8)),
+        st.one_of(scalar, duration),
+        max_size=4,
+    )
+    top = st.one_of(scalar, block, st.fixed_dictionaries({"embargo": st.one_of(scalar, block)}))
+
+    @given(top)
+    @settings(max_examples=250, deadline=None)
+    def prop(obj):
+        emb, bad = parse_embargo_obj(obj)
+        assert (emb is None) != (bad == [])
+        if emb is not None:
+            # a block that loads green is accepted verbatim by the
+            # verdict compiler (as_of supplied for relative forms)
+            sql_acl_access("k", [], embargo=emb, as_of="20200101000000")
+
+    prop()
+
+
+def test_apply_acl_embargo_validation_fails_closed():
+    """apply_acl/sql_acl_access re-validate embargo dicts (defense in
+    depth for programmatic callers): unknown keys, bad durations, and
+    relative forms without as_of all RAISE — the query dies loudly
+    instead of serving embargoed captures."""
+    import pytest as _pytest
+
+    from webarchive_indexing_spark.operators.cdx_query import sql_acl_access
+
+    with _pytest.raises(ValueError):
+        sql_acl_access("k", [], embargo={"newer": {"days": 1}})  # no as_of
+    with _pytest.raises(ValueError):
+        sql_acl_access("k", [], embargo={"typo": 1}, as_of="2020")
+    with _pytest.raises(ValueError):
+        sql_acl_access("k", [], embargo={"older": {"days": -1}}, as_of="2020")
+    with _pytest.raises(ValueError):
+        sql_acl_access("k", [], embargo={"before": "not-a-ts"})
+    with _pytest.raises(ValueError):
+        sql_acl_access("k", [], embargo={}, as_of="2020")
+    # backslash in a programmatic rule literal raises (shared-SQL
+    # non-representability), never silently diverges
+    with _pytest.raises(ValueError):
+        sql_acl_access("k", [("com,a\\b", "exclude")])
+
+
+def test_sql_acl_access_empty_rules_and_embargo_shape():
+    """An empty rule list compiles to the bare default verdict (no
+    zero-arm CASE — the ParseException path), and the embargo folds
+    into arm VALUES so the chain is never duplicated."""
+    from webarchive_indexing_spark.operators.cdx_query import sql_acl_access
+
+    assert sql_acl_access("k", []) == "'allow'"
+    s = sql_acl_access("k", [], embargo={"after": "2016"})
+    assert s == "CASE WHEN timestamp > '20169999999999' THEN 'exclude' ELSE 'allow' END"
+    # no-embargo output is byte-identical to the pre-embargo engine's
+    assert sql_acl_access("k", [("p", "block")]) == (
+        "CASE WHEN substr(k, 1, 1) = 'p' THEN 'block' ELSE 'allow' END"
+    )
+    # aie arm displays as allow; chain text appears ONCE even with
+    # embargo (arm-value folding, not chain duplication)
+    s = sql_acl_access(
+        "k",
+        [("p", "allow_ignore_embargo"), ("q", "block")],
+        embargo={"newer": {"days": 10}},
+        as_of="20200101000000",
+    )
+    assert s.count("substr(k, 1, 1) = 'q'") == 1
+    assert "'allow_ignore_embargo'" not in s

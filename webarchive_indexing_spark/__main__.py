@@ -58,8 +58,10 @@ def _parser() -> argparse.ArgumentParser:
     q = sub.add_parser("query", help="cdx-server GET /index over a cluster")
     q.add_argument("cluster_dir")
     q.add_argument("url")
-    q.add_argument("--match-type", default="exact",
-                   choices=["exact", "prefix", "host", "domain", "glob"])
+    q.add_argument("--match-type", default=None,
+                   choices=["exact", "prefix", "host", "domain", "glob"],
+                   help="default: inferred — 'example.com/*' means prefix, "
+                        "'*.example.com' means domain, bare URL means exact")
     q.add_argument("--from", dest="from_", default=None, metavar="TS")
     q.add_argument("--to", default=None, metavar="TS")
     q.add_argument("--filter", action="append", default=[], dest="filters")
@@ -68,9 +70,20 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--closest", default=None)
     q.add_argument("--sort-reverse", action="store_true")
     q.add_argument("--fuzzy", action="store_true")
+    q.add_argument("--fuzzy-rules", default=None, metavar="RULES_YAML",
+                   help="pywb rules.yaml fuzzy_lookup table (implies --fuzzy); "
+                        "quarantined rules warn, never half-apply")
     q.add_argument("--acl", default=None, metavar="ACLJ",
                    help="wb-manager .aclj file: excluded captures vanish, "
                         "blocked ones stay listed")
+    q.add_argument("--embargo", default=None, metavar="CONFIG_YAML",
+                   help="pywb config.yaml with an embargo: block — embargoed "
+                        "captures are hidden unless an acl rule says "
+                        "allow_ignore_embargo; a malformed block is an ERROR "
+                        "(serving embargoed captures is never the fallback)")
+    q.add_argument("--as-of", dest="as_of", default=None, metavar="TS14",
+                   help="the embargo clock for newer:/older: durations — "
+                        "explicit, so the same query is deterministic")
     q.add_argument("--limit", type=int, default=None)
     q.add_argument("--fields", default=None, help="comma-separated fl= projection")
     q.add_argument("--output", default="text", choices=["text", "json"])
@@ -127,14 +140,41 @@ def main(argv: list[str] | None = None) -> int:
             for ln in bad:  # quarantined, never widened — surface them
                 print(f"warning: unparseable acl line skipped: {ln}",
                       file=sys.stderr)
+        embargo = None
+        if args.embargo:
+            from .sources.pywb_config import load_embargo
+
+            embargo, bad = load_embargo(args.embargo)
+            if embargo is None:
+                # fail CLOSED: a half-understood embargo must never
+                # fall back to serving the embargoed captures
+                for reason in bad:
+                    print(f"error: embargo config rejected: {reason}",
+                          file=sys.stderr)
+                return 2
+            if ("newer" in embargo or "older" in embargo) and not args.as_of:
+                print("error: embargo newer:/older: need --as-of TS14 "
+                      "(the engine takes no clock of its own)",
+                      file=sys.stderr)
+                return 2
+        extra = {}
+        if args.fuzzy_rules:
+            from .sources.pywb_config import load_fuzzy_rules
+
+            rules, bad = load_fuzzy_rules(args.fuzzy_rules)
+            for reason in bad:  # never half-applied — surface them
+                print(f"warning: fuzzy rule quarantined: {reason}",
+                      file=sys.stderr)
+            extra["fuzzy_rules"] = rules
         df = query_index(
             spark, args.cluster_dir, args.url,
             match_type=args.match_type, from_=args.from_, to=args.to,
             filters=args.filters or None, collapse=args.collapse,
             closest=args.closest, sort_reverse=args.sort_reverse,
-            fuzzy=args.fuzzy, limit=args.limit,
+            fuzzy=args.fuzzy or bool(args.fuzzy_rules), limit=args.limit,
             fields=args.fields.split(",") if args.fields else None,
-            acl_rules=acl_rules,
+            acl_rules=acl_rules, embargo=embargo, as_of=args.as_of,
+            **extra,
         )
         # stream through the driver: toLocalIterator holds one
         # partition at a time, so an unbounded prefix/domain query

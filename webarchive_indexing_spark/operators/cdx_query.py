@@ -29,6 +29,46 @@ from ..functions.surt import surt_urlkey_py
 from .collapse import collapse as run_collapse
 
 
+def infer_match_type(url: str, match_type: str | None) -> tuple[str, str]:
+    """pywb/IA URL-wildcard sugar [B pywb cdx-server ``url=`` forms]:
+    when no explicit matchType is given, ``example.com/*`` means a
+    PREFIX query and ``*.example.com`` a DOMAIN query — the two forms
+    most wayback users actually type.  Returns ``(clean_url,
+    match_type)``; an explicit ``match_type`` always wins (no
+    inference), and a bare URL infers ``exact``.
+
+    Any OTHER wildcard placement (mid-path ``*``, both forms at once)
+    raises instead of guessing — mid-path wildcards are the ``glob``
+    matchType and must be asked for explicitly, because silently
+    picking prefix-vs-glob would return a different capture set than
+    the user meant."""
+    if match_type is not None:
+        return url, match_type
+    bare = url.split("://", 1)[-1]
+    if bare.startswith("*."):
+        rest = bare[2:]
+        if "*" in rest:
+            raise ValueError(
+                f"cannot infer match type for {url!r}: '*.' domain form "
+                "cannot combine with other wildcards"
+            )
+        return rest, "domain"
+    if bare.endswith("*"):
+        body = url[: len(url) - 1]
+        if "*" in body.split("://", 1)[-1]:
+            raise ValueError(
+                f"cannot infer match type for {url!r}: mid-path wildcards "
+                "need an explicit match_type='glob'"
+            )
+        return body, "prefix"
+    if "*" in bare:
+        raise ValueError(
+            f"cannot infer match type for {url!r}: mid-path wildcards "
+            "need an explicit match_type='glob'"
+        )
+    return url, "exact"
+
+
 def _key_range(url: str, match_type: str) -> tuple[str, str | None, str | None]:
     """→ (exact_key | None, lo, hi) for the urlkey constraint."""
     key = surt_urlkey_py(url)
@@ -95,14 +135,32 @@ class FuzzyRule:
     rules.yaml keys every rule block by a SURT prefix (per-domain
     rules, e.g. the youtube/googlevideo entries); ``None`` means
     global.  A scoped rule participates in the same first-match-wins
-    chain, guarded by a LIKE-prefix test (still sargable codegen)."""
+    chain, guarded by a LIKE-prefix test (still sargable codegen).
 
-    __slots__ = ("name", "pattern", "key_prefix")
+    ``replace`` is pywb's ``fuzzy_lookup: replace:`` key [U pywb
+    fuzzymatcher]: when set, the matched span is REWRITTEN to this
+    LITERAL string (no group references — pywb's value is a plain
+    string) instead of stripped down to the captured separator.  A
+    rewrite rule canonicalizes a volatile param to a fixed stand-in
+    (``v=123456`` → ``v=0``) so the retry key can EQUAL an indexed
+    key — a pure strip would produce a key that was never written.
+    ``None`` keeps the default strip-to-group-1 semantics.  Both
+    paths share the trailing ``[?&]$`` cleanup, so a rewrite that
+    empties the query still re-joins cleanly."""
 
-    def __init__(self, name: str, pattern: str, key_prefix: str | None = None):
+    __slots__ = ("name", "pattern", "key_prefix", "replace")
+
+    def __init__(
+        self,
+        name: str,
+        pattern: str,
+        key_prefix: str | None = None,
+        replace: str | None = None,
+    ):
         self.name = name
         self.pattern = pattern
         self.key_prefix = key_prefix
+        self.replace = replace
 
 
 #: pywb's last-resort rule: when no parameter-family rule applies,
@@ -151,8 +209,15 @@ def apply_fuzzy_rules(
     key = F.col(key_col)
 
     def strip(rule: FuzzyRule):
+        # default: strip to the captured separator ($1); replace rules
+        # rewrite the span to a LITERAL (escape Spark's $/\\ repl refs)
+        repl = (
+            "$1"
+            if rule.replace is None
+            else rule.replace.replace("\\", "\\\\").replace("$", "\\$")
+        )
         return F.regexp_replace(
-            F.regexp_replace(key, rule.pattern, "$1"), r"[?&]$", ""
+            F.regexp_replace(key, rule.pattern, repl), r"[?&]$", ""
         )
 
     rule_expr = F.lit(None).cast("string")
@@ -176,8 +241,14 @@ def sql_fuzzy_rule_exprs(
     ``\\1`` backreferences instead of ``$1``."""
 
     def strip(rule: FuzzyRule) -> str:
+        # DuckDB replacement dialect: \1 group refs, backslash doubles
+        repl = (
+            "\\1"
+            if rule.replace is None
+            else rule.replace.replace("\\", "\\\\").replace("'", "''")
+        )
         return (
-            f"regexp_replace(regexp_replace({key}, '{rule.pattern}', '\\1', 'g'),"
+            f"regexp_replace(regexp_replace({key}, '{rule.pattern}', '{repl}', 'g'),"
             f" '[?&]$', '')"
         )
 
@@ -209,7 +280,12 @@ def fuzzy_key_py(
         if rule.key_prefix is not None and not key.startswith(rule.key_prefix):
             continue
         if re.search(rule.pattern, key):
-            stripped = re.sub(rule.pattern, r"\1", key)
+            if rule.replace is None:
+                stripped = re.sub(rule.pattern, r"\1", key)
+            else:
+                # literal rewrite — a lambda sidesteps re.sub's own
+                # backslash-escape semantics on the replacement
+                stripped = re.sub(rule.pattern, lambda _m: rule.replace, key)
             return re.sub(r"[?&]$", "", stripped), rule.name
     return key, None
 
@@ -221,15 +297,33 @@ def apply_acl(
     default: str = "allow",
     key_col: str = "urlkey",
     access_col: str = "access",
+    ts_col: str = "timestamp",
+    embargo: dict | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
     """pywb access-control lists [U pywb wb-manager .aclj]: each rule
     is ``(surt_prefix, access)`` with access ∈ {allow, block,
-    exclude}; the rule with the LONGEST matching prefix wins (an
-    ``exclude`` on a host can carve back an ``allow`` on one page and
-    vice versa).  Adds ``access_col`` with the winning verdict
-    (``default`` when no rule matches) and drops ``exclude`` rows —
-    pywb hides excluded captures from the index entirely while
+    exclude, allow_ignore_embargo}; the rule with the LONGEST matching
+    prefix wins (an ``exclude`` on a host can carve back an ``allow``
+    on one page and vice versa).  Adds ``access_col`` with the winning
+    verdict (``default`` when no rule matches) and drops ``exclude``
+    rows — pywb hides excluded captures from the index entirely while
     ``block`` rows stay listed (playback returns 451).
+
+    ``embargo`` is pywb's collection-level embargo block [U pywb
+    config.yaml embargo]: a dict with any of ``before``/``after``
+    (ts14 prefixes — hide captures before/after a fixed date) and
+    ``newer``/``older`` (duration dicts ``{years, days, hours,
+    minutes, seconds}`` — hide captures newer/older than the duration,
+    measured from ``as_of``).  An embargoed capture's verdict becomes
+    ``exclude`` (hidden) UNLESS its ACL verdict is
+    ``allow_ignore_embargo`` — pywb's per-rule embargo exemption —
+    which always displays as plain ``allow``.  ``as_of`` is the ts14
+    "now" and is REQUIRED with ``newer``/``older``: the engine takes
+    no clock of its own, so the same query at the same ``as_of`` is
+    deterministic and oracle-checkable.  Duration arithmetic happens
+    on the DRIVER (datetime), so the executors see only a literal
+    ts14 string compare — no dialect seams, no per-row date math.
 
     The rule table compiles to ONE first-match-wins CASE chain of
     ``startswith`` tests ordered longest-prefix-first, built as a
@@ -237,41 +331,146 @@ def apply_acl(
     loop costs ~3 driver round-trips per rule and nests CaseWhen
     thousands deep on a real .aclj) — a map-side codegen projection
     like the fuzzy-rule table; the index never shuffles, so thousands
-    of rules stay a scan-side cost.  Spark and the DuckDB twin share
-    the SAME generated chain (``_acl_case``), so precedence —
-    including duplicate-prefix resolution (first listed wins) — is
-    identical by construction."""
-    expr = _acl_case(key_col, rules, default)
+    of rules stay a scan-side cost.  The embargo folds into each
+    arm's VALUE (a constant-size inner CASE on the ts14 compare), so
+    the chain stays single-pass whatever the rule count.  Spark and
+    the DuckDB twin share the SAME generated string
+    (``sql_acl_access``), so precedence — including duplicate-prefix
+    resolution (first listed wins) — is identical by construction.
+    An EMPTY rule list compiles to the bare default verdict (no
+    zero-arm CASE), so embargo-only enforcement works with no .aclj
+    at all."""
+    expr = sql_acl_access(
+        key_col,
+        rules,
+        default=default,
+        ts_col=ts_col,
+        embargo=embargo,
+        as_of=as_of,
+    )
     out = cdx.withColumn(access_col, F.expr(expr))
     return out.filter(F.col(access_col) != "exclude")
 
 
 def _sq(s: str) -> str:
-    """Single-quote-escape a literal for the generated SQL."""
+    """Single-quote-escape a literal for the generated SQL.  A
+    backslash RAISES instead of escaping: Spark's parser treats ``\\``
+    as an escape inside string literals while DuckDB keeps it literal,
+    so no single shared string can carry one identically — and a
+    silently-diverging ACL prefix could fail to hide its subtree.
+    ``parse_aclj_lines`` quarantines such keys before they get here;
+    this guard covers programmatic rule lists."""
+    if "\\" in s:
+        raise ValueError(
+            f"backslash in SQL literal {s!r} is not representable "
+            "identically in Spark and DuckDB; rejecting rather than "
+            "risking a silently-widened ACL"
+        )
     return s.replace("'", "''")
 
 
-def _acl_case(key: str, rules: list[tuple[str, str]], default: str) -> str:
-    """The shared longest-prefix-first CASE chain.  Sort key
-    ``(-len, prefix)`` with a STABLE sort: equal-length distinct
-    prefixes cannot both match one key, and duplicate prefixes resolve
-    to the first listed rule — in both engines, because both run this
-    exact string.  The prefix test is ``substr(key, 1, N) = prefix``
-    because Spark spells it ``startswith`` and DuckDB ``starts_with``
-    — ``substr`` is the spelling they share."""
-    arms = " ".join(
-        f"WHEN substr({key}, 1, {len(p)}) = '{_sq(p)}' THEN '{_sq(a)}'"
-        for p, a in sorted(rules, key=lambda r: (-len(r[0]), r[0]))
-    )
-    return f"CASE {arms} ELSE '{_sq(default)}' END"
+def _embargo_pred(ts_col: str, embargo: dict, as_of: str | None) -> str:
+    """The shared-SQL 'capture is under embargo' predicate: OR of
+    plain ts14 string compares against driver-computed literal
+    thresholds.  Strictly validated — an unknown key or malformed
+    duration RAISES (fail closed): a half-understood embargo that
+    silently dropped a clause would SERVE embargoed captures, the one
+    direction the quarantine posture forbids."""
+    from datetime import datetime, timedelta
+
+    if not isinstance(embargo, dict) or not embargo:
+        raise ValueError(f"embargo must be a non-empty dict, got {embargo!r}")
+    unknown = set(embargo) - {"before", "after", "newer", "older"}
+    if unknown:
+        raise ValueError(f"unknown embargo keys {sorted(unknown)}")
+
+    def ts14(v: object, pad: str) -> str:
+        s = str(v)
+        if not (4 <= len(s) <= 14 and s.isdigit()):
+            raise ValueError(f"embargo date {v!r} is not a ts14 prefix")
+        return s.ljust(14, pad)
+
+    def duration(v: object) -> timedelta:
+        units = {"years": 365, "days": 1}
+        if not isinstance(v, dict) or not v:
+            raise ValueError(f"embargo duration {v!r} must be a non-empty dict")
+        bad = set(v) - {"years", "days", "hours", "minutes", "seconds"}
+        if bad:
+            raise ValueError(f"unknown embargo duration units {sorted(bad)}")
+        days = hours = minutes = seconds = 0
+        for unit, n in v.items():
+            if not isinstance(n, int) or isinstance(n, bool) or n < 0:
+                raise ValueError(f"embargo {unit}={n!r} must be an int >= 0")
+            if unit in units:
+                days += n * units[unit]
+            elif unit == "hours":
+                hours = n
+            elif unit == "minutes":
+                minutes = n
+            else:
+                seconds = n
+        return timedelta(days=days, hours=hours, minutes=minutes, seconds=seconds)
+
+    def rel_threshold(v: object) -> str:
+        if as_of is None:
+            raise ValueError(
+                "embargo newer:/older: need as_of= (ts14 'now') — the "
+                "engine takes no clock of its own"
+            )
+        now = datetime.strptime(str(as_of).ljust(14, "0"), "%Y%m%d%H%M%S")
+        return (now - duration(v)).strftime("%Y%m%d%H%M%S")
+
+    conds = []
+    if "before" in embargo:  # hide captures before the date
+        conds.append(f"{ts_col} < '{ts14(embargo['before'], '0')}'")
+    if "after" in embargo:  # hide captures after the date
+        conds.append(f"{ts_col} > '{ts14(embargo['after'], '9')}'")
+    if "newer" in embargo:  # hide captures newer than the duration
+        conds.append(f"{ts_col} > '{rel_threshold(embargo['newer'])}'")
+    if "older" in embargo:  # hide captures older than the duration
+        conds.append(f"{ts_col} < '{rel_threshold(embargo['older'])}'")
+    return " OR ".join(conds)
 
 
 def sql_acl_access(
-    key: str, rules: list[tuple[str, str]], *, default: str = "allow"
+    key: str,
+    rules: list[tuple[str, str]],
+    *,
+    default: str = "allow",
+    ts_col: str = "timestamp",
+    embargo: dict | None = None,
+    as_of: str | None = None,
 ) -> str:
-    """DuckDB twin of ``apply_acl``'s verdict expression — literally
-    the same generated chain."""
-    return _acl_case(key, rules, default)
+    """The shared longest-prefix-first verdict chain — Spark and the
+    DuckDB oracle both run this exact string.  Sort key ``(-len,
+    prefix)`` with a STABLE sort: equal-length distinct prefixes
+    cannot both match one key, and duplicate prefixes resolve to the
+    first listed rule — in both engines, because both run this exact
+    string.  The prefix test is ``substr(key, 1, N) = prefix`` because
+    Spark spells it ``startswith`` and DuckDB ``starts_with`` —
+    ``substr`` is the spelling they share.
+
+    With ``embargo``, each arm's VALUE becomes a constant-size inner
+    CASE on the embargo predicate (``exclude`` when embargoed, unless
+    the rule says ``allow_ignore_embargo``), so the rule chain itself
+    is never duplicated; without it, the generated string is
+    byte-identical to the pre-embargo engine's."""
+    emb = _embargo_pred(ts_col, embargo, as_of) if embargo is not None else None
+
+    def verdict(a: str) -> str:
+        if a == "allow_ignore_embargo":
+            return "'allow'"  # exempt from embargo, displays as allow
+        if emb is None or a == "exclude":
+            return f"'{_sq(a)}'"
+        return f"CASE WHEN {emb} THEN 'exclude' ELSE '{_sq(a)}' END"
+
+    if not rules:
+        return verdict(default)
+    arms = " ".join(
+        f"WHEN substr({key}, 1, {len(p)}) = '{_sq(p)}' THEN {verdict(a)}"
+        for p, a in sorted(rules, key=lambda r: (-len(r[0]), r[0]))
+    )
+    return f"CASE {arms} ELSE {verdict(default)} END"
 
 
 def _apply_filters(df: DataFrame, filters: list[str]) -> DataFrame:
@@ -302,7 +501,7 @@ def cdx_query(
     cdx: DataFrame,
     url: str,
     *,
-    match_type: str = "exact",
+    match_type: str | None = None,
     from_: str | None = None,
     to: str | None = None,
     filters: list[str] | None = None,
@@ -315,10 +514,13 @@ def cdx_query(
     fields: list[str] | None = None,
     limit: int | None = None,
     fuzzy: bool = False,
+    fuzzy_rules: tuple[FuzzyRule, ...] = DEFAULT_FUZZY_RULES,
     resume_key: tuple[str, str] | tuple[str, str, str] | None = None,
     tiebreak: str | None = None,
     acl_rules: list[tuple[str, str]] | None = None,
     acl_default: str = "allow",
+    embargo: dict | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
     """The full cdx-server GET /index parameter surface over a typed
     CDX DataFrame (column ``timestamp`` = 14-digit string).
@@ -347,11 +549,17 @@ def cdx_query(
     for gap-free paging over same-second recrawls: the tiebreak column
     joins the sort order and the continuation predicate.  resume_key
     assumes the default ascending order; combining it with
-    ``sort_reverse`` or ``closest`` raises."""
+    ``sort_reverse`` or ``closest`` raises.
+
+    ``match_type=None`` infers from URL-wildcard sugar
+    (``infer_match_type``): ``example.com/*`` → prefix,
+    ``*.example.com`` → domain, bare URL → exact; an explicit
+    match_type always wins."""
+    url, match_type = infer_match_type(url, match_type)
     exact, lo, hi = _key_range(url, match_type)
     fuzzy_pending = False
     if exact is not None:
-        fz, _rule = fuzzy_key_py(exact) if fuzzy else (exact, None)
+        fz, _rule = fuzzy_key_py(exact, fuzzy_rules) if fuzzy else (exact, None)
         if fuzzy and fz != exact:
             df = cdx.filter(F.col("urlkey").isin([exact, fz]))
             fuzzy_pending = True
@@ -362,12 +570,20 @@ def cdx_query(
     if match_type == "glob":
         df = df.filter(F.col("urlkey").like(glob_to_like(surt_urlkey_py(url))))
 
-    if acl_rules is not None:
+    if acl_rules is not None or embargo is not None:
         # access control FIRST [U pywb ACL]: excluded captures vanish
         # before limit/collapse/fuzzy see them (they must not consume
         # limit slots or suppress a fuzzy retry); blocked rows stay
         # listed, tagged in the `access` column (playback returns 451).
-        df = apply_acl(df, acl_rules, default=acl_default)
+        # An embargo with no .aclj still runs the verdict projection
+        # (empty rule list → bare default + embargo compare).
+        df = apply_acl(
+            df,
+            acl_rules or [],
+            default=acl_default,
+            embargo=embargo,
+            as_of=as_of,
+        )
 
     if resume_key is not None:
         if sort_reverse or closest is not None:
@@ -480,7 +696,7 @@ def cdx_query_zipnum(
     cluster_dir: str,
     url: str,
     *,
-    match_type: str = "exact",
+    match_type: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """Same surface against a ZipNum cluster: the urlkey constraint
@@ -500,9 +716,12 @@ def cdx_query_zipnum(
     blocks and silently return empty."""
     from ..sinks.zipnum import read_zipnum
 
+    url, match_type = infer_match_type(url, match_type)
     exact, lo, hi = _key_range(url, match_type)
     if exact is not None and kwargs.get("fuzzy"):
-        fz, _rule = fuzzy_key_py(exact)
+        fz, _rule = fuzzy_key_py(
+            exact, kwargs.get("fuzzy_rules", DEFAULT_FUZZY_RULES)
+        )
         if fz != exact:
             lo = min(lo, fz) if lo is not None else fz
             hi = max(hi, fz + "!") if hi is not None else fz + "!"

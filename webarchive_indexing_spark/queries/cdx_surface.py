@@ -2361,3 +2361,287 @@ def cdx_latest_snapshot(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("urlkey", F.col("ts14").alias("timestamp"), "status", "digest")
     )
+
+
+# --- round 8: embargo, replace-rules, url-wildcard sugar -------------------
+
+_EMBARGO_RULES = [
+    ("org,example,src9", "exclude"),
+    ("org,example,src9)/doc/9", "allow_ignore_embargo"),
+    ("org,example,src19", "block"),
+]
+
+_EMBARGO = {"newer": {"days": 500}}
+_EMBARGO_AS_OF = ("20170601000000", "20190601000000")
+
+
+def _embargo_oracle() -> str:
+    from ..operators.cdx_query import sql_acl_access
+
+    selects = []
+    for as_of in _EMBARGO_AS_OF:
+        verdict = sql_acl_access(
+            "urlkey",
+            _EMBARGO_RULES,
+            ts_col="timestamp",
+            embargo=_EMBARGO,
+            as_of=as_of,
+        )
+        selects.append(
+            f"""
+      SELECT '{as_of}' AS as_of, urlkey, timestamp, access FROM (
+        SELECT urlkey, timestamp, {verdict} AS access FROM judged
+      ) WHERE access <> 'exclude'"""
+        )
+    union = "\n      UNION ALL".join(selects)
+    return CDX_SQL + f"""
+    , judged AS (
+      SELECT urlkey, ts14 AS timestamp FROM cdx
+      WHERE urlkey >= 'org,example,src1' AND urlkey < 'org,example,src:'
+    )
+    {union}
+    """
+
+
+@query(
+    "cdx_acl_embargo",
+    oracle=_embargo_oracle(),
+    tier="B",
+)
+def cdx_acl_embargo(spark, sf_dir):
+    """Embargo-aware access control [U pywb config.yaml embargo +
+    wb-manager allow_ignore_embargo]: a collection embargo hides
+    captures NEWER than 500 days (measured from an explicit ``as_of``
+    clock — the engine takes no clock of its own), and an
+    ``allow_ignore_embargo`` rule exempts one page subtree
+    (src9)/doc/9*, which is ALSO the carve-back inside a host-wide
+    exclude).  The same corpus is judged at two ``as_of`` dates: at
+    2017-06-01 every capture after 2016-01-18 is embargoed (most of
+    the corpus vanishes; the exempt subtree stays listed), while at
+    2019-06-01 the newest capture is past the 500-day window and the
+    whole listing returns — the driver hash pins that the SAME
+    capture is excluded at one clock and listed at the other.
+
+    Scale shape: the embargo folds into each CASE arm's VALUE as a
+    constant-size ts14 string compare — one map-side verdict
+    projection per as_of, zero exchanges added, rule-count
+    independent (operators.cdx_query.sql_acl_access); duration
+    arithmetic ran on the driver."""
+    from ..operators.cdx_query import apply_acl
+
+    c = derived_cdx(spark, sf_dir).filter(
+        (F.col("urlkey") >= "org,example,src1")
+        & (F.col("urlkey") < "org,example,src:")
+    )
+    base = c.select("urlkey", F.col("ts14").alias("timestamp"))
+    parts = [
+        apply_acl(
+            base, _EMBARGO_RULES, embargo=_EMBARGO, as_of=as_of
+        ).select(
+            F.lit(as_of).alias("as_of"), "urlkey", "timestamp", "access"
+        )
+        for as_of in _EMBARGO_AS_OF
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def _replace_rules():
+    """Rule table for cdx_fuzzy_replace_rule: a pywb ``replace:``
+    rewrite rule (volatile ``a=`` param canonicalized to the indexed
+    ``a=1`` stand-in — a pure strip would derive ``?b=2``, a key that
+    was never written) ahead of the strip-entire-query fallback, so
+    first-match-wins ordering is exercised across the two rule
+    KINDS."""
+    from ..operators.cdx_query import REMOVEALL_RULE, FuzzyRule
+
+    return (
+        FuzzyRule("avolatile", r"a=[0-9]+", replace="a=1"),
+        REMOVEALL_RULE,
+    )
+
+
+def _replace_oracle() -> str:
+    from ..operators.cdx_query import sql_fuzzy_rule_exprs
+
+    rule_case, fuzzy_case = sql_fuzzy_rule_exprs("key_exact", _replace_rules())
+    return CDX_SQL + f"""
+    , lookups0 AS (
+      SELECT doc_id,
+             'org,example,' || source || ')/doc/' || doc_id ||
+               CASE WHEN doc_id % 3 = 0
+                      THEN '?a=' || CAST(700 + doc_id AS VARCHAR) || '&b=2'
+                    WHEN doc_id % 2 = 0 THEN '?z=9'
+                    ELSE '' END AS key_exact
+      FROM documents WHERE doc_id < 300
+    ), lookups AS (
+      SELECT doc_id, key_exact,
+             {rule_case} AS fuzzy_rule,
+             {fuzzy_case} AS key_fuzzy
+      FROM lookups0
+    ), keys AS (
+      SELECT doc_id, key_exact AS k, 'exact' AS via, '' AS rule FROM lookups
+      UNION ALL
+      SELECT doc_id, key_fuzzy AS k, 'fuzzy' AS via,
+             COALESCE(fuzzy_rule, '') AS rule FROM lookups
+    ), m AS (
+      SELECT k.doc_id, k.via, k.rule, c.ts14,
+             MAX(CASE WHEN k.via = 'exact' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k.doc_id) AS he
+      FROM keys k JOIN cdx c ON k.k = c.urlkey
+    )
+    SELECT doc_id, via, rule, COUNT(*) AS n_captures,
+           MIN(ts14) AS first_ts, MAX(ts14) AS last_ts
+    FROM m WHERE via = 'exact' OR he = 0
+    GROUP BY doc_id, via, rule
+    """
+
+
+@query(
+    "cdx_fuzzy_replace_rule",
+    oracle=_replace_oracle(),
+    tier="B",
+)
+def cdx_fuzzy_replace_rule(spark, sf_dir):
+    """pywb ``fuzzy_lookup: replace:`` semantics [U pywb
+    fuzzymatcher]: the matched span is REWRITTEN to a literal instead
+    of stripped.  Three lookup classes: volatile ``a=7xx`` params
+    rewrite to the indexed ``a=1`` stand-in (a strip rule would derive
+    ``?b=2`` — a key never written — so only the rewrite can hit);
+    junk-only queries fall through to the strip-entire-query fallback
+    (first-match-wins across rule KINDS); bare keys hit exactly and
+    the he-window suppresses their no-op fuzzy twin.  The rule table
+    round-trips through a real rules.yaml file (``dump_fuzzy_rules``
+    → ``load_fuzzy_rules``), so the driver hash also pins that a
+    deployment's ``replace:`` rules load unmodified — never silently
+    half-applied (a ``filter:`` sibling would quarantine the whole
+    rule instead).
+
+    Scale shape: identical to cdx_fuzzy_match — the rewrite is one
+    regexp_replace inside the same scan-side first-match-wins CASE
+    chain (codegen, no UDF), then ONE equi-join against the index."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..operators.cdx_query import apply_fuzzy_rules
+    from ..sources.pywb_config import dump_fuzzy_rules, load_fuzzy_rules
+
+    d = tempfile.mkdtemp(prefix="pywb_replace_")
+    path = os.path.join(d, "rules.yaml")
+    with open(path, "w") as fh:
+        fh.write(dump_fuzzy_rules(_replace_rules()))
+    rules, bad = load_fuzzy_rules(path)
+    if bad:  # fixture we just wrote — any quarantine is a code bug
+        raise ValueError(f"fixture rules.yaml quarantined entries: {bad}")
+
+    c = derived_cdx(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    doc = F.col("doc_id")
+    qs = (
+        F.when(
+            doc % 3 == 0,
+            F.concat(F.lit("?b=2&a="), (doc + 700).cast("string")),
+        )
+        .when(doc % 2 == 0, F.lit("?z=9"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.upper(F.substring("source", 1, 1)),
+        F.expr("substring(source, 2)"),
+        F.lit(".Example.org:443/doc/"),
+        doc.cast("string"),
+        qs,
+    )
+    lookups = apply_fuzzy_rules(
+        docs.withColumn("__url", url).select(
+            "doc_id", surt_urlkey_cached("__url").alias("key_exact")
+        ),
+        "key_exact",
+        rules,
+    )
+    keys = lookups.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("key_exact").alias("k"),
+                    F.lit("exact").alias("via"),
+                    F.lit("").alias("rule"),
+                ),
+                F.struct(
+                    F.col("key_fuzzy").alias("k"),
+                    F.lit("fuzzy").alias("via"),
+                    F.coalesce(F.col("fuzzy_rule"), F.lit("")).alias("rule"),
+                ),
+            )
+        ).alias("kv"),
+    ).select("doc_id", "kv.k", "kv.via", "kv.rule")
+    m = keys.alias("lk").join(
+        c.select("urlkey", "ts14").alias("cx"),
+        F.col("lk.k") == F.col("cx.urlkey"),
+    )
+    has_exact = F.max(F.when(F.col("via") == "exact", 1).otherwise(0)).over(
+        Window.partitionBy("doc_id")
+    )
+    return (
+        m.select("doc_id", "via", "rule", "ts14", has_exact.alias("he"))
+        .filter((F.col("via") == "exact") | (F.col("he") == 0))
+        .groupBy("doc_id", "via", "rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.min("ts14").alias("first_ts"),
+            F.max("ts14").alias("last_ts"),
+        )
+    )
+
+
+@query(
+    "cdx_url_wildcard_prefix",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp, status FROM cdx
+    WHERE urlkey >= 'org,example,src5)/doc/5'
+      AND urlkey < 'org,example,src5)/doc/5~'
+    """,
+    tier="B",
+)
+def cdx_url_wildcard_prefix(spark, sf_dir):
+    """URL-wildcard matchType inference, prefix form [B pywb/IA
+    cdx-server ``url=`` sugar]: ``url=.../doc/5*`` with NO matchType
+    infers a prefix query — the oracle is the EXPLICIT
+    matchType=prefix range, so the hash pins that the sugared and
+    explicit spellings return identical captures.  The inferred
+    prefix stays a sargable [key, key+'~') range — same block/shard
+    pruning as the explicit form, nothing degrades to a LIKE scan."""
+    from ..operators.cdx_query import cdx_query
+
+    c = derived_cdx(spark, sf_dir).select(
+        "urlkey", F.col("ts14").alias("timestamp"), "status"
+    )
+    return cdx_query(c, "https://src5.example.org/doc/5*")
+
+
+@query(
+    "cdx_url_wildcard_domain",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp, status FROM cdx
+    WHERE urlkey >= 'org,example,src3'
+      AND urlkey < 'org,example,src3~'
+    """,
+    tier="B",
+)
+def cdx_url_wildcard_domain(spark, sf_dir):
+    """URL-wildcard matchType inference, domain form [B pywb/IA
+    cdx-server ``url=`` sugar]: ``url=*.src3.example.org`` with NO
+    matchType infers a domain query (host plus all subdomains — the
+    SURT host-reversal prefix).  Oracle = the explicit
+    matchType=domain range; an explicit match_type= always wins over
+    inference, and a mid-path wildcard raises instead of guessing
+    (tests/test_cdx_query.py)."""
+    from ..operators.cdx_query import cdx_query
+
+    c = derived_cdx(spark, sf_dir).select(
+        "urlkey", F.col("ts14").alias("timestamp"), "status"
+    )
+    return cdx_query(c, "*.src3.example.org")

@@ -11,9 +11,16 @@ engine drop-in against an existing archive:
   - a plain regex STRING (the match/strip regex over the canonical
     urlkey);
   - a ``match:`` dict — the regex as a string or a nested
-    ``{regex: ...}`` mapping (pywb's extended form; sibling keys like
-    ``filter``/``replace``/``type`` are accepted and ignored — they
-    tune pywb's response filtering, not key derivation);
+    ``{regex: ...}`` mapping (pywb's extended form).  A sibling
+    ``replace:`` key is HONORED: the matched span is rewritten to
+    that literal string instead of stripped (pywb's volatile-param
+    canonicalization — see ``FuzzyRule.replace``).  A sibling
+    ``filter:``/``filters:`` key QUARANTINES the rule: pywb's
+    param-echo result filtering is not implemented, and loading the
+    match half while dropping the filter half would return MORE
+    captures than the deployment's pywb does — a silently
+    half-applied rule is worse than a reported one.  ``type:`` is
+    accepted and ignored (response tuning, not key derivation);
   - an ``args:`` LIST naming the query params to KEEP — every other
     param is stripped from the fuzzy key (pywb's youtube
     ``get_video_info`` style).  Compiled to a keep-list pattern using
@@ -33,9 +40,19 @@ engine drop-in against an existing archive:
   ``<surt> - {json}``, reverse-key-sorted, the JSON carrying
   ``access`` ∈ {allow, block, exclude, allow_ignore_embargo} [U pywb
   wb-manager acl].  Loads into the ``(surt_prefix, access)`` list
-  ``operators.cdx_query.apply_acl`` compiles (longest-prefix-wins);
-  ``allow_ignore_embargo`` maps to ``allow`` (the engine has no
-  embargo clock).
+  ``operators.cdx_query.apply_acl`` compiles (longest-prefix-wins).
+  ``allow_ignore_embargo`` is kept DISTINCT — it exempts its subtree
+  from a collection embargo (``load_embargo``) and displays as plain
+  ``allow``.
+
+* ``config.yaml`` ``embargo:`` block — pywb's collection-level
+  embargo [U pywb config embargo]: ``before``/``after`` fixed ts14
+  prefixes, ``newer``/``older`` duration dicts.  ``load_embargo`` is
+  ALL-OR-NOTHING: any malformed part quarantines the WHOLE block
+  (returns ``None`` + reasons) so the caller can refuse to serve —
+  an embargo is the one config whose failure direction inverts: a
+  half-loaded embargo would WIDEN access by serving embargoed
+  captures, so partial application is never allowed.
 
 Both loaders are QUARANTINE parsers — the same damage posture as the
 takedown-feed reader (sinks/zipnum.py): a malformed entry can never
@@ -55,7 +72,34 @@ import re
 
 from ..operators.cdx_query import FuzzyRule
 
-_ACL_ACCESS = {"allow", "block", "exclude"}
+_ACL_ACCESS = {"allow", "block", "exclude", "allow_ignore_embargo"}
+
+
+def _pattern_rejection(pattern: str) -> str | None:
+    """Best-effort Java-dialect screening for a rule regex: the table
+    compiles into Spark's Java regex engine AND embeds into the
+    DuckDB-oracle SQL string, so constructs Python's ``re`` accepts
+    but those contexts reject must quarantine at LOAD time — a rule
+    that loads green and then throws ``PatternSyntaxException`` mid-
+    query fails the whole job instead of that one rule.  Returns a
+    reason, or None when the pattern passes.  Best-effort: it screens
+    the known Python-only syntax family; exotic divergences degrade
+    to a query-time error, never to a silently-different match."""
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        return f"bad regex: {e}"
+    if "(?P" in pattern:
+        return (
+            "Python-only (?P named-group syntax; Spark's Java regex "
+            "rejects it at run time"
+        )
+    if "'" in pattern:
+        return (
+            "single quote cannot embed in the generated shared-SQL "
+            "rule chain"
+        )
+    return None
 
 
 def _compile_keep_args(names: list[str]) -> str:
@@ -91,10 +135,35 @@ def parse_fuzzy_rules_obj(
             bad.append(f"rule {i}: url_prefix must be string or string list")
             continue
         name = None
+        replace = None
         if isinstance(fl, str):
             pattern = fl
         elif isinstance(fl, dict):
+            # pywb's filter:/filters: param-echo result filtering is
+            # not implemented — loading the match while dropping the
+            # filter would return MORE captures than pywb; quarantine
+            # the whole rule rather than half-apply it
+            flt = fl.get("filter", fl.get("filters"))
+            if flt:
+                bad.append(
+                    f"rule {i}: filter: result filtering not supported — "
+                    "rule quarantined rather than half-applied (matches "
+                    "without the filter would be wider than pywb's)"
+                )
+                continue
             name = fl.get("name") if isinstance(fl.get("name"), str) else None
+            r = fl.get("replace")
+            if r is not None:
+                if not isinstance(r, str):
+                    bad.append(f"rule {i}: replace: must be a string")
+                    continue
+                if "'" in r or "\\" in r:
+                    bad.append(
+                        f"rule {i}: replace {r!r}: quote/backslash cannot "
+                        "embed identically in the shared-SQL rule chain"
+                    )
+                    continue
+                replace = r
             m = fl.get("match")
             if isinstance(m, dict):
                 m = m.get("regex")
@@ -110,10 +179,9 @@ def parse_fuzzy_rules_obj(
         else:
             bad.append(f"rule {i}: fuzzy_lookup missing or wrong type")
             continue
-        try:
-            re.compile(pattern)
-        except re.error as e:
-            bad.append(f"rule {i}: bad regex {pattern!r}: {e}")
+        reason = _pattern_rejection(pattern)
+        if reason is not None:
+            bad.append(f"rule {i}: regex {pattern!r}: {reason}")
             continue
         for p in prefixes:
             rules.append(
@@ -121,6 +189,7 @@ def parse_fuzzy_rules_obj(
                     name or (f"rule{i}:{p}" if p else f"rule{i}"),
                     pattern,
                     key_prefix=p or None,
+                    replace=replace,
                 )
             )
     return tuple(rules), bad
@@ -151,12 +220,10 @@ def dump_fuzzy_rules(rules: tuple[FuzzyRule, ...]) -> str:
 
     entries = []
     for r in rules:
-        entries.append(
-            {
-                "url_prefix": r.key_prefix or "",
-                "fuzzy_lookup": {"name": r.name, "match": {"regex": r.pattern}},
-            }
-        )
+        fl: dict = {"name": r.name, "match": {"regex": r.pattern}}
+        if r.replace is not None:
+            fl["replace"] = r.replace
+        entries.append({"url_prefix": r.key_prefix or "", "fuzzy_lookup": fl})
     return yaml.safe_dump({"rules": entries}, sort_keys=False)
 
 
@@ -167,7 +234,11 @@ def parse_aclj_lines(
 
     Grammar per line: ``<surt> - {json}``.  Quarantined (NEVER
     widened): blank surt (would be a wildcard rule), missing
-    separator, bad JSON, unknown access value."""
+    separator, bad JSON, unknown access value, and keys carrying a
+    backslash (outside the SURT alphabet, and not representable
+    identically in the shared Spark/DuckDB SQL chain — see
+    ``operators.cdx_query._sq``).  ``allow_ignore_embargo`` survives
+    DISTINCT: it exempts its subtree from a collection embargo."""
     out: list[tuple[str, str]] = []
     bad: list[str] = []
     for ln in lines:
@@ -176,7 +247,7 @@ def parse_aclj_lines(
             continue
         key, sep, js = s.partition(" - ")
         key = key.strip()
-        if not sep or not key:
+        if not sep or not key or "\\" in key:
             bad.append(s)
             continue
         try:
@@ -185,8 +256,6 @@ def parse_aclj_lines(
             bad.append(s)
             continue
         access = props.get("access") if isinstance(props, dict) else None
-        if access == "allow_ignore_embargo":
-            access = "allow"  # no embargo clock in the engine
         if access not in _ACL_ACCESS:
             bad.append(s)
             continue
@@ -204,6 +273,74 @@ def load_aclj(path: str) -> tuple[list[tuple[str, str]], list[str]]:
     chain."""
     with open(path) as fh:
         return parse_aclj_lines(fh.readlines())
+
+
+_EMBARGO_KEYS = {"before", "after", "newer", "older"}
+_DURATION_UNITS = {"years", "days", "hours", "minutes", "seconds"}
+
+
+def parse_embargo_obj(obj: object) -> tuple[dict | None, list[str]]:
+    """Parsed-YAML object → (embargo dict for ``apply_acl``, reasons).
+
+    Accepts a pywb collection ``config.yaml`` mapping (the block under
+    its top-level ``embargo:`` key) or the embargo mapping itself.
+    ALL-OR-NOTHING: one malformed part poisons the whole block
+    (``None`` + reasons) — dropping just the bad clause would serve
+    captures the operator meant to hide, the one widening the
+    quarantine posture forbids.  A block that parses here is accepted
+    verbatim by ``operators.cdx_query.apply_acl`` (same validation,
+    re-run there as defense in depth)."""
+    bad: list[str] = []
+    if isinstance(obj, dict) and "embargo" in obj:
+        obj = obj["embargo"]
+    if not isinstance(obj, dict) or not obj:
+        return None, ["embargo block missing or not a non-empty mapping"]
+    unknown = set(obj) - _EMBARGO_KEYS
+    if unknown:
+        bad.append(f"unknown embargo keys {sorted(map(str, unknown))}")
+    for k in ("before", "after"):
+        if k in obj:
+            s = str(obj[k])
+            if not (4 <= len(s) <= 14 and s.isdigit()):
+                bad.append(f"{k}: {obj[k]!r} is not a ts14 prefix")
+    for k in ("newer", "older"):
+        if k in obj:
+            v = obj[k]
+            if not isinstance(v, dict) or not v:
+                bad.append(f"{k}: must be a non-empty duration mapping")
+                continue
+            extra = set(v) - _DURATION_UNITS
+            if extra:
+                bad.append(f"{k}: unknown duration units {sorted(map(str, extra))}")
+            for unit, n in v.items():
+                if unit in _DURATION_UNITS and (
+                    not isinstance(n, int) or isinstance(n, bool) or n < 0
+                ):
+                    bad.append(f"{k}.{unit}: {n!r} must be an int >= 0")
+    if bad:
+        return None, bad
+    # normalize before/after to plain strings so a YAML int loads the
+    # same as a quoted string
+    out = dict(obj)
+    for k in ("before", "after"):
+        if k in out:
+            out[k] = str(out[k])
+    return out, []
+
+
+def load_embargo(path: str) -> tuple[dict | None, list[str]]:
+    """pywb collection ``config.yaml`` → embargo dict (or ``None`` +
+    reasons).  See ``parse_embargo_obj`` for the all-or-nothing
+    posture; a file with no ``embargo:`` block is a reported reason,
+    not a silent no-embargo."""
+    import yaml
+
+    with open(path) as fh:
+        try:
+            obj = yaml.safe_load(fh)
+        except yaml.YAMLError as e:
+            return None, [f"unparseable yaml: {e}"]
+    return parse_embargo_obj(obj)
 
 
 def dump_aclj(rules: list[tuple[str, str]], url_prefix: str = "") -> str:
