@@ -114,6 +114,11 @@ HEADLINE = [
     "decontaminate_containment",
     "cdx_collapse_group_count",
     "cdx_show_skip_count",
+    # round 8
+    "cdx_acl_embargo",
+    "cdx_fuzzy_replace_rule",
+    "cdx_url_wildcard_prefix",
+    "cdx_url_wildcard_domain",
 ]
 
 

@@ -383,3 +383,55 @@ def test_show_skip_count_adds_no_exchange(spark, sf_dir):
     base, with_sc = plan_of(False), plan_of(True)
     assert with_sc.count("Exchange") == base.count("Exchange"), with_sc[:600]
     assert with_sc.count("Exchange hashpartitioning") == 1
+
+
+def test_embargo_chain_is_map_side_zero_exchange(spark, sf_dir):
+    """The embargo-aware verdict must stay exactly as cheap as the
+    plain ACL chain: the ts14 compares fold into CASE-arm VALUES
+    inside the same scan-side projection — per as_of clock, zero
+    exchanges, zero joins, rule-count independent."""
+    from webarchive_indexing_spark.operators.cdx_query import apply_acl
+    from webarchive_indexing_spark.queries.cdx_surface import (
+        _EMBARGO,
+        _EMBARGO_RULES,
+        derived_cdx,
+    )
+    from pyspark.sql import functions as F
+
+    c = derived_cdx(spark, sf_dir).select(
+        "urlkey", F.col("ts14").alias("timestamp")
+    )
+    judged = apply_acl(
+        c, _EMBARGO_RULES, embargo=_EMBARGO, as_of="20170601000000"
+    )
+    plan = judged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"embargo verdict shuffles: {plan[:400]}"
+    assert "Join" not in plan
+
+
+def test_url_wildcard_inference_prunes_like_explicit(spark, sf_dir):
+    """The inferred prefix/domain queries must plan IDENTICALLY to the
+    explicit spellings — inference is URL sugar resolved on the
+    driver, so the optimized plan (the same sargable key range, same
+    pushdown) is byte-equal modulo expression ids; nothing degrades
+    to a LIKE/regex residual."""
+    import re
+
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query
+    from webarchive_indexing_spark.queries.cdx_surface import derived_cdx
+    from pyspark.sql import functions as F
+
+    c = derived_cdx(spark, sf_dir).select(
+        "urlkey", F.col("ts14").alias("timestamp"), "status"
+    )
+
+    def opt(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"#\d+", "#x", s)
+
+    assert opt(cdx_query(c, "https://src5.example.org/doc/5*")) == opt(
+        cdx_query(c, "https://src5.example.org/doc/5", match_type="prefix")
+    )
+    assert opt(cdx_query(c, "*.src3.example.org")) == opt(
+        cdx_query(c, "src3.example.org", match_type="domain")
+    )
