@@ -119,6 +119,8 @@ HEADLINE = [
     "cdx_fuzzy_replace_rule",
     "cdx_url_wildcard_prefix",
     "cdx_url_wildcard_domain",
+    "cdx_fuzzy_filter_echo",
+    "cdx_limit_offset",
 ]
 
 

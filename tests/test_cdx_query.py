@@ -773,3 +773,106 @@ def test_replace_rule_spark_python_parity(spark):
     assert got["com,x)/a"] == ("com,x)/a", None)
     for k in keys:
         assert got[k] == fuzzy_key_py(k, rules), k
+
+
+def test_fuzzy_filter_echo_per_request(spark, cdx):
+    """pywb filter: param-echo, per-request path: the retry scans the
+    truncated-prefix range and keeps candidates matching the echoed
+    group — so a lookup echoing the INDEXED param value finds the
+    variant, and one echoing a value never crawled comes back empty
+    (the strip fallback must not rescue it: pywb consults one rule)."""
+    from webarchive_indexing_spark.operators.cdx_query import (
+        REMOVEALL_RULE,
+        FuzzyRule,
+    )
+
+    rules = (
+        FuzzyRule("echoa", r"[?&](a=[0-9]+)", filters=("urlkey:{0}",)),
+        REMOVEALL_RULE,
+    )
+    # an indexed query-key capture: urlkey '...doc/N?a=1&b=2'
+    some = (
+        cdx.filter(F.col("urlkey").contains("?a=1&b=2"))
+        .select("urlkey")
+        .first()["urlkey"]
+    )
+    path = some.split("?")[0]
+    base_url = "https://" + path.split(")")[0].split(",")[-1] + ".example.org"
+    # reconstruct a real URL for the same doc path
+    doc_part = path.split(")/")[1]
+    hit_url = f"{base_url}/{doc_part}?b=777&a=1"   # echoes a=1 (indexed)
+    miss_url = f"{base_url}/{doc_part}?b=777&a=9"  # echoes a=9 (never crawled)
+
+    got = cdx_query(cdx, hit_url, fuzzy=True, fuzzy_rules=rules)
+    rows = got.collect()
+    assert rows and all(r["urlkey"] == some for r in rows)
+    assert cdx_query(cdx, miss_url, fuzzy=True, fuzzy_rules=rules).count() == 0
+
+    # one-rule consultation (pywb): a lookup on a BARE-indexed doc
+    # whose echo finds nothing must come back empty even though the
+    # table's removeall fallback WOULD hit the bare key — the
+    # fallback is never consulted once the echo rule matched...
+    bare = (
+        cdx.filter(~F.col("urlkey").contains("?"))
+        .select("urlkey")
+        .first()["urlkey"]
+    )
+    bare_doc = bare.split(")/")[1]
+    bare_base = "https://" + bare.split(")")[0].split(",")[-1] + ".example.org"
+    probe = f"{bare_base}/{bare_doc}?b=777&a=9"
+    assert cdx_query(cdx, probe, fuzzy=True, fuzzy_rules=rules).count() == 0
+    # ...while a removeall-ONLY table proves the bare key was there
+    assert (
+        cdx_query(cdx, probe, fuzzy=True, fuzzy_rules=(REMOVEALL_RULE,)).count()
+        > 0
+    )
+
+
+def test_fuzzy_filter_echo_zipnum_prune_widens(spark, cdx, cluster):
+    """The ZipNum path must widen its block-prune range to the
+    truncated-prefix RANGE for echo rules — pruning to the exact key
+    alone would silently return empty."""
+    from webarchive_indexing_spark.operators.cdx_query import (
+        FuzzyRule,
+        cdx_query_zipnum,
+    )
+
+    rules = (FuzzyRule("echoa", r"[?&](a=[0-9]+)", filters=("urlkey:{0}",)),)
+    some = (
+        cdx.filter(F.col("urlkey").contains("?a=1&b=2"))
+        .select("urlkey")
+        .first()["urlkey"]
+    )
+    path = some.split("?")[0]
+    doc_part = path.split(")/")[1]
+    base_url = "https://" + path.split(")")[0].split(",")[-1] + ".example.org"
+    hit_url = f"{base_url}/{doc_part}?b=777&a=1"
+    got = cdx_query_zipnum(spark, cluster, hit_url, fuzzy=True,
+                           fuzzy_rules=rules)
+    rows = got.collect()
+    assert rows and all(r["urlkey"] == some for r in rows)
+
+
+def test_offset_param(spark, cdx):
+    """offset=N skips N rows of the sort order before limit, with a
+    deterministic tiebreak; offset past the (small) result set is
+    empty; negative-limit + offset raises; and a DEEP offset raises
+    the shallow-paging guard — Spark's TakeOrdered path buffers
+    offset+limit rows per partition, so an unbounded offset is an
+    executor OOM (measured), and the error routes users to
+    resume_key."""
+    base = cdx_query(cdx, "src1.example.org", match_type="domain",
+                     tiebreak="digest", limit=30)
+    allrows = base.collect()
+    paged = cdx_query(cdx, "src1.example.org", match_type="domain",
+                      tiebreak="digest", limit=10, offset=10)
+    assert paged.collect() == allrows[10:20]
+    far = cdx_query(cdx, "src1.example.org", match_type="domain",
+                    offset=99_000, limit=5)
+    assert far.count() == 0
+    with pytest.raises(ValueError):
+        cdx_query(cdx, "src1.example.org", match_type="domain",
+                  limit=-5, offset=3)
+    with pytest.raises(ValueError, match="resume_key"):
+        cdx_query(cdx, "src1.example.org", match_type="domain",
+                  offset=10**9, limit=5)

@@ -164,21 +164,21 @@ def test_rules_yaml_top_level_damage(tmp_path):
     assert rules == () and len(bad) == 1
 
 
-def test_replace_honored_filter_quarantined(tmp_path):
-    """pywb fuzzy_lookup sibling keys: ``replace:`` is HONORED (the
-    matched span rewrites to the literal), ``filter:`` QUARANTINES
-    the whole rule (param-echo result filtering isn't implemented —
-    loading the match half alone would return MORE captures than the
-    deployment's pywb, so a half-applied rule is never allowed), and
-    ``type:`` stays ignored.  No rule is ever silently
-    half-applied."""
+def test_replace_and_filter_honored(tmp_path):
+    """pywb fuzzy_lookup sibling keys: ``replace:`` rewrites the
+    matched span to the literal, ``filter:`` loads as param-echo
+    templates (the retry becomes pywb's truncated-prefix scan + echoed
+    cdx filters), and ``type:`` stays ignored.  Templates the engine
+    cannot expand quarantine the WHOLE rule — never half-applied."""
+    from webarchive_indexing_spark.operators.cdx_query import fuzzy_retry_spec
+
     p = tmp_path / "rules.yaml"
     p.write_text(
         """
 rules:
   - url_prefix: 'com,facebook)'
     fuzzy_lookup:
-      match: '([?&])data=[^&]+&?'
+      match: '[?&](data=[^&]+)&?'
       filter: ['urlkey:{0}']
       type: 'fuzzy'
   - url_prefix: ''
@@ -189,11 +189,28 @@ rules:
 """
     )
     rules, bad = load_fuzzy_rules(str(p))
-    # rule 0 quarantined WHOLE (not loaded without its filter), with
-    # a reason naming the cause
-    assert len(rules) == 1 and len(bad) == 1
-    assert "filter" in bad[0] and "half-applied" in bad[0]
-    (rule,) = rules
+    assert bad == [] and len(rules) == 2
+    fb, rule = rules
+    assert fb.filters == ("urlkey:{0}",)
+    # the loaded filter rule produces pywb's prefix+echo retry shape
+    assert fuzzy_retry_spec("com,facebook)/x?data=q7&z=1", rules) == (
+        "prefix",
+        "com,facebook)/x?",
+        ("urlkey:data=q7",),
+        fb.name,
+    )
+    # a filter template the regex cannot feed quarantines the rule
+    p.write_text(
+        """
+rules:
+  - url_prefix: ''
+    fuzzy_lookup:
+      match: 'data=[^&]+'
+      filter: ['urlkey:{0}']
+"""
+    )
+    qrules, qbad = load_fuzzy_rules(str(p))
+    assert qrules == () and len(qbad) == 1 and "cannot expand" in qbad[0]
     assert rule.pattern == "a=[0-9]+" and rule.replace == "a=1"
     # the loaded replace rule REWRITES instead of stripping
     assert fuzzy_key_py("com,x)/p?a=777&b=2", (rule,)) == (

@@ -85,6 +85,10 @@ def _parser() -> argparse.ArgumentParser:
                    help="the embargo clock for newer:/older: durations — "
                         "explicit, so the same query is deterministic")
     q.add_argument("--limit", type=int, default=None)
+    q.add_argument("--offset", type=int, default=None,
+                   help="skip N rows of the sort order before limit (IA "
+                        "cdx-server offset=; for deep paging prefer "
+                        "resumeKey — it prunes blocks instead)")
     q.add_argument("--fields", default=None, help="comma-separated fl= projection")
     q.add_argument("--output", default="text", choices=["text", "json"])
     return p
@@ -172,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
             filters=args.filters or None, collapse=args.collapse,
             closest=args.closest, sort_reverse=args.sort_reverse,
             fuzzy=args.fuzzy or bool(args.fuzzy_rules), limit=args.limit,
+            offset=args.offset,
             fields=args.fields.split(",") if args.fields else None,
             acl_rules=acl_rules, embargo=embargo, as_of=args.as_of,
             **extra,

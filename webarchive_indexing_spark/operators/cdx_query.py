@@ -146,9 +146,22 @@ class FuzzyRule:
     key — a pure strip would produce a key that was never written.
     ``None`` keeps the default strip-to-group-1 semantics.  Both
     paths share the trailing ``[?&]$`` cleanup, so a rewrite that
-    empties the query still re-joins cleanly."""
+    empties the query still re-joins cleanly.
 
-    __slots__ = ("name", "pattern", "key_prefix", "replace")
+    ``filters`` is pywb's ``fuzzy_lookup: filter:`` key [U pywb
+    fuzzymatcher param-echo]: cdx filter= templates whose ``{N}``
+    placeholders substitute the match's captured groups (pywb's
+    ``['urlkey:{0}']`` family).  A filter rule changes the retry
+    SHAPE: instead of looking up one rewritten key, the retry scans
+    the PREFIX of the key truncated after the first ``?`` (pywb's
+    ``replace_after``) and keeps candidates passing the echoed
+    filters — so ``watch?v=abc&t=9`` retries as ``watch?*`` +
+    ``urlkey contains v=abc``, finding the indexed ``watch?v=abc``
+    variant no span rewrite could name in advance.  The truncated
+    prefix is still sargable (range prune / equi-join on the
+    truncated key), and the echo is a codegen residual."""
+
+    __slots__ = ("name", "pattern", "key_prefix", "replace", "filters")
 
     def __init__(
         self,
@@ -156,11 +169,13 @@ class FuzzyRule:
         pattern: str,
         key_prefix: str | None = None,
         replace: str | None = None,
+        filters: tuple[str, ...] = (),
     ):
         self.name = name
         self.pattern = pattern
         self.key_prefix = key_prefix
         self.replace = replace
+        self.filters = tuple(filters)
 
 
 #: pywb's last-resort rule: when no parameter-family rule applies,
@@ -191,6 +206,21 @@ DEFAULT_FUZZY_RULES: tuple[FuzzyRule, ...] = (
 )
 
 
+def _reject_filter_rules(rules: tuple[FuzzyRule, ...], api: str) -> None:
+    """Key-rewrite APIs cannot express filter (param-echo) rules —
+    those change the retry SHAPE (prefix scan + echoed residual, see
+    ``fuzzy_retry_spec``).  Raising beats silently skipping: a
+    half-applied rule table is the failure mode the loader quarantine
+    exists to prevent."""
+    bad = [r.name for r in rules if r.filters]
+    if bad:
+        raise ValueError(
+            f"{api} cannot apply filter (param-echo) rules {bad}; use "
+            "fuzzy_retry_spec/cdx_query(fuzzy=True) for the per-request "
+            "form, or a truncated-prefix equi-join for batch"
+        )
+
+
 def apply_fuzzy_rules(
     df: DataFrame,
     key_col: str,
@@ -206,6 +236,7 @@ def apply_fuzzy_rules(
     whole-stage codegen; the rule table is compiled into one
     first-match-wins CASE chain, so adding rules never adds scans or
     joins (the resolver stays ONE fan-out join downstream)."""
+    _reject_filter_rules(rules, "apply_fuzzy_rules")
     key = F.col(key_col)
 
     def strip(rule: FuzzyRule):
@@ -232,6 +263,147 @@ def apply_fuzzy_rules(
     return df.withColumn(fuzzy_col, fuzzy_expr).withColumn(rule_col, rule_expr)
 
 
+def _echo_group(rule: FuzzyRule) -> int:
+    """Scan-side (batch) support for param-echo rules covers pywb's
+    default template family — ONE ``urlkey:{N}`` template per rule
+    (candidate urlkey must regexp-match captured group N).  Returns
+    the 1-based regex group index, or raises for templates only the
+    per-request path (``fuzzy_retry_spec`` + ``_filter_cond``) can
+    express."""
+    import re as _re
+
+    if len(rule.filters) != 1:
+        raise ValueError(
+            f"rule {rule.name}: batch echo supports exactly one filter "
+            f"template, got {rule.filters}"
+        )
+    m = _re.fullmatch(r"urlkey:\{(\d+)\}", rule.filters[0])
+    if m is None:
+        raise ValueError(
+            f"rule {rule.name}: batch echo supports 'urlkey:{{N}}' "
+            f"templates only, got {rule.filters[0]!r}; use the "
+            "per-request path for general templates"
+        )
+    return int(m.group(1)) + 1
+
+
+def apply_fuzzy_retry_spec(
+    df: DataFrame,
+    key_col: str,
+    rules: tuple[FuzzyRule, ...],
+    *,
+    kind_col: str = "fuzzy_kind",
+    target_col: str = "fuzzy_target",
+    echo_col: str = "fuzzy_echo",
+    rule_col: str = "fuzzy_rule",
+) -> DataFrame:
+    """Scan-side twin of ``fuzzy_retry_spec`` over the FULL rule
+    grammar (strip, ``replace:`` rewrite, ``filter:`` param-echo) —
+    the batch resolver's front half.  Adds four columns, all from one
+    first-match-wins CASE chain of codegen expressions:
+
+    * ``kind_col``: 'key' | 'prefix' | NULL (no rule);
+    * ``target_col``: the rewritten retry key, or the truncated
+      prefix (key cut after the first ``?`` / the rule's ``replace``
+      — pywb's replace_after) for echo rules;
+    * ``echo_col``: the captured group the candidate's urlkey must
+      regexp-match (echo rules; NULL otherwise);
+    * ``rule_col``: rule name.
+
+    Downstream, 'key' targets equi-join the index on urlkey and
+    'prefix' targets equi-join on the index key truncated the same
+    way (which IS the prefix range, since a SURT key holds at most
+    one ``?``) with the echo as a residual — no non-equi join, no
+    per-request loop, one shuffle each."""
+    key = F.col(key_col)
+    kind = F.lit(None).cast("string")
+    target = F.lit(None).cast("string")
+    echo = F.lit(None).cast("string")
+    rname = F.lit(None).cast("string")
+    for rule in reversed(rules):
+        cond = key.rlike(rule.pattern)
+        if rule.key_prefix is not None:
+            cond = cond & key.startswith(rule.key_prefix)
+        if rule.filters:
+            g = _echo_group(rule)
+            cut = rule.replace if rule.replace is not None else "?"
+            t = F.when(
+                key.contains(cut),
+                F.concat(F.substring_index(key, cut, 1), F.lit(cut)),
+            ).otherwise(key)
+            kind = F.when(cond, F.lit("prefix")).otherwise(kind)
+            target = F.when(cond, t).otherwise(target)
+            echo = F.when(cond, F.regexp_extract(key, rule.pattern, g)).otherwise(echo)
+        else:
+            repl = (
+                "$1"
+                if rule.replace is None
+                else rule.replace.replace("\\", "\\\\").replace("$", "\\$")
+            )
+            t = F.regexp_replace(
+                F.regexp_replace(key, rule.pattern, repl), r"[?&]$", ""
+            )
+            kind = F.when(cond, F.lit("key")).otherwise(kind)
+            target = F.when(cond, t).otherwise(target)
+            echo = F.when(cond, F.lit(None).cast("string")).otherwise(echo)
+        rname = F.when(cond, F.lit(rule.name)).otherwise(rname)
+    return (
+        df.withColumn(kind_col, kind)
+        .withColumn(target_col, target)
+        .withColumn(echo_col, echo)
+        .withColumn(rule_col, rname)
+    )
+
+
+def sql_fuzzy_retry_exprs(
+    key: str, rules: tuple[FuzzyRule, ...]
+) -> tuple[str, str, str, str]:
+    """DuckDB twin of ``apply_fuzzy_retry_spec`` generated from the
+    SAME rule table: ``(kind_case, target_case, echo_case,
+    rule_case)``.  Dialect seams handled per MEMORY: ``split_part``
+    for Spark's ``substring_index``, 'g'-flagged regexp_replace,
+    ``\\1`` backreferences."""
+
+    def cond(rule: FuzzyRule) -> str:
+        c = f"regexp_matches({key}, '{rule.pattern}')"
+        if rule.key_prefix is not None:
+            c += f" AND starts_with({key}, '{rule.key_prefix}')"
+        return c
+
+    def target(rule: FuzzyRule) -> str:
+        if rule.filters:
+            cut = rule.replace if rule.replace is not None else "?"
+            return (
+                f"CASE WHEN contains({key}, '{cut}') THEN "
+                f"split_part({key}, '{cut}', 1) || '{cut}' ELSE {key} END"
+            )
+        repl = (
+            "\\1"
+            if rule.replace is None
+            else rule.replace.replace("\\", "\\\\").replace("'", "''")
+        )
+        return (
+            f"regexp_replace(regexp_replace({key}, '{rule.pattern}', "
+            f"'{repl}', 'g'), '[?&]$', '')"
+        )
+
+    def echo(rule: FuzzyRule) -> str:
+        if not rule.filters:
+            return "NULL"
+        return f"regexp_extract({key}, '{rule.pattern}', {_echo_group(rule)})"
+
+    def chain(val) -> str:
+        arms = " ".join(f"WHEN {cond(r)} THEN {val(r)}" for r in rules)
+        return f"CASE {arms} ELSE NULL END"
+
+    return (
+        chain(lambda r: "'prefix'" if r.filters else "'key'"),
+        chain(target),
+        chain(echo),
+        chain(lambda r: f"'{r.name}'"),
+    )
+
+
 def sql_fuzzy_rule_exprs(
     key: str, rules: tuple[FuzzyRule, ...] = DEFAULT_FUZZY_RULES
 ) -> tuple[str, str]:
@@ -239,6 +411,7 @@ def sql_fuzzy_rule_exprs(
     rule table: ``(rule_case, fuzzy_case)`` SQL expressions.  DuckDB
     regexp_replace needs the 'g' flag to match Spark's replace-all and
     ``\\1`` backreferences instead of ``$1``."""
+    _reject_filter_rules(rules, "sql_fuzzy_rule_exprs")
 
     def strip(rule: FuzzyRule) -> str:
         # DuckDB replacement dialect: \1 group refs, backslash doubles
@@ -266,6 +439,53 @@ def sql_fuzzy_rule_exprs(
     )
 
 
+def fuzzy_retry_spec(
+    key: str, rules: tuple[FuzzyRule, ...] = DEFAULT_FUZZY_RULES
+) -> tuple[str, str, tuple[str, ...], str] | None:
+    """First applicable rule's retry spec for ONE lookup key (driver-
+    side, per-request): ``None`` when no rule applies, else
+    ``(kind, target, filters, rule_name)`` where
+
+    * ``("key", fuzzy_key, (), name)`` — key-rewrite rules (strip or
+      ``replace:`` literal): retry is an equality lookup of
+      ``fuzzy_key``;
+    * ``("prefix", prefix, echoed_filters, name)`` — filter
+      (param-echo) rules [U pywb fuzzymatcher]: retry scans the
+      sargable range [prefix, prefix+'~') — the key truncated after
+      the first ``?`` (or the rule's ``replace`` string when set,
+      pywb's ``replace_after``) — and keeps candidates passing the
+      echoed cdx filter= templates, ``{N}`` placeholders substituted
+      with the match's captured groups (None groups substitute as
+      '').
+
+    Same first-match-wins order as every other rule API."""
+    import re
+
+    for rule in rules:
+        if rule.key_prefix is not None and not key.startswith(rule.key_prefix):
+            continue
+        m = re.search(rule.pattern, key)
+        if not m:
+            continue
+        if rule.filters:
+            cut = rule.replace if rule.replace is not None else "?"
+            inx = key.find(cut)
+            prefix = key[: inx + len(cut)] if inx > 0 else key
+            groups = tuple(g if g is not None else "" for g in m.groups())
+            return (
+                "prefix",
+                prefix,
+                tuple(f.format(*groups) for f in rule.filters),
+                rule.name,
+            )
+        if rule.replace is None:
+            stripped = re.sub(rule.pattern, r"\1", key)
+        else:
+            stripped = re.sub(rule.pattern, lambda _m: rule.replace, key)
+        return ("key", re.sub(r"[?&]$", "", stripped), (), rule.name)
+    return None
+
+
 def fuzzy_key_py(
     key: str, rules: tuple[FuzzyRule, ...] = DEFAULT_FUZZY_RULES
 ) -> tuple[str, str | None]:
@@ -273,9 +493,12 @@ def fuzzy_key_py(
     (one lookup key on the driver — no reason to plan a rule CASE
     chain): returns ``(fuzzy_key, rule_name)``; the key unchanged and
     ``None`` when no rule applies.  Same first-match-wins order and
-    trailing-separator cleanup as the column version."""
+    trailing-separator cleanup as the column version.  Filter
+    (param-echo) rules are not a key rewrite — this API rejects them
+    (``fuzzy_retry_spec`` is the superset)."""
     import re
 
+    _reject_filter_rules(rules, "fuzzy_key_py")
     for rule in rules:
         if rule.key_prefix is not None and not key.startswith(rule.key_prefix):
             continue
@@ -473,27 +696,32 @@ def sql_acl_access(
     return f"CASE {arms} ELSE {verdict(default)} END"
 
 
+def _filter_cond(f: str):
+    """One pywb filter= modifier [U pywb cdxobject] → boolean Column:
+    ``field:regex`` (regex search), ``~field:substr`` / ``field~substr``
+    (contains), ``=field:value`` (exact field equality), each
+    invertible with a leading ``!``.  Shared by request filters and
+    fuzzy-rule param echoes."""
+    neg = f.startswith("!")
+    body = f[1:] if neg else f
+    if body.startswith("="):
+        field, val = body[1:].split(":", 1)
+        cond = F.col(field).cast("string") == val
+    elif body.startswith("~"):
+        field, sub = body[1:].split(":", 1)
+        cond = F.col(field).cast("string").contains(sub)
+    elif "~" in body.split(":")[0] or (":" not in body and "~" in body):
+        field, sub = body.split("~", 1)
+        cond = F.col(field).cast("string").contains(sub)
+    else:
+        field, pat = body.split(":", 1)
+        cond = F.col(field).cast("string").rlike(pat)
+    return ~cond if neg else cond
+
+
 def _apply_filters(df: DataFrame, filters: list[str]) -> DataFrame:
-    """pywb filter= modifiers [U pywb cdxobject]: ``field:regex``
-    (regex search), ``~field:substr`` / ``field~substr`` (contains),
-    ``=field:value`` (exact field equality), each invertible with a
-    leading ``!``."""
     for f in filters:
-        neg = f.startswith("!")
-        body = f[1:] if neg else f
-        if body.startswith("="):
-            field, val = body[1:].split(":", 1)
-            cond = F.col(field).cast("string") == val
-        elif body.startswith("~"):
-            field, sub = body[1:].split(":", 1)
-            cond = F.col(field).cast("string").contains(sub)
-        elif "~" in body.split(":")[0] or (":" not in body and "~" in body):
-            field, sub = body.split("~", 1)
-            cond = F.col(field).cast("string").contains(sub)
-        else:
-            field, pat = body.split(":", 1)
-            cond = F.col(field).cast("string").rlike(pat)
-        df = df.filter(~cond if neg else cond)
+        df = df.filter(_filter_cond(f))
     return df
 
 
@@ -513,6 +741,7 @@ def cdx_query(
     sort_reverse: bool = False,
     fields: list[str] | None = None,
     limit: int | None = None,
+    offset: int | None = None,
     fuzzy: bool = False,
     fuzzy_rules: tuple[FuzzyRule, ...] = DEFAULT_FUZZY_RULES,
     resume_key: tuple[str, str] | tuple[str, str, str] | None = None,
@@ -559,9 +788,19 @@ def cdx_query(
     exact, lo, hi = _key_range(url, match_type)
     fuzzy_pending = False
     if exact is not None:
-        fz, _rule = fuzzy_key_py(exact, fuzzy_rules) if fuzzy else (exact, None)
-        if fuzzy and fz != exact:
-            df = cdx.filter(F.col("urlkey").isin([exact, fz]))
+        spec = fuzzy_retry_spec(exact, fuzzy_rules) if fuzzy else None
+        if spec is not None and spec[0] == "prefix":
+            # param-echo rule [U pywb fuzzymatcher]: retry is the
+            # truncated-prefix RANGE plus the echoed filters — both
+            # sargable/codegen; exact rows bypass the echo
+            _, pre, echoes, _rule = spec
+            fcond = (F.col("urlkey") >= pre) & (F.col("urlkey") < pre + "~")
+            for e in echoes:
+                fcond = fcond & _filter_cond(e)
+            df = cdx.filter((F.col("urlkey") == exact) | fcond)
+            fuzzy_pending = True
+        elif spec is not None and spec[0] == "key" and spec[1] != exact:
+            df = cdx.filter(F.col("urlkey").isin([exact, spec[1]]))
             fuzzy_pending = True
         else:
             df = cdx.filter(F.col("urlkey") == exact)
@@ -681,9 +920,29 @@ def cdx_query(
         # no full sort), then restore the requested order.  Applied
         # BEFORE the field projection so the sort keys are still
         # available even when fl= drops them.
+        if offset is not None:
+            raise ValueError("offset= cannot combine with a negative limit")
         df = df.orderBy(*rev).limit(-limit).orderBy(*fwd)
     else:
         df = df.orderBy(*fwd)
+        if offset is not None:
+            # IA cdx-server offset=N [B]: skip N rows of the sort
+            # order before limit.  Spark's TakeOrdered path allocates
+            # an (offset+limit)-sized top-k buffer PER PARTITION, so
+            # an unbounded offset is an executor OOM, not a slow query
+            # (measured: offset=1e9 kills the JVM) — offset is
+            # SHALLOW-paging sugar and is capped; deep paging must use
+            # resume_key, whose continuation predicate is sargable and
+            # prunes blocks instead of buffering skipped rows.
+            if offset < 0:
+                raise ValueError("offset= must be >= 0")
+            if offset + (limit or 0) > 100_000:
+                raise ValueError(
+                    "offset+limit beyond 100k rows would buffer that many "
+                    "rows per partition; page deeply with resume_key= "
+                    "instead (sargable, block-pruning)"
+                )
+            df = df.offset(offset)
         if limit is not None:
             df = df.limit(limit)
     if fields:
@@ -719,12 +978,17 @@ def cdx_query_zipnum(
     url, match_type = infer_match_type(url, match_type)
     exact, lo, hi = _key_range(url, match_type)
     if exact is not None and kwargs.get("fuzzy"):
-        fz, _rule = fuzzy_key_py(
+        spec = fuzzy_retry_spec(
             exact, kwargs.get("fuzzy_rules", DEFAULT_FUZZY_RULES)
         )
-        if fz != exact:
-            lo = min(lo, fz) if lo is not None else fz
-            hi = max(hi, fz + "!") if hi is not None else fz + "!"
+        if spec is not None:
+            kind, target = spec[0], spec[1]
+            # key retry: one more exact key; prefix (param-echo) retry:
+            # the whole truncated-prefix range must be readable
+            t_hi = target + ("~" if kind == "prefix" else "!")
+            if kind == "prefix" or target != exact:
+                lo = min(lo, target) if lo is not None else target
+                hi = max(hi, t_hi) if hi is not None else t_hi
     rk = kwargs.get("resume_key")
     if rk is not None:
         lo = rk[0] if lo is None else max(lo, rk[0])

@@ -2645,3 +2645,200 @@ def cdx_url_wildcard_domain(spark, sf_dir):
         "urlkey", F.col("ts14").alias("timestamp"), "status"
     )
     return cdx_query(c, "*.src3.example.org")
+
+
+def _echo_rules():
+    """Rule table for cdx_fuzzy_filter_echo: a pywb param-echo rule
+    (retry = truncated-prefix scan + candidate must carry the
+    captured ``a=N``) AHEAD of the strip-entire-query fallback — a
+    lookup the echo rule matches but whose echo finds nothing must
+    come back EMPTY (pywb consults ONE rule; the fallback never
+    rescues a failed echo)."""
+    from ..operators.cdx_query import REMOVEALL_RULE, FuzzyRule
+
+    return (
+        FuzzyRule("echoa", r"[?&](a=[0-9]+)", filters=("urlkey:{0}",)),
+        REMOVEALL_RULE,
+    )
+
+
+def _echo_oracle() -> str:
+    from ..operators.cdx_query import sql_fuzzy_retry_exprs
+
+    kind, target, echo, rule = sql_fuzzy_retry_exprs("key_exact", _echo_rules())
+    return CDX_SQL + f"""
+    , lookups0 AS (
+      SELECT doc_id,
+             'org,example,' || source || ')/doc/' || doc_id ||
+               CASE WHEN doc_id % 3 = 0 THEN
+                      CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=777'
+                           ELSE '?a=9&b=777' END
+                    WHEN doc_id % 2 = 1 THEN '?z=9'
+                    ELSE '' END AS key_exact
+      FROM documents WHERE doc_id < 300
+    ), lookups AS (
+      SELECT doc_id, key_exact,
+             {kind} AS k_kind, {target} AS k_target,
+             {echo} AS k_echo, {rule} AS k_rule
+      FROM lookups0
+    ), cap AS (
+      SELECT urlkey, ts14,
+             CASE WHEN contains(urlkey, '?')
+                  THEN split_part(urlkey, '?', 1) || '?' END AS pfx
+      FROM cdx
+    ), m AS (
+      SELECT l.doc_id, 'exact' AS via, '' AS rule, c.ts14
+      FROM lookups l JOIN cap c ON l.key_exact = c.urlkey
+      UNION ALL
+      SELECT l.doc_id, 'fuzzy', l.k_rule, c.ts14
+      FROM lookups l JOIN cap c
+        ON l.k_kind = 'key' AND l.k_target = c.urlkey
+      UNION ALL
+      SELECT l.doc_id, 'fuzzy', l.k_rule, c.ts14
+      FROM lookups l JOIN cap c
+        ON l.k_kind = 'prefix' AND l.k_target = c.pfx
+       AND regexp_matches(c.urlkey, l.k_echo)
+    ), he AS (
+      SELECT *, MAX(CASE WHEN via = 'exact' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id) AS he
+      FROM m
+    )
+    SELECT doc_id, via, rule, COUNT(*) AS n_captures,
+           MIN(ts14) AS first_ts, MAX(ts14) AS last_ts
+    FROM he WHERE via = 'exact' OR he = 0
+    GROUP BY doc_id, via, rule
+    """
+
+
+@query(
+    "cdx_fuzzy_filter_echo",
+    oracle=_echo_oracle(),
+    tier="B",
+)
+def cdx_fuzzy_filter_echo(spark, sf_dir):
+    """pywb ``fuzzy_lookup: filter:`` param-echo semantics [U pywb
+    fuzzymatcher], BATCH form: an echo rule's retry is not a key
+    rewrite but a truncated-prefix scan whose candidates must carry
+    the group captured from the lookup (``?a=1&b=777`` retries as
+    ``doc/N?*`` + urlkey matches ``a=1`` — finding the indexed
+    ``?a=1&b=2`` variant no rewrite could name in advance).  Four
+    lookup classes: echo hit (a=1 — the indexed value), echo MISS
+    (a=9 — and the removeall fallback must NOT rescue it: pywb
+    consults one rule), removeall strip-to-bare hit, and bare exact
+    hits (he-window suppression).
+
+    Scale shape: the non-equi 'prefix scan' becomes an EQUI-join — a
+    SURT key holds at most one ``?``, so key-truncated-at-'?' equality
+    IS the prefix range; both sides derive the join key scan-side
+    (``apply_fuzzy_retry_spec`` CASE chain / one projection on the
+    index), the echo is a join residual, and the whole resolver is
+    three equi-joins + one window — no per-request loop, no
+    BroadcastNestedLoop, rule-count independent."""
+    from pyspark.sql.window import Window
+
+    from ..operators.cdx_query import apply_fuzzy_retry_spec
+
+    c = derived_cdx(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    doc = F.col("doc_id")
+    qs = (
+        F.when(
+            doc % 3 == 0,
+            F.when(doc % 2 == 0, F.lit("?b=777&a=1")).otherwise(
+                F.lit("?b=777&a=9")
+            ),
+        )
+        .when(doc % 2 == 1, F.lit("?z=9"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.upper(F.substring("source", 1, 1)),
+        F.expr("substring(source, 2)"),
+        F.lit(".Example.org:443/doc/"),
+        doc.cast("string"),
+        qs,
+    )
+    lookups = apply_fuzzy_retry_spec(
+        docs.withColumn("__url", url).select(
+            "doc_id", surt_urlkey_cached("__url").alias("key_exact")
+        ),
+        "key_exact",
+        _echo_rules(),
+    )
+    cap = c.select(
+        "urlkey",
+        "ts14",
+        F.when(
+            F.col("urlkey").contains("?"),
+            F.concat(F.substring_index("urlkey", "?", 1), F.lit("?")),
+        ).alias("pfx"),
+    )
+    lk, cx = lookups.alias("lk"), cap.alias("cx")
+    exact_m = lk.join(cx, F.col("lk.key_exact") == F.col("cx.urlkey")).select(
+        "doc_id", F.lit("exact").alias("via"), F.lit("").alias("rule"), "ts14"
+    )
+    key_m = (
+        lk.filter(F.col("fuzzy_kind") == "key")
+        .join(cx, F.col("lk.fuzzy_target") == F.col("cx.urlkey"))
+        .select("doc_id", F.lit("fuzzy").alias("via"),
+                F.col("fuzzy_rule").alias("rule"), "ts14")
+    )
+    pfx_m = (
+        lk.filter(F.col("fuzzy_kind") == "prefix")
+        .join(
+            cx,
+            (F.col("lk.fuzzy_target") == F.col("cx.pfx"))
+            & F.expr("cx.urlkey rlike lk.fuzzy_echo"),
+        )
+        .select("doc_id", F.lit("fuzzy").alias("via"),
+                F.col("fuzzy_rule").alias("rule"), "ts14")
+    )
+    m = exact_m.unionByName(key_m).unionByName(pfx_m)
+    has_exact = F.max(F.when(F.col("via") == "exact", 1).otherwise(0)).over(
+        Window.partitionBy("doc_id")
+    )
+    return (
+        m.withColumn("he", has_exact)
+        .filter((F.col("via") == "exact") | (F.col("he") == 0))
+        .groupBy("doc_id", "via", "rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.min("ts14").alias("first_ts"),
+            F.max("ts14").alias("last_ts"),
+        )
+    )
+
+
+@query(
+    "cdx_limit_offset",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp, digest FROM cdx
+    WHERE urlkey >= 'org,example,src7' AND urlkey < 'org,example,src7~'
+    ORDER BY urlkey, ts14, digest
+    LIMIT 8 OFFSET 10
+    """,
+    tier="B",
+)
+def cdx_limit_offset(spark, sf_dir):
+    """IA cdx-server ``offset=N`` [B]: skip N rows of the
+    (urlkey, timestamp) sort order before ``limit`` — shallow-paging
+    sugar (digest tiebreak makes the slice deterministic in both
+    engines).  Plans as GlobalLimit(skip) over the same TakeOrdered
+    path: skipped rows never reach the driver, but they DO buffer
+    per partition (offset+limit-sized top-k), so the engine caps
+    offset+limit at 100k and the error routes deep pagers to
+    resumeKey — the sargable path that prunes blocks instead of
+    buffering skipped rows (cdx_resume_key)."""
+    from ..operators.cdx_query import cdx_query
+
+    c = derived_cdx(spark, sf_dir).select(
+        "urlkey", F.col("ts14").alias("timestamp"), "digest"
+    )
+    return cdx_query(
+        c,
+        "*.src7.example.org",
+        tiebreak="digest",
+        limit=8,
+        offset=10,
+    )

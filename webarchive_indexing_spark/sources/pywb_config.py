@@ -15,12 +15,14 @@ engine drop-in against an existing archive:
     ``replace:`` key is HONORED: the matched span is rewritten to
     that literal string instead of stripped (pywb's volatile-param
     canonicalization — see ``FuzzyRule.replace``).  A sibling
-    ``filter:``/``filters:`` key QUARANTINES the rule: pywb's
-    param-echo result filtering is not implemented, and loading the
-    match half while dropping the filter half would return MORE
-    captures than the deployment's pywb does — a silently
-    half-applied rule is worse than a reported one.  ``type:`` is
-    accepted and ignored (response tuning, not key derivation);
+    ``filter:``/``filters:`` key is HONORED too (pywb's param-echo
+    result filtering): the templates load into ``FuzzyRule.filters``
+    and the retry becomes pywb's truncated-prefix scan plus the
+    echoed cdx filters (``operators.cdx_query.fuzzy_retry_spec``);
+    templates the engine cannot expand (named placeholders, group
+    refs the regex lacks) quarantine the WHOLE rule — never
+    half-applied.  ``type:`` is accepted and ignored (response
+    tuning, not key derivation);
   - an ``args:`` LIST naming the query params to KEEP — every other
     param is stripped from the fuzzy key (pywb's youtube
     ``get_video_info`` style).  Compiled to a keep-list pattern using
@@ -136,21 +138,11 @@ def parse_fuzzy_rules_obj(
             continue
         name = None
         replace = None
+        flt_raw = None
         if isinstance(fl, str):
             pattern = fl
         elif isinstance(fl, dict):
-            # pywb's filter:/filters: param-echo result filtering is
-            # not implemented — loading the match while dropping the
-            # filter would return MORE captures than pywb; quarantine
-            # the whole rule rather than half-apply it
-            flt = fl.get("filter", fl.get("filters"))
-            if flt:
-                bad.append(
-                    f"rule {i}: filter: result filtering not supported — "
-                    "rule quarantined rather than half-applied (matches "
-                    "without the filter would be wider than pywb's)"
-                )
-                continue
+            flt_raw = fl.get("filter", fl.get("filters"))
             name = fl.get("name") if isinstance(fl.get("name"), str) else None
             r = fl.get("replace")
             if r is not None:
@@ -183,6 +175,12 @@ def parse_fuzzy_rules_obj(
         if reason is not None:
             bad.append(f"rule {i}: regex {pattern!r}: {reason}")
             continue
+        filters: tuple[str, ...] = ()
+        if flt_raw is not None:
+            filters, reason = _validate_filters(flt_raw, pattern)
+            if reason is not None:
+                bad.append(f"rule {i}: {reason}")
+                continue
         for p in prefixes:
             rules.append(
                 FuzzyRule(
@@ -190,9 +188,43 @@ def parse_fuzzy_rules_obj(
                     pattern,
                     key_prefix=p or None,
                     replace=replace,
+                    filters=filters,
                 )
             )
     return tuple(rules), bad
+
+
+def _validate_filters(
+    flt: object, pattern: str
+) -> tuple[tuple[str, ...], str | None]:
+    """pywb ``filter:`` param-echo templates → validated tuple, or a
+    quarantine reason.  A template must be a cdx filter= string whose
+    ``{N}`` placeholders name positional groups the rule's regex
+    actually captures — a template that would IndexError/KeyError at
+    query time quarantines the WHOLE rule at load (never
+    half-applied), and named ``{key}`` placeholders (pywb's
+    query-param echoes) quarantine too: the engine substitutes match
+    groups only."""
+    if isinstance(flt, str):
+        flt = [flt]
+    if not isinstance(flt, list) or not flt or not all(
+        isinstance(f, str) for f in flt
+    ):
+        return (), "filter: must be a string or non-empty string list"
+    ngroups = re.compile(pattern).groups
+    out = []
+    for t in flt:
+        try:
+            probe = t.format(*[""] * ngroups)
+        except (IndexError, KeyError, ValueError) as e:
+            return (), (
+                f"filter {t!r} cannot expand from the regex's {ngroups} "
+                f"group(s): {type(e).__name__}: {e}"
+            )
+        if ":" not in probe and "~" not in probe:
+            return (), f"filter {t!r} is not a field:value cdx filter"
+        out.append(t)
+    return tuple(out), None
 
 
 def load_fuzzy_rules(path: str) -> tuple[tuple[FuzzyRule, ...], list[str]]:
@@ -223,6 +255,8 @@ def dump_fuzzy_rules(rules: tuple[FuzzyRule, ...]) -> str:
         fl: dict = {"name": r.name, "match": {"regex": r.pattern}}
         if r.replace is not None:
             fl["replace"] = r.replace
+        if r.filters:
+            fl["filter"] = list(r.filters)
         entries.append({"url_prefix": r.key_prefix or "", "fuzzy_lookup": fl})
     return yaml.safe_dump({"rules": entries}, sort_keys=False)
 
