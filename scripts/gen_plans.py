@@ -46,6 +46,10 @@ PICKS = {
     "cdx_fuzzy_filtered_retry": "Per-request fuzzy retry: the 2-key IN filter + doc_id subtree predicate both reach the scan; one global window decides exact-vs-fuzzy AFTER the residual filters.",
     "cdx_show_paged_index": "showPagedIndex: a LocalTableScan of the range-pruned cluster.idx block list — no shard reads, no parse stage; the paging structure IS the answer.",
     "cdx_legacy_9field": "Header-driven dialect scan: one positional split projection with try_element_at/try_cast damage tolerance; absent dialect columns are NULL literals, zero extra passes.",
+    "cdx_acl_embargo": "Embargo-aware ACL verdict: the ts14 compare folds into each CASE arm's VALUE inside the same scan-side projection — zero exchanges per as_of clock, rule-count independent.",
+    "cdx_fuzzy_filter_echo": "pywb param-echo retry as three EQUI-joins (exact key, rewritten key, key-truncated-at-'?' prefix) + one window; the echo is a join residual — no BroadcastNestedLoop, no per-request loop.",
+    "cdx_url_wildcard_prefix": "Inferred prefix query: identical plan to explicit matchType=prefix — the sargable [key, key+'~') range reaches the scan.",
+    "cdx_limit_offset": "offset= shallow paging: TakeOrdered with skip — skipped rows never reach the driver; the 100k cap keeps the per-partition top-k buffer bounded.",
 }
 
 

@@ -435,3 +435,13 @@ def test_url_wildcard_inference_prunes_like_explicit(spark, sf_dir):
     assert opt(cdx_query(c, "*.src3.example.org")) == opt(
         cdx_query(c, "src3.example.org", match_type="domain")
     )
+
+
+def test_fuzzy_filter_echo_all_equi_joins(spark, sf_dir):
+    """The param-echo batch resolver must never plan a non-equi join:
+    the 'prefix scan' is an equi-join on the key truncated at '?' and
+    the echo rides as a join residual — a BroadcastNestedLoop or
+    cartesian here would be all-pairs at 100 TB."""
+    plan = _plan(spark, sf_dir, "cdx_fuzzy_filter_echo")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:500]
+    assert "CartesianProduct" not in plan, plan[:500]
