@@ -121,6 +121,8 @@ HEADLINE = [
     "cdx_url_wildcard_domain",
     "cdx_fuzzy_filter_echo",
     "cdx_limit_offset",
+    "text_pii_redact",
+    "docs_url_blocklist_verdicts",
 ]
 
 

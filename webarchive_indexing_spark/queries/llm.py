@@ -3170,3 +3170,192 @@ def decontaminate_containment(spark, sf_dir):
         .alias("containment"),
         F.when(frac >= 0.8, "leaked").otherwise("partial").alias("verdict"),
     )
+
+
+# --- round 8: PII scrubbing + blocklist curation ---------------------------
+
+#: dialect-shared PII patterns (Java regex AND RE2: no lookarounds, no
+#: named groups — the same string drives Spark's regexp_* and DuckDB's)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE = r"\+[0-9]{7,}"
+
+
+def _pii_text_sql() -> str:
+    """Deterministic PII injection shared by both engines: synthetic
+    corpus text carries no real PII, so emails / IPv4s / phone numbers
+    derive from doc_id the same way the CDX derivation does."""
+    return """
+      text ||
+      CASE WHEN doc_id % 7 = 0
+           THEN ' reach me at user' || doc_id || '@mail'
+                || (doc_id % 5) || '.example.com'
+           ELSE '' END ||
+      CASE WHEN doc_id % 11 = 0
+           THEN ' from 10.' || (doc_id % 256) || '.'
+                || ((doc_id * 3) % 256) || '.' || (1 + doc_id % 200)
+           ELSE '' END ||
+      CASE WHEN doc_id % 13 = 0
+           THEN ' call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END
+    """
+
+
+def _pii_text_col() -> object:
+    doc = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            doc % 7 == 0,
+            F.concat(
+                F.lit(" reach me at user"), doc.cast("string"),
+                F.lit("@mail"), (doc % 5).cast("string"),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc % 11 == 0,
+            F.concat(
+                F.lit(" from 10."), (doc % 256).cast("string"), F.lit("."),
+                ((doc * 3) % 256).cast("string"), F.lit("."),
+                (1 + doc % 200).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc % 13 == 0,
+            F.concat(
+                F.lit(" call +1555"),
+                F.lpad((doc % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH pii AS (
+      SELECT source, doc_id, {_pii_text_sql()} AS ptext FROM documents
+    ), red AS (
+      SELECT source,
+             length(regexp_extract_all(ptext, '{PII_EMAIL}')) AS n_email,
+             length(regexp_extract_all(ptext, '{PII_IPV4}')) AS n_ip,
+             length(regexp_extract_all(ptext, '{PII_PHONE}')) AS n_phone,
+             md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+                 '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_IPV4}', '<IP>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g')) AS rmd5
+      FROM pii
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           MIN(rmd5) AS min_md5, MAX(rmd5) AS max_md5
+    FROM red GROUP BY source
+    """,
+    tier="C",
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing [north-star: training-data compliance pass]:
+    detect and redact emails / IPv4s / phone numbers with
+    dialect-shared regexes (no lookarounds — the same pattern string
+    drives Spark's Java engine and the RE2 oracle), replacing each
+    class with a typed placeholder.  The synthetic corpus carries no
+    real PII, so deterministic doc_id-derived PII is injected
+    identically in both engines; the per-source md5 extrema pin the
+    REDACTED text byte-for-byte, not just the counts.
+
+    Scale shape: detection counts and the 3-stage redaction are all
+    scan-side codegen projections (regexp_extract_all /
+    regexp_replace); only (source, counts, md5) rows cross the single
+    partial-aggregated exchange — raw text never shuffles."""
+    d = t(spark, sf_dir, "documents")
+    ptext = _pii_text_col()
+    red = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(ptext, PII_EMAIL, "<EMAIL>"),
+                PII_IPV4,
+                "<IP>",
+            ),
+            PII_PHONE,
+            "<PHONE>",
+        )
+    )
+    n = lambda pat: F.size(F.regexp_extract_all(ptext, F.lit(pat), F.lit(0)))  # noqa: E731
+    return (
+        d.select(
+            "source",
+            n(PII_EMAIL).alias("n_email"),
+            n(PII_IPV4).alias("n_ip"),
+            n(PII_PHONE).alias("n_phone"),
+            red.alias("rmd5"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_ip").alias("n_ip"),
+            F.sum("n_phone").alias("n_phone"),
+            F.min("rmd5").alias("min_md5"),
+            F.max("rmd5").alias("max_md5"),
+        )
+    )
+
+
+_BLOCKLIST_RULES = [
+    ("org,example,src4", "block"),
+    ("org,example,src4)/doc/44", "allow"),
+    ("org,example,src14", "exclude"),
+]
+
+
+def _blocklist_oracle() -> str:
+    from ..operators.cdx_query import sql_acl_access
+
+    verdict = sql_acl_access("urlkey", _BLOCKLIST_RULES)
+    return f"""
+    WITH keyed AS (
+      SELECT source,
+             'org,example,' || source || ')/doc/' || doc_id AS urlkey
+      FROM documents
+    ), judged AS (
+      SELECT source, {verdict} AS verdict FROM keyed
+    )
+    SELECT source, verdict, COUNT(*) AS n_docs
+    FROM judged GROUP BY source, verdict
+    """
+
+
+@query(
+    "docs_url_blocklist_verdicts",
+    oracle=_blocklist_oracle(),
+    tier="C",
+)
+def docs_url_blocklist_verdicts(spark, sf_dir):
+    """URL-blocklist curation [north-star: C4/RefinedWeb domain
+    filtering]: the SAME longest-prefix ACL chain that serves pywb
+    access control doubles as a training-data domain filter — a
+    blocklisted subtree (src4, with one doc carved back), an excluded
+    host (src14), default-allow elsewhere.  One scan-side CASE-chain
+    verdict projection + one partial-aggregated rollup; no text, no
+    joins — curation lists of thousands of domains stay a scan cost
+    (operators.cdx_query.apply_acl shape, minus the exclude-drop so
+    the report shows every verdict class)."""
+    from ..operators.cdx_query import sql_acl_access
+
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source",
+        F.concat(
+            F.lit("org,example,"), F.col("source"), F.lit(")/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("urlkey"),
+    )
+    judged = keyed.withColumn(
+        "verdict", F.expr(sql_acl_access("urlkey", _BLOCKLIST_RULES))
+    )
+    return judged.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
