@@ -376,3 +376,74 @@ def test_cli_query_fuzzy_rules_file(spark, warc_manifest, tmp_path, capsys):
     # (removeall), proving the file replaced it above
     assert main(["query", out_dir, junked, "--fuzzy"]) == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_collapse_annotations_resume_and_timemap(spark, warc_manifest,
+                                                     tmp_path, capsys):
+    """Round-8 CLI completion: the collapse annotations
+    (--collapse-to-last/--show-group-count/--show-skip-count),
+    --resume-key/--tiebreak paging, and the timemap subcommand all
+    reach the engine through argv."""
+    import json as _json
+
+    from webarchive_indexing_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cluster")
+    assert main(["build-index", warc_manifest, out_dir, "--shards", "2",
+                 "--numlines", "10"]) == 0
+
+    url = "https://example.com/"
+
+    # collapse runs on the year digit with run-size annotation
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--collapse", "timestamp:4", "--show-group-count",
+                 "--output", "json"]) == 0
+    rows = [_json.loads(ln)
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert rows and all("groupcount" in r for r in rows)
+    assert sum(r["groupcount"] for r in rows) >= len(rows)
+
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--collapse", "timestamp:4", "--show-skip-count",
+                 "--collapse-to-last", "--output", "json"]) == 0
+    rows = [_json.loads(ln)
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert rows and all("skipcount" in r for r in rows)
+
+    # resume-key paging: page 2 resumes strictly after page 1's last row
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--limit", "3", "--output", "json"]) == 0
+    page1 = [_json.loads(ln)
+             for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(page1) == 3
+    last = page1[-1]
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--limit", "3", "--output", "json",
+                 "--resume-key", last["urlkey"], last["timestamp"]]) == 0
+    page2 = [_json.loads(ln)
+             for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert page2 and all(
+        (r["urlkey"], r["timestamp"]) > (last["urlkey"], last["timestamp"])
+        for r in page2
+    )
+    # malformed resume key refuses, no traceback
+    assert main(["query", out_dir, url, "--resume-key", "only-one"]) == 2
+
+    # timemap: link-format grammar over one URI-R
+    some = page1[0]
+    assert main(["timemap", out_dir, some["url"]]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert lines[0].endswith('rel="original",')
+    assert 'rel="first' in lines[1]
+    assert lines[-1].rstrip().endswith('"')  # last memento: no comma
+    assert all('datetime="' in ln for ln in lines[1:])
+
+    assert main(["timemap", out_dir, some["url"], "--format", "json"]) == 0
+    jlines = [_json.loads(ln)
+              for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert jlines and all(j["urlkey"] == some["urlkey"] for j in jlines)
+    assert jlines[0]["rel"].startswith("first")
+
+    assert main(["timemap", out_dir, some["url"], "--format", "cdxj"]) == 0
+    clines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert clines and all(ln.startswith(some["urlkey"] + " ") for ln in clines)

@@ -67,6 +67,21 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--filter", action="append", default=[], dest="filters")
     q.add_argument("--collapse", action="append", default=None,
                    help="repeatable: field or field:N")
+    q.add_argument("--collapse-to-last", action="store_true",
+                   help="pywb collapseToLast: keep each run's LATEST capture")
+    q.add_argument("--show-group-count", action="store_true",
+                   help="IA showGroupCount: annotate collapsed rows with "
+                        "their run size")
+    q.add_argument("--show-skip-count", action="store_true",
+                   help="IA showSkipCount: skipped-since-previous-kept count "
+                        "+ lastskiptimestamp")
+    q.add_argument("--resume-key", nargs="+", default=None,
+                   metavar="URLKEY TS [TIEVAL]",
+                   help="pywb resumeKey continuation: resume strictly after "
+                        "this row; 3 values need --tiebreak")
+    q.add_argument("--tiebreak", default=None, metavar="FIELD",
+                   help="unique-within-second column (e.g. digest) for "
+                        "gap-free paging; joins the sort order")
     q.add_argument("--closest", default=None)
     q.add_argument("--sort-reverse", action="store_true")
     q.add_argument("--fuzzy", action="store_true")
@@ -91,6 +106,18 @@ def _parser() -> argparse.ArgumentParser:
                         "resumeKey — it prunes blocks instead)")
     q.add_argument("--fields", default=None, help="comma-separated fl= projection")
     q.add_argument("--output", default="text", choices=["text", "json"])
+
+    tm = sub.add_parser("timemap", help="Memento TimeMap for one URI-R "
+                                        "over a cluster (RFC 7089 / pywb "
+                                        "/timemap/ endpoints)")
+    tm.add_argument("cluster_dir")
+    tm.add_argument("url")
+    tm.add_argument("--format", default="link",
+                    choices=["link", "json", "cdxj"],
+                    help="application/link-format, pywb JSON lines, or CDXJ")
+    tm.add_argument("--replay-base",
+                    default="https://web.archive.example/web/",
+                    help="replay-URL base for memento URIs")
     return p
 
 
@@ -170,10 +197,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"warning: fuzzy rule quarantined: {reason}",
                       file=sys.stderr)
             extra["fuzzy_rules"] = rules
+        resume_key = None
+        if args.resume_key:
+            if len(args.resume_key) not in (2, 3):
+                print("error: --resume-key takes URLKEY TS [TIEVAL]",
+                      file=sys.stderr)
+                return 2
+            resume_key = tuple(args.resume_key)
         df = query_index(
             spark, args.cluster_dir, args.url,
             match_type=args.match_type, from_=args.from_, to=args.to,
             filters=args.filters or None, collapse=args.collapse,
+            collapse_to_last=args.collapse_to_last,
+            show_group_count=args.show_group_count,
+            show_skip_count=args.show_skip_count,
+            resume_key=resume_key, tiebreak=args.tiebreak,
             closest=args.closest, sort_reverse=args.sort_reverse,
             fuzzy=args.fuzzy or bool(args.fuzzy_rules), limit=args.limit,
             offset=args.offset,
@@ -191,6 +229,30 @@ def main(argv: list[str] | None = None) -> int:
             out = to_cdx_lines(df) if args.fields is None else df
             for row in out.toLocalIterator():
                 print(" ".join("-" if v is None else str(v) for v in row))
+    elif args.cmd == "timemap":
+        from .operators.timemap import timemap_json, timemap_linkformat
+        from .plans.pipeline import query_index
+
+        df = query_index(spark, args.cluster_dir, args.url)
+        if args.format == "cdxj":
+            from .sources.cdx import cdxj_line_expr
+
+            from pyspark.sql import functions as F
+
+            lines = df.select(
+                "urlkey", F.col("timestamp").alias("line_no"),
+                cdxj_line_expr().alias("line"),
+            )
+        else:
+            fmt = timemap_linkformat if args.format == "link" else timemap_json
+            lines = fmt(
+                df.select("urlkey", "timestamp"),
+                ts_col="timestamp",
+                replay_base=args.replay_base,
+            )
+        ordered = lines.orderBy("urlkey", "line_no").select("line")
+        for row in ordered.toLocalIterator():
+            print(row["line"])
     return 0
 
 

@@ -1689,54 +1689,16 @@ def cdx_timemap_linkformat(spark, sf_dir):
     (concat + date_format over one ranked window on the urlkey the
     index is already sorted by); the hash pins the exact line grammar
     both engines must emit, like ``cdx_output_json`` does for the JSON
-    lines."""
-    from pyspark.sql.window import Window
+    lines.  Serialization lives in ``operators.timemap`` — the same
+    code path the CLI ``timemap`` subcommand serves, so the pinned
+    grammar IS the served grammar."""
+    from ..operators.timemap import timemap_linkformat
 
     c = derived_cdx(spark, sf_dir).filter(
         (F.col("urlkey") >= "org,example,src4")
         & (F.col("urlkey") < "org,example,src4)~")
     )
-    w = Window.partitionBy("urlkey")
-    rn = F.row_number().over(w.orderBy("ts14"))
-    n = F.count(F.lit(1)).over(w)
-    sub = c.select("urlkey", "ts14").withColumn("rn", rn).withColumn("n", n)
-    rel = (
-        F.when((F.col("rn") == 1) & (F.col("rn") == F.col("n")), "first last memento")
-        .when(F.col("rn") == 1, "first memento")
-        .when(F.col("rn") == F.col("n"), "last memento")
-        .otherwise("memento")
-    )
-    http_date = F.date_format(
-        F.to_timestamp("ts14", "yyyyMMddHHmmss"), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
-    )
-    mementos = sub.select(
-        "urlkey",
-        F.col("rn").alias("line_no"),
-        F.concat(
-            F.lit("<https://web.archive.example/web/"),
-            F.col("ts14"),
-            F.lit("id_/"),
-            F.col("urlkey"),
-            F.lit('>; rel="'),
-            rel,
-            F.lit('"; datetime="'),
-            http_date,
-            F.lit('"'),
-            F.when(F.col("rn") == F.col("n"), "").otherwise(","),
-        ).alias("line"),
-    )
-    original = (
-        c.select("urlkey")
-        .distinct()
-        .select(
-            "urlkey",
-            F.lit(0).alias("line_no"),
-            F.concat(F.lit("<"), F.col("urlkey"), F.lit('>; rel="original",')).alias(
-                "line"
-            ),
-        )
-    )
-    return original.unionByName(mementos)
+    return timemap_linkformat(c.select("urlkey", "ts14"))
 
 
 @query(
@@ -1773,44 +1735,15 @@ def cdx_timemap_json(spark, sf_dir):
     ``to_json(struct(...))`` serializer while the oracle re-derives
     the byte-exact grammar by concatenation (same pinning pattern as
     ``cdx_output_json``).  Same single ranked window as the
-    link-format TimeMap; serialization itself is map-only."""
-    from pyspark.sql.window import Window
+    link-format TimeMap; serialization itself is map-only and lives
+    in ``operators.timemap`` — the CLI serves this exact code path."""
+    from ..operators.timemap import timemap_json
 
     c = derived_cdx(spark, sf_dir).filter(
         (F.col("urlkey") >= "org,example,src4")
         & (F.col("urlkey") < "org,example,src4)~")
     )
-    w = Window.partitionBy("urlkey")
-    rn = F.row_number().over(w.orderBy("ts14"))
-    n = F.count(F.lit(1)).over(w)
-    sub = c.select("urlkey", "ts14").withColumn("rn", rn).withColumn("n", n)
-    rel = (
-        F.when((F.col("rn") == 1) & (F.col("rn") == F.col("n")), "first last memento")
-        .when(F.col("rn") == 1, "first memento")
-        .when(F.col("rn") == F.col("n"), "last memento")
-        .otherwise("memento")
-    )
-    http_date = F.date_format(
-        F.to_timestamp("ts14", "yyyyMMddHHmmss"), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
-    )
-    return sub.select(
-        "urlkey",
-        F.col("rn").alias("line_no"),
-        F.to_json(
-            F.struct(
-                F.col("urlkey"),
-                F.col("ts14").alias("timestamp"),
-                F.concat(
-                    F.lit("https://web.archive.example/web/"),
-                    F.col("ts14"),
-                    F.lit("id_/"),
-                    F.col("urlkey"),
-                ).alias("memento"),
-                rel.alias("rel"),
-                http_date.alias("datetime"),
-            )
-        ).alias("line"),
-    )
+    return timemap_json(c.select("urlkey", "ts14"))
 
 
 @query(
