@@ -527,3 +527,42 @@ def test_sql_acl_access_empty_rules_and_embargo_shape():
     )
     assert s.count("substr(k, 1, 1) = 'q'") == 1
     assert "'allow_ignore_embargo'" not in s
+
+
+def test_bundled_default_rules_load_clean():
+    """The shipped data/default_rules.yaml loads with ZERO quarantined
+    entries and exercises every grammar form: global strips, a scoped
+    param-echo filter rule, the args: keep-list, and the removeall
+    fallback — a deployment can start from it as pywb users start from
+    pywb's default rules."""
+    from webarchive_indexing_spark.operators.cdx_query import fuzzy_retry_spec
+    from webarchive_indexing_spark.sources.pywb_config import (
+        load_default_fuzzy_rules,
+    )
+
+    rules, bad = load_default_fuzzy_rules()
+    assert bad == []
+    names = [r.name for r in rules]
+    assert names == [
+        "jsonp", "cachebust", "session", "youtube-watch",
+        "youtube-getvideoinfo", "googlevideo", "removeall",
+    ]
+    # strip family
+    assert fuzzy_retry_spec(
+        "com,example)/p?_cb=123", rules
+    ) == ("key", "com,example)/p", (), "cachebust")
+    # the echo rule fires only under its SURT prefix, with the id echoed
+    assert fuzzy_retry_spec(
+        "com,youtube)/watch?t=9s&v=abc_12-Z", rules
+    ) == ("prefix", "com,youtube)/watch?", ("urlkey:v=abc_12-Z",),
+          "youtube-watch")
+    # args keep-list (Java-only pattern; py twin exercises it)
+    assert fuzzy_key_py(
+        "com,youtube)/get_video_info?el=x&video_id=abc",
+        tuple(r for r in rules if not r.filters),
+    )[0] == "com,youtube)/get_video_info?video_id=abc"
+    # scoped googlevideo strip + terminal fallback
+    assert fuzzy_retry_spec(
+        "com,googlevideo,r4---sn)/videoplayback?expire=1&id=9", rules
+    )[3] == "googlevideo"
+    assert fuzzy_retry_spec("com,other)/p?zz=1", rules)[3] == "removeall"

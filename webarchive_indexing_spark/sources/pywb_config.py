@@ -387,3 +387,24 @@ def dump_aclj(rules: list[tuple[str, str]], url_prefix: str = "") -> str:
             props["url"] = url_prefix + key
         lines.append(f"{key} - {json.dumps(props)}")
     return "\n".join(lines) + "\n"
+
+
+def default_rules_path() -> str:
+    """Path of the BUNDLED default rules.yaml — a pywb-grammar rule
+    table shipping with the engine (jsonp/cachebust/session strips, a
+    youtube param-echo filter rule, the get_video_info args keep-list,
+    the scoped googlevideo block, the removeall fallback), loadable
+    through the same quarantine parser as any deployment's file."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "default_rules.yaml",
+    )
+
+
+def load_default_fuzzy_rules():
+    """→ the bundled table via ``load_fuzzy_rules`` (zero quarantined
+    entries — enforced by tests/test_pywb_config.py)."""
+    return load_fuzzy_rules(default_rules_path())
