@@ -876,3 +876,37 @@ def test_offset_param(spark, cdx):
     with pytest.raises(ValueError, match="resume_key"):
         cdx_query(cdx, "src1.example.org", match_type="domain",
                   offset=10**9, limit=5)
+
+
+def test_zipnum_page_tiling_through_query_surface(spark, cdx, cluster):
+    """page=N through cdx_query_zipnum: pages tile the full query —
+    disjoint, ordered, union equals the unpaged result — and
+    showNumPages/showPagedIndex answer from the secondary index."""
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query_zipnum
+
+    url = "src1.example.org"
+    n_df = cdx_query_zipnum(spark, cluster, url, match_type="domain",
+                            show_num_pages=True, page_size=2)
+    n = n_df.collect()[0]["pages"]
+    assert n > 1
+
+    full = cdx_query_zipnum(spark, cluster, url, match_type="domain")
+    full_keys = [(r["urlkey"], r["timestamp"]) for r in full.collect()]
+    paged = []
+    for p in range(n):
+        rows = cdx_query_zipnum(spark, cluster, url, match_type="domain",
+                                page=p, page_size=2).collect()
+        paged.extend((r["urlkey"], r["timestamp"]) for r in rows)
+    assert sorted(paged) == sorted(full_keys)
+    # a page past the end is empty, not an error
+    assert cdx_query_zipnum(spark, cluster, url, match_type="domain",
+                            page=n + 3, page_size=2).count() == 0
+
+    idx = cdx_query_zipnum(spark, cluster, url, match_type="domain",
+                           show_paged_index=True, page_size=2)
+    rows = idx.collect()
+    assert rows and max(r["page"] for r in rows) == n - 1
+    # residual filters still compose with page= (filters after blocks)
+    f = cdx_query_zipnum(spark, cluster, url, match_type="domain",
+                         page=0, page_size=2, filters=["status:200"])
+    assert all(r["status"] == 200 for r in f.collect())

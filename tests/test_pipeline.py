@@ -447,3 +447,39 @@ def test_cli_collapse_annotations_resume_and_timemap(spark, warc_manifest,
     assert main(["timemap", out_dir, some["url"], "--format", "cdxj"]) == 0
     clines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     assert clines and all(ln.startswith(some["urlkey"] + " ") for ln in clines)
+
+
+def test_cli_paging_flags(spark, warc_manifest, tmp_path, capsys):
+    """--show-num-pages / --show-paged-index / --page N --page-size K
+    expose the ZipNum block-run pagination through argv; pages tile
+    the unpaged listing."""
+    from webarchive_indexing_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cluster")
+    assert main(["build-index", warc_manifest, out_dir, "--shards", "2",
+                 "--numlines", "5"]) == 0
+    url = "https://example.com/"
+
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--show-num-pages", "--page-size", "2"]) == 0
+    n = int(capsys.readouterr().out.strip())
+    assert n >= 1
+
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--show-paged-index", "--page-size", "2"]) == 0
+    idx_lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.strip()]
+    assert idx_lines and all(ln.split(" ")[0] == str(p)
+                             for p, ln in [(ln.split(" ")[0], ln)
+                                           for ln in idx_lines])
+
+    assert main(["query", out_dir, url, "--match-type", "domain"]) == 0
+    full = sorted(ln for ln in capsys.readouterr().out.splitlines()
+                  if ln.strip())
+    paged = []
+    for p in range(n):
+        assert main(["query", out_dir, url, "--match-type", "domain",
+                     "--page", str(p), "--page-size", "2"]) == 0
+        paged.extend(ln for ln in capsys.readouterr().out.splitlines()
+                     if ln.strip())
+    assert sorted(paged) == full

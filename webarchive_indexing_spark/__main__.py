@@ -104,6 +104,17 @@ def _parser() -> argparse.ArgumentParser:
                    help="skip N rows of the sort order before limit (IA "
                         "cdx-server offset=; for deep paging prefer "
                         "resumeKey — it prunes blocks instead)")
+    q.add_argument("--page", type=int, default=None,
+                   help="page=N block-run pagination: read only that run of "
+                        "--page-size index blocks (O(page) reads at any "
+                        "index size)")
+    q.add_argument("--page-size", type=int, default=1,
+                   help="index blocks per page (default 1)")
+    q.add_argument("--show-num-pages", action="store_true",
+                   help="print the page count for the range (cluster.idx "
+                        "arithmetic only — zero shard bytes)")
+    q.add_argument("--show-paged-index", action="store_true",
+                   help="print the secondary-index block lines themselves")
     q.add_argument("--fields", default=None, help="comma-separated fl= projection")
     q.add_argument("--output", default="text", choices=["text", "json"])
 
@@ -204,6 +215,17 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             resume_key = tuple(args.resume_key)
+        if args.show_num_pages or args.show_paged_index:
+            # index-structure answers: no residual query pipeline
+            df = query_index(
+                spark, args.cluster_dir, args.url,
+                match_type=args.match_type, page_size=args.page_size,
+                show_num_pages=args.show_num_pages,
+                show_paged_index=args.show_paged_index,
+            )
+            for row in df.toLocalIterator():
+                print(" ".join(str(v) for v in row))
+            return 0
         df = query_index(
             spark, args.cluster_dir, args.url,
             match_type=args.match_type, from_=args.from_, to=args.to,
@@ -214,7 +236,7 @@ def main(argv: list[str] | None = None) -> int:
             resume_key=resume_key, tiebreak=args.tiebreak,
             closest=args.closest, sort_reverse=args.sort_reverse,
             fuzzy=args.fuzzy or bool(args.fuzzy_rules), limit=args.limit,
-            offset=args.offset,
+            offset=args.offset, page=args.page, page_size=args.page_size,
             fields=args.fields.split(",") if args.fields else None,
             acl_rules=acl_rules, embargo=embargo, as_of=args.as_of,
             **extra,

@@ -956,6 +956,10 @@ def cdx_query_zipnum(
     url: str,
     *,
     match_type: str | None = None,
+    page: int | None = None,
+    page_size: int = 1,
+    show_num_pages: bool = False,
+    show_paged_index: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Same surface against a ZipNum cluster: the urlkey constraint
@@ -972,8 +976,23 @@ def cdx_query_zipnum(
     ``?_cb=1&a=1`` → ``?a=1`` can sort AFTER the exact key, so neither
     ordering may be assumed), so the fallback's captures are actually
     read; without this the fuzzy path would scan only the exact key's
-    blocks and silently return empty."""
-    from ..sinks.zipnum import read_zipnum
+    blocks and silently return empty.
+
+    Pagination controls [B pywb/IA cdx-server paging API]:
+    ``show_num_pages=True`` returns the single-row page count for the
+    pruned range (answered from cluster.idx alone — zero shard
+    bytes); ``show_paged_index=True`` returns the secondary-index
+    block lines themselves (one row per block, tagged with its page);
+    ``page=N`` reads ONLY that run of ``page_size`` blocks and runs
+    the identical residual pipeline on it — pages tile the full
+    query, each costing ``page_size`` block reads regardless of
+    index size."""
+    from ..sinks.zipnum import (
+        num_pages,
+        read_zipnum,
+        read_zipnum_page,
+        read_zipnum_paged_index,
+    )
 
     url, match_type = infer_match_type(url, match_type)
     exact, lo, hi = _key_range(url, match_type)
@@ -992,5 +1011,17 @@ def cdx_query_zipnum(
     rk = kwargs.get("resume_key")
     if rk is not None:
         lo = rk[0] if lo is None else max(lo, rk[0])
-    pruned = read_zipnum(spark, cluster_dir, key_lo=lo, key_hi=hi)
+    if show_num_pages:
+        n = num_pages(cluster_dir, key_lo=lo, key_hi=hi, page_size=page_size)
+        return spark.createDataFrame([(n,)], "pages: int")
+    if show_paged_index:
+        return read_zipnum_paged_index(
+            spark, cluster_dir, key_lo=lo, key_hi=hi, page_size=page_size
+        )
+    if page is not None:
+        pruned = read_zipnum_page(
+            spark, cluster_dir, page, key_lo=lo, key_hi=hi, page_size=page_size
+        )
+    else:
+        pruned = read_zipnum(spark, cluster_dir, key_lo=lo, key_hi=hi)
     return cdx_query(pruned, url, match_type=match_type, **kwargs)
