@@ -910,3 +910,47 @@ def test_zipnum_page_tiling_through_query_surface(spark, cdx, cluster):
     f = cdx_query_zipnum(spark, cluster, url, match_type="domain",
                          page=0, page_size=2, filters=["status:200"])
     assert all(r["status"] == 200 for r in f.collect())
+
+
+def test_retry_spec_and_inference_never_raise_fuzz():
+    """Property (hypothesis): arbitrary key/url strings through
+    fuzzy_retry_spec (bundled default table) and infer_match_type
+    never raise unexpectedly — the per-request front door handles any
+    user-typed input with at worst a ValueError from wildcard
+    ambiguity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webarchive_indexing_spark.operators.cdx_query import (
+        fuzzy_retry_spec,
+        infer_match_type,
+    )
+    from webarchive_indexing_spark.sources.pywb_config import (
+        load_default_fuzzy_rules,
+    )
+
+    rules, bad = load_default_fuzzy_rules()
+    assert bad == []
+
+    keyish = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789,)/?&=._-%*", max_size=60
+    )
+
+    @given(keyish)
+    @settings(max_examples=300, deadline=None)
+    def prop(s):
+        spec = fuzzy_retry_spec(s, rules)
+        if spec is not None:
+            kind, target, filters, name = spec
+            assert kind in ("key", "prefix")
+            assert isinstance(target, str)
+            if kind == "prefix":
+                assert filters  # echo rules always carry their echo
+        try:
+            url, mt = infer_match_type(s, None)
+            assert mt in ("exact", "prefix", "domain")
+            assert "*" not in url.split("://", 1)[-1] or mt == "exact"
+        except ValueError:
+            pass  # ambiguous wildcard placement — documented refusal
+
+    prop()
