@@ -2665,8 +2665,12 @@ def cdx_fuzzy_filter_echo(spark, sf_dir):
     IS the prefix range; both sides derive the join key scan-side
     (``apply_fuzzy_retry_spec`` CASE chain / one projection on the
     index), the echo is a join residual, and the whole resolver is
-    three equi-joins + one window — no per-request loop, no
-    BroadcastNestedLoop, rule-count independent."""
+    TWO equi-joins + one window: the exact and key-rewrite arms share
+    one urlkey-keyed join via the explode-fan-out (so the corpus is
+    scanned twice, not three times — at 100 TB each scan is the
+    dominant cost), the prefix arm joins on the truncated key.  The
+    tiny lookup side broadcasts in every arm (plan-asserted: no
+    BroadcastNestedLoop, no cartesian); rule-count independent."""
     from pyspark.sql.window import Window
 
     from ..operators.cdx_query import apply_fuzzy_retry_spec
@@ -2707,18 +2711,36 @@ def cdx_fuzzy_filter_echo(spark, sf_dir):
             F.concat(F.substring_index("urlkey", "?", 1), F.lit("?")),
         ).alias("pfx"),
     )
-    lk, cx = lookups.alias("lk"), cap.alias("cx")
-    exact_m = lk.join(cx, F.col("lk.key_exact") == F.col("cx.urlkey")).select(
-        "doc_id", F.lit("exact").alias("via"), F.lit("").alias("rule"), "ts14"
+    # exact + key-rewrite arms share ONE urlkey-keyed join: explode
+    # each lookup into its applicable equality targets (NULL-filtered)
+    keyarms = lookups.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("key_exact").alias("k"),
+                    F.lit("exact").alias("via"),
+                    F.lit("").alias("rule"),
+                ),
+                F.struct(
+                    F.when(
+                        F.col("fuzzy_kind") == "key", F.col("fuzzy_target")
+                    ).alias("k"),
+                    F.lit("fuzzy").alias("via"),
+                    F.coalesce(F.col("fuzzy_rule"), F.lit("")).alias("rule"),
+                ),
+            )
+        ).alias("kv"),
+    ).select("doc_id", "kv.k", "kv.via", "kv.rule").filter(
+        F.col("k").isNotNull()
     )
-    key_m = (
-        lk.filter(F.col("fuzzy_kind") == "key")
-        .join(cx, F.col("lk.fuzzy_target") == F.col("cx.urlkey"))
-        .select("doc_id", F.lit("fuzzy").alias("via"),
-                F.col("fuzzy_rule").alias("rule"), "ts14")
-    )
+    cx = cap.alias("cx")
+    key_m = keyarms.alias("ka").join(
+        cx, F.col("ka.k") == F.col("cx.urlkey")
+    ).select("doc_id", "via", "rule", "ts14")
     pfx_m = (
-        lk.filter(F.col("fuzzy_kind") == "prefix")
+        lookups.alias("lk")
+        .filter(F.col("fuzzy_kind") == "prefix")
         .join(
             cx,
             (F.col("lk.fuzzy_target") == F.col("cx.pfx"))
@@ -2727,7 +2749,7 @@ def cdx_fuzzy_filter_echo(spark, sf_dir):
         .select("doc_id", F.lit("fuzzy").alias("via"),
                 F.col("fuzzy_rule").alias("rule"), "ts14")
     )
-    m = exact_m.unionByName(key_m).unionByName(pfx_m)
+    m = key_m.unionByName(pfx_m)
     has_exact = F.max(F.when(F.col("via") == "exact", 1).otherwise(0)).over(
         Window.partitionBy("doc_id")
     )
