@@ -2356,26 +2356,38 @@ def cdx_acl_embargo(spark, sf_dir):
     capture is excluded at one clock and listed at the other.
 
     Scale shape: the embargo folds into each CASE arm's VALUE as a
-    constant-size ts14 string compare — one map-side verdict
-    projection per as_of, zero exchanges added, rule-count
-    independent (operators.cdx_query.sql_acl_access); duration
-    arithmetic ran on the driver."""
-    from ..operators.cdx_query import apply_acl
+    constant-size ts14 string compare — map-side verdict projections,
+    zero exchanges added, rule-count independent
+    (operators.cdx_query.sql_acl_access); duration arithmetic ran on
+    the driver.  Both clocks' verdicts evaluate in ONE corpus scan
+    (two CASE columns + a 2-wide explode), not one scan per as_of —
+    a replay-QA job auditing N embargo dates still reads the index
+    once."""
+    from ..operators.cdx_query import sql_acl_access
 
     c = derived_cdx(spark, sf_dir).filter(
         (F.col("urlkey") >= "org,example,src1")
         & (F.col("urlkey") < "org,example,src:")
     )
     base = c.select("urlkey", F.col("ts14").alias("timestamp"))
-    parts = [
-        apply_acl(
-            base, _EMBARGO_RULES, embargo=_EMBARGO, as_of=as_of
-        ).select(
-            F.lit(as_of).alias("as_of"), "urlkey", "timestamp", "access"
+    arms = [
+        F.struct(
+            F.lit(as_of).alias("as_of"),
+            F.expr(
+                sql_acl_access(
+                    "urlkey", _EMBARGO_RULES, embargo=_EMBARGO, as_of=as_of
+                )
+            ).alias("access"),
         )
         for as_of in _EMBARGO_AS_OF
     ]
-    return parts[0].unionByName(parts[1])
+    return (
+        base.select(
+            "urlkey", "timestamp", F.explode(F.array(*arms)).alias("v")
+        )
+        .select("v.as_of", "urlkey", "timestamp", "v.access")
+        .filter(F.col("access") != "exclude")
+    )
 
 
 def _replace_rules():
