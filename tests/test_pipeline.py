@@ -483,3 +483,62 @@ def test_cli_paging_flags(spark, warc_manifest, tmp_path, capsys):
         paged.extend(ln for ln in capsys.readouterr().out.splitlines()
                      if ln.strip())
     assert sorted(paged) == full
+
+
+def test_cli_show_resume_key(spark, warc_manifest, tmp_path, capsys):
+    """pywb showResumeKey: a truncated listing appends a blank line
+    then the next resume key; feeding it back pages without gaps; a
+    final page (under limit) emits NO trailer; invalid combos refuse."""
+    from webarchive_indexing_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cluster")
+    assert main(["build-index", warc_manifest, out_dir, "--shards", "2",
+                 "--numlines", "10"]) == 0
+    url = "https://example.com/"
+
+    assert main(["query", out_dir, url, "--match-type", "domain"]) == 0
+    full = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    total = len(full)
+    assert total > 3
+
+    # page with the trailer until exhaustion
+    seen, rk = [], None
+    for _ in range(total):
+        argv = ["query", out_dir, url, "--match-type", "domain",
+                "--limit", "3", "--show-resume-key"]
+        if rk:
+            argv += ["--resume-key", *rk]
+        assert main(argv) == 0
+        out = capsys.readouterr().out.splitlines()
+        if "" in out:
+            cut = out.index("")
+            rows, trailer = out[:cut], [ln for ln in out[cut:] if ln.strip()]
+            assert len(trailer) == 1
+            rk = trailer[0].split(" ")
+            assert len(rk) == 2
+        else:
+            rows, rk = [ln for ln in out if ln.strip()], None
+        seen.extend(rows)
+        if rk is None:
+            break
+    assert seen == full  # gap-free, in order, complete
+
+    # trailer only when the limit actually truncated
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--limit", str(total + 5), "--show-resume-key"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "" not in [ln for i, ln in enumerate(out) if i < len(out) - 1]
+
+    # json output carries the trailer too (last line after a blank)
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--limit", "2", "--show-resume-key",
+                 "--output", "json"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[-2] == "" and len(out[-1].split(" ")) == 2
+
+    # guards: needs positive limit, default order, full fields
+    assert main(["query", out_dir, url, "--show-resume-key"]) == 2
+    assert main(["query", out_dir, url, "--show-resume-key",
+                 "--limit", "-3"]) == 2
+    assert main(["query", out_dir, url, "--show-resume-key", "--limit", "3",
+                 "--fields", "urlkey"]) == 2

@@ -79,6 +79,10 @@ def _parser() -> argparse.ArgumentParser:
                    metavar="URLKEY TS [TIEVAL]",
                    help="pywb resumeKey continuation: resume strictly after "
                         "this row; 3 values need --tiebreak")
+    q.add_argument("--show-resume-key", action="store_true",
+                   help="pywb showResumeKey: when --limit truncates, append "
+                        "a blank line then the next resume key (with the "
+                        "--tiebreak value when set)")
     q.add_argument("--tiebreak", default=None, metavar="FIELD",
                    help="unique-within-second column (e.g. digest) for "
                         "gap-free paging; joins the sort order")
@@ -172,7 +176,6 @@ def main(argv: list[str] | None = None) -> int:
         print(f"epoch: {epoch}" if epoch is not None else "up to date")
     elif args.cmd == "query":
         from .plans.pipeline import query_index
-        from .sources.cdx import to_cdx_lines
 
         acl_rules = None
         if args.acl:
@@ -215,6 +218,14 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             resume_key = tuple(args.resume_key)
+        if args.show_resume_key and (
+            args.limit is None or args.limit < 0 or args.fields
+            or args.sort_reverse or args.closest
+        ):
+            print("error: --show-resume-key needs a positive --limit and "
+                  "pages the default order (no --fields/--sort-reverse/"
+                  "--closest)", file=sys.stderr)
+            return 2
         if args.show_num_pages or args.show_paged_index:
             # index-structure answers: no residual query pipeline
             df = query_index(
@@ -244,13 +255,39 @@ def main(argv: list[str] | None = None) -> int:
         # stream through the driver: toLocalIterator holds one
         # partition at a time, so an unbounded prefix/domain query
         # without --limit cannot OOM the driver heap
+        last = None
+        n_rows = 0
         if args.output == "json":
-            for row in df.toJSON().toLocalIterator():
-                print(row)
+            for line in df.toJSON().toLocalIterator():
+                n_rows += 1
+                last = line
+                print(line)
+            import json as _json
+
+            last = _json.loads(last) if last is not None else None
         else:
-            out = to_cdx_lines(df) if args.fields is None else df
-            for row in out.toLocalIterator():
-                print(" ".join("-" if v is None else str(v) for v in row))
+            if args.fields is None:
+                from .sources.cdx import CDX_FIELDS
+
+                for row in df.toLocalIterator():
+                    n_rows += 1
+                    last = row
+                    print(" ".join(
+                        "-" if row[name] is None else str(row[name])
+                        for name, _ in CDX_FIELDS
+                    ))
+            else:
+                for row in df.toLocalIterator():
+                    print(" ".join("-" if v is None else str(v) for v in row))
+        if args.show_resume_key and last is not None and n_rows == args.limit:
+            # pywb showResumeKey: blank separator, then the key the
+            # NEXT request passes as --resume-key (tiebreak-extended
+            # when gap-free paging is on)
+            parts = [last["urlkey"], last["timestamp"]]
+            if args.tiebreak:
+                parts.append(str(last[args.tiebreak]))
+            print()
+            print(" ".join(parts))
     elif args.cmd == "timemap":
         from .operators.timemap import timemap_json, timemap_linkformat
         from .plans.pipeline import query_index
