@@ -123,6 +123,7 @@ HEADLINE = [
     "cdx_limit_offset",
     "text_pii_redact",
     "docs_url_blocklist_verdicts",
+    "quality_linear_classifier",
 ]
 
 

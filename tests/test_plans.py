@@ -445,3 +445,12 @@ def test_fuzzy_filter_echo_all_equi_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cdx_fuzzy_filter_echo")
     assert "BroadcastNestedLoopJoin" not in plan, plan[:500]
     assert "CartesianProduct" not in plan, plan[:500]
+
+
+def test_linear_classifier_zero_exchange(spark, sf_dir):
+    """Classifier scoring must stay one corpus pass: per-token weights
+    accumulate inside the scan (F.aggregate over the token array) —
+    zero exchanges, zero joins, no tokenizer fan-out shuffle."""
+    plan = _plan(spark, sf_dir, "quality_linear_classifier")
+    assert "Exchange" not in plan, plan[:500]
+    assert "Join" not in plan

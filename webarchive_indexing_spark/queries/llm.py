@@ -3359,3 +3359,55 @@ def docs_url_blocklist_verdicts(spark, sf_dir):
     return judged.groupBy("source", "verdict").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "quality_linear_classifier",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+               t -> ({sql_token_hash('t')} % 4096) % 997 - 498))
+               AS BIGINT) AS score_int
+      FROM documents
+    )
+    SELECT doc_id, source, score_int,
+           {sql_hround('1.0 / (1.0 + exp(-score_int / 10000.0))', 6)} AS p_keep,
+           CASE WHEN score_int >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM scored
+    """,
+    tier="C",
+)
+def quality_linear_classifier(spark, sf_dir):
+    """Linear quality-classifier scoring [north-star: fastText-style
+    keep/drop models (CCNet, DCLM, FineWeb-Edu run exactly this shape
+    over their corpora)]: hashed bag-of-words features × a weight
+    table → logistic keep probability.  The weights here derive
+    deterministically from the feature bucket (so the DuckDB twin can
+    re-derive them); a real model's weights ride as a broadcast
+    array/map literal in the same plan slot — the SHAPE is what
+    scales.
+
+    Scale design: per-token weights accumulate INSIDE the scan via
+    ``F.aggregate`` over the token array — integer-exact (weights are
+    1e-4 rationals summed as bigints; the single float op happens once
+    per document on the exact integer, then hround pins cross-engine
+    repr), zero exchanges, zero joins, no tokenizer shuffle.  100 TB
+    cost = one pass over the corpus bytes."""
+    from ..functions.text import token_hash, tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    w = lambda tok: F.pmod(token_hash(tok), F.lit(4096)) % 997 - 498  # noqa: E731
+    score = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, tok: acc + w(tok)
+    )
+    scored = d.select("doc_id", "source", score.alias("score_int"))
+    p = hround(1.0 / (1.0 + F.exp(-F.col("score_int") / 10000.0)), 6)
+    return scored.select(
+        "doc_id",
+        "source",
+        "score_int",
+        p.alias("p_keep"),
+        F.when(F.col("score_int") >= 0, "keep").otherwise("drop").alias("verdict"),
+    )
