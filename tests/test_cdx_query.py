@@ -954,3 +954,15 @@ def test_retry_spec_and_inference_never_raise_fuzz():
             pass  # ambiguous wildcard placement — documented refusal
 
     prop()
+
+
+def test_page_and_resume_key_do_not_compose(spark, cluster):
+    """resume_key lifts the block-prune lower bound, which renumbers
+    pages — combining the two paging schemes must refuse, not silently
+    read a different block run."""
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query_zipnum
+
+    with pytest.raises(ValueError, match="paging schemes"):
+        cdx_query_zipnum(spark, cluster, "src1.example.org",
+                         match_type="domain", page=0,
+                         resume_key=("org,example,src1)/doc/1", "2015"))

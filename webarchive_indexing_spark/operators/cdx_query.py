@@ -1010,6 +1010,15 @@ def cdx_query_zipnum(
                 hi = max(hi, t_hi) if hi is not None else t_hi
     rk = kwargs.get("resume_key")
     if rk is not None:
+        if page is not None:
+            # the two paging schemes don't compose: resume_key LIFTS
+            # the block-prune lower bound, which renumbers the pages —
+            # page=N would silently mean a different block run
+            raise ValueError(
+                "page= and resume_key= are alternative paging schemes; "
+                "use one (resumeKey for deep row paging, page for "
+                "block-run export)"
+            )
         lo = rk[0] if lo is None else max(lo, rk[0])
     if show_num_pages:
         n = num_pages(cluster_dir, key_lo=lo, key_hi=hi, page_size=page_size)
