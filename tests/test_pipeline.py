@@ -542,3 +542,72 @@ def test_cli_show_resume_key(spark, warc_manifest, tmp_path, capsys):
                  "--limit", "-3"]) == 2
     assert main(["query", out_dir, url, "--show-resume-key", "--limit", "3",
                  "--fields", "urlkey"]) == 2
+
+
+def test_cli_pywb_dropin_composed(spark, warc_manifest, tmp_path, capsys):
+    """The pywb drop-in story end-to-end through ONE argv call: a
+    deployment's .aclj (with allow_ignore_embargo), config.yaml
+    embargo block, and rules.yaml fuzzy table all load into the same
+    query, composing with collapse + limit — the migration scenario
+    SURVEY's tier-B surface exists for."""
+    import json as _json
+
+    from webarchive_indexing_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cluster")
+    assert main(["build-index", warc_manifest, out_dir, "--shards", "2",
+                 "--numlines", "10"]) == 0
+
+    acl = tmp_path / "access.aclj"
+    acl.write_text(
+        'com,example)/page/1 - {"access": "allow_ignore_embargo"}\n'
+        'com,example)/page/0 - {"access": "exclude"}\n'
+    )
+    emb = tmp_path / "config.yaml"
+    emb.write_text("embargo:\n    after: 1990\n")  # everything modern
+    rules = tmp_path / "rules.yaml"
+    rules.write_text(
+        "rules:\n"
+        "  - url_prefix: ''\n"
+        "    fuzzy_lookup: '([?&])x=[0-9]+&?'\n"
+    )
+
+    # everything embargoed EXCEPT the allow_ignore_embargo subtree;
+    # the excluded subtree stays hidden; fuzzy strips the junk param
+    from webarchive_indexing_spark.sinks.zipnum import read_zipnum
+
+    some = (
+        read_zipnum(spark, out_dir)
+        .filter("urlkey like 'com,example)/page/1%'")
+        .select("url").first()["url"]
+    )
+    assert main(["query", out_dir, some + "?x=9",
+                 "--acl", str(acl), "--embargo", str(emb),
+                 "--fuzzy-rules", str(rules),
+                 "--output", "json"]) == 0
+    rows = [_json.loads(ln)
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert rows and all(r["urlkey"].startswith("com,example)/page/1")
+                        for r in rows)
+    assert all(r["access"] == "allow" for r in rows)
+
+    # the same fuzzy query OUTSIDE the exempt subtree is embargoed out
+    other = (
+        read_zipnum(spark, out_dir)
+        .filter("urlkey like 'com,example)/page/2%'")
+        .select("url").first()["url"]
+    )
+    assert main(["query", out_dir, other + "?x=9",
+                 "--acl", str(acl), "--embargo", str(emb),
+                 "--fuzzy-rules", str(rules)]) == 0
+    assert not capsys.readouterr().out.strip()
+
+    # drop the embargo: the same call lists it (control), and collapse
+    # + limit still compose on top
+    assert main(["query", out_dir, other + "?x=9",
+                 "--acl", str(acl), "--fuzzy-rules", str(rules),
+                 "--collapse", "timestamp:4", "--show-group-count",
+                 "--limit", "5", "--output", "json"]) == 0
+    rows = [_json.loads(ln)
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert rows and all("groupcount" in r for r in rows)
