@@ -124,6 +124,7 @@ HEADLINE = [
     "text_pii_redact",
     "docs_url_blocklist_verdicts",
     "quality_linear_classifier",
+    "cdx_fuzzy_args_keep",
 ]
 
 

@@ -2809,3 +2809,165 @@ def cdx_limit_offset(spark, sf_dir):
         limit=8,
         offset=10,
     )
+
+
+def _args_rule():
+    """args-form keep-list rule scoped to src6: keep only a/b params
+    (the index's real query params), strip everything else."""
+    from ..operators.cdx_query import FuzzyRule
+    from ..sources.pywb_config import _compile_keep_args
+
+    return (
+        FuzzyRule(
+            "keepargs",
+            _compile_keep_args(["a", "b"]),
+            key_prefix="org,example,src6)",
+        ),
+    )
+
+
+@query(
+    "cdx_fuzzy_args_keep",
+    oracle=CDX_SQL + """
+    , lookups0 AS (
+      SELECT doc_id,
+             'org,example,' || source || ')/doc/' || doc_id ||
+               CASE WHEN doc_id % 3 = 0 THEN
+                      CASE WHEN doc_id % 40 = 6
+                           THEN '?a=1&b=2&el=x&t=9'   -- junk to strip
+                           ELSE '?a=1&b=2' END        -- only kept params
+                    WHEN doc_id % 40 = 6 THEN '?el=x&t=9'  -- all junk
+                    ELSE '' END AS key_exact
+      FROM documents WHERE doc_id < 300 AND doc_id % 20 = 6
+    ), lk AS (
+      -- list-based twin of the keep-args semantics: the engine runs
+      -- pywb's negative-lookahead strip regex (Java); RE2 cannot, so
+      -- the oracle re-derives the SAME function by splitting the
+      -- query into params and filtering to the keep list — a hash
+      -- match proves the regex and list formulations are the same
+      -- function on this corpus
+      SELECT doc_id, key_exact,
+             strpos(key_exact, '?') AS qp,
+             CASE WHEN strpos(key_exact, '?') > 0 THEN
+               list_filter(string_split(substr(key_exact,
+                             strpos(key_exact, '?') + 1), '&'),
+                           p -> starts_with(p, 'a=') OR starts_with(p, 'b='))
+             END AS kept,
+             CASE WHEN strpos(key_exact, '?') > 0 THEN
+               len(string_split(substr(key_exact,
+                             strpos(key_exact, '?') + 1), '&'))
+             END AS nparams
+      FROM lookups0
+    ), lookups AS (
+      SELECT doc_id, key_exact,
+             CASE WHEN qp > 0 AND len(kept) < nparams
+                  AND starts_with(key_exact, 'org,example,src6)')
+                  THEN 'keepargs' END AS fuzzy_rule,
+             CASE WHEN qp = 0 OR len(kept) = nparams
+                  OR NOT starts_with(key_exact, 'org,example,src6)')
+                    THEN key_exact
+                  WHEN len(kept) = 0 THEN split_part(key_exact, '?', 1)
+                  ELSE split_part(key_exact, '?', 1) || '?'
+                       || array_to_string(kept, '&') END AS key_fuzzy
+      FROM lk
+    ), keys AS (
+      SELECT doc_id, key_exact AS k, 'exact' AS via, '' AS rule FROM lookups
+      UNION ALL
+      SELECT doc_id, key_fuzzy AS k, 'fuzzy' AS via,
+             COALESCE(fuzzy_rule, '') AS rule FROM lookups
+    ), m AS (
+      SELECT k.doc_id, k.via, k.rule, c.ts14,
+             MAX(CASE WHEN k.via = 'exact' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k.doc_id) AS he
+      FROM keys k JOIN cdx c ON k.k = c.urlkey
+    )
+    SELECT doc_id, via, rule, COUNT(*) AS n_captures,
+           MIN(ts14) AS first_ts, MAX(ts14) AS last_ts
+    FROM m WHERE via = 'exact' OR he = 0
+    GROUP BY doc_id, via, rule
+    """,
+    tier="B",
+)
+def cdx_fuzzy_args_keep(spark, sf_dir):
+    """pywb ``args:`` keep-list rules, FULL-ORACLE (closing the one
+    pytest-only corner of the fuzzy grammar): the engine compiles
+    ``args: [a, b]`` to a negative-lookahead strip regex that Java
+    executes natively but RE2 cannot — so the DuckDB twin re-derives
+    the SAME keep-list function by param-list splitting and
+    filtering, and the driver hash pins that the two formulations
+    agree across junk-stripped, only-kept (rule must NOT fire →
+    exact hit), all-junk (strip to bare), and bare-exact lookup
+    classes (class selector %40 — src6 doc ids are all even, so a
+    %2 split would be degenerate).
+
+    Spark side runs the REAL engine path: ``apply_fuzzy_rules`` with
+    the compiled keep-args CASE chain (codegen, one regexp per key),
+    then the standard one-join + he-window batch resolver."""
+    from pyspark.sql.window import Window
+
+    from ..operators.cdx_query import apply_fuzzy_rules
+
+    c = derived_cdx(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & (F.pmod(F.col("doc_id"), F.lit(20)) == 6)
+    )
+    doc = F.col("doc_id")
+    qs = (
+        F.when(
+            doc % 3 == 0,
+            F.when(doc % 40 == 6, F.lit("?t=9&b=2&a=1&el=x")).otherwise(
+                F.lit("?b=2&a=1")
+            ),
+        )
+        .when(doc % 40 == 6, F.lit("?t=9&el=x"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.upper(F.substring("source", 1, 1)),
+        F.expr("substring(source, 2)"),
+        F.lit(".Example.org:443/doc/"),
+        doc.cast("string"),
+        qs,
+    )
+    lookups = apply_fuzzy_rules(
+        docs.withColumn("__url", url).select(
+            "doc_id", surt_urlkey_cached("__url").alias("key_exact")
+        ),
+        "key_exact",
+        _args_rule(),
+    )
+    keys = lookups.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("key_exact").alias("k"),
+                    F.lit("exact").alias("via"),
+                    F.lit("").alias("rule"),
+                ),
+                F.struct(
+                    F.col("key_fuzzy").alias("k"),
+                    F.lit("fuzzy").alias("via"),
+                    F.coalesce(F.col("fuzzy_rule"), F.lit("")).alias("rule"),
+                ),
+            )
+        ).alias("kv"),
+    ).select("doc_id", "kv.k", "kv.via", "kv.rule")
+    m = keys.alias("lk").join(
+        c.select("urlkey", "ts14").alias("cx"),
+        F.col("lk.k") == F.col("cx.urlkey"),
+    )
+    has_exact = F.max(F.when(F.col("via") == "exact", 1).otherwise(0)).over(
+        Window.partitionBy("doc_id")
+    )
+    return (
+        m.select("doc_id", "via", "rule", "ts14", has_exact.alias("he"))
+        .filter((F.col("via") == "exact") | (F.col("he") == 0))
+        .groupBy("doc_id", "via", "rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.min("ts14").alias("first_ts"),
+            F.max("ts14").alias("last_ts"),
+        )
+    )
