@@ -966,3 +966,77 @@ def test_page_and_resume_key_do_not_compose(spark, cluster):
         cdx_query_zipnum(spark, cluster, "src1.example.org",
                          match_type="domain", page=0,
                          resume_key=("org,example,src1)/doc/1", "2015"))
+
+
+def test_embargo_null_timestamp_fails_closed(spark):
+    """A capture whose ts14 didn't parse (NULL) cannot be proven
+    outside the embargo window — it must be hidden, not served (the
+    review-found fail-open: NULL compares fell through to the served
+    verdict)."""
+    from webarchive_indexing_spark.operators.cdx_query import apply_acl
+
+    df = spark.createDataFrame(
+        [("com,a)/x", "20150101000000"), ("com,a)/y", None)],
+        ["urlkey", "timestamp"],
+    )
+    out = apply_acl(df, [], embargo={"after": "2016"}).collect()
+    assert [r["urlkey"] for r in out] == ["com,a)/x"]
+    # and with a relative clock too
+    out = apply_acl(
+        df, [], embargo={"newer": {"days": 1}}, as_of="20150102"
+    ).collect()
+    assert [r["urlkey"] for r in out] == ["com,a)/x"]
+
+
+def test_embargo_short_as_of_prefix(spark):
+    """A ts14 PREFIX as_of (e.g. '2019') means the start of its
+    period — it must not crash strptime on day-00 padding; garbage
+    as_of raises the clean ValueError."""
+    from webarchive_indexing_spark.operators.cdx_query import sql_acl_access
+
+    s = sql_acl_access(
+        "k", [], embargo={"newer": {"days": 365}}, as_of="2019"
+    )
+    assert "'20180101000000'" in s  # 2019-01-01 minus 365d
+    s = sql_acl_access("k", [], embargo={"older": {"days": 0}}, as_of="201906")
+    assert "'20190601000000'" in s
+    with pytest.raises(ValueError, match="ts14"):
+        sql_acl_access("k", [], embargo={"newer": {"days": 1}}, as_of="junk")
+
+
+def test_filter_rule_cut_at_key_start_parity(spark):
+    """pywb truncates at replace_after only when it appears PAST the
+    key's start (inx > 0) — all three twins (per-request, batch
+    column, DuckDB SQL) must agree when the key BEGINS with the cut
+    string (the review-found divergence)."""
+    import duckdb
+
+    from webarchive_indexing_spark.operators.cdx_query import (
+        FuzzyRule,
+        apply_fuzzy_retry_spec,
+        fuzzy_retry_spec,
+        sql_fuzzy_retry_exprs,
+    )
+
+    rule = (FuzzyRule("r", r"(x=[0-9]+)", replace="com", filters=("urlkey:{0}",)),)
+    # wait — replace doubles as pywb's replace_after for filter rules
+    keys = ["com,a)/p?x=1", "a,com)/p?x=2"]  # starts-with-cut vs mid-key
+    want = {k: fuzzy_retry_spec(k, rule) for k in keys}
+    # starts-with: no truncation (whole key); mid-key: cut after 'com'
+    assert want["com,a)/p?x=1"][1] == "com,a)/p?x=1"
+    assert want["a,com)/p?x=2"][1] == "a,com"
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["k"]: r["fuzzy_target"]
+        for r in apply_fuzzy_retry_spec(df, "k", rule).collect()
+    }
+    assert got == {k: want[k][1] for k in keys}
+
+    _, target_sql, _, _ = sql_fuzzy_retry_exprs("k", rule)
+    con = duckdb.connect()
+    for k in keys:
+        (dk,) = con.execute(
+            f"SELECT {target_sql} FROM (SELECT ? AS k)", [k]
+        ).fetchone()
+        assert dk == want[k][1], k

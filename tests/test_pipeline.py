@@ -611,3 +611,52 @@ def test_cli_pywb_dropin_composed(spark, warc_manifest, tmp_path, capsys):
     rows = [_json.loads(ln)
             for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     assert rows and all("groupcount" in r for r in rows)
+
+
+def test_cli_clean_errors_and_text_annotations(spark, warc_manifest,
+                                               tmp_path, capsys):
+    """Review-found CLI gaps: engine ValueErrors surface as the
+    'error: ...' + exit-2 convention (never tracebacks), and the
+    collapse annotations appear in the DEFAULT text output, appended
+    after the 11 CDX fields."""
+    from webarchive_indexing_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cluster")
+    assert main(["build-index", warc_manifest, out_dir, "--shards", "2",
+                 "--numlines", "10"]) == 0
+    url = "https://example.com/"
+
+    # engine validations -> clean exit 2 with a reason on stderr
+    for argv, marker in [
+        (["query", out_dir, url, "--match-type", "domain", "--page", "0",
+          "--resume-key", "com,example)/page/1", "2015"], "paging schemes"),
+        (["query", out_dir, url, "--match-type", "domain", "--page", "-2"],
+         "page="),
+        (["query", out_dir, url, "--match-type", "domain",
+          "--offset", "200001", "--limit", "5"], "resume_key"),
+        (["query", out_dir, "https://example.com/*/img"], "match_type"),
+        (["query", out_dir, url, "--match-type", "domain", "--limit", "5",
+          "--resume-key", "k", "t", "x"], "tiebreak"),
+    ]:
+        assert main(argv) == 2, argv
+        err = capsys.readouterr().err
+        assert marker in err and "Traceback" not in err, (argv, err)
+
+    # short ts14-prefix --as-of works (no strptime crash)
+    emb = tmp_path / "config.yaml"
+    emb.write_text("embargo:\n    newer:\n        days: 30\n")
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--embargo", str(emb), "--as-of", "2999"]) == 0
+    assert capsys.readouterr().out.strip()  # far-future clock: all served
+
+    # text output (the default) carries the annotation columns
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--collapse", "timestamp:4", "--show-group-count",
+                 "--show-skip-count"]) == 0
+    plain_fields = None
+    for ln in capsys.readouterr().out.splitlines():
+        if ln.strip():
+            plain_fields = ln.split(" ")
+    assert plain_fields is not None and len(plain_fields) == 14
+    # groupcount is a positive int, skipcount non-negative
+    assert int(plain_fields[11]) >= 1 and int(plain_fields[12]) >= 0

@@ -145,6 +145,19 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.getOrCreate()
     tune(spark)
 
+    try:
+        return _dispatch(args, spark)
+    except ValueError as e:
+        # engine-side parameter validation (wildcard ambiguity, paging
+        # scheme conflicts, the offset cap, resume-key arity, embargo
+        # shapes) surfaces as the same clean error + exit-2 convention
+        # the CLI's own checks use — never a traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+def _dispatch(args, spark) -> int:
+
     if args.cmd == "index-warcs":
         from .plans.pipeline import index_to_cdx_gz
 
@@ -269,12 +282,20 @@ def main(argv: list[str] | None = None) -> int:
             if args.fields is None:
                 from .sources.cdx import CDX_FIELDS
 
+                # IA-style collapse annotations append to the line end
+                # — without this the --show-*-count flags would be
+                # silent no-ops in the default text output
+                names = [name for name, _ in CDX_FIELDS] + [
+                    c
+                    for c in ("groupcount", "skipcount", "lastskiptimestamp")
+                    if c in df.columns
+                ]
                 for row in df.toLocalIterator():
                     n_rows += 1
                     last = row
                     print(" ".join(
                         "-" if row[name] is None else str(row[name])
-                        for name, _ in CDX_FIELDS
+                        for name in names
                     ))
             else:
                 for row in df.toLocalIterator():

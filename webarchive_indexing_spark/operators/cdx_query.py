@@ -206,6 +206,27 @@ DEFAULT_FUZZY_RULES: tuple[FuzzyRule, ...] = (
 )
 
 
+def _spark_repl(rule: FuzzyRule) -> str:
+    """The Spark regexp_replace replacement string for a rule: ``$1``
+    (strip to the captured separator) by default, or the ``replace:``
+    literal with Spark's ``$``/``\\`` replacement metacharacters
+    escaped.  ONE definition — its DuckDB twin is ``_duck_repl``; the
+    four call sites must never re-derive the escaping independently
+    (a one-sided fix would silently de-synchronize the engines)."""
+    if rule.replace is None:
+        return "$1"
+    return rule.replace.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _duck_repl(rule: FuzzyRule) -> str:
+    """DuckDB twin of ``_spark_repl``: ``\\1`` backreference by
+    default, or the literal with backslashes doubled and quotes
+    doubled for the SQL-string embedding."""
+    if rule.replace is None:
+        return "\\1"
+    return rule.replace.replace("\\", "\\\\").replace("'", "''")
+
+
 def _reject_filter_rules(rules: tuple[FuzzyRule, ...], api: str) -> None:
     """Key-rewrite APIs cannot express filter (param-echo) rules —
     those change the retry SHAPE (prefix scan + echoed residual, see
@@ -240,15 +261,8 @@ def apply_fuzzy_rules(
     key = F.col(key_col)
 
     def strip(rule: FuzzyRule):
-        # default: strip to the captured separator ($1); replace rules
-        # rewrite the span to a LITERAL (escape Spark's $/\\ repl refs)
-        repl = (
-            "$1"
-            if rule.replace is None
-            else rule.replace.replace("\\", "\\\\").replace("$", "\\$")
-        )
         return F.regexp_replace(
-            F.regexp_replace(key, rule.pattern, repl), r"[?&]$", ""
+            F.regexp_replace(key, rule.pattern, _spark_repl(rule)), r"[?&]$", ""
         )
 
     rule_expr = F.lit(None).cast("string")
@@ -327,21 +341,21 @@ def apply_fuzzy_retry_spec(
         if rule.filters:
             g = _echo_group(rule)
             cut = rule.replace if rule.replace is not None else "?"
+            # instr > 1 mirrors fuzzy_retry_spec's `inx > 0` (pywb
+            # truncates only when replace_after appears PAST the key's
+            # start — position 0 means no truncation)
             t = F.when(
-                key.contains(cut),
+                F.instr(key, cut) > 1,
                 F.concat(F.substring_index(key, cut, 1), F.lit(cut)),
             ).otherwise(key)
             kind = F.when(cond, F.lit("prefix")).otherwise(kind)
             target = F.when(cond, t).otherwise(target)
             echo = F.when(cond, F.regexp_extract(key, rule.pattern, g)).otherwise(echo)
         else:
-            repl = (
-                "$1"
-                if rule.replace is None
-                else rule.replace.replace("\\", "\\\\").replace("$", "\\$")
-            )
             t = F.regexp_replace(
-                F.regexp_replace(key, rule.pattern, repl), r"[?&]$", ""
+                F.regexp_replace(key, rule.pattern, _spark_repl(rule)),
+                r"[?&]$",
+                "",
             )
             kind = F.when(cond, F.lit("key")).otherwise(kind)
             target = F.when(cond, t).otherwise(target)
@@ -374,17 +388,12 @@ def sql_fuzzy_retry_exprs(
         if rule.filters:
             cut = rule.replace if rule.replace is not None else "?"
             return (
-                f"CASE WHEN contains({key}, '{cut}') THEN "
+                f"CASE WHEN strpos({key}, '{cut}') > 1 THEN "
                 f"split_part({key}, '{cut}', 1) || '{cut}' ELSE {key} END"
             )
-        repl = (
-            "\\1"
-            if rule.replace is None
-            else rule.replace.replace("\\", "\\\\").replace("'", "''")
-        )
         return (
             f"regexp_replace(regexp_replace({key}, '{rule.pattern}', "
-            f"'{repl}', 'g'), '[?&]$', '')"
+            f"'{_duck_repl(rule)}', 'g'), '[?&]$', '')"
         )
 
     def echo(rule: FuzzyRule) -> str:
@@ -414,15 +423,9 @@ def sql_fuzzy_rule_exprs(
     _reject_filter_rules(rules, "sql_fuzzy_rule_exprs")
 
     def strip(rule: FuzzyRule) -> str:
-        # DuckDB replacement dialect: \1 group refs, backslash doubles
-        repl = (
-            "\\1"
-            if rule.replace is None
-            else rule.replace.replace("\\", "\\\\").replace("'", "''")
-        )
         return (
-            f"regexp_replace(regexp_replace({key}, '{rule.pattern}', '{repl}', 'g'),"
-            f" '[?&]$', '')"
+            f"regexp_replace(regexp_replace({key}, '{rule.pattern}', "
+            f"'{_duck_repl(rule)}', 'g'), '[?&]$', '')"
         )
 
     def cond(rule: FuzzyRule) -> str:
@@ -640,7 +643,13 @@ def _embargo_pred(ts_col: str, embargo: dict, as_of: str | None) -> str:
                 "embargo newer:/older: need as_of= (ts14 'now') — the "
                 "engine takes no clock of its own"
             )
-        now = datetime.strptime(str(as_of).ljust(14, "0"), "%Y%m%d%H%M%S")
+        s = str(as_of)
+        if not (4 <= len(s) <= 14 and s.isdigit()):
+            raise ValueError(f"as_of {as_of!r} is not a ts14 prefix")
+        # a ts14 PREFIX means the start of its period: missing month/
+        # day default to 01 (zero-padding would make day '00', which
+        # strptime rejects), missing time to 00:00:00
+        now = datetime.strptime(s + "0101000000"[len(s) - 4 :], "%Y%m%d%H%M%S")
         return (now - duration(v)).strftime("%Y%m%d%H%M%S")
 
     conds = []
@@ -652,7 +661,11 @@ def _embargo_pred(ts_col: str, embargo: dict, as_of: str | None) -> str:
         conds.append(f"{ts_col} > '{rel_threshold(embargo['newer'])}'")
     if "older" in embargo:  # hide captures older than the duration
         conds.append(f"{ts_col} < '{rel_threshold(embargo['older'])}'")
-    return " OR ".join(conds)
+    # NULL timestamps fail CLOSED: a damaged capture whose ts14 didn't
+    # parse cannot be proven outside the embargo window, and NULL
+    # compares would otherwise fall through to the served verdict —
+    # the one widening direction this module forbids
+    return "(" + " OR ".join(conds) + f" OR {ts_col} IS NULL)"
 
 
 def sql_acl_access(
@@ -1028,6 +1041,11 @@ def cdx_query_zipnum(
             spark, cluster_dir, key_lo=lo, key_hi=hi, page_size=page_size
         )
     if page is not None:
+        if page < 0 or page_size < 1:
+            # a negative page would Python-slice from the END of the
+            # block list — wrong data with no error, breaking the
+            # pages-tile-the-query invariant
+            raise ValueError("page= must be >= 0 and page_size >= 1")
         pruned = read_zipnum_page(
             spark, cluster_dir, page, key_lo=lo, key_hi=hi, page_size=page_size
         )
