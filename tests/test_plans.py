@@ -454,3 +454,20 @@ def test_linear_classifier_zero_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "quality_linear_classifier")
     assert "Exchange" not in plan, plan[:500]
     assert "Join" not in plan
+
+
+def test_parquet_index_read_is_three_layer_pruned(spark, sf_dir):
+    """The cc-index-table-layout read must prune at every layer:
+    crawl/subset as PARTITION filters (directories never listed),
+    url_surtkey as a PUSHED scan filter, and the scan must read only
+    the index's data columns (partition values come from directory
+    names, not bytes)."""
+    plan = _plan(spark, sf_dir, "cdx_parquet_index_roundtrip")
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "crawl" in part and "subset" in part, part
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "StringStartsWith(url_surtkey" in pushed, pushed
+    # reading the filtered result is a metadata + scan job: no
+    # exchange may appear above the index scan
+    assert "Exchange" not in plan.split("FileScan parquet", 1)[0]

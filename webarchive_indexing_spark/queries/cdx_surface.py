@@ -2971,3 +2971,56 @@ def cdx_fuzzy_args_keep(spark, sf_dir):
             F.max("ts14").alias("last_ts"),
         )
     )
+
+
+@query(
+    "cdx_parquet_index_roundtrip",
+    oracle=CDX_SQL + """
+    SELECT urlkey AS url_surtkey,
+           'https://example.org/' || digest AS url,
+           strptime(ts14, '%Y%m%d%H%M%S') AS fetch_time,
+           CAST(status AS INT) AS fetch_status,
+           mime AS content_mime_type,
+           digest AS content_digest,
+           filename AS warc_filename,
+           CAST("offset" AS BIGINT) AS warc_record_offset,
+           CAST(length AS BIGINT) AS warc_record_length,
+           'crawl-03' AS crawl, 'warc' AS subset
+    FROM cdx
+    WHERE filename = 'crawl-03.warc.gz' AND status = 200
+      AND urlkey LIKE 'org,example,src3)/%'
+    """,
+)
+def cdx_parquet_index_roundtrip(spark, sf_dir):
+    """S6/S8 columnar index sink end-to-end [B commoncrawl/
+    cc-index-table layout]: write the WHOLE capture corpus as a
+    hive-partitioned (crawl, subset) parquet index sorted by
+    url_surtkey inside every file, then answer a one-crawl,
+    one-subset, key-prefix query THROUGH it and hash-compare the
+    recovered rows (typed fetch_time included) against the oracle's
+    recomputation.  The read is three-layer pruned: crawl/subset are
+    PARTITION filters (other directories never listed), the
+    url_surtkey prefix reaches the scan as a pushed StartsWith, and
+    the range-shuffled sorted layout makes row-group min/max stats
+    tight (plan-asserted in tests/test_plans.py)."""
+    import tempfile
+
+    from ..sinks.parquet_index import (
+        read_parquet_index,
+        to_parquet_index_shape,
+        write_parquet_index,
+    )
+
+    out = tempfile.mkdtemp(prefix="pqidx_rt_")
+    write_parquet_index(
+        to_parquet_index_shape(_zipnum_input(spark, sf_dir)),
+        out,
+        range_partitions=8,
+        mode="overwrite",
+    )
+    idx = read_parquet_index(spark, out)
+    return idx.filter(
+        (F.col("crawl") == "crawl-03")
+        & (F.col("subset") == "warc")
+        & F.col("url_surtkey").startswith("org,example,src3)/")
+    )
