@@ -471,3 +471,28 @@ def test_parquet_index_read_is_three_layer_pruned(spark, sf_dir):
     # reading the filtered result is a metadata + scan job: no
     # exchange may appear above the index scan
     assert "Exchange" not in plan.split("FileScan parquet", 1)[0]
+
+
+def test_bm25_scan_side_no_wide_shuffle(spark, sf_dir):
+    """BM25 must stay two scan passes + a one-row broadcast: no
+    sort-merge join, no rangepartitioning, top-k as
+    TakeOrderedAndProject (never a global sort)."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dsir_models_broadcast_text_stays_out_of_shuffle(spark, sf_dir):
+    """DSIR's feature models are bucket-space-bounded artifacts: the
+    scoring join must be broadcast (no SMJ anywhere), and no exchange
+    may carry the raw text column — grams travel as hashed bucket
+    ids only."""
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    for seg in plan.split("Exchange")[1:]:
+        head = seg.splitlines()[0]
+        assert "text" not in head, head

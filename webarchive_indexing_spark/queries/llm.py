@@ -3411,3 +3411,219 @@ def quality_linear_classifier(spark, sf_dir):
         p.alias("p_keep"),
         F.when(F.col("score_int") >= 0, "keep").otherwise("drop").alias("verdict"),
     )
+
+
+#: BM25 free parameters (Robertson/Okapi defaults) and the demo query.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "window", "filter", "batch")
+
+
+def _bm25_sql() -> str:
+    """DuckDB twin of text_bm25_topk — generated from the same term
+    list and constants so the two engines cannot drift."""
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{q}')) AS tf_{q}"
+        for q in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{q} > 0 THEN 1 ELSE 0 END) AS df_{q}"
+        for q in _BM25_TERMS
+    )
+    term = " + ".join(
+        f"(ln((n - df_{q} + 0.5) / (df_{q} + 0.5) + 1.0) * "
+        f"(tf_{q} * {_BM25_K1 + 1.0}) / "
+        f"(tf_{q} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / (sdl / n))))"
+        for q in _BM25_TERMS
+    )
+    any_tf = " + ".join(f"tf_{q}" for q in _BM25_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) AS sdl,
+             {df_cols}
+      FROM base
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           CAST({any_tf} AS BIGINT) AS tf_total,
+           FLOOR(({term}) * 10000.0 + 0.5) / 10000.0 AS score
+    FROM base, stats
+    WHERE {any_tf} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_sql(), tier="C")
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k retrieval [public: Robertson et al., the
+    default ranking function of Lucene/Elasticsearch] over the
+    documents table for a fixed term set — the lexical-retrieval
+    primitive of RAG/decontamination tooling, expressed with ZERO
+    wide shuffles:
+
+    * per-term tf and doclen are SCAN-SIDE array expressions
+      (``size(filter(tokens, x = q))``) — no explode, no shuffle;
+    * corpus stats (N, Σdl for avgdl, per-term document frequency)
+      reduce to ONE row in a single partial-aggregated pass and are
+      broadcast back via a literal cross join;
+    * idf/tf saturation is the same written-order IEEE-double
+      expression in both engines (hround(4) absorbs ulp wobble);
+    * top-k compiles to TakeOrderedAndProject (plan-asserted) — no
+      global sort at any scale.
+
+    Two corpus scans total; everything between them is one-row.  At
+    100 TB the term list is the only thing that grows the expression
+    (linearly), never the shuffle."""
+    d = widen(t(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+
+    def tf_col(term: str):
+        # NB: the lambda must stay single-argument — PySpark treats a
+        # two-arg higher-order-function lambda as (element, INDEX)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_col(q).alias(f"tf_{q}") for q in _BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dl").cast("decimal(18,6)")).cast("double").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf_{q}") > 0).cast("int")).alias(f"df_{q}")
+            for q in _BM25_TERMS
+        ],
+    )
+    n, sdl = F.col("n"), F.col("sdl")
+    score = None
+    for q in _BM25_TERMS:
+        tf, dfq = F.col(f"tf_{q}"), F.col(f"df_{q}")
+        idf = F.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+        term = idf * (tf * (_BM25_K1 + 1.0)) / (
+            tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / (sdl / n))
+        )
+        score = term if score is None else score + term
+    tf_total = sum(F.col(f"tf_{q}") for q in _BM25_TERMS[1:]) + F.col(
+        f"tf_{_BM25_TERMS[0]}"
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(tf_total > 0)
+        .select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("dl"),
+            tf_total.cast("bigint").alias("tf_total"),
+            hround(score, 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )
+
+
+#: DSIR feature space: hashed word-bigram buckets + add-1 smoothing.
+_DSIR_BUCKETS = 8192
+
+
+def _dsir_sql() -> str:
+    from ..functions.text import sql_shingles, sql_token_hash
+
+    grams = sql_shingles("string_split(text, ' ')", 2)
+    return f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             {sql_token_hash('unnest(' + grams + ')')} % {_DSIR_BUCKETS} AS b
+      FROM documents
+    ), tgt AS (
+      SELECT b, COUNT(*) AS c FROM g WHERE source = 'src1' GROUP BY b
+    ), raw AS (
+      SELECT b, COUNT(*) AS c FROM g WHERE source <> 'src1' GROUP BY b
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM g WHERE source = 'src1') AS t,
+             (SELECT COUNT(*) FROM g WHERE source <> 'src1') AS r
+    ), lr AS (
+      SELECT b.b,
+             ln((COALESCE(tgt.c, 0) + 1.0) / (tot.t + {_DSIR_BUCKETS}))
+               - ln((COALESCE(raw.c, 0) + 1.0) / (tot.r + {_DSIR_BUCKETS})) AS lr
+      FROM (SELECT DISTINCT b FROM g) b
+      LEFT JOIN tgt ON b.b = tgt.b LEFT JOIN raw ON b.b = raw.b, tot
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           FLOOR(CAST(SUM(CAST(lr.lr AS DECIMAL(18,6))) AS DOUBLE) * 10000.0 + 0.5)
+             / 10000.0 AS logweight
+    FROM g JOIN lr ON g.b = lr.b
+    WHERE g.source <> 'src1'
+    GROUP BY g.doc_id
+    ORDER BY logweight DESC, g.doc_id
+    LIMIT 25
+    """
+
+
+@query("dsir_importance_weights", oracle=_dsir_sql(), tier="C")
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection [public: Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"]: score every RAW
+    document by its log importance weight under hashed-bigram
+    bag-of-ngrams models of a TARGET domain (source='src1' here) vs
+    the raw pool, log w(d) = Σ_grams (ln p̂_target(b) − ln p̂_raw(b))
+    with add-1 smoothing over 8192 hash buckets, and keep
+    the top-k — the pretraining-corpus selection step that upweights
+    target-domain-looking raw data.
+
+    Scale shape: one gram explode (grams travel as 8-byte hashed
+    bucket ids, never strings); BOTH feature models and their totals
+    come from one partial-aggregated pass each over the bucket space
+    (≤8192 rows — model artifacts, broadcast); the scoring
+    join is broadcast onto the gram stream, so the corpus shuffles
+    once, keyed by doc_id, carrying (doc_id, decimal) pairs.  Top-k is
+    TakeOrderedAndProject.  The raw corpus's text never crosses an
+    exchange."""
+    from ..functions.text import shingles
+
+    d = widen(t(spark, sf_dir, "documents"))
+    g = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("gram"),
+    ).select(
+        "doc_id",
+        "source",
+        (token_hash(F.col("gram")) % _DSIR_BUCKETS).alias("b"),
+    )
+    is_tgt = F.col("source") == "src1"
+    model = g.groupBy("b").agg(
+        F.sum(is_tgt.cast("long")).alias("ct"),
+        F.sum((~is_tgt).cast("long")).alias("cr"),
+    )
+    tot = g.agg(
+        F.sum(is_tgt.cast("long")).alias("t"),
+        F.sum((~is_tgt).cast("long")).alias("r"),
+    )
+    lr = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("t") + _DSIR_BUCKETS))
+                - F.log((F.col("cr") + 1.0) / (F.col("r") + _DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    return (
+        g.filter(~is_tgt)
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            hround(F.sum(F.col("lr").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "logweight"
+            ),
+        )
+        .orderBy(F.desc("logweight"), "doc_id")
+        .limit(25)
+    )
