@@ -125,6 +125,9 @@ HEADLINE = [
     "docs_url_blocklist_verdicts",
     "quality_linear_classifier",
     "cdx_fuzzy_args_keep",
+    "cdx_parquet_index_roundtrip",
+    "text_bm25_topk",
+    "dsir_importance_weights",
 ]
 
 
