@@ -488,3 +488,65 @@ def test_cdxj_cluster_reads_identically_through_pages_api(spark, cdx):
     )
     b = sorted(map(tuple, read_zipnum(spark, d, key_lo=lo, key_hi=hi).collect()))
     assert a == b and a
+
+
+def test_as_of_epoch_snapshot_reads(spark, tmp_path):
+    """Iceberg-style time travel on the epoch LSM: as_of_epoch=N must
+    reproduce exactly what a reader saw right after epoch N landed —
+    later ingests and later TAKEDOWNS invisible, and a compaction
+    NEWER than the snapshot must not substitute its merged view for
+    the original inputs."""
+    from webarchive_indexing_spark.sinks.zipnum import (
+        compact_zipnum_epochs,
+        read_zipnum_epochs,
+        reserve_epoch_id,
+        write_tombstone_epoch,
+        write_zipnum_epoch,
+    )
+
+    root = str(tmp_path / "lsm")
+
+    def rows(n0, n1):
+        return spark.range(n0, n1).selectExpr(
+            "concat('com,example)/p/', lpad(cast(id as string), 4, '0')) AS urlkey",
+            "concat('2015', lpad(cast(id % 12 + 1 as string), 2, '0'), '01000000') AS timestamp",
+            "'https://example.com/' AS url", "'text/html' AS mime",
+            "200 AS status", "md5(cast(id as string)) AS digest",
+            "cast(NULL as string) AS redirect",
+            "cast(NULL as string) AS robotflags",
+            "1000 AS length", "id * 10 AS offset", "'f.warc.gz' AS filename",
+        )
+
+    write_zipnum_epoch(rows(0, 40), root, reserve_epoch_id(root, "batch:0"),
+                       shards=2, numlines=10)
+    write_zipnum_epoch(rows(40, 70), root, reserve_epoch_id(root, "batch:1"),
+                       shards=2, numlines=10)
+    td = spark.createDataFrame(
+        [("com,example)/p/0005", None)], "urlkey string, timestamp string"
+    )
+    write_tombstone_epoch(td, root, "t:0")  # epoch 2
+
+    assert read_zipnum_epochs(spark, root, as_of_epoch=0).count() == 40
+    assert read_zipnum_epochs(spark, root, as_of_epoch=1).count() == 70
+    assert read_zipnum_epochs(spark, root, as_of_epoch=2).count() == 69
+    assert read_zipnum_epochs(spark, root).count() == 69
+
+    # retained compaction lands as epoch 3; snapshots 0-2 must be
+    # unchanged (resurrecting the original inputs, not the merge)
+    compact_zipnum_epochs(spark, root, shards=2, numlines=10,
+                          retain_inputs=True)
+    assert read_zipnum_epochs(spark, root, as_of_epoch=0).count() == 40
+    assert read_zipnum_epochs(spark, root, as_of_epoch=1).count() == 70
+    # snapshot at the compaction point equals the latest view
+    assert read_zipnum_epochs(spark, root, as_of_epoch=3).count() == 69
+    assert read_zipnum_epochs(spark, root).count() == 69
+
+    # expire reclaims the retained inputs; pre-merge snapshots are
+    # gone, the current view is untouched
+    from webarchive_indexing_spark.sinks.zipnum import expire_snapshots
+
+    assert sorted(expire_snapshots(root)) == [
+        "epoch-000000", "epoch-000001", "epoch-000002"
+    ]
+    assert read_zipnum_epochs(spark, root).count() == 69
+    assert read_zipnum_epochs(spark, root, as_of_epoch=1).count() == 0

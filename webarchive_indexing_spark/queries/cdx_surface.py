@@ -3024,3 +3024,61 @@ def cdx_parquet_index_roundtrip(spark, sf_dir):
         & (F.col("subset") == "warc")
         & F.col("url_surtkey").startswith("org,example,src3)/")
     )
+
+
+@query(
+    "zipnum_time_travel",
+    oracle=CDX_SQL + """
+    SELECT s.snap, c.urlkey, c.ts14 AS timestamp
+    FROM cdx c CROSS JOIN (SELECT unnest([0, 1, 2]) AS snap) s
+    WHERE (s.snap >= 1 OR CAST(substr(c.filename, 7, 2) AS INT) % 2 = 0)
+      AND (s.snap < 2 OR c.urlkey NOT LIKE 'org,example,src2)/%')
+    """,
+)
+def zipnum_time_travel(spark, sf_dir):
+    """ST1 snapshot reads on the incremental index (Iceberg-style
+    time travel over the epoch LSM): ingest even-crawl captures as
+    epoch 0, odd-crawl captures as epoch 1, then a whole-URL takedown
+    of the src2 subtree as tombstone epoch 2 — and read the SAME
+    store at as_of_epoch 0, 1 and 2.  Snapshot 0 sees only the first
+    ingest; snapshot 1 sees both ingests but NOT the later takedown
+    (a snapshot reproduces history); snapshot 2 — the latest — hides
+    every src2 capture.  Epochs are immutable with monotonic ids, so
+    a snapshot is just an id cutoff: no copy-on-write, no extra
+    metadata, and the oracle recomputes all three views relationally.
+    Read cost per snapshot is identical to a live read (per-epoch
+    block pruning + the union), so time travel adds zero scan work
+    at any scale."""
+    import tempfile
+
+    from ..sinks.zipnum import (
+        read_zipnum_epochs,
+        write_tombstone_epoch,
+        write_zipnum_epoch,
+    )
+
+    out = tempfile.mkdtemp(prefix="zipnum_tt_")
+    base = _zipnum_input(spark, sf_dir)
+    crawl_no = F.substring("filename", 7, 2).cast("int")
+    write_zipnum_epoch(
+        base.filter(crawl_no % 2 == 0), out, 0, shards=2, numlines=100
+    )
+    write_zipnum_epoch(
+        base.filter(crawl_no % 2 == 1), out, 1, shards=2, numlines=100
+    )
+    takedown = (
+        base.filter(F.col("urlkey").startswith("org,example,src2)/"))
+        .select("urlkey")
+        .distinct()
+        .withColumn("timestamp", F.lit(None).cast("string"))
+    )
+    write_tombstone_epoch(takedown, out, "takedown:src2")  # epoch 2
+    snaps = [
+        read_zipnum_epochs(spark, out, as_of_epoch=i)
+        .select(F.lit(i).alias("snap"), "urlkey", "timestamp")
+        for i in (0, 1, 2)
+    ]
+    outdf = snaps[0]
+    for s in snaps[1:]:
+        outdf = outdf.unionByName(s)
+    return outdf

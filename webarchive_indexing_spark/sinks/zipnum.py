@@ -673,13 +673,23 @@ def _epoch_names(out_dir: str) -> list[str]:
     )
 
 
-def _subsumed_names(out_dir: str) -> set[str]:
+def _epoch_id(name: str) -> int:
+    return int(name.rsplit("-", 1)[1])
+
+
+def _subsumed_names(out_dir: str, as_of_epoch: int | None = None) -> set[str]:
     """Epoch basenames subsumed by a COMPLETED compaction (transitive:
     an excluded epoch's own ``compaction.inputs`` still counts, so a
-    chain epoch-9⊇epoch-5⊇epoch-0..4 excludes everything but 9)."""
+    chain epoch-9⊇epoch-5⊇epoch-0..4 excludes everything but 9).
+
+    With ``as_of_epoch``, compactions NEWER than the snapshot don't
+    count — a time-travel reader must see the original inputs, not a
+    merge that happened after its snapshot point."""
     fs, _ = _fs_for(out_dir)
     subsumed: set[str] = set()
     for name in _epoch_names(out_dir):
+        if as_of_epoch is not None and _epoch_id(name) > as_of_epoch:
+            continue
         try:
             with fs.open_input_stream(
                 _join(_fs_for(out_dir)[1], name, _COMPACT_INPUTS), compression=None
@@ -690,13 +700,26 @@ def _subsumed_names(out_dir: str) -> set[str]:
     return subsumed
 
 
-def list_epochs(out_dir: str) -> list[str]:
+def list_epochs(out_dir: str, as_of_epoch: int | None = None) -> list[str]:
     """LIVE epoch directories under ``out_dir``, oldest first —
     on-disk epochs minus those a completed compaction has subsumed
     (their data is already in the merged epoch; reading both would
-    duplicate every capture during the rename→delete window)."""
-    dead = _subsumed_names(out_dir)
-    return [_join(out_dir, n) for n in _epoch_names(out_dir) if n not in dead]
+    duplicate every capture during the rename→delete window).
+
+    ``as_of_epoch`` is the snapshot knob (Iceberg-style time travel
+    on the LSM): only epochs with id ≤ the snapshot count, and only
+    compactions at or before it subsume — so the listing reproduces
+    exactly what a reader saw the moment that epoch landed.  Caveat
+    (same as any snapshot store): travel reaches only epochs whose
+    directories still exist — a retention sweep that deletes
+    compaction INPUTS expires the snapshots that predate the merge."""
+    dead = _subsumed_names(out_dir, as_of_epoch)
+    return [
+        _join(out_dir, n)
+        for n in _epoch_names(out_dir)
+        if n not in dead
+        and (as_of_epoch is None or _epoch_id(n) <= as_of_epoch)
+    ]
 
 
 def write_zipnum_epoch(
@@ -756,14 +779,20 @@ def write_tombstone_epoch(
     return eid
 
 
-def _read_tombstones(out_dir: str) -> tuple[list[str], list[tuple[str, str]]]:
+def _read_tombstones(
+    out_dir: str, as_of_epoch: int | None = None
+) -> tuple[list[str], list[tuple[str, str]]]:
     """(whole-url keys, exact (urlkey, ts) pairs) across all LIVE
     epochs — tombstone-only epochs plus carried-forward lists inside
-    compacted epochs."""
+    compacted epochs.  ``as_of_epoch`` bounds the listing the same
+    way as data epochs: a takedown filed after the snapshot point is
+    not visible in it (the snapshot reproduces history; serving
+    CURRENT data must use the latest snapshot, where every tombstone
+    applies)."""
     fs, _ = _fs_for(out_dir)
     wild: list[str] = []
     exact: list[tuple[str, str]] = []
-    for e in list_epochs(out_dir):
+    for e in list_epochs(out_dir, as_of_epoch):
         _, local = _fs_for(e)
         try:
             with fs.open_input_stream(
@@ -797,14 +826,23 @@ def read_zipnum_epochs(
     *,
     key_lo: str | None = None,
     key_hi: str | None = None,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Merged view over every epoch: each epoch prunes its own blocks
     against [key_lo, key_hi) independently (the secondary indexes are
     per-epoch), then the survivors union, then live tombstones hide
     taken-down captures (broadcast anti-joins — exclusion lists are
     metadata-sized).  Read cost grows with epoch count — that is the
-    read amplification compaction exists to bound."""
-    epochs = [e for e in list_epochs(out_dir) if _has_cluster(e)]
+    read amplification compaction exists to bound.
+
+    ``as_of_epoch`` gives Iceberg-style snapshot reads on the LSM:
+    the view as it stood right after that epoch landed — later
+    ingests, later takedowns, and later compactions are all invisible
+    (epochs are immutable and ids monotonic, so a snapshot is just an
+    id cutoff; see ``list_epochs`` for the retention caveat)."""
+    epochs = [
+        e for e in list_epochs(out_dir, as_of_epoch) if _has_cluster(e)
+    ]
     if not epochs:
         return parse_cdx_lines(
             spark.createDataFrame([], T.StructType([T.StructField("value", T.StringType())]))
@@ -815,7 +853,7 @@ def read_zipnum_epochs(
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df)
-    wild, exact = _read_tombstones(out_dir)
+    wild, exact = _read_tombstones(out_dir, as_of_epoch)
     if wild:
         wdf = out.sparkSession.createDataFrame([(k,) for k in wild], "urlkey string")
         out = out.join(F.broadcast(wdf), "urlkey", "left_anti")
@@ -827,12 +865,33 @@ def read_zipnum_epochs(
     return out
 
 
+def expire_snapshots(out_dir: str) -> list[str]:
+    """Reclaim the space a ``retain_inputs`` compaction kept: delete
+    every on-disk epoch a completed compaction has subsumed.  After
+    this, ``as_of_epoch`` snapshots that predate the oldest surviving
+    compaction are expired — readers fall back to the merged view's
+    history, exactly Iceberg's expire-snapshots contract.  Deletion
+    runs in ascending id order so a crash mid-sweep never breaks the
+    exclusion chain (a subsuming epoch outlives what it excludes).
+    Returns the deleted basenames."""
+    root_fs, root_local = _fs_for(out_dir)
+    gone: list[str] = []
+    for name in sorted(_subsumed_names(out_dir) & set(_epoch_names(out_dir))):
+        try:
+            root_fs.delete_dir(_join(root_local, name))
+            gone.append(name)
+        except OSError:
+            pass
+    return gone
+
+
 def compact_zipnum_epochs(
     spark: SparkSession,
     out_dir: str,
     *,
     shards: int = 4,
     numlines: int = 3000,
+    retain_inputs: bool = False,
 ) -> DataFrame:
     """Fold ALL live epochs into a single new epoch (leveled merge),
     atomically for readers and crashes:
@@ -849,17 +908,20 @@ def compact_zipnum_epochs(
 
     The epoch id comes from the shared manifest allocator, keyed by the
     input range so a crashed-and-rerun compaction of the same inputs is
-    idempotent (same slot, rewritten)."""
-    # reclaim dead epochs a crashed predecessor never deleted.
-    # Ascending id order keeps the exclusion chain consistent if THIS
-    # sweep crashes too: a subsuming epoch (higher id, by manifest
-    # monotonicity) is only removed after everything it excludes.
-    root_fs, root_local_ = _fs_for(out_dir)
-    for name in sorted(_subsumed_names(out_dir) & set(_epoch_names(out_dir))):
-        try:
-            root_fs.delete_dir(_join(root_local_, name))
-        except OSError:
-            pass
+    idempotent (same slot, rewritten).
+
+    ``retain_inputs=True`` keeps the subsumed input directories on
+    disk (steps 1-3 only): correctness never depended on the deletes,
+    and retaining them keeps PRE-compaction ``as_of_epoch`` snapshots
+    readable (the Iceberg retention model — compaction rewrites,
+    ``expire_snapshots`` reclaims)."""
+    if not retain_inputs:
+        # reclaim dead epochs a crashed predecessor never deleted.
+        # Ascending id order keeps the exclusion chain consistent if
+        # THIS sweep crashes too: a subsuming epoch (higher id, by
+        # manifest monotonicity) is only removed after everything it
+        # excludes.
+        expire_snapshots(out_dir)
 
     epochs = list_epochs(out_dir)
     if not epochs:
@@ -905,9 +967,10 @@ def compact_zipnum_epochs(
     with fs.open_output_stream(_join(final, "cluster.loc"), compression=None) as fh:
         for s in names:
             fh.write(f"{s}\t{_join(final_uri, s)}\n".encode())
-    for e in epochs:
-        efs, local = _fs_for(e)
-        efs.delete_dir(local)
+    if not retain_inputs:
+        for e in epochs:
+            efs, local = _fs_for(e)
+            efs.delete_dir(local)
     return (
         spark.read.schema(IDX_SCHEMA)
         .options(sep="\t", quote="", lineSep="\n")
