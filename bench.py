@@ -128,6 +128,7 @@ HEADLINE = [
     "cdx_parquet_index_roundtrip",
     "text_bm25_topk",
     "dsir_importance_weights",
+    "zipnum_time_travel",
 ]
 
 
