@@ -660,3 +660,54 @@ def test_cli_clean_errors_and_text_annotations(spark, warc_manifest,
     assert plain_fields is not None and len(plain_fields) == 14
     # groupcount is a positive int, skipcount non-negative
     assert int(plain_fields[11]) >= 1 and int(plain_fields[12]) >= 0
+
+
+def test_cli_epoch_store_query_and_time_travel(spark, warc_manifest,
+                                               tmp_path, capsys):
+    """argv-level epoch-store serving: two update-index batches, then
+    the query subcommand with --epochs (merged view), --as-of-epoch
+    (snapshot sees only batch 1), and the single-cluster page refusal
+    as a clean exit 2."""
+    import glob
+    import json as _json
+
+    from webarchive_indexing_spark.__main__ import main
+
+    d = os.path.dirname(warc_manifest)
+    paths = sorted(glob.glob(os.path.join(d, "crawl-*.warc.gz")))
+    m1 = str(tmp_path / "m1.txt")
+    m2 = str(tmp_path / "m2.txt")
+    with open(m1, "w") as fh:
+        fh.write("\n".join(paths[:2]) + "\n")
+    with open(m2, "w") as fh:
+        fh.write("\n".join(paths[2:]) + "\n")
+    out = str(tmp_path / "store")
+    assert main(["update-index", m1, out, "--shards", "2",
+                 "--numlines", "3"]) == 0
+    assert main(["update-index", m2, out, "--shards", "2",
+                 "--numlines", "3"]) == 0
+    capsys.readouterr()
+
+    url = "https://example.com/"
+    argv = ["query", out, url, "--match-type", "prefix",
+            "--output", "json", "--epochs"]
+    assert main(argv) == 0
+    full = [_json.loads(ln)
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert main(argv + ["--as-of-epoch", "0"]) == 0
+    snap0 = [_json.loads(ln)
+             for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    # batch 1 = crawl-00/01 only; the merged view adds crawl-02/03
+    assert {r["filename"] for r in snap0} == {"crawl-00.warc.gz",
+                                              "crawl-01.warc.gz"}
+    assert {r["filename"] for r in full} == {f"crawl-{i:02d}.warc.gz"
+                                             for i in range(4)}
+    assert len(full) > len(snap0)
+
+    # block-run paging is a single-cluster contract
+    assert main(argv + ["--page", "0"]) == 2
+    assert "single-cluster" in capsys.readouterr().err
+    # --as-of-epoch without --epochs is a user error
+    assert main(["query", out, url, "--match-type", "prefix",
+                 "--as-of-epoch", "0"]) == 2
+    assert "--epochs" in capsys.readouterr().err

@@ -121,6 +121,14 @@ def _parser() -> argparse.ArgumentParser:
                    help="print the secondary-index block lines themselves")
     q.add_argument("--fields", default=None, help="comma-separated fl= projection")
     q.add_argument("--output", default="text", choices=["text", "json"])
+    q.add_argument("--epochs", action="store_true",
+                   help="CLUSTER_DIR is an incremental epoch store "
+                        "(update-index output): every epoch block-prunes, "
+                        "survivors union, takedown tombstones apply")
+    q.add_argument("--as-of-epoch", dest="as_of_epoch", type=int,
+                   default=None, metavar="N",
+                   help="snapshot time travel (with --epochs): answer as "
+                        "the index stood right after epoch N landed")
 
     tm = sub.add_parser("timemap", help="Memento TimeMap for one URI-R "
                                         "over a cluster (RFC 7089 / pywb "
@@ -239,7 +247,17 @@ def _dispatch(args, spark) -> int:
                   "pages the default order (no --fields/--sort-reverse/"
                   "--closest)", file=sys.stderr)
             return 2
+        if args.as_of_epoch is not None and not args.epochs:
+            print("error: --as-of-epoch needs --epochs (snapshots live in "
+                  "the incremental store)", file=sys.stderr)
+            return 2
         if args.show_num_pages or args.show_paged_index:
+            if args.epochs:
+                print("error: --show-num-pages/--show-paged-index are "
+                      "single-cluster (block-run) requests; compact the "
+                      "store and page the merged cluster",
+                      file=sys.stderr)
+                return 2
             # index-structure answers: no residual query pipeline
             df = query_index(
                 spark, args.cluster_dir, args.url,
@@ -250,8 +268,7 @@ def _dispatch(args, spark) -> int:
             for row in df.toLocalIterator():
                 print(" ".join(str(v) for v in row))
             return 0
-        df = query_index(
-            spark, args.cluster_dir, args.url,
+        shared = dict(
             match_type=args.match_type, from_=args.from_, to=args.to,
             filters=args.filters or None, collapse=args.collapse,
             collapse_to_last=args.collapse_to_last,
@@ -260,11 +277,25 @@ def _dispatch(args, spark) -> int:
             resume_key=resume_key, tiebreak=args.tiebreak,
             closest=args.closest, sort_reverse=args.sort_reverse,
             fuzzy=args.fuzzy or bool(args.fuzzy_rules), limit=args.limit,
-            offset=args.offset, page=args.page, page_size=args.page_size,
+            offset=args.offset,
             fields=args.fields.split(",") if args.fields else None,
             acl_rules=acl_rules, embargo=embargo, as_of=args.as_of,
             **extra,
         )
+        if args.epochs:
+            from .operators.cdx_query import cdx_query_epochs
+
+            # page= forwards so the operator's single-cluster
+            # refusal surfaces as the clean exit-2 convention
+            df = cdx_query_epochs(
+                spark, args.cluster_dir, args.url,
+                as_of_epoch=args.as_of_epoch, page=args.page, **shared,
+            )
+        else:
+            df = query_index(
+                spark, args.cluster_dir, args.url,
+                page=args.page, page_size=args.page_size, **shared,
+            )
         # stream through the driver: toLocalIterator holds one
         # partition at a time, so an unbounded prefix/domain query
         # without --limit cannot OOM the driver heap

@@ -963,6 +963,78 @@ def cdx_query(
     return df
 
 
+def _query_prune_range(
+    url: str, match_type: str | None, kwargs: dict
+) -> tuple[str, str, str | None, str | None]:
+    """Shared front half of the indexed query surfaces: wildcard
+    matchType inference, the urlkey key range for block pruning, and
+    the fuzzy widening (the prune range becomes the UNION of the
+    exact and rule-rewritten keys' ranges — a mid-string strip can
+    sort either side of the exact key, so neither ordering may be
+    assumed).  Returns (url, match_type, key_lo, key_hi)."""
+    url, match_type = infer_match_type(url, match_type)
+    exact, lo, hi = _key_range(url, match_type)
+    if exact is not None and kwargs.get("fuzzy"):
+        spec = fuzzy_retry_spec(
+            exact, kwargs.get("fuzzy_rules", DEFAULT_FUZZY_RULES)
+        )
+        if spec is not None:
+            kind, target = spec[0], spec[1]
+            # key retry: one more exact key; prefix (param-echo) retry:
+            # the whole truncated-prefix range must be readable
+            t_hi = target + ("~" if kind == "prefix" else "!")
+            if kind == "prefix" or target != exact:
+                lo = min(lo, target) if lo is not None else target
+                hi = max(hi, t_hi) if hi is not None else t_hi
+    return url, match_type, lo, hi
+
+
+def cdx_query_epochs(
+    spark: SparkSession,
+    store_dir: str,
+    url: str,
+    *,
+    match_type: str | None = None,
+    as_of_epoch: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """The cdx-server query surface against the INCREMENTAL epoch
+    store (``update_index`` / ``stream_zipnum_epochs`` output) —
+    every epoch prunes its own secondary-index blocks against the
+    same key range, the survivors union, live tombstones apply, and
+    the shared residual pipeline (filters, collapse, closest, sort,
+    limit, resume_key) runs on the merged view.  ``as_of_epoch``
+    composes snapshot time travel with the full query grammar: the
+    identical request answered as the index stood at that epoch.
+
+    Block-run pagination (``page=``/``show_num_pages``) is a
+    SINGLE-cluster contract — block numbering is per-epoch, so pages
+    could not tile a multi-epoch store; those requests raise here and
+    belong on a compacted cluster (``cdx_query_zipnum``).  Deep
+    paging via ``resume_key`` works: the continuation lifts every
+    epoch's block-prune lower bound at once."""
+    from ..sinks.zipnum import read_zipnum_epochs
+
+    # page=0 is a real request, and 0 == False in Python — so the
+    # int-valued knob checks absence explicitly, never falsiness
+    if kwargs.pop("page", None) is not None or kwargs.pop(
+        "show_num_pages", False
+    ) or kwargs.pop("show_paged_index", False):
+        raise ValueError(
+            "page=/show_num_pages/show_paged_index are single-cluster "
+            "(block-run) contracts; compact the store and page the "
+            "merged cluster, or page rows with resume_key="
+        )
+    url, match_type, lo, hi = _query_prune_range(url, match_type, kwargs)
+    rk = kwargs.get("resume_key")
+    if rk is not None:
+        lo = rk[0] if lo is None else max(lo, rk[0])
+    pruned = read_zipnum_epochs(
+        spark, store_dir, key_lo=lo, key_hi=hi, as_of_epoch=as_of_epoch
+    )
+    return cdx_query(pruned, url, match_type=match_type, **kwargs)
+
+
 def cdx_query_zipnum(
     spark: SparkSession,
     cluster_dir: str,
@@ -1007,20 +1079,7 @@ def cdx_query_zipnum(
         read_zipnum_paged_index,
     )
 
-    url, match_type = infer_match_type(url, match_type)
-    exact, lo, hi = _key_range(url, match_type)
-    if exact is not None and kwargs.get("fuzzy"):
-        spec = fuzzy_retry_spec(
-            exact, kwargs.get("fuzzy_rules", DEFAULT_FUZZY_RULES)
-        )
-        if spec is not None:
-            kind, target = spec[0], spec[1]
-            # key retry: one more exact key; prefix (param-echo) retry:
-            # the whole truncated-prefix range must be readable
-            t_hi = target + ("~" if kind == "prefix" else "!")
-            if kind == "prefix" or target != exact:
-                lo = min(lo, target) if lo is not None else target
-                hi = max(hi, t_hi) if hi is not None else t_hi
+    url, match_type, lo, hi = _query_prune_range(url, match_type, kwargs)
     rk = kwargs.get("resume_key")
     if rk is not None:
         if page is not None:

@@ -3082,3 +3082,60 @@ def zipnum_time_travel(spark, sf_dir):
     for s in snaps[1:]:
         outdf = outdf.unionByName(s)
     return outdf
+
+
+@query(
+    "cdx_epoch_query_asof",
+    oracle=CDX_SQL + """
+    SELECT 1 AS snap, urlkey, ts14 AS timestamp, status
+    FROM cdx
+    WHERE urlkey LIKE 'org,example,src2)/%' AND status = 200
+      AND ts14 >= '2015' AND ts14 < '2017'
+    """,
+)
+def cdx_epoch_query_asof(spark, sf_dir):
+    """ST1 composed surface: the SAME cdx-server request (domain
+    match + status filter + from/to) against the incremental epoch
+    store at two snapshots.  The src2 subtree is ingested across two
+    epochs, then taken down by tombstone epoch 2 — so the request at
+    ``as_of_epoch=1`` returns its captures and the identical request
+    at the latest snapshot returns NOTHING (the takedown applies to
+    every epoch, past and future).  The union is the oracle-checked
+    result: the oracle recomputes snapshot 1 relationally, and the
+    empty snapshot-2 contribution is verified by the row-count match.
+    Per-epoch block pruning still applies at each snapshot — the
+    domain key range prunes every epoch's secondary index before any
+    shard bytes are read."""
+    import tempfile
+
+    from ..operators.cdx_query import cdx_query_epochs
+    from ..sinks.zipnum import write_tombstone_epoch, write_zipnum_epoch
+
+    out = tempfile.mkdtemp(prefix="zipnum_eq_")
+    base = _zipnum_input(spark, sf_dir)
+    crawl_no = F.substring("filename", 7, 2).cast("int")
+    write_zipnum_epoch(
+        base.filter(crawl_no % 2 == 0), out, 0, shards=2, numlines=100
+    )
+    write_zipnum_epoch(
+        base.filter(crawl_no % 2 == 1), out, 1, shards=2, numlines=100
+    )
+    takedown = (
+        base.filter(F.col("urlkey").startswith("org,example,src2)/"))
+        .select("urlkey")
+        .distinct()
+        .withColumn("timestamp", F.lit(None).cast("string"))
+    )
+    write_tombstone_epoch(takedown, out, "takedown:src2")  # epoch 2
+
+    def req(as_of):
+        return cdx_query_epochs(
+            spark, out, "https://src2.example.org", match_type="domain",
+            filters=["=status:200"], from_="2015", to="2016",
+            as_of_epoch=as_of,
+        ).select(
+            F.lit(1 if as_of == 1 else 2).alias("snap"),
+            "urlkey", "timestamp", "status",
+        )
+
+    return req(1).unionByName(req(None))
