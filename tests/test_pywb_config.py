@@ -512,7 +512,10 @@ def test_sql_acl_access_empty_rules_and_embargo_shape():
 
     assert sql_acl_access("k", []) == "'allow'"
     s = sql_acl_access("k", [], embargo={"after": "2016"})
-    assert s == "CASE WHEN timestamp > '20169999999999' THEN 'exclude' ELSE 'allow' END"
+    assert s == (
+        "CASE WHEN (timestamp > '20169999999999' OR timestamp IS NULL) "
+        "THEN 'exclude' ELSE 'allow' END"
+    )  # NULL ts14 fails CLOSED — see _embargo_pred
     # no-embargo output is byte-identical to the pre-embargo engine's
     assert sql_acl_access("k", [("p", "block")]) == (
         "CASE WHEN substr(k, 1, 1) = 'p' THEN 'block' ELSE 'allow' END"
