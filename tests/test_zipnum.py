@@ -550,3 +550,130 @@ def test_as_of_epoch_snapshot_reads(spark, tmp_path):
     ]
     assert read_zipnum_epochs(spark, root).count() == 69
     assert read_zipnum_epochs(spark, root, as_of_epoch=1).count() == 0
+
+
+def test_lsm_snapshot_model_randomized(spark, tmp_path):
+    """Model-based check of the epoch LSM + snapshots: a seeded random
+    sequence of ingest / takedown / retained-compaction operations is
+    replayed against a pure-Python reference model, then EVERY
+    snapshot id (and the latest view) must return exactly the model's
+    visible row set.  This pins the interaction space the
+    scenario tests sample point-wise: tombstones across compactions,
+    compactions subsuming tombstone-only epochs, snapshots straddling
+    all of it."""
+    import random
+
+    from webarchive_indexing_spark.sinks.zipnum import (
+        compact_zipnum_epochs,
+        read_zipnum_epochs,
+        reserve_epoch_id,
+        write_tombstone_epoch,
+        write_zipnum_epoch,
+    )
+
+    def run_scenario(seed, root):
+        rng = random.Random(seed)
+        # model: epoch id -> ("data", rows) | ("tomb", keys) |
+        #        ("compact", rows, tombs, subsumed_ids)
+        epochs = {}
+        next_key = [0]
+
+        def visible(as_of=None):
+            # live = epochs minus those subsumed by a compaction <= as_of
+            ids = [i for i in sorted(epochs) if as_of is None or i <= as_of]
+            dead = set()
+            for i in ids:
+                if epochs[i][0] == "compact":
+                    dead |= epochs[i][3]
+            live = [i for i in ids if i not in dead]
+            rows, tombs = set(), set()
+            for i in live:
+                kind = epochs[i][0]
+                if kind == "data":
+                    rows |= epochs[i][1]
+                elif kind == "tomb":
+                    tombs |= set(epochs[i][1])
+                else:
+                    rows |= epochs[i][1]
+                    tombs |= set(epochs[i][2])
+            wild = {k for k, ts in tombs if ts is None}
+            exact = {(k, ts) for k, ts in tombs if ts is not None}
+            return {
+                (k, ts)
+                for k, ts in rows
+                if k not in wild and (k, ts) not in exact
+            }
+
+        def ingest():
+            lo = next_key[0]
+            n = rng.randint(5, 15)
+            next_key[0] += n
+            rows = {
+                (f"com,example)/p/{i:05d}", f"2015{i % 12 + 1:02d}01000000")
+                for i in range(lo, lo + n)
+            }
+            df = spark.createDataFrame(
+                [
+                    (k, ts, "https://e/", "text/html", 200, "d", None, None,
+                     10, 0, "f.warc.gz")
+                    for k, ts in sorted(rows)
+                ],
+                "urlkey string, timestamp string, url string, mime string, "
+                "status int, digest string, redirect string, "
+                "robotflags string, length long, offset long, filename string",
+            )
+            eid = reserve_epoch_id(root, f"batch:{len(epochs)}")
+            write_zipnum_epoch(df, root, eid, shards=2, numlines=5)
+            epochs[eid] = ("data", rows)
+
+        def takedown():
+            pool = sorted(visible())
+            if not pool:
+                return
+            picks = rng.sample(pool, min(len(pool), rng.randint(1, 4)))
+            keys = [
+                (k, None if rng.random() < 0.5 else ts) for k, ts in picks
+            ]
+            df = spark.createDataFrame(keys, "urlkey string, timestamp string")
+            eid = write_tombstone_epoch(df, root, f"t:{len(epochs)}")
+            epochs[eid] = ("tomb", keys)
+
+        def compact():
+            if not any(kind == "data" for kind, *_ in epochs.values()):
+                return
+            dead = set()
+            for i in sorted(epochs):
+                if epochs[i][0] == "compact":
+                    dead |= epochs[i][3]
+            live = {i for i in epochs if i not in dead}
+            rows = visible()
+            tombs = set()
+            for i in live:
+                if epochs[i][0] == "tomb":
+                    tombs |= set(epochs[i][1])
+                elif epochs[i][0] == "compact":
+                    tombs |= set(epochs[i][2])
+            compact_zipnum_epochs(spark, root, shards=2, numlines=5,
+                                  retain_inputs=True)
+            eid = max(
+                int(p.rsplit("-", 1)[1])
+                for p in __import__("os").listdir(root)
+                if p.startswith("epoch-")
+            )
+            epochs[eid] = ("compact", rows, tombs, live)
+
+        ingest()  # guarantee a first epoch
+        for _ in range(6):
+            rng.choice([ingest, ingest, takedown, compact])()
+
+        for as_of in [*sorted(epochs), None]:
+            got = {
+                (r["urlkey"], r["timestamp"])
+                for r in read_zipnum_epochs(
+                    spark, root, as_of_epoch=as_of
+                ).collect()
+            }
+            assert got == visible(as_of), (seed, as_of)
+
+    for seed in (7, 23):
+        run_scenario(seed, str(tmp_path / f"lsm{seed}"))

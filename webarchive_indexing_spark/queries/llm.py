@@ -3627,3 +3627,139 @@ def dsir_importance_weights(spark, sf_dir):
         .orderBy(F.desc("logweight"), "doc_id")
         .limit(25)
     )
+
+
+@query(
+    "graph_hits_hubs_authorities",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src, dst FROM (
+        SELECT doc_id, unnest([
+          (doc_id * 13 + 7) % (SELECT n FROM n),
+          (doc_id * 29 + 3) % (SELECT n FROM n),
+          (doc_id * 7 + 1) % (SELECT n FROM n)
+        ]) AS dst
+        FROM documents
+      )
+    ),
+    h0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS h FROM documents),
+    a1r AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(h0.h AS DECIMAL(28,14))) AS DOUBLE) AS a
+      FROM edges e JOIN h0 ON e.src = h0.node GROUP BY e.dst
+    ),
+    a1 AS (
+      SELECT h0.node, COALESCE(a1r.a, CAST(0.0 AS DOUBLE)) AS a
+      FROM h0 LEFT JOIN a1r ON h0.node = a1r.node
+    ),
+    h1r AS (
+      SELECT e.src AS node,
+             CAST(SUM(CAST(a1.a AS DECIMAL(28,14))) AS DOUBLE) AS h
+      FROM edges e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+    ),
+    h1 AS (
+      SELECT a1.node, COALESCE(h1r.h, CAST(0.0 AS DOUBLE)) AS h
+      FROM a1 LEFT JOIN h1r ON a1.node = h1r.node
+    ),
+    z1 AS (
+      SELECT CAST(SUM(CAST(a AS DECIMAL(28,14))) AS DOUBLE) AS za,
+             CAST(SUM(CAST(h AS DECIMAL(28,14))) AS DOUBLE) AS zh
+      FROM a1 JOIN h1 USING (node)
+    ),
+    n1 AS (
+      SELECT a1.node, a1.a / z1.za AS a, h1.h / z1.zh AS h
+      FROM a1 JOIN h1 USING (node) CROSS JOIN z1
+    ),
+    a2r AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(n1.h AS DECIMAL(28,14))) AS DOUBLE) AS a
+      FROM edges e JOIN n1 ON e.src = n1.node GROUP BY e.dst
+    ),
+    a2 AS (
+      SELECT n1.node, COALESCE(a2r.a, CAST(0.0 AS DOUBLE)) AS a
+      FROM n1 LEFT JOIN a2r ON n1.node = a2r.node
+    ),
+    h2r AS (
+      SELECT e.src AS node,
+             CAST(SUM(CAST(a2.a AS DECIMAL(28,14))) AS DOUBLE) AS h
+      FROM edges e JOIN a2 ON e.dst = a2.node GROUP BY e.src
+    ),
+    h2 AS (
+      SELECT a2.node, COALESCE(h2r.h, CAST(0.0 AS DOUBLE)) AS h
+      FROM a2 LEFT JOIN h2r ON a2.node = h2r.node
+    ),
+    z2 AS (
+      SELECT CAST(SUM(CAST(a AS DECIMAL(28,14))) AS DOUBLE) AS za,
+             CAST(SUM(CAST(h AS DECIMAL(28,14))) AS DOUBLE) AS zh
+      FROM a2 JOIN h2 USING (node)
+    )
+    SELECT a2.node,
+           FLOOR(a2.a / z2.za * 100000000.0 + 0.5) / 100000000.0 AS authority,
+           FLOOR(h2.h / z2.zh * 100000000.0 + 0.5) / 100000000.0 AS hub
+    FROM a2 JOIN h2 USING (node) CROSS JOIN z2
+    """,
+    tier="C",
+)
+def graph_hits_hubs_authorities(spark, sf_dir):
+    """HITS (Kleinberg hubs & authorities), two L1-normalized
+    iterations over the same deterministic 3-out-edge link graph as
+    graph_pagerank_iterations — the complementary reputation signal:
+    PageRank scores endorsement mass, HITS separates pages that POINT
+    WELL (hubs: link indexes, sitemaps) from pages POINTED AT well
+    (authorities) — the distinction seed-list curation and boilerplate
+    demotion use.
+
+    Scale shape, identical discipline to PageRank: both score vectors
+    are DATA; each half-step is one edges⋈scores equi-join plus a
+    groupBy exchange carrying (node, partial-sum) pairs; the L1
+    normalizers are one-row aggregates broadcast back (decimal-summed
+    so in-link arrival order can't flip the hash); no driver-side
+    vectors, no N×N anything."""
+    d = t(spark, sf_dir, "documents")
+    n = d.count()  # parameterizes the edge formula — see pagerank note
+    doc = F.col("doc_id")
+    edges = d.select(
+        doc.alias("src"),
+        F.explode(
+            F.array(
+                (doc * 13 + 7) % n, (doc * 29 + 3) % n, (doc * 7 + 1) % n
+            )
+        ).alias("dst"),
+    )
+    nodes = d.select(doc.alias("node"))
+    hubs = nodes.select("node", F.lit(1.0).alias("h"))
+
+    def half_step(scores, score_col, join_on, group_on, out_col):
+        agg = (
+            edges.join(scores, edges[join_on] == scores["node"])
+            .select(
+                F.col(group_on).alias("node"),
+                F.col(score_col).cast("decimal(28,14)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias(out_col))
+        )
+        return nodes.join(agg, "node", "left").select(
+            "node", F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col)
+        )
+
+    for _ in range(2):
+        auths = half_step(hubs, "h", "src", "dst", "a")
+        hubs = half_step(auths, "a", "dst", "src", "h")
+        both = auths.join(hubs, "node")
+        z = both.agg(
+            F.sum(F.col("a").cast("decimal(28,14)")).cast("double").alias("za"),
+            F.sum(F.col("h").cast("decimal(28,14)")).cast("double").alias("zh"),
+        )
+        both = both.crossJoin(F.broadcast(z))
+        auths = both.select("node", (F.col("a") / F.col("za")).alias("a"))
+        hubs = both.select("node", (F.col("h") / F.col("zh")).alias("h"))
+    return (
+        auths.join(hubs, "node")
+        .select(
+            "node",
+            hround(F.col("a"), 8).alias("authority"),
+            hround(F.col("h"), 8).alias("hub"),
+        )
+    )
