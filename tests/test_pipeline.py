@@ -711,3 +711,32 @@ def test_cli_epoch_store_query_and_time_travel(spark, warc_manifest,
     assert main(["query", out, url, "--match-type", "prefix",
                  "--as-of-epoch", "0"]) == 2
     assert "--epochs" in capsys.readouterr().err
+
+
+def test_cli_parquet_index_build_and_query(spark, warc_manifest,
+                                           tmp_path, capsys):
+    """argv-level columnar backend: build-parquet-index from a
+    manifest, then the query subcommand with --parquet-index answers
+    the same request shape the ZipNum path serves (and the block-run
+    page flags are refused cleanly)."""
+    import json as _json
+
+    from webarchive_indexing_spark.__main__ import main
+
+    out = str(tmp_path / "pqidx")
+    assert main(["build-parquet-index", warc_manifest, out,
+                 "--range-partitions", "2"]) == 0
+    capsys.readouterr()
+    assert main(["query", out, "https://example.com/", "--match-type",
+                 "prefix", "--parquet-index", "--output", "json",
+                 "--filter", "=status:200", "--from", "2015"]) == 0
+    rows = [_json.loads(ln)
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert rows and all(r["status"] == 200 for r in rows)
+    assert all(r["urlkey"].startswith("com,example)/") for r in rows)
+    assert main(["query", out, "https://example.com/", "--match-type",
+                 "prefix", "--parquet-index", "--page", "0"]) == 2
+    assert "block-run" in capsys.readouterr().err
+    assert main(["query", out, "https://example.com/", "--epochs",
+                 "--parquet-index"]) == 2
+    assert "pick one" in capsys.readouterr().err

@@ -496,3 +496,24 @@ def test_dsir_models_broadcast_text_stays_out_of_shuffle(spark, sf_dir):
     for seg in plan.split("Exchange")[1:]:
         head = seg.splitlines()[0]
         assert "text" not in head, head
+
+
+def test_parquet_backend_query_pushes_key_and_time_bounds(spark, sf_dir):
+    """The parquet-backend cdx query must need no hand pruning: the
+    urlkey prefix pushes through the rename projection as a
+    StartsWith on url_surtkey, and the redundant typed fetch_time
+    bounds push beside it (the ts14 string compare can't)."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(spark, sf_dir, "cdx_parquet_index_query")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    scan = plan.split("FileScan parquet", 1)[1]
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    # the prefix match compiles to a sargable key RANGE on the sorted
+    # layout, and the typed time bounds ride beside it
+    assert "GreaterThanOrEqual(url_surtkey" in pushed, pushed
+    assert "LessThan(url_surtkey" in pushed, pushed
+    assert "GreaterThanOrEqual(fetch_time" in pushed, pushed
+    assert "LessThan(fetch_time" in pushed, pushed

@@ -7,6 +7,7 @@ user can run the same workflow without writing driver code:
     python -m webarchive_indexing_spark zipnum-cluster CDX_DIR OUT_DIR
     python -m webarchive_indexing_spark build-index  MANIFEST OUT_DIR
     python -m webarchive_indexing_spark update-index MANIFEST OUT_DIR
+    python -m webarchive_indexing_spark build-parquet-index MANIFEST OUT
     python -m webarchive_indexing_spark query OUT_DIR URL [options]
 
 ``build-index`` is jobs 1+2+3 in one call (the split-point sampling
@@ -47,6 +48,14 @@ def _parser() -> argparse.ArgumentParser:
     bi.add_argument("--shards", type=int, default=8)
     bi.add_argument("--numlines", type=int, default=3000)
     bi.add_argument("--files-per-task", type=int, default=2)
+
+    bp = sub.add_parser("build-parquet-index",
+                        help="manifest -> columnar (cc-index-table-layout) "
+                             "parquet index")
+    bp.add_argument("manifest")
+    bp.add_argument("out_dir")
+    bp.add_argument("--range-partitions", type=int, default=8)
+    bp.add_argument("--files-per-task", type=int, default=2)
 
     ui = sub.add_parser("update-index", help="incremental crawl ingest (epoch LSM)")
     ui.add_argument("manifest")
@@ -129,6 +138,10 @@ def _parser() -> argparse.ArgumentParser:
                    default=None, metavar="N",
                    help="snapshot time travel (with --epochs): answer as "
                         "the index stood right after epoch N landed")
+    q.add_argument("--parquet-index", action="store_true",
+                   help="CLUSTER_DIR is a columnar (cc-index-table-layout) "
+                        "parquet index: key and time bounds push into the "
+                        "scan, no block pruning needed")
 
     tm = sub.add_parser("timemap", help="Memento TimeMap for one URI-R "
                                         "over a cluster (RFC 7089 / pywb "
@@ -185,6 +198,14 @@ def _dispatch(args, spark) -> int:
         build_index(
             spark, args.manifest, args.out_dir,
             shards=args.shards, numlines=args.numlines,
+            files_per_task=args.files_per_task,
+        )
+    elif args.cmd == "build-parquet-index":
+        from .plans.pipeline import build_parquet_index
+
+        build_parquet_index(
+            spark, args.manifest, args.out_dir,
+            range_partitions=args.range_partitions,
             files_per_task=args.files_per_task,
         )
     elif args.cmd == "update-index":
@@ -251,8 +272,12 @@ def _dispatch(args, spark) -> int:
             print("error: --as-of-epoch needs --epochs (snapshots live in "
                   "the incremental store)", file=sys.stderr)
             return 2
+        if args.epochs and args.parquet_index:
+            print("error: --epochs and --parquet-index name different "
+                  "index layouts; pick one", file=sys.stderr)
+            return 2
         if args.show_num_pages or args.show_paged_index:
-            if args.epochs:
+            if args.epochs or args.parquet_index:
                 print("error: --show-num-pages/--show-paged-index are "
                       "single-cluster (block-run) requests; compact the "
                       "store and page the merged cluster",
@@ -290,6 +315,12 @@ def _dispatch(args, spark) -> int:
             df = cdx_query_epochs(
                 spark, args.cluster_dir, args.url,
                 as_of_epoch=args.as_of_epoch, page=args.page, **shared,
+            )
+        elif args.parquet_index:
+            from .operators.cdx_query import cdx_query_parquet
+
+            df = cdx_query_parquet(
+                spark, args.cluster_dir, args.url, page=args.page, **shared,
             )
         else:
             df = query_index(

@@ -1035,6 +1035,99 @@ def cdx_query_epochs(
     return cdx_query(pruned, url, match_type=match_type, **kwargs)
 
 
+def _ts14_prefix_end(s: str) -> str:
+    """Exclusive upper bound of a ts14 prefix's period as a full
+    ts14: '2016' → '20170101000000', '201603' → '20160401000000' —
+    the typed-timestamp twin of the residual pipeline's inclusive
+    string-prefix compare."""
+    from datetime import datetime, timedelta
+
+    start = datetime.strptime(
+        s + "0101000000"[len(s) - 4 :], "%Y%m%d%H%M%S"
+    )
+    if len(s) == 4:
+        end = start.replace(year=start.year + 1)
+    elif len(s) == 6:
+        end = (
+            start.replace(year=start.year + 1, month=1)
+            if start.month == 12
+            else start.replace(month=start.month + 1)
+        )
+    else:
+        unit = {8: "days", 10: "hours", 12: "minutes", 14: "seconds"}[len(s)]
+        end = start + timedelta(**{unit: 1})
+    return end.strftime("%Y%m%d%H%M%S")
+
+
+def cdx_query_parquet(
+    spark: SparkSession,
+    index_dir: str,
+    url: str,
+    *,
+    match_type: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """The cdx-server query surface against the COLUMNAR
+    (cc-index-table-layout) parquet index — the third index backend
+    after the single ZipNum cluster and the incremental epoch store.
+    No hand-rolled pruning at all: the index columns rename to the
+    CDX shape and the shared residual pipeline's urlkey predicate
+    pushes through the projection into the parquet scan, where
+    Catalyst turns it into a StartsWith/range filter and the sorted
+    layout makes row-group min/max stats answer it (the columnar
+    analogue of cluster.idx block pruning — plan-asserted).
+
+    ``from_``/``to`` are ADDITIONALLY applied as typed ``fetch_time``
+    bounds before the rename: the residual pipeline's ts14-string
+    compare is a function of a column (never pushable), while the
+    redundant typed twin is sargable — the standard
+    redundant-predicate trick, semantics unchanged.
+
+    Block-run paging (``page=``) is the ZipNum cluster's contract and
+    raises here; row paging via ``resume_key`` works — its
+    continuation predicate is on urlkey/timestamp and pushes like any
+    other."""
+    from ..functions.timestamps import from_ts14
+    from ..sinks.parquet_index import read_parquet_index
+
+    if kwargs.pop("page", None) is not None or kwargs.pop(
+        "show_num_pages", False
+    ) or kwargs.pop("show_paged_index", False):
+        raise ValueError(
+            "page=/show_num_pages/show_paged_index are ZipNum block-run "
+            "contracts; the parquet index pages rows with resume_key="
+        )
+    idx = read_parquet_index(spark, index_dir)
+    if kwargs.get("from_"):
+        idx = idx.filter(
+            F.col("fetch_time") >= from_ts14(F.lit(str(kwargs["from_"])))
+        )
+    to = str(kwargs["to"]) if kwargs.get("to") else ""
+    if to.isdigit() and len(to) in (4, 6, 8, 10, 12, 14):
+        # odd-length prefixes skip the redundant typed bound (the
+        # residual string compare still applies them exactly)
+        # to= is inclusive of its ts14-prefix period: strict-< against
+        # the driver-computed start of the NEXT period ('9'-padding
+        # would not parse as a timestamp)
+        idx = idx.filter(
+            F.col("fetch_time") < from_ts14(F.lit(_ts14_prefix_end(to)))
+        )
+    cdx = idx.select(
+        F.col("url_surtkey").alias("urlkey"),
+        F.date_format("fetch_time", "yyyyMMddHHmmss").alias("timestamp"),
+        F.col("url"),
+        F.col("content_mime_type").alias("mime"),
+        F.col("fetch_status").alias("status"),
+        F.col("content_digest").alias("digest"),
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(None).cast("string").alias("robotflags"),
+        F.col("warc_record_length").alias("length"),
+        F.col("warc_record_offset").alias("offset"),
+        F.col("warc_filename").alias("filename"),
+    )
+    return cdx_query(cdx, url, match_type=match_type, **kwargs)
+
+
 def cdx_query_zipnum(
     spark: SparkSession,
     cluster_dir: str,

@@ -90,6 +90,35 @@ def cluster_from_cdx_gz(
     return write_zipnum(cdx, out_dir, shards=shards, numlines=numlines)
 
 
+def build_parquet_index(
+    spark: SparkSession,
+    manifest: str | DataFrame,
+    out_dir: str,
+    *,
+    range_partitions: int = 8,
+    files_per_task: int = 2,
+) -> None:
+    """Manifest → WARC parse → columnar (cc-index-table-layout)
+    parquet index at ``out_dir`` — the SQL-engine-facing sibling of
+    ``build_index``'s pywb-facing ZipNum cluster, from the same
+    parse.  One job, one range shuffle (the layout IS the index; see
+    sinks.parquet_index)."""
+    from ..sinks.parquet_index import (
+        to_parquet_index_shape,
+        write_parquet_index,
+    )
+
+    cdx = index_warcs(
+        spark, _manifest_df(spark, manifest), files_per_task=files_per_task
+    )
+    write_parquet_index(
+        to_parquet_index_shape(cdx),
+        out_dir,
+        range_partitions=range_partitions,
+        mode="overwrite",
+    )
+
+
 def query_index(
     spark: SparkSession, cluster_dir: str, url: str, **params
 ) -> DataFrame:

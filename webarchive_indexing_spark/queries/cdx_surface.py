@@ -3139,3 +3139,50 @@ def cdx_epoch_query_asof(spark, sf_dir):
         )
 
     return req(1).unionByName(req(None))
+
+
+@query(
+    "cdx_parquet_index_query",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp,
+           'https://example.org/' || digest AS url,
+           mime, status, digest,
+           CAST(NULL AS VARCHAR) AS redirect,
+           CAST(NULL AS VARCHAR) AS robotflags,
+           CAST(length AS BIGINT) AS length,
+           CAST("offset" AS BIGINT) AS "offset",
+           filename
+    FROM cdx
+    WHERE urlkey LIKE 'org,example,src4)/%' AND status = 200
+      AND ts14 >= '2015' AND ts14 < '2017'
+    """,
+)
+def cdx_parquet_index_query(spark, sf_dir):
+    """S6/S8+B composed: the SAME cdx-server request (prefix match +
+    status filter + from/to) answered from the COLUMNAR parquet index
+    — the third backend after the ZipNum cluster and the epoch store.
+    Nothing prunes by hand: the residual pipeline's urlkey prefix
+    pushes through the rename projection into the parquet scan
+    (StartsWith + row-group min/max on the sorted layout), and the
+    redundant typed fetch_time bounds push alongside (the ts14 string
+    compare is unpushable by construction) — plan-asserted in
+    tests/test_plans.py."""
+    import tempfile
+
+    from ..operators.cdx_query import cdx_query_parquet
+    from ..sinks.parquet_index import (
+        to_parquet_index_shape,
+        write_parquet_index,
+    )
+
+    out = tempfile.mkdtemp(prefix="pqidx_q_")
+    write_parquet_index(
+        to_parquet_index_shape(_zipnum_input(spark, sf_dir)),
+        out,
+        range_partitions=8,
+        mode="overwrite",
+    )
+    return cdx_query_parquet(
+        spark, out, "https://src4.example.org/doc/", match_type="prefix",
+        filters=["=status:200"], from_="2015", to="2016",
+    )
