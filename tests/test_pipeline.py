@@ -740,3 +740,23 @@ def test_cli_parquet_index_build_and_query(spark, warc_manifest,
     assert main(["query", out, "https://example.com/", "--epochs",
                  "--parquet-index"]) == 2
     assert "pick one" in capsys.readouterr().err
+
+
+def test_cli_fast_latest(spark, warc_manifest, tmp_path, capsys):
+    """argv-level fastLatest: the last-2 rows of a prefix range, and
+    the positive-limit / backend-mismatch refusals exit 2 cleanly."""
+    from webarchive_indexing_spark.__main__ import main
+
+    out = str(tmp_path / "cl")
+    assert main(["build-index", warc_manifest, out, "--shards", "2",
+                 "--numlines", "3"]) == 0
+    capsys.readouterr()
+    base = ["query", out, "https://example.com/", "--match-type", "prefix"]
+    assert main(base + ["--limit", "-2"]) == 0
+    want = capsys.readouterr().out
+    assert main(base + ["--fast-latest", "--limit", "-2"]) == 0
+    assert capsys.readouterr().out == want  # filter-free: exact
+    assert main(base + ["--fast-latest", "--limit", "2"]) == 2
+    assert "negative limit" in capsys.readouterr().err
+    assert main(base + ["--fast-latest", "--limit", "-2", "--epochs"]) == 2
+    assert "tail-probe" in capsys.readouterr().err

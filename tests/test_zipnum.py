@@ -677,3 +677,40 @@ def test_lsm_snapshot_model_randomized(spark, tmp_path):
 
     for seed in (7, 23):
         run_scenario(seed, str(tmp_path / f"lsm{seed}"))
+
+
+def test_fast_latest_tail_probe_bounds_block_io(spark, tmp_path, monkeypatch):
+    """fastLatest's doubling tail probe must touch O(N/numlines)
+    blocks, not the whole range — the entire point of the feature —
+    and still return exactly the last N rows."""
+    from webarchive_indexing_spark.sinks import zipnum as zp
+
+    rows = spark.range(200).selectExpr(
+        "concat('com,example)/p/', lpad(cast(id as string), 4, '0')) AS urlkey",
+        "concat('2015', lpad(cast(id % 12 + 1 as string), 2, '0'), '01000000') AS timestamp",
+        "'https://e/' AS url", "'text/html' AS mime", "200 AS status",
+        "md5(cast(id as string)) AS digest",
+        "cast(NULL as string) AS redirect", "cast(NULL as string) AS robotflags",
+        "10 AS length", "id AS offset", "'f.warc.gz' AS filename",
+    )
+    out = str(tmp_path / "cl")
+    zp.write_zipnum(rows, out, shards=2, numlines=5)  # 40 blocks
+
+    touched = []
+    real = zp._read_blocks
+
+    def spy(spark_, out_dir, blocks, parser=None):
+        touched.append(len(blocks))
+        return real(spark_, out_dir, blocks, parser)
+
+    monkeypatch.setattr(zp, "_read_blocks", spy)
+    df = zp.read_zipnum_tail(spark, out, 6)
+    got = sorted(r["urlkey"] for r in df.collect())[-6:]
+    assert got == [f"com,example)/p/{i:04d}" for i in range(194, 200)]
+    # doubling probe: 1 block (5 rows < 6) then 2 blocks — never 40
+    assert touched == [1, 2], touched
+
+    # the whole-range fallback still terminates and returns all rows
+    touched.clear()
+    assert zp.read_zipnum_tail(spark, out, 10_000).count() == 200
+    assert touched[-1] == 40 and len(touched) <= 8

@@ -138,6 +138,11 @@ def _parser() -> argparse.ArgumentParser:
                    default=None, metavar="N",
                    help="snapshot time travel (with --epochs): answer as "
                         "the index stood right after epoch N landed")
+    q.add_argument("--fast-latest", action="store_true",
+                   help="IA fastLatest=true: serve a negative --limit from "
+                        "a doubling tail probe of the index instead of "
+                        "decompressing every matching block (single-cluster "
+                        "only; filters may return fewer rows)")
     q.add_argument("--parquet-index", action="store_true",
                    help="CLUSTER_DIR is a columnar (cc-index-table-layout) "
                         "parquet index: key and time bounds push into the "
@@ -272,6 +277,11 @@ def _dispatch(args, spark) -> int:
             print("error: --as-of-epoch needs --epochs (snapshots live in "
                   "the incremental store)", file=sys.stderr)
             return 2
+        if args.fast_latest and (args.epochs or args.parquet_index):
+            print("error: --fast-latest is a ZipNum-cluster tail-probe; "
+                  "the parquet index and epoch store serve limit=-N "
+                  "directly", file=sys.stderr)
+            return 2
         if args.epochs and args.parquet_index:
             print("error: --epochs and --parquet-index name different "
                   "index layouts; pick one", file=sys.stderr)
@@ -325,7 +335,8 @@ def _dispatch(args, spark) -> int:
         else:
             df = query_index(
                 spark, args.cluster_dir, args.url,
-                page=args.page, page_size=args.page_size, **shared,
+                page=args.page, page_size=args.page_size,
+                fast_latest=args.fast_latest, **shared,
             )
         # stream through the driver: toLocalIterator holds one
         # partition at a time, so an unbounded prefix/domain query

@@ -1138,6 +1138,7 @@ def cdx_query_zipnum(
     page_size: int = 1,
     show_num_pages: bool = False,
     show_paged_index: bool = False,
+    fast_latest: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Same surface against a ZipNum cluster: the urlkey constraint
@@ -1200,6 +1201,27 @@ def cdx_query_zipnum(
             raise ValueError("page= must be >= 0 and page_size >= 1")
         pruned = read_zipnum_page(
             spark, cluster_dir, page, key_lo=lo, key_hi=hi, page_size=page_size
+        )
+    elif fast_latest:
+        # IA fastLatest=true [B IA cdx-server]: serve limit=-N from a
+        # doubling TAIL probe of the pruned block range instead of
+        # decompressing every matching block.  Residual filters can
+        # shrink the result below N (IA's documented best-effort) —
+        # the filter-free case is exact, and limit must be negative
+        # because "latest" IS the sort order's tail.
+        from ..sinks.zipnum import read_zipnum_tail
+
+        limit = kwargs.get("limit")
+        if limit is None or limit >= 0:
+            raise ValueError("fast_latest needs a negative limit "
+                             "(limit=-N = the last N rows)")
+        if rk is not None or kwargs.get("closest") or kwargs.get("sort_reverse"):
+            raise ValueError(
+                "fast_latest serves the tail of the DEFAULT order; it "
+                "cannot combine with resume_key/closest/sort_reverse"
+            )
+        pruned = read_zipnum_tail(
+            spark, cluster_dir, -limit, key_lo=lo, key_hi=hi
         )
     else:
         pruned = read_zipnum(spark, cluster_dir, key_lo=lo, key_hi=hi)

@@ -3186,3 +3186,36 @@ def cdx_parquet_index_query(spark, sf_dir):
         spark, out, "https://src4.example.org/doc/", match_type="prefix",
         filters=["=status:200"], from_="2015", to="2016",
     )
+
+
+@query(
+    "cdx_fast_latest",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp, digest
+    FROM cdx
+    WHERE urlkey LIKE 'org,example,src5)/doc/%'
+    ORDER BY urlkey DESC, ts14 DESC LIMIT 7
+    """,
+)
+def cdx_fast_latest(spark, sf_dir):
+    """O4 ``fastLatest=true`` [B IA cdx-server]: the last N rows of a
+    prefix range served from a doubling TAIL probe of the secondary
+    index (1, 2, 4, ... blocks from the range's end until ≥N rows
+    survive) instead of decompressing every matching block — for a
+    domain with millions of captures, plain ``limit=-N`` touches all
+    of them, fastLatest touches O(N/numlines).  Filter-free requests
+    are EXACT (this oracle: the last 7 captures of the src5 subtree,
+    hash-matched); residual filters may return fewer than N — IA's
+    documented best-effort.  Block-IO boundedness is pinned in
+    tests/test_zipnum.py::test_fast_latest_tail_probe_bounds_block_io."""
+    import tempfile
+
+    from ..operators.cdx_query import cdx_query_zipnum
+    from ..sinks.zipnum import write_zipnum
+
+    out = tempfile.mkdtemp(prefix="zipnum_fl_")
+    write_zipnum(_zipnum_input(spark, sf_dir), out, shards=4, numlines=20)
+    return cdx_query_zipnum(
+        spark, out, "https://src5.example.org/doc/", match_type="prefix",
+        fast_latest=True, limit=-7,
+    ).select("urlkey", "timestamp", "digest")

@@ -414,6 +414,36 @@ def read_zipnum(
     return _range_filter(_read_blocks(spark, out_dir, blocks), key_lo, key_hi)
 
 
+def read_zipnum_tail(
+    spark: SparkSession,
+    out_dir: str,
+    n: int,
+    *,
+    key_lo: str | None = None,
+    key_hi: str | None = None,
+) -> DataFrame:
+    """IA ``fastLatest=true`` support [B IA cdx-server fastLatest]:
+    return a SUFFIX of the pruned range guaranteed to contain its
+    last ``n`` rows, reading as few tail blocks as possible — a
+    doubling probe from the range's end (1, 2, 4, ... blocks) until
+    ≥n rows survive the range filter or the whole range is read.
+    Probe cost is O(log blocks) tiny jobs totalling ≤2× the final
+    read; a plain ``limit=-n`` instead decompresses EVERY matching
+    block, which for a domain with millions of captures is the
+    difference between touching 1 block and touching all of them."""
+    blocks = _prune(_load_idx(out_dir), key_lo, key_hi)
+    if not blocks:
+        return _range_filter(_read_blocks(spark, out_dir, []), key_lo, key_hi)
+    k = 1
+    while True:
+        df = _range_filter(
+            _read_blocks(spark, out_dir, blocks[-k:]), key_lo, key_hi
+        )
+        if k >= len(blocks) or df.count() >= n:
+            return df
+        k = min(len(blocks), k * 2)
+
+
 def num_pages(
     out_dir: str,
     *,
