@@ -760,3 +760,44 @@ def test_cli_fast_latest(spark, warc_manifest, tmp_path, capsys):
     assert "negative limit" in capsys.readouterr().err
     assert main(base + ["--fast-latest", "--limit", "-2", "--epochs"]) == 2
     assert "tail-probe" in capsys.readouterr().err
+
+
+def test_cli_cdxj_output_and_store_lifecycle(spark, warc_manifest,
+                                             tmp_path, capsys):
+    """argv-level: --output cdxj emits the shared CDXJ grammar, and
+    the compact / expire-snapshots subcommands drive the store's
+    retention lifecycle end-to-end."""
+    import json as _json
+
+    from webarchive_indexing_spark.__main__ import main
+
+    out = str(tmp_path / "store")
+    assert main(["update-index", warc_manifest, out, "--shards", "2",
+                 "--numlines", "3"]) == 0
+    capsys.readouterr()
+
+    assert main(["query", out, "https://example.com/", "--match-type",
+                 "prefix", "--epochs", "--output", "cdxj",
+                 "--limit", "3"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 3
+    for ln in lines:
+        key, ts, blob = ln.split(" ", 2)
+        assert key.startswith("com,example)/") and ts.isdigit()
+        assert _json.loads(blob)["status"] == "200" or "status" in _json.loads(blob)
+
+    assert main(["compact", out, "--shards", "2", "--numlines", "3",
+                 "--retain-inputs"]) == 0
+    capsys.readouterr()
+    # pre-merge snapshot still readable (inputs retained)
+    assert main(["query", out, "https://example.com/", "--match-type",
+                 "prefix", "--epochs", "--as-of-epoch", "0",
+                 "--limit", "1"]) == 0
+    assert capsys.readouterr().out.strip()
+    assert main(["expire-snapshots", out]) == 0
+    gone = capsys.readouterr().out.split()
+    assert "epoch-000000" in gone
+    # current view survives expiration
+    assert main(["query", out, "https://example.com/", "--match-type",
+                 "prefix", "--epochs", "--limit", "1"]) == 0
+    assert capsys.readouterr().out.strip()

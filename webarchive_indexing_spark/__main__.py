@@ -64,6 +64,21 @@ def _parser() -> argparse.ArgumentParser:
     ui.add_argument("--numlines", type=int, default=3000)
     ui.add_argument("--compact", action="store_true")
 
+    cp = sub.add_parser("compact", help="fold all live epochs of an "
+                                        "incremental store into one")
+    cp.add_argument("out_dir")
+    cp.add_argument("--shards", type=int, default=4)
+    cp.add_argument("--numlines", type=int, default=3000)
+    cp.add_argument("--retain-inputs", action="store_true",
+                    help="keep subsumed input epochs on disk so pre-merge "
+                         "--as-of-epoch snapshots stay readable "
+                         "(reclaim later with expire-snapshots)")
+
+    ex = sub.add_parser("expire-snapshots",
+                        help="delete epochs a completed compaction subsumed "
+                             "(expires the pre-merge snapshots)")
+    ex.add_argument("out_dir")
+
     q = sub.add_parser("query", help="cdx-server GET /index over a cluster")
     q.add_argument("cluster_dir")
     q.add_argument("url")
@@ -129,7 +144,11 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--show-paged-index", action="store_true",
                    help="print the secondary-index block lines themselves")
     q.add_argument("--fields", default=None, help="comma-separated fl= projection")
-    q.add_argument("--output", default="text", choices=["text", "json"])
+    q.add_argument("--output", default="text",
+                   choices=["text", "json", "cdxj"],
+                   help="classic 11-field lines (default), one JSON object "
+                        "per row, or CDXJ ('urlkey ts {json}' — the Common "
+                        "Crawl wire format)")
     q.add_argument("--epochs", action="store_true",
                    help="CLUSTER_DIR is an incremental epoch store "
                         "(update-index output): every epoch block-prunes, "
@@ -213,6 +232,18 @@ def _dispatch(args, spark) -> int:
             range_partitions=args.range_partitions,
             files_per_task=args.files_per_task,
         )
+    elif args.cmd == "compact":
+        from .sinks.zipnum import compact_zipnum_epochs
+
+        compact_zipnum_epochs(
+            spark, args.out_dir, shards=args.shards,
+            numlines=args.numlines, retain_inputs=args.retain_inputs,
+        )
+    elif args.cmd == "expire-snapshots":
+        from .sinks.zipnum import expire_snapshots
+
+        for name in expire_snapshots(args.out_dir):
+            print(name)
     elif args.cmd == "update-index":
         from .plans.pipeline import update_index
 
@@ -268,10 +299,11 @@ def _dispatch(args, spark) -> int:
         if args.show_resume_key and (
             args.limit is None or args.limit < 0 or args.fields
             or args.sort_reverse or args.closest
+            or args.output == "cdxj"
         ):
             print("error: --show-resume-key needs a positive --limit and "
                   "pages the default order (no --fields/--sort-reverse/"
-                  "--closest)", file=sys.stderr)
+                  "--closest; text or json output)", file=sys.stderr)
             return 2
         if args.as_of_epoch is not None and not args.epochs:
             print("error: --as-of-epoch needs --epochs (snapshots live in "
@@ -343,7 +375,17 @@ def _dispatch(args, spark) -> int:
         # without --limit cannot OOM the driver heap
         last = None
         n_rows = 0
-        if args.output == "json":
+        if args.output == "cdxj":
+            # the fixed CDXJ grammar (cdxj_line_expr) — annotation
+            # columns ride in json/text output, not here
+            from .sources.cdx import cdxj_line_expr
+
+            for row in df.select(
+                cdxj_line_expr().alias("value")
+            ).toLocalIterator():
+                n_rows += 1
+                print(row["value"])
+        elif args.output == "json":
             for line in df.toJSON().toLocalIterator():
                 n_rows += 1
                 last = line
