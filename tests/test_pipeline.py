@@ -668,13 +668,14 @@ def test_cli_epoch_store_query_and_time_travel(spark, warc_manifest,
     the query subcommand with --epochs (merged view), --as-of-epoch
     (snapshot sees only batch 1), and the single-cluster page refusal
     as a clean exit 2."""
-    import glob
     import json as _json
 
     from webarchive_indexing_spark.__main__ import main
 
-    d = os.path.dirname(warc_manifest)
-    paths = sorted(glob.glob(os.path.join(d, "crawl-*.warc.gz")))
+    # the manifest's own listing, NOT a glob — other tests drop extra
+    # WARCs into the module-scoped fixture dir (e.g. crawl-99)
+    with open(warc_manifest) as fh:
+        paths = [ln.strip() for ln in fh if ln.strip()]
     m1 = str(tmp_path / "m1.txt")
     m2 = str(tmp_path / "m2.txt")
     with open(m1, "w") as fh:
