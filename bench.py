@@ -129,6 +129,10 @@ HEADLINE = [
     "text_bm25_topk",
     "dsir_importance_weights",
     "zipnum_time_travel",
+    "cdx_epoch_query_asof",
+    "cdx_parquet_index_query",
+    "cdx_fast_latest",
+    "graph_hits_hubs_authorities",
 ]
 
 
