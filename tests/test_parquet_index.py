@@ -68,3 +68,258 @@ def test_layout_partitions_and_within_file_order(spark, tmp_path):
 def test_write_requires_partition_columns(spark):
     with pytest.raises(ValueError, match="partition columns"):
         write_parquet_index(_cdx_frame(spark), "/tmp/nope")
+
+
+# ------------------------------------------------------------------
+# Incremental epoch store (parquet payload, shared LSM protocol)
+
+
+def _shape(df):
+    from webarchive_indexing_spark.sinks.parquet_index import (
+        to_parquet_index_shape,
+    )
+
+    return to_parquet_index_shape(df)
+
+
+def test_parquet_epoch_store_takedown_and_purge(spark, tmp_path):
+    """The columnar twin of the ZipNum takedown scenario: tombstone
+    epochs hide captures from every parquet epoch (whole-url + exact
+    forms), compaction PHYSICALLY purges the excluded rows from the
+    merged epoch's parquet bytes while carrying the tombstone list
+    forward (a later re-crawl of the taken-down URL stays hidden),
+    and tombstone replay after compaction is a no-op."""
+    from webarchive_indexing_spark.sinks.parquet_index import (
+        compact_parquet_index_epochs,
+        read_parquet_index_epochs,
+        store_backend,
+        write_parquet_index_epoch,
+    )
+    from webarchive_indexing_spark.sinks.zipnum import (
+        _read_tombstones,
+        list_epochs,
+        write_tombstone_epoch,
+    )
+
+    out = str(tmp_path / "store")
+    full = _cdx_frame(spark, 120).cache()
+    rows = full.collect()
+    all_keys = {(r.urlkey, r.timestamp) for r in rows}
+    wild_key = rows[0].urlkey
+    exact_cap = next(
+        (r.urlkey, r.timestamp) for r in rows if r.urlkey != wild_key
+    )
+
+    write_parquet_index_epoch(
+        _shape(full.filter(F.col("urlkey") < "com,example)/p/0060")),
+        out, "batch-a", range_partitions=2,
+    )
+    write_parquet_index_epoch(
+        _shape(full.filter(F.col("urlkey") >= "com,example)/p/0060")),
+        out, "batch-b", range_partitions=2,
+    )
+    assert store_backend(out) == "parquet"
+
+    tdf = spark.createDataFrame(
+        [(wild_key, None), (exact_cap[0], exact_cap[1])],
+        "urlkey string, timestamp string",
+    )
+    write_tombstone_epoch(tdf, out, "takedown-1")
+
+    def visible():
+        df = read_parquet_index_epochs(spark, out)
+        return {
+            (r.url_surtkey, r.ts14)
+            for r in df.select(
+                "url_surtkey",
+                F.date_format("fetch_time", "yyyyMMddHHmmss").alias("ts14"),
+            ).collect()
+        }
+
+    hidden = {kt for kt in all_keys if kt[0] == wild_key} | {exact_cap}
+    assert visible() == all_keys - hidden
+
+    # compaction: one live epoch, view unchanged, tombstones carried,
+    # and the excluded keys are physically absent from the parquet bytes
+    compact_parquet_index_epochs(spark, out, range_partitions=2)
+    live = list_epochs(out)
+    assert len(live) == 1
+    assert visible() == all_keys - hidden
+    wild, exact = _read_tombstones(out)
+    assert wild == [wild_key] and exact == [exact_cap]
+    merged_keys = set()
+    for f in glob.glob(os.path.join(live[0], "crawl=*", "subset=*", "*.parquet")):
+        merged_keys.update(
+            pq.read_table(f, columns=["url_surtkey"])["url_surtkey"].to_pylist()
+        )
+    assert wild_key not in merged_keys
+
+    # a later re-crawl of the taken-down URL: still hidden
+    recrawl = full.filter(F.col("urlkey") == wild_key).withColumn(
+        "timestamp", F.concat(F.lit("2029"), F.substring("timestamp", 5, 10))
+    )
+    write_parquet_index_epoch(_shape(recrawl), out, "batch-c", range_partitions=2)
+    assert visible() == all_keys - hidden
+
+    # tombstone replay after compaction: no-op
+    write_tombstone_epoch(tdf, out, "takedown-1")
+    assert visible() == all_keys - hidden
+    full.unpersist()
+
+
+def test_parquet_lsm_snapshot_model_randomized(spark, tmp_path):
+    """The randomized LSM model test, parquet backend: the SAME
+    seeded ingest / takedown / retained-compaction sequences replay
+    against the same pure-Python model, and every snapshot id (plus
+    the latest view) must return exactly the model's visible row set
+    — pinning that the shared protocol gives identical semantics
+    through the columnar payload."""
+    import random
+
+    from webarchive_indexing_spark.sinks.parquet_index import (
+        compact_parquet_index_epochs,
+        read_parquet_index_epochs,
+        write_parquet_index_epoch,
+    )
+    from webarchive_indexing_spark.sinks.zipnum import write_tombstone_epoch
+
+    def run_scenario(seed, root):
+        rng = random.Random(seed)
+        epochs = {}
+        next_key = [0]
+
+        def visible(as_of=None):
+            ids = [i for i in sorted(epochs) if as_of is None or i <= as_of]
+            dead = set()
+            for i in ids:
+                if epochs[i][0] == "compact":
+                    dead |= epochs[i][3]
+            live = [i for i in ids if i not in dead]
+            rows, tombs = set(), set()
+            for i in live:
+                kind = epochs[i][0]
+                if kind == "data":
+                    rows |= epochs[i][1]
+                elif kind == "tomb":
+                    tombs |= set(epochs[i][1])
+                else:
+                    rows |= epochs[i][1]
+                    tombs |= set(epochs[i][2])
+            wild = {k for k, ts in tombs if ts is None}
+            exact = {(k, ts) for k, ts in tombs if ts is not None}
+            return {
+                (k, ts)
+                for k, ts in rows
+                if k not in wild and (k, ts) not in exact
+            }
+
+        def ingest():
+            lo = next_key[0]
+            n = rng.randint(5, 15)
+            next_key[0] += n
+            rows = {
+                (f"com,example)/p/{i:05d}", f"2015{i % 12 + 1:02d}01000000")
+                for i in range(lo, lo + n)
+            }
+            df = spark.createDataFrame(
+                [
+                    (k, ts, "https://e/", "text/html", 200, "d", None, None,
+                     10, 0, "f.warc.gz")
+                    for k, ts in sorted(rows)
+                ],
+                "urlkey string, timestamp string, url string, mime string, "
+                "status int, digest string, redirect string, "
+                "robotflags string, length long, offset long, filename string",
+            )
+            eid = write_parquet_index_epoch(
+                _shape(df), root, f"batch:{len(epochs)}", range_partitions=2
+            )
+            epochs[eid] = ("data", rows)
+
+        def takedown():
+            pool = sorted(visible())
+            if not pool:
+                return
+            picks = rng.sample(pool, min(len(pool), rng.randint(1, 4)))
+            keys = [
+                (k, None if rng.random() < 0.5 else ts) for k, ts in picks
+            ]
+            df = spark.createDataFrame(keys, "urlkey string, timestamp string")
+            eid = write_tombstone_epoch(df, root, f"t:{len(epochs)}")
+            epochs[eid] = ("tomb", keys)
+
+        def compact():
+            if not any(kind == "data" for kind, *_ in epochs.values()):
+                return
+            dead = set()
+            for i in sorted(epochs):
+                if epochs[i][0] == "compact":
+                    dead |= epochs[i][3]
+            live = {i for i in epochs if i not in dead}
+            rows = visible()
+            tombs = set()
+            for i in live:
+                if epochs[i][0] == "tomb":
+                    tombs |= set(epochs[i][1])
+                elif epochs[i][0] == "compact":
+                    tombs |= set(epochs[i][2])
+            eid = compact_parquet_index_epochs(
+                spark, root, range_partitions=2, retain_inputs=True
+            )
+            epochs[eid] = ("compact", rows, tombs, live)
+
+        ingest()
+        for _ in range(6):
+            rng.choice([ingest, ingest, takedown, compact])()
+
+        for as_of in [*sorted(epochs), None]:
+            got = {
+                (r["url_surtkey"], r["ts14"])
+                for r in read_parquet_index_epochs(spark, root, as_of_epoch=as_of)
+                .select(
+                    "url_surtkey",
+                    F.date_format("fetch_time", "yyyyMMddHHmmss").alias("ts14"),
+                )
+                .collect()
+            }
+            assert got == visible(as_of), (seed, as_of)
+
+    for seed in (7, 23):
+        run_scenario(seed, str(tmp_path / f"plsm{seed}"))
+
+
+def test_cdx_query_parquet_store_guards(spark, tmp_path):
+    """Front-door guards: as_of_epoch on a STATIC index raises (no
+    snapshot history to travel); a digit from_ that doesn't parse as
+    a date raises instead of silently emptying the result; an
+    odd-length digit from_ skips the typed bound but still filters
+    exactly via the residual ts14 string compare."""
+    from webarchive_indexing_spark.operators.cdx_query import (
+        cdx_query_parquet,
+    )
+    from webarchive_indexing_spark.sinks.parquet_index import (
+        to_parquet_index_shape,
+    )
+
+    out = str(tmp_path / "static")
+    write_parquet_index(
+        to_parquet_index_shape(_cdx_frame(spark)), out, range_partitions=2
+    )
+    url = "https://example.com/p/"
+    with pytest.raises(ValueError, match="epoch store"):
+        cdx_query_parquet(spark, out, url, match_type="prefix", as_of_epoch=1)
+    with pytest.raises(ValueError):
+        cdx_query_parquet(
+            spark, out, url, match_type="prefix", from_="20150231"
+        ).collect()
+    got = {
+        r.timestamp
+        for r in cdx_query_parquet(
+            spark, out, url, match_type="prefix", from_="2015060"
+        ).collect()
+    }
+    assert got and all(ts >= "20150600000000" for ts in got)
+    assert any(ts < "20150600000000" for ts in {
+        r.timestamp
+        for r in cdx_query_parquet(spark, out, url, match_type="prefix").collect()
+    })

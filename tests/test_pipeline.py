@@ -536,6 +536,16 @@ def test_cli_show_resume_key(spark, warc_manifest, tmp_path, capsys):
     out = capsys.readouterr().out.splitlines()
     assert out[-2] == "" and len(out[-1].split(" ")) == 2
 
+    # a NULL tiebreak value must not traceback: toJSON() OMITS null
+    # fields, so the dict lookup has to fall back to the CDX '-'
+    # placeholder (redirect is NULL on every row of this fixture)
+    assert main(["query", out_dir, url, "--match-type", "domain",
+                 "--limit", "2", "--show-resume-key",
+                 "--tiebreak", "redirect", "--output", "json"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    trailer = out[-1].split(" ")
+    assert len(trailer) == 3 and trailer[2] == "-"
+
     # guards: needs positive limit, default order, full fields
     assert main(["query", out_dir, url, "--show-resume-key"]) == 2
     assert main(["query", out_dir, url, "--show-resume-key",
@@ -741,6 +751,73 @@ def test_cli_parquet_index_build_and_query(spark, warc_manifest,
     assert main(["query", out, "https://example.com/", "--epochs",
                  "--parquet-index"]) == 2
     assert "pick one" in capsys.readouterr().err
+
+
+def test_cli_parquet_epoch_store_lifecycle(spark, warc_manifest,
+                                           tmp_path, capsys):
+    """argv-level columnar epoch store: two update-parquet-index
+    batches, query --parquet-index serves the merged view,
+    --as-of-epoch time-travels to batch 1, and compact auto-detects
+    the parquet payload (the merged store keeps answering)."""
+    import json as _json
+
+    from webarchive_indexing_spark.__main__ import main
+
+    with open(warc_manifest) as fh:
+        paths = [ln.strip() for ln in fh if ln.strip()]
+    m1, m2 = str(tmp_path / "m1.txt"), str(tmp_path / "m2.txt")
+    with open(m1, "w") as fh:
+        fh.write("\n".join(paths[:2]) + "\n")
+    with open(m2, "w") as fh:
+        fh.write("\n".join(paths[2:]) + "\n")
+    out = str(tmp_path / "store")
+    assert main(["update-parquet-index", m1, out,
+                 "--range-partitions", "2"]) == 0
+    assert main(["update-parquet-index", m2, out,
+                 "--range-partitions", "2"]) == 0
+    capsys.readouterr()
+
+    url = "https://example.com/"
+    argv = ["query", out, url, "--match-type", "prefix",
+            "--output", "json", "--parquet-index"]
+    assert main(argv) == 0
+    full = [_json.loads(ln)
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert main(argv + ["--as-of-epoch", "0"]) == 0
+    snap0 = [_json.loads(ln)
+             for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert {r["filename"] for r in snap0} == {"crawl-00.warc.gz",
+                                              "crawl-01.warc.gz"}
+    assert {r["filename"] for r in full} == {f"crawl-{i:02d}.warc.gz"
+                                             for i in range(4)}
+    assert len(full) > len(snap0)
+
+    # replay of an ingested batch rewrites ITS OWN epoch (same slot,
+    # same rows — never a fresh one), so nothing double-counts
+    assert main(["update-parquet-index", m2, out,
+                 "--range-partitions", "2"]) == 0
+    assert "epoch: 1" in capsys.readouterr().out
+    assert main(argv) == 0
+    assert len([ln for ln in capsys.readouterr().out.splitlines()
+                if ln.strip()]) == len(full)
+
+    # compact auto-detects the parquet payload; the merged single
+    # epoch serves the identical view
+    assert main(["compact", out, "--range-partitions", "2"]) == 0
+    capsys.readouterr()
+    assert main(argv) == 0
+    merged = [_json.loads(ln)
+              for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert sorted(map(str, merged)) == sorted(map(str, full))
+
+    # --as-of-epoch on a plain static index still refuses cleanly
+    static = str(tmp_path / "static")
+    assert main(["build-parquet-index", warc_manifest, static,
+                 "--range-partitions", "2"]) == 0
+    capsys.readouterr()
+    assert main(["query", static, url, "--match-type", "prefix",
+                 "--parquet-index", "--as-of-epoch", "0"]) == 2
+    assert "epoch store" in capsys.readouterr().err
 
 
 def test_cli_fast_latest(spark, warc_manifest, tmp_path, capsys):

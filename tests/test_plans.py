@@ -517,3 +517,26 @@ def test_parquet_backend_query_pushes_key_and_time_bounds(spark, sf_dir):
     assert "LessThan(url_surtkey" in pushed, pushed
     assert "GreaterThanOrEqual(fetch_time" in pushed, pushed
     assert "LessThan(fetch_time" in pushed, pushed
+
+
+def test_parquet_epoch_store_pushdown_survives_union_and_tombstones(
+    spark, sf_dir
+):
+    """On the columnar EPOCH store the key predicate must reach every
+    epoch's parquet scan through the union, and the tombstone
+    exclusions must stay metadata-sized broadcast anti-joins — a
+    sort-merge join or an unfiltered epoch scan here would make every
+    takedown a full-index shuffle at 100 TB."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(spark, sf_dir, "cdx_parquet_takedown")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    scans = plan.split("FileScan parquet")[1:]
+    assert len(scans) >= 2, "expected one scan per ingest epoch"
+    for scan in scans:
+        pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "url_surtkey" in pushed, pushed
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # wild + exact tombstones

@@ -532,6 +532,29 @@ def test_sql_acl_access_empty_rules_and_embargo_shape():
     assert "'allow_ignore_embargo'" not in s
 
 
+def test_embargo_months_weeks_conventions():
+    """months:/weeks: durations are supported with the documented
+    fixed day-count conventions (years=365d, months=30d, weeks=7d —
+    timedelta offsets, not calendar arithmetic), identically in the
+    yaml loader and the verdict compiler."""
+    from webarchive_indexing_spark.operators.cdx_query import sql_acl_access
+    from webarchive_indexing_spark.sources.pywb_config import parse_embargo_obj
+
+    emb, bad = parse_embargo_obj(
+        {"embargo": {"newer": {"months": 2, "weeks": 1}}}
+    )
+    assert bad == [] and emb == {"newer": {"months": 2, "weeks": 1}}
+    # 2020-03-01 - (2*30 + 1*7) days = 2019-12-25
+    s = sql_acl_access("k", [], embargo=emb, as_of="20200301000000")
+    assert "'20191225000000'" in s
+    # 1 year = a fixed 365 days: over 2020-02-29 the window lands on
+    # 2019-03-02, NOT the calendar anniversary 2019-03-01
+    s = sql_acl_access(
+        "k", [], embargo={"older": {"years": 1}}, as_of="20200301000000"
+    )
+    assert "'20190302000000'" in s
+
+
 def test_bundled_default_rules_load_clean():
     """The shipped data/default_rules.yaml loads with ZERO quarantined
     entries and exercises every grammar form: global strips, a scoped

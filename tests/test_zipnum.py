@@ -714,3 +714,18 @@ def test_fast_latest_tail_probe_bounds_block_io(spark, tmp_path, monkeypatch):
     touched.clear()
     assert zp.read_zipnum_tail(spark, out, 10_000).count() == 200
     assert touched[-1] == 40 and len(touched) <= 8
+
+    # page= and fast_latest are alternative paging schemes: passing
+    # both refuses (page= would otherwise win and silently ignore
+    # fast_latest), same contract as page+resume_key
+    import pytest as _pytest
+
+    from webarchive_indexing_spark.operators.cdx_query import (
+        cdx_query_zipnum,
+    )
+
+    with _pytest.raises(ValueError, match="alternative paging"):
+        cdx_query_zipnum(
+            spark, out, "https://example.com/", match_type="domain",
+            page=0, fast_latest=True, limit=-3,
+        )

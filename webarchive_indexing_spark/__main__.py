@@ -64,11 +64,23 @@ def _parser() -> argparse.ArgumentParser:
     ui.add_argument("--numlines", type=int, default=3000)
     ui.add_argument("--compact", action="store_true")
 
+    up = sub.add_parser("update-parquet-index",
+                        help="incremental crawl ingest into the columnar "
+                             "(cc-index-table-layout) epoch store")
+    up.add_argument("manifest")
+    up.add_argument("out_dir")
+    up.add_argument("--range-partitions", type=int, default=8)
+    up.add_argument("--compact", action="store_true")
+
     cp = sub.add_parser("compact", help="fold all live epochs of an "
-                                        "incremental store into one")
+                                        "incremental store into one "
+                                        "(ZipNum or parquet — detected "
+                                        "from the store's payload)")
     cp.add_argument("out_dir")
     cp.add_argument("--shards", type=int, default=4)
     cp.add_argument("--numlines", type=int, default=3000)
+    cp.add_argument("--range-partitions", type=int, default=8,
+                    help="output files per merge (parquet stores)")
     cp.add_argument("--retain-inputs", action="store_true",
                     help="keep subsumed input epochs on disk so pre-merge "
                          "--as-of-epoch snapshots stay readable "
@@ -155,7 +167,8 @@ def _parser() -> argparse.ArgumentParser:
                         "survivors union, takedown tombstones apply")
     q.add_argument("--as-of-epoch", dest="as_of_epoch", type=int,
                    default=None, metavar="N",
-                   help="snapshot time travel (with --epochs): answer as "
+                   help="snapshot time travel (with --epochs, or "
+                        "--parquet-index on an epoch store): answer as "
                         "the index stood right after epoch N landed")
     q.add_argument("--fast-latest", action="store_true",
                    help="IA fastLatest=true: serve a negative --limit from "
@@ -165,7 +178,9 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--parquet-index", action="store_true",
                    help="CLUSTER_DIR is a columnar (cc-index-table-layout) "
                         "parquet index: key and time bounds push into the "
-                        "scan, no block pruning needed")
+                        "scan, no block pruning needed; an epoch store "
+                        "(update-parquet-index output) additionally honors "
+                        "takedowns and --as-of-epoch")
 
     tm = sub.add_parser("timemap", help="Memento TimeMap for one URI-R "
                                         "over a cluster (RFC 7089 / pywb "
@@ -233,12 +248,23 @@ def _dispatch(args, spark) -> int:
             files_per_task=args.files_per_task,
         )
     elif args.cmd == "compact":
+        from .sinks.parquet_index import (
+            compact_parquet_index_epochs,
+            store_backend,
+        )
         from .sinks.zipnum import compact_zipnum_epochs
 
-        compact_zipnum_epochs(
-            spark, args.out_dir, shards=args.shards,
-            numlines=args.numlines, retain_inputs=args.retain_inputs,
-        )
+        if store_backend(args.out_dir) == "parquet":
+            compact_parquet_index_epochs(
+                spark, args.out_dir,
+                range_partitions=args.range_partitions,
+                retain_inputs=args.retain_inputs,
+            )
+        else:
+            compact_zipnum_epochs(
+                spark, args.out_dir, shards=args.shards,
+                numlines=args.numlines, retain_inputs=args.retain_inputs,
+            )
     elif args.cmd == "expire-snapshots":
         from .sinks.zipnum import expire_snapshots
 
@@ -250,6 +276,14 @@ def _dispatch(args, spark) -> int:
         epoch = update_index(
             spark, args.manifest, args.out_dir,
             shards=args.shards, numlines=args.numlines, compact=args.compact,
+        )
+        print(f"epoch: {epoch}" if epoch is not None else "up to date")
+    elif args.cmd == "update-parquet-index":
+        from .plans.pipeline import update_parquet_index
+
+        epoch = update_parquet_index(
+            spark, args.manifest, args.out_dir,
+            range_partitions=args.range_partitions, compact=args.compact,
         )
         print(f"epoch: {epoch}" if epoch is not None else "up to date")
     elif args.cmd == "query":
@@ -305,9 +339,11 @@ def _dispatch(args, spark) -> int:
                   "pages the default order (no --fields/--sort-reverse/"
                   "--closest; text or json output)", file=sys.stderr)
             return 2
-        if args.as_of_epoch is not None and not args.epochs:
-            print("error: --as-of-epoch needs --epochs (snapshots live in "
-                  "the incremental store)", file=sys.stderr)
+        if args.as_of_epoch is not None and not (
+            args.epochs or args.parquet_index
+        ):
+            print("error: --as-of-epoch needs --epochs or --parquet-index "
+                  "(snapshots live in an incremental store)", file=sys.stderr)
             return 2
         if args.fast_latest and (args.epochs or args.parquet_index):
             print("error: --fast-latest is a ZipNum-cluster tail-probe; "
@@ -362,7 +398,8 @@ def _dispatch(args, spark) -> int:
             from .operators.cdx_query import cdx_query_parquet
 
             df = cdx_query_parquet(
-                spark, args.cluster_dir, args.url, page=args.page, **shared,
+                spark, args.cluster_dir, args.url, page=args.page,
+                as_of_epoch=args.as_of_epoch, **shared,
             )
         else:
             df = query_index(
@@ -421,7 +458,18 @@ def _dispatch(args, spark) -> int:
             # when gap-free paging is on)
             parts = [last["urlkey"], last["timestamp"]]
             if args.tiebreak:
-                parts.append(str(last[args.tiebreak]))
+                # json output went through toJSON(), which OMITS null
+                # fields — last is then a dict missing the key, so a
+                # bracket lookup would KeyError-traceback on a NULL
+                # tiebreak value (e.g. damaged digest); '-' is the CDX
+                # null placeholder and sorts before every real value,
+                # matching the strictly-after continuation contract
+                tv = (
+                    last.get(args.tiebreak)
+                    if isinstance(last, dict)
+                    else last[args.tiebreak]
+                )
+                parts.append("-" if tv is None else str(tv))
             print()
             print(" ".join(parts))
     elif args.cmd == "timemap":

@@ -539,9 +539,12 @@ def apply_acl(
     ``embargo`` is pywb's collection-level embargo block [U pywb
     config.yaml embargo]: a dict with any of ``before``/``after``
     (ts14 prefixes — hide captures before/after a fixed date) and
-    ``newer``/``older`` (duration dicts ``{years, days, hours,
-    minutes, seconds}`` — hide captures newer/older than the duration,
-    measured from ``as_of``).  An embargoed capture's verdict becomes
+    ``newer``/``older`` (duration dicts ``{years, months, weeks,
+    days, hours, minutes, seconds}`` — hide captures newer/older than
+    the duration, measured from ``as_of``; fixed conventions
+    years=365d, months=30d, weeks=7d — timedelta offsets, not
+    calendar arithmetic, so a years: window drifts by leap days vs a
+    calendar anniversary).  An embargoed capture's verdict becomes
     ``exclude`` (hidden) UNLESS its ACL verdict is
     ``allow_ignore_embargo`` — pywb's per-rule embargo exemption —
     which always displays as plain ``allow``.  ``as_of`` is the ts14
@@ -617,12 +620,22 @@ def _embargo_pred(ts_col: str, embargo: dict, as_of: str | None) -> str:
         return s.ljust(14, pad)
 
     def duration(v: object) -> timedelta:
-        units = {"years": 365, "days": 1}
+        # fixed day-count conventions, stated so configs can be
+        # audited: years=365d, months=30d, weeks=7d — durations are
+        # timedelta offsets from as_of, NOT calendar arithmetic, so a
+        # years: window drifts by leap days vs a calendar anniversary
+        units = {"years": 365, "months": 30, "weeks": 7, "days": 1}
         if not isinstance(v, dict) or not v:
             raise ValueError(f"embargo duration {v!r} must be a non-empty dict")
-        bad = set(v) - {"years", "days", "hours", "minutes", "seconds"}
+        bad = set(v) - {
+            "years", "months", "weeks", "days", "hours", "minutes", "seconds"
+        }
         if bad:
-            raise ValueError(f"unknown embargo duration units {sorted(bad)}")
+            raise ValueError(
+                f"unknown embargo duration units {sorted(bad)} (supported: "
+                "years/months/weeks/days/hours/minutes/seconds with fixed "
+                "conventions years=365d, months=30d, weeks=7d)"
+            )
         days = hours = minutes = seconds = 0
         for unit, n in v.items():
             if not isinstance(n, int) or isinstance(n, bool) or n < 0:
@@ -1059,12 +1072,27 @@ def _ts14_prefix_end(s: str) -> str:
     return end.strftime("%Y%m%d%H%M%S")
 
 
+def _ts14_floor(s: str):
+    """Driver-side twin of ``functions.timestamps.from_ts14``'s
+    padding ('2015' → 2015-01-01 00:00:00, '00' month/day → '01'),
+    but VALIDATING: a digit prefix that pads to a non-existent date
+    ('20160230') raises ValueError instead of the Spark expression's
+    silent NULL."""
+    from datetime import datetime
+
+    padded = (s + "00000000000000")[:14]
+    mo = "01" if padded[4:6] == "00" else padded[4:6]
+    dy = "01" if padded[6:8] == "00" else padded[6:8]
+    return datetime.strptime(padded[:4] + mo + dy + padded[8:], "%Y%m%d%H%M%S")
+
+
 def cdx_query_parquet(
     spark: SparkSession,
     index_dir: str,
     url: str,
     *,
     match_type: str | None = None,
+    as_of_epoch: int | None = None,
     **kwargs,
 ) -> DataFrame:
     """The cdx-server query surface against the COLUMNAR
@@ -1083,12 +1111,25 @@ def cdx_query_parquet(
     redundant typed twin is sargable — the standard
     redundant-predicate trick, semantics unchanged.
 
+    ``index_dir`` may be a STATIC index (``write_parquet_index``
+    output — ``crawl=`` directories at the root) or an incremental
+    EPOCH STORE (``write_parquet_index_epoch`` output — ``epoch-``
+    directories); detection is by layout.  On an epoch store the read
+    honors tombstone takedowns and ``as_of_epoch`` snapshot time
+    travel exactly like the ZipNum epoch backend — the same LSM
+    protocol, columnar payload.  ``as_of_epoch`` on a static index
+    raises: a plain table has no snapshot history to travel.
+
     Block-run paging (``page=``) is the ZipNum cluster's contract and
     raises here; row paging via ``resume_key`` works — its
     continuation predicate is on urlkey/timestamp and pushes like any
     other."""
     from ..functions.timestamps import from_ts14
-    from ..sinks.parquet_index import read_parquet_index
+    from ..sinks.parquet_index import (
+        read_parquet_index,
+        read_parquet_index_epochs,
+    )
+    from ..sinks.zipnum import _epoch_names
 
     if kwargs.pop("page", None) is not None or kwargs.pop(
         "show_num_pages", False
@@ -1097,11 +1138,25 @@ def cdx_query_parquet(
             "page=/show_num_pages/show_paged_index are ZipNum block-run "
             "contracts; the parquet index pages rows with resume_key="
         )
-    idx = read_parquet_index(spark, index_dir)
-    if kwargs.get("from_"):
-        idx = idx.filter(
-            F.col("fetch_time") >= from_ts14(F.lit(str(kwargs["from_"])))
+    if _epoch_names(index_dir):
+        idx = read_parquet_index_epochs(
+            spark, index_dir, as_of_epoch=as_of_epoch
         )
+    elif as_of_epoch is not None:
+        raise ValueError(
+            "as_of_epoch= needs an incremental epoch store "
+            "(write_parquet_index_epoch); this is a static parquet index"
+        )
+    else:
+        idx = read_parquet_index(spark, index_dir)
+    frm = str(kwargs["from_"]) if kwargs.get("from_") else ""
+    if frm.isdigit() and len(frm) in (4, 6, 8, 10, 12, 14):
+        # same guard as the to= path: odd-length / non-digit prefixes
+        # skip the redundant typed bound (the residual ts14-string
+        # compare still applies them exactly), and a digit prefix that
+        # doesn't parse as a date ('20160230') raises here instead of
+        # silently becoming `fetch_time >= NULL` (= empty result)
+        idx = idx.filter(F.col("fetch_time") >= F.lit(_ts14_floor(frm)))
     to = str(kwargs["to"]) if kwargs.get("to") else ""
     if to.isdigit() and len(to) in (4, 6, 8, 10, 12, 14):
         # odd-length prefixes skip the redundant typed bound (the
@@ -1174,6 +1229,14 @@ def cdx_query_zipnum(
     )
 
     url, match_type, lo, hi = _query_prune_range(url, match_type, kwargs)
+    if page is not None and fast_latest:
+        # alternative paging schemes, same refusal as page+resume_key:
+        # page= takes the branch below and would silently ignore
+        # fast_latest
+        raise ValueError(
+            "page= and fast_latest are alternative paging schemes; use "
+            "one (fastLatest for the tail, page for block-run export)"
+        )
     rk = kwargs.get("resume_key")
     if rk is not None:
         if page is not None:

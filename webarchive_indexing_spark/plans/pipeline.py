@@ -195,6 +195,59 @@ def update_index(
     return epoch_id
 
 
+def update_parquet_index(
+    spark: SparkSession,
+    manifest: str | DataFrame,
+    out_dir: str,
+    *,
+    indexed: DataFrame | None = None,
+    range_partitions: int = 8,
+    files_per_task: int = 2,
+    compact: bool = False,
+) -> int | None:
+    """Incremental crawl ingest into the COLUMNAR epoch store — the
+    parquet twin of ``update_index``, same protocol (skip-existing
+    anti-join, one immutable epoch per batch, replay-safe id keyed on
+    the batch's WARC paths, optional fold-after).  This is the 100 TB
+    production shape [B commoncrawl/cc-index-table]: a monthly crawl
+    appends one epoch; history is never rewritten; takedowns arrive
+    as tombstone epochs through ``takedown`` and reach the bytes at
+    the next compaction."""
+    import hashlib
+
+    from ..sinks.parquet_index import (
+        compact_parquet_index_epochs,
+        to_parquet_index_shape,
+        write_parquet_index_epoch,
+    )
+    from ..sinks.zipnum import _subsumed_names, reserve_epoch_id
+    from ..sources.warc import index_warcs, skip_existing
+
+    m = _manifest_df(spark, manifest)
+    if indexed is not None:
+        m = skip_existing(m, indexed)
+    # bounded collect: manifest rows are file paths (see update_index)
+    paths = sorted(r["path"] for r in m.select("path").collect())
+    if not paths:
+        return None
+    key = "update:" + hashlib.md5("\n".join(paths).encode()).hexdigest()
+    # reserve under the parquet: prefix write_parquet_index_epoch uses,
+    # so the write below lands in the slot reserved here on replay
+    epoch_id = reserve_epoch_id(out_dir, f"parquet:{key}")
+    if f"epoch-{epoch_id:06d}" in _subsumed_names(out_dir):
+        return None  # replay of a batch already folded by compaction
+    cdx = index_warcs(spark, m, files_per_task=files_per_task)
+    write_parquet_index_epoch(
+        to_parquet_index_shape(cdx), out_dir, key,
+        range_partitions=range_partitions,
+    )
+    if compact:
+        compact_parquet_index_epochs(
+            spark, out_dir, range_partitions=range_partitions
+        )
+    return epoch_id
+
+
 def takedown(
     spark: SparkSession,
     keys,
@@ -214,8 +267,9 @@ def takedown(
     immediately — past epochs AND future crawls.  ``compact=True``
     additionally folds the index so the excluded rows are PHYSICALLY
     purged from storage (the tombstone list itself is carried forward
-    by compaction).  Replay-safe under ``batch_key`` (default: content
-    hash of the key list)."""
+    by compaction); the merge routes to the store's payload backend —
+    ZipNum or columnar parquet — automatically.  Replay-safe under
+    ``batch_key`` (default: content hash of the key list)."""
     import hashlib
 
     from ..sinks.zipnum import compact_zipnum_epochs, write_tombstone_epoch
@@ -232,5 +286,15 @@ def takedown(
         batch_key = hashlib.md5("\n".join(rows).encode()).hexdigest()
     eid = write_tombstone_epoch(keys, out_dir, batch_key)
     if compact:
-        compact_zipnum_epochs(spark, out_dir, shards=shards, numlines=numlines)
+        from ..sinks.parquet_index import (
+            compact_parquet_index_epochs,
+            store_backend,
+        )
+
+        if store_backend(out_dir) == "parquet":
+            compact_parquet_index_epochs(spark, out_dir)
+        else:
+            compact_zipnum_epochs(
+                spark, out_dir, shards=shards, numlines=numlines
+            )
     return eid

@@ -3219,3 +3219,155 @@ def cdx_fast_latest(spark, sf_dir):
         spark, out, "https://src5.example.org/doc/", match_type="prefix",
         fast_latest=True, limit=-7,
     ).select("urlkey", "timestamp", "digest")
+
+
+def _parquet_epoch_store(spark, sf_dir, tmp_prefix: str) -> str:
+    """Shared fixture for the columnar-epoch-store queries: even-crawl
+    captures land as epoch 0, odd-crawl as epoch 1 (two monthly-crawl
+    ingest batches), then TWO takedown tombstone epochs — a whole-URL
+    takedown of the src2 subtree (epoch 2) and an exact-capture
+    takedown of every pre-2016 src1 capture (epoch 3)."""
+    import tempfile
+
+    from ..sinks.parquet_index import (
+        to_parquet_index_shape,
+        write_parquet_index_epoch,
+    )
+    from ..sinks.zipnum import write_tombstone_epoch
+
+    out = tempfile.mkdtemp(prefix=tmp_prefix)
+    base = _zipnum_input(spark, sf_dir)
+    crawl_no = F.substring("filename", 7, 2).cast("int")
+    write_parquet_index_epoch(
+        to_parquet_index_shape(base.filter(crawl_no % 2 == 0)),
+        out, "even", range_partitions=4,
+    )
+    write_parquet_index_epoch(
+        to_parquet_index_shape(base.filter(crawl_no % 2 == 1)),
+        out, "odd", range_partitions=4,
+    )
+    wild = (
+        base.filter(F.col("urlkey").startswith("org,example,src2)/"))
+        .select("urlkey")
+        .distinct()
+        .withColumn("timestamp", F.lit(None).cast("string"))
+    )
+    write_tombstone_epoch(wild, out, "takedown:src2")  # epoch 2
+    exact = base.filter(
+        F.col("urlkey").startswith("org,example,src1)/")
+        & (F.col("timestamp") < "2016")
+    ).select("urlkey", "timestamp").distinct()
+    write_tombstone_epoch(exact, out, "takedown:src1-pre2016")  # epoch 3
+    return out
+
+
+@query(
+    "cdx_parquet_takedown",
+    oracle=CDX_SQL + """
+    SELECT urlkey, ts14 AS timestamp,
+           'https://example.org/' || digest AS url,
+           mime, status, digest,
+           CAST(NULL AS VARCHAR) AS redirect,
+           CAST(NULL AS VARCHAR) AS robotflags,
+           CAST(length AS BIGINT) AS length,
+           CAST("offset" AS BIGINT) AS "offset",
+           filename
+    FROM cdx
+    WHERE status = 200
+      AND urlkey NOT LIKE 'org,example,src2)/%'
+      AND NOT (urlkey LIKE 'org,example,src1)/%' AND ts14 < '2016')
+    """,
+)
+def cdx_parquet_takedown(spark, sf_dir):
+    """S6/ST1 takedowns on the COLUMNAR backend [B Iceberg
+    delete-file posture over the cc-index-table layout]: crawls land
+    as immutable parquet epochs, a legal takedown lands as a
+    tombstone epoch through the SAME manifest-allocated LSM protocol
+    as the ZipNum store — and a domain-wide cdx-server request
+    through ``cdx_query_parquet`` shows the taken-down captures gone
+    from EVERY crawl, past and future, with zero bytes of history
+    rewritten.  Both tombstone shapes are exercised: whole-URL (the
+    src2 subtree vanishes entirely) and exact-capture (only the
+    pre-2016 src1 captures vanish; later ones stay).  Tombstones are
+    metadata-sized broadcast anti-joins at read time; physical purge
+    happens at the next compaction (``parquet_compact_purge``)."""
+    from ..operators.cdx_query import cdx_query_parquet
+
+    store = _parquet_epoch_store(spark, sf_dir, "pqidx_td_")
+    return cdx_query_parquet(
+        spark, store, "https://example.org", match_type="domain",
+        filters=["=status:200"],
+    )
+
+
+@query(
+    "parquet_time_travel",
+    oracle=CDX_SQL + """
+    SELECT s.snap, c.urlkey AS url_surtkey, c.ts14 AS timestamp
+    FROM cdx c CROSS JOIN (SELECT unnest([1, 2, 3]) AS snap) s
+    WHERE (s.snap >= 2 OR CAST(substr(c.filename, 7, 2) AS INT) % 2 = 0)
+      AND (s.snap < 3 OR c.urlkey NOT LIKE 'org,example,src2)/%')
+    """,
+)
+def parquet_time_travel(spark, sf_dir):
+    """ST1 snapshot reads on the columnar epoch store — the parquet
+    twin of ``zipnum_time_travel``, same Iceberg-style contract
+    through the shared LSM protocol: three snapshot points of ONE
+    store (after the even-crawl ingest; after both ingests; after the
+    src2 whole-URL takedown) read via ``as_of_epoch``.  Snapshot 2
+    sees both ingests but NOT the later takedown (a snapshot
+    reproduces history); the latest-at-takedown snapshot hides every
+    src2 capture from both crawls.  A snapshot is an epoch-id cutoff
+    — no copy-on-write, no extra metadata, and each snapshot read
+    costs the same as a live read (per-epoch parquet scans with the
+    pushed filters + the union)."""
+    from ..sinks.parquet_index import read_parquet_index_epochs
+
+    store = _parquet_epoch_store(spark, sf_dir, "pqidx_tt_")
+    snaps = [
+        read_parquet_index_epochs(spark, store, as_of_epoch=i)
+        .select(
+            F.lit(i + 1).alias("snap"),
+            "url_surtkey",
+            F.date_format("fetch_time", "yyyyMMddHHmmss").alias("timestamp"),
+        )
+        for i in (0, 1, 2)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@query(
+    "parquet_compact_purge",
+    oracle=CDX_SQL + """
+    SELECT urlkey AS url_surtkey, ts14 AS timestamp, digest AS content_digest
+    FROM cdx
+    WHERE urlkey NOT LIKE 'org,example,src2)/%'
+      AND NOT (urlkey LIKE 'org,example,src1)/%' AND ts14 < '2016')
+    """,
+)
+def parquet_compact_purge(spark, sf_dir):
+    """ST1 compaction on the columnar epoch store: fold all live
+    epochs (two ingests + two takedowns) into ONE merged parquet
+    epoch and read the result — the merged view must equal the
+    pre-compaction latest view exactly (the takedowns survive the
+    merge), while the excluded rows are now PHYSICALLY absent from
+    storage, not just anti-joined away (pinned in
+    tests/test_parquet_index.py, which greps the merged epoch's
+    parquet bytes).  Same crash/reader-safe rename protocol as the
+    ZipNum merge: build under a tmp name, record compaction.inputs,
+    carry the tombstone list forward, one atomic rename."""
+    from ..sinks.parquet_index import (
+        compact_parquet_index_epochs,
+        read_parquet_index_epochs,
+    )
+
+    store = _parquet_epoch_store(spark, sf_dir, "pqidx_cp_")
+    compact_parquet_index_epochs(spark, store, range_partitions=4)
+    return read_parquet_index_epochs(spark, store).select(
+        "url_surtkey",
+        F.date_format("fetch_time", "yyyyMMddHHmmss").alias("timestamp"),
+        "content_digest",
+    )

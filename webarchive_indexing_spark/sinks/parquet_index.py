@@ -112,3 +112,236 @@ def read_parquet_index(spark: SparkSession, index_dir: str) -> DataFrame:
     every predicate on them prunes directories before any IO (assert
     with ``.explain``: PartitionFilters vs PushedFilters)."""
     return spark.read.parquet(index_dir)
+
+
+# ------------------------------------------------------------------
+# Incremental epoch store (parquet payload, ZipNum LSM protocol)
+#
+# The SAME contract as the ZipNum epoch store (sinks/zipnum.py ST1):
+# one immutable ``epoch-NNNNNN`` directory per ingest batch, tombstone
+# epochs for takedowns, ``compaction.inputs`` exclusion for leveled
+# merges, a shared replay-safe id allocator, and ``as_of_epoch``
+# snapshot reads — only the payload differs (a hive-partitioned
+# parquet index instead of a sorted ZipNum cluster).  All protocol
+# machinery (allocator, live-epoch listing, tombstone reading,
+# snapshot cutoffs, expire-snapshots) is the zipnum module's,
+# imported: two backends, ONE LSM implementation, so the randomized
+# model test exercises identical semantics through both.
+#
+# Why it matters: the columnar index is the 100 TB production path
+# [B commoncrawl/cc-index-table], and a legal takedown or a monthly
+# crawl append must land WITHOUT rewriting petabytes of history —
+# exactly the Iceberg posture (append epochs, tombstone deletes,
+# compaction rewrites, expire-snapshots reclaims).
+
+#: the cc-index-table column layout, for empty-store reads.
+INDEX_SCHEMA = (
+    "url_surtkey string, url string, fetch_time timestamp, "
+    "fetch_status int, content_mime_type string, content_digest string, "
+    "warc_filename string, warc_record_offset bigint, "
+    "warc_record_length bigint, crawl string, subset string"
+)
+
+
+def _has_parquet(epoch_dir: str) -> bool:
+    """True when the epoch's payload is a parquet index (vs a
+    tombstone-only epoch, whose directory holds just the list)."""
+    from pyarrow import fs as pafs
+
+    from .zipnum import _fs_for
+
+    fs, local = _fs_for(epoch_dir)
+    infos = fs.get_file_info(pafs.FileSelector(local, allow_not_found=True))
+    return any(
+        i.type == pafs.FileType.Directory and i.base_name.startswith("crawl=")
+        for i in infos
+    )
+
+
+def store_backend(store_dir: str) -> str | None:
+    """Which payload a store's live epochs hold: ``'parquet'``
+    (cc-index-table directories), ``'zipnum'`` (sorted clusters), or
+    ``None`` (no live data epochs — empty or tombstone-only store).
+    Lets the compaction CLI and the composed takedown plan route to
+    the right merge without the operator restating what the store
+    already knows."""
+    from .zipnum import _has_cluster, list_epochs
+
+    for e in list_epochs(store_dir):
+        if _has_parquet(e):
+            return "parquet"
+        if _has_cluster(e):
+            return "zipnum"
+    return None
+
+
+def write_parquet_index_epoch(
+    index: DataFrame,
+    store_dir: str,
+    batch_key: str,
+    *,
+    range_partitions: int = 8,
+) -> int:
+    """One ingest batch → one immutable parquet-index epoch.
+
+    The epoch id comes from the shared manifest allocator keyed on
+    ``batch_key`` (replay-safe: a re-delivered batch rewrites ITS OWN
+    slot, a batch already folded into a compaction is a no-op).  The
+    write goes to an ``ingest-tmp-`` name ``list_epochs`` never
+    matches, then renames into the ``epoch-NNNNNN`` slot — readers
+    see either the complete epoch or nothing, never a half-committed
+    parquet directory."""
+    from .zipnum import _fs_for, _join, _subsumed_names, reserve_epoch_id
+
+    eid = reserve_epoch_id(store_dir, f"parquet:{batch_key}")
+    name = f"epoch-{eid:06d}"
+    if name in _subsumed_names(store_dir):
+        # late replay of an already-compacted batch: its rows are
+        # durable in the merged epoch
+        return eid
+    fs, root_local = _fs_for(store_dir)
+    tmp_local = _join(root_local, f"ingest-tmp-{eid:06d}")
+    try:
+        fs.delete_dir(tmp_local)  # stale tmp from a crashed run
+    except OSError:
+        pass
+    write_parquet_index(
+        index,
+        _join(store_dir, f"ingest-tmp-{eid:06d}"),
+        range_partitions=range_partitions,
+        mode="overwrite",
+    )
+    final = _join(root_local, name)
+    try:
+        fs.delete_dir(final)  # replay of a completed batch: rewrite
+    except OSError:
+        pass
+    fs.move(tmp_local, final)
+    return eid
+
+
+def read_parquet_index_epochs(
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
+    """Merged view over every live epoch with tombstones applied —
+    the parquet twin of ``read_zipnum_epochs``.
+
+    Each epoch is an independent ``spark.read.parquet`` (so partition
+    pruning and pushed key ranges apply per epoch; a filter on the
+    union reaches every child scan), the survivors union, and live
+    tombstones hide taken-down captures via broadcast anti-joins
+    (takedown lists are metadata-sized — a court order, not a crawl).
+    ``as_of_epoch`` is the Iceberg-style snapshot cutoff: later
+    ingests, later takedowns, and later compactions are all invisible
+    (see ``zipnum.list_epochs`` for the retention caveat)."""
+    from .zipnum import _join, _read_tombstones, list_epochs
+
+    epochs = [
+        e for e in list_epochs(store_dir, as_of_epoch) if _has_parquet(e)
+    ]
+    if not epochs:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+    dfs = [
+        # scope the scan to the crawl= subtrees: a compacted epoch also
+        # holds the protocol files (compaction.inputs, tombstones),
+        # which are not parquet; basePath keeps partition discovery
+        spark.read.option("basePath", e).parquet(_join(e, "crawl=*"))
+        for e in epochs
+    ]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    wild, exact = _read_tombstones(store_dir, as_of_epoch)
+    if wild:
+        wdf = spark.createDataFrame([(k,) for k in wild], "url_surtkey string")
+        out = out.join(F.broadcast(wdf), "url_surtkey", "left_anti")
+    if exact:
+        # tombstones carry ts14 strings (the shared cross-backend
+        # format); the typed fetch_time renders back losslessly
+        edf = spark.createDataFrame(
+            list(exact), "__tomb_key string, __tomb_ts14 string"
+        )
+        out = out.withColumn(
+            "__ts14", F.date_format("fetch_time", "yyyyMMddHHmmss")
+        ).join(
+            F.broadcast(edf),
+            (F.col("url_surtkey") == F.col("__tomb_key"))
+            & (F.col("__ts14") == F.col("__tomb_ts14")),
+            "left_anti",
+        ).drop("__ts14")
+    return out
+
+
+def compact_parquet_index_epochs(
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    range_partitions: int = 8,
+    retain_inputs: bool = False,
+) -> int:
+    """Fold ALL live epochs into a single new parquet epoch — the
+    leveled merge, identical protocol to ``compact_zipnum_epochs``:
+    build under a ``compact-tmp-`` name readers never match, record
+    ``compaction.inputs``, carry the tombstone list forward (future
+    ingests must stay hidden too — legal-takedown semantics), then
+    one atomic rename into the slot.  The merged epoch is physically
+    FREE of taken-down rows (the read path applied the tombstones),
+    which is how a takedown eventually reaches the bytes on disk
+    without ever rewriting history in place.  ``retain_inputs=True``
+    keeps pre-merge snapshots readable (Iceberg retention;
+    ``zipnum.expire_snapshots`` reclaims).  Returns the new epoch id."""
+    from .zipnum import (
+        _COMPACT_INPUTS,
+        _TOMBSTONES,
+        _fs_for,
+        _join,
+        _read_tombstones,
+        expire_snapshots,
+        list_epochs,
+        reserve_epoch_id,
+    )
+
+    if not retain_inputs:
+        expire_snapshots(store_dir)
+    epochs = list_epochs(store_dir)
+    if not epochs:
+        raise ValueError(f"no epochs to compact under {store_dir!r}")
+    merged = read_parquet_index_epochs(spark, store_dir)
+    in_names = [e.rsplit("/", 1)[1] for e in epochs]
+    next_id = reserve_epoch_id(
+        store_dir, f"compact:{in_names[0]}-{in_names[-1]}"
+    )
+    fs, root_local = _fs_for(store_dir)
+    tmp_local = _join(root_local, f"compact-tmp-{next_id:06d}")
+    try:
+        fs.delete_dir(tmp_local)  # stale tmp from a crashed run
+    except OSError:
+        pass
+    write_parquet_index(
+        merged,
+        _join(store_dir, f"compact-tmp-{next_id:06d}"),
+        range_partitions=range_partitions,
+        mode="overwrite",
+    )
+    with fs.open_output_stream(
+        _join(tmp_local, _COMPACT_INPUTS), compression=None
+    ) as fh:
+        fh.write(("\n".join(in_names) + "\n").encode())
+    wild, exact = _read_tombstones(store_dir)
+    if wild or exact:
+        lines = sorted(
+            [f"{k}\t*" for k in wild] + [f"{k}\t{ts}" for k, ts in exact]
+        )
+        with fs.open_output_stream(
+            _join(tmp_local, _TOMBSTONES), compression=None
+        ) as fh:
+            fh.write(("\n".join(lines) + "\n").encode())
+    fs.move(tmp_local, _join(root_local, f"epoch-{next_id:06d}"))
+    if not retain_inputs:
+        for e in epochs:
+            efs, local = _fs_for(e)
+            efs.delete_dir(local)
+    return next_id

@@ -310,7 +310,11 @@ def load_aclj(path: str) -> tuple[list[tuple[str, str]], list[str]]:
 
 
 _EMBARGO_KEYS = {"before", "after", "newer", "older"}
-_DURATION_UNITS = {"years", "days", "hours", "minutes", "seconds"}
+# fixed day-count conventions (documented in cdx_query._embargo_pred):
+# years=365d, months=30d, weeks=7d — timedelta offsets, not calendar math
+_DURATION_UNITS = {
+    "years", "months", "weeks", "days", "hours", "minutes", "seconds"
+}
 
 
 def parse_embargo_obj(obj: object) -> tuple[dict | None, list[str]]:
