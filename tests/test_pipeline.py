@@ -879,3 +879,54 @@ def test_cli_cdxj_output_and_store_lifecycle(spark, warc_manifest,
     assert main(["query", out, "https://example.com/", "--match-type",
                  "prefix", "--epochs", "--limit", "1"]) == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_build_index_post_append(spark, tmp_path, capsys):
+    """argv-level pywb cdx-indexer -p parity: build-index with
+    --record-types request --post-append gives the POST request
+    record a urlkey carrying __wb_method + its sorted body params, so
+    the POSTed resource is queryable; without the flags the key is
+    the bare URL."""
+    import os
+
+    from webarchive_indexing_spark.__main__ import main
+    from webarchive_indexing_spark.sources.warc import write_mini_warc
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    post_http = (
+        b"POST /api HTTP/1.1\r\nHost: post.example\r\n"
+        b"Content-Type: application/x-www-form-urlencoded\r\n\r\nb=2&a=1"
+    )
+    write_mini_warc(
+        str(d / "crawl-90.warc.gz"),
+        [
+            dict(
+                url="http://post.example/api",
+                date_iso="2020-01-02T03:04:05Z",
+                payload=b"<html>ok</html>",
+                status=200,
+            ),
+            dict(
+                url="http://post.example/api",
+                date_iso="2020-01-02T03:04:05Z",
+                payload=post_http,
+                rec_type="request",
+            ),
+        ],
+    )
+    m = str(tmp_path / "m.txt")
+    with open(m, "w") as fh:
+        fh.write(str(d / "crawl-90.warc.gz") + "\n")
+
+    out = str(tmp_path / "cl")
+    assert main(["build-index", m, out, "--shards", "1", "--numlines", "3",
+                 "--record-types", "response,revisit,request",
+                 "--post-append"]) == 0
+    capsys.readouterr()
+    assert main(["query", out, "http://post.example/api",
+                 "--match-type", "prefix"]) == 0
+    keys = [ln.split(" ")[0]
+            for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert "example,post)/api?__wb_method=post&a=1&b=2" in keys
+    assert "example,post)/api" in keys  # the response row keeps its key

@@ -293,3 +293,51 @@ def test_auto_router_ascii_branch_has_no_python(spark):
     )
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan, plan[:400]
+
+
+def test_fold_method_query_native_matches_python(spark):
+    """fold_method_query (native) ∘ surt_urlkey must equal
+    fold_method_query_py ∘ surt_urlkey_py row for row across the
+    grammar arms: GET passthrough, urlencoded append (params sort in
+    with the URL's own), base64 fallback for non-form bodies, bodyless
+    POST, URL with and without an existing query."""
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.functions.surt import (
+        fold_method_query,
+        fold_method_query_py,
+        surt_urlkey,
+        surt_urlkey_py,
+    )
+
+    rows = [
+        ("http://e.com/a?z=9", "GET", None, ""),
+        ("http://e.com/a?z=9", "POST",
+         "application/x-www-form-urlencoded", "b=2&a=1"),
+        ("http://e.com/a", "POST",
+         "application/x-www-form-urlencoded; charset=utf-8", "b=2&a=1"),
+        ("http://e.com/a", "POST", "application/json", '{"q":1}'),
+        ("http://e.com/a?x=1", "PUT", "application/octet-stream", "rawbytes"),
+        ("http://e.com/a", "POST", None, ""),
+        ("http://e.com/a", "HEAD", None, ""),
+        ("http://e.com/a", None, None, "ignored"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, method string, ct string, body string"
+    )
+    got = [
+        r["k"]
+        for r in df.select(
+            surt_urlkey(
+                fold_method_query("url", "method", "ct", "body")
+            ).alias("k")
+        ).collect()
+    ]
+    want = [
+        surt_urlkey_py(fold_method_query_py(u, m, c, b))
+        for u, m, c, b in rows
+    ]
+    assert got == want
+    # spot-pin the two interesting shapes (golden pywb-style keys)
+    assert got[1] == "com,e)/a?__wb_method=post&a=1&b=2&z=9"
+    assert got[5] == "com,e)/a?__wb_method=post"

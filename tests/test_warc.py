@@ -422,6 +422,85 @@ def test_record_types_opt_in_request_metadata(tmp_path):
     assert meta[1] == "20200102030406"
 
 
+def test_post_append_folds_method_query(tmp_path):
+    """pywb cdx-indexer -p/--post-append end-to-end: with request
+    records opted in AND post_append=True, a POST request record's
+    urlkey folds __wb_method plus the body's params (sorted in with
+    the URL's own by SURT); non-form bodies fold as
+    __wb_post_data=<base64>; bodyless POSTs gain the method marker
+    alone; GET request records and the post_append=False default stay
+    byte-identical to before.  The CDX url field always stays the
+    target URI — only the KEY gains the grammar."""
+    import base64
+
+    from webarchive_indexing_spark.sources.warc import (
+        build_warc_record_plain,
+        parse_plain_warc,
+    )
+
+    form = (
+        b"POST /api?z=9 HTTP/1.1\r\nHost: x.example\r\n"
+        b"Content-Type: application/x-www-form-urlencoded\r\n\r\nb=2&a=1"
+    )
+    blob = b"\x00\x01binary"
+    binary = (
+        b"POST /upload HTTP/1.1\r\nHost: x.example\r\n"
+        b"Content-Type: application/octet-stream\r\n\r\n" + blob
+    )
+    getreq = b"GET /page HTTP/1.1\r\nHost: x.example\r\n\r\n"
+    empty = b"POST /ping HTTP/1.1\r\nHost: x.example\r\n\r\n"
+    recs = (
+        build_warc_record_plain(
+            "http://x.example/api?z=9", "2020-01-02T03:04:05Z", form,
+            rec_type="request",
+        )
+        + build_warc_record_plain(
+            "http://x.example/upload", "2020-01-02T03:04:06Z", binary,
+            rec_type="request",
+        )
+        + build_warc_record_plain(
+            "http://x.example/page", "2020-01-02T03:04:07Z", getreq,
+            rec_type="request",
+        )
+        + build_warc_record_plain(
+            "http://x.example/ping", "2020-01-02T03:04:08Z", empty,
+            rec_type="request",
+        )
+    )
+    types = ("response", "revisit", "request")
+
+    keys = [
+        r[0] for r in parse_plain_warc(
+            "f.warc", recs, record_types=types, post_append=True
+        )
+    ]
+    b64 = base64.b64encode(blob).decode("ascii").lower()
+    assert keys == [
+        "example,x)/api?__wb_method=post&a=1&b=2&z=9",
+        f"example,x)/upload?__wb_method=post&__wb_post_data={b64}",
+        "example,x)/page",
+        "example,x)/ping?__wb_method=post",
+    ]
+    # url field stays the target URI even when the key folds
+    urls = [
+        r[2] for r in parse_plain_warc(
+            "f.warc", recs, record_types=types, post_append=True
+        )
+    ]
+    assert urls[0] == "http://x.example/api?z=9"
+
+    # the default (no post_append) is unchanged pre-existing behavior
+    plain = [
+        r[0] for r in parse_plain_warc("f.warc", recs, record_types=types)
+    ]
+    assert plain == [
+        "example,x)/api?z=9",
+        "example,x)/upload",
+        "example,x)/page",
+        "example,x)/ping",
+    ]
+
+
 def test_parser_never_raises_on_fuzzed_bytes():
     """Hypothesis fuzz of the damage-tolerance contract: ANY byte
     mutation of a valid archive (bit flips, truncation, garbage

@@ -48,6 +48,14 @@ def _parser() -> argparse.ArgumentParser:
     bi.add_argument("--shards", type=int, default=8)
     bi.add_argument("--numlines", type=int, default=3000)
     bi.add_argument("--files-per-task", type=int, default=2)
+    bi.add_argument("--record-types", default=None, metavar="T1,T2",
+                    help="record types to index (default response,revisit; "
+                         "add request/metadata/resource/conversion — pywb "
+                         "include-all semantics)")
+    bi.add_argument("--post-append", action="store_true",
+                    help="fold __wb_method + request-body params into "
+                         "request-record urlkeys (pywb cdx-indexer -p; "
+                         "needs request in --record-types)")
 
     bp = sub.add_parser("build-parquet-index",
                         help="manifest -> columnar (cc-index-table-layout) "
@@ -234,10 +242,15 @@ def _dispatch(args, spark) -> int:
     elif args.cmd == "build-index":
         from .plans.pipeline import build_index
 
+        rts = (
+            tuple(t.strip() for t in args.record_types.split(",") if t.strip())
+            if args.record_types else None
+        )
         build_index(
             spark, args.manifest, args.out_dir,
             shards=args.shards, numlines=args.numlines,
             files_per_task=args.files_per_task,
+            record_types=rts, post_append=args.post_append,
         )
     elif args.cmd == "build-parquet-index":
         from .plans.pipeline import build_parquet_index

@@ -373,6 +373,80 @@ def surt_urlkey_py(url: str) -> str:
     return f"{rev_host}){path}{tail}"
 
 
+def fold_method_query(
+    url: Column | str,
+    method: Column | str,
+    content_type: Column | str,
+    body: Column | str,
+) -> Column:
+    """pywb MethodQueryCanonicalizer as a native expression [U pywb
+    warcserver/inputrequest.py MethodQueryCanonicalizer]: a non-GET
+    request folds ``__wb_method=<METHOD>`` plus its request-body
+    params into the URL's query BEFORE canonicalization, so POSTed
+    resources (API calls, form submissions on JS-heavy sites) get
+    distinct, replayable urlkeys instead of all collapsing onto the
+    bare URL.  Composition with ``surt_urlkey`` gives exactly pywb's
+    order of operations: append first, then the canonicalizer sorts
+    params (``__wb_method`` sorts among them) and lowercases.
+
+    Native subset (documented divergence, same posture as the SURT
+    IDN split): ``application/x-www-form-urlencoded`` bodies append
+    verbatim as params; ANY other body (json/multipart/binary)
+    appends as pywb's opaque fallback ``__wb_post_data=<base64>`` —
+    pywb's json/multipart flattening is Python-only grammar and lives
+    in ``fold_method_query_py``'s caller if ever needed.  GET/HEAD
+    (and null methods) pass the URL through untouched; a bodyless
+    POST still gains ``__wb_method=POST`` (the method alone changes
+    what the server serves)."""
+    u = F.col(url) if isinstance(url, str) else url
+    m = F.upper(F.col(method) if isinstance(method, str) else method)
+    ct = F.col(content_type) if isinstance(content_type, str) else content_type
+    b = F.col(body) if isinstance(body, str) else body
+    params = F.when(
+        b.isNull() | (b == ""), F.lit("")
+    ).when(
+        F.lower(F.coalesce(ct, F.lit(""))).contains(
+            "application/x-www-form-urlencoded"
+        ),
+        b,
+    ).otherwise(F.concat(F.lit("__wb_post_data="), F.base64(b.cast("binary"))))
+    folded = F.concat(
+        u,
+        F.when(u.contains("?"), F.lit("&")).otherwise(F.lit("?")),
+        F.lit("__wb_method="),
+        m,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("&"), params)),
+    )
+    return F.when(
+        m.isNull() | m.isin("GET", "HEAD"), u
+    ).otherwise(folded)
+
+
+def fold_method_query_py(
+    url: str, method: str | None, content_type: str | None, body
+) -> str:
+    """Plain-Python twin of ``fold_method_query`` (same subset), used
+    by the WARC request-record indexer where the body is raw bytes.
+    urlencoded bodies decode latin-1 (byte-preserving); anything else
+    base64s into ``__wb_post_data``."""
+    import base64
+
+    m = (method or "").upper()
+    if not m or m in ("GET", "HEAD"):
+        return url
+    if isinstance(body, str):
+        body = body.encode("latin-1", "replace")
+    if not body:
+        params = ""
+    elif "application/x-www-form-urlencoded" in (content_type or "").lower():
+        params = body.decode("latin-1")
+    else:
+        params = "__wb_post_data=" + base64.b64encode(body).decode("ascii")
+    sep = "&" if "?" in url else "?"
+    tail = "&" + params if params else ""
+    return f"{url}{sep}__wb_method={m}{tail}"
+
+
 def surt_urlkey_pandas():
     """Arrow-batched pandas-UDF fallback (for plans that must match
     pywb edge cases the native subset skips — swap implementations

@@ -46,11 +46,21 @@ def build_index(
     shards: int = 8,
     numlines: int = 3000,
     files_per_task: int = 2,
+    record_types: tuple[str, ...] | None = None,
+    post_append: bool = False,
 ) -> DataFrame:
     """Manifest (path file or DataFrame with ``path``) → WARC parse →
     ZipNum cluster at ``out_dir``; returns the secondary index.  One
-    job, one range shuffle — the whole reference pipeline."""
-    cdx = index_warcs(spark, _manifest_df(spark, manifest), files_per_task=files_per_task)
+    job, one range shuffle — the whole reference pipeline.
+    ``record_types``/``post_append`` forward to ``index_warcs`` (pywb
+    include-all + cdx-indexer -p semantics)."""
+    from ..sources.warc import DEFAULT_RECORD_TYPES
+
+    cdx = index_warcs(
+        spark, _manifest_df(spark, manifest), files_per_task=files_per_task,
+        record_types=record_types or DEFAULT_RECORD_TYPES,
+        post_append=post_append,
+    )
     return write_zipnum(cdx, out_dir, shards=shards, numlines=numlines)
 
 

@@ -3221,6 +3221,66 @@ def cdx_fast_latest(spark, sf_dir):
     ).select("urlkey", "timestamp", "digest")
 
 
+@query(
+    "cdx_post_request_key",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 1 THEN 'GET' ELSE 'POST' END AS method,
+           CASE doc_id % 4
+             WHEN 1 THEN 'org,example,api)/v1/submit?channel=' || source
+             WHEN 0 THEN 'org,example,api)/v1/submit?__wb_method=post&a='
+                  || CAST(doc_id AS VARCHAR) || '&b='
+                  || CAST(n_chars AS VARCHAR) || '&channel=' || source
+             WHEN 2 THEN 'org,example,api)/v1/submit?__wb_method=post&__wb_post_data='
+                  || lower(to_base64(encode('{"q":' || CAST(doc_id AS VARCHAR) || '}')))
+                  || '&channel=' || source
+             ELSE 'org,example,api)/v1/submit?__wb_method=post&channel=' || source
+           END AS urlkey
+    FROM documents
+    """,
+)
+def cdx_post_request_key(spark, sf_dir):
+    """F1+ POST-request canonicalization [U pywb
+    MethodQueryCanonicalizer / cdx-indexer -p]: ``__wb_method=POST``
+    plus the request body's params fold into the URL query BEFORE
+    SURT, so POSTed resources (form submissions, API calls on
+    JS-heavy sites) get distinct replayable urlkeys.  All four
+    grammar arms oracle-checked against golden pywb-style keys built
+    relationally: urlencoded bodies append verbatim (and sort among
+    the URL's own params — ``__wb_method`` lands mid-query, not
+    appended at the end), non-form bodies append as the opaque
+    ``__wb_post_data=<base64>`` fallback, bodyless POSTs still gain
+    the method marker, and GETs pass through untouched.  The whole
+    fold is native column expressions composed under the native SURT
+    — scan-side, zero exchanges, no Python in the hot path."""
+    from ..functions.surt import fold_method_query, surt_urlkey
+
+    d = t(spark, sf_dir, "documents")
+    arm = F.col("doc_id") % 4
+    url = F.concat(
+        F.lit("https://api.example.org/v1/submit?channel="), F.col("source")
+    )
+    method = F.when(arm == 1, F.lit("GET")).otherwise(F.lit("POST"))
+    ct = (
+        F.when(arm == 0, F.lit("application/x-www-form-urlencoded; charset=utf-8"))
+        .when(arm == 2, F.lit("application/json"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    body = (
+        F.when(
+            arm == 0,
+            F.concat(F.lit("a="), F.col("doc_id"), F.lit("&b="), F.col("n_chars")),
+        )
+        .when(arm == 2, F.concat(F.lit('{"q":'), F.col("doc_id"), F.lit("}")))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        "doc_id",
+        method.alias("method"),
+        surt_urlkey(fold_method_query(url, method, ct, body)).alias("urlkey"),
+    )
+
+
 def _parquet_epoch_store(spark, sf_dir, tmp_prefix: str) -> str:
     """Shared fixture for the columnar-epoch-store queries: even-crawl
     captures land as epoch 0, odd-crawl as epoch 1 (two monthly-crawl

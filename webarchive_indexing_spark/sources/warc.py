@@ -199,6 +199,7 @@ def parse_warc_file_stream(
     *,
     digest_b32: bool = False,
     record_types: tuple[str, ...] | None = None,
+    post_append: bool = False,
     chunk_size: int = 1 << 20,
 ):
     """``parse_warc_file`` over a file handle via the streaming member
@@ -210,7 +211,8 @@ def parse_warc_file_stream(
         records = list(split_warc_records(member)) or [(0, len(member), member)]
         for _, _, record in records:
             fields = _index_warc_record(
-                record, digest_b32=digest_b32, record_types=record_types
+                record, digest_b32=digest_b32, record_types=record_types,
+                post_append=post_append,
             )
             if fields is not None:
                 yield (*fields, clen, offset, short)
@@ -292,6 +294,7 @@ def _index_warc_record(
     *,
     digest_b32: bool,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+    post_append: bool = False,
 ):
     """CDX fields (urlkey..robotflags) for ONE complete WARC record,
     or None for types outside ``record_types`` (warcinfo never
@@ -329,11 +332,35 @@ def _index_warc_record(
             mime = (hh.get("content-type") or "").split(";")[0].strip() or None
             payload = body[http_end + 4 :]
     elif rec_type == "request" and first_line.endswith((b"HTTP/1.0", b"HTTP/1.1")):
-        # an HTTP request block: "METHOD /path HTTP/1.x"
-        if http_end >= 0:
-            hh = _parse_headers(body[:http_end])
-            mime = (hh.get("content-type") or "").split(";")[0].strip() or None
-            payload = body[http_end + 4 :]
+        # an HTTP request block: "METHOD /path HTTP/1.x".  A bodyless
+        # request's header/body separator is consumed by the record
+        # rstrip above, so a missing CRLFCRLF means headers-only
+        # (empty payload), not an unparseable block.
+        hh = _parse_headers(body[:http_end] if http_end >= 0 else body)
+        mime = (hh.get("content-type") or "").split(";")[0].strip() or None
+        payload = body[http_end + 4 :] if http_end >= 0 else b""
+        if post_append:
+            # pywb cdx-indexer -p/--post-append [U pywb
+            # MethodQueryCanonicalizer]: fold __wb_method + the
+            # request body's params into the urlkey so POSTed
+            # resources replay; the CDX url field stays the
+            # target URI (only the KEY gains the grammar)
+            from ..functions.surt import fold_method_query_py
+
+            method = first_line.split(b" ", 1)[0].decode("latin-1", "replace")
+            folded = fold_method_query_py(
+                url, method, hh.get("content-type"), payload
+            )
+            return (
+                surt_urlkey_py(folded),
+                ts14,
+                url,
+                mime,
+                None,
+                _sha1_digest(payload, digest_b32),
+                None,
+                None,
+            )
     elif rec_type in ("metadata", "resource", "conversion"):
         # conversion = Common Crawl WET plain-text extracts: the WARC
         # record's own Content-Type (text/plain), payload is the body
@@ -356,6 +383,7 @@ def parse_warc_file(
     *,
     digest_b32: bool = False,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+    post_append: bool = False,
 ):
     """Yield one CDX tuple per indexable record of a ``.warc.gz``.
 
@@ -373,7 +401,8 @@ def parse_warc_file(
             records = [(0, len(member), member)]
         for _, _, record in records:
             fields = _index_warc_record(
-                record, digest_b32=digest_b32, record_types=record_types
+                record, digest_b32=digest_b32, record_types=record_types,
+                post_append=post_append,
             )
             if fields is not None:
                 yield (*fields, clen, offset, short)
@@ -385,13 +414,15 @@ def parse_plain_warc(
     *,
     digest_b32: bool = False,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+    post_append: bool = False,
 ):
     """Uncompressed ``.warc``: records split on Content-Length, each
     CDX row carrying its true (uncompressed) byte offset + length."""
     short = filename.rsplit("/", 1)[-1]
     for offset, rlen, record in split_warc_records(data):
         fields = _index_warc_record(
-            record, digest_b32=digest_b32, record_types=record_types
+            record, digest_b32=digest_b32, record_types=record_types,
+            post_append=post_append,
         )
         if fields is not None:
             yield (*fields, rlen, offset, short)
@@ -527,6 +558,7 @@ def parse_archive_file(
     *,
     digest_b32: bool = False,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+    post_append: bool = False,
 ):
     """Sniff the container + record format from the BYTES (extensions
     lie in the wild) and dispatch: gzip magic → member iteration, then
@@ -538,12 +570,14 @@ def parse_archive_file(
         head = probe[2][:16]
         if head.startswith(b"WARC/"):
             return parse_warc_file(
-                filename, data, digest_b32=digest_b32, record_types=record_types
+                filename, data, digest_b32=digest_b32,
+                record_types=record_types, post_append=post_append,
             )
         return parse_arc_file(filename, data, digest_b32=digest_b32)
     if data.startswith(b"WARC/"):
         return parse_plain_warc(
-            filename, data, digest_b32=digest_b32, record_types=record_types
+            filename, data, digest_b32=digest_b32,
+            record_types=record_types, post_append=post_append,
         )
     if data.startswith(b"filedesc://"):
         return parse_arc_file(filename, data, digest_b32=digest_b32)
@@ -563,6 +597,7 @@ def index_warcs(
     digest_b32: bool = False,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
     streaming: bool = True,
+    post_append: bool = False,
 ) -> DataFrame:
     """S1+S2: manifest (column ``path``) → typed CDX DataFrame; mixed
     WARC/ARC, gzipped or plain, all dispatch per file by magic bytes.
@@ -577,7 +612,11 @@ def index_warcs(
     record splitters need the full buffer; legacy files are small).
     ``digest_b32=True`` emits pywb-compatible base32 digests for
     joining against existing CC indexes; ``record_types`` widens
-    indexing to request/metadata/resource/conversion records."""
+    indexing to request/metadata/resource/conversion records;
+    ``post_append=True`` (with ``request`` in record_types) folds
+    ``__wb_method`` + request-body params into request-record urlkeys
+    — pywb cdx-indexer's -p flag [U pywb MethodQueryCanonicalizer],
+    the grammar that makes POSTed resources replayable."""
     n_files = manifest.count()
     n_parts = max(1, n_files // files_per_task)
 
@@ -605,11 +644,13 @@ def index_warcs(
                             fh,
                             digest_b32=digest_b32,
                             record_types=record_types,
+                            post_append=post_append,
                         )
                         continue
                 data = fh.read()
             yield from parse_archive_file(
-                path, data, digest_b32=digest_b32, record_types=record_types
+                path, data, digest_b32=digest_b32,
+                record_types=record_types, post_append=post_append,
             )
 
     rdd = manifest.select("path").repartition(n_parts).rdd.mapPartitions(parse)
