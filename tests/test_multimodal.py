@@ -170,3 +170,77 @@ def test_decode_images_damage_tolerant(spark):
     assert got[1].format == "ppm" and got[1].mean_r == 9.0
     assert got[2].format == "unsupported" and got[2].width is None
     assert got[3].format == "unsupported"
+
+
+def test_parse_image_header_golden():
+    """Header parser golden values: PNG IHDR (color-type channels ×
+    bit depth), JPEG baseline + progressive SOF fields behind a real
+    APP0 segment, PPM tokens (with comments), BMP info header, and
+    the top-down-BMP height sign."""
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_bmp,
+        build_jpeg_header,
+        build_png_header,
+        parse_image_header,
+    )
+
+    assert parse_image_header(build_png_header(640, 480)) == {
+        "format": "png", "width": 640, "height": 480, "color_depth": 24
+    }
+    assert parse_image_header(
+        build_png_header(5, 7, bit_depth=16, color_type=6)
+    ) == {"format": "png", "width": 5, "height": 7, "color_depth": 64}
+    assert parse_image_header(build_jpeg_header(1920, 1080)) == {
+        "format": "jpeg", "width": 1920, "height": 1080, "color_depth": 24
+    }
+    assert parse_image_header(
+        build_jpeg_header(33, 44, progressive=True, ncomp=1)
+    ) == {
+        "format": "jpeg-progressive", "width": 33, "height": 44,
+        "color_depth": 8,
+    }
+    assert parse_image_header(b"P6\n# comment\n12 9\n255\n") == {
+        "format": "ppm", "width": 12, "height": 9, "color_depth": 24
+    }
+    assert parse_image_header(build_bmp(3, 2, [0] * 18)) == {
+        "format": "bmp", "width": 3, "height": 2, "color_depth": 24
+    }
+
+
+def test_parse_image_header_damage_tolerance():
+    """Bytes-fuzz: every truncation and every single-byte corruption
+    of valid headers either parses or raises the documented
+    (ValueError/NotImplementedError) pair — never an unexpected
+    exception class, so image_dims' per-row quarantine is total."""
+    import random
+
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_jpeg_header,
+        build_png_header,
+        parse_image_header,
+    )
+
+    rng = random.Random(42)
+    samples = [
+        build_png_header(9, 4),
+        build_jpeg_header(100, 50),
+        build_jpeg_header(7, 7, progressive=True),
+        b"P6\n4 3\n255\n" + bytes(36),
+    ]
+    for b in samples:
+        for cut in range(len(b)):
+            try:
+                parse_image_header(b[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(200):
+            pos = rng.randrange(len(b))
+            mut = b[:pos] + bytes([rng.randrange(256)]) + b[pos + 1 :]
+            try:
+                parse_image_header(mut)
+            except (ValueError, NotImplementedError):
+                pass
+    # empty and garbage payloads quarantine too
+    for junk in (b"", b"\x00", b"not an image at all"):
+        with pytest.raises((ValueError, NotImplementedError)):
+            parse_image_header(junk)

@@ -152,6 +152,223 @@ def _decode_bmp(b: bytes) -> dict:
     return _rgb_means("bmp", w, h, rgb)
 
 
+#: every SOFn marker that carries frame dimensions (C4=DHT, C8=JPG
+#: extension, CC=DAC are NOT frame headers and must be skipped).
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+#: PNG color-type → sample channels (IHDR byte 25).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload) -> dict:
+    """Image dimensions/type from HEADER bytes alone — no codec.
+
+    Real corpora are ~all JPEG/PNG, whose RASTERS need an external
+    codec (the documented ``decode_image_real`` seam) — but their
+    dimensions sit in plain header structures, and dims-stats
+    (aspect/size filtering, thumbnail routing, resolution curricula)
+    is the multimodal-curation primitive.  Parsed here, pure Python:
+
+    * JPEG — walk the marker segments from SOI to the first SOFn
+      frame header (baseline SOF0 through SOF15, skipping
+      DHT/JPG/DAC which share the Cx range); height/width/precision/
+      component-count are its fixed fields.  Progressive (SOF2)
+      parses identically.
+    * PNG — IHDR is REQUIRED to be the first chunk after the 8-byte
+      signature: width/height big-endian at fixed offsets, bit depth
+      × color-type channels = pixel depth.
+    * PPM / BMP — header tokens / BITMAPINFOHEADER fields (the two
+      formats the full raster decoder already handles).
+
+    Returns ``{format, width, height, color_depth}``; raises
+    ValueError on damaged headers and NotImplementedError on unknown
+    magics — callers map both to 'unsupported' per row (damage
+    tolerance at 100 TB is per-row, never per-task)."""
+    import struct
+
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) < 26 or b[12:16] != b"IHDR":
+            raise ValueError("png: truncated or IHDR not first")
+        w, h = struct.unpack_from(">II", b, 16)
+        bit_depth, color_type = b[24], b[25]
+        ch = _PNG_CHANNELS.get(color_type)
+        if ch is None or w <= 0 or h <= 0:
+            raise ValueError(f"png: bad IHDR ({w}x{h}, ct={color_type})")
+        return {
+            "format": "png",
+            "width": w,
+            "height": h,
+            "color_depth": bit_depth * ch,
+        }
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 1 < len(b):
+            if b[i] != 0xFF:
+                raise ValueError(f"jpeg: expected marker at {i}")
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers, no length field
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
+                break
+            if i + 4 > len(b):
+                raise ValueError("jpeg: truncated segment header")
+            seg_len = struct.unpack_from(">H", b, i + 2)[0]
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 10 > len(b):
+                    raise ValueError("jpeg: truncated SOF")
+                precision = b[i + 4]
+                h_, w_ = struct.unpack_from(">HH", b, i + 5)
+                ncomp = b[i + 9]
+                if w_ <= 0 or h_ <= 0 or ncomp == 0:
+                    raise ValueError(f"jpeg: bad SOF dims {w_}x{h_}")
+                return {
+                    "format": (
+                        "jpeg-progressive" if marker == 0xC2 else "jpeg"
+                    ),
+                    "width": w_,
+                    "height": h_,
+                    "color_depth": precision * ncomp,
+                }
+            i += 2 + seg_len
+        raise ValueError("jpeg: no SOF frame header found")
+    if b[:2] in (b"P6", b"P3"):
+        fields = []
+        for tok, _ in _ppm_tokens(b[2:]):
+            fields.append(int(tok))
+            if len(fields) == 2:
+                break
+        if len(fields) < 2 or fields[0] <= 0 or fields[1] <= 0:
+            raise ValueError("ppm: truncated header")
+        return {
+            "format": "ppm",
+            "width": fields[0],
+            "height": fields[1],
+            "color_depth": 24,
+        }
+    if b[:2] == b"BM":
+        if len(b) < 30:
+            raise ValueError("bmp: truncated header")
+        w, h = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        if w <= 0 or h == 0:
+            raise ValueError(f"bmp: bad dims {w}x{h}")
+        return {
+            "format": "bmp",
+            "width": w,
+            "height": abs(h),
+            "color_depth": bpp,
+        }
+    raise NotImplementedError("unknown image magic")
+
+
+def build_png_header(w: int, h: int, *, bit_depth: int = 8,
+                     color_type: int = 2) -> bytes:
+    """Minimal structurally-valid PNG (signature + IHDR + IEND, real
+    CRCs, no raster) — fixture for the header parser."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    )
+
+
+def build_jpeg_header(w: int, h: int, *, progressive: bool = False,
+                      ncomp: int = 3) -> bytes:
+    """Minimal JPEG byte stream (SOI + JFIF APP0 + SOFn + EOI) — the
+    marker walk the header parser performs is exactly what a real
+    camera file requires, including skipping the APP0 segment."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 72, 72
+    ) + b"\x00\x00"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    comps = b"".join(
+        bytes((cid + 1, 0x11, 0)) for cid in range(ncomp)
+    )
+    sof = sof_marker + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comps
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def synthesize_header_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic codec-format fixtures for the header parser: per
+    doc a (2 + id%13)×(1 + id%11) image — PNG RGBA for id%4==0, JPEG
+    baseline RGB for 1, JPEG progressive grayscale for 2, PPM P6 for
+    3 — dims and depth pure arithmetic, so a SQL oracle recomputes
+    them without touching binary."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 2 + i % 13, 1 + i % 11
+                arm = i % 4
+                if arm == 0:
+                    p = build_png_header(w, h, color_type=6)  # RGBA: 32
+                elif arm == 1:
+                    p = build_jpeg_header(w, h)  # 3×8: 24
+                elif arm == 2:
+                    p = build_jpeg_header(w, h, progressive=True, ncomp=1)
+                else:
+                    p = build_ppm(w, h, [0] * (3 * w * h))
+                ids.append(i)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(fn, IMAGE_FIXTURE_SCHEMA)
+
+
+IMAGE_DIMS_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, color_depth int"
+)
+
+
+def image_dims(df: DataFrame) -> DataFrame:
+    """Header-only dims/type extraction over Arrow batches — the
+    cheap full-corpus pass (bytes-in-buffer, no codec, no raster
+    materialization) that feeds size/aspect curation filters.
+    Unparseable payloads become ``format='unsupported'`` rows."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from struct import error as struct_error
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = parse_image_header(bytes(payload))
+                except (NotImplementedError, ValueError, struct_error):
+                    d = {
+                        "format": "unsupported",
+                        "width": None,
+                        "height": None,
+                        "color_depth": None,
+                    }
+                rows.append({"doc_id": doc_id, **d})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, IMAGE_DIMS_SCHEMA)
+
+
 def build_ppm(w: int, h: int, rgb: list[int]) -> bytes:
     """Encode an RGB sample list as binary PPM (P6) — fixture builder
     shared by tests and the oracle-checked decode query."""

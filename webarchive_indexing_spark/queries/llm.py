@@ -2361,6 +2361,39 @@ def multimodal_decode_real(spark, sf_dir):
 
 
 @query(
+    "multimodal_image_dims",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'jpeg-progressive' ELSE 'ppm' END AS format,
+           CAST(2 + doc_id % 13 AS INT) AS width,
+           CAST(1 + doc_id % 11 AS INT) AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 32 WHEN 1 THEN 24
+                WHEN 2 THEN 8 ELSE 24 END AS INT) AS color_depth
+    FROM documents WHERE doc_id < 400
+    """,
+    tier="C",
+)
+def multimodal_image_dims(spark, sf_dir):
+    """L6 codec-format image headers: JPEG (SOF0 baseline + SOF2
+    progressive, walking real marker segments past APP0) and PNG
+    (IHDR, bit-depth × color-type channels) dimensions parsed from
+    HEADER bytes alone — pure Python, no codec, which is exactly what
+    dims-stats curation (aspect/size filters, resolution curricula)
+    needs over a 100 TB media column whose rasters would need PIL.
+    Fixtures are structurally valid files (real PNG CRCs, real JFIF
+    APP0 segment to skip) with dims from doc_id arithmetic, so the
+    oracle recomputes width/height/depth relationally; full raster
+    decode stays PPM/BMP-only (``multimodal_decode_real``).  Damage
+    tolerance (truncated/corrupt headers → 'unsupported' rows, never
+    task death) is bytes-fuzz-pinned in tests/test_multimodal.py."""
+    from ..operators.multimodal import image_dims, synthesize_header_payloads
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return image_dims(synthesize_header_payloads(d))
+
+
+@query(
     "multimodal_feature_pipeline",
     oracle=f"""
     WITH docs AS (
