@@ -491,3 +491,25 @@ def test_banded_rewrites_equal_naive_joins(spark, sf_dir):
     assert sorted(map(tuple, join_range_banded(spark, sf_dir).collect())) == sorted(
         map(tuple, naive_range.collect())
     )
+
+
+def test_lang_id_hashed_beats_stopword_baseline(spark, sf_dir):
+    """The trained hashed-BoW lang-id must beat the stopword
+    baseline's accuracy on the labeled corpus.  The synthetic lang
+    column is label-only (shared vocabulary — the raw-text ceiling IS
+    the majority class, which the stopword voter achieves), so the
+    fixture plants one deterministic marker token per doc; the
+    trained model must recover it among the 31 shared tokens, which
+    the stopword lists structurally cannot."""
+    _ensure_loaded()
+
+    def accuracy(name):
+        rows = REGISTRY[name].fn(spark, sf_dir).collect()
+        total = sum(r["n"] for r in rows)
+        right = sum(r["n"] for r in rows if r["lang"] == r["guess"])
+        return right / total
+
+    hashed = accuracy("text_lang_id_hashed")
+    stopword = accuracy("text_lang_guess")
+    assert hashed > stopword, (hashed, stopword)
+    assert hashed > 0.95, hashed  # planted signal: near-perfect recovery

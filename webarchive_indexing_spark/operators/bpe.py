@@ -96,6 +96,132 @@ def bpe_learn_merges(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a learned merge table — the tokenizer's serving half,
+    the pass that runs over every corpus byte in a real pipeline
+    (learning runs once; encoding runs always).
+
+    Per word (whitespace pre-tokens filtered to the same
+    lowercase-alpha ``WORD_RE`` family the learner trained on): the
+    ``<sym>`` encoding, then the guarded ``replace`` chain in MERGE
+    RANK ORDER — the identical greedy-leftmost merge the learner used,
+    so encode∘learn is self-consistent by construction.  Symbols then
+    map to ids: base letters a-z → 0..25, merge ``k`` (1-based) →
+    ``25 + k`` — a first-match-wins chain in rank order, mirrored
+    exactly by the oracle's CASE.
+
+    Scale shape: the merge table is a MODEL ARTIFACT (n_merges rows)
+    riding as literals inside one scan-side projection — no join, no
+    shuffle, no Python; per-doc token order is preserved through
+    posexplode → array_sort(collect_list(struct(pos, ids))) — the
+    only exchange is the final per-doc regroup.  Returns
+    ``(doc_id, n_tokens, ids)`` with ids dash-joined (engine-neutral
+    array hashing)."""
+    from ..functions.text import tokens
+
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                tokens(F.col(text_col)), lambda w: w.rlike(WORD_RE)
+            )
+        ).alias("pos", "w"),
+    )
+    enc = F.regexp_replace(F.col("w"), "(.)", "<$1>")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    syms = F.split(F.expr(
+        "substring(__enc, 2, length(__enc) - 2)"
+    ), "><")
+
+    def sym_id(s):
+        out = F.when(F.length(s) == 1, F.ascii(s) - 97)
+        for k, (a, b) in enumerate(merges, start=1):
+            out = out.when(s == a + b, F.lit(25 + k))
+        return out.otherwise(F.lit(-1))
+
+    per_word = words.withColumn("__enc", enc).select(
+        "doc_id",
+        "pos",
+        F.transform(syms, sym_id).alias("ids"),
+    )
+    ordered = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+            lambda s: s["ids"],
+        )
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.size(ordered).cast("bigint").alias("n_tokens"),
+        F.array_join(ordered, "-").alias("ids"),
+    )
+
+
+def sql_bpe_encode_ids(
+    n_merges: int = 3, learn_limit: int = 300, encode_limit: int = 200
+) -> str:
+    """DuckDB twin of learn-then-encode: re-learns the merge table
+    with ``sql_bpe_learn_merges``' chained CTEs, then applies the
+    identical guarded-replace chain per document word and the
+    identical first-match-wins id CASE."""
+    learn = sql_bpe_learn_merges(n_merges, learn_limit)
+    # reuse the learner's WITH-chain (words, top1..wN) and drop its
+    # final UNION-ALL select: that select is the only 4-space-indented
+    # "\n    SELECT" in the generated string (CTE bodies indent 6)
+    parts = learn.split("\n    SELECT")[0]
+    enc_chain = []
+    prev = "e0"
+    for r in range(1, n_merges + 1):
+        enc_chain.append(
+            f"""e{r} AS (
+      SELECT doc_id, pos,
+             replace(enc, '<' || t.a || '><' || t.b || '>',
+                     '<' || t.a || t.b || '>') AS enc
+      FROM {prev} CROSS JOIN top{r} t
+    )"""
+        )
+        prev = f"e{r}"
+    id_case = "\n          ".join(
+        f"WHEN s = (SELECT a || b FROM top{k}) THEN {25 + k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""{parts},
+    docw AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < {encode_limit}
+      ), unnest(generate_series(1, len(ws))) AS t(i)
+      WHERE regexp_matches(ws[i], '{WORD_RE}')
+    ),
+    e0 AS (
+      SELECT doc_id, pos, regexp_replace(w, '(.)', '<\\1>', 'g') AS enc
+      FROM docw
+    ),
+    {','.join(enc_chain)},
+    symrows AS (
+      SELECT doc_id, pos, j, ss[j] AS s
+      FROM (
+        SELECT doc_id, pos,
+               string_split(substring(enc, 2, length(enc) - 2), '><') AS ss
+        FROM {prev}
+      ), unnest(generate_series(1, len(ss))) AS u(j)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(
+             CAST(CASE WHEN length(s) = 1 THEN ascii(s) - 97
+                  {id_case}
+                  ELSE -1 END AS VARCHAR),
+             '-' ORDER BY pos, j) AS ids
+    FROM symrows GROUP BY doc_id"""
+
+
 def sql_bpe_learn_merges(n_merges: int = 3, doc_limit: int = 300) -> str:
     """DuckDB twin: the same rounds as chained CTEs — pair counts via
     unnest, the argmax via ORDER BY ... LIMIT 1, the merge via the

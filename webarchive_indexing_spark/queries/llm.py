@@ -1163,6 +1163,182 @@ def text_lang_guess(spark, sf_dir):
     return scored.groupBy("lang", guess.alias("guess")).agg(F.count(F.lit(1)).alias("n"))
 
 
+#: hashed lang-id model geometry: bucket space + training slice +
+#: fixed-point scale, shared by the Spark plan and the DuckDB twin.
+#: The synthetic documents table's ``lang`` column is a LABEL ONLY —
+#: its text is drawn from one shared 31-token vocabulary regardless of
+#: language (verified: per-token lang fractions equal the class
+#: priors), so the information-theoretic ceiling on raw text is the
+#: majority class, which is exactly what the stopword baseline
+#: achieves (its de/es/fr lists never match, every doc falls through
+#: to 'en').  The lang-id fixture therefore derives a corpus with ONE
+#: deterministic per-language marker token appended (``qde``/``qes``/
+#: …) — planted signal both engines derive identically — so the query
+#: proves the MECHANISM: the trained hashed-BoW model must find the
+#: rare discriminative token among the 31 common ones and beat the
+#: stopword baseline's majority-class accuracy (pinned in
+#: tests/test_scale.py).
+_LANGID_BUCKETS = 2048
+_LANGID_TRAIN = 400
+_LANGID_SCALE = 1_000_000
+_LANGID_LANGS = ("de", "es", "fr", "zh", "en")
+
+
+def _langid_sql() -> str:
+    """DuckDB twin of text_lang_id_hashed, generated from the same
+    geometry constants so the engines cannot drift."""
+    h = sql_token_hash("t")
+    f_cols = ", ".join(
+        f"SUM(CASE WHEN c.lang = '{lg}' THEN ({_LANGID_SCALE} * c.c) // t.tot "
+        f"ELSE 0 END) AS f_{lg}"
+        for lg in _LANGID_LANGS
+    )
+    nl = len(_LANGID_LANGS)
+    avg = "(" + " + ".join(f"f_{lg}" for lg in _LANGID_LANGS) + f") // {nl}"
+    w_cols = ", ".join(
+        f"GREATEST(0, f_{lg} - 2 * ({avg})) AS w_{lg}"
+        for lg in _LANGID_LANGS
+    )
+    s_cols = ", ".join(
+        f"SUM(COALESCE(w.w_{lg}, 0)) AS s_{lg}" for lg in _LANGID_LANGS
+    )
+    # fixed tie-break chain: earlier languages win ties
+    arms = []
+    for i, lg in enumerate(_LANGID_LANGS[:-1]):
+        conds = " AND ".join(
+            f"s_{lg} >= s_{other}" for other in _LANGID_LANGS[i + 1 :]
+        )
+        arms.append(f"WHEN {conds} THEN '{lg}'")
+    guess_case = (
+        "CASE " + " ".join(arms) + f" ELSE '{_LANGID_LANGS[-1]}' END"
+    )
+    return f"""
+    WITH marked AS (
+      SELECT doc_id, lang, text || ' q' || lang AS text FROM documents
+    ),
+    tr AS (
+      SELECT lang, ({h}) % {_LANGID_BUCKETS} AS bucket
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
+            FROM marked WHERE doc_id < {_LANGID_TRAIN})
+    ),
+    cnt AS (SELECT lang, bucket, COUNT(*) AS c FROM tr GROUP BY lang, bucket),
+    tot AS (SELECT lang, COUNT(*) AS tot FROM tr GROUP BY lang),
+    f AS (
+      SELECT bucket, {f_cols}
+      FROM cnt c JOIN tot t ON c.lang = t.lang GROUP BY bucket
+    ),
+    w AS (SELECT bucket, {w_cols} FROM f),
+    dt AS (
+      SELECT doc_id, lang, ({h}) % {_LANGID_BUCKETS} AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+            FROM marked)
+    ),
+    s AS (
+      SELECT dt.doc_id, dt.lang, {s_cols}
+      FROM dt LEFT JOIN w USING (bucket) GROUP BY dt.doc_id, dt.lang
+    )
+    SELECT lang, {guess_case} AS guess, COUNT(*) AS n
+    FROM s GROUP BY lang, guess
+    """
+
+
+@query("text_lang_id_hashed", oracle=_langid_sql(), tier="C")
+def text_lang_id_hashed(spark, sf_dir):
+    """Multi-class hashed-BoW language ID [north-star: fastText
+    lang-id (CCNet/FineWeb run exactly this shape)] — the TRAINED
+    upgrade of ``text_lang_guess``'s stopword voting: per-language
+    hashed-unigram models learned from a labeled slice (doc_id <
+    400), weights = CLIPPED EXCESS frequency ``max(0, f_lang −
+    mean_langs)`` in fixed-point integers (the clip is essential: the
+    argmax is invariant to per-bucket common offsets, so plain
+    frequency sums cannot separate languages — only overrepresented
+    buckets may vote), then every document scores all five languages
+    and argmaxes with a fixed tie-break chain.  Output is the
+    confusion matrix against the labeled lang column.
+
+    Fixture honesty: the synthetic corpus's lang column is a label
+    only (see the geometry-constants note), so ONE deterministic
+    marker token per doc plants the recoverable signal; the trained
+    model must find it among the 31 shared-vocabulary tokens, which
+    the stopword baseline structurally cannot (pinned >
+    majority-class in tests/test_scale.py).
+
+    Scale design: the model is a ≤2048-row (bucket → 5 weights)
+    BROADCAST artifact — the scoring join carries hashed bucket ids
+    only (raw text never crosses an exchange, the DSIR discipline),
+    and the per-doc regroup is the only wide shuffle.  Training cost
+    is one pass over the labeled slice; a real fastText model's
+    weights ride in the same broadcast slot."""
+    from ..functions.text import token_hash, tokens
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(F.col("text"), F.lit(" q"), F.col("lang")).alias("text"),
+    )
+    bucket = F.pmod(token_hash(F.col("t")), F.lit(_LANGID_BUCKETS))
+    tr = (
+        d.filter(F.col("doc_id") < _LANGID_TRAIN)
+        .select("lang", F.explode(tokens(F.col("text"))).alias("t"))
+        .select("lang", bucket.alias("bucket"))
+    )
+    cnt = tr.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    tot = tr.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    freqs = (
+        cnt.join(F.broadcast(tot), "lang")
+        .groupBy("bucket")
+        .agg(*[
+            F.sum(
+                F.when(
+                    F.col("lang") == lg,
+                    F.expr(f"div({_LANGID_SCALE} * c, tot)"),
+                ).otherwise(F.lit(0))
+            ).alias(f"f_{lg}")
+            for lg in _LANGID_LANGS
+        ])
+    )
+    # clipped EXCESS frequency with a 2x-mean noise floor: a bucket
+    # votes only for languages where it is STRONGLY overrepresented
+    # (>2x the cross-language mean) — the argmax is invariant to any
+    # per-bucket common offset, so plain frequency sums cannot
+    # separate languages, and a bare max(0, f - mean) clip still lets
+    # per-language sampling noise on the common vocabulary outvote
+    # the rare discriminative tokens.  Integer-exact throughout.
+    avg = F.expr(
+        "div(" + " + ".join(f"f_{lg}" for lg in _LANGID_LANGS)
+        + f", {len(_LANGID_LANGS)})"
+    )
+    weights = freqs.select(
+        "bucket",
+        *[
+            F.greatest(F.lit(0), F.col(f"f_{lg}") - 2 * avg).alias(f"w_{lg}")
+            for lg in _LANGID_LANGS
+        ],
+    )
+    dt = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+    ).select("doc_id", "lang", bucket.alias("bucket"))
+    s = (
+        dt.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id", "lang")
+        .agg(*[
+            F.sum(F.coalesce(F.col(f"w_{lg}"), F.lit(0))).alias(f"s_{lg}")
+            for lg in _LANGID_LANGS
+        ])
+    )
+    c = F.col
+    guess = None
+    for i, lg in enumerate(_LANGID_LANGS[:-1]):
+        cond = F.lit(True)
+        for other in _LANGID_LANGS[i + 1 :]:
+            cond = cond & (c(f"s_{lg}") >= c(f"s_{other}"))
+        guess = F.when(cond, lg) if guess is None else guess.when(cond, lg)
+    guess = guess.otherwise(_LANGID_LANGS[-1])
+    return s.groupBy("lang", guess.alias("guess")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 @query(
     "text_bpe_token_count",
     oracle="""
@@ -2872,6 +3048,37 @@ def text_bpe_learn_merges(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return bpe_learn_merges(d, n_merges=3)
+
+
+@query(
+    "text_bpe_encode_ids",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.bpe", fromlist=["sql_bpe_encode_ids"]
+    ).sql_bpe_encode_ids(n_merges=3, learn_limit=300, encode_limit=200),
+    tier="C",
+)
+def text_bpe_encode_ids(spark, sf_dir):
+    """BPE ENCODE — the tokenizer's serving half, applied after
+    ``text_bpe_learn_merges`` learns the table: every document's
+    words run the learned guarded-replace chain in merge-rank order
+    and emit token-id sequences (a-z → 0..25, merge k → 25+k),
+    order-preserving, dash-joined per doc for engine-neutral
+    hashing.  This is the pass that touches every corpus byte in a
+    real pipeline; the merge table is a model artifact (3 rows of
+    literals inside one scan-side projection — no join, no Python),
+    so encoding costs one scan plus the per-doc regroup.  The oracle
+    RE-LEARNS the same table relationally and applies the identical
+    chain + id CASE, so learn∘encode is value-hashed end to end."""
+    from ..operators.bpe import bpe_encode, bpe_learn_merges
+
+    d = t(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn_merges(
+            d.filter(F.col("doc_id") < 300), n_merges=3
+        ).collect()
+    ]
+    return bpe_encode(d.filter(F.col("doc_id") < 200), merges)
 
 
 @query(
