@@ -448,6 +448,28 @@ def test_cli_collapse_annotations_resume_and_timemap(spark, warc_manifest,
     clines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     assert clines and all(ln.startswith(some["urlkey"] + " ") for ln in clines)
 
+    # timegate: RFC 7089 §4 response shape for the closest capture
+    assert main(["timegate", out_dir, some["url"],
+                 "--accept-datetime", "2015"]) == 0
+    glines = capsys.readouterr().out.splitlines()
+    assert glines[0] == "HTTP/1.1 302 Found"
+    assert glines[1].startswith("Location: https://web.archive.example/web/")
+    assert glines[1].endswith("id_/" + some["urlkey"])
+    assert glines[2] == "Vary: accept-datetime"
+    assert 'rel="original"' in glines[3] and 'rel="memento"' in glines[3]
+    assert 'rel="first memento"; datetime="' in glines[3]
+    # the Location timestamp is the closest capture to the accept
+    # datetime: feed the same request through the query surface
+    assert main(["query", out_dir, some["url"], "--closest", "2015",
+                 "--limit", "1", "--output", "json"]) == 0
+    want_ts = _json.loads(capsys.readouterr().out.splitlines()[0])["timestamp"]
+    assert f"/web/{want_ts}id_/" in glines[1]
+    # malformed accept-datetime and a miss both exit 2 cleanly
+    assert main(["timegate", out_dir, some["url"],
+                 "--accept-datetime", "not-a-ts"]) == 2
+    assert main(["timegate", out_dir, "https://nowhere.example/x",
+                 "--accept-datetime", "2015"]) == 2
+
 
 def test_cli_paging_flags(spark, warc_manifest, tmp_path, capsys):
     """--show-num-pages / --show-paged-index / --page N --page-size K

@@ -201,6 +201,19 @@ def _parser() -> argparse.ArgumentParser:
     tm.add_argument("--replay-base",
                     default="https://web.archive.example/web/",
                     help="replay-URL base for memento URIs")
+
+    tg = sub.add_parser("timegate", help="Memento TimeGate for one URI-R "
+                                         "(RFC 7089 §4): the 302 redirect "
+                                         "headers for the capture closest "
+                                         "to --accept-datetime")
+    tg.add_argument("cluster_dir")
+    tg.add_argument("url")
+    tg.add_argument("--accept-datetime", required=True, metavar="TS14",
+                    help="the negotiated datetime as a ts14 prefix "
+                         "(the engine takes no clock of its own)")
+    tg.add_argument("--replay-base",
+                    default="https://web.archive.example/web/",
+                    help="replay-URL base for memento URIs")
     return p
 
 
@@ -509,6 +522,28 @@ def _dispatch(args, spark) -> int:
         ordered = lines.orderBy("urlkey", "line_no").select("line")
         for row in ordered.toLocalIterator():
             print(row["line"])
+    elif args.cmd == "timegate":
+        from .operators.timemap import timegate
+        from .plans.pipeline import query_index
+
+        adt = str(args.accept_datetime)
+        if not (4 <= len(adt) <= 14 and adt.isdigit()):
+            print("error: --accept-datetime must be a ts14 prefix",
+                  file=sys.stderr)
+            return 2
+        df = query_index(spark, args.cluster_dir, args.url)
+        rows = timegate(
+            df.select("urlkey", "timestamp"), adt, ts_col="timestamp",
+            replay_base=args.replay_base,
+        ).limit(2).collect()
+        if not rows:
+            print("error: no mementos for this URI-R", file=sys.stderr)
+            return 2
+        r = rows[0]
+        print(f"HTTP/1.1 {r['status']} Found")
+        print(f"Location: {r['location']}")
+        print(f"Vary: {r['vary']}")
+        print(f"Link: {r['link']}")
     return 0
 
 

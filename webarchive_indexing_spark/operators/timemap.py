@@ -90,6 +90,70 @@ def timemap_linkformat(
     return original.unionByName(mementos)
 
 
+def timegate(
+    df: DataFrame,
+    accept_datetime: str,
+    *,
+    key_col: str = "urlkey",
+    ts_col: str = "ts14",
+    replay_base: str = REPLAY_BASE,
+) -> DataFrame:
+    """Memento TimeGate response shape [RFC 7089 §4; pywb's redirect
+    half of /web/<url>]: per URI-R, the 302-redirect row for the
+    memento CLOSEST to ``accept_datetime`` (a ts14 prefix; same
+    abs-distance + earlier-wins ordering as the cdx-server
+    ``closest=`` knob, so the gate and the query surface agree on
+    which capture 'closest' means).
+
+    Columns are the response headers a gate serves: ``status`` (302),
+    ``location`` (the chosen memento's replay URI), ``vary``
+    (``accept-datetime`` — the header that makes gate responses
+    datetime-negotiated), and ``link`` carrying original + first/last
+    memento link-values with RFC-1123 datetimes [RFC 7089 §4.2].
+    One ranked window per urlkey (the index's own sort key), then a
+    map-side concat — the same scale shape as the TimeMap
+    serializers."""
+    target = int(str(accept_datetime).ljust(14, "0"))
+    w = Window.partitionBy(key_col)
+    dist = F.abs(F.col(ts_col).cast("bigint") - F.lit(target))
+    ranked = (
+        df.select(key_col, ts_col)
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(dist.asc(), F.col(ts_col).asc())),
+        )
+        .withColumn("first_ts", F.min(ts_col).over(w))
+        .withColumn("last_ts", F.max(ts_col).over(w))
+    )
+    chosen = ranked.filter(F.col("rn") == 1)
+
+    def memento_uri(ts):
+        return F.concat(F.lit(replay_base), ts, F.lit("id_/"), F.col(key_col))
+
+    link = F.concat(
+        F.lit("<"), F.col(key_col), F.lit('>; rel="original", <'),
+        memento_uri(F.col("first_ts")),
+        F.lit('>; rel="first memento"; datetime="'),
+        _http_date("first_ts"),
+        F.lit('", <'),
+        memento_uri(F.col("last_ts")),
+        F.lit('>; rel="last memento"; datetime="'),
+        _http_date("last_ts"),
+        F.lit('", <'),
+        memento_uri(F.col(ts_col)),
+        F.lit('>; rel="memento"; datetime="'),
+        _http_date(ts_col),
+        F.lit('"'),
+    )
+    return chosen.select(
+        key_col,
+        F.lit(302).alias("status"),
+        memento_uri(F.col(ts_col)).alias("location"),
+        F.lit("accept-datetime").alias("vary"),
+        link.alias("link"),
+    )
+
+
 def timemap_json(
     df: DataFrame,
     *,

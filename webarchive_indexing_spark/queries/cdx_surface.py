@@ -1747,6 +1747,66 @@ def cdx_timemap_json(spark, sf_dir):
 
 
 @query(
+    "cdx_timegate",
+    oracle=CDX_SQL + """
+    , sub AS (
+      SELECT urlkey, ts14 FROM cdx
+      WHERE urlkey >= 'org,example,src4' AND urlkey < 'org,example,src4)~'
+    ), ranked AS (
+      SELECT urlkey, ts14,
+             ROW_NUMBER() OVER (
+               PARTITION BY urlkey
+               ORDER BY abs(CAST(ts14 AS BIGINT) - 20160101000000), ts14
+             ) AS rn,
+             MIN(ts14) OVER (PARTITION BY urlkey) AS first_ts,
+             MAX(ts14) OVER (PARTITION BY urlkey) AS last_ts
+      FROM sub
+    )
+    SELECT urlkey, 302 AS status,
+           'https://web.archive.example/web/' || ts14 || 'id_/' || urlkey
+             AS location,
+           'accept-datetime' AS vary,
+           '<' || urlkey || '>; rel="original", <'
+             || 'https://web.archive.example/web/' || first_ts || 'id_/' || urlkey
+             || '>; rel="first memento"; datetime="'
+             || strftime(strptime(first_ts, '%Y%m%d%H%M%S'),
+                         '%a, %d %b %Y %H:%M:%S GMT')
+             || '", <'
+             || 'https://web.archive.example/web/' || last_ts || 'id_/' || urlkey
+             || '>; rel="last memento"; datetime="'
+             || strftime(strptime(last_ts, '%Y%m%d%H%M%S'),
+                         '%a, %d %b %Y %H:%M:%S GMT')
+             || '", <'
+             || 'https://web.archive.example/web/' || ts14 || 'id_/' || urlkey
+             || '>; rel="memento"; datetime="'
+             || strftime(strptime(ts14, '%Y%m%d%H%M%S'),
+                         '%a, %d %b %Y %H:%M:%S GMT')
+             || '"' AS link
+    FROM ranked WHERE rn = 1
+    """,
+    tier="B",
+)
+def cdx_timegate(spark, sf_dir):
+    """Memento TimeGate [B RFC 7089 §4; pywb's datetime-negotiated
+    redirect]: per URI-R of the src4 subtree, the 302 response row —
+    Location (replay URI of the capture closest to Accept-Datetime
+    2016-01-01, same abs-distance earlier-wins rule as the cdx-server
+    ``closest=`` knob), Vary: accept-datetime, and the §4.2 Link
+    header carrying original + first/last memento link-values with
+    RFC-1123 datetimes.  The hash pins the full header grammar; the
+    CLI ``timegate`` subcommand serves this exact code path.  One
+    ranked window on the index's own sort key + a map-side concat —
+    the TimeMap serializers' scale shape."""
+    from ..operators.timemap import timegate
+
+    c = derived_cdx(spark, sf_dir).filter(
+        (F.col("urlkey") >= "org,example,src4")
+        & (F.col("urlkey") < "org,example,src4)~")
+    )
+    return timegate(c.select("urlkey", "ts14"), "20160101")
+
+
+@query(
     "cdx_timemap_cdxj",
     oracle=CDX_SQL + """
     SELECT urlkey, ts14 AS timestamp,
