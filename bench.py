@@ -133,6 +133,14 @@ HEADLINE = [
     "cdx_parquet_index_query",
     "cdx_fast_latest",
     "graph_hits_hubs_authorities",
+    "cdx_parquet_takedown",
+    "parquet_time_travel",
+    "parquet_compact_purge",
+    "cdx_post_request_key",
+    "multimodal_image_dims",
+    "text_bpe_encode_ids",
+    "text_lang_id_hashed",
+    "cdx_timegate",
 ]
 
 
