@@ -582,3 +582,168 @@ def test_stream_takedowns_feed(spark, sf_dir):
             (r.urlkey, r.timestamp)
             for r in read_zipnum_epochs(spark, out).collect()
         } == vis
+
+
+def test_st1_parquet_epoch_indexing(spark, sf_dir):
+    """The columnar twin of the ZipNum streaming ingest: each
+    micro-batch becomes an immutable parquet (cc-index-table) epoch
+    through the shared LSM protocol; the epoch reader merges them;
+    compaction folds them with identical results; checkpoint replay
+    is exactly-once."""
+    from webarchive_indexing_spark.sinks.parquet_index import (
+        compact_parquet_index_epochs,
+        read_parquet_index_epochs,
+    )
+    from webarchive_indexing_spark.sinks.zipnum import list_epochs
+    from webarchive_indexing_spark.streaming.incremental import (
+        stream_parquet_epochs,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        cdx = derived_cdx(spark, sf_dir).limit(300)
+        full = cdx.select(
+            "urlkey",
+            F.col("ts14").alias("timestamp"),
+            F.lit("http://x/").alias("url"),
+            "mime",
+            "status",
+            "digest",
+            F.lit(None).cast("string").alias("redirect"),
+            F.lit(None).cast("string").alias("robotflags"),
+            "length",
+            "offset",
+            "filename",
+        )
+        inp, out, chk = (os.path.join(d, s) for s in ("in", "idx", "chk"))
+        os.makedirs(inp)
+        to_cdx_lines(full.filter(F.col("status") == 200)).coalesce(1).write.mode(
+            "overwrite"
+        ).text(os.path.join(inp, "f1"))
+        q = stream_parquet_epochs(spark, inp + "/*/", out, chk)
+        q.awaitTermination(120)
+        assert len(list_epochs(out)) == 1
+        to_cdx_lines(full.filter(F.col("status") != 200)).coalesce(1).write.mode(
+            "overwrite"
+        ).text(os.path.join(inp, "f2"))
+        q2 = stream_parquet_epochs(spark, inp + "/*/", out, chk)
+        q2.awaitTermination(120)
+        assert len(list_epochs(out)) == 2
+        # replay with the same checkpoint: no third epoch
+        q3 = stream_parquet_epochs(spark, inp + "/*/", out, chk)
+        q3.awaitTermination(120)
+        assert len(list_epochs(out)) == 2
+
+        def view():
+            return {
+                (r.url_surtkey, r.ts14)
+                for r in read_parquet_index_epochs(spark, out)
+                .select(
+                    "url_surtkey",
+                    F.date_format(
+                        "fetch_time", "yyyyMMddHHmmss"
+                    ).alias("ts14"),
+                )
+                .collect()
+            }
+
+        want = {(r.urlkey, r.timestamp) for r in full.collect()}
+        assert view() == want
+
+        compact_parquet_index_epochs(spark, out, range_partitions=2)
+        assert len(list_epochs(out)) == 1
+        assert view() == want
+
+
+def test_host_stats_ivm_on_parquet_store(spark, sf_dir):
+    """The host-stats IVM covers parquet epochs: partials land beside
+    each columnar epoch exactly once, the merged report equals a
+    direct recompute, and a new epoch costs one scan of itself."""
+    from webarchive_indexing_spark.sinks.parquet_index import (
+        to_parquet_index_shape,
+        write_parquet_index_epoch,
+    )
+    from webarchive_indexing_spark.sinks.stats import (
+        compute_host_stats,
+        materialize_host_stats,
+        merged_host_stats,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "store")
+        cdx = derived_cdx(spark, sf_dir).limit(300)
+        full = cdx.select(
+            "urlkey",
+            F.col("ts14").alias("timestamp"),
+            F.lit("http://x/").alias("url"),
+            "mime",
+            "status",
+            "digest",
+            F.lit(None).cast("string").alias("redirect"),
+            F.lit(None).cast("string").alias("robotflags"),
+            "length",
+            "offset",
+            "filename",
+        ).cache()
+        write_parquet_index_epoch(
+            to_parquet_index_shape(full.filter(F.col("status") == 200)),
+            out, "a", range_partitions=2,
+        )
+        assert materialize_host_stats(spark, out) == 1
+        assert materialize_host_stats(spark, out) == 0  # compute-once
+        write_parquet_index_epoch(
+            to_parquet_index_shape(full.filter(F.col("status") != 200)),
+            out, "b", range_partitions=2,
+        )
+        assert materialize_host_stats(spark, out) == 1  # only the new one
+
+        want = {
+            tuple(r)
+            for r in compute_host_stats(
+                full.select("urlkey", "timestamp", "length")
+            ).collect()
+        }
+        got = {tuple(r) for r in merged_host_stats(spark, out).collect()}
+        assert got == want
+        full.unpersist()
+
+
+def test_vacuum_tmp_reclaims_crashed_runs(spark, sf_dir, tmp_path):
+    """vacuum_tmp deletes only PROVABLY-garbage tmp dirs by default
+    (their epoch slot completed); a tmp with no final slot survives
+    unless all_tmp=True; live epochs are never touched."""
+    from webarchive_indexing_spark.sinks.parquet_index import (
+        read_parquet_index_epochs,
+        to_parquet_index_shape,
+        write_parquet_index_epoch,
+    )
+    from webarchive_indexing_spark.sinks.zipnum import vacuum_tmp
+
+    out = str(tmp_path / "store")
+    cdx = derived_cdx(spark, sf_dir).limit(50).select(
+        "urlkey",
+        F.col("ts14").alias("timestamp"),
+        F.lit("http://x/").alias("url"),
+        "mime", "status", "digest",
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(None).cast("string").alias("robotflags"),
+        "length", "offset", "filename",
+    )
+    write_parquet_index_epoch(
+        to_parquet_index_shape(cdx), out, "a", range_partitions=2
+    )
+    n = read_parquet_index_epochs(spark, out).count()
+    assert n > 0
+    # fake crash leftovers: slot 0 completed, slot 7 never renamed
+    os.makedirs(os.path.join(out, "ingest-tmp-000000"))
+    os.makedirs(os.path.join(out, "compact-tmp-000007"))
+    assert vacuum_tmp(out) == ["ingest-tmp-000000"]
+    assert os.path.isdir(os.path.join(out, "compact-tmp-000007"))
+    assert vacuum_tmp(out, all_tmp=True) == ["compact-tmp-000007"]
+    assert read_parquet_index_epochs(spark, out).count() == n
+
+    # argv surface: expire-snapshots --vacuum-tmp prints what it frees
+    from webarchive_indexing_spark.__main__ import main
+
+    os.makedirs(os.path.join(out, "ingest-tmp-000000"))
+    assert main(["expire-snapshots", out, "--vacuum-tmp"]) == 0
+    assert not os.path.isdir(os.path.join(out, "ingest-tmp-000000"))

@@ -98,6 +98,9 @@ def _parser() -> argparse.ArgumentParser:
                         help="delete epochs a completed compaction subsumed "
                              "(expires the pre-merge snapshots)")
     ex.add_argument("out_dir")
+    ex.add_argument("--vacuum-tmp", action="store_true",
+                    help="also delete ingest-tmp/compact-tmp directories "
+                         "whose epoch slot completed (crashed-run garbage)")
 
     q = sub.add_parser("query", help="cdx-server GET /index over a cluster")
     q.add_argument("cluster_dir")
@@ -292,10 +295,13 @@ def _dispatch(args, spark) -> int:
                 numlines=args.numlines, retain_inputs=args.retain_inputs,
             )
     elif args.cmd == "expire-snapshots":
-        from .sinks.zipnum import expire_snapshots
+        from .sinks.zipnum import expire_snapshots, vacuum_tmp
 
         for name in expire_snapshots(args.out_dir):
             print(name)
+        if args.vacuum_tmp:
+            for name in vacuum_tmp(args.out_dir):
+                print(name)
     elif args.cmd == "update-index":
         from .plans.pipeline import update_index
 

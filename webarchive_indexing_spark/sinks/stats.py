@@ -58,23 +58,49 @@ def compute_host_stats(cdx: DataFrame) -> DataFrame:
     )
 
 
+def _epoch_cdx(spark: SparkSession, epoch_dir: str) -> DataFrame | None:
+    """The stats-relevant CDX columns of one epoch, whatever its
+    payload: ZipNum clusters read through the pruning reader, parquet
+    (cc-index-table) epochs through a crawl=-scoped scan renamed to
+    the CDX shape.  None for tombstone-only epochs (no captures)."""
+    if _has_cluster(epoch_dir):
+        return read_zipnum(spark, epoch_dir)
+    from .parquet_index import _has_parquet
+
+    if _has_parquet(epoch_dir):
+        return (
+            spark.read.option("basePath", epoch_dir)
+            .parquet(_join(epoch_dir, "crawl=*"))
+            .select(
+                F.col("url_surtkey").alias("urlkey"),
+                F.date_format("fetch_time", "yyyyMMddHHmmss").alias(
+                    "timestamp"
+                ),
+                F.col("warc_record_length").alias("length"),
+            )
+        )
+    return None
+
+
 def materialize_host_stats(spark: SparkSession, out_dir: str) -> int:
     """Compute-and-store the partial for every live data epoch that
-    does not have one yet (immutable epochs ⇒ compute-once).  Returns
-    how many epochs were scanned — the maintenance cost, which stays
-    at 'just the new epochs' regardless of index size."""
+    does not have one yet (immutable epochs ⇒ compute-once), ZipNum
+    and parquet payloads alike.  Returns how many epochs were scanned
+    — the maintenance cost, which stays at 'just the new epochs'
+    regardless of index size."""
     from pyarrow import fs as pafs
 
     fs, _ = _fs_for(out_dir)
     scanned = 0
     for e in list_epochs(out_dir):
-        if not _has_cluster(e):
+        cdx = _epoch_cdx(spark, e)
+        if cdx is None:
             continue  # tombstone-only epochs carry no captures
         _, local = _fs_for(e)
         info = fs.get_file_info(_join(local, _STATS))
         if info.type != pafs.FileType.NotFound:
             continue
-        compute_host_stats(read_zipnum(spark, e)).write.mode("overwrite").parquet(
+        compute_host_stats(cdx).write.mode("overwrite").parquet(
             _epoch_stats_path(e)
         )
         scanned += 1
@@ -86,7 +112,13 @@ def merged_host_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     #epochs × #hosts tiny rows re-aggregated — no capture is re-read.
     Raises if maintenance has not covered every live data epoch (a
     silently-partial report would be worse than an error)."""
-    epochs = [e for e in list_epochs(out_dir) if _has_cluster(e)]
+    from .parquet_index import _has_parquet
+
+    epochs = [
+        e
+        for e in list_epochs(out_dir)
+        if _has_cluster(e) or _has_parquet(e)
+    ]
     from pyarrow import fs as pafs
 
     fs, _ = _fs_for(out_dir)

@@ -915,6 +915,42 @@ def expire_snapshots(out_dir: str) -> list[str]:
     return gone
 
 
+def vacuum_tmp(out_dir: str, *, all_tmp: bool = False) -> list[str]:
+    """Reclaim ``ingest-tmp-``/``compact-tmp-`` directories left by
+    crashed runs — pure space hygiene, payload-agnostic (ZipNum and
+    parquet stores share the tmp-then-rename protocol).  Correctness
+    never depends on this: retries delete their own stale tmp before
+    rebuilding, and ``list_epochs`` never matches tmp names.
+
+    Default posture deletes only tmps whose ``epoch-NNNNNN`` slot
+    EXISTS — the rename completed, so the tmp is provably garbage
+    from an older attempt.  A tmp with no final slot might belong to
+    a write in flight right now; ``all_tmp=True`` removes those too
+    (for an operator who knows no job is running).  Returns deleted
+    basenames."""
+    import re
+
+    from pyarrow import fs as pafs
+
+    fs, local_dir = _fs_for(out_dir)
+    infos = fs.get_file_info(
+        pafs.FileSelector(local_dir, allow_not_found=True)
+    )
+    on_disk = {i.base_name for i in infos if i.type == pafs.FileType.Directory}
+    gone: list[str] = []
+    for name in sorted(on_disk):
+        m = re.fullmatch(r"(?:ingest|compact)-tmp-(\d{6})", name)
+        if not m:
+            continue
+        if all_tmp or f"epoch-{m.group(1)}" in on_disk:
+            try:
+                fs.delete_dir(_join(local_dir, name))
+                gone.append(name)
+            except OSError:
+                pass
+    return gone
+
+
 def compact_zipnum_epochs(
     spark: SparkSession,
     out_dir: str,

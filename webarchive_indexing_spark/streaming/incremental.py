@@ -105,6 +105,50 @@ def stream_zipnum_epochs(
     )
 
 
+def stream_parquet_epochs(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    range_partitions: int = 2,
+):
+    """ST1 on the COLUMNAR backend: the ``stream_zipnum_epochs`` twin
+    writing each micro-batch as one immutable parquet
+    (cc-index-table) epoch through the SAME shared LSM protocol —
+    epoch ids from the manifest allocator keyed on batch_id
+    (replay-safe: a redelivered batch rewrites ITS OWN epoch; a batch
+    already folded by compaction is skipped), tombstones and
+    ``as_of_epoch`` snapshots apply at read time, and
+    ``compact_parquet_index_epochs`` folds the store.  This is the
+    100 TB live-ingest shape for the SQL-engine-facing index — a
+    monthly crawl streams in as epochs, history never rewritten."""
+    from ..sinks.parquet_index import (
+        to_parquet_index_shape,
+        write_parquet_index_epoch,
+    )
+
+    lines = spark.readStream.format("text").load(input_dir)
+    cdx = parse_cdx_lines(lines)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_parquet_index_epoch(
+            to_parquet_index_shape(batch_df),
+            out_dir,
+            f"batch:{int(batch_id)}",
+            range_partitions=range_partitions,
+        )
+
+    return (
+        cdx.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_takedowns(
     spark: SparkSession,
     input_dir: str,
