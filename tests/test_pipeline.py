@@ -448,6 +448,26 @@ def test_cli_collapse_annotations_resume_and_timemap(spark, warc_manifest,
     clines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     assert clines and all(ln.startswith(some["urlkey"] + " ") for ln in clines)
 
+    # paged timemap: RFC 7089 §5 self/prev/next chain through argv
+    assert main(["timemap", out_dir, some["url"], "--page-size", "2"]) == 0
+    plines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert sum('rel="original"' in ln for ln in plines) >= 1
+    selfs = [ln for ln in plines if 'rel="self"' in ln]
+    assert selfs and all('from="' in ln and 'until="' in ln for ln in selfs)
+    if len(selfs) > 1:  # multi-page map: the chain exists and closes
+        assert any('rel="next"' in ln for ln in plines)
+        assert any('rel="prev"' in ln for ln in plines)
+        # page 0 alone: has next, no prev
+        assert main(["timemap", out_dir, some["url"],
+                     "--page-size", "2", "--page", "0"]) == 0
+        p0 = capsys.readouterr().out.splitlines()
+        assert any('rel="next"' in ln for ln in p0)
+        assert not any('rel="prev"' in ln for ln in p0)
+    assert main(["timemap", out_dir, some["url"], "--page-size", "2",
+                 "--format", "json"]) == 2
+    assert main(["timemap", out_dir, some["url"], "--page", "1"]) == 2
+    capsys.readouterr()
+
     # timegate: RFC 7089 §4 response shape for the closest capture
     assert main(["timegate", out_dir, some["url"],
                  "--accept-datetime", "2015"]) == 0

@@ -204,6 +204,12 @@ def _parser() -> argparse.ArgumentParser:
     tm.add_argument("--replay-base",
                     default="https://web.archive.example/web/",
                     help="replay-URL base for memento URIs")
+    tm.add_argument("--page-size", type=int, default=None,
+                    help="split the link-format TimeMap into pages of N "
+                         "mementos with self/prev/next timemap link-values "
+                         "(RFC 7089 §5 paging; link format only)")
+    tm.add_argument("--page", type=int, default=None,
+                    help="emit only page N (with --page-size)")
 
     tg = sub.add_parser("timegate", help="Memento TimeGate for one URI-R "
                                          "(RFC 7089 §4): the 302 redirect "
@@ -509,6 +515,30 @@ def _dispatch(args, spark) -> int:
         from .plans.pipeline import query_index
 
         df = query_index(spark, args.cluster_dir, args.url)
+        if args.page_size is not None and args.format != "link":
+            print("error: --page-size pages the link-format TimeMap only",
+                  file=sys.stderr)
+            return 2
+        if args.page is not None and args.page_size is None:
+            print("error: --page needs --page-size", file=sys.stderr)
+            return 2
+        if args.page_size is not None:
+            from pyspark.sql import functions as F
+
+            from .operators.timemap import timemap_linkformat_paged
+
+            lines = timemap_linkformat_paged(
+                df.select("urlkey", "timestamp"),
+                page_size=args.page_size,
+                ts_col="timestamp",
+                replay_base=args.replay_base,
+            )
+            if args.page is not None:
+                lines = lines.filter(F.col("page") == args.page)
+            ordered = lines.orderBy("urlkey", "page", "line_no").select("line")
+            for row in ordered.toLocalIterator():
+                print(row["line"])
+            return 0
         if args.format == "cdxj":
             from .sources.cdx import cdxj_line_expr
 

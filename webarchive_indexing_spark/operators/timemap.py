@@ -90,6 +90,121 @@ def timemap_linkformat(
     return original.unionByName(mementos)
 
 
+def timemap_linkformat_paged(
+    df: DataFrame,
+    *,
+    page_size: int,
+    key_col: str = "urlkey",
+    ts_col: str = "ts14",
+    replay_base: str = REPLAY_BASE,
+    timemap_base: str = "https://web.archive.example/timemap/link/",
+) -> DataFrame:
+    """Paged application/link-format TimeMaps [RFC 7089 §5 paging —
+    index + page TimeMaps]: a URI-R with millions of captures cannot
+    serve one TimeMap document, so mementos split into fixed-size
+    pages, each carrying its navigation link-values:
+
+    * line 0 — ``<uri-r>; rel="original",``
+    * line 1 — ``<timemap-uri?page=N>; rel="self"; type=...;
+      from="<first RFC-1123 in page>"; until="<last in page>",``
+    * line 2/3 — ``prev``/``next`` page ``timemap`` link-values when
+      that page exists (the paging chain clients walk)
+    * then the page's memento link-values, comma-continued except on
+      the page's final line.
+
+    Returns ``(key_col, page, line_no, line)``.  Scale shape: the
+    SAME single ranked window as the unpaged serializer (page number
+    is integer arithmetic on the rank — no second shuffle), plus a
+    per-(key, page) min/max window for the from/until attributes;
+    each page is emitted complete and independent, so a server can
+    answer page N without touching any other page's rows."""
+    if page_size < 1:
+        raise ValueError("page_size must be >= 1")
+    sub = _ranked(df, key_col, ts_col)
+    sub = sub.withColumn(
+        "page", ((F.col("rn") - 1) / page_size).cast("int")
+    )
+    wpage = Window.partitionBy(key_col, "page")
+    sub = (
+        sub.withColumn("pg_first", F.min(ts_col).over(wpage))
+        .withColumn("pg_last", F.max(ts_col).over(wpage))
+        .withColumn("pg_n", F.count(F.lit(1)).over(wpage))
+        .withColumn("pg_rn", F.row_number().over(wpage.orderBy(ts_col)))
+        .withColumn(
+            "n_pages",
+            F.ceil(F.col("n") / F.lit(page_size)).cast("int"),
+        )
+    )
+
+    def tm_uri(page_col):
+        return F.concat(
+            F.lit(timemap_base), F.col(key_col), F.lit("?page="),
+            page_col.cast("string"),
+        )
+
+    mementos = sub.select(
+        key_col,
+        "page",
+        (F.col("pg_rn") + 3).alias("line_no"),
+        F.concat(
+            F.lit("<" + replay_base),
+            F.col(ts_col),
+            F.lit("id_/"),
+            F.col(key_col),
+            F.lit('>; rel="'),
+            _rel(),
+            F.lit('"; datetime="'),
+            _http_date(ts_col),
+            F.lit('"'),
+            F.when(F.col("pg_rn") == F.col("pg_n"), "").otherwise(","),
+        ).alias("line"),
+    )
+    heads = sub.filter(F.col("pg_rn") == 1)
+    original = heads.select(
+        key_col,
+        "page",
+        F.lit(0).alias("line_no"),
+        F.concat(
+            F.lit("<"), F.col(key_col), F.lit('>; rel="original",')
+        ).alias("line"),
+    )
+    self_link = heads.select(
+        key_col,
+        "page",
+        F.lit(1).alias("line_no"),
+        F.concat(
+            F.lit("<"), tm_uri(F.col("page")),
+            F.lit('>; rel="self"; type="application/link-format"; from="'),
+            _http_date("pg_first"),
+            F.lit('"; until="'),
+            _http_date("pg_last"),
+            F.lit('",'),
+        ).alias("line"),
+    )
+    prev_link = heads.filter(F.col("page") > 0).select(
+        key_col,
+        "page",
+        F.lit(2).alias("line_no"),
+        F.concat(
+            F.lit("<"), tm_uri(F.col("page") - 1),
+            F.lit('>; rel="prev"; type="application/link-format",'),
+        ).alias("line"),
+    )
+    next_link = heads.filter(F.col("page") < F.col("n_pages") - 1).select(
+        key_col,
+        "page",
+        F.lit(3).alias("line_no"),
+        F.concat(
+            F.lit("<"), tm_uri(F.col("page") + 1),
+            F.lit('>; rel="next"; type="application/link-format",'),
+        ).alias("line"),
+    )
+    out = original
+    for part in (self_link, prev_link, next_link, mementos):
+        out = out.unionByName(part)
+    return out
+
+
 def timegate(
     df: DataFrame,
     accept_datetime: str,

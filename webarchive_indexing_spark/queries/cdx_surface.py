@@ -1746,6 +1746,87 @@ def cdx_timemap_json(spark, sf_dir):
     return timemap_json(c.select("urlkey", "ts14"))
 
 
+_TM_DT = "strftime(strptime({ts}, '%Y%m%d%H%M%S'), '%a, %d %b %Y %H:%M:%S GMT')"
+_TM_URI = "'https://web.archive.example/timemap/link/' || urlkey || '?page='"
+
+
+@query(
+    "cdx_timemap_paged",
+    oracle=CDX_SQL + f"""
+    , sub AS (
+      SELECT urlkey, ts14 FROM cdx
+      WHERE urlkey >= 'org,example,src4' AND urlkey < 'org,example,src4)~'
+    ), ranked AS (
+      SELECT urlkey, ts14,
+             ROW_NUMBER() OVER (PARTITION BY urlkey ORDER BY ts14) AS rn,
+             COUNT(*) OVER (PARTITION BY urlkey) AS n
+      FROM sub
+    ), paged AS (
+      SELECT *, CAST((rn - 1) // 5 AS INT) AS page,
+             CAST((n + 4) // 5 AS INT) AS n_pages
+      FROM ranked
+    ), pg AS (
+      SELECT *,
+             MIN(ts14) OVER (PARTITION BY urlkey, page) AS pg_first,
+             MAX(ts14) OVER (PARTITION BY urlkey, page) AS pg_last,
+             COUNT(*) OVER (PARTITION BY urlkey, page) AS pg_n,
+             ROW_NUMBER() OVER (PARTITION BY urlkey, page ORDER BY ts14) AS pg_rn
+      FROM paged
+    ), heads AS (SELECT * FROM pg WHERE pg_rn = 1)
+    SELECT urlkey, page, 0 AS line_no,
+           '<' || urlkey || '>; rel="original",' AS line
+    FROM heads
+    UNION ALL
+    SELECT urlkey, page, 1,
+           '<' || {_TM_URI} || CAST(page AS VARCHAR)
+             || '>; rel="self"; type="application/link-format"; from="'
+             || {_TM_DT.format(ts='pg_first')} || '"; until="'
+             || {_TM_DT.format(ts='pg_last')} || '",'
+    FROM heads
+    UNION ALL
+    SELECT urlkey, page, 2,
+           '<' || {_TM_URI} || CAST(page - 1 AS VARCHAR)
+             || '>; rel="prev"; type="application/link-format",'
+    FROM heads WHERE page > 0
+    UNION ALL
+    SELECT urlkey, page, 3,
+           '<' || {_TM_URI} || CAST(page + 1 AS VARCHAR)
+             || '>; rel="next"; type="application/link-format",'
+    FROM heads WHERE page < n_pages - 1
+    UNION ALL
+    SELECT urlkey, page, CAST(pg_rn + 3 AS INT),
+           '<https://web.archive.example/web/' || ts14 || 'id_/' || urlkey
+             || '>; rel="'
+             || CASE WHEN rn = 1 AND rn = n THEN 'first last memento'
+                     WHEN rn = 1 THEN 'first memento'
+                     WHEN rn = n THEN 'last memento'
+                     ELSE 'memento' END
+             || '"; datetime="' || {_TM_DT.format(ts='ts14')} || '"'
+             || CASE WHEN pg_rn = pg_n THEN '' ELSE ',' END
+    FROM pg
+    """,
+    tier="B",
+)
+def cdx_timemap_paged(spark, sf_dir):
+    """Paged TimeMaps [B RFC 7089 §5 paging]: an IA-scale URI-R has
+    millions of captures, so the TimeMap splits into fixed-size pages
+    each carrying self (with from/until datetimes of ITS span) +
+    prev/next timemap link-values, the chain clients walk.  rel
+    first/last markers stay GLOBAL (the map's first and last memento,
+    whatever page they land on); comma continuation resets per page
+    (each page is a complete link-format document).  The hash pins
+    the entire multi-page grammar at page_size=5 over the src4
+    subtree.  Same single ranked window as the unpaged serializer —
+    page number is arithmetic on the rank, no second shuffle."""
+    from ..operators.timemap import timemap_linkformat_paged
+
+    c = derived_cdx(spark, sf_dir).filter(
+        (F.col("urlkey") >= "org,example,src4")
+        & (F.col("urlkey") < "org,example,src4)~")
+    )
+    return timemap_linkformat_paged(c.select("urlkey", "ts14"), page_size=5)
+
+
 @query(
     "cdx_timegate",
     oracle=CDX_SQL + """

@@ -510,6 +510,119 @@ def dedup_cluster_cc(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_keep_best_per_cluster",
+    oracle=(BASE_SQL + JACCARD_PAIRS_SQL).replace("WITH ", "WITH RECURSIVE ", 1) + """
+    , cedges AS (
+      SELECT a_id AS u, b_id AS v FROM jpairs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM jpairs
+    ), walk(node, comp) AS (
+      SELECT u, u FROM cedges
+      UNION
+      SELECT e.u, w.comp FROM cedges e JOIN walk w ON w.node = e.v
+    ), labels AS (
+      SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+    ), members AS (
+      SELECT l.node AS doc_id, l.comp, length(b.text) AS n_chars
+      FROM labels l JOIN base b ON b.doc_id = l.node
+    ), rankedm AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY comp ORDER BY n_chars DESC, doc_id ASC
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY comp) AS csize
+      FROM members
+    )
+    SELECT comp AS cluster_id, doc_id AS kept_doc,
+           CAST(csize AS BIGINT) AS cluster_size,
+           CAST(n_chars AS BIGINT) AS kept_chars
+    FROM rankedm WHERE rk = 1
+    """,
+    tier="C",
+)
+def dedup_keep_best_per_cluster(spark, sf_dir):
+    """L2/L4 canonical-document SELECTION — the decision step after
+    cluster assembly that real pipelines run INSTEAD of min-id
+    keep-first: within each near-dup cluster keep the highest-quality
+    member (here: longest text, doc_id ties ascending — a trained
+    quality score drops into the same ORDER BY slot), emitting the
+    keep-list a corpus rewrite consumes.  Docs outside any cluster
+    survive by default (they never reach the pair stage).
+
+    Composition: n-gram-Jaccard pairs → large-star/small-star CC →
+    one metadata join (cluster membership is pair-derived, orders of
+    magnitude smaller than the corpus) → one per-cluster window.  The
+    oracle recomputes the closure as a recursive CTE and the same
+    argmax relationally."""
+    from ..operators.cc import connected_components
+
+    base = base_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(widen(base))
+    comp = connected_components(pairs, src="a_id", dst="b_id")
+    members = comp.join(
+        base.select("doc_id", F.length("text").alias("n_chars")),
+        comp["node"] == F.col("doc_id"),
+    ).select("doc_id", "comp", "n_chars")
+    w = Window.partitionBy("comp")
+    ranked = members.withColumn(
+        "rk",
+        F.row_number().over(
+            w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        ),
+    ).withColumn("csize", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("rk") == 1).select(
+        F.col("comp").alias("cluster_id"),
+        F.col("doc_id").alias("kept_doc"),
+        F.col("csize").cast("bigint").alias("cluster_size"),
+        F.col("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
+@query(
+    "decontaminate_canary_scan",
+    oracle=BASE_SQL + """
+    , canaries AS (
+      SELECT doc_id AS canary_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+               AS canary
+      FROM documents
+      WHERE doc_id % 97 = 5 AND len(string_split(text, ' ')) >= 8
+    )
+    SELECT d.doc_id, c.canary_id
+    FROM base d JOIN canaries c ON contains(d.text, c.canary)
+    """,
+    tier="C",
+)
+def decontaminate_canary_scan(spark, sf_dir):
+    """Canary contamination audit [north-star: memorization canaries,
+    Carlini et al. — every serious pretraining run scans its corpus
+    for planted/benchmark strings before AND after training]: a
+    metadata-sized canary list (here the first 8 tokens of every
+    97th document — the 'eval set leaked into the corpus' shape)
+    broadcast against the full dedup-injected corpus as a substring
+    scan; each canary must surface its source doc AND the injected
+    exact duplicates.
+
+    Scale design: the canary table is a broadcast literal (audits are
+    thousands of strings, not millions); the scan is one corpus pass
+    with k ``contains`` probes per row fused into the scan via a
+    BroadcastNestedLoopJoin — no shuffle touches text.  (At very
+    large k the same slot takes an Aho-Corasick pandas stage; the
+    JOIN SHAPE is what scales.)"""
+    d = t(spark, sf_dir, "documents")
+    canaries = d.filter(
+        (F.col("doc_id") % 97 == 5) & (F.size(tokens(F.col("text"))) >= 8)
+    ).select(
+        F.col("doc_id").alias("canary_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 8), " ").alias("canary"),
+    )
+    base = base_corpus(spark, sf_dir)
+    return base.join(
+        F.broadcast(canaries), F.col("text").contains(F.col("canary"))
+    ).select("doc_id", "canary_id")
+
+
 def _sql_lsh_pairs_oracle() -> str:
     """DuckDB twin of minhash_lsh_pairs (8 perms, 4 bands of 2,
     verify at Jaccard ≥ 0.7): signatures over the SAME pre-hashed
