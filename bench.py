@@ -141,6 +141,9 @@ HEADLINE = [
     "text_bpe_encode_ids",
     "text_lang_id_hashed",
     "cdx_timegate",
+    "cdx_timemap_paged",
+    "dedup_keep_best_per_cluster",
+    "decontaminate_canary_scan",
 ]
 
 
