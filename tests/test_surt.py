@@ -310,13 +310,15 @@ def test_fold_method_query_native_matches_python(spark):
         surt_urlkey_py,
     )
 
+    # the SHARED subset: json/multipart flatten only in the Python
+    # twin (the WARC indexing path) — documented divergence, so no
+    # such rows here
     rows = [
         ("http://e.com/a?z=9", "GET", None, ""),
         ("http://e.com/a?z=9", "POST",
          "application/x-www-form-urlencoded", "b=2&a=1"),
         ("http://e.com/a", "POST",
          "application/x-www-form-urlencoded; charset=utf-8", "b=2&a=1"),
-        ("http://e.com/a", "POST", "application/json", '{"q":1}'),
         ("http://e.com/a?x=1", "PUT", "application/octet-stream", "rawbytes"),
         ("http://e.com/a", "POST", None, ""),
         ("http://e.com/a", "HEAD", None, ""),
@@ -340,4 +342,61 @@ def test_fold_method_query_native_matches_python(spark):
     assert got == want
     # spot-pin the two interesting shapes (golden pywb-style keys)
     assert got[1] == "com,e)/a?__wb_method=post&a=1&b=2&z=9"
-    assert got[5] == "com,e)/a?__wb_method=post"
+    assert got[4] == "com,e)/a?__wb_method=post"
+
+
+def test_fold_method_query_py_json_and_multipart():
+    """The Python twin's full pywb grammar [U pywb
+    MethodQueryCanonicalizer]: json bodies flatten (leaf keys, arrays
+    under the parent name, duplicate names suffixed .2_/.3_, scalars
+    json-style, urlencoded pairs); text/plain attempts json;
+    multipart parses name= / filename= parts; anything unparseable
+    falls back to the lossless __wb_post_data form."""
+    from webarchive_indexing_spark.functions.surt import (
+        fold_method_query_py,
+        json_body_params,
+        multipart_body_params,
+    )
+
+    # flatten grammar, piece by piece
+    assert json_body_params('{"b": 2, "a": "x y"}') == "b=2&a=x+y"
+    assert json_body_params('{"outer": {"inner": 1}}') == "inner=1"
+    assert json_body_params('{"a": [1, 2, 3]}') == "a=1&a.2_=2&a.3_=3"
+    assert (
+        json_body_params('{"q": {"a": 1}, "r": {"a": 2}}')
+        == "a=1&a.2_=2"
+    )
+    assert json_body_params('{"t": true, "n": null}') == "t=true&n=null"
+
+    mp = (
+        b'--BND\r\ncontent-disposition: form-data; name="field"\r\n\r\n'
+        b"hello world\r\n"
+        b'--BND\r\nContent-Disposition: form-data; name="up"; '
+        b'filename="f.bin"\r\ncontent-type: application/octet-stream'
+        b"\r\n\r\n\x00\x01\r\n--BND--\r\n"
+    )
+    assert (
+        multipart_body_params(mp, 'multipart/form-data; boundary="BND"')
+        == "field=hello+world&up=f.bin"
+    )
+
+    # composed through the fold: json POST
+    u = fold_method_query_py(
+        "http://e.com/api", "POST", "application/json", b'{"b":2,"a":1}'
+    )
+    assert u == "http://e.com/api?__wb_method=POST&b=2&a=1"
+    # text/plain json-attempt (pywb's mime list)
+    u = fold_method_query_py(
+        "http://e.com/api", "POST", "text/plain", b'{"k":"v"}'
+    )
+    assert u.endswith("?__wb_method=POST&k=v")
+    # unparseable json falls back to the opaque form
+    u = fold_method_query_py(
+        "http://e.com/api", "POST", "application/json", b"{nope"
+    )
+    assert "__wb_post_data=" in u
+    # multipart without a boundary falls back too
+    u = fold_method_query_py(
+        "http://e.com/api", "POST", "multipart/form-data", mp
+    )
+    assert "__wb_post_data=" in u

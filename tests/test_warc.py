@@ -449,6 +449,11 @@ def test_post_append_folds_method_query(tmp_path):
     )
     getreq = b"GET /page HTTP/1.1\r\nHost: x.example\r\n\r\n"
     empty = b"POST /ping HTTP/1.1\r\nHost: x.example\r\n\r\n"
+    jsonreq = (
+        b"POST /graphql HTTP/1.1\r\nHost: x.example\r\n"
+        b"Content-Type: application/json\r\n\r\n"
+        b'{"op": "q", "vars": {"id": 7}}'
+    )
     recs = (
         build_warc_record_plain(
             "http://x.example/api?z=9", "2020-01-02T03:04:05Z", form,
@@ -466,6 +471,10 @@ def test_post_append_folds_method_query(tmp_path):
             "http://x.example/ping", "2020-01-02T03:04:08Z", empty,
             rec_type="request",
         )
+        + build_warc_record_plain(
+            "http://x.example/graphql", "2020-01-02T03:04:09Z", jsonreq,
+            rec_type="request",
+        )
     )
     types = ("response", "revisit", "request")
 
@@ -480,6 +489,8 @@ def test_post_append_folds_method_query(tmp_path):
         f"example,x)/upload?__wb_method=post&__wb_post_data={b64}",
         "example,x)/page",
         "example,x)/ping?__wb_method=post",
+        # json body flattened pywb-style: leaf keys, then SURT sorts
+        "example,x)/graphql?__wb_method=post&id=7&op=q",
     ]
     # url field stays the target URI even when the key folds
     urls = [
@@ -498,6 +509,7 @@ def test_post_append_folds_method_query(tmp_path):
         "example,x)/upload",
         "example,x)/page",
         "example,x)/ping",
+        "example,x)/graphql",
     ]
 
 

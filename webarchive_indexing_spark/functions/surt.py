@@ -393,8 +393,10 @@ def fold_method_query(
     IDN split): ``application/x-www-form-urlencoded`` bodies append
     verbatim as params; ANY other body (json/multipart/binary)
     appends as pywb's opaque fallback ``__wb_post_data=<base64>`` —
-    pywb's json/multipart flattening is Python-only grammar and lives
-    in ``fold_method_query_py``'s caller if ever needed.  GET/HEAD
+    pywb's json/multipart flattening needs real parsers and lives in
+    ``fold_method_query_py`` (which the WARC request-record indexer
+    uses, so INDEXING gets the full grammar; this native form serves
+    derived-frame queries on the shared subset).  GET/HEAD
     (and null methods) pass the URL through untouched; a bodyless
     POST still gains ``__wb_method=POST`` (the method alone changes
     what the server serves)."""
@@ -422,13 +424,106 @@ def fold_method_query(
     ).otherwise(folded)
 
 
+def json_body_params(body: bytes | str) -> str:
+    """pywb-shaped JSON body flattening [U pywb
+    warcserver/inputrequest.py MethodQueryCanonicalizer.json_parse]:
+    nested objects recurse keeping the LEAF key name, arrays recurse
+    under the parent name, duplicate names get ``.2_``/``.3_``/…
+    suffixes in encounter order, scalars render json-style (``true``/
+    ``false``/``null``, numbers/strings via ``str``), and the pairs
+    urlencode with quote_plus.  Raises ValueError on unparseable
+    JSON (callers fall back to the opaque ``__wb_post_data``)."""
+    import json
+    from urllib.parse import urlencode
+
+    if isinstance(body, bytes):
+        body = body.decode("utf-8", "replace")
+    try:
+        obj = json.loads(body)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"not json: {e}") from e
+
+    data: dict[str, str] = {}
+    dupes: dict[str, int] = {}
+
+    def key_for(n: str) -> str:
+        if n not in data:
+            return n
+        dupes[n] = dupes.get(n, 1) + 1
+        return f"{n}.{dupes[n]}_"
+
+    def walk(v, name: str) -> None:
+        if isinstance(v, dict):
+            for n, child in v.items():
+                walk(child, n)
+        elif isinstance(v, list):
+            for child in v:
+                walk(child, name)
+        elif name:
+            if v is None or isinstance(v, bool):
+                data[key_for(name)] = json.dumps(v)
+            else:
+                data[key_for(name)] = str(v)
+
+    walk(obj, "")
+    return urlencode(data)
+
+
+def multipart_body_params(body: bytes, content_type: str) -> str:
+    """multipart/form-data → urlencoded params [U pywb
+    MethodQueryCanonicalizer multipart handling]: parts split on the
+    declared boundary; text parts contribute ``name=value``, file
+    parts contribute ``name=filename`` (the upload's bytes don't
+    belong in a urlkey).  Raises ValueError when the boundary is
+    missing or no part parses (callers fall back to the opaque
+    form)."""
+    import re
+    from urllib.parse import quote_plus
+
+    m = re.search(r'boundary="?([^";,\s]+)"?', content_type)
+    if not m:
+        raise ValueError("multipart body without boundary=")
+    boundary = b"--" + m.group(1).encode("latin-1")
+    pairs: list[tuple[str, str]] = []
+    for part in body.split(boundary)[1:]:
+        if part in (b"--", b"--\r\n", b"", b"\r\n"):
+            continue
+        head, sep, val = part.partition(b"\r\n\r\n")
+        if not sep:
+            continue
+        hm = re.search(
+            rb'content-disposition:\s*form-data;\s*name="([^"]*)"'
+            rb'(?:;\s*filename="([^"]*)")?',
+            head,
+            re.IGNORECASE,
+        )
+        if not hm:
+            continue
+        name = hm.group(1).decode("latin-1")
+        if hm.group(2) is not None:
+            value = hm.group(2).decode("latin-1")
+        else:
+            value = val.rstrip(b"\r\n").decode("latin-1")
+        pairs.append((name, value))
+    if not pairs:
+        raise ValueError("no parseable multipart parts")
+    return "&".join(
+        f"{quote_plus(n)}={quote_plus(v)}" for n, v in pairs
+    )
+
+
 def fold_method_query_py(
     url: str, method: str | None, content_type: str | None, body
 ) -> str:
-    """Plain-Python twin of ``fold_method_query`` (same subset), used
-    by the WARC request-record indexer where the body is raw bytes.
-    urlencoded bodies decode latin-1 (byte-preserving); anything else
-    base64s into ``__wb_post_data``."""
+    """Plain-Python twin of ``fold_method_query``, used by the WARC
+    request-record indexer where the body is raw bytes — but with the
+    FULL pywb grammar [U pywb MethodQueryCanonicalizer]: urlencoded
+    bodies append verbatim; json (and text/plain, pywb's json-attempt
+    mime) bodies flatten via ``json_body_params``; multipart/form-data
+    parses via ``multipart_body_params``; anything else — and any
+    body whose declared grammar fails to parse — base64s into the
+    opaque ``__wb_post_data`` (fail-open to the lossless form, never
+    a half-parsed key)."""
     import base64
 
     m = (method or "").upper()
@@ -436,11 +531,23 @@ def fold_method_query_py(
         return url
     if isinstance(body, str):
         body = body.encode("latin-1", "replace")
+    ct = (content_type or "").lower()
+    params = None
     if not body:
         params = ""
-    elif "application/x-www-form-urlencoded" in (content_type or "").lower():
+    elif "application/x-www-form-urlencoded" in ct:
         params = body.decode("latin-1")
-    else:
+    elif "json" in ct or ct.split(";")[0].strip() == "text/plain":
+        try:
+            params = json_body_params(body)
+        except ValueError:
+            params = None
+    elif "multipart/form-data" in ct:
+        try:
+            params = multipart_body_params(body, content_type or "")
+        except ValueError:
+            params = None
+    if params is None:
         params = "__wb_post_data=" + base64.b64encode(body).decode("ascii")
     sep = "&" if "?" in url else "?"
     tail = "&" + params if params else ""
