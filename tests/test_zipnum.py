@@ -545,8 +545,17 @@ def test_as_of_epoch_snapshot_reads(spark, tmp_path):
     # gone, the current view is untouched
     from webarchive_indexing_spark.sinks.zipnum import expire_snapshots
 
+    # keep_last retains the NEWEST subsumed epochs: with keep_last=2
+    # only the oldest input reclaims; snapshots over the survivors
+    # stay readable (rolling retention)
+    assert expire_snapshots(root, keep_last=2) == ["epoch-000000"]
+    # epoch 0 is gone, so these snapshots now cover epoch 1 only
+    # (tombstoned p/0005 lived in epoch 0 — nothing to hide here)
+    assert read_zipnum_epochs(spark, root, as_of_epoch=1).count() == 30
+    assert read_zipnum_epochs(spark, root, as_of_epoch=2).count() == 30
+    # a full expire then reclaims the rest
     assert sorted(expire_snapshots(root)) == [
-        "epoch-000000", "epoch-000001", "epoch-000002"
+        "epoch-000001", "epoch-000002"
     ]
     assert read_zipnum_epochs(spark, root).count() == 69
     assert read_zipnum_epochs(spark, root, as_of_epoch=1).count() == 0

@@ -101,6 +101,10 @@ def _parser() -> argparse.ArgumentParser:
     ex.add_argument("--vacuum-tmp", action="store_true",
                     help="also delete ingest-tmp/compact-tmp directories "
                          "whose epoch slot completed (crashed-run garbage)")
+    ex.add_argument("--keep-last", type=int, default=0, metavar="N",
+                    help="retain the N newest subsumed epochs (their "
+                         "pre-merge snapshots stay time-travelable) — "
+                         "Iceberg's retain-last rolling retention")
 
     q = sub.add_parser("query", help="cdx-server GET /index over a cluster")
     q.add_argument("cluster_dir")
@@ -303,7 +307,7 @@ def _dispatch(args, spark) -> int:
     elif args.cmd == "expire-snapshots":
         from .sinks.zipnum import expire_snapshots, vacuum_tmp
 
-        for name in expire_snapshots(args.out_dir):
+        for name in expire_snapshots(args.out_dir, keep_last=args.keep_last):
             print(name)
         if args.vacuum_tmp:
             for name in vacuum_tmp(args.out_dir):

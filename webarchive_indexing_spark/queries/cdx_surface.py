@@ -3226,6 +3226,71 @@ def zipnum_time_travel(spark, sf_dir):
 
 
 @query(
+    "cdx_epoch_diff",
+    oracle=CDX_SQL + """
+    SELECT 'added' AS change, urlkey, ts14 AS timestamp FROM cdx
+    WHERE CAST(substr(filename, 7, 2) AS INT) % 2 = 1
+      AND urlkey NOT LIKE 'org,example,src2)/%'
+    UNION ALL
+    SELECT 'removed', urlkey, ts14 FROM cdx
+    WHERE CAST(substr(filename, 7, 2) AS INT) % 2 = 0
+      AND urlkey LIKE 'org,example,src2)/%'
+    """,
+)
+def cdx_epoch_diff(spark, sf_dir):
+    """ST1 snapshot DIFF — the operational question time travel
+    exists to answer: between two snapshots of one store, which
+    captures APPEARED (the new crawl's additions, minus anything a
+    takedown later hid) and which VANISHED (takedowns reaching
+    history)?  Here: snapshot after the even-crawl ingest vs the
+    latest (odd-crawl ingest + src2 takedown) — added = odd-crawl
+    non-src2 captures, removed = the even-crawl src2 captures the
+    tombstone now hides.  Two snapshot reads + exceptAll both ways;
+    each snapshot read is the same pruned per-epoch scan as a live
+    read, and exceptAll is one hash aggregation per direction — diff
+    cost scales with the snapshots' sizes, never with history depth
+    (epochs are immutable; nothing is replayed)."""
+    import tempfile
+
+    from ..sinks.zipnum import (
+        read_zipnum_epochs,
+        write_tombstone_epoch,
+        write_zipnum_epoch,
+    )
+
+    out = tempfile.mkdtemp(prefix="zipnum_diff_")
+    base = _zipnum_input(spark, sf_dir)
+    crawl_no = F.substring("filename", 7, 2).cast("int")
+    write_zipnum_epoch(
+        base.filter(crawl_no % 2 == 0), out, 0, shards=2, numlines=100
+    )
+    write_zipnum_epoch(
+        base.filter(crawl_no % 2 == 1), out, 1, shards=2, numlines=100
+    )
+    takedown = (
+        base.filter(F.col("urlkey").startswith("org,example,src2)/"))
+        .select("urlkey")
+        .distinct()
+        .withColumn("timestamp", F.lit(None).cast("string"))
+    )
+    write_tombstone_epoch(takedown, out, "takedown:src2")  # epoch 2
+
+    def snap(as_of):
+        return read_zipnum_epochs(spark, out, as_of_epoch=as_of).select(
+            "urlkey", "timestamp"
+        )
+
+    a, b = snap(0), snap(None)
+    added = b.exceptAll(a).select(
+        F.lit("added").alias("change"), "urlkey", "timestamp"
+    )
+    removed = a.exceptAll(b).select(
+        F.lit("removed").alias("change"), "urlkey", "timestamp"
+    )
+    return added.unionByName(removed)
+
+
+@query(
     "cdx_epoch_query_asof",
     oracle=CDX_SQL + """
     SELECT 1 AS snap, urlkey, ts14 AS timestamp, status

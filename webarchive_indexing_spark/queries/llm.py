@@ -511,6 +511,42 @@ def dedup_cluster_cc(spark, sf_dir):
 
 
 @query(
+    "training_order_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS train_pos
+    FROM documents
+    """,
+    tier="C",
+)
+def training_order_shuffle(spark, sf_dir):
+    """Deterministic seeded corpus shuffle — the reproducible
+    training-order step every pretraining run needs (the same seed
+    must yield the same order on any cluster, any partitioning, any
+    engine): order by ``md5(seed || doc_id)`` with doc_id as the
+    total tiebreak, positions assigned by the TWO-PASS global rank
+    (range shuffle + per-partition offsets — no single-partition
+    window, the thing that dies first at 100 TB).  A new seed is a
+    new literal — reshuffling between epochs costs one pass, no data
+    rewrite.  The hash pins the exact permutation both engines
+    derive."""
+    from ..operators.global_rank import global_row_number
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))).alias(
+            "__k"
+        ),
+    )
+    ranked = global_row_number(d, ["__k", "doc_id"], rank_col="train_pos")
+    return ranked.select(
+        "doc_id", F.col("train_pos").cast("bigint").alias("train_pos")
+    )
+
+
+@query(
     "dedup_keep_best_per_cluster",
     oracle=(BASE_SQL + JACCARD_PAIRS_SQL).replace("WITH ", "WITH RECURSIVE ", 1) + """
     , cedges AS (

@@ -508,6 +508,101 @@ def events_view_click_attrib(spark, sf_dir):
     )
 
 
+#: funnel completion window: every later step must land within this
+#: of the user's FIRST step-1 event (microseconds; 7 days).
+_FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "events_funnel_steps",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), s1 AS (
+      SELECT user_id, MIN(us) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.us) AS t2, MIN(s1.t1) AS t1
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.us >= s1.t1
+        AND e.us <= s1.t1 + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.us) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.us >= s2.t2
+        AND e.us <= s2.t1 + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                AS INT) AS funnel_depth,
+           CAST(s3.t3 - s1.t1 AS BIGINT) AS conv_us
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def events_funnel_steps(spark, sf_dir):
+    """W+ conversion funnel (view → click → purchase, ordered, every
+    step within 7 days of the user's first view) — the classic
+    product-analytics sequence operator, as CASCADED MIN-joins: step
+    k's earliest qualifying time conditions step k+1's search range.
+    Per user: funnel_depth ∈ {{1,2,3}} and the end-to-end conversion
+    time for completers.
+
+    Scale shape: three per-user aggregates + two equi-joins, all
+    hashed on user_id — one partitioning reused across every stage
+    (AQE coalesces the tiny sides), no window over the whole event
+    stream, no per-user sort.  The greedy earliest-step semantics is
+    the standard funnel definition: it also makes each stage a plain
+    MIN, which is what keeps this associative and shuffle-light at
+    100 TB of events."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("us") >= F.col("t1"))
+            & (F.col("us") <= F.col("t1") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("us") >= F.col("t2"))
+            & (F.col("us") <= F.col("t1") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    out = (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3, "user_id", "left")
+    )
+    depth = (
+        F.lit(1)
+        + F.when(F.col("t2").isNull(), 0).otherwise(1)
+        + F.when(F.col("t3").isNull(), 0).otherwise(1)
+    )
+    return out.select(
+        "user_id",
+        depth.cast("int").alias("funnel_depth"),
+        (F.col("t3") - F.col("t1")).cast("bigint").alias("conv_us"),
+    )
+
+
 @query(
     "events_anomaly_mad",
     oracle=f"""

@@ -895,18 +895,26 @@ def read_zipnum_epochs(
     return out
 
 
-def expire_snapshots(out_dir: str) -> list[str]:
+def expire_snapshots(out_dir: str, *, keep_last: int = 0) -> list[str]:
     """Reclaim the space a ``retain_inputs`` compaction kept: delete
-    every on-disk epoch a completed compaction has subsumed.  After
-    this, ``as_of_epoch`` snapshots that predate the oldest surviving
+    on-disk epochs a completed compaction has subsumed.  After this,
+    ``as_of_epoch`` snapshots that predate the oldest surviving
     compaction are expired — readers fall back to the merged view's
     history, exactly Iceberg's expire-snapshots contract.  Deletion
     runs in ascending id order so a crash mid-sweep never breaks the
     exclusion chain (a subsuming epoch outlives what it excludes).
-    Returns the deleted basenames."""
+
+    ``keep_last=N`` is the Iceberg retain-last knob: the N
+    HIGHEST-id subsumed epochs stay on disk, so the most recent
+    pre-merge snapshots remain time-travelable while older history
+    reclaims — the rolling-retention policy a production store runs
+    on a schedule.  Returns the deleted basenames."""
     root_fs, root_local = _fs_for(out_dir)
+    dead = sorted(_subsumed_names(out_dir) & set(_epoch_names(out_dir)))
+    if keep_last > 0:
+        dead = dead[: max(0, len(dead) - keep_last)]
     gone: list[str] = []
-    for name in sorted(_subsumed_names(out_dir) & set(_epoch_names(out_dir))):
+    for name in dead:
         try:
             root_fs.delete_dir(_join(root_local, name))
             gone.append(name)
