@@ -144,6 +144,9 @@ HEADLINE = [
     "cdx_timemap_paged",
     "dedup_keep_best_per_cluster",
     "decontaminate_canary_scan",
+    "training_order_shuffle",
+    "events_funnel_steps",
+    "cdx_epoch_diff",
 ]
 
 
