@@ -540,3 +540,32 @@ def test_parquet_epoch_store_pushdown_survives_union_and_tombstones(
         assert "url_surtkey" in pushed, pushed
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # wild + exact tombstones
+
+
+def test_funnel_all_hash_joins_no_cartesian(spark, sf_dir):
+    """The funnel's cascaded MIN-joins must all hash on user_id — a
+    BroadcastNestedLoop or cartesian here would be all-pairs over the
+    event stream; and no single-partition exchange may appear (the
+    thing that dies first on 100 TB of events)."""
+    plan = _plan(spark, sf_dir, "events_funnel_steps")
+    assert "CartesianProduct" not in plan, plan[:500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:500]
+    assert "SinglePartition" not in plan, plan[:500]
+
+
+def test_training_shuffle_is_two_pass_range_rank(spark, sf_dir):
+    """The seeded corpus shuffle must be the two-pass global rank:
+    NO single-partition window/exchange (a row_number over an
+    unpartitioned window would funnel the corpus through one task),
+    and the rank pass sits directly on the checkpointed range
+    partitions (rendered as Scan ExistingRDD — the range exchange
+    lives in the checkpointed prefix, same shape as
+    zipnum_shard_plan) with no re-shuffle in between."""
+    plan = _plan(spark, sf_dir, "training_order_shuffle")
+    assert "SinglePartition" not in plan, plan[:500]
+    assert "MapInPandas" in plan, plan[:500]
+    final = plan.split("== Initial Plan ==", 1)[0]
+    rank_down = final.split("MapInPandas", 1)[1]
+    cache_pos = rank_down.find("Scan ExistingRDD")
+    assert cache_pos != -1, rank_down[:400]
+    assert "Exchange" not in rank_down[:cache_pos], rank_down[:cache_pos]

@@ -399,7 +399,13 @@ def fold_method_query(
     derived-frame queries on the shared subset).  GET/HEAD
     (and null methods) pass the URL through untouched; a bodyless
     POST still gains ``__wb_method=POST`` (the method alone changes
-    what the server serves)."""
+    what the server serves).
+
+    Encoding note: the opaque arm base64s the STRING column's UTF-8
+    bytes (Spark's string→binary cast); the Python twin receives raw
+    WARC bytes and is byte-preserving (latin-1).  Identical for
+    ASCII bodies — non-ASCII opaque bodies only ever reach the twin
+    (real WARCs), where no re-encoding happens at all."""
     u = F.col(url) if isinstance(url, str) else url
     m = F.upper(F.col(method) if isinstance(method, str) else method)
     ct = F.col(content_type) if isinstance(content_type, str) else content_type
