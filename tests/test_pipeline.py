@@ -972,3 +972,78 @@ def test_cli_build_index_post_append(spark, tmp_path, capsys):
             for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     assert "example,post)/api?__wb_method=post&a=1&b=2" in keys
     assert "example,post)/api" in keys  # the response row keeps its key
+
+
+def test_cli_maintain_stats_both_backends(spark, warc_manifest, tmp_path,
+                                          capsys):
+    """--maintain-stats updates the host-stats IVM partials on both
+    store payloads through argv; the merged report answers without
+    re-reading captures."""
+    from webarchive_indexing_spark.__main__ import main
+    from webarchive_indexing_spark.sinks.stats import merged_host_stats
+
+    z = str(tmp_path / "zstore")
+    p = str(tmp_path / "pstore")
+    assert main(["update-index", warc_manifest, z, "--shards", "2",
+                 "--numlines", "5", "--maintain-stats"]) == 0
+    assert main(["update-parquet-index", warc_manifest, p,
+                 "--range-partitions", "2", "--maintain-stats"]) == 0
+    capsys.readouterr()
+    zs = {r["host"]: r["n_captures"]
+          for r in merged_host_stats(spark, z).collect()}
+    ps = {r["host"]: r["n_captures"]
+          for r in merged_host_stats(spark, p).collect()}
+    assert zs and zs == ps  # same captures, same report, either payload
+
+
+def test_parquet_epoch_store_composed_query(spark, warc_manifest, tmp_path,
+                                            capsys):
+    """The full residual grammar composes on the columnar epoch store:
+    ACL verdicts, resume-key paging, and from/to bounds all run
+    through cdx_query_parquet with tombstones applied."""
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.__main__ import main
+    from webarchive_indexing_spark.operators.cdx_query import (
+        cdx_query_parquet,
+    )
+    from webarchive_indexing_spark.plans.pipeline import takedown
+
+    store = str(tmp_path / "store")
+    assert main(["update-parquet-index", warc_manifest, store,
+                 "--range-partitions", "2"]) == 0
+    capsys.readouterr()
+    url = "https://example.com/"
+    full = cdx_query_parquet(
+        spark, store, url, match_type="domain"
+    ).collect()
+    assert full
+    victim = full[0]["urlkey"]
+    takedown(spark, [(victim, None)], store)
+    after = cdx_query_parquet(spark, store, url, match_type="domain")
+    assert after.filter(F.col("urlkey") == victim).count() == 0
+
+    # resume-key paging walks the tombstone-clean view without gaps
+    seen, rk = [], None
+    for _ in range(100):
+        kw = dict(match_type="domain", limit=4)
+        if rk:
+            kw["resume_key"] = rk
+        page = cdx_query_parquet(spark, store, url, **kw).collect()
+        seen.extend((r["urlkey"], r["timestamp"]) for r in page)
+        if len(page) < 4:
+            break
+        rk = (page[-1]["urlkey"], page[-1]["timestamp"])
+    want = sorted(
+        (r["urlkey"], r["timestamp"]) for r in full if r["urlkey"] != victim
+    )
+    assert seen == want
+
+    # ACL verdict column rides the parquet path too
+    judged = cdx_query_parquet(
+        spark, store, url, match_type="domain",
+        acl_rules=[("com,example)/page/1", "block")],
+    ).collect()
+    verdicts = {r["urlkey"]: r["access"] for r in judged}
+    assert any(v == "block" for v in verdicts.values())
+    assert any(v == "allow" for v in verdicts.values())

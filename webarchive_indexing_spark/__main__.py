@@ -71,6 +71,9 @@ def _parser() -> argparse.ArgumentParser:
     ui.add_argument("--shards", type=int, default=2)
     ui.add_argument("--numlines", type=int, default=3000)
     ui.add_argument("--compact", action="store_true")
+    ui.add_argument("--maintain-stats", action="store_true",
+                    help="update the per-epoch host-stats partials (IVM: "
+                         "scans only epochs lacking one)")
 
     up = sub.add_parser("update-parquet-index",
                         help="incremental crawl ingest into the columnar "
@@ -79,6 +82,8 @@ def _parser() -> argparse.ArgumentParser:
     up.add_argument("out_dir")
     up.add_argument("--range-partitions", type=int, default=8)
     up.add_argument("--compact", action="store_true")
+    up.add_argument("--maintain-stats", action="store_true",
+                    help="update the per-epoch host-stats partials (IVM)")
 
     cp = sub.add_parser("compact", help="fold all live epochs of an "
                                         "incremental store into one "
@@ -318,6 +323,7 @@ def _dispatch(args, spark) -> int:
         epoch = update_index(
             spark, args.manifest, args.out_dir,
             shards=args.shards, numlines=args.numlines, compact=args.compact,
+            maintain_stats=args.maintain_stats,
         )
         print(f"epoch: {epoch}" if epoch is not None else "up to date")
     elif args.cmd == "update-parquet-index":
@@ -326,6 +332,7 @@ def _dispatch(args, spark) -> int:
         epoch = update_parquet_index(
             spark, args.manifest, args.out_dir,
             range_partitions=args.range_partitions, compact=args.compact,
+            maintain_stats=args.maintain_stats,
         )
         print(f"epoch: {epoch}" if epoch is not None else "up to date")
     elif args.cmd == "query":

@@ -214,11 +214,13 @@ def update_parquet_index(
     range_partitions: int = 8,
     files_per_task: int = 2,
     compact: bool = False,
+    maintain_stats: bool = False,
 ) -> int | None:
     """Incremental crawl ingest into the COLUMNAR epoch store — the
     parquet twin of ``update_index``, same protocol (skip-existing
     anti-join, one immutable epoch per batch, replay-safe id keyed on
-    the batch's WARC paths, optional fold-after).  This is the 100 TB
+    the batch's WARC paths, optional fold-after, optional host-stats
+    IVM maintenance — the stats layer covers parquet epochs too).  This is the 100 TB
     production shape [B commoncrawl/cc-index-table]: a monthly crawl
     appends one epoch; history is never rewritten; takedowns arrive
     as tombstone epochs through ``takedown`` and reach the bytes at
@@ -255,6 +257,10 @@ def update_parquet_index(
         compact_parquet_index_epochs(
             spark, out_dir, range_partitions=range_partitions
         )
+    if maintain_stats:
+        from ..sinks.stats import materialize_host_stats
+
+        materialize_host_stats(spark, out_dir)
     return epoch_id
 
 
