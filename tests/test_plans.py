@@ -569,3 +569,17 @@ def test_training_shuffle_is_two_pass_range_rank(spark, sf_dir):
     cache_pos = rank_down.find("Scan ExistingRDD")
     assert cache_pos != -1, rank_down[:400]
     assert "Exchange" not in rank_down[:cache_pos], rank_down[:cache_pos]
+
+
+def test_persisted_ivf_probe_prunes_inverted_lists(spark, sf_dir):
+    """The stored-index probe must do the inverted-list skip as
+    PARTITION pruning: the vectors scan carries a cell PartitionFilter
+    (only nprobe directories listed/read) and plans zero exchanges —
+    a probe that re-scans or re-shuffles the whole corpus would erase
+    the entire point of persisting the index."""
+    plan = _plan(spark, sf_dir, "emb_ivf_persisted_topk")
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    assert "Exchange" not in plan.split("FileScan parquet", 1)[0]
+    assert "TakeOrderedAndProject" in plan

@@ -411,6 +411,73 @@ def ivf_topk(
     )
 
 
+def _py_norm(vals: list[float]) -> float:
+    import math
+
+    acc = 0.0
+    for x in vals:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def ivf_cell_expr(cents: dict[int, list[float]], vec_col: str) -> Column:
+    """Per-row IVF cell assignment over an inlined centroid table —
+    the map-only argmax every IVF read path shares (in-query probe
+    AND persisted-index build, so the stored layout and the probe's
+    assignment can never disagree).  Cell score = dot(v,c)/‖c‖ — ‖v‖
+    is constant per row, so dropping it cannot change the argmax;
+    array_max over struct<score, -cid> reproduces the oracle's
+    (score DESC, cid ASC) ranking."""
+    from ..queries.helpers import hround
+
+    cnorm = {cid: _py_norm(cv) for cid, cv in cents.items()}
+
+    def fast_dot(v: Column, cv: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v, lit_double_array(cv), lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.array(
+        *[
+            F.struct(
+                hround(
+                    fast_dot(F.col(vec_col), cv) / F.lit(cnorm[cid]), 6
+                ).alias("s"),
+                F.lit(-cid).alias("negid"),
+            )
+            for cid, cv in sorted(cents.items())
+        ]
+    )
+    return -F.array_max(scored).getField("negid")
+
+
+def ivf_probe_cells(
+    cents: dict[int, list[float]], qv: list[float], nprobe: int
+) -> list[int]:
+    """The query's nprobe nearest centroids — pure driver math on the
+    collected quantizer, mirroring the oracle's (score DESC, cid ASC)
+    ranking."""
+    from ..queries.helpers import py_hround
+
+    cnorm = {cid: _py_norm(cv) for cid, cv in cents.items()}
+    ranked = sorted(
+        cents,
+        key=lambda c: (-py_hround(_py_dot(qv, cents[c]) / cnorm[c], 6), c),
+    )
+    return ranked[:nprobe]
+
+
 def ivf_probe_topk(
     embeddings: DataFrame,
     cents: dict[int, list[float]],
@@ -429,63 +496,14 @@ def ivf_probe_topk(
     argmax over inlined literals → probe filter →
     TakeOrderedAndProject.  ZERO shuffles.  Pass ``qv`` when the
     caller already fetched the query vector (one fewer collect job)."""
-    import math
-
-    from ..queries.helpers import hround, py_hround
+    from ..queries.helpers import hround
 
     if qv is None:
         qv = collect_query_vector(
             embeddings, query_vec_id, id_col=id_col, vec_col=vec_col
         )
-
-    lit_vec = lit_double_array
-
-    def py_norm(vals: list[float]) -> float:
-        acc = 0.0
-        for x in vals:
-            acc += x * x
-        return math.sqrt(acc)
-
-    cnorm = {cid: py_norm(cv) for cid, cv in cents.items()}
-
-    # Cell score = dot(v,c)/‖c‖ — ‖v‖ is constant per row, so dividing
-    # by it cannot change the argmax; dropping it keeps assignment a
-    # plain-double fold that stays inside whole-stage codegen (the
-    # decimal-exact path below is reserved for the k output rows).
-    def fast_dot(v: Column, cv: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(v, lit_vec(cv), lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # per-row argmax over the centroid table: array<struct<score,negid>>
-    # → array_max picks (max score, then max negid = min cid) — the
-    # same (score DESC, cid ASC) order the relational oracle uses.
-    scored = F.array(
-        *[
-            F.struct(
-                hround(fast_dot(F.col(vec_col), cv) / F.lit(cnorm[cid]), 6).alias("s"),
-                F.lit(-cid).alias("negid"),
-            )
-            for cid, cv in sorted(cents.items())
-        ]
-    )
-    cell = (-F.array_max(scored).getField("negid")).alias("cell")
-
-    # probe cells: nearest nprobe centroids of the query vector —
-    # pure driver math on the collected quantizer (16×64 dots),
-    # mirroring the oracle's (score DESC, cid ASC) ranking.
-    def py_dot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    ranked = sorted(
-        cents, key=lambda c: (-py_hround(py_dot(qv, cents[c]) / cnorm[c], 6), c)
-    )
-    probe = ranked[:nprobe]
+    cell = ivf_cell_expr(cents, vec_col).alias("cell")
+    probe = ivf_probe_cells(cents, qv, nprobe)
 
     out = (
         embeddings.withColumn("cell", cell)
@@ -493,7 +511,9 @@ def ivf_probe_topk(
         .select(
             F.col(id_col),
             "cell",
-            hround(cosine(F.col(vec_col), lit_vec(qv)), 6).alias("cos_sim"),
+            hround(cosine(F.col(vec_col), lit_double_array(qv)), 6).alias(
+                "cos_sim"
+            ),
         )
     )
     return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)

@@ -1090,6 +1090,39 @@ def emb_ivf_trained_topk(spark, sf_dir):
 
 
 @query(
+    "emb_ivf_persisted_topk",
+    oracle=sql_ivf_trained_topk(
+        query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=2
+    ),
+    tier="C",
+)
+def emb_ivf_persisted_topk(spark, sf_dir):
+    """L3 PERSISTED ANN index — the serving shape in-query probes
+    skip: ``write_ivf_index`` trains the quantizer ONCE and stores
+    the corpus hive-partitioned by ``cell=`` (the inverted lists AS
+    directory layout, centroids.json beside), then
+    ``ivf_index_probe_topk`` answers from the store — probe cells
+    ranked driver-side, PARTITION PRUNING skips the other cells'
+    files entirely (the FAISS inverted-list skip, plan-asserted), no
+    assignment recompute, zero shuffles, TakeOrderedAndProject.
+    Assignment reuses the exact ``ivf_cell_expr`` the in-query probes
+    use, so this hash-matches the non-persisted trained-IVF oracle:
+    persistence changes the COST, never the answer."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import ivf_index_probe_topk, write_ivf_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_idx_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qv = collect_query_vector(emb, 123)
+    return ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123
+    )
+
+
+@query(
     "emb_ivf_sampled_topk",
     oracle=sql_ivf_trained_topk(
         query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=3,

@@ -1,0 +1,122 @@
+"""Persisted IVF ANN index (SURVEY.md §2.11 L3 — the production
+shape: TRAIN ONCE, STORE, PROBE MANY).
+
+Every in-query IVF variant re-trains and re-assigns per query; a
+serving system builds the index once and answers queries against the
+stored artifact.  The store is two pieces:
+
+* ``centroids.json`` — the coarse quantizer, a model artifact of
+  ``n_cents × dim`` floats (driver-sized by construction);
+* ``vectors/`` — the corpus hive-partitioned by ``cell=`` (the IVF
+  inverted lists AS directory layout).
+
+The payoff is that a probe becomes PARTITION PRUNING: reading
+``nprobe`` cells lists and scans only those directories — Spark never
+touches the other ``n_cents − nprobe`` lists' files, the exact
+analogue of FAISS skipping inverted lists (plan-asserted in
+tests/test_plans.py: the probe scan shows ``cell`` PartitionFilters
+and no full-corpus scan).  Assignment uses the SAME
+``ivf_cell_expr`` the in-query probes use, so the stored layout and
+any later probe's arithmetic can never disagree.
+
+At 100 TB: the build is one training pass (``train_frac`` bounds it)
+plus one assignment scan + hive write; each query then costs
+O(corpus × nprobe / n_cents) scan bytes with zero shuffles.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .zipnum import _fs_for, _join
+
+_CENTROIDS = "centroids.json"
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    *,
+    n_cents: int = 8,
+    train_iters: int = 2,
+    dim: int = 64,
+    train_frac: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """Train the coarse quantizer (Lloyd), assign every vector to its
+    cell, and write the hive-partitioned store.  Returns the trained
+    centroids (also persisted as ``centroids.json``)."""
+    from ..operators.kmeans import lloyd_train
+    from ..operators.similarity import ivf_cell_expr
+
+    cents = lloyd_train(
+        embeddings, k=n_cents, iters=train_iters, dim=dim,
+        id_col=id_col, vec_col=vec_col, train_frac=train_frac,
+    )
+    (
+        embeddings.withColumn("cell", ivf_cell_expr(cents, vec_col))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(_join(out_dir, "vectors"))
+    )
+    fs, local = _fs_for(out_dir)
+    with fs.open_output_stream(
+        _join(local, _CENTROIDS), compression=None
+    ) as fh:
+        fh.write(
+            json.dumps({str(c): v for c, v in cents.items()}).encode()
+        )
+    return cents
+
+
+def read_ivf_centroids(out_dir: str) -> dict[int, list[float]]:
+    fs, local = _fs_for(out_dir)
+    with fs.open_input_stream(
+        _join(local, _CENTROIDS), compression=None
+    ) as fh:
+        raw = json.loads(fh.read().decode())
+    return {int(c): v for c, v in raw.items()}
+
+
+def ivf_index_probe_topk(
+    spark: SparkSession,
+    out_dir: str,
+    qv: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors from the STORED index: rank the probe
+    cells on the driver (quantizer-sized math), then scan ONLY those
+    ``cell=`` directories — partition pruning does the inverted-list
+    skip, no assignment recompute, no shuffle, top-k as
+    TakeOrderedAndProject."""
+    from ..operators.similarity import (
+        cosine,
+        ivf_probe_cells,
+        lit_double_array,
+    )
+    from ..queries.helpers import hround
+
+    cents = read_ivf_centroids(out_dir)
+    probe = ivf_probe_cells(cents, qv, nprobe)
+    df = spark.read.parquet(_join(out_dir, "vectors")).filter(
+        F.col("cell").isin(probe)
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    out = df.select(
+        F.col(id_col),
+        F.col("cell"),
+        hround(cosine(F.col(vec_col), lit_double_array(qv)), 6).alias(
+            "cos_sim"
+        ),
+    )
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
