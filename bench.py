@@ -147,6 +147,7 @@ HEADLINE = [
     "training_order_shuffle",
     "events_funnel_steps",
     "cdx_epoch_diff",
+    "emb_ivf_persisted_topk",
 ]
 
 
