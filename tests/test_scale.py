@@ -513,3 +513,45 @@ def test_lang_id_hashed_beats_stopword_baseline(spark, sf_dir):
     stopword = accuracy("text_lang_guess")
     assert hashed > stopword, (hashed, stopword)
     assert hashed > 0.95, hashed  # planted signal: near-perfect recovery
+
+
+def test_persisted_ivf_append_equals_in_memory_probe(spark, sf_dir):
+    """Incremental index maintenance: build the store from half the
+    vectors, append the other half with the STORED quantizer, and the
+    store's probe must equal the in-memory probe over the full corpus
+    with the same centroid artifact — append changes storage, never
+    the answer.  Appending must not touch existing files' cells
+    (assignment uses the stored centroids, not a retrain)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+        ivf_probe_topk,
+    )
+    from webarchive_indexing_spark.sinks.ann_index import (
+        append_ivf_index,
+        ivf_index_probe_topk,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # split must keep seed ids 0..n_cents-1 in the build half
+    first = emb.filter(F.col("vec_id") < 200)
+    rest = emb.filter(F.col("vec_id") >= 200)
+    out = tempfile.mkdtemp(prefix="ivf_append_")
+    write_ivf_index(first, out, n_cents=8, train_iters=2)
+    append_ivf_index(rest, out)
+
+    cents = read_ivf_centroids(out)
+    qv = collect_query_vector(emb, 123)
+    got = ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123
+    ).collect()
+    want = ivf_probe_topk(
+        emb, cents, 123, k=10, nprobe=3, qv=qv
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 10

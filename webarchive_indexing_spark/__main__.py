@@ -530,8 +530,9 @@ def _dispatch(args, spark) -> int:
             print("error: --page-size pages the link-format TimeMap only",
                   file=sys.stderr)
             return 2
-        if args.page is not None and args.page_size is None:
-            print("error: --page needs --page-size", file=sys.stderr)
+        if args.page is not None and (args.page_size is None or args.page < 0):
+            print("error: --page needs --page-size and must be >= 0",
+                  file=sys.stderr)
             return 2
         if args.page_size is not None:
             from pyspark.sql import functions as F
@@ -585,6 +586,13 @@ def _dispatch(args, spark) -> int:
         ).limit(2).collect()
         if not rows:
             print("error: no mementos for this URI-R", file=sys.stderr)
+            return 2
+        if len(rows) > 1:
+            # a TimeGate negotiates ONE URI-R (RFC 7089 §4); a wildcard
+            # that matched several urlkeys would silently pick one
+            print("error: the request matched multiple urlkeys — a "
+                  "TimeGate negotiates one URI-R (no wildcards)",
+                  file=sys.stderr)
             return 2
         r = rows[0]
         print(f"HTTP/1.1 {r['status']} Found")

@@ -49,7 +49,12 @@ def write_ivf_index(
 ) -> dict[int, list[float]]:
     """Train the coarse quantizer (Lloyd), assign every vector to its
     cell, and write the hive-partitioned store.  Returns the trained
-    centroids (also persisted as ``centroids.json``)."""
+    centroids (also persisted as ``centroids.json``).
+
+    The build is NOT reader-atomic (mode=overwrite in place): for live
+    serving, build into a fresh directory and swap the pointer —
+    index rebuilds are rare, scheduled events, the same posture as any
+    search-index deployment."""
     from ..operators.kmeans import lloyd_train
     from ..operators.similarity import ivf_cell_expr
 
@@ -71,6 +76,30 @@ def write_ivf_index(
             json.dumps({str(c): v for c, v in cents.items()}).encode()
         )
     return cents
+
+
+def append_ivf_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """Add NEW vectors to an existing store: assignment uses the
+    STORED quantizer (centroids are fixed once trained — probe math
+    never shifts under a serving index), and the write APPENDS files
+    into the ``cell=`` directories — no rewrite of existing lists,
+    which is how an embedding index absorbs a new crawl's vectors at
+    100 TB.  Quantizer drift (enough new data that the cells no
+    longer fit) is a scheduled REBUILD, never an in-place mutation."""
+    from ..operators.similarity import ivf_cell_expr
+
+    cents = read_ivf_centroids(out_dir)
+    (
+        embeddings.withColumn("cell", ivf_cell_expr(cents, vec_col))
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(_join(out_dir, "vectors"))
+    )
 
 
 def read_ivf_centroids(out_dir: str) -> dict[int, list[float]]:
