@@ -50,6 +50,11 @@ PICKS = {
     "cdx_fuzzy_filter_echo": "pywb param-echo retry as three EQUI-joins (exact key, rewritten key, key-truncated-at-'?' prefix) + one window; the echo is a join residual — no BroadcastNestedLoop, no per-request loop.",
     "cdx_url_wildcard_prefix": "Inferred prefix query: identical plan to explicit matchType=prefix — the sargable [key, key+'~') range reaches the scan.",
     "cdx_limit_offset": "offset= shallow paging: TakeOrdered with skip — skipped rows never reach the driver; the 100k cap keeps the per-partition top-k buffer bounded.",
+    "emb_ivf_persisted_topk": "Persisted-index probe (round 9): cell PartitionFilters prune to the nprobe inverted-list directories — the other cells' files are never listed; no assignment recompute, zero exchanges, TakeOrderedAndProject.",
+    "cdx_parquet_takedown": "Columnar epoch store read (round 9): the domain key range pushes through the epoch union into every parquet scan; both tombstone shapes are broadcast anti-joins — a takedown is metadata-sized at any index size.",
+    "events_funnel_steps": "Conversion funnel (round 9): cascaded MIN-joins all hash on user_id (one partitioning reused, AQE coalesces the tiny sides); no whole-stream window, no per-user sort.",
+    "training_order_shuffle": "Seeded corpus shuffle (round 9): two-pass range rank — the rank pass sits directly on the checkpointed range partitions; no SinglePartition window anywhere.",
+    "text_lang_id_hashed": "Trained lang-id (round 9): the ≤2048-row weight table broadcasts; the scoring join carries hashed bucket ids only — raw text never crosses an exchange.",
 }
 
 
