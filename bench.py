@@ -148,6 +148,7 @@ HEADLINE = [
     "events_funnel_steps",
     "cdx_epoch_diff",
     "emb_ivf_persisted_topk",
+    "dedup_rate_by_source",
 ]
 
 

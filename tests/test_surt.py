@@ -400,3 +400,34 @@ def test_fold_method_query_py_json_and_multipart():
         "http://e.com/api", "POST", "multipart/form-data", mp
     )
     assert "__wb_post_data=" in u
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    url=st.text(max_size=40),
+    method=st.one_of(st.none(), st.sampled_from(
+        ["GET", "POST", "PUT", "HEAD", "OPTIONS", "post", ""]
+    ), st.text(max_size=8)),
+    ct=st.one_of(st.none(), st.sampled_from([
+        "application/x-www-form-urlencoded",
+        "application/json", "text/plain",
+        "multipart/form-data; boundary=XX",
+        "multipart/form-data",  # missing boundary
+        "application/octet-stream", "",
+    ]), st.text(max_size=30)),
+    body=st.one_of(st.binary(max_size=64), st.text(max_size=64)),
+)
+def test_fold_method_query_py_never_raises(url, method, ct, body):
+    """Property: the WARC-path POST fold must never raise on damaged
+    input — a malformed body/content-type degrades to the lossless
+    base64 form, never a task death (the per-record damage-tolerance
+    posture of the whole WARC parser)."""
+    from webarchive_indexing_spark.functions.surt import fold_method_query_py
+
+    out = fold_method_query_py(url, method, ct, body)
+    assert isinstance(out, str)
+    m = (method or "").upper()
+    if m and m not in ("GET", "HEAD"):
+        assert "__wb_method=" in out
+    else:
+        assert out == url

@@ -616,6 +616,51 @@ def dedup_keep_best_per_cluster(spark, sf_dir):
 
 
 @query(
+    "dedup_rate_by_source",
+    oracle=BASE_SQL + """
+    , g AS (
+      SELECT doc_id, source,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS gsize
+      FROM base
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN gsize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
+           CAST(SUM(CASE WHEN gsize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 10000 // COUNT(*) AS dup_bp
+    FROM g GROUP BY source
+    """,
+    tier="C",
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Corpus-health dashboard metric: per source, how much of the
+    corpus sits inside exact-duplicate groups (count + basis points,
+    integer division so the rate is engine-exact) — the number a
+    curation team watches per crawl to catch a scraper feeding the
+    pipeline the same site twice.  One window over md5(text) — the
+    hash is the partition key, raw text never crosses the exchange —
+    then a per-source rollup."""
+    base = base_corpus(spark, sf_dir)
+    g = base.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("gsize"),
+    )
+    dup = F.sum(F.when(F.col("gsize") > 1, 1).otherwise(0)).cast("bigint")
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dup.alias("n_duplicated"),
+        F.expr(
+            "CAST(sum(CASE WHEN gsize > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "* 10000 DIV count(1)"
+        ).alias("dup_bp"),
+    )
+
+
+@query(
     "decontaminate_canary_scan",
     oracle=BASE_SQL + """
     , canaries AS (
