@@ -555,3 +555,48 @@ def test_persisted_ivf_append_equals_in_memory_probe(spark, sf_dir):
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == 10
+
+
+def test_persisted_ivf_compact_one_file_per_cell(spark, sf_dir):
+    """Store compaction folds each appended inverted list to one file
+    and changes NO probe answer (the quantizer is untouched)."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks.ann_index import (
+        append_ivf_index,
+        compact_ivf_index,
+        ivf_index_probe_topk,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_compact_")
+    write_ivf_index(emb.filter(F.col("vec_id") < 200), out, n_cents=8)
+    append_ivf_index(emb.filter(F.col("vec_id") >= 200), out)
+    qv = collect_query_vector(emb, 123)
+    before = [
+        tuple(r)
+        for r in ivf_index_probe_topk(
+            spark, out, qv, k=10, nprobe=3, exclude_id=123
+        ).collect()
+    ]
+    compact_ivf_index(spark, out)
+    cells = glob.glob(os.path.join(out, "vectors", "cell=*"))
+    assert cells
+    for c in cells:
+        files = [f for f in os.listdir(c) if f.endswith(".parquet")]
+        assert len(files) == 1, (c, files)
+    after = [
+        tuple(r)
+        for r in ivf_index_probe_topk(
+            spark, out, qv, k=10, nprobe=3, exclude_id=123
+        ).collect()
+    ]
+    assert after == before

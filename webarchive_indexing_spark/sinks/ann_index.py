@@ -102,6 +102,45 @@ def append_ivf_index(
     )
 
 
+def compact_ivf_index(spark: SparkSession, out_dir: str) -> None:
+    """Small-file hygiene for an append-heavy store: every append
+    adds files to each touched ``cell=`` directory, and probe cost is
+    per-file open/footer overhead × files — so periodically rewrite
+    each inverted list to one file (``repartition("cell")`` puts each
+    cell in one task; a cell too big for one file belongs in a store
+    with more cells, i.e. a quantizer rebuild).  Staged through a tmp
+    directory + rename (readers see old or new, never a half-written
+    store); the quantizer is untouched, so no probe's answer can
+    change."""
+    from pyarrow import fs as pafs
+
+    vectors = _join(out_dir, "vectors")
+    tmp = _join(out_dir, "vectors-compact-tmp")
+    fs, local = _fs_for(out_dir)
+    try:
+        fs.delete_dir(_join(local, "vectors-compact-tmp"))
+    except OSError:
+        pass
+    (
+        spark.read.parquet(vectors)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    old = _join(local, "vectors-old")
+    try:
+        fs.delete_dir(old)
+    except OSError:
+        pass
+    fs.move(_join(local, "vectors"), old)
+    fs.move(_join(local, "vectors-compact-tmp"), _join(local, "vectors"))
+    fs.delete_dir(old)
+    # sanity: the rename landed (a crash between the two moves leaves
+    # vectors-old as the recovery copy)
+    assert fs.get_file_info(_join(local, "vectors")).type == pafs.FileType.Directory
+
+
 def read_ivf_centroids(out_dir: str) -> dict[int, list[float]]:
     fs, local = _fs_for(out_dir)
     with fs.open_input_stream(
