@@ -716,13 +716,15 @@ def test_fast_latest_tail_probe_bounds_block_io(spark, tmp_path, monkeypatch):
     df = zp.read_zipnum_tail(spark, out, 6)
     got = sorted(r["urlkey"] for r in df.collect())[-6:]
     assert got == [f"com,example)/p/{i:04d}" for i in range(194, 200)]
-    # doubling probe: 1 block (5 rows < 6) then 2 blocks — never 40
-    assert touched == [1, 2], touched
+    # informed probe: 1 block (5 rows < 6) then the rows-per-block
+    # estimate jumps straight to ceil(6·1/5)+1 = 3 blocks — never 40
+    assert touched == [1, 3], touched
 
-    # the whole-range fallback still terminates and returns all rows
+    # the whole-range fallback: the estimate from probe 1 jumps to the
+    # full block list in ONE step — two jobs total
     touched.clear()
     assert zp.read_zipnum_tail(spark, out, 10_000).count() == 200
-    assert touched[-1] == 40 and len(touched) <= 8
+    assert touched == [1, 40], touched
 
     # page= and fast_latest are alternative paging schemes: passing
     # both refuses (page= would otherwise win and silently ignore

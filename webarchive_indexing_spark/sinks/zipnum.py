@@ -424,13 +424,17 @@ def read_zipnum_tail(
 ) -> DataFrame:
     """IA ``fastLatest=true`` support [B IA cdx-server fastLatest]:
     return a SUFFIX of the pruned range guaranteed to contain its
-    last ``n`` rows, reading as few tail blocks as possible — a
-    doubling probe from the range's end (1, 2, 4, ... blocks) until
-    ≥n rows survive the range filter or the whole range is read.
-    Probe cost is O(log blocks) tiny jobs totalling ≤2× the final
-    read; a plain ``limit=-n`` instead decompresses EVERY matching
-    block, which for a domain with millions of captures is the
-    difference between touching 1 block and touching all of them."""
+    last ``n`` rows, reading as few tail blocks as possible — an
+    INFORMED probe from the range's end: read 1 block, and if short,
+    jump straight to the block count the observed rows-per-block
+    implies (floored at doubling, so pathological boundary blocks
+    still terminate in O(log) steps).  Typical cost is TWO tiny jobs
+    totalling ≤2× the final read; a plain ``limit=-n`` instead
+    decompresses EVERY matching block, which for a domain with
+    millions of captures is the difference between touching
+    O(n/numlines) blocks and touching all of them."""
+    import math
+
     blocks = _prune(_load_idx(out_dir), key_lo, key_hi)
     if not blocks:
         return _range_filter(_read_blocks(spark, out_dir, []), key_lo, key_hi)
@@ -439,9 +443,14 @@ def read_zipnum_tail(
         df = _range_filter(
             _read_blocks(spark, out_dir, blocks[-k:]), key_lo, key_hi
         )
-        if k >= len(blocks) or df.count() >= n:
+        c = df.count()
+        if k >= len(blocks) or c >= n:
             return df
-        k = min(len(blocks), k * 2)
+        # informed jump: c rows came from k blocks, so ~n·k/c blocks
+        # should hold n (+1 for the partially-matching boundary block);
+        # never jump less than doubling so zero-row tails stay O(log)
+        est = math.ceil(n * k / c) + 1 if c > 0 else k * 2
+        k = min(len(blocks), max(k * 2, est))
 
 
 def num_pages(
