@@ -484,6 +484,12 @@ def test_cli_collapse_annotations_resume_and_timemap(spark, warc_manifest,
                  "--limit", "1", "--output", "json"]) == 0
     want_ts = _json.loads(capsys.readouterr().out.splitlines()[0])["timestamp"]
     assert f"/web/{want_ts}id_/" in glines[1]
+    # the RFC-1123 form Memento clients actually send negotiates the
+    # same capture as its ts14 equivalent
+    assert main(["timegate", out_dir, some["url"], "--accept-datetime",
+                 "Thu, 01 Jan 2015 00:00:00 GMT"]) == 0
+    rfc_lines = capsys.readouterr().out.splitlines()
+    assert rfc_lines[1] == glines[1]  # same Location as ts14 '2015'
     # malformed accept-datetime and a miss both exit 2 cleanly
     assert main(["timegate", out_dir, some["url"],
                  "--accept-datetime", "not-a-ts"]) == 2

@@ -226,9 +226,11 @@ def _parser() -> argparse.ArgumentParser:
                                          "to --accept-datetime")
     tg.add_argument("cluster_dir")
     tg.add_argument("url")
-    tg.add_argument("--accept-datetime", required=True, metavar="TS14",
-                    help="the negotiated datetime as a ts14 prefix "
-                         "(the engine takes no clock of its own)")
+    tg.add_argument("--accept-datetime", required=True, metavar="DT",
+                    help="the negotiated datetime: a ts14 prefix, or the "
+                         "RFC-1123 form Memento clients actually send "
+                         "('Thu, 01 Jan 2015 00:00:00 GMT'); the engine "
+                         "takes no clock of its own")
     tg.add_argument("--replay-base",
                     default="https://web.archive.example/web/",
                     help="replay-URL base for memento URIs")
@@ -576,9 +578,19 @@ def _dispatch(args, spark) -> int:
 
         adt = str(args.accept_datetime)
         if not (4 <= len(adt) <= 14 and adt.isdigit()):
-            print("error: --accept-datetime must be a ts14 prefix",
-                  file=sys.stderr)
-            return 2
+            # RFC 7089 §2.1.1: clients send Accept-Datetime in RFC-1123
+            # form — accept it alongside the ts14 shorthand
+            from datetime import datetime
+
+            try:
+                adt = datetime.strptime(
+                    adt, "%a, %d %b %Y %H:%M:%S GMT"
+                ).strftime("%Y%m%d%H%M%S")
+            except ValueError:
+                print("error: --accept-datetime must be a ts14 prefix or "
+                      "an RFC-1123 datetime ('Thu, 01 Jan 2015 00:00:00 "
+                      "GMT')", file=sys.stderr)
+                return 2
         df = query_index(spark, args.cluster_dir, args.url)
         rows = timegate(
             df.select("urlkey", "timestamp"), adt, ts_col="timestamp",
