@@ -400,6 +400,13 @@ def test_fold_method_query_py_json_and_multipart():
         "http://e.com/api", "POST", "multipart/form-data", mp
     )
     assert "__wb_post_data=" in u
+    # hostile deep nesting: RecursionError degrades to the opaque
+    # form instead of killing the task (per-record damage tolerance)
+    deep = ("[" * 100000) + ("]" * 100000)
+    u = fold_method_query_py(
+        "http://e.com/api", "POST", "application/json", deep.encode()
+    )
+    assert "__wb_post_data=" in u
 
 
 @settings(max_examples=300, deadline=None)

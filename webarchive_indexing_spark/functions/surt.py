@@ -546,7 +546,9 @@ def fold_method_query_py(
     elif "json" in ct or ct.split(";")[0].strip() == "text/plain":
         try:
             params = json_body_params(body)
-        except ValueError:
+        except (ValueError, RecursionError):
+            # RecursionError: a hostile deeply-nested body must cost
+            # this record its flatten (base64 fallback), not the task
             params = None
     elif "multipart/form-data" in ct:
         try:
