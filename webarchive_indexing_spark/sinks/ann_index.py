@@ -109,9 +109,12 @@ def compact_ivf_index(spark: SparkSession, out_dir: str) -> None:
     each inverted list to one file (``repartition("cell")`` puts each
     cell in one task; a cell too big for one file belongs in a store
     with more cells, i.e. a quantizer rebuild).  Staged through a tmp
-    directory + rename (readers see old or new, never a half-written
-    store); the quantizer is untouched, so no probe's answer can
-    change."""
+    directory + renames — a reader never sees a HALF-WRITTEN store,
+    though one racing the two metadata ops can catch the vectors
+    directory briefly absent (generic filesystems have no atomic dir
+    swap); schedule compaction off-peak, or publish versioned store
+    paths for always-on serving.  The quantizer is untouched, so no
+    probe's answer can change."""
     from pyarrow import fs as pafs
 
     vectors = _join(out_dir, "vectors")
