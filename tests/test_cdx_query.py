@@ -1040,3 +1040,50 @@ def test_filter_rule_cut_at_key_start_parity(spark):
             f"SELECT {target_sql} FROM (SELECT ? AS k)", [k]
         ).fetchone()
         assert dk == want[k][1], k
+
+
+def test_parse_robots_grammar(spark):
+    """robots.txt parser goldens: star-group attribution with stacked
+    user-agent runs, other agents' groups ignored, comments stripped,
+    empty Disallow dropped (allow-all no-op), wildcard patterns
+    dropped (documented prefix-only subset), case-blind directives."""
+    from webarchive_indexing_spark.operators.robots import (
+        apply_robots,
+        parse_robots,
+    )
+
+    txt = (
+        "# policy\n"
+        "User-agent: googlebot\n"
+        "Disallow: /private/\n"
+        "\n"
+        "User-agent: extra\n"
+        "USER-AGENT: *\n"
+        "Disallow: /doc/   # trailing comment\n"
+        "allow: /doc/pub\n"
+        "Disallow:\n"
+        "Disallow: /tmp/*\n"
+        "Disallow: /end$\n"
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h.example", txt)], "host string, robots_txt string")
+    )
+    got = {(r.prefix, r.allow) for r in rules.collect()}
+    assert got == {("/doc/", False), ("/doc/pub", True)}
+
+    cdx = spark.createDataFrame(
+        [
+            (1, "https://h.example/doc/x"),       # disallowed
+            (2, "https://h.example/doc/pub/x"),   # carve-back allow
+            (3, "https://h.example/private/x"),   # other agent's rule only
+            (4, "https://h.example/other"),       # no rule matches
+            (5, "https://nothing.example/doc/x"), # no robots.txt at all
+            (6, "https://h.example"),             # bare host -> path '/'
+        ],
+        "doc_id bigint, url string",
+    )
+    flags = {
+        r.doc_id: r.robotflags for r in apply_robots(cdx, rules).collect()
+    }
+    assert flags == {1: "A", 2: None, 3: None, 4: None, 5: None, 6: None}
+    assert len(flags) == 6  # nothing dropped, nothing duplicated

@@ -1828,6 +1828,75 @@ def cdx_timemap_paged(spark, sf_dir):
 
 
 @query(
+    "cdx_robots_flags",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4, 8) AS INT) AS sn,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '/doc/pub/' || CAST(doc_id AS VARCHAR)
+                  ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS path
+      FROM documents
+    )
+    SELECT doc_id,
+           'https://' || source || '.example.org' || path AS url,
+           CASE WHEN sn % 3 = 0 AND substr(path, 1, 8) <> '/doc/pub'
+                THEN 'A' ELSE CAST(NULL AS VARCHAR) END AS robotflags
+    FROM d
+    """,
+    tier="B",
+)
+def cdx_robots_flags(spark, sf_dir):
+    """B-tier robots evaluation [B IA CDX robotflags 'A' =
+    blocked-by-robots]: the engine's parsers round-trip the
+    robotflags field but nothing COMPUTED it — this is the evaluator.
+    Per-host robots.txt text (synthesized: every third source
+    disallows /doc/ with an Allow: /doc/pub carve-back; the next arm
+    has an empty star-group Disallow — the classic allow-all no-op —
+    behind another agent's block and a wildcard rule the grammar
+    subset drops; the rest publish no robots.txt) parses through
+    ``parse_robots`` (posexplode + per-HOST window over line
+    positions — robots files are small, nothing globally ordered)
+    and applies through ``apply_robots`` (ONE equi-join on host,
+    prefix test as join residual, longest-match-Allow-wins argmax).
+    The oracle recomputes every flag from the generator arithmetic,
+    so a hash match proves parse ∘ apply end to end — the
+    multimodal_decode_real pattern for a text grammar."""
+    from ..operators.robots import apply_robots, parse_robots
+
+    d = t(spark, sf_dir, "documents")
+    path = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("/doc/pub/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")))
+    cdx = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org"), path
+        ).alias("url"),
+    )
+    sn = F.substring("source", 4, 8).cast("int")
+    hosts = d.select("source", sn.alias("sn")).distinct()
+    robots = hosts.filter(F.col("sn") % 3 < 2).select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.when(
+            F.col("sn") % 3 == 0,
+            F.lit(
+                "# crawl policy\nUser-agent: *\nDisallow: /doc/\n"
+                "Allow: /doc/pub\n"
+            ),
+        ).otherwise(
+            F.lit(
+                "User-agent: badbot\nDisallow: /\n\n"
+                "User-agent: extra\nUser-agent: *\nDisallow:\n"
+                "Disallow: /tmp/*\n"
+            )
+        ).alias("robots_txt"),
+    )
+    return apply_robots(cdx, parse_robots(robots))
+
+
+@query(
     "cdx_timegate",
     oracle=CDX_SQL + """
     , sub AS (
