@@ -149,6 +149,7 @@ HEADLINE = [
     "cdx_epoch_diff",
     "emb_ivf_persisted_topk",
     "dedup_rate_by_source",
+    "cdx_robots_flags",
 ]
 
 
