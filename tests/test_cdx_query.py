@@ -403,6 +403,25 @@ def test_resume_key_tiebreak_and_guards(spark):
     with _pytest.raises(ValueError, match="tiebreak"):
         cdx_query(cdx, url, resume_key=("k", "t", "d"))
 
+    # NULL tiebreaks: the CLI prints '-' (the CDX null placeholder);
+    # the continuation coalesces the COLUMN to '-' too, so the compare
+    # is total — a page ending on the NULL-digest row resumes with
+    # ('k', ts, '-') and the remaining same-second real rows tile
+    # gap-free instead of evaluating NULL > '-' to SQL-NULL
+    nrows = [
+        ("com,example)/p", "20200101000000", None),
+        ("com,example)/p", "20200101000000", "a"),
+        ("com,example)/p", "20200101000000", "b"),
+    ]
+    ncdx = spark.createDataFrame(nrows, "urlkey string, timestamp string, digest string")
+    np1 = cdx_query(ncdx, url, limit=1, tiebreak="digest").collect()
+    assert [r.digest for r in np1] == [None]  # NULL sorts first, as '-' would
+    np2 = cdx_query(
+        ncdx, url, limit=3, tiebreak="digest",
+        resume_key=("com,example)/p", "20200101000000", "-"),
+    ).collect()
+    assert [r.digest for r in np2] == ["a", "b"]
+
 
 def test_negative_limit_returns_tail(spark):
     """pywb limit=-N: the LAST N rows of the sort order, still in
@@ -1087,3 +1106,21 @@ def test_parse_robots_grammar(spark):
     }
     assert flags == {1: "A", 2: None, 3: None, 4: None, 5: None, 6: None}
     assert len(flags) == 6  # nothing dropped, nothing duplicated
+
+    # row preservation + RFC 9309 authority scoping: two FULLY
+    # identical capture rows each survive with their own flag (the
+    # argmax window keys a surrogate id, not the row values), and a
+    # capture on host:8080 is NOT governed by bare-host rules (robots
+    # scope is per scheme+host+port authority)
+    dup = spark.createDataFrame(
+        [
+            (1, "https://h.example/doc/x"),
+            (1, "https://h.example/doc/x"),       # exact duplicate row
+            (2, "https://h.example:8080/doc/x"),  # other authority
+        ],
+        "doc_id bigint, url string",
+    )
+    out = sorted(
+        (r.doc_id, r.robotflags) for r in apply_robots(dup, rules).collect()
+    )
+    assert out == [(1, "A"), (1, "A"), (2, None)]

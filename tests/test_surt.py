@@ -380,6 +380,20 @@ def test_fold_method_query_py_json_and_multipart():
         == "field=hello+world&up=f.bin"
     )
 
+    # RFC 2046 line-anchored delimiters: a value carrying the boundary
+    # octets MID-LINE stays one part (only CRLF--boundary terminates),
+    # and a multi-line value keeps its interior CRLFs verbatim
+    tricky = (
+        b'--BND\r\ncontent-disposition: form-data; name="a"\r\n\r\n'
+        b"x --BND y\r\n"
+        b'--BND\r\ncontent-disposition: form-data; name="b"\r\n\r\n'
+        b"line1\r\nline2\r\n--BND--\r\n"
+    )
+    assert (
+        multipart_body_params(tricky, "multipart/form-data; boundary=BND")
+        == "a=x+--BND+y&b=line1%0D%0Aline2"
+    )
+
     # composed through the fold: json POST
     u = fold_method_query_py(
         "http://e.com/api", "POST", "application/json", b'{"b":2,"a":1}'

@@ -489,11 +489,17 @@ def multipart_body_params(body: bytes, content_type: str) -> str:
     m = re.search(r'boundary="?([^";,\s]+)"?', content_type)
     if not m:
         raise ValueError("multipart body without boundary=")
-    boundary = b"--" + m.group(1).encode("latin-1")
+    boundary = m.group(1).encode("latin-1")
+    # RFC 2046 §5.1.1: a delimiter is a LINE — CRLF + '--boundary' —
+    # so only line-anchored occurrences terminate a part; a value that
+    # merely CONTAINS the boundary octets mid-line stays intact
+    # instead of mis-splitting into bogus parts.  The opening
+    # delimiter may start the body with no preceding CRLF.
+    data = b"\r\n" + body if body.startswith(b"--" + boundary) else body
     pairs: list[tuple[str, str]] = []
-    for part in body.split(boundary)[1:]:
-        if part in (b"--", b"--\r\n", b"", b"\r\n"):
-            continue
+    for part in data.split(b"\r\n--" + boundary)[1:]:
+        if part.startswith(b"--"):
+            break  # close delimiter; anything after is epilogue
         head, sep, val = part.partition(b"\r\n\r\n")
         if not sep:
             continue
@@ -509,7 +515,9 @@ def multipart_body_params(body: bytes, content_type: str) -> str:
         if hm.group(2) is not None:
             value = hm.group(2).decode("latin-1")
         else:
-            value = val.rstrip(b"\r\n").decode("latin-1")
+            # the part's terminating CRLF belongs to the delimiter and
+            # was consumed by the split — val is the exact value bytes
+            value = val.decode("latin-1")
         pairs.append((name, value))
     if not pairs:
         raise ValueError("no parseable multipart parts")

@@ -861,8 +861,15 @@ def cdx_query(
         if len(resume_key) == 3:
             if tiebreak is None:
                 raise ValueError("a 3-tuple resume_key requires tiebreak=")
+            # NULL tiebreaks print as '-' in the resume key (the CDX
+            # null placeholder, sorting before every hex/alnum value);
+            # coalesce the COLUMN to the same placeholder so the
+            # strictly-after compare is total — a raw NULL > '-' is
+            # SQL-NULL and would silently skip same-second rows whose
+            # tiebreak is missing (e.g. damaged digests).
+            tb = F.coalesce(F.col(tiebreak), F.lit("-"))
             after_ts = after_ts | (
-                (F.col("timestamp") == rts) & (F.col(tiebreak) > resume_key[2])
+                (F.col("timestamp") == rts) & (tb > resume_key[2])
             )
         df = df.filter(
             (F.col("urlkey") > rk) | ((F.col("urlkey") == rk) & after_ts)

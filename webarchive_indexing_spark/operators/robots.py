@@ -103,15 +103,34 @@ def apply_robots(
     matching rule prefix wins (Allow beats Disallow at equal length);
     a winning Disallow sets ``robotflags='A'`` [B IA CDX robotflags];
     no matching rule (or no robots.txt for the host) means allowed —
-    NULL flags, the CDX convention the parsers already round-trip."""
+    NULL flags, the CDX convention the parsers already round-trip.
+
+    Scoping: captures key on the FULL authority ``host[:port]``
+    (userinfo stripped, lowercased) — RFC 9309 scopes robots.txt per
+    scheme+host+port, so ``http://host:8080/`` is governed only by
+    rules whose ``host`` column says ``host:8080``, never by bare
+    ``host``'s file.  Rule tables must carry the same authority form.
+
+    Row identity: the per-capture argmax window keys on a surrogate
+    id minted BEFORE the join (``monotonically_increasing_id`` —
+    partition-local counters, no shuffle), so (a) fully identical
+    duplicate capture rows each survive with their own flag, and
+    (b) the shuffle hashes one long instead of every (possibly wide
+    string) input column."""
     host = F.lower(
-        F.regexp_extract(url_col, r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+        F.regexp_extract(
+            url_col, r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1
+        )
     )
     path = F.regexp_replace(
         url_col, r"^[a-z][a-z0-9+.-]*://[^/?#]*", ""
     )
     path = F.when(path == "", "/").otherwise(path)
-    keyed = cdx.withColumn("__host", host).withColumn("__path", path)
+    keyed = (
+        cdx.withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("__host", host)
+        .withColumn("__path", path)
+    )
     j = keyed.join(
         rules.select(
             F.col("host").alias("__host"),
@@ -129,7 +148,7 @@ def apply_robots(
         F.col("__prefix").isNotNull()
         & F.col("__path").startswith(F.col("__prefix")),
     )
-    w = Window.partitionBy(*cdx.columns).orderBy(
+    w = Window.partitionBy("__rid").orderBy(
         F.col("__match").desc(),
         F.length("__prefix").desc_nulls_last(),
         F.col("__allow").desc_nulls_last(),

@@ -138,10 +138,16 @@ def compact_ivf_index(spark: SparkSession, out_dir: str) -> None:
         pass
     fs.move(_join(local, "vectors"), old)
     fs.move(_join(local, "vectors-compact-tmp"), _join(local, "vectors"))
+    # sanity BEFORE dropping the recovery copy, and an explicit raise
+    # (a bare assert compiles out under -O): a filesystem move that
+    # misbehaved without raising leaves vectors-old intact to recover
+    # from instead of silently deleting the only good copy.
+    if fs.get_file_info(_join(local, "vectors")).type != pafs.FileType.Directory:
+        raise RuntimeError(
+            f"compact_ivf_index: rename did not land at {vectors!r}; "
+            f"recovery copy retained at {old!r}"
+        )
     fs.delete_dir(old)
-    # sanity: the rename landed (a crash between the two moves leaves
-    # vectors-old as the recovery copy)
-    assert fs.get_file_info(_join(local, "vectors")).type == pafs.FileType.Directory
 
 
 def read_ivf_centroids(out_dir: str) -> dict[int, list[float]]:
