@@ -583,3 +583,36 @@ def test_persisted_ivf_probe_prunes_inverted_lists(spark, sf_dir):
     assert "cell" in part, part
     assert "Exchange" not in plan.split("FileScan parquet", 1)[0]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_persisted_ivfpq_probe_reads_codes_not_vectors(spark, sf_dir):
+    """The PQ-coded store's probe must (a) prune to the nprobe cell
+    partitions like the flat store, and (b) READ CODES — the ReadSchema
+    of the probe scan carries the j0.. code columns and no float-array
+    column at all.  Scanning vectors would forfeit the 16-32× byte
+    saving that justifies the PQ layout; re-shuffling would erase the
+    serving-cost model."""
+    plan = _plan(spark, sf_dir, "emb_ivfadc_persisted_topk")
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "j0" in schema, schema
+    assert "array" not in schema, f"probe scan reads float vectors: {schema}"
+    assert "Exchange" not in plan.split("FileScan parquet", 1)[0]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_delete_probe_keeps_pruned_plan(spark, sf_dir):
+    """Tombstone exclusion must stay a scan-side filter: the deleted-id
+    predicate appears in PushedFilters (no join, no extra exchange) and
+    the cell partition pruning is unchanged — deletes cost metadata,
+    not plan shape."""
+    plan = _plan(spark, sf_dir, "emb_ivf_delete_probe")
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "vec_id" in pushed, pushed
+    assert "Exchange" not in plan.split("FileScan parquet", 1)[0]
+    assert "TakeOrderedAndProject" in plan

@@ -600,3 +600,115 @@ def test_persisted_ivf_compact_one_file_per_cell(spark, sf_dir):
         ).collect()
     ]
     assert after == before
+
+
+def test_ann_delete_tombstone_purge_and_replay(spark, sf_dir):
+    """The ANN delete contract end to end: (1) a deleted id never
+    appears in top-k at ANY nprobe while merely tombstoned; (2)
+    compaction makes the purge PHYSICAL — the id is gone from the
+    store's parquet rows and the tombstone dir is cleared; (3) replay
+    is idempotent — re-filing the same tombstone over the purged store
+    changes nothing (the crash-between-swap-and-clear window)."""
+    import glob
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks.ann_index import (
+        compact_ivf_index,
+        delete_from_ann_index,
+        ivf_index_probe_topk,
+        read_ann_tombstones,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_del_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qv = collect_query_vector(emb, 123)
+
+    pre = ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123
+    ).collect()
+    victim = pre[0].vec_id  # provably served before the delete
+    delete_from_ann_index(out, [victim])
+    assert read_ann_tombstones(out) == {victim}
+
+    for nprobe in (1, 3, 8):
+        got = ivf_index_probe_topk(
+            spark, out, qv, k=10, nprobe=nprobe, exclude_id=123
+        ).collect()
+        assert victim not in {r.vec_id for r in got}, nprobe
+
+    post = ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123
+    ).collect()
+    compact_ivf_index(spark, out)
+    # physical purge: the id is out of the parquet rows, not just hidden
+    left = spark.read.parquet(os.path.join(out, "vectors"))
+    assert left.filter(left.vec_id == victim).count() == 0
+    assert read_ann_tombstones(out) == set()
+    assert not glob.glob(os.path.join(out, "tombstones", "*"))
+    # replay idempotency: the same tombstone over the purged store is
+    # a no-op for probes and for a second compaction
+    delete_from_ann_index(out, [victim])
+    again = ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in post]
+    compact_ivf_index(spark, out)
+    assert [
+        tuple(r)
+        for r in ivf_index_probe_topk(
+            spark, out, qv, k=10, nprobe=3, exclude_id=123
+        ).collect()
+    ] == [tuple(r) for r in post]
+
+
+def test_persisted_ivfpq_matches_in_query_residual(spark, sf_dir):
+    """The PQ-coded store hash-matches the in-query residual-IVFADC
+    twin row for row (persistence changes storage bytes, never the
+    answer), deletes apply to the codes store through the same
+    tombstone path, and compaction purges them physically."""
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+        ivfadc_residual_topk,
+    )
+    from webarchive_indexing_spark.sinks.ann_index import (
+        compact_ivf_index,
+        delete_from_ann_index,
+        ivfpq_index_probe_topk,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_")
+    write_ivfpq_index(emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2)
+    qv = collect_query_vector(emb, 77)
+
+    got = ivfpq_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=77
+    ).collect()
+    want = ivfadc_residual_topk(
+        emb, 77, k=10, n_cells=8, nprobe=3, n_sub=4, k_codes=8, train_iters=2
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    victim = got[0].vec_id
+    delete_from_ann_index(out, [victim])
+    after = ivfpq_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=77
+    ).collect()
+    assert victim not in {r.vec_id for r in after}
+    compact_ivf_index(spark, out, subdir="codes")
+    codes = spark.read.parquet(os.path.join(out, "codes"))
+    assert codes.filter(codes.vec_id == victim).count() == 0
+    still = ivfpq_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=77
+    ).collect()
+    assert [tuple(r) for r in still] == [tuple(r) for r in after]

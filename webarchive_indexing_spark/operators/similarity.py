@@ -573,6 +573,7 @@ def _sql_ivf_probe(
     k: int,
     nprobe: int,
     dim: int,
+    exclude_ids: list[int] | None = None,
 ) -> str:
     """Shared relational IVF probe body over a ``(cid, cvec)`` CTE
     named ``cents_src`` (seed stand-ins or the Lloyd-trained chain):
@@ -612,13 +613,20 @@ def _sql_ivf_probe(
       ) WHERE rn <= {nprobe}
     )""",
     ]
+    excl = ""
+    if exclude_ids:
+        excl = (
+            " AND cells.vec_id NOT IN ("
+            + ", ".join(str(int(i)) for i in exclude_ids)
+            + ")"
+        )
     return (
         "WITH "
         + ",\n    ".join(parts)
         + f"""
     SELECT cells.vec_id, cells.cell, {esim} AS cos_sim
     FROM cells CROSS JOIN q
-    WHERE cells.cell IN (SELECT cid FROM probe) AND cells.vec_id <> {query_vec_id}
+    WHERE cells.cell IN (SELECT cid FROM probe) AND cells.vec_id <> {query_vec_id}{excl}
     ORDER BY cos_sim DESC, cells.vec_id ASC LIMIT {k}
     """
     )
@@ -651,18 +659,24 @@ def sql_ivf_trained_topk(
     train_iters: int = 2,
     dim: int = 64,
     train_mod: int | None = None,
+    exclude_ids: list[int] | None = None,
 ) -> str:
     """DuckDB twin of ``ivf_trained_topk``: the Lloyd centroid CTE
     chain (``sql_lloyd_centroid_ctes`` — exact-decimal update sums, so
     the relational centroids equal the Spark driver's floats bit for
     bit) feeding the same relational IVF probe body.  ``train_mod``
-    reconstructs the sampled-training variant (``train_frac=1/mod``)."""
+    reconstructs the sampled-training variant (``train_frac=1/mod``);
+    ``exclude_ids`` reconstructs a tombstoned store (training still
+    sees every vector — deletes hide rows from probes, they don't
+    retrain the quantizer)."""
     from .kmeans import sql_lloyd_centroid_ctes
 
     parts, prev = sql_lloyd_centroid_ctes(
         n_cents, train_iters, dim, train_mod=train_mod
     )
-    return _sql_ivf_probe(parts, prev, query_vec_id, k, nprobe, dim)
+    return _sql_ivf_probe(
+        parts, prev, query_vec_id, k, nprobe, dim, exclude_ids=exclude_ids
+    )
 
 
 def _planes(n_planes: int, dim: int) -> list[list[int]]:
@@ -1209,28 +1223,8 @@ def ivfadc_residual_topk(
     )
     probe = sorted(cents, key=lambda c: (py_sqdist6(qv, cents[c]), c))[:nprobe]
 
-    # combined per-cell codewords and query-distance tables (driver
-    # floats: IEEE add / py_sqdist6 — both oracle-reproducible)
-    def d_lit(x: float) -> str:
-        return f"{float(x)!r}D"
-
-    ct_sql: list[str] = []
-    qd_sql: list[str] = []
-    for m in range(n_sub):
-        lo = m * sub_dim
-        cells_ct, cells_qd = [], []
-        for cell in range(n_cells):
-            cws, qds = [], []
-            for j in range(k_codes):
-                cw = [
-                    cents[cell][lo + i] + cbooks[m][j][i] for i in range(sub_dim)
-                ]
-                cws.append("array(" + ",".join(d_lit(v) for v in cw) + ")")
-                qds.append(d_lit(py_sqdist6(qv[lo : lo + sub_dim], cw)))
-            cells_ct.append("array(" + ",".join(cws) + ")")
-            cells_qd.append("array(" + ",".join(qds) + ")")
-        ct_sql.append("array(" + ",".join(cells_ct) + ")")
-        qd_sql.append("array(" + ",".join(cells_qd) + ")")
+    ct_sql = residual_codeword_tables(cents, cbooks)
+    qd_sql = residual_query_tables(cents, cbooks, qv)
 
     cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
     pruned = (
@@ -1238,8 +1232,88 @@ def ivfadc_residual_topk(
         .select(F.col(id_col), F.col(vec_col), cell.getField("cid").alias("cell"))
         .filter(F.col("cell").isin(probe))
     )
-    # residual encode: argmin over the row's OWN cell's combined
-    # codewords — runtime fold, one expression for every cell
+    coded = pruned.selectExpr(
+        id_col, "cell", *residual_encode_exprs(ct_sql, vec_col, sub_dim)
+    )
+    out = coded.selectExpr(
+        id_col, "cell", residual_adc_expr(qd_sql) + " AS approx_dist"
+    )
+    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def residual_codeword_tables(
+    cents: dict[int, list[float]], cbooks: list[dict[int, list[float]]]
+) -> list[str]:
+    """Per-subspace SQL literal tables of the COMBINED per-cell
+    codewords ``c_sub + b_j`` — the residual-PQ identity
+    ``sqdist(x_sub − c_sub, b_j) == sqdist(x_sub, c_sub + b_j)``
+    precomputed driver-side (IEEE adds, oracle-reproducible).  Shared
+    by the in-query residual probe AND the persisted IVFPQ store's
+    encode, so the stored codes and any probe's algebra can never
+    disagree."""
+    n_sub = len(cbooks)
+    sub_dim = len(next(iter(cbooks[0].values())))
+
+    def d_lit(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    ct_sql: list[str] = []
+    for m in range(n_sub):
+        lo = m * sub_dim
+        cells_ct = []
+        for cell in sorted(cents):
+            cws = []
+            for j in sorted(cbooks[m]):
+                cw = [
+                    cents[cell][lo + i] + cbooks[m][j][i]
+                    for i in range(sub_dim)
+                ]
+                cws.append("array(" + ",".join(d_lit(v) for v in cw) + ")")
+            cells_ct.append("array(" + ",".join(cws) + ")")
+        ct_sql.append("array(" + ",".join(cells_ct) + ")")
+    return ct_sql
+
+
+def residual_query_tables(
+    cents: dict[int, list[float]],
+    cbooks: list[dict[int, list[float]]],
+    qv: list[float],
+) -> list[str]:
+    """Per-subspace SQL literal tables of the query's squared distance
+    to every (cell, code) combined codeword — the ADC lookup table,
+    computed per query on the driver (model-sized math)."""
+    n_sub = len(cbooks)
+    sub_dim = len(next(iter(cbooks[0].values())))
+
+    def d_lit(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    qd_sql: list[str] = []
+    for m in range(n_sub):
+        lo = m * sub_dim
+        cells_qd = []
+        for cell in sorted(cents):
+            qds = []
+            for j in sorted(cbooks[m]):
+                cw = [
+                    cents[cell][lo + i] + cbooks[m][j][i]
+                    for i in range(sub_dim)
+                ]
+                qds.append(d_lit(py_sqdist6(qv[lo : lo + sub_dim], cw)))
+            cells_qd.append("array(" + ",".join(qds) + ")")
+        qd_sql.append("array(" + ",".join(cells_qd) + ")")
+    return qd_sql
+
+
+def residual_encode_exprs(
+    ct_sql: list[str], vec_col: str, sub_dim: int
+) -> list[str]:
+    """Residual-PQ encode as select-exprs ``j0..j{n_sub-1}``: per
+    subspace, argmin over the row's OWN cell's combined codewords — a
+    runtime fold over ``element_at(table, cell + 1)``, ONE expression
+    regardless of cell count (per-cell CASE arms would re-blow
+    codegen; BASELINE.md finding 2).  Requires a ``cell`` column."""
+    n_sub = len(ct_sql)
     enc_exprs = []
     for m in range(n_sub):
         lo = m * sub_dim
@@ -1253,16 +1327,19 @@ def ivfadc_residual_topk(
             f"array_min(transform(element_at({ct_sql[m]}, cell + 1), "
             f"(cw, j) -> named_struct('d', {d6}, 'j', j))).j AS j{m}"
         )
-    coded = pruned.selectExpr(id_col, "cell", *enc_exprs)
+    return enc_exprs
+
+
+def residual_adc_expr(qd_sql: list[str]) -> str:
+    """ADC distance as one SQL expression over ``cell`` + ``j0..`` code
+    columns: 2-D ``element_at`` lookups into the query-distance
+    literals, summed through DECIMAL(18,6) (exact for 6-dp values)."""
     adc = " + ".join(
         f"CAST(element_at(element_at({qd_sql[m]}, cell + 1), j{m} + 1) "
         f"AS DECIMAL(18,6))"
-        for m in range(n_sub)
+        for m in range(len(qd_sql))
     )
-    out = coded.selectExpr(
-        id_col, "cell", f"CAST(({adc}) AS DOUBLE) AS approx_dist"
-    )
-    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+    return f"CAST(({adc}) AS DOUBLE)"
 
 
 def sql_ivfadc_residual_topk(

@@ -1260,6 +1260,90 @@ def emb_ivfadc_residual_topk(spark, sf_dir):
     )
 
 
+@query(
+    "emb_ivfadc_persisted_topk",
+    oracle=sql_ivfadc_residual_topk(
+        query_vec_id=77, k=10, n_cells=8, nprobe=3, n_sub=4, k_codes=8,
+        train_iters=2,
+    ),
+    tier="C",
+)
+def emb_ivfadc_persisted_topk(spark, sf_dir):
+    """L3 PQ-CODED persisted ANN store (round 10 — the FAISS IVFPQ
+    deployment shape): ``write_ivfpq_index`` trains coarse cells +
+    per-subspace codebooks once, residual-encodes every vector with
+    the SHARED combined-codeword algebra, and stores only the codes
+    (``n_sub`` small ints vs ``dim×4`` float bytes — the 16-32×
+    scan-byte saving a flat store forfeits at 100 TB) hive-partitioned
+    by cell; ``ivfpq_index_probe_topk`` then answers with partition
+    pruning (nprobe directories) + a map-side ADC literal-table sum —
+    the scan reads codes, never vectors (plan-asserted).  Hash-matches
+    the in-query residual-IVFADC twin's oracle: persistence changes
+    the COST model, never the answer."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import ivfpq_index_probe_topk, write_ivfpq_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2
+    )
+    qv = collect_query_vector(emb, 77)
+    return ivfpq_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=77
+    )
+
+
+#: tombstoned ids for emb_ivf_delete_probe — the pre-delete top-2 at
+#: BOTH test scales (sf0.001: 343, 492; sf0.01: 288, 88), so the
+#: delete provably removes rows that WOULD have been served.
+_ANN_DELETED_IDS = [88, 288, 343, 492]
+
+
+@query(
+    "emb_ivf_delete_probe",
+    oracle=sql_ivf_trained_topk(
+        query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=2,
+        exclude_ids=_ANN_DELETED_IDS,
+    ),
+    tier="C",
+)
+def emb_ivf_delete_probe(spark, sf_dir):
+    """L3 DELETES in the persisted ANN store (round 10): a document
+    removed from the corpus by takedown or dedup keep-list must stop
+    being retrievable by vector search — ``delete_from_ann_index``
+    files a metadata-sized tombstone batch (the LSM contract the
+    ZipNum/parquet index stores already carry), probes exclude the
+    ids via a scan-side filter at ANY nprobe (no join, no shuffle,
+    same pruned plan), and ``compact_ivf_index`` makes the purge
+    physical (pinned by reading store bytes in tests/test_scale.py).
+    The tombstoned ids are the pre-delete top-2 at both test scales,
+    so this query's rows CHANGE versus ``emb_ivf_persisted_topk`` —
+    the oracle reconstructs the same store with the ids excluded
+    from probing but NOT from training (deletes hide rows, they
+    never retrain the quantizer)."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import (
+        delete_from_ann_index,
+        ivf_index_probe_topk,
+        write_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_del_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    delete_from_ann_index(out, _ANN_DELETED_IDS[:2])
+    delete_from_ann_index(out, _ANN_DELETED_IDS[2:])  # batches union
+    qv = collect_query_vector(emb, 123)
+    return ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

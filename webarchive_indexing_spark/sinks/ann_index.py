@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from .zipnum import _fs_for, _join
 
 _CENTROIDS = "centroids.json"
+_PQ_MODEL = "pq.json"
+_TOMBSTONE_DIR = "tombstones"
 
 
 def write_ivf_index(
@@ -102,52 +104,246 @@ def append_ivf_index(
     )
 
 
-def compact_ivf_index(spark: SparkSession, out_dir: str) -> None:
-    """Small-file hygiene for an append-heavy store: every append
-    adds files to each touched ``cell=`` directory, and probe cost is
-    per-file open/footer overhead × files — so periodically rewrite
-    each inverted list to one file (``repartition("cell")`` puts each
-    cell in one task; a cell too big for one file belongs in a store
-    with more cells, i.e. a quantizer rebuild).  Staged through a tmp
-    directory + renames — a reader never sees a HALF-WRITTEN store,
-    though one racing the two metadata ops can catch the vectors
-    directory briefly absent (generic filesystems have no atomic dir
-    swap); schedule compaction off-peak, or publish versioned store
-    paths for always-on serving.  The quantizer is untouched, so no
-    probe's answer can change."""
+def compact_ivf_index(
+    spark: SparkSession, out_dir: str, *, subdir: str = "vectors"
+) -> None:
+    """Small-file hygiene + PHYSICAL PURGE for an append-heavy store:
+    every append adds files to each touched ``cell=`` directory, and
+    probe cost is per-file open/footer overhead × files — so
+    periodically rewrite each inverted list to one file
+    (``repartition("cell")`` puts each cell in one task; a cell too
+    big for one file belongs in a store with more cells, i.e. a
+    quantizer rebuild).  Tombstoned rows (``delete_from_ann_index``)
+    are dropped from the rewrite and the tombstone list cleared AFTER
+    the swap lands — the same LSM purge contract as the index stores
+    (sinks/zipnum.py compact): a crash between swap and clear leaves
+    tombstones that re-apply over already-purged rows, a no-op, so
+    replay is idempotent.  Staged through a tmp directory + renames —
+    a reader never sees a HALF-WRITTEN store, though one racing the
+    two metadata ops can catch the data directory briefly absent
+    (generic filesystems have no atomic dir swap); schedule
+    compaction off-peak, or publish versioned store paths for
+    always-on serving.  The quantizer is untouched, so no surviving
+    row's score can change.  ``subdir`` selects the payload: the flat
+    store's ``vectors`` or the PQ store's ``codes``."""
     from pyarrow import fs as pafs
 
-    vectors = _join(out_dir, "vectors")
-    tmp = _join(out_dir, "vectors-compact-tmp")
+    data_dir = _join(out_dir, subdir)
+    tmp = _join(out_dir, f"{subdir}-compact-tmp")
     fs, local = _fs_for(out_dir)
     try:
-        fs.delete_dir(_join(local, "vectors-compact-tmp"))
+        fs.delete_dir(_join(local, f"{subdir}-compact-tmp"))
     except OSError:
         pass
+    df = spark.read.parquet(data_dir)
+    tombs = read_ann_tombstones(out_dir)
+    if tombs:
+        df = df.filter(~F.col("vec_id").isin(sorted(tombs)))
     (
-        spark.read.parquet(vectors)
-        .repartition("cell")
+        df.repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(tmp)
     )
-    old = _join(local, "vectors-old")
+    old = _join(local, f"{subdir}-old")
     try:
         fs.delete_dir(old)
     except OSError:
         pass
-    fs.move(_join(local, "vectors"), old)
-    fs.move(_join(local, "vectors-compact-tmp"), _join(local, "vectors"))
+    fs.move(_join(local, subdir), old)
+    fs.move(_join(local, f"{subdir}-compact-tmp"), _join(local, subdir))
     # sanity BEFORE dropping the recovery copy, and an explicit raise
     # (a bare assert compiles out under -O): a filesystem move that
-    # misbehaved without raising leaves vectors-old intact to recover
-    # from instead of silently deleting the only good copy.
-    if fs.get_file_info(_join(local, "vectors")).type != pafs.FileType.Directory:
+    # misbehaved without raising leaves the -old copy intact to
+    # recover from instead of silently deleting the only good copy.
+    if fs.get_file_info(_join(local, subdir)).type != pafs.FileType.Directory:
         raise RuntimeError(
-            f"compact_ivf_index: rename did not land at {vectors!r}; "
+            f"compact_ivf_index: rename did not land at {data_dir!r}; "
             f"recovery copy retained at {old!r}"
         )
     fs.delete_dir(old)
+    if tombs:
+        # purge is now physical; clearing LAST keeps the crash window
+        # safe (tombstones over purged rows filter nothing)
+        try:
+            fs.delete_dir(_join(local, _TOMBSTONE_DIR))
+        except OSError:
+            pass
+
+
+def delete_from_ann_index(out_dir: str, ids: list[int]) -> None:
+    """Tombstone vectors out of a served store (flat OR PQ): the LSM
+    delete contract the index stores already carry (sinks/zipnum.py
+    takedowns) applied to the vector index — a document removed from
+    the corpus by takedown or dedup keep-list must stop being
+    retrievable by vector search too.  Deletes are a metadata write
+    (one small JSON file per batch, monotonic names so batches never
+    clobber each other); probes honor them immediately via an
+    id-exclusion scan filter, and ``compact_ivf_index`` makes the
+    purge physical.  Data files are never mutated in place."""
+    from pyarrow import fs as pafs
+
+    fs, local = _fs_for(out_dir)
+    tdir = _join(local, _TOMBSTONE_DIR)
+    fs.create_dir(tdir, recursive=True)
+    infos = fs.get_file_info(pafs.FileSelector(tdir, allow_not_found=True))
+    n = sum(1 for i in infos if i.type == pafs.FileType.File)
+    with fs.open_output_stream(
+        _join(tdir, f"t-{n:06d}.json"), compression=None
+    ) as fh:
+        fh.write(json.dumps(sorted(int(i) for i in ids)).encode())
+
+
+def read_ann_tombstones(out_dir: str) -> set[int]:
+    """Union of every tombstone batch — metadata-sized by contract
+    (explicit takedowns / keep-list drops; a mass delete is a store
+    REBUILD, not a tombstone pile)."""
+    from pyarrow import fs as pafs
+
+    fs, local = _fs_for(out_dir)
+    tdir = _join(local, _TOMBSTONE_DIR)
+    infos = fs.get_file_info(pafs.FileSelector(tdir, allow_not_found=True))
+    out: set[int] = set()
+    for info in infos:
+        if info.type != pafs.FileType.File:
+            continue
+        with fs.open_input_stream(info.path, compression=None) as fh:
+            out.update(int(i) for i in json.loads(fh.read().decode()))
+    return out
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    *,
+    n_cells: int = 8,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    train_iters: int = 2,
+    dim: int = 64,
+    train_frac: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """PQ-CODED persisted index — the FAISS IVFPQ storage shape
+    (Jégou et al. 2011): instead of flat float vectors (16-32× the
+    bytes at 100 TB of embeddings), each cell stores only the
+    residual-PQ CODES ``j0..j{n_sub-1}`` per vector — ``n_sub`` bytes
+    of payload against ``dim × 4`` for floats.  Train = Lloyd coarse
+    cells on whole vectors + one sub-codebook per subspace (identical
+    chains to ``operators.similarity.ivfadc_residual_topk``, so the
+    persisted answers hash-match the in-query twin), encode = the
+    SHARED ``residual_encode_exprs`` algebra over combined codewords
+    (one scan, map-side), layout = hive ``cell=`` partitions (the
+    inverted lists as directories).  Model artifacts (centroids +
+    codebooks) persist as ``pq.json``; probes never re-train."""
+    from ..operators.kmeans import lloyd_train
+    from ..operators.similarity import (
+        nearest_sqdist6_expr,
+        residual_codeword_tables,
+        residual_encode_exprs,
+    )
+
+    assert dim % n_sub == 0
+    sub_dim = dim // n_sub
+    cents = lloyd_train(
+        embeddings, k=n_cells, iters=train_iters, dim=dim,
+        id_col=id_col, vec_col=vec_col, train_frac=train_frac,
+    )
+    cbooks: list[dict[int, list[float]]] = []
+    for m in range(n_sub):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias("subvec"),
+        )
+        cbooks.append(
+            lloyd_train(
+                sub, k=k_codes, iters=train_iters, dim=sub_dim,
+                id_col=id_col, vec_col="subvec", train_frac=train_frac,
+            )
+        )
+    ct_sql = residual_codeword_tables(cents, cbooks)
+    cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
+    coded = embeddings.select(
+        F.col(id_col), cell.getField("cid").alias("cell"), F.col(vec_col)
+    ).selectExpr(id_col, "cell", *residual_encode_exprs(ct_sql, vec_col, sub_dim))
+    (
+        coded.write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(_join(out_dir, "codes"))
+    )
+    fs, local = _fs_for(out_dir)
+    with fs.open_output_stream(
+        _join(local, _PQ_MODEL), compression=None
+    ) as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "cents": {str(c): v for c, v in cents.items()},
+                    "cbooks": [
+                        {str(j): v for j, v in cb.items()} for cb in cbooks
+                    ],
+                    "dim": dim,
+                    "n_sub": n_sub,
+                    "k_codes": k_codes,
+                }
+            ).encode()
+        )
+
+
+def read_ivfpq_model(
+    out_dir: str,
+) -> tuple[dict[int, list[float]], list[dict[int, list[float]]], dict]:
+    fs, local = _fs_for(out_dir)
+    with fs.open_input_stream(
+        _join(local, _PQ_MODEL), compression=None
+    ) as fh:
+        raw = json.loads(fh.read().decode())
+    cents = {int(c): v for c, v in raw["cents"].items()}
+    cbooks = [
+        {int(j): v for j, v in cb.items()} for cb in raw["cbooks"]
+    ]
+    return cents, cbooks, raw
+
+
+def ivfpq_index_probe_topk(
+    spark: SparkSession,
+    out_dir: str,
+    qv: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 3,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k approximate neighbors from the PQ-coded store: rank probe
+    cells driver-side (quantizer math), scan ONLY those ``cell=``
+    directories — and the scan reads CODES, not vectors (the 16-32×
+    byte saving is the whole point; plan-asserted: ReadSchema carries
+    ``j0..``, no embedding column exists to read) — then the ADC
+    literal-table sum ranks rows map-side.  Zero shuffles,
+    TakeOrderedAndProject.  Honors tombstones like the flat probe."""
+    from ..operators.similarity import (
+        py_sqdist6,
+        residual_adc_expr,
+        residual_query_tables,
+    )
+
+    cents, cbooks, _meta = read_ivfpq_model(out_dir)
+    probe = sorted(cents, key=lambda c: (py_sqdist6(qv, cents[c]), c))[:nprobe]
+    qd_sql = residual_query_tables(cents, cbooks, qv)
+    df = spark.read.parquet(_join(out_dir, "codes")).filter(
+        F.col("cell").isin(probe)
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    tombs = read_ann_tombstones(out_dir)
+    if tombs:
+        df = df.filter(~F.col(id_col).isin(sorted(tombs)))
+    out = df.selectExpr(
+        id_col, "cell", residual_adc_expr(qd_sql) + " AS approx_dist"
+    )
+    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
 def read_ivf_centroids(out_dir: str) -> dict[int, list[float]]:
@@ -189,6 +385,12 @@ def ivf_index_probe_topk(
     )
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
+    tombs = read_ann_tombstones(out_dir)
+    if tombs:
+        # deleted vectors never surface at ANY nprobe: the exclusion
+        # list is metadata-sized (LSM contract), inlined as a scan
+        # filter — no join, no shuffle, plan shape unchanged
+        df = df.filter(~F.col(id_col).isin(sorted(tombs)))
     out = df.select(
         F.col(id_col),
         F.col("cell"),
