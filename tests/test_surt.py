@@ -54,8 +54,9 @@ KNOWN = [
     # --- double-encoded escapes unwrap one level, then re-decode ---
     ("http://example.com/%2541bc", "com,example)/abc"),
     ("http://example.com/%252fx", "com,example)/%2fx"),
-    # exactly two passes: triple-encoded only partially unwraps
-    ("http://example.com/%252541", "com,example)/%41"),
+    # fixpoint decode (round 10): any nesting depth fully unwraps
+    ("http://example.com/%252541", "com,example)/a"),
+    ("http://example.com/%25252541x", "com,example)/ax"),
     # --- path dot-segment removal (RFC 3986 §5.2.4) ---
     ("http://example.com/a/./b", "com,example)/a/b"),
     ("http://example.com/a/../b", "com,example)/b"),
@@ -143,6 +144,28 @@ def test_native_matches_python_on_messy_urls(spark):
     got = [r[0] for r in df.select(surt_urlkey("url")).collect()]
     want = [surt_urlkey_py(u) for u in urls]
     assert got == want
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    s=st.text(
+        alphabet="%0123456789abcdefgzABCDEF25./?&=~_-",
+        max_size=40,
+    )
+)
+def test_pct_fixpoint_idempotent(s):
+    """Property (round 10): percent normalization terminates on
+    arbitrary escape soup and its result is a true fixpoint — one
+    more pass changes nothing (the invariant the native iteration
+    bound in functions/surt._pct_pass is derived from)."""
+    from webarchive_indexing_spark.functions.surt import (
+        _pct_fixpoint_py,
+        _pct_normalize_py,
+    )
+
+    fp = _pct_fixpoint_py(s)
+    assert _pct_normalize_py(fp) == fp
+    assert _pct_fixpoint_py(fp) == fp
 
 
 def test_pandas_udf_matches(spark):

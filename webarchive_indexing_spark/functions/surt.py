@@ -27,20 +27,21 @@ public surt URLRegexTransformer patterns — trailing path
 an adjacent ``cfid=..&cftoken=..`` pair anchored at a param boundary;
 percent-encoding normalization — escapes of unreserved chars (alnum
 ``-._~``) are decoded, double-encoded escapes (``%25XX`` with XX hex)
-are unwrapped one level and re-examined (``%2541`` → ``a``), all other
-escapes kept verbatim (already lowercase).
+are unwrapped, all other escapes kept verbatim (already lowercase),
+and the pass runs to FIXPOINT (round 10): escapes nested to any depth
+fully unwrap (``%252541`` → ``%2541`` → ``%41`` → ``a``), matching
+pywb's repeated-unquote behavior — see ``_pct_pass`` for the
+termination argument and the data-derived iteration bound.
 
 Every expensive branch is gated behind a cheap ``contains`` guard
 (``%``, ``;jsessionid=``, ``.aspx``, ``cfid=``, ``/.``) — a clean URL
 pays one regex for the scheme and the split/reverse of its host, and
 none of the session/percent/dot machinery.
 
-Not implemented (documented divergence from pywb): percent-decode
-runs exactly two passes, so escapes nested deeper than two levels are
-only partially unwrapped (``%252541`` → ``%41``, not ``a``), and
-IDN→punycode in the NATIVE version — ``surt_urlkey_py`` and the
-pandas fallback punycode non-ASCII hosts, the native expression
-expects pre-encoded (ASCII) hosts.
+Not implemented (documented divergence from pywb): IDN→punycode in
+the NATIVE version — ``surt_urlkey_py`` and the pandas fallback
+punycode non-ASCII hosts, the native expression expects pre-encoded
+(ASCII) hosts (the hybrid router ``surt_urlkey_auto`` covers both).
 """
 
 from __future__ import annotations
@@ -158,23 +159,35 @@ def _remove_dot_segments(path: Column) -> Column:
 
 
 def _pct_pass(x: Column) -> Column:
-    """Two-pass percent normalization behind contains guards: pass 1
-    decodes unreserved escapes and unwraps one %25XX level; pass 2
-    finishes the double-encoded case (%2541 → %41 → a).
+    """Percent normalization run to FIXPOINT (pywb parity — round 10,
+    closing the documented two-pass divergence): arbitrarily nested
+    double-encodings fully unwrap (``%252541`` → ``%2541`` → ``%41``
+    → ``a``), including escapes synthesized by juxtaposition
+    (``%%325ab`` decodes ``%32``→``2`` after the bare ``%``, yielding
+    ``%25ab``, which a later pass unwraps).
 
-    Pass 2 is gated on the PASS-1 RESULT, not the raw URL: pass 1 can
-    synthesize escapes by juxtaposition that the raw URL never
-    contained — '%%325ab' (no '%25' raw) decodes '%32'→'2' after the
-    bare '%', yielding '%25ab'; '%%341' yields '%41'.  Gating on the
-    raw URL would skip pass 2 and diverge from surt_urlkey_py, which
-    runs both passes unconditionally.  Pass 2 is an identity whenever
-    p1 carries no '%' at all, so contains('%') on p1 is exact; p1 is a
-    lambda-variable leaf, so the extra reference costs nothing."""
+    A Catalyst expression is a finite tree, so "loop until unchanged"
+    is expressed as ``aggregate(sequence(1, N), url, pass)`` with a
+    DATA-DERIVED iteration bound N: each productive pass either
+    decodes an unreserved escape (removes one ``%``, may synthesize at
+    most one ``25`` juxtaposition) or unwraps one ``%25XX`` level
+    (removes one ``25``), so the potential ``2·count('%') +
+    count('25')`` strictly decreases and bounds the productive passes;
+    the fixpoint is reached within N = that potential.  Extra passes
+    are identities.  Clean URLs still pay ONE contains() — the outer
+    guard skips the whole machinery; escaped URLs pay O(escapes)
+    linear passes, each a split/transform that stays in codegen."""
+    n_pct = F.length(x) - F.length(F.regexp_replace(x, "%", ""))
+    n_25 = (F.length(x) - F.length(F.regexp_replace(x, "25", ""))) / F.lit(2)
+    iters = (n_pct * 2 + n_25 + 1).cast("int")
     return F.when(
         x.contains("%"),
-        _let(
-            _pct_normalize(x),
-            lambda p1: F.when(p1.contains("%"), _pct_normalize(p1)).otherwise(p1),
+        F.aggregate(
+            F.sequence(F.lit(1), iters),
+            x,
+            lambda acc, _i: F.when(
+                acc.contains("%"), _pct_normalize(acc)
+            ).otherwise(acc),
         ),
     ).otherwise(x)
 
@@ -309,6 +322,16 @@ def _pct_normalize_py(s: str) -> str:
     return "".join(out)
 
 
+def _pct_fixpoint_py(s: str) -> str:
+    """Percent normalization to fixpoint — the Python twin of the
+    native ``_pct_pass`` iteration (termination argument there)."""
+    while True:
+        n = _pct_normalize_py(s)
+        if n == s:
+            return s
+        s = n
+
+
 def _remove_dot_segments_py(path: str) -> str:
     segs = path.split("/")
     stack: list[str] = []
@@ -338,7 +361,7 @@ def surt_urlkey_py(url: str) -> str:
     u = re.sub(_SCHEME_RE, "", u)
     u = re.sub(_USERINFO_RE, "", u)
     u = re.sub("#.*$", "", u)
-    u = _pct_normalize_py(_pct_normalize_py(u))
+    u = _pct_fixpoint_py(u)
 
     m = re.match("^([^/?]*)", u)
     hostport = m.group(1)

@@ -2453,6 +2453,46 @@ _IDN_CASES = [
 ]
 
 
+#: adversarial percent-encoding goldens (round 10 — fixpoint decode):
+#: nested escapes unwrap to ANY depth, mixed-case hex normalizes via
+#: the lowercase pass, juxtaposition-synthesized escapes resolve
+#: ('%%325ab': decoding %32→'2' after the bare % yields %25ab, which a
+#: later pass unwraps), non-unreserved terminals stay escaped, and a
+#: truncated '%25' tail is inert.  Keys hand-traced; both engines list
+#: the same VALUES, the Spark side computes them natively.
+_PCT_CASES = [
+    ("http://example.com/%252541", "com,example)/a"),
+    ("http://example.com/%2525252541", "com,example)/a"),
+    ("HTTP://Example.COM/%2541?x=%2545&y=%41", "com,example)/a?x=e&y=a"),
+    ("http://example.com/%%325ab", "com,example)/%ab"),
+    ("http://example.com/%25252F/p", "com,example)/%2f/p"),
+    ("http://example.com/a%2Eb/%7Euser", "com,example)/a.b/~user"),
+    ("http://example.com/%ZZ%25zz%2525", "com,example)/%zz%25zz%25"),
+    ("http://e.com/%2541%2542%2543", "com,e)/abc"),
+]
+
+
+@query(
+    "cdx_surt_pct_deep",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{u}', '{k}')" for u, k in _PCT_CASES)
+    + ") t(url, urlkey)",
+    tier="B",
+)
+def cdx_surt_pct_deep(spark, sf_dir):
+    """F1 SURT percent-decode at FIXPOINT (round 10, closing the last
+    documented urlkey divergence from pywb): the native expression
+    iterates the normalization pass via ``aggregate(sequence(1, N))``
+    with a data-derived bound N (see functions/surt._pct_pass for the
+    termination potential), so nested/synthesized escapes fully
+    unwrap exactly as pywb's repeated unquote does.  Golden keys are
+    hand-traced adversarial URLs; a hypothesis property in
+    tests/test_surt.py additionally pins decode idempotence at the
+    fixpoint and native≡Python equality on random escape soup."""
+    df = spark.createDataFrame([(u,) for u, _ in _PCT_CASES], ["url"])
+    return df.select("url", surt_urlkey_cached("url").alias("urlkey"))
+
+
 @query(
     "cdx_surt_idn_urlkey",
     oracle="SELECT * FROM (VALUES "
