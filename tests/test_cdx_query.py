@@ -1124,3 +1124,101 @@ def test_parse_robots_grammar(spark):
         (r.doc_id, r.robotflags) for r in apply_robots(dup, rules).collect()
     )
     assert out == [(1, "A"), (1, "A"), (2, None)]
+
+
+def test_cdx_query_batch_matches_per_request_loop(spark, sf_dir):
+    """cdx_query_batch ≡ the N-request cdx_query loop, request by
+    request (same rows, any order), and unsupported per-request knobs
+    refuse instead of answering differently."""
+    import pytest as _pytest
+
+    from webarchive_indexing_spark.operators.cdx_query import (
+        cdx_query,
+        cdx_query_batch,
+    )
+    from webarchive_indexing_spark.queries.cdx_surface import (
+        _BATCH_REQUESTS,
+        derived_cdx,
+    )
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+    got = cdx_query_batch(c, _BATCH_REQUESTS).collect()
+    by_req: dict[int, set] = {}
+    for r in got:
+        by_req.setdefault(r.request_no, set()).add(tuple(r)[1:])
+    for i, req in enumerate(_BATCH_REQUESTS):
+        kw = dict(req)
+        url = kw.pop("url")
+        want = {tuple(r) for r in cdx_query(c, url, **kw).collect()}
+        assert by_req.get(i, set()) == want, f"request {i} diverges"
+
+    with _pytest.raises(ValueError, match="not batchable"):
+        cdx_query_batch(c, [{"url": "http://x.example/", "collapse": "digest"}])
+    with _pytest.raises(ValueError, match="at least one"):
+        cdx_query_batch(c, [])
+
+
+def test_cdx_query_batch_plan_single_pruned_scan(spark, sf_dir, tmp_path):
+    """Over a STORED (parquet) CDX table the batch plan must be: one
+    FileScan whose PushedFilters carry the union-of-ranges urlkey
+    disjunction (block-IO bounded by the requests' ranges), a
+    BroadcastNestedLoopJoin for request tagging (captures never
+    shuffle for the join), and no SortMergeJoin anywhere."""
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query_batch
+    from webarchive_indexing_spark.queries.cdx_surface import (
+        _BATCH_REQUESTS,
+        derived_cdx,
+    )
+
+    p = str(tmp_path / "cdx_store")
+    derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp").write.parquet(p)
+    stored = spark.read.parquet(p)
+    df = cdx_query_batch(stored, _BATCH_REQUESTS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "urlkey" in pushed, pushed
+    assert "Or(" in pushed or "In(" in pushed, pushed
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # and it answers the same rows as the in-memory path
+    n = df.count()
+    assert n > 40  # the domain request alone contributes its limit
+
+
+def test_cdx_query_batch_zipnum_union_pruned_pass(spark, cdx, cluster):
+    """The ZipNum-native batch ≡ the DataFrame batch row for row, and
+    its block IO is the deduplicated UNION of the per-request prunes —
+    strictly fewer blocks than the whole cluster and never more than
+    the sum of per-request prunes."""
+    from webarchive_indexing_spark.operators.cdx_query import (
+        _key_range,
+        cdx_query_batch,
+        cdx_query_batch_zipnum,
+        infer_match_type,
+    )
+    from webarchive_indexing_spark.sinks.zipnum import _load_idx, _prune
+
+    reqs = [
+        {"url": "https://src1.example.org/doc/101"},
+        {"url": "https://src1.example.org/doc/1*"},  # overlaps request 0
+        {
+            "url": "https://src2.example.org/x",
+            "match_type": "domain",
+            "filters": ["status:200"],
+            "limit": 25,
+        },
+    ]
+    a = sorted(map(tuple, cdx_query_batch(cdx, reqs).collect()))
+    b = sorted(map(tuple, cdx_query_batch_zipnum(spark, cluster, reqs).collect()))
+    assert a == b and a
+
+    idx = _load_idx(cluster)
+    per_req = []
+    for r in reqs:
+        url, mt = infer_match_type(r["url"], r.get("match_type"))
+        _e, lo, hi = _key_range(url, mt)
+        per_req.append({(x.shard, x.offset) for x in _prune(idx, lo, hi)})
+    union = set().union(*per_req)
+    assert len(union) < len(idx)  # pruned, not a full scan
+    assert len(union) < sum(len(s) for s in per_req)  # overlap deduped

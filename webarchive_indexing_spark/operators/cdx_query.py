@@ -983,6 +983,157 @@ def cdx_query(
     return df
 
 
+#: request-spec keys cdx_query_batch understands; anything else is a
+#: per-request knob the batch plan cannot share and must go through
+#: cdx_query (explicit refusal beats a silently different answer).
+_BATCH_KEYS = {"url", "match_type", "from_", "to", "filters", "limit"}
+
+
+def cdx_query_batch(
+    cdx: DataFrame,
+    requests: list[dict],
+    *,
+    tiebreak_cols: tuple[str, ...] = ("digest", "offset"),
+) -> DataFrame:
+    """N cdx-server requests answered in ONE job (round 10 — the
+    cc-index-server amortization: concurrent API queries share one
+    pass over the cluster instead of N jobs re-opening the same
+    shards [B cc-index-server]).  Output = each request's rows tagged
+    ``request_no`` (a capture matching several requests is returned
+    for each — requests are independent).
+
+    Plan, in order:
+
+    1. ONE scan filter = the OR of every request's urlkey range
+       (matchType inference + SURT per request, driver-side) — the
+       disjunction pushes to the parquet reader / prunes index
+       blocks, so block-IO is bounded by the UNION of the requests'
+       ranges, not the corpus (plan-asserted: single FileScan, ranges
+       in PushedFilters).
+    2. A BROADCAST range join against the N-row request table assigns
+       ``request_no`` — N containment tests per surviving capture,
+       no shuffle of capture rows.
+    3. Per-request residuals (from_/to/filters/glob LIKE) as ONE
+       CASE chain keyed on request_no: each arm is the same
+       literal-compiled expression ``cdx_query`` would use, so the
+       full filter grammar applies per request, JVM-side.
+    4. Per-request ``limit`` via one window over (request_no) ordered
+       by the index sort key + tiebreaks — only runs when some
+       request asked for a limit, and each partition holds one
+       request's already-range-pruned candidates (what a server
+       answering that single request would hold).
+
+    Unsupported per-request knobs (collapse/closest/sort_reverse/
+    resume_key/fuzzy/fields) raise — their plans don't share a pass;
+    batch serving is the bulk lookup surface, not the full grammar."""
+    import functools
+
+    if not requests:
+        raise ValueError("cdx_query_batch needs at least one request")
+    specs = []
+    for i, req in enumerate(requests):
+        extra = set(req) - _BATCH_KEYS
+        if extra:
+            raise ValueError(
+                f"request {i}: {sorted(extra)} not batchable — use cdx_query"
+            )
+        url, mt = infer_match_type(req["url"], req.get("match_type"))
+        _exact, lo, hi = _key_range(url, mt)
+        like = glob_to_like(surt_urlkey_py(url)) if mt == "glob" else None
+        specs.append((i, req, lo, hi, like))
+
+    # 1. union-of-ranges scan filter (sargable, pushes below the join)
+    scan = functools.reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("urlkey") >= lo) & (F.col("urlkey") < hi)
+            for _, _, lo, hi, _ in specs
+        ],
+    )
+    df = cdx.filter(scan)
+
+    # 2. broadcast range join tags request_no
+    reqdf = cdx.sparkSession.createDataFrame(
+        [
+            (i, lo, hi, req.get("limit"))
+            for i, req, lo, hi, _ in specs
+        ],
+        "request_no int, __lo string, __hi string, __limit int",
+    )
+    j = df.join(
+        F.broadcast(reqdf),
+        (F.col("urlkey") >= F.col("__lo")) & (F.col("urlkey") < F.col("__hi")),
+    )
+
+    # 3. per-request residual CASE chain (literal-compiled arms)
+    keep = None
+    for i, req, _, _, like in specs:
+        conds = []
+        if like is not None:
+            conds.append(F.col("urlkey").like(like))
+        if req.get("from_") is not None:
+            conds.append(F.col("timestamp") >= req["from_"].ljust(14, "0"))
+        if req.get("to") is not None:
+            conds.append(F.col("timestamp") <= req["to"].ljust(14, "9"))
+        for f in req.get("filters") or []:
+            conds.append(_filter_cond(f))
+        arm = (
+            functools.reduce(lambda a, b: a & b, conds)
+            if conds
+            else F.lit(True)
+        )
+        branch = F.when(F.col("request_no") == i, arm)
+        keep = branch if keep is None else keep.when(F.col("request_no") == i, arm)
+    j = j.filter(keep)
+
+    # 4. per-request limit (skipped entirely when nobody asked)
+    if any(req.get("limit") is not None for _, req, _, _, _ in specs):
+        from pyspark.sql.window import Window
+
+        order = [F.col("urlkey").asc(), F.col("timestamp").asc()] + [
+            F.col(c).asc() for c in tiebreak_cols if c in cdx.columns
+        ]
+        w = Window.partitionBy("request_no").orderBy(*order)
+        j = j.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__limit").isNull() | (F.col("__rn") <= F.col("__limit"))
+        )
+    return j.select("request_no", *cdx.columns)
+
+
+def cdx_query_batch_zipnum(
+    spark: SparkSession,
+    cluster_dir: str,
+    requests: list[dict],
+    **kwargs,
+) -> DataFrame:
+    """``cdx_query_batch`` NATIVELY over a ZipNum cluster: every
+    request's key range prunes the secondary index independently, the
+    surviving block sets UNION (deduplicated — overlapping requests
+    never decompress a block twice), and one distributed ranged-read
+    pass parses exactly that union before the shared
+    tag/filter/limit pipeline.  Shard-byte IO is therefore bounded by
+    the union of the requests' block ranges — the cc-index-server
+    cost model for concurrent queries — instead of N independent
+    jobs re-opening the same shards."""
+    from ..sinks.zipnum import _load_idx, _prune, _read_blocks
+
+    if not requests:
+        raise ValueError("cdx_query_batch_zipnum needs at least one request")
+    idx = _load_idx(cluster_dir)
+    chosen, seen = [], set()
+    for req in requests:
+        url, mt = infer_match_type(req["url"], req.get("match_type"))
+        _exact, lo, hi = _key_range(url, mt)
+        for b in _prune(idx, lo, hi):
+            k = (b.shard, b.offset)
+            if k not in seen:
+                seen.add(k)
+                chosen.append(b)
+    chosen.sort(key=lambda b: (b.shard, b.offset))
+    df = _read_blocks(spark, cluster_dir, chosen)
+    return cdx_query_batch(df, requests, **kwargs)
+
+
 def _query_prune_range(
     url: str, match_type: str | None, kwargs: dict
 ) -> tuple[str, str, str | None, str | None]:

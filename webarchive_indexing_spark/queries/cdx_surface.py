@@ -2453,6 +2453,83 @@ _IDN_CASES = [
 ]
 
 
+_BATCH_COLS = (
+    'urlkey, ts14 AS timestamp, mime, status, digest, length, '
+    '"offset", filename'
+)
+
+_BATCH_REQUESTS = [
+    # heterogeneous shapes: exact, exact-with-query, prefix+time
+    # window, whole-domain with filter+limit, glob, negated filter
+    {"url": "http://src1.example.org/doc/101"},
+    {"url": "http://src1.example.org/doc/102?b=2&a=1"},
+    {
+        "url": "http://src2.example.org/doc/30*",
+        "from_": "2016",
+        "to": "2016",
+    },
+    {
+        "url": "http://example.org/",
+        "match_type": "domain",
+        "filters": ["=status:404"],
+        "limit": 40,
+    },
+    {"url": "http://src3.example.org/doc/1*5", "match_type": "glob"},
+    {"url": "http://src4.example.org/doc/200", "filters": ["!=status:200"]},
+]
+
+
+@query(
+    "cdx_query_batch",
+    oracle=CDX_SQL + f"""
+    SELECT CAST(0 AS INT) AS request_no, {_BATCH_COLS} FROM cdx
+    WHERE urlkey = 'org,example,src1)/doc/101'
+    UNION ALL
+    SELECT CAST(1 AS INT), {_BATCH_COLS} FROM cdx
+    WHERE urlkey = 'org,example,src1)/doc/102?a=1&b=2'
+    UNION ALL
+    SELECT CAST(2 AS INT), {_BATCH_COLS} FROM cdx
+    WHERE urlkey >= 'org,example,src2)/doc/30'
+      AND urlkey < 'org,example,src2)/doc/30~'
+      AND ts14 >= '20160000000000' AND ts14 <= '20169999999999'
+    UNION ALL
+    SELECT CAST(3 AS INT), {_BATCH_COLS} FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY urlkey, ts14) AS rn FROM cdx
+      WHERE urlkey >= 'org,example' AND urlkey < 'org,example~'
+        AND CAST(status AS VARCHAR) = '404'
+    ) WHERE rn <= 40
+    UNION ALL
+    SELECT CAST(4 AS INT), {_BATCH_COLS} FROM cdx
+    WHERE urlkey >= 'org,example,src3)/doc/1'
+      AND urlkey < 'org,example,src3)/doc/1~'
+      AND urlkey LIKE 'org,example,src3)/doc/1%5'
+    UNION ALL
+    SELECT CAST(5 AS INT), {_BATCH_COLS} FROM cdx
+    WHERE urlkey = 'org,example,src4)/doc/200'
+      AND NOT (CAST(status AS VARCHAR) = '200')
+    """,
+    tier="B",
+)
+def cdx_query_batch(spark, sf_dir):
+    """Batch multi-request serving [B cc-index-server: concurrent API
+    queries answered off one cluster] — round 10's composed entry
+    point over the existing pieces: SIX heterogeneous cdx-server
+    requests (exact, exact-with-query, prefix+time-window,
+    whole-domain with filter and limit, glob, negated filter) answered
+    in ONE job.  The scan filter is the OR of the requests' urlkey
+    ranges (pushed down — block-IO bounded by the union of ranges), a
+    broadcast range join against the 6-row request table assigns
+    request_no without shuffling captures, per-request residuals run
+    as one literal-compiled CASE chain, and per-request limits share
+    one window.  The oracle is the per-request UNION — so the hash
+    match proves batch ≡ the N-request loop; a pytest additionally
+    pins batch ≡ cdx_query per request at sf0.001."""
+    from ..operators.cdx_query import cdx_query_batch as batch
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+    return batch(c, _BATCH_REQUESTS)
+
+
 #: adversarial percent-encoding goldens (round 10 — fixpoint decode):
 #: nested escapes unwrap to ANY depth, mixed-case hex normalizes via
 #: the lowercase pass, juxtaposition-synthesized escapes resolve
