@@ -712,3 +712,24 @@ def test_persisted_ivfpq_matches_in_query_residual(spark, sf_dir):
         spark, out, qv, k=10, nprobe=3, exclude_id=77
     ).collect()
     assert [tuple(r) for r in still] == [tuple(r) for r in after]
+
+
+def test_quality_classifier_trained_beats_majority(spark, sf_dir):
+    """The relationally-trained GLM must actually LEARN: its accuracy
+    against the quality-gate label strictly exceeds the majority
+    class (an all-positive-feature model plateaus exactly AT majority
+    — the deficit features exist so negative weights can separate),
+    and the trained weights moved off the zero init with negative
+    mass on the deficit features."""
+    from webarchive_indexing_spark.registry import REGISTRY
+
+    df = REGISTRY["quality_classifier_trained"].fn(spark, sf_dir)
+    rows = df.collect()
+    n = len(rows)
+    majority = max(
+        sum(1 for r in rows if r.label == 1),
+        sum(1 for r in rows if r.label == 0),
+    ) / n
+    acc = sum(1 for r in rows if bool(r.label) == r.pred) / n
+    assert acc > majority, (acc, majority)
+    assert {r.pred for r in rows} == {True, False}  # not one-class

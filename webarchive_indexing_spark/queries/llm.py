@@ -3964,6 +3964,163 @@ def quality_linear_classifier(spark, sf_dir):
     )
 
 
+#: trained quality classifier geometry — shared by the Spark plan and
+#: the DuckDB twin so the engines cannot drift.
+_QC_XCOLS = ["x0", "x1", "x2", "x3", "x4", "x5", "x6"]
+_QC_ITERS = 17
+_QC_LR = 8.0
+_QC_TRAIN = 400
+
+#: dialect-shared feature projection (Spark selectExpr ≡ DuckDB SELECT
+#: body modulo integer-division spelling, handled via {idiv_*}): exact
+#: decimals from integer arithmetic — bias, stopword ratio, mean token
+#: length / 10, capped length fraction — plus the integer quality gate
+#: label (the text_quality_score heuristic re-used as a weak label).
+#: every feature is re-cast to DECIMAL(8,4) (values are ratios ≤ 1, so
+#: the cast is exact): Spark caps decimals at precision 38 and a
+#: DECIMAL(18,6) weight × DECIMAL(21,4) feature product would cross it,
+#: silently REDUCING scale (allowPrecisionLoss) while DuckDB keeps the
+#: exact product — the one place the two engines' decimal algebras
+#: diverge.  8+18+1 = 27 stays exact everywhere.
+_QC_FEAT_COLS = [
+    "doc_id",
+    "CAST(1.0 AS DECIMAL(8,4)) AS x0",
+    "CAST(CAST({idiv_stop} AS DECIMAL(14,0)) "
+    "* CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(8,4)) AS x1",
+    "CAST(CAST({idiv_sl} AS DECIMAL(14,0)) "
+    "* CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(8,4)) AS x2",
+    "CAST(CAST(LEAST(n, 2000) * 5 AS DECIMAL(14,0)) "
+    "* CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(8,4)) AS x3",
+    # deficit features — the standard quality-signal shapes (a doc
+    # below the stopword floor, too short, or overlong is suspect);
+    # they are 0 exactly when the corresponding gate clause holds, so
+    # the trainer can learn NEGATIVE weights that actually separate
+    # (all-positive ratio features cannot beat the majority class)
+    "CAST(CAST({idiv_x4} AS DECIMAL(14,0)) "
+    "* CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(8,4)) AS x4",
+    "CAST(CAST(GREATEST(0, 20 - n) * 500 AS DECIMAL(14,0)) "
+    "* CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(8,4)) AS x5",
+    "CAST(CAST(LEAST(GREATEST(0, n - 2000), 2000) * 5 AS DECIMAL(14,0)) "
+    "* CAST(0.0001 AS DECIMAL(6,4)) AS DECIMAL(8,4)) AS x6",
+    "CAST(CASE WHEN n BETWEEN 20 AND 2000 AND 100 * stop >= 2 * n "
+    "THEN 1 ELSE 0 END AS INT) AS y",
+]
+
+
+def _qc_sql() -> str:
+    from ..operators.logreg import sql_logistic_ctes
+
+    feat_body = ", ".join(_QC_FEAT_COLS).format(
+        idiv_stop="(10000 * stop) // GREATEST(n, 1)",
+        idiv_sl="(1000 * sl) // GREATEST(n, 1)",
+        idiv_x4="(10000 * GREATEST(0, 2 * n - 100 * stop)) // GREATEST(2 * n, 1)",
+    )
+    ctes, wfin = sql_logistic_ctes(
+        "tr", _QC_XCOLS, "y", iters=_QC_ITERS, lr=_QC_LR
+    )
+    from ..operators.logreg import fast_sigmoid6_sql
+
+    zs = " + ".join(f"w.w{j} * f.{x}" for j, x in enumerate(_QC_XCOLS))
+    p = fast_sigmoid6_sql(zs)
+    parts = [
+        "base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)",
+        f"""ints AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+             CAST({sql_stopword_count('toks')} AS BIGINT) AS stop,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sl
+      FROM base
+    )""",
+        f"feat AS MATERIALIZED (SELECT {feat_body} FROM ints)",
+        f"tr AS MATERIALIZED (SELECT * FROM feat WHERE doc_id < {_QC_TRAIN})",
+        *ctes,
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, label, score, score >= 0.5 AS pred FROM (
+      SELECT f.doc_id, f.y AS label, {p} AS score
+      FROM feat f CROSS JOIN {wfin} w
+    )
+    """
+    )
+
+
+@query("quality_classifier_trained", oracle=_qc_sql(), tier="C")
+def quality_classifier_trained(spark, sf_dir):
+    """TRAINED quality classifier (round 10 — the lang-id train∘apply
+    pattern applied to the keep/drop GLM): logistic-shaped weights
+    LEARNED relationally via two full-batch gradient steps
+    (``operators/logreg.logistic_train`` — per step one scan + a
+    d-decimal exchange, the lloyd_train cost shape), from w = 0 on
+    the doc_id < 400 slice against the integer quality-gate weak
+    label, then every document scored with the trained weights.  The
+    link is the RATIONAL fast sigmoid (only correctly-rounded IEEE
+    ops — ``exp`` is 1-ulp-loose and engine-dependent, unacceptable
+    once it feeds further training steps); features are exact
+    decimals from integer arithmetic.  The oracle re-derives the SAME
+    weight updates as chained CTEs, so the hash match proves
+    train ∘ score end to end — no fixed weights anywhere.
+
+    100 TB: training cost = iters × one pass over three precomputed
+    scalar columns (text never re-tokenizes per step if the feature
+    frame is checkpointed); scoring is one map-side pass; the model
+    is d = 4 floats."""
+    from ..operators.logreg import (
+        fast_sigmoid6_sql,
+        logistic_train,
+        z_sql,
+    )
+
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    toks = F.col("tk")
+    n = F.size(toks).cast("bigint")
+    sl = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    stop = stopword_count(toks).cast("bigint")
+    ints = base.select(
+        "doc_id", n.alias("n"), stop.alias("stop"), sl.alias("sl")
+    )
+    feat = ints.selectExpr(
+        *[
+            c.format(
+                idiv_stop="div(10000 * stop, GREATEST(n, 1))",
+                idiv_sl="div(1000 * sl, GREATEST(n, 1))",
+                idiv_x4="div(10000 * GREATEST(0, 2 * n - 100 * stop), "
+                "GREATEST(2 * n, 1))",
+            )
+            for c in _QC_FEAT_COLS
+        ]
+    )
+    # persist the d+1 scalar feature columns: every gradient step
+    # re-reads THIS frame, not the text — without it each of the
+    # iters-1 jobs would re-tokenize the corpus (the checkpoint-the-
+    # features discipline any iterative trainer needs at 100 TB)
+    feat = feat.persist()
+    w = logistic_train(
+        feat.filter(F.col("doc_id") < _QC_TRAIN),
+        _QC_XCOLS,
+        "y",
+        iters=_QC_ITERS,
+        lr=_QC_LR,
+    )
+    p = fast_sigmoid6_sql(z_sql(w, _QC_XCOLS))
+    # CAST: Spark types `x / 1000000.0` as DECIMAL division (decimal
+    # literal), DuckDB as DOUBLE — same exact 6-dp value either way,
+    # but the driver compares type classes
+    scored = feat.selectExpr(
+        "doc_id", "y AS label", f"CAST(({p}) AS DOUBLE) AS score"
+    )
+    return scored.selectExpr(
+        "doc_id", "label", "score", "score >= 0.5 AS pred"
+    )
+
+
 #: BM25 free parameters (Robertson/Okapi defaults) and the demo query.
 _BM25_K1 = 1.2
 _BM25_B = 0.75
