@@ -733,3 +733,38 @@ def test_quality_classifier_trained_beats_majority(spark, sf_dir):
     acc = sum(1 for r in rows if bool(r.label) == r.pred) / n
     assert acc > majority, (acc, majority)
     assert {r.pred for r in rows} == {True, False}  # not one-class
+
+
+def test_bpe_byte_level_guarantee(spark, sf_dir):
+    """Byte-level BPE's defining property: NO out-of-alphabet
+    fallback — every symbol decodes (no -1 ids) on text with
+    contractions, punctuation, digits and multi-byte UTF-8 — and the
+    learned merges actually compress (fewer tokens than raw bytes)."""
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators.bpe import (
+        bpe_encode_bytes,
+        bpe_learn_merges_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" Don't—naïve café, 123!")).alias("text"),
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn_merges_bytes(d, n_merges=4).collect()
+    ]
+    assert len(merges) == 4
+    enc = bpe_encode_bytes(d, merges)
+    raw_bytes = d.select(
+        "doc_id", F.octet_length("text").alias("nb")
+    )
+    j = enc.join(raw_bytes, "doc_id").collect()
+    assert j
+    for r in j:
+        ids = r.ids.split("-")
+        assert "-1" not in ids, r.doc_id  # byte-level: nothing unknown
+        assert int(r.n_tokens) < r.nb, r.doc_id  # merges compress
+        # every id is a valid byte or merge id
+        assert all(0 <= int(i) <= 255 + len(merges) for i in ids)

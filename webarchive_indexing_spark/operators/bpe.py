@@ -36,6 +36,19 @@ from pyspark.sql import functions as F
 #: provably disjoint from symbol text
 WORD_RE = "^[a-z]+$"
 
+#: GPT-2's byte-level pretokenizer regex, in the Java∩RE2 shared
+#: subset (round 10): contractions, space-attached letter/digit/
+#: punctuation runs, whitespace runs.  Documented divergence from the
+#: original: the trailing-space branch ``\s+(?!\S)`` is DROPPED — RE2
+#: (DuckDB) has no lookahead — so a whitespace run before a token
+#: stays one ``\s+`` pretoken instead of splitting its last space
+#: onto the next token.  Both engines tokenize identically under
+#: this subset, which is what makes learn∘encode value-hashable.
+BYTE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
 
 def _pairs_sql(enc: str) -> str:
     """Spark-SQL: adjacent symbol pairs of an encoded word as
@@ -69,7 +82,19 @@ def bpe_learn_merges(
         .agg(F.count(F.lit(1)).alias("c"))
         .selectExpr("regexp_replace(w, '(.)', '<$1>') AS enc", "c")
     )
+    merges = _learn_rounds(words, n_merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
 
+
+def _learn_rounds(
+    words: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The per-round learner loop shared by the char-level and
+    byte-level learners — the symbol alphabet is whatever ``enc``
+    encodes; the merge/argmax machinery is alphabet-blind."""
     merges: list[tuple[int, str, str, int]] = []
     enc_expr = "enc"
     for rank in range(1, n_merges + 1):
@@ -89,10 +114,92 @@ def bpe_learn_merges(
         enc_expr = (
             f"replace({enc_expr}, '<{a}><{b}>', '<{a}{b}>')"
         )
+    return merges
 
+
+def bpe_learn_merges_bytes(
+    docs: DataFrame,
+    n_merges: int = 3,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """BYTE-LEVEL BPE learning (round 10 — the GPT-2 tokenizer shape):
+    pretokens come from ``BYTE_PRETOKEN_RE`` (contractions, space-
+    attached runs — real tokenizer grammar, not whitespace split) and
+    the base alphabet is the pretoken's UTF-8 BYTES, each rendered as
+    its 2-hex-digit symbol via ``hex()`` (identical bytes→hex in both
+    engines) — so punctuation, digits, accents and multi-byte UTF-8
+    all train, with no out-of-alphabet fallback ever needed (the
+    byte-level guarantee).  The <>-guard alphabet (hex digits) stays
+    provably disjoint from the guards; the per-round machinery is the
+    shared ``_learn_rounds``."""
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BYTE_PRETOKEN_RE), F.lit(0)
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .selectExpr("regexp_replace(hex(w), '(..)', '<$1>') AS enc", "c")
+    )
+    merges = _learn_rounds(words, n_merges)
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def bpe_encode_bytes(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-level encode: pretokenize with the GPT-2 grammar subset,
+    hex the UTF-8 bytes, run the learned guarded-replace chain in
+    merge-rank order, then map symbols to ids — base byte symbols
+    (length 2) decode to their byte value 0..255, merge ``k``
+    (1-based) to ``255 + k``.  Same scale shape as ``bpe_encode``:
+    the merge table rides as scan-side literals, the only exchange is
+    the per-doc regroup."""
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(BYTE_PRETOKEN_RE), F.lit(0)
+            )
+        ).alias("pos", "w"),
+    )
+    enc = F.regexp_replace(F.hex(F.col("w")), "(..)", "<$1>")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    syms = F.split(F.expr(
+        "substring(__enc, 2, length(__enc) - 2)"
+    ), "><")
+
+    def sym_id(s):
+        out = F.when(F.length(s) == 2, F.conv(s, 16, 10).cast("int"))
+        for k, (a, b) in enumerate(merges, start=1):
+            out = out.when(s == a + b, F.lit(255 + k))
+        return out.otherwise(F.lit(-1))
+
+    per_word = words.withColumn("__enc", enc).select(
+        "doc_id",
+        "pos",
+        F.transform(syms, sym_id).alias("ids"),
+    )
+    ordered = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+            lambda s: s["ids"],
+        )
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.size(ordered).cast("bigint").alias("n_tokens"),
+        F.array_join(ordered, "-").alias("ids"),
     )
 
 
@@ -222,6 +329,49 @@ def sql_bpe_encode_ids(
     FROM symrows GROUP BY doc_id"""
 
 
+def _sql_pairs(src: str) -> str:
+    return f"""(
+      SELECT syms[i] AS a, syms[i + 1] AS b, c
+      FROM (
+        SELECT string_split(substring(enc, 2, length(enc) - 2), '><') AS syms, c
+        FROM {src}
+      ), unnest(generate_series(1, len(syms) - 1)) AS t(i)
+    )"""
+
+
+def _sql_rounds(
+    words_src: str, n_merges: int, prefix: str = ""
+) -> tuple[list[str], list[str], str]:
+    """The per-round CTE generator shared by the char-level and
+    byte-level twins: (round CTEs, merge-table selects, final encoded
+    word CTE name).  ``prefix`` namespaces the tops so both alphabets
+    can coexist in one statement if ever composed."""
+    parts: list[str] = []
+    tops: list[str] = []
+    prev = words_src
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""{prefix}top{r} AS (
+      SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM {_sql_pairs(prev)} GROUP BY a, b
+      ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    )"""
+        )
+        tops.append(
+            f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count "
+            f"FROM {prefix}top{r}"
+        )
+        parts.append(
+            f"""{prefix}w{r} AS (
+      SELECT replace(enc, '<' || t.a || '><' || t.b || '>',
+                     '<' || t.a || t.b || '>') AS enc, c
+      FROM {prev} CROSS JOIN {prefix}top{r} t
+    )"""
+        )
+        prev = f"{prefix}w{r}"
+    return parts, tops, prev
+
+
 def sql_bpe_learn_merges(n_merges: int = 3, doc_limit: int = 300) -> str:
     """DuckDB twin: the same rounds as chained CTEs — pair counts via
     unnest, the argmax via ORDER BY ... LIMIT 1, the merge via the
@@ -236,33 +386,89 @@ def sql_bpe_learn_merges(n_merges: int = 3, doc_limit: int = 300) -> str:
       GROUP BY w
     )""",
     ]
+    rounds, tops, _prev = _sql_rounds("words", n_merges)
+    parts += rounds
+    return "WITH " + ",\n    ".join(parts) + "\n    " + " UNION ALL ".join(tops)
 
-    def pairs(src: str) -> str:
-        return f"""(
-      SELECT syms[i] AS a, syms[i + 1] AS b, c
+
+def sql_bpe_byte_level(
+    n_merges: int = 4,
+    learn_limit: int = 300,
+    encode_limit: int = 200,
+    text_sql: str = "text",
+) -> str:
+    """DuckDB twin of byte-level learn∘encode: pretokens from the
+    shared ``BYTE_PRETOKEN_RE`` (RE2 side of the Java∩RE2 subset),
+    byte symbols via the identical ``hex()`` rendering, the shared
+    round CTEs (prefix ``b``), then per-document encode with the
+    byte-value id CASE (hex arithmetic via instr — DuckDB has no
+    ``conv``, but the VALUES match Spark's ``conv(s, 16, 10)``)."""
+    pat = BYTE_PRETOKEN_RE.replace("'", "''")
+    parts = [
+        f"""bwords AS (
+      SELECT regexp_replace(hex(w), '(..)', '<\\1>', 'g') AS enc, COUNT(*) AS c
       FROM (
-        SELECT string_split(substring(enc, 2, length(enc) - 2), '><') AS syms, c
-        FROM {src}
-      ), unnest(generate_series(1, len(syms) - 1)) AS t(i)
+        SELECT unnest(regexp_extract_all({text_sql}, '{pat}')) AS w
+        FROM documents WHERE doc_id < {learn_limit}
+      ) GROUP BY w
+    )""",
+    ]
+    rounds, _tops, _prev = _sql_rounds("bwords", n_merges, prefix="b")
+    parts += rounds
+    parts.append(
+        f"""bdocw AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM (
+        SELECT doc_id, regexp_extract_all({text_sql}, '{pat}') AS ws
+        FROM documents WHERE doc_id < {encode_limit}
+      ), unnest(generate_series(1, len(ws))) AS t(i)
     )"""
-
-    prev = "words"
-    tops = []
+    )
+    parts.append(
+        """be0 AS (
+      SELECT doc_id, pos, regexp_replace(hex(w), '(..)', '<\\1>', 'g') AS enc
+      FROM bdocw
+    )"""
+    )
+    prev = "be0"
     for r in range(1, n_merges + 1):
         parts.append(
-            f"""top{r} AS (
-      SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt
-      FROM {pairs(prev)} GROUP BY a, b
-      ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+            f"""be{r} AS (
+      SELECT doc_id, pos,
+             replace(enc, '<' || t.a || '><' || t.b || '>',
+                     '<' || t.a || t.b || '>') AS enc
+      FROM {prev} CROSS JOIN btop{r} t
     )"""
         )
-        tops.append(f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM top{r}")
-        parts.append(
-            f"""w{r} AS (
-      SELECT replace(enc, '<' || t.a || '><' || t.b || '>',
-                     '<' || t.a || t.b || '>') AS enc, c
-      FROM {prev} CROSS JOIN top{r} t
+        prev = f"be{r}"
+    parts.append(
+        f"""bsymrows AS (
+      SELECT doc_id, pos, j, ss[j] AS s
+      FROM (
+        SELECT doc_id, pos,
+               string_split(substring(enc, 2, length(enc) - 2), '><') AS ss
+        FROM {prev}
+      ), unnest(generate_series(1, len(ss))) AS u(j)
     )"""
-        )
-        prev = f"w{r}"
-    return "WITH " + ",\n    ".join(parts) + "\n    " + " UNION ALL ".join(tops)
+    )
+    id_case = "\n          ".join(
+        f"WHEN s = (SELECT a || b FROM btop{k}) THEN {255 + k}"
+        for k in range(1, n_merges + 1)
+    )
+    hexv = (
+        "(instr('0123456789ABCDEF', substring(s, 1, 1)) - 1) * 16 "
+        "+ instr('0123456789ABCDEF', substring(s, 2, 1)) - 1"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(
+             CAST(CASE WHEN length(s) = 2 THEN {hexv}
+                  {id_case}
+                  ELSE -1 END AS VARCHAR),
+             '-' ORDER BY pos, j) AS ids
+    FROM bsymrows GROUP BY doc_id"""
+    )

@@ -3392,6 +3392,53 @@ def text_bpe_encode_ids(spark, sf_dir):
     return bpe_encode(d.filter(F.col("doc_id") < 200), merges)
 
 
+#: byte-level BPE fixture: the shared corpus text is pure lowercase
+#: ASCII, so a deterministic suffix plants what the GPT-2 grammar
+#: exists for — a contraction, an em-dash, accented multi-byte UTF-8,
+#: a comma, digits — identically derived in both engines.
+_BPE_BYTE_SUFFIX = " Don't—naïve café, 123!"
+
+
+@query(
+    "text_bpe_byte_level",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.bpe", fromlist=["sql_bpe_byte_level"]
+    ).sql_bpe_byte_level(
+        n_merges=4,
+        learn_limit=300,
+        encode_limit=200,
+        text_sql="text || ' Don''t—naïve café, 123!'",
+    ),
+    tier="C",
+)
+def text_bpe_byte_level(spark, sf_dir):
+    """BYTE-LEVEL BPE learn∘encode (round 10 — the GPT-2 tokenizer
+    shape): pretokens from the real byte-level grammar
+    (``BYTE_PRETOKEN_RE``: contractions, space-attached letter/digit/
+    punctuation runs; Java∩RE2 subset documented at the constant) and
+    a 256-symbol BYTE base alphabet via hex rendering — so the
+    planted suffix's apostrophe, em-dash, two-byte UTF-8 accents and
+    digits all train and encode with no out-of-alphabet fallback,
+    which is the byte-level guarantee real tokenizers rely on.  Four
+    merges learned on doc_id < 300, every doc < 200 encoded to ids
+    (byte value 0..255, merge k → 255+k), order-preserving.  The
+    oracle RE-LEARNS the table relationally and applies the identical
+    chain, so learn∘encode is value-hashed end to end."""
+    from ..operators.bpe import bpe_encode_bytes, bpe_learn_merges_bytes
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_BPE_BYTE_SUFFIX)).alias("text"),
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn_merges_bytes(
+            d.filter(F.col("doc_id") < 300), n_merges=4
+        ).collect()
+    ]
+    return bpe_encode_bytes(d.filter(F.col("doc_id") < 200), merges)
+
+
 @query(
     "graph_pagerank_iterations",
     oracle="""
