@@ -150,6 +150,13 @@ HEADLINE = [
     "emb_ivf_persisted_topk",
     "dedup_rate_by_source",
     "cdx_robots_flags",
+    # round 10
+    "emb_ivfadc_persisted_topk",
+    "emb_ivf_delete_probe",
+    "cdx_surt_pct_deep",
+    "cdx_query_batch",
+    "quality_classifier_trained",
+    "text_bpe_byte_level",
 ]
 
 

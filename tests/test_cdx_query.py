@@ -1222,3 +1222,49 @@ def test_cdx_query_batch_zipnum_union_pruned_pass(spark, cdx, cluster):
     union = set().union(*per_req)
     assert len(union) < len(idx)  # pruned, not a full scan
     assert len(union) < sum(len(s) for s in per_req)  # overlap deduped
+
+
+def test_cli_query_batch(spark, cdx, cluster, tmp_path, capsys):
+    """The query-batch subcommand serves cdx_query_batch_zipnum from
+    argv: pywb GET-parameter spellings map to operator kwargs, rows
+    come back tagged with request_no, unknown keys exit 2."""
+    import json as _json
+
+    from webarchive_indexing_spark.__main__ import main
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query
+
+    reqs = [
+        {"url": "https://src1.example.org/doc/101"},
+        {
+            "url": "https://src2.example.org/x",
+            "matchType": "domain",
+            "filter": ["status:200"],
+            "limit": 5,
+        },
+    ]
+    p = tmp_path / "reqs.json"
+    p.write_text(_json.dumps(reqs))
+    assert main(["query-batch", cluster, str(p)]) == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.strip()
+    ]
+    by_req = {}
+    for ln in lines:
+        by_req.setdefault(int(ln.split(" ", 1)[0]), []).append(ln)
+    want0 = cdx_query(cdx, reqs[0]["url"]).count()
+    assert len(by_req[0]) == want0
+    assert len(by_req[1]) == 5  # the limit applied per request
+
+    # json output round-trips
+    assert main(["query-batch", cluster, str(p), "--output", "json"]) == 0
+    j = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.strip()
+    ]
+    assert {r["request_no"] for r in j} == {0, 1}
+
+    # unknown request keys refuse with exit 2, not a traceback
+    p2 = tmp_path / "bad.json"
+    p2.write_text(_json.dumps([{"url": "https://x.example/", "closest": "2016"}]))
+    assert main(["query-batch", cluster, str(p2)]) == 2

@@ -768,3 +768,72 @@ def test_bpe_byte_level_guarantee(spark, sf_dir):
         assert int(r.n_tokens) < r.nb, r.doc_id  # merges compress
         # every id is a valid byte or merge id
         assert all(0 <= int(i) <= 255 + len(merges) for i in ids)
+
+
+def test_persisted_ivfpq_append_uses_stored_model(spark, sf_dir):
+    """PQ-store append parity with the flat store: append encodes new
+    vectors with the STORED quantizer + codebooks (never a retrain),
+    so a probe over build-half + append-half equals the same
+    residual-ADC algebra computed in-memory from that stored model
+    over the full corpus — append changes storage, never scores."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+        nearest_sqdist6_expr,
+        py_sqdist6,
+        residual_adc_expr,
+        residual_codeword_tables,
+        residual_encode_exprs,
+        residual_query_tables,
+    )
+    from webarchive_indexing_spark.sinks.ann_index import (
+        append_ivfpq_index,
+        ivfpq_index_probe_topk,
+        read_ivfpq_model,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_append_")
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") < 200), out,
+        n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+    )
+    append_ivfpq_index(emb.filter(F.col("vec_id") >= 200), out)
+
+    qv = collect_query_vector(emb, 77)
+    got = [
+        tuple(r)
+        for r in ivfpq_index_probe_topk(
+            spark, out, qv, k=10, nprobe=3, exclude_id=77
+        ).collect()
+    ]
+
+    # in-memory twin from the STORED model over the full corpus
+    cents, cbooks, meta = read_ivfpq_model(out)
+    sub_dim = meta["dim"] // meta["n_sub"]
+    probe = sorted(cents, key=lambda c: (py_sqdist6(qv, cents[c]), c))[:3]
+    ct = residual_codeword_tables(cents, cbooks)
+    qd = residual_query_tables(cents, cbooks, qv)
+    cell = nearest_sqdist6_expr("embedding", cents, id_field="cid")
+    want_df = (
+        emb.filter(F.col("vec_id") != 77)
+        .select("vec_id", cell.getField("cid").alias("cell"), "embedding")
+        .filter(F.col("cell").isin(probe))
+        .selectExpr(
+            "vec_id", "cell", *residual_encode_exprs(ct, "embedding", sub_dim)
+        )
+        .selectExpr(
+            "vec_id", "cell", residual_adc_expr(qd) + " AS approx_dist"
+        )
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    want = [tuple(r) for r in want_df.collect()]
+    assert got == want
+    # the append really covers the second half
+    all_ids = spark.read.parquet(f"{out}/codes").count()
+    assert all_ids == emb.count()

@@ -220,6 +220,21 @@ def _parser() -> argparse.ArgumentParser:
     tm.add_argument("--page", type=int, default=None,
                     help="emit only page N (with --page-size)")
 
+    qb = sub.add_parser(
+        "query-batch",
+        help="answer N cdx-server requests in ONE job over a cluster "
+             "(the cc-index-server amortization): block IO bounded by "
+             "the union of the requests' key ranges",
+    )
+    qb.add_argument("cluster_dir")
+    qb.add_argument(
+        "requests",
+        help="JSON file: a list of request objects with keys url, "
+             "matchType, from, to, filter (list), limit — the pywb "
+             "GET-parameter names",
+    )
+    qb.add_argument("--output", default="text", choices=["text", "json"])
+
     tg = sub.add_parser("timegate", help="Memento TimeGate for one URI-R "
                                          "(RFC 7089 §4): the 302 redirect "
                                          "headers for the capture closest "
@@ -572,6 +587,40 @@ def _dispatch(args, spark) -> int:
         ordered = lines.orderBy("urlkey", "line_no").select("line")
         for row in ordered.toLocalIterator():
             print(row["line"])
+    elif args.cmd == "query-batch":
+        import json as _json
+
+        from .operators.cdx_query import cdx_query_batch_zipnum
+
+        with open(args.requests) as fh:
+            raw = _json.load(fh)
+        if not isinstance(raw, list):
+            print("error: requests file must be a JSON list of request "
+                  "objects", file=sys.stderr)
+            return 2
+        # pywb GET-parameter spellings → operator kwargs
+        key_map = {"url": "url", "matchType": "match_type", "from": "from_",
+                   "to": "to", "filter": "filters", "limit": "limit"}
+        reqs = []
+        for i, obj in enumerate(raw):
+            unknown = set(obj) - set(key_map)
+            if unknown:
+                print(f"error: request {i}: unknown keys {sorted(unknown)}",
+                      file=sys.stderr)
+                return 2
+            reqs.append({key_map[k]: v for k, v in obj.items()})
+        df = cdx_query_batch_zipnum(spark, args.cluster_dir, reqs)
+        df = df.orderBy("request_no", "urlkey", "timestamp")
+        if args.output == "json":
+            for line in df.toJSON().toLocalIterator():
+                print(line)
+        else:
+            names = df.columns
+            for row in df.toLocalIterator():
+                print(" ".join(
+                    "-" if row[name] is None else str(row[name])
+                    for name in names
+                ))
     elif args.cmd == "timegate":
         from .operators.timemap import timegate
         from .plans.pipeline import query_index

@@ -291,6 +291,41 @@ def write_ivfpq_index(
         )
 
 
+def append_ivfpq_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add NEW vectors to a PQ-coded store: cell assignment AND
+    residual encoding both use the STORED model (quantizer + codebooks
+    fixed once trained — a serving index's scores never shift under
+    append), writing code files into the existing ``cell=``
+    directories.  Same contract as ``append_ivf_index``: model drift
+    means a scheduled REBUILD, never an in-place mutation."""
+    from ..operators.similarity import (
+        nearest_sqdist6_expr,
+        residual_codeword_tables,
+        residual_encode_exprs,
+    )
+
+    cents, cbooks, meta = read_ivfpq_model(out_dir)
+    sub_dim = meta["dim"] // meta["n_sub"]
+    ct_sql = residual_codeword_tables(cents, cbooks)
+    cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
+    coded = embeddings.select(
+        F.col(id_col), cell.getField("cid").alias("cell"), F.col(vec_col)
+    ).selectExpr(
+        id_col, "cell", *residual_encode_exprs(ct_sql, vec_col, sub_dim)
+    )
+    (
+        coded.write.partitionBy("cell")
+        .mode("append")
+        .parquet(_join(out_dir, "codes"))
+    )
+
+
 def read_ivfpq_model(
     out_dir: str,
 ) -> tuple[dict[int, list[float]], list[dict[int, list[float]]], dict]:
