@@ -1064,8 +1064,9 @@ def test_filter_rule_cut_at_key_start_parity(spark):
 def test_parse_robots_grammar(spark):
     """robots.txt parser goldens: star-group attribution with stacked
     user-agent runs, other agents' groups ignored, comments stripped,
-    empty Disallow dropped (allow-all no-op), wildcard patterns
-    dropped (documented prefix-only subset), case-blind directives."""
+    empty Disallow dropped (allow-all no-op), FULL RFC 9309 pattern
+    grammar (round 10: '*' runs and '$' end-anchors compile to LIKE at
+    parse time), case-blind directives."""
     from webarchive_indexing_spark.operators.robots import (
         apply_robots,
         parse_robots,
@@ -1081,14 +1082,21 @@ def test_parse_robots_grammar(spark):
         "Disallow: /doc/   # trailing comment\n"
         "allow: /doc/pub\n"
         "Disallow:\n"
-        "Disallow: /tmp/*\n"
+        "Disallow: /tmp/*/raw\n"
         "Disallow: /end$\n"
+        "Disallow: /dl*.zip$\n"
     )
     rules = parse_robots(
         spark.createDataFrame([("h.example", txt)], "host string, robots_txt string")
     )
-    got = {(r.prefix, r.allow) for r in rules.collect()}
-    assert got == {("/doc/", False), ("/doc/pub", True)}
+    got = {(r.prefix, r.allow, r.like_pat) for r in rules.collect()}
+    assert got == {
+        ("/doc/", False, "/doc/%"),
+        ("/doc/pub", True, "/doc/pub%"),
+        ("/tmp/*/raw", False, "/tmp/%/raw%"),
+        ("/end$", False, "/end"),
+        ("/dl*.zip$", False, "/dl%.zip"),
+    }
 
     cdx = spark.createDataFrame(
         [
@@ -1098,14 +1106,23 @@ def test_parse_robots_grammar(spark):
             (4, "https://h.example/other"),       # no rule matches
             (5, "https://nothing.example/doc/x"), # no robots.txt at all
             (6, "https://h.example"),             # bare host -> path '/'
+            (7, "https://h.example/tmp/a/raw"),   # '*' spans a segment
+            (8, "https://h.example/tmp/a/rawx"),  # no '$': prefix match
+            (9, "https://h.example/end"),         # '$' anchored hit
+            (10, "https://h.example/enders"),     # '$' anchored miss
+            (11, "https://h.example/dl/v2/x.zip"),   # '*' + '$' hit
+            (12, "https://h.example/dl/x.zip.txt"),  # '$' blocks suffix
         ],
         "doc_id bigint, url string",
     )
     flags = {
         r.doc_id: r.robotflags for r in apply_robots(cdx, rules).collect()
     }
-    assert flags == {1: "A", 2: None, 3: None, 4: None, 5: None, 6: None}
-    assert len(flags) == 6  # nothing dropped, nothing duplicated
+    assert flags == {
+        1: "A", 2: None, 3: None, 4: None, 5: None, 6: None,
+        7: "A", 8: "A", 9: "A", 10: None, 11: "A", 12: None,
+    }
+    assert len(flags) == 12  # nothing dropped, nothing duplicated
 
     # row preservation + RFC 9309 authority scoping: two FULLY
     # identical capture rows each survive with their own flag (the

@@ -616,3 +616,18 @@ def test_ann_delete_probe_keeps_pruned_plan(spark, sf_dir):
     assert "vec_id" in pushed, pushed
     assert "Exchange" not in plan.split("FileScan parquet", 1)[0]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_batch_parquet_pushes_range_union_to_scan(spark, sf_dir):
+    """The columnar batch path: the union-of-ranges disjunction must
+    reach the parquet scan (PushedFilters carries the url_surtkey Or,
+    answered by the sorted layout's row-group stats), the request
+    tagging must be a broadcast nested-loop join (captures never
+    shuffle), and there is exactly one parquet scan for N requests."""
+    plan = _plan(spark, sf_dir, "cdx_query_batch_parquet")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "url_surtkey" in pushed, pushed
+    assert "Or(" in pushed, pushed
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

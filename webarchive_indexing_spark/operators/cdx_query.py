@@ -1325,7 +1325,17 @@ def cdx_query_parquet(
         idx = idx.filter(
             F.col("fetch_time") < from_ts14(F.lit(_ts14_prefix_end(to)))
         )
-    cdx = idx.select(
+    return cdx_query(
+        _parquet_index_cdx(idx), url, match_type=match_type, **kwargs
+    )
+
+
+def _parquet_index_cdx(idx: DataFrame) -> DataFrame:
+    """cc-index-table columns → the CDX shape the shared residual
+    pipeline speaks.  The rename is a projection, so urlkey/status/
+    mime predicates applied above it still push into the parquet
+    scan."""
+    return idx.select(
         F.col("url_surtkey").alias("urlkey"),
         F.date_format("fetch_time", "yyyyMMddHHmmss").alias("timestamp"),
         F.col("url"),
@@ -1338,7 +1348,41 @@ def cdx_query_parquet(
         F.col("warc_record_offset").alias("offset"),
         F.col("warc_filename").alias("filename"),
     )
-    return cdx_query(cdx, url, match_type=match_type, **kwargs)
+
+
+def cdx_query_batch_parquet(
+    spark: SparkSession,
+    index_dir: str,
+    requests: list[dict],
+    **kwargs,
+) -> DataFrame:
+    """``cdx_query_batch`` against the COLUMNAR parquet index: the
+    batch operator's union-of-ranges scan filter pushes through the
+    rename projection into the parquet scan as one urlkey Or — on the
+    sorted cc-index-table layout, row-group min/max stats answer it,
+    so file/row-group IO is bounded by the union of the requests'
+    ranges (the columnar analogue of the ZipNum batch's block-prune
+    union; plan-asserted in tests).  Epoch stores read through the
+    same tombstone/snapshot-honoring path as single requests."""
+    from ..sinks.parquet_index import (
+        read_parquet_index,
+        read_parquet_index_epochs,
+    )
+    from ..sinks.zipnum import _epoch_names
+
+    as_of_epoch = kwargs.pop("as_of_epoch", None)
+    if _epoch_names(index_dir):
+        idx = read_parquet_index_epochs(
+            spark, index_dir, as_of_epoch=as_of_epoch
+        )
+    elif as_of_epoch is not None:
+        raise ValueError(
+            "as_of_epoch= needs an incremental epoch store "
+            "(write_parquet_index_epoch); this is a static parquet index"
+        )
+    else:
+        idx = read_parquet_index(spark, index_dir)
+    return cdx_query_batch(_parquet_index_cdx(idx), requests, **kwargs)
 
 
 def cdx_query_zipnum(

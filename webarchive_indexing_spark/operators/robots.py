@@ -10,17 +10,23 @@ the cdx-server's filter grammar then honor.  This module is that
 evaluator, relational end to end:
 
 * ``parse_robots`` — robots.txt TEXT per host → a rule table
-  ``(host, prefix, allow)``: the ``User-agent: *`` groups' ``Allow:``
-  / ``Disallow:`` path prefixes, with stacked user-agent lines
-  ("User-agent: a\\nUser-agent: *\\nDisallow: /x" — the run governs
-  the rules below it), comments and other agents' groups ignored.
-  Grammar subset (documented): plain PREFIX rules only — patterns
-  carrying ``*``/``$`` wildcards are dropped (the original 1994
-  grammar; wildcard support would quarantine-extend the same table),
-  and an empty ``Disallow:`` is the classic allow-everything no-op.
-* ``apply_robots`` — captures ⋈ rules on host, longest matching
-  prefix wins, Allow beats Disallow on equal length (Google's
-  published tie-break); winners that disallow mark ``robotflags='A'``.
+  ``(host, prefix, allow, like_pat)``: the ``User-agent: *`` groups'
+  ``Allow:`` / ``Disallow:`` path patterns, with stacked user-agent
+  lines ("User-agent: a\\nUser-agent: *\\nDisallow: /x" — the run
+  governs the rules below it), comments and other agents' groups
+  ignored.  FULL RFC 9309 pattern grammar (round 10): ``*`` matches
+  any character run and a trailing ``$`` anchors the end — each
+  pattern compiles ONCE at parse time to a SQL LIKE pattern
+  (metacharacters escaped, ``*`` → ``%``, trailing ``$`` dropped
+  instead of appending the open-ended ``%``), so matching stays a
+  JVM-side LIKE, no regex per row.  A mid-pattern ``$`` is literal
+  (the RFC anchors only at the end).  An empty ``Disallow:`` is the
+  classic allow-everything no-op and is dropped.
+* ``apply_robots`` — captures ⋈ rules on host, the longest matching
+  pattern wins (length convention: octets of the pattern text as
+  written, wildcards included — Google's documented most-specific
+  rule), Allow beats Disallow on equal length; winners that disallow
+  mark ``robotflags='A'``.
 
 Scale shape: robots.txt files are per-HOST (metadata-sized relative
 to captures); the parse is one posexplode + per-host window over
@@ -78,17 +84,23 @@ def parse_robots(
         .distinct()
     )
     rules = grouped.filter(~is_ua).join(star_groups, ["host", "grp"])
-    return rules.filter(
-        # grammar subset: plain prefixes only; an empty Disallow is
-        # the classic allow-everything no-op (drop it — no rule is
-        # exactly allow-by-default); wildcard patterns are dropped
-        (F.col("value") != "")
-        & ~F.col("value").contains("*")
-        & ~F.col("value").contains("$")
-    ).select(
+    # compile each pattern to a LIKE pattern once, at parse time:
+    # escape LIKE metacharacters, '*' → '%', a trailing '$' anchors
+    # (no open-ended '%'), otherwise the pattern is a prefix ('%'
+    # appended).  An empty Disallow is the classic allow-everything
+    # no-op (dropped — no rule is exactly allow-by-default).
+    esc = F.regexp_replace("value", r"([%_\\])", r"\\$1")
+    star = F.replace(esc, F.lit("*"), F.lit("%"))
+    with_star = rules.filter(F.col("value") != "").withColumn("__star", star)
+    like_pat = F.when(
+        F.col("__star").endswith("$"),
+        F.expr("substring(__star, 1, length(__star) - 1)"),
+    ).otherwise(F.concat(F.col("__star"), F.lit("%")))
+    return with_star.select(
         "host",
         F.col("value").alias("prefix"),
         (F.col("directive") == "allow").alias("allow"),
+        like_pat.alias("like_pat"),
     )
 
 
@@ -136,17 +148,18 @@ def apply_robots(
             F.col("host").alias("__host"),
             F.col("prefix").alias("__prefix"),
             F.col("allow").alias("__allow"),
+            F.col("like_pat").alias("__like"),
         ),
         on="__host",
         how="left",
     ).withColumn(
-        # a rule row only COMPETES when its prefix matches the path;
-        # non-matching rows must still carry the capture through (a
-        # rule-bearing host whose rules all miss is ALLOWED, not
-        # dropped)
+        # a rule row only COMPETES when its pattern matches the path
+        # (LIKE compiled at parse time — '*' runs and '$' anchors per
+        # RFC 9309); non-matching rows must still carry the capture
+        # through (a rule-bearing host whose rules all miss is
+        # ALLOWED, not dropped)
         "__match",
-        F.col("__prefix").isNotNull()
-        & F.col("__path").startswith(F.col("__prefix")),
+        F.col("__like").isNotNull() & F.expr("__path LIKE __like"),
     )
     w = Window.partitionBy("__rid").orderBy(
         F.col("__match").desc(),

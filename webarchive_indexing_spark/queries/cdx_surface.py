@@ -1841,7 +1841,10 @@ def cdx_timemap_paged(spark, sf_dir):
     SELECT doc_id,
            'https://' || source || '.example.org' || path AS url,
            CASE WHEN sn % 3 = 0 AND substr(path, 1, 8) <> '/doc/pub'
-                THEN 'A' ELSE CAST(NULL AS VARCHAR) END AS robotflags
+                THEN 'A'
+                WHEN sn % 3 = 1 AND doc_id % 10 = 7
+                THEN 'A'
+                ELSE CAST(NULL AS VARCHAR) END AS robotflags
     FROM d
     """,
     tier="B",
@@ -1852,16 +1855,19 @@ def cdx_robots_flags(spark, sf_dir):
     robotflags field but nothing COMPUTED it — this is the evaluator.
     Per-host robots.txt text (synthesized: every third source
     disallows /doc/ with an Allow: /doc/pub carve-back; the next arm
-    has an empty star-group Disallow — the classic allow-all no-op —
-    behind another agent's block and a wildcard rule the grammar
-    subset drops; the rest publish no robots.txt) parses through
+    exercises the round-10 FULL RFC 9309 pattern grammar — an empty
+    star-group Disallow (the classic allow-all no-op, dropped) behind
+    another agent's block, plus ``Disallow: /doc/*7$`` whose ``*``
+    run and ``$`` end-anchor must flag exactly the captures whose
+    path ends in 7; the rest publish no robots.txt) parses through
     ``parse_robots`` (posexplode + per-HOST window over line
-    positions — robots files are small, nothing globally ordered)
-    and applies through ``apply_robots`` (ONE equi-join on host,
-    prefix test as join residual, longest-match-Allow-wins argmax).
-    The oracle recomputes every flag from the generator arithmetic,
-    so a hash match proves parse ∘ apply end to end — the
-    multimodal_decode_real pattern for a text grammar."""
+    positions — robots files are small, nothing globally ordered;
+    patterns compile to LIKE once at parse time) and applies through
+    ``apply_robots`` (ONE equi-join on host, LIKE test as join
+    residual, longest-match-Allow-wins argmax keyed on a surrogate
+    row id).  The oracle recomputes every flag from the generator
+    arithmetic, so a hash match proves parse ∘ apply end to end —
+    the multimodal_decode_real pattern for a text grammar."""
     from ..operators.robots import apply_robots, parse_robots
 
     d = t(spark, sf_dir, "documents")
@@ -1889,7 +1895,7 @@ def cdx_robots_flags(spark, sf_dir):
             F.lit(
                 "User-agent: badbot\nDisallow: /\n\n"
                 "User-agent: extra\nUser-agent: *\nDisallow:\n"
-                "Disallow: /tmp/*\n"
+                "Disallow: /doc/*7$\n"
             )
         ).alias("robots_txt"),
     )
@@ -3577,6 +3583,81 @@ def cdx_parquet_index_query(spark, sf_dir):
     return cdx_query_parquet(
         spark, out, "https://src4.example.org/doc/", match_type="prefix",
         filters=["=status:200"], from_="2015", to="2016",
+    )
+
+
+_PQB_COLS = """urlkey, ts14 AS timestamp,
+           'https://example.org/' || digest AS url,
+           mime, status, digest,
+           CAST(NULL AS VARCHAR) AS redirect,
+           CAST(NULL AS VARCHAR) AS robotflags,
+           CAST(length AS BIGINT) AS length,
+           CAST("offset" AS BIGINT) AS "offset",
+           filename"""
+
+
+@query(
+    "cdx_query_batch_parquet",
+    oracle=CDX_SQL + f"""
+    SELECT CAST(0 AS INT) AS request_no, {_PQB_COLS} FROM cdx
+    WHERE urlkey = 'org,example,src1)/doc/101'
+    UNION ALL
+    SELECT CAST(1 AS INT), {_PQB_COLS} FROM cdx
+    WHERE urlkey >= 'org,example,src4)/doc/'
+      AND urlkey < 'org,example,src4)/doc/~'
+      AND CAST(status AS VARCHAR) = '200'
+      AND ts14 >= '20150000000000' AND ts14 <= '20169999999999'
+    UNION ALL
+    SELECT CAST(2 AS INT), {_PQB_COLS} FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY urlkey, ts14) AS rn FROM cdx
+      WHERE urlkey >= 'org,example,src7' AND urlkey < 'org,example,src7~'
+    ) WHERE rn <= 15
+    """,
+    tier="B",
+)
+def cdx_query_batch_parquet(spark, sf_dir):
+    """Batch serving against the COLUMNAR backend: three requests
+    (exact, prefix+filter+time-window, host with limit) answered from
+    ONE pass over the cc-index-table parquet layout — the batch
+    operator's union-of-ranges disjunction pushes through the rename
+    projection into the parquet scan where the sorted layout's
+    row-group stats answer it (file/row-group IO bounded by the union
+    of the requests' ranges — the columnar analogue of the ZipNum
+    batch's block-prune union, plan-asserted in tests/test_plans.py).
+    Oracle = the per-request UNION."""
+    import tempfile
+
+    from ..operators.cdx_query import cdx_query_batch_parquet as batch
+    from ..sinks.parquet_index import (
+        to_parquet_index_shape,
+        write_parquet_index,
+    )
+
+    out = tempfile.mkdtemp(prefix="pqidx_b_")
+    write_parquet_index(
+        to_parquet_index_shape(_zipnum_input(spark, sf_dir)),
+        out,
+        range_partitions=8,
+        mode="overwrite",
+    )
+    return batch(
+        spark,
+        out,
+        [
+            {"url": "https://src1.example.org/doc/101"},
+            {
+                "url": "https://src4.example.org/doc/",
+                "match_type": "prefix",
+                "filters": ["=status:200"],
+                "from_": "2015",
+                "to": "2016",
+            },
+            {
+                "url": "https://src7.example.org/x",
+                "match_type": "host",
+                "limit": 15,
+            },
+        ],
     )
 
 

@@ -50,11 +50,11 @@ def query(name: str, oracle: str | None = None, tier: str = "A"):
 
 #: Queries whose SEMANTICS changed since their last green verdict —
 #: surface them first so the next CORRECTNESS round records the change.
-#: (Round 6's cdx_fuzzy_match pin is recorded green in
-#: CORRECTNESS_r06.json, so the window is back to pure stalest-first.
-#: Re-pin here ONLY when a change alters an already-green query's
-#: semantics.)
-_VERIFY_EARLY: tuple[str, ...] = ()
+#: Round 10: cdx_robots_flags gained the full RFC 9309 pattern grammar
+#: (wildcard/$ rules now evaluate — the fixture's sn%3==1 arm changed
+#: flags) and cdx_surt_urlkey's percent pass runs to fixpoint (no
+#: fixture URL carries escapes, but the canonicalizer changed).
+_VERIFY_EARLY: tuple[str, ...] = ("cdx_robots_flags", "cdx_surt_urlkey")
 
 
 def _verified_rounds() -> dict[str, int]:
