@@ -1285,3 +1285,108 @@ def test_cli_query_batch(spark, cdx, cluster, tmp_path, capsys):
     p2 = tmp_path / "bad.json"
     p2.write_text(_json.dumps([{"url": "https://x.example/", "closest": "2016"}]))
     assert main(["query-batch", cluster, str(p2)]) == 2
+
+
+def test_robots_like_compile_matches_reference(spark):
+    """The parse-time pattern→LIKE compilation ≡ a regex reference
+    matcher for the RFC 9309 grammar, on a seeded random corpus of
+    patterns (including LIKE metacharacters %/_ that must stay
+    literal, '*' runs, '$' anchors, mid-pattern '$') × paths — one
+    Spark job for the whole grid."""
+    import random
+    import re
+
+    from webarchive_indexing_spark.operators.robots import (
+        apply_robots,
+        parse_robots,
+    )
+
+    def ref_match(pattern: str, path: str) -> bool:
+        anchored = pattern.endswith("$")
+        pat = pattern[:-1] if anchored else pattern
+        rx = ".*".join(re.escape(p) for p in pat.split("*"))
+        return re.match("^" + rx + ("$" if anchored else ""), path) is not None
+
+    rng = random.Random(1009)
+    alphabet = "ab/%._*xyz$"
+    pats = []
+    while len(pats) < 40:
+        p = "/" + "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        if p.replace("*", "").replace("$", "") and p not in pats:
+            pats.append(p)
+    paths = list({
+        "/" + "".join(rng.choice("ab/%._xyz") for _ in range(rng.randint(1, 8)))
+        for _ in range(40)
+    })
+
+    # one host per pattern; each host's captures are every path
+    robots = spark.createDataFrame(
+        [(f"h{i}.example", f"User-agent: *\nDisallow: {p}\n")
+         for i, p in enumerate(pats)],
+        "host string, robots_txt string",
+    )
+    cdx = spark.createDataFrame(
+        [(i * 1000 + j, f"https://h{i}.example{path}")
+         for i in range(len(pats)) for j, path in enumerate(paths)],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r.doc_id: r.robotflags
+        for r in apply_robots(cdx, parse_robots(robots)).collect()
+    }
+    for i, p in enumerate(pats):
+        for j, path in enumerate(paths):
+            want = "A" if ref_match(p, path) else None
+            assert got[i * 1000 + j] == want, (p, path, got[i * 1000 + j])
+
+
+def test_cdx_query_batch_parquet_epoch_store_honors_tombstones(
+    spark, sf_dir, tmp_path
+):
+    """Batch serving against the INCREMENTAL parquet epoch store: the
+    same requests answered before and after a tombstone takedown — the
+    taken-down subtree's request returns nothing while the others are
+    unchanged (deletes apply to batch reads through the same LSM path
+    as single requests)."""
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators.cdx_query import (
+        cdx_query_batch_parquet,
+    )
+    from webarchive_indexing_spark.queries.cdx_surface import _zipnum_input
+    from webarchive_indexing_spark.sinks.parquet_index import (
+        to_parquet_index_shape,
+        write_parquet_index_epoch,
+    )
+    from webarchive_indexing_spark.sinks.zipnum import write_tombstone_epoch
+
+    out = str(tmp_path / "pq_epochs")
+    base = _zipnum_input(spark, sf_dir)
+    write_parquet_index_epoch(
+        to_parquet_index_shape(base), out, 0, range_partitions=4
+    )
+    reqs = [
+        {"url": "https://src2.example.org/x", "match_type": "domain", "limit": 10},
+        {"url": "https://src3.example.org/x", "match_type": "domain", "limit": 10},
+    ]
+    before = cdx_query_batch_parquet(spark, out, reqs).collect()
+    by_req = {}
+    for r in before:
+        by_req.setdefault(r.request_no, []).append(r)
+    assert len(by_req[0]) == 10 and len(by_req[1]) == 10
+
+    takedown = (
+        base.filter(F.col("urlkey").startswith("org,example,src2)/"))
+        .select("urlkey")
+        .distinct()
+        .withColumn("timestamp", F.lit(None).cast("string"))
+    )
+    write_tombstone_epoch(takedown, out, "takedown:src2")
+    after = cdx_query_batch_parquet(spark, out, reqs).collect()
+    by_req2 = {}
+    for r in after:
+        by_req2.setdefault(r.request_no, []).append(r)
+    assert 0 not in by_req2  # the taken-down domain vanished
+    assert sorted(map(tuple, by_req2[1])) == sorted(
+        map(tuple, by_req[1])
+    )  # the other request is untouched
