@@ -157,6 +157,7 @@ HEADLINE = [
     "cdx_query_batch",
     "quality_classifier_trained",
     "text_bpe_byte_level",
+    "cdx_query_batch_parquet",
 ]
 
 
