@@ -158,6 +158,7 @@ HEADLINE = [
     "quality_classifier_trained",
     "text_bpe_byte_level",
     "cdx_query_batch_parquet",
+    "multimodal_audio_meta",
 ]
 
 

@@ -244,3 +244,76 @@ def test_parse_image_header_damage_tolerance():
     for junk in (b"", b"\x00", b"not an image at all"):
         with pytest.raises((ValueError, NotImplementedError)):
             parse_image_header(junk)
+
+
+def test_parse_audio_header_golden():
+    """WAV/FLAC header goldens: chunk-walked fmt/data fields, FLAC
+    STREAMINFO bit unpacking, word-aligned odd chunks skipped, and
+    non-PCM wav tags named."""
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_flac_header,
+        build_wav,
+        parse_audio_header,
+    )
+
+    assert parse_audio_header(build_wav(2, 44100, 16, 44100)) == {
+        "format": "wav-pcm", "channels": 2, "sample_rate": 44100,
+        "bits": 16, "n_frames": 44100, "duration_ms": 1000,
+    }
+    assert parse_audio_header(build_wav(1, 8000, 8, 123, fmt_tag=7)) == {
+        "format": "wav-mulaw", "channels": 1, "sample_rate": 8000,
+        "bits": 8, "n_frames": 123, "duration_ms": 15,
+    }
+    got = parse_audio_header(build_flac_header(2, 48000, 24, 96000))
+    assert got == {
+        "format": "flac", "channels": 2, "sample_rate": 48000,
+        "bits": 24, "n_frames": 96000, "duration_ms": 2000,
+    }
+    # an ODD-sized unknown chunk before fmt must word-align, not
+    # desync the walk
+    import struct
+
+    w = build_wav(1, 16000, 16, 10)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # 3 + pad byte
+    spliced = w[:12] + odd + w[12:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert parse_audio_header(spliced)["n_frames"] == 10
+
+
+def test_parse_audio_header_damage_tolerance():
+    """Bytes-fuzz for the audio parser: truncations and single-byte
+    corruptions of valid headers either parse or raise the documented
+    (ValueError/NotImplementedError) pair — audio_meta's per-row
+    quarantine is total."""
+    import random
+
+    import pytest
+
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_flac_header,
+        build_wav,
+        parse_audio_header,
+    )
+
+    rng = random.Random(43)
+    samples = [
+        build_wav(2, 22050, 16, 50),
+        build_wav(1, 8000, 8, 3, fmt_tag=3),
+        build_flac_header(1, 44100, 16, 777),
+    ]
+    for b in samples:
+        for cut in range(len(b)):
+            try:
+                parse_audio_header(b[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(200):
+            pos = rng.randrange(len(b))
+            mut = b[:pos] + bytes([rng.randrange(256)]) + b[pos + 1 :]
+            try:
+                parse_audio_header(mut)
+            except (ValueError, NotImplementedError):
+                pass
+    for junk in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00JUNK", b"fLaC", b"x" * 40):
+        with pytest.raises((ValueError, NotImplementedError)):
+            parse_audio_header(junk)

@@ -588,3 +588,187 @@ def sample_frames(df: DataFrame, every: int = 32, max_frames: int = 8) -> DataFr
             yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
 
     return df.mapInPandas(fn, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio headers (round 10 — the image_dims analogue for the audio column)
+# ---------------------------------------------------------------------------
+
+#: WAVE fmt-tag → name for the codec-free metadata subset (the PAYLOAD
+#: of compressed tags still needs a codec; their headers do not).
+_WAV_FORMATS = {1: "pcm", 3: "float", 6: "alaw", 7: "mulaw"}
+
+
+def parse_audio_header(payload) -> dict:
+    """Audio stream metadata from HEADER bytes alone — no codec, the
+    ``parse_image_header`` discipline for the audio column: duration/
+    sample-rate/channel curation filters (speech-data pipelines gate
+    on exactly these) need only the container header, never a PCM
+    decode.
+
+    * WAV/RIFF — walk the chunk list: ``fmt `` carries format tag,
+      channels, sample rate, block align, bits; ``data``'s size /
+      block align = frame count.  Chunks are word-aligned (odd sizes
+      pad), and both chunks are required.
+    * FLAC — the STREAMINFO block is REQUIRED to be first: sample
+      rate (20 bits), channels-1 (3), bits-1 (5), total samples (36)
+      packed big-endian at fixed offsets.
+
+    Returns ``{format, channels, sample_rate, bits, n_frames,
+    duration_ms}`` (duration = integer ms floor — oracle-exact);
+    raises ValueError on damaged headers and NotImplementedError on
+    unknown magics/format tags — callers map both to 'unsupported'
+    per row (per-row damage tolerance, never task death)."""
+    import struct
+
+    b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        fmt = None
+        data_size = None
+        while i + 8 <= len(b):
+            tag = b[i : i + 4]
+            size = struct.unpack_from("<I", b, i + 4)[0]
+            if tag == b"fmt ":
+                if size < 16 or i + 8 + 16 > len(b):
+                    raise ValueError("wav: truncated fmt chunk")
+                fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+            elif tag == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        if fmt is None or data_size is None:
+            raise ValueError("wav: missing fmt/data chunk")
+        tag_, ch, rate, _byte_rate, block, bits = fmt
+        if ch == 0 or rate == 0 or block == 0:
+            raise ValueError("wav: zero channels/rate/block")
+        name = _WAV_FORMATS.get(tag_)
+        if name is None:
+            raise NotImplementedError(f"wav format tag {tag_}")
+        frames = data_size // block
+        return {
+            "format": f"wav-{name}",
+            "channels": ch,
+            "sample_rate": rate,
+            "bits": bits,
+            "n_frames": frames,
+            "duration_ms": frames * 1000 // rate,
+        }
+    if b[:4] == b"fLaC":
+        if len(b) < 8:
+            raise ValueError("flac: truncated")
+        if (b[4] & 0x7F) != 0:
+            raise ValueError("flac: STREAMINFO not first")
+        size = int.from_bytes(b[5:8], "big")
+        if size < 34 or len(b) < 8 + 34:
+            raise ValueError("flac: truncated STREAMINFO")
+        packed = int.from_bytes(b[18:26], "big")
+        rate = packed >> 44
+        ch = ((packed >> 41) & 0x7) + 1
+        bits = ((packed >> 36) & 0x1F) + 1
+        total = packed & ((1 << 36) - 1)
+        if rate == 0:
+            raise ValueError("flac: zero sample rate")
+        return {
+            "format": "flac",
+            "channels": ch,
+            "sample_rate": rate,
+            "bits": bits,
+            "n_frames": total,
+            "duration_ms": total * 1000 // rate,
+        }
+    raise NotImplementedError("unknown audio magic")
+
+
+def build_wav(
+    channels: int, rate: int, bits: int, n_frames: int, *, fmt_tag: int = 1
+) -> bytes:
+    """Structurally valid WAV (RIFF + fmt + zeroed data) — fixture for
+    the header parser; real files parse identically."""
+    import struct
+
+    block = channels * (bits // 8)
+    data = b"\x00" * (n_frames * block)
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate, rate * block, block, bits)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def build_flac_header(channels: int, rate: int, bits: int, total: int) -> bytes:
+    """Minimal FLAC (signature + last-block STREAMINFO, no frames)."""
+    import struct
+
+    head = struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | total
+    body = head + packed.to_bytes(8, "big") + b"\x00" * 16  # + raster md5
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def synthesize_audio_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic audio fixtures: per doc, arm ``id%3`` — 0 = WAV
+    PCM, 1 = FLAC, 2 = a corrupt RIFF (parses to 'unsupported', so the
+    damage path is part of the ORACLE, not just a fuzz test).
+    channels/rate/bits/frames are pure arithmetic (see the query's SQL
+    twin), so duration recomputes relationally."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        rates = [8000, 16000, 22050, 44100]
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                ch = 1 + i % 2
+                rate = rates[i % 4]
+                bits = 8 * (1 + (i % 7) % 3)
+                frames = 1 + i % 500
+                arm = i % 3
+                if arm == 0:
+                    p = build_wav(ch, rate, bits, frames)
+                elif arm == 1:
+                    p = build_flac_header(ch, rate, bits, frames)
+                else:
+                    p = b"RIFF\x00\x00\x00\x00JUNK" + bytes(4)
+                ids.append(i)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(fn, IMAGE_FIXTURE_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, format string, channels int, sample_rate int, "
+    "bits int, n_frames bigint, duration_ms bigint"
+)
+
+
+def audio_meta(df: DataFrame) -> DataFrame:
+    """Header-only audio metadata over Arrow batches — the cheap
+    full-corpus pass feeding duration/rate/channel curation filters.
+    Unparseable payloads become ``format='unsupported'`` rows."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from struct import error as struct_error
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = parse_audio_header(bytes(payload))
+                except (NotImplementedError, ValueError, struct_error):
+                    d = {
+                        "format": "unsupported",
+                        "channels": None,
+                        "sample_rate": None,
+                        "bits": None,
+                        "n_frames": None,
+                        "duration_ms": None,
+                    }
+                rows.append({"doc_id": doc_id, **d})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, AUDIO_META_SCHEMA)

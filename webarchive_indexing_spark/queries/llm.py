@@ -2880,6 +2880,51 @@ def multimodal_image_dims(spark, sf_dir):
     return image_dims(synthesize_header_payloads(d))
 
 
+_AU_RATE = (
+    "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+    "WHEN 2 THEN 22050 ELSE 44100 END"
+)
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle=f"""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'wav-pcm' WHEN 1 THEN 'flac'
+                ELSE 'unsupported' END AS format,
+           CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+           CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE CAST({_AU_RATE} AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE CAST(8 * (1 + (doc_id % 7) % 3) AS INT) END AS bits,
+           CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE CAST(1 + doc_id % 500 AS BIGINT) END AS n_frames,
+           CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE CAST(((1 + doc_id % 500) * 1000) // ({_AU_RATE})
+                     AS BIGINT) END AS duration_ms
+    FROM documents WHERE doc_id < 400
+    """,
+    tier="C",
+)
+def multimodal_audio_meta(spark, sf_dir):
+    """L6 audio-container headers (round 10 — ``image_dims`` for the
+    audio column): WAV/RIFF chunk walk (fmt tag, channels, rate,
+    bits, data-size/block frame count) and FLAC STREAMINFO bit
+    unpacking (rate 20 bits, channels-1, bits-1, total samples 36
+    bits) in pure Python over Arrow batches — duration/rate/channel
+    curation filters (speech pipelines gate on exactly these) never
+    need a PCM decode.  One fixture arm is a CORRUPT RIFF, so the
+    per-row 'unsupported' damage path is oracle-checked, not just
+    fuzzed; duration is integer-floor ms (exact both engines).
+    Truncation/garbage byte-fuzz never-raise is pinned in
+    tests/test_multimodal.py."""
+    from ..operators.multimodal import audio_meta, synthesize_audio_payloads
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return audio_meta(synthesize_audio_payloads(d))
+
+
 @query(
     "multimodal_feature_pipeline",
     oracle=f"""
