@@ -159,6 +159,7 @@ HEADLINE = [
     "text_bpe_byte_level",
     "cdx_query_batch_parquet",
     "multimodal_audio_meta",
+    "emb_ivfpq_delete_probe",
 ]
 
 

@@ -1351,11 +1351,14 @@ def sql_ivfadc_residual_topk(
     k_codes: int = 8,
     train_iters: int = 2,
     dim: int = 64,
+    exclude_ids: list[int] | None = None,
 ) -> str:
     """DuckDB twin of ``ivfadc_residual_topk``: trained chains for
     cells + per-subspace codebooks, a ``comb`` CTE materializing the
     per-cell effective codewords ``c_sub + b_j`` relationally, then
-    cell-scoped assignment and ADC."""
+    cell-scoped assignment and ADC.  ``exclude_ids`` reconstructs a
+    tombstoned store: the ids are hidden from probing, never from
+    training (deletes don't retrain the quantizer)."""
     from .kmeans import sql_lloyd_centroid_ctes
 
     assert dim % n_sub == 0
@@ -1397,7 +1400,7 @@ def sql_ivfadc_residual_topk(
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cdist} ASC, c.cid ASC) AS rn
         FROM embeddings e CROSS JOIN {cell_src} c
-        WHERE e.vec_id <> {query_vec_id}
+        WHERE e.vec_id <> {query_vec_id}{_sql_excl_ids(exclude_ids)}
       ) WHERE rn = 1
     )""",
         f"""probe AS (
@@ -1438,6 +1441,16 @@ def sql_ivfadc_residual_topk(
     ORDER BY approx_dist ASC, s.vec_id ASC LIMIT {k}
     """
     )
+
+
+def _sql_excl_ids(exclude_ids: list[int] | None) -> str:
+    """Extra assignment-stage exclusions — reconstructs a tombstoned
+    store's probe (ids hidden from probing, never from training)."""
+    if not exclude_ids:
+        return ""
+    return " AND e.vec_id NOT IN (" + ", ".join(
+        str(int(i)) for i in exclude_ids
+    ) + ")"
 
 
 def _sql_sqdist6_asym(a: str, b: str, a_off: int | str, dim: int) -> str:

@@ -1301,6 +1301,10 @@ def emb_ivfadc_persisted_topk(spark, sf_dir):
 #: delete provably removes rows that WOULD have been served.
 _ANN_DELETED_IDS = [88, 288, 343, 492]
 
+#: same discipline for the PQ store (qid 77's pre-delete top-2 at
+#: sf0.001: 178, 324; at sf0.01: 84, 444).
+_PQ_DELETED_IDS = [84, 178, 324, 444]
+
 
 @query(
     "emb_ivf_delete_probe",
@@ -1341,6 +1345,47 @@ def emb_ivf_delete_probe(spark, sf_dir):
     qv = collect_query_vector(emb, 123)
     return ivf_index_probe_topk(
         spark, out, qv, k=10, nprobe=3, exclude_id=123
+    )
+
+
+@query(
+    "emb_ivfpq_delete_probe",
+    oracle=sql_ivfadc_residual_topk(
+        query_vec_id=77, k=10, n_cells=8, nprobe=3, n_sub=4, k_codes=8,
+        train_iters=2, exclude_ids=_PQ_DELETED_IDS,
+    ),
+    tier="C",
+)
+def emb_ivfpq_delete_probe(spark, sf_dir):
+    """L3 deletes on the PQ-CODED store (round 10, closing the
+    delete-oracle symmetry with the flat store): tombstone batches
+    hide the ids from ADC probes at any nprobe through the same
+    ``delete_from_ann_index`` path; the tombstoned ids are the
+    pre-delete top-2 at both test scales, so the answer provably
+    changes versus ``emb_ivfadc_persisted_topk``.  The oracle
+    reconstructs the trained residual-IVFADC chain with the ids
+    excluded from ASSIGNMENT but not training (deletes never retrain
+    quantizers or codebooks); physical purge via
+    ``compact_ivf_index(subdir='codes')`` is pinned in
+    tests/test_scale.py."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import (
+        delete_from_ann_index,
+        ivfpq_index_probe_topk,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_del_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2
+    )
+    delete_from_ann_index(out, _PQ_DELETED_IDS)
+    qv = collect_query_vector(emb, 77)
+    return ivfpq_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=77
     )
 
 
