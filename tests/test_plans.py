@@ -631,3 +631,36 @@ def test_batch_parquet_pushes_range_union_to_scan(spark, sf_dir):
     assert "Or(" in pushed, pushed
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_trained_classifier_scoring_is_map_side(spark, sf_dir):
+    """quality_classifier_trained's SERVING half: training runs as
+    separate model-sized jobs, but the returned scoring plan must be a
+    pure projection over the (persisted) feature frame — no Exchange,
+    no join: the trained weights are literals, the sigmoid is
+    scan-side arithmetic."""
+    plan = _plan(spark, sf_dir, "quality_classifier_trained")
+    assert "Exchange" not in plan, plan[:600]
+    assert "Join" not in plan, plan[:600]
+
+
+def test_audio_meta_single_pass_no_shuffle(spark, sf_dir):
+    """multimodal_audio_meta: fixture synth + header parse are two
+    chained Arrow stages over one scan — binary payloads never cross
+    an exchange (at 100 TB the media column IS the corpus bytes)."""
+    plan = _plan(spark, sf_dir, "multimodal_audio_meta")
+    assert "Exchange" not in plan, plan[:600]
+    assert plan.count("MapInPandas") == 2, plan[:600]
+
+
+def test_bpe_byte_level_encode_single_regroup(spark, sf_dir):
+    """text_bpe_byte_level's encode half: the merge table rides as
+    literals, so the only exchange in the returned plan is the per-doc
+    regroup aggregate — never a join against the merge table and never
+    a second shuffle of token rows."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_bpe_byte_level")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "Join" not in final, final[:600]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) <= 1, final[:800]
