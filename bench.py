@@ -160,6 +160,7 @@ HEADLINE = [
     "cdx_query_batch_parquet",
     "multimodal_audio_meta",
     "emb_ivfpq_delete_probe",
+    "emb_ivfpq_refined_topk",
 ]
 
 

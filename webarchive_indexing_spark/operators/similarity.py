@@ -1443,6 +1443,35 @@ def sql_ivfadc_residual_topk(
     )
 
 
+def sql_ivfpq_refined_topk(
+    query_vec_id: int = 77,
+    k: int = 10,
+    k_factor: int = 4,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    train_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the refine stage: the residual-IVFADC twin
+    (over-fetched to k·k_factor) becomes a candidate CTE, then the
+    exact decimal-rounded cosine re-ranks just those ids — precisely
+    what ``ivfpq_refined_topk`` executes."""
+    from ..queries.helpers import sql_hround
+
+    inner = sql_ivfadc_residual_topk(
+        query_vec_id, k * k_factor, n_cells, nprobe, n_sub, k_codes,
+        train_iters, dim,
+    )
+    esim = sql_hround(sql_cosine("e.embedding", "rq.qv", dim), 6)
+    return f"""WITH cand AS ({inner}),
+    rq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+    SELECT e.vec_id, {esim} AS cos_sim
+    FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id CROSS JOIN rq
+    ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}"""
+
+
 def _sql_excl_ids(exclude_ids: list[int] | None) -> str:
     """Extra assignment-stage exclusions — reconstructs a tombstoned
     store's probe (ids hidden from probing, never from training)."""

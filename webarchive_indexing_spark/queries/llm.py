@@ -1349,6 +1349,44 @@ def emb_ivf_delete_probe(spark, sf_dir):
 
 
 @query(
+    "emb_ivfpq_refined_topk",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.similarity",
+        fromlist=["sql_ivfpq_refined_topk"],
+    ).sql_ivfpq_refined_topk(
+        query_vec_id=77, k=10, k_factor=4, n_cells=8, nprobe=3, n_sub=4,
+        k_codes=8, train_iters=2,
+    ),
+    tier="C",
+)
+def emb_ivfpq_refined_topk(spark, sf_dir):
+    """L3 REFINE stage (round 10 — the FAISS IndexRefineFlat serving
+    pattern): PQ codes rank cheaply but lossily, so the probe
+    over-fetches k×4 candidates via ADC from the CODES store, then
+    re-ranks exactly those with exact cosine against the flat vector
+    source — a driver-sized id list inlined as a pushed-down In
+    filter, no join, no shuffle, two jobs.  Output is by construction
+    the exact-cosine order of the candidate set, so refined recall
+    matches or beats the raw ADC top-k (pinned in tests/test_scale.py
+    against brute force).  The oracle wraps the residual-IVFADC twin
+    as a candidate CTE and re-ranks relationally."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import ivfpq_refined_topk, write_ivfpq_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_ref_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2
+    )
+    qv = collect_query_vector(emb, 77)
+    return ivfpq_refined_topk(
+        spark, out, emb, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    )
+
+
+@query(
     "emb_ivfpq_delete_probe",
     oracle=sql_ivfadc_residual_topk(
         query_vec_id=77, k=10, n_cells=8, nprobe=3, n_sub=4, k_codes=8,

@@ -381,6 +381,50 @@ def ivfpq_index_probe_topk(
     return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def ivfpq_refined_topk(
+    spark: SparkSession,
+    out_dir: str,
+    vectors_src: DataFrame,
+    qv: list[float],
+    *,
+    k: int = 10,
+    k_factor: int = 4,
+    nprobe: int = 3,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """REFINE stage over the PQ store — the FAISS IndexRefineFlat
+    serving pattern: the quantized ADC ranking is cheap but lossy, so
+    production probes over-fetch ``k × k_factor`` candidates from the
+    codes and re-rank just those with EXACT distances against a flat
+    vector source (here any DataFrame carrying the true vectors — the
+    corpus table or a flat sidecar store).
+
+    Cost model at 100 TB: the ADC pass reads nprobe/n_cents of the
+    CODES bytes (the PQ saving); the refine pass touches exactly
+    ``k·k_factor`` vectors via a driver-sized id list inlined as a
+    pushed-down In filter — no join, no shuffle, two jobs total.
+    Accuracy: the output is by construction the exact-cosine order of
+    the candidate set, so refined recall can only match or beat the
+    raw ADC top-k (pinned in tests/test_scale.py)."""
+    from ..operators.similarity import cosine, lit_double_array
+    from ..queries.helpers import hround
+
+    cand = ivfpq_index_probe_topk(
+        spark, out_dir, qv, k=k * k_factor, nprobe=nprobe,
+        exclude_id=exclude_id, id_col=id_col,
+    )
+    ids = [r[id_col] for r in cand.select(id_col).collect()]
+    out = vectors_src.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col),
+        hround(cosine(F.col(vec_col), lit_double_array(qv)), 6).alias(
+            "cos_sim"
+        ),
+    )
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def read_ivf_centroids(out_dir: str) -> dict[int, list[float]]:
     fs, local = _fs_for(out_dir)
     with fs.open_input_stream(
