@@ -161,6 +161,7 @@ HEADLINE = [
     "multimodal_audio_meta",
     "emb_ivfpq_delete_probe",
     "emb_ivfpq_refined_topk",
+    "decontaminate_semantic",
 ]
 
 

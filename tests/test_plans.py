@@ -664,3 +664,13 @@ def test_bpe_byte_level_encode_single_regroup(spark, sf_dir):
     final = plan.split("== Initial Plan ==", 1)[0]
     assert "Join" not in final, final[:600]
     assert len(re.findall(r"Exchange hashpartitioning", final)) <= 1, final[:800]
+
+
+def test_semantic_decontamination_is_map_only(spark, sf_dir):
+    """decontaminate_semantic: the benchmark set rides as driver
+    literals (the IVF-quantizer discipline), so flagging is one
+    map-side array_max over inlined cosines — no Exchange, no Join;
+    at 100 TB the cost is one pass over the embedding column."""
+    plan = _plan(spark, sf_dir, "decontaminate_semantic")
+    assert "Exchange" not in plan, plan[:600]
+    assert "Join" not in plan, plan[:600]

@@ -704,6 +704,121 @@ def decontaminate_canary_scan(spark, sf_dir):
     ).select("doc_id", "canary_id")
 
 
+#: semantic-decontamination geometry: benchmark set = the first 8
+#: vectors; a document is contaminated when its max cosine to any
+#: benchmark item is ≥ τ (0.30 ≈ the corpus's 90th percentile — the
+#: near-duplicate-in-embedding-space band).
+_SEMDECON_BENCH = 8
+_SEMDECON_TAU = 0.30
+
+
+def _semdecon_sql() -> str:
+    sim = sql_hround(sql_cosine("e.embedding", "b.bvec", 64), 6)
+    return f"""
+    WITH bench AS (
+      SELECT vec_id AS bid, embedding AS bvec FROM embeddings
+      WHERE vec_id < {_SEMDECON_BENCH}
+    ),
+    scored AS (
+      SELECT e.vec_id, b.bid, {sim} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {sim} DESC, b.bid ASC) AS rn
+      FROM embeddings e CROSS JOIN bench b
+      WHERE e.vec_id >= {_SEMDECON_BENCH}
+    )
+    SELECT vec_id, bid AS best_bench, sim AS max_sim,
+           sim >= {_SEMDECON_TAU} AS contaminated
+    FROM scored WHERE rn = 1
+    """
+
+
+@query("decontaminate_semantic", oracle=_semdecon_sql(), tier="C")
+def decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC decontamination (round 10) [north-star: embedding-
+    space eval-set screening — exact-match and n-gram scans
+    (``decontaminate_canary_scan``/``_ngram_overlap``) miss
+    paraphrased benchmark leakage, so labs additionally flag corpus
+    items whose embedding sits too close to any eval item]: the
+    benchmark set (first 8 vectors) collects to DRIVER LITERALS like
+    an IVF quantizer, every corpus vector computes its max cosine +
+    argmax benchmark id MAP-SIDE (one array_max over 8 inlined
+    6dp-rounded cosines — no join, no shuffle, plan-asserted), and
+    ``contaminated = max_sim ≥ τ`` with τ at the corpus's ~90th
+    percentile.  At 100 TB: eval sets are thousands of vectors — the
+    same broadcast-literal slot; past that, the LSH/IVF blocking
+    already in this module takes over.  The oracle re-ranks the
+    cross join relationally."""
+    emb = t(spark, sf_dir, "embeddings")
+    # ONE collect for the whole benchmark set (a model artifact), and
+    # the scoring expression built as ONE SQL string — Column-by-Column
+    # construction of 8×64-literal cosines measured ~2 s of pure py4j
+    # round-trips per query call (the lloyd_train lesson)
+    rows = (
+        emb.filter(F.col("vec_id") < _SEMDECON_BENCH)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    bench = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+
+    def dec_dot(a: str, b: str) -> str:
+        # mirrors similarity._dec_dot: per-term double product cast to
+        # DECIMAL(28,14), exact decimal fold
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))), "
+            f"CAST(0 AS DECIMAL(28,14)), "
+            f"(acc, x) -> CAST(acc + x AS DECIMAL(28,14)))"
+        )
+
+    def py_dec_norm(v: list[float]) -> float:
+        # driver twin of sqrt(CAST(dec_dot(b, b) AS DOUBLE)): Spark's
+        # double→DECIMAL(28,14) cast goes through the shortest
+        # round-trip string + HALF_UP at 14 dp (BigDecimal.valueOf),
+        # which Decimal(repr(x)).quantize reproduces exactly
+        import decimal
+        import math
+
+        q = decimal.Decimal("1e-14")
+        s = sum(
+            (
+                decimal.Decimal(repr(x * x)).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+                for x in v
+            ),
+            decimal.Decimal(0),
+        )
+        return math.sqrt(float(s))
+
+    structs = []
+    for bid, bv in bench:
+        arr = "array(" + ",".join(f"{float(v)!r}D" for v in bv) + ")"
+        cos = (
+            f"CAST({dec_dot('embedding', arr)} AS DOUBLE) / "
+            f"(__nrm * {py_dec_norm(bv)!r}D)"
+        )
+        sim = (
+            f"CAST(FLOOR(({cos}) * 1000000.0 + 0.5) AS DOUBLE) "
+            f"/ CAST(1000000.0 AS DOUBLE)"
+        )
+        structs.append(f"named_struct('s', {sim}, 'negid', {-bid})")
+    best = f"array_max(array({', '.join(structs)}))"
+    nrm = f"sqrt(CAST({dec_dot('embedding', 'embedding')} AS DOUBLE))"
+    return (
+        emb.filter(F.col("vec_id") >= _SEMDECON_BENCH)
+        .selectExpr("vec_id", "embedding", f"{nrm} AS __nrm")
+        .selectExpr("vec_id", f"{best} AS __best")
+        .selectExpr(
+            "vec_id",
+            "-(__best.negid) AS best_bench",
+            "__best.s AS max_sim",
+            f"__best.s >= CAST({_SEMDECON_TAU} AS DOUBLE) AS contaminated",
+        )
+    )
+
+
 def _sql_lsh_pairs_oracle() -> str:
     """DuckDB twin of minhash_lsh_pairs (8 perms, 4 bands of 2,
     verify at Jaccard ≥ 0.7): signatures over the SAME pre-hashed
