@@ -901,3 +901,84 @@ def test_ivfpq_refine_improves_recall(spark, sf_dir):
         ).collect()
     ]
     assert full == exact
+
+
+def test_ann_compact_preserves_mid_compaction_tombstones(
+    spark, sf_dir, monkeypatch
+):
+    """Deletes filed WHILE a compaction's rewrite job runs were not
+    folded into that rewrite, so compaction must leave their batch
+    files behind (to be honored by probes and the next compaction) —
+    clearing the whole tombstone dir would silently resurrect a
+    taken-down vector.  Simulated by filing a second batch from
+    inside the compaction's own tombstone read."""
+    import glob
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_race_")
+    ann_index.write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qv = collect_query_vector(emb, 123)
+    pre = ann_index.ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123
+    ).collect()
+    first, second = pre[0].vec_id, pre[1].vec_id
+    ann_index.delete_from_ann_index(out, [first])
+
+    real = ann_index._read_ann_tombstone_files
+
+    def race(d):
+        res = real(d)
+        # a concurrent taker files a delete between the compaction's
+        # tombstone read and its rewrite landing
+        ann_index.delete_from_ann_index(d, [second])
+        return res
+
+    monkeypatch.setattr(ann_index, "_read_ann_tombstone_files", race)
+    ann_index.compact_ivf_index(spark, out)
+    monkeypatch.undo()
+
+    # the pre-read batch was applied (physical purge) and cleared;
+    # the mid-compaction batch SURVIVES as a file and keeps hiding
+    # its id from probes even though the row is still in the store
+    vecs = spark.read.parquet(os.path.join(out, "vectors"))
+    assert vecs.filter(vecs.vec_id == first).count() == 0
+    assert vecs.filter(vecs.vec_id == second).count() == 1
+    assert len(glob.glob(os.path.join(out, "tombstones", "*.json"))) == 1
+    assert ann_index.read_ann_tombstones(out) == {second}
+    got = ann_index.ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=8, exclude_id=123
+    ).collect()
+    assert {first, second}.isdisjoint({r.vec_id for r in got})
+    # the survivor is honored by the NEXT compaction
+    ann_index.compact_ivf_index(spark, out)
+    vecs = spark.read.parquet(os.path.join(out, "vectors"))
+    assert vecs.filter(vecs.vec_id == second).count() == 0
+    assert ann_index.read_ann_tombstones(out) == set()
+
+
+def test_ann_delete_batches_never_clobber(sf_dir):
+    """Batch files are uuid-named: filing the same ids twice in a row
+    (the degenerate form of two concurrent callers observing the same
+    directory state) yields two distinct files, never an overwrite."""
+    import glob
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.sinks.ann_index import (
+        delete_from_ann_index,
+        read_ann_tombstones,
+    )
+
+    out = tempfile.mkdtemp(prefix="ivf_names_")
+    delete_from_ann_index(out, [1, 2])
+    delete_from_ann_index(out, [1, 2])
+    delete_from_ann_index(out, [3])
+    assert len(glob.glob(os.path.join(out, "tombstones", "*.json"))) == 3
+    assert read_ann_tombstones(out) == {1, 2, 3}

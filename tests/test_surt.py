@@ -131,6 +131,11 @@ def test_native_matches_python_on_messy_urls(spark):
         "/%%",
         "/%25%32%35",
         "/%gg%41",
+        # escape-heavy verbatim tail (round 11): many kept escapes keep
+        # contains('%') true forever — the {val, done} fold must hit
+        # the fixpoint early and still match the Python loop exactly
+        "/" + "%ff" * 12 + "%2541",
+        "/%zz" * 10,
     ]
     queries = [
         "",
@@ -415,6 +420,40 @@ def test_fold_method_query_py_json_and_multipart():
     assert (
         multipart_body_params(tricky, "multipart/form-data; boundary=BND")
         == "a=x+--BND+y&b=line1%0D%0Aline2"
+    )
+
+    # round 11 (ADVICE): a boundary that is a PREFIX of a longer token
+    # in a value ('\r\n--BNDx') is NOT a delimiter — RFC 2046 requires
+    # the boundary be followed by transport padding, CRLF, or the
+    # closing '--'; the value stays intact
+    prefix = (
+        b'--BND\r\ncontent-disposition: form-data; name="a"\r\n\r\n'
+        b"x\r\n--BNDx y\r\n"
+        b'--BND\r\ncontent-disposition: form-data; name="b"\r\n\r\n'
+        b"z\r\n--BND--\r\n"
+    )
+    assert (
+        multipart_body_params(prefix, "multipart/form-data; boundary=BND")
+        == "a=x%0D%0A--BNDx+y&b=z"
+    )
+    # same prefix confusion on the OPENING delimiter: '--BNDx...' is
+    # preamble, not a part break
+    open_conf = (
+        b"--BNDx preamble\r\n--BND\r\n"
+        b'content-disposition: form-data; name="a"\r\n\r\nv\r\n--BND--\r\n'
+    )
+    assert (
+        multipart_body_params(open_conf, "multipart/form-data; boundary=BND")
+        == "a=v"
+    )
+    # transport padding after the boundary is still a valid delimiter
+    padded = (
+        b"--BND \t\r\n"
+        b'content-disposition: form-data; name="a"\r\n\r\npv\r\n--BND--\r\n'
+    )
+    assert (
+        multipart_body_params(padded, "multipart/form-data; boundary=BND")
+        == "a=pv"
     )
 
     # composed through the fold: json POST

@@ -31,7 +31,10 @@ are unwrapped, all other escapes kept verbatim (already lowercase),
 and the pass runs to FIXPOINT (round 10): escapes nested to any depth
 fully unwrap (``%252541`` → ``%2541`` → ``%41`` → ``a``), matching
 pywb's repeated-unquote behavior — see ``_pct_pass`` for the
-termination argument and the data-derived iteration bound.
+termination argument, the data-derived iteration bound, and the
+early-exit fold that stops paying per-pass work at the fixpoint
+(round 11: verbatim-kept escapes no longer force every residual pass
+to re-run the full split/transform).
 
 Every expensive branch is gated behind a cheap ``contains`` guard
 (``%``, ``;jsessionid=``, ``.aspx``, ``cfid=``, ``/.``) — a clean URL
@@ -173,10 +176,19 @@ def _pct_pass(x: Column) -> Column:
     most one ``25`` juxtaposition) or unwraps one ``%25XX`` level
     (removes one ``25``), so the potential ``2·count('%') +
     count('25')`` strictly decreases and bounds the productive passes;
-    the fixpoint is reached within N = that potential.  Extra passes
-    are identities.  Clean URLs still pay ONE contains() — the outer
-    guard skips the whole machinery; escaped URLs pay O(escapes)
-    linear passes, each a split/transform that stays in codegen."""
+    the fixpoint is reached within N = that potential.
+
+    The fold carries ``{val, done}`` (round 11): ``done`` flips the
+    first time a pass returns its input unchanged, and every remaining
+    iteration is then a single boolean branch that copies the struct —
+    NOT another split/transform.  Without the flag, a verbatim-kept
+    escape (``%ff``, ``%zz``) keeps ``contains('%')`` true forever and
+    an escape-heavy URL with k escapes of length n does O(k·n) work
+    per row across all N residual passes — a per-row stall hazard on
+    adversarial archive URLs (pywb's Python loop early-exits; so does
+    ``_pct_fixpoint_py``).  Cost after the fix: productive passes + 1
+    real normalizations, clean URLs still pay ONE contains() via the
+    outer guard."""
     n_pct = F.length(x) - F.length(F.regexp_replace(x, "%", ""))
     n_25 = (F.length(x) - F.length(F.regexp_replace(x, "25", ""))) / F.lit(2)
     iters = (n_pct * 2 + n_25 + 1).cast("int")
@@ -184,10 +196,17 @@ def _pct_pass(x: Column) -> Column:
         x.contains("%"),
         F.aggregate(
             F.sequence(F.lit(1), iters),
-            x,
-            lambda acc, _i: F.when(
-                acc.contains("%"), _pct_normalize(acc)
-            ).otherwise(acc),
+            F.struct(x.alias("val"), F.lit(False).alias("done")),
+            lambda acc, _i: F.when(acc.getField("done"), acc).otherwise(
+                _let(
+                    _pct_normalize(acc.getField("val")),
+                    lambda nv: F.struct(
+                        nv.alias("val"),
+                        (nv == acc.getField("val")).alias("done"),
+                    ),
+                )
+            ),
+            lambda acc: acc.getField("val"),
         ),
     ).otherwise(x)
 
@@ -514,14 +533,33 @@ def multipart_body_params(body: bytes, content_type: str) -> str:
         raise ValueError("multipart body without boundary=")
     boundary = m.group(1).encode("latin-1")
     # RFC 2046 §5.1.1: a delimiter is a LINE — CRLF + '--boundary' —
-    # so only line-anchored occurrences terminate a part; a value that
-    # merely CONTAINS the boundary octets mid-line stays intact
-    # instead of mis-splitting into bogus parts.  The opening
-    # delimiter may start the body with no preceding CRLF.
-    data = b"\r\n" + body if body.startswith(b"--" + boundary) else body
+    # AND the boundary must be followed by transport padding (SP/HTAB),
+    # CRLF, or the closing '--'.  Both anchors matter: a value that
+    # merely CONTAINS the boundary octets mid-line stays intact, and a
+    # boundary that is a PREFIX of a longer token in the value
+    # ('\r\n--BNDx' with boundary 'BND') is NOT a part break — the
+    # split pieces below are re-joined when the follow-up byte is
+    # wrong.  The opening delimiter may start the body with no
+    # preceding CRLF (same follow-up check applies).
+
+    def _delim_follows(tail: bytes) -> bool:
+        return tail[:1] in (b"", b"\r", b"-", b" ", b"\t")
+
+    opening = body.startswith(b"--" + boundary) and _delim_follows(
+        body[2 + len(boundary):]
+    )
+    data = b"\r\n" + body if opening else body
+    raw = data.split(b"\r\n--" + boundary)
+    parts: list[bytes] = [raw[0]]
+    for piece in raw[1:]:
+        if _delim_follows(piece):
+            parts.append(piece)
+        else:
+            # false split: boundary was a prefix of a longer token
+            parts[-1] += b"\r\n--" + boundary + piece
     pairs: list[tuple[str, str]] = []
-    for part in data.split(b"\r\n--" + boundary)[1:]:
-        if part.startswith(b"--"):
+    for part in parts[1:]:
+        if part.lstrip(b" \t").startswith(b"--"):
             break  # close delimiter; anything after is epilogue
         head, sep, val = part.partition(b"\r\n\r\n")
         if not sep:

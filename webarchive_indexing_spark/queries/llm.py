@@ -4340,9 +4340,9 @@ def _qc_sql() -> str:
 def quality_classifier_trained(spark, sf_dir):
     """TRAINED quality classifier (round 10 — the lang-id train∘apply
     pattern applied to the keep/drop GLM): logistic-shaped weights
-    LEARNED relationally via two full-batch gradient steps
-    (``operators/logreg.logistic_train`` — per step one scan + a
-    d-decimal exchange, the lloyd_train cost shape), from w = 0 on
+    LEARNED relationally via ``_QC_ITERS - 1`` full-batch gradient
+    steps (``operators/logreg.logistic_train`` — per step one scan +
+    a d-decimal exchange, the lloyd_train cost shape), from w = 0 on
     the doc_id < 400 slice against the integer quality-gate weak
     label, then every document scored with the trained weights.  The
     link is the RATIONAL fast sigmoid (only correctly-rounded IEEE
@@ -4352,10 +4352,11 @@ def quality_classifier_trained(spark, sf_dir):
     weight updates as chained CTEs, so the hash match proves
     train ∘ score end to end — no fixed weights anywhere.
 
-    100 TB: training cost = iters × one pass over three precomputed
-    scalar columns (text never re-tokenizes per step if the feature
-    frame is checkpointed); scoring is one map-side pass; the model
-    is d = 4 floats."""
+    100 TB: training cost = iters × one pass over the precomputed
+    scalar feature columns (``len(_QC_XCOLS)`` of them — text never
+    re-tokenizes per step if the feature frame is checkpointed);
+    scoring is one map-side pass; the model is d = ``len(_QC_XCOLS)``
+    floats (x0 is the constant-1 bias feature)."""
     from ..operators.logreg import (
         fast_sigmoid6_sql,
         logistic_train,

@@ -136,7 +136,12 @@ def compact_ivf_index(
     except OSError:
         pass
     df = spark.read.parquet(data_dir)
-    tombs = read_ann_tombstones(out_dir)
+    # record WHICH tombstone files this compaction read — a delete
+    # batch filed while the (long) rewrite job runs below is NOT in
+    # `tombs`, so clearing the whole directory afterwards would drop
+    # it unapplied and silently resurrect a taken-down vector; only
+    # the files actually folded into the rewrite may be deleted.
+    tombs, tomb_files = _read_ann_tombstone_files(out_dir)
     if tombs:
         df = df.filter(~F.col("vec_id").isin(sorted(tombs)))
     (
@@ -162,11 +167,14 @@ def compact_ivf_index(
             f"recovery copy retained at {old!r}"
         )
     fs.delete_dir(old)
-    if tombs:
-        # purge is now physical; clearing LAST keeps the crash window
-        # safe (tombstones over purged rows filter nothing)
+    # purge is now physical; clearing LAST keeps the crash window
+    # safe (tombstones over purged rows filter nothing).  Delete ONLY
+    # the batches read before the rewrite — batches filed mid-
+    # compaction stay behind to be honored by probes and the next
+    # compaction (they were not folded into this rewrite).
+    for path in tomb_files:
         try:
-            fs.delete_dir(_join(local, _TOMBSTONE_DIR))
+            fs.delete_file(path)
         except OSError:
             pass
 
@@ -177,19 +185,19 @@ def delete_from_ann_index(out_dir: str, ids: list[int]) -> None:
     takedowns) applied to the vector index — a document removed from
     the corpus by takedown or dedup keep-list must stop being
     retrievable by vector search too.  Deletes are a metadata write
-    (one small JSON file per batch, monotonic names so batches never
-    clobber each other); probes honor them immediately via an
-    id-exclusion scan filter, and ``compact_ivf_index`` makes the
-    purge physical.  Data files are never mutated in place."""
-    from pyarrow import fs as pafs
+    (one small JSON file per batch, uuid-named so CONCURRENT delete
+    callers can never observe the same name and clobber each other —
+    a count-based name would race two callers onto one filename);
+    probes honor them immediately via an id-exclusion scan filter,
+    and ``compact_ivf_index`` makes the purge physical.  Data files
+    are never mutated in place."""
+    import uuid
 
     fs, local = _fs_for(out_dir)
     tdir = _join(local, _TOMBSTONE_DIR)
     fs.create_dir(tdir, recursive=True)
-    infos = fs.get_file_info(pafs.FileSelector(tdir, allow_not_found=True))
-    n = sum(1 for i in infos if i.type == pafs.FileType.File)
     with fs.open_output_stream(
-        _join(tdir, f"t-{n:06d}.json"), compression=None
+        _join(tdir, f"t-{uuid.uuid4().hex}.json"), compression=None
     ) as fh:
         fh.write(json.dumps(sorted(int(i) for i in ids)).encode())
 
@@ -198,18 +206,27 @@ def read_ann_tombstones(out_dir: str) -> set[int]:
     """Union of every tombstone batch — metadata-sized by contract
     (explicit takedowns / keep-list drops; a mass delete is a store
     REBUILD, not a tombstone pile)."""
+    return _read_ann_tombstone_files(out_dir)[0]
+
+
+def _read_ann_tombstone_files(out_dir: str) -> tuple[set[int], list[str]]:
+    """Tombstone union PLUS the batch files it came from, so
+    ``compact_ivf_index`` can clear exactly the batches it applied
+    (never one filed while its rewrite was running)."""
     from pyarrow import fs as pafs
 
     fs, local = _fs_for(out_dir)
     tdir = _join(local, _TOMBSTONE_DIR)
     infos = fs.get_file_info(pafs.FileSelector(tdir, allow_not_found=True))
     out: set[int] = set()
+    files: list[str] = []
     for info in infos:
         if info.type != pafs.FileType.File:
             continue
         with fs.open_input_stream(info.path, compression=None) as fh:
             out.update(int(i) for i in json.loads(fh.read().decode()))
-    return out
+        files.append(info.path)
+    return out, files
 
 
 def write_ivfpq_index(
