@@ -982,3 +982,77 @@ def test_ann_delete_batches_never_clobber(sf_dir):
     delete_from_ann_index(out, [3])
     assert len(glob.glob(os.path.join(out, "tombstones", "*.json"))) == 3
     assert read_ann_tombstones(out) == {1, 2, 3}
+
+
+def test_ann_tombstone_guard_switches_to_anti_join(
+    spark, sf_dir, monkeypatch
+):
+    """Past TOMBSTONE_ISIN_MAX ids the probe's exclusion switches from
+    an isin scan-literal to a broadcast LEFT ANTI join (with a
+    compact-first warning) — the compaction contract made
+    self-enforcing: a caller who never compacts gets a slower but
+    still-correct plan instead of a mega-literal predicate.  Answers
+    must be identical on both sides of the threshold."""
+    import tempfile
+    import warnings
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_guard_")
+    ann_index.write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qv = collect_query_vector(emb, 123)
+    pre = ann_index.ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123
+    ).collect()
+    victims = [pre[0].vec_id, pre[1].vec_id]
+    # pad with ids that don't exist in the corpus: the exclusion set
+    # crosses the threshold without changing which rows survive
+    ann_index.delete_from_ann_index(
+        out, victims + list(range(10_000_000, 10_000_004))
+    )
+
+    below = ann_index.ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123
+    )
+    assert "isin" in below._jdf.queryExecution().executedPlan().toString().lower() or (
+        "IN (" in below._jdf.queryExecution().executedPlan().toString()
+    )
+
+    monkeypatch.setattr(ann_index, "TOMBSTONE_ISIN_MAX", 3)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        above = ann_index.ivf_index_probe_topk(
+            spark, out, qv, k=10, nprobe=3, exclude_id=123
+        )
+        plan = above._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        rows_above = above.collect()
+    assert any("compact_ivf_index" in str(w.message) for w in caught)
+    assert [tuple(r) for r in rows_above] == [tuple(r) for r in below.collect()]
+    assert {r.vec_id for r in rows_above}.isdisjoint(set(victims))
+
+    # the PQ probe shares the guard
+    out2 = tempfile.mkdtemp(prefix="ivfpq_guard_")
+    ann_index.write_ivfpq_index(
+        emb, out2, n_cells=8, n_sub=4, k_codes=8, train_iters=2
+    )
+    qv2 = collect_query_vector(emb, 77)
+    monkeypatch.setattr(ann_index, "TOMBSTONE_ISIN_MAX", 10_000)
+    base = ann_index.ivfpq_index_probe_topk(
+        spark, out2, qv2, k=10, nprobe=3, exclude_id=77
+    ).collect()
+    tgt = base[0].vec_id
+    ann_index.delete_from_ann_index(out2, [tgt, 10_000_000, 10_000_001])
+    monkeypatch.setattr(ann_index, "TOMBSTONE_ISIN_MAX", 2)
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        got = ann_index.ivfpq_index_probe_topk(
+            spark, out2, qv2, k=10, nprobe=3, exclude_id=77
+        )
+        plan2 = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan2 and "LeftAnti" in plan2
+        assert tgt not in {r.vec_id for r in got.collect()}

@@ -37,6 +37,42 @@ _CENTROIDS = "centroids.json"
 _PQ_MODEL = "pq.json"
 _TOMBSTONE_DIR = "tombstones"
 
+#: Tombstone lists ride as ``isin`` scan-filter literals — bounded by
+#: the compaction contract (metadata-sized takedown batches, cleared
+#: physically by ``compact_ivf_index``).  The contract is made
+#: SELF-ENFORCING here: past this many ids the probe switches to a
+#: broadcast anti-join (still correct, still no full shuffle — the id
+#: frame broadcasts) and warns that the store wants a compaction,
+#: instead of letting a caller who never compacts grow a mega-literal
+#: predicate that eventually chokes plan codegen.
+TOMBSTONE_ISIN_MAX = 10_000
+
+
+def _exclude_ids(
+    spark: SparkSession, df: DataFrame, tombs: set[int], id_col: str
+) -> DataFrame:
+    """Hide tombstoned ids from a scan: inline ``isin`` literal below
+    ``TOMBSTONE_ISIN_MAX`` (no join, no shuffle, plan shape
+    unchanged), broadcast LEFT ANTI join above it (correctness never
+    depends on the caller compacting on schedule)."""
+    if not tombs:
+        return df
+    if len(tombs) <= TOMBSTONE_ISIN_MAX:
+        return df.filter(~F.col(id_col).isin(sorted(tombs)))
+    import warnings
+
+    warnings.warn(
+        f"ANN store carries {len(tombs)} tombstoned ids "
+        f"(> TOMBSTONE_ISIN_MAX={TOMBSTONE_ISIN_MAX}); probing via "
+        f"broadcast anti-join — run compact_ivf_index to purge",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    ids = spark.createDataFrame(
+        [(int(i),) for i in sorted(tombs)], f"{id_col} bigint"
+    )
+    return df.join(F.broadcast(ids), on=id_col, how="left_anti")
+
 
 def write_ivf_index(
     embeddings: DataFrame,
@@ -142,8 +178,7 @@ def compact_ivf_index(
     # it unapplied and silently resurrect a taken-down vector; only
     # the files actually folded into the rewrite may be deleted.
     tombs, tomb_files = _read_ann_tombstone_files(out_dir)
-    if tombs:
-        df = df.filter(~F.col("vec_id").isin(sorted(tombs)))
+    df = _exclude_ids(spark, df, tombs, "vec_id")
     (
         df.repartition("cell")
         .write.partitionBy("cell")
@@ -389,9 +424,7 @@ def ivfpq_index_probe_topk(
     )
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
-    tombs = read_ann_tombstones(out_dir)
-    if tombs:
-        df = df.filter(~F.col(id_col).isin(sorted(tombs)))
+    df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
     out = df.selectExpr(
         id_col, "cell", residual_adc_expr(qd_sql) + " AS approx_dist"
     )
@@ -481,12 +514,12 @@ def ivf_index_probe_topk(
     )
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
-    tombs = read_ann_tombstones(out_dir)
-    if tombs:
-        # deleted vectors never surface at ANY nprobe: the exclusion
-        # list is metadata-sized (LSM contract), inlined as a scan
-        # filter — no join, no shuffle, plan shape unchanged
-        df = df.filter(~F.col(id_col).isin(sorted(tombs)))
+    # deleted vectors never surface at ANY nprobe: the exclusion list
+    # is metadata-sized (LSM contract), inlined as a scan filter — no
+    # join, no shuffle, plan shape unchanged (broadcast anti-join
+    # fallback past TOMBSTONE_ISIN_MAX keeps a never-compacted store
+    # correct)
+    df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
     out = df.select(
         F.col(id_col),
         F.col("cell"),
