@@ -674,3 +674,24 @@ def test_semantic_decontamination_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "decontaminate_semantic")
     assert "Exchange" not in plan, plan[:600]
     assert "Join" not in plan, plan[:600]
+
+
+def test_ann_batch_probe_single_scan_one_window_shuffle(spark, sf_dir):
+    """Batch ANN serving (round 11): N requests must share ONE codes
+    scan whose partition filter is the UNION of their probe cells
+    (shared cells read once, codes-only ReadSchema), with per-request
+    ADC map-side and exactly one Exchange — the request_no window.  A
+    second scan, a vector-column read, or a pre-window shuffle would
+    erase the amortization."""
+    plan = _plan(spark, sf_dir, "emb_ann_query_batch")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "j0" in schema, schema
+    assert "array" not in schema, f"batch probe reads float vectors: {schema}"
+    # exactly one shuffle, and it is the per-request top-k window
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "request_no" in plan.split("Exchange", 1)[1].splitlines()[0]
+    assert "Window" in plan

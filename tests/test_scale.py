@@ -1056,3 +1056,52 @@ def test_ann_tombstone_guard_switches_to_anti_join(
         plan2 = got._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan2 and "LeftAnti" in plan2
         assert tgt not in {r.vec_id for r in got.collect()}
+
+
+def test_ann_batch_probe_equals_per_request_loop(spark, sf_dir):
+    """The batch probe's rows per request must equal the one-at-a-time
+    probe verbatim — amortization changes the job count, never the
+    answer — including under tombstones, which apply once scan-side
+    for every request."""
+    import tempfile
+
+    from webarchive_indexing_spark.sinks.ann_index import (
+        delete_from_ann_index,
+        ivfpq_index_probe_batch_topk,
+        ivfpq_index_probe_topk,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_batchtw_")
+    write_ivfpq_index(emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2)
+    qids = [77, 123, 55, 321]
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+
+    def loop():
+        rows = []
+        for i, q in enumerate(qids):
+            for r in ivfpq_index_probe_topk(
+                spark, out, vecs[q], k=7, nprobe=3, exclude_id=q
+            ).collect():
+                rows.append((i, r.vec_id, r.cell, r.approx_dist))
+        return sorted(rows)
+
+    got = ivfpq_index_probe_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=7, nprobe=3,
+        exclude_ids=qids,
+    )
+    assert sorted(map(tuple, got.collect())) == loop()
+
+    # tombstones hide ids from every request in the batch too
+    victim = loop()[0][1]
+    delete_from_ann_index(out, [victim])
+    got2 = ivfpq_index_probe_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=7, nprobe=3,
+        exclude_ids=qids,
+    ).collect()
+    assert victim not in {r.vec_id for r in got2}
+    assert sorted(map(tuple, got2)) == loop()

@@ -1542,6 +1542,64 @@ def emb_ivfpq_delete_probe(spark, sf_dir):
     )
 
 
+#: heterogeneous query-vector ids for the batch ANN probe — spread
+#: across the id space so the per-request probe sets genuinely differ
+#: (some cells shared, some not: the union prune does real work).
+_ANN_BATCH_QIDS = (77, 123, 55, 321)
+
+
+def _ann_batch_sql() -> str:
+    """UNION ALL of the residual-IVFADC twin per request: exactly the
+    per-request probe loop the batch amortizes."""
+    subs = []
+    for i, qid in enumerate(_ANN_BATCH_QIDS):
+        inner = sql_ivfadc_residual_topk(
+            query_vec_id=qid, k=10, n_cells=8, nprobe=3, n_sub=4,
+            k_codes=8, train_iters=2,
+        )
+        subs.append(f"SELECT {i} AS request_no, q.* FROM ({inner}) q")
+    return " UNION ALL ".join(subs)
+
+
+@query("emb_ann_query_batch", oracle=_ann_batch_sql(), tier="C")
+def emb_ann_query_batch(spark, sf_dir):
+    """BATCH ANN serving (round 11 — FAISS batched ``search()`` / the
+    cc-index-server amortization applied to vector search): N query
+    vectors answered in ONE job over the persisted IVFPQ store instead
+    of one driver-scheduled probe job per vector.  The probe cells of
+    all requests union into a single pruned codes scan (block IO
+    bounded by the union — shared cells read once, plan-asserted in
+    tests/test_plans.py); per-request ADC distances come from the
+    per-query literal lookup tables in the ``cdx_query_batch``
+    CASE-chain slot (map-side ``inline(filter(array(...)))``, one SQL
+    string); per-request top-k is ONE window over ``request_no`` —
+    the plan's only shuffle, over k-bounded candidates.  The oracle is
+    the per-request residual-IVFADC twin UNION ALL'd, so the hash
+    match proves each request's batch rows equal its one-at-a-time
+    answer."""
+    import tempfile
+
+    from ..sinks.ann_index import (
+        ivfpq_index_probe_batch_topk,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_batch_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2
+    )
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return ivfpq_index_probe_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=10, nprobe=3,
+        exclude_ids=qids,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -431,6 +431,93 @@ def ivfpq_index_probe_topk(
     return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def ivfpq_index_probe_batch_topk(
+    spark: SparkSession,
+    out_dir: str,
+    query_vecs: list[list[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 3,
+    exclude_ids: list[int | None] | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """N query vectors answered in ONE job over the PQ-coded store —
+    the FAISS batched ``search()`` / cc-index-server amortization
+    (``cdx_query_batch`` applied to vector search): a serving system
+    answers request BATCHES, not one driver-scheduled job per vector.
+
+    Plan, in order:
+
+    1. ONE codes scan whose partition filter is the UNION of every
+       request's probe cells — block IO is bounded by the union, not
+       N × nprobe directory reads re-opening shared cells
+       (plan-asserted: single FileScan, ``cell`` PartitionFilters).
+    2. Per-request ADC distances from the per-query literal lookup
+       tables (the ``cdx_query_batch`` CASE-chain slot): each row
+       emits a struct per request whose probe set contains the row's
+       cell — ``inline(filter(array(...)))``, map-side, built as ONE
+       SQL string (BASELINE.md: py4j Column-building cost).
+    3. Per-request top-k via ONE window over ``request_no`` — the
+       only shuffle in the plan, carrying k-bounded candidate rows
+       per (request, cell) rather than the corpus.
+
+    Exclusions (each request hiding its own query row) ride inside
+    the per-request arm; tombstones apply once, scan-side, shared by
+    every request.  Returns ``request_no`` (the position in
+    ``query_vecs``) + the same columns as the single probe, each
+    request's rows hash-matching its one-at-a-time twin."""
+    from ..operators.similarity import (
+        py_sqdist6,
+        residual_adc_expr,
+        residual_query_tables,
+    )
+
+    if not query_vecs:
+        raise ValueError("probe batch needs at least one query vector")
+    excl = exclude_ids or [None] * len(query_vecs)
+    if len(excl) != len(query_vecs):
+        raise ValueError("exclude_ids must align with query_vecs")
+    cents, cbooks, _meta = read_ivfpq_model(out_dir)
+
+    union_cells: set[int] = set()
+    arms: list[str] = []
+    for i, qv in enumerate(query_vecs):
+        probe = sorted(
+            cents, key=lambda c: (py_sqdist6(qv, cents[c]), c)
+        )[:nprobe]
+        union_cells.update(probe)
+        adc = residual_adc_expr(residual_query_tables(cents, cbooks, qv))
+        cond = f"cell IN ({','.join(str(c) for c in probe)})"
+        if excl[i] is not None:
+            cond += f" AND {id_col} <> {int(excl[i])}"
+        arms.append(
+            f"named_struct('request_no', {i}, 'approx_dist', "
+            f"CASE WHEN {cond} THEN {adc} END)"
+        )
+
+    df = spark.read.parquet(_join(out_dir, "codes")).filter(
+        F.col("cell").isin(sorted(union_cells))
+    )
+    df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
+    hits = df.selectExpr(
+        id_col,
+        "cell",
+        "inline(filter(array("
+        + ",".join(arms)
+        + "), s -> s.approx_dist IS NOT NULL))",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("request_no").orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("request_no", id_col, "cell", "approx_dist")
+    )
+
+
 def ivfpq_refined_topk(
     spark: SparkSession,
     out_dir: str,
