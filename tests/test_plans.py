@@ -695,3 +695,21 @@ def test_ann_batch_probe_single_scan_one_window_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan[:1200]
     assert "request_no" in plan.split("Exchange", 1)[1].splitlines()[0]
     assert "Window" in plan
+
+
+def test_refine_store_scan_prunes_to_candidates(spark, sf_dir):
+    """The store-resident refine must touch only the CANDIDATE rows:
+    its sidecar scan carries a cell PartitionFilter (candidate cells
+    only) AND a pushed-down vec_id In filter, plans no Exchange and no
+    join — re-ranking k·k_factor rows costs k·k_factor rows, not a
+    corpus pass."""
+    plan = _plan(spark, sf_dir, "emb_ivfpq_refined_store")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "vec_id" in pushed and "In" in pushed, pushed
+    assert "Exchange" not in plan.split("FileScan parquet", 1)[0]
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -1105,3 +1105,146 @@ def test_ann_batch_probe_equals_per_request_loop(spark, sf_dir):
     ).collect()
     assert victim not in {r.vec_id for r in got2}
     assert sorted(map(tuple, got2)) == loop()
+
+
+def test_refine_sidecar_matches_corpus_and_compacts(spark, sf_dir):
+    """The flat refine sidecar: (1) store-resident re-rank equals the
+    corpus-table re-rank verbatim; (2) append keeps the sidecar in
+    step with the codes (appended vectors are refinable); (3)
+    compacting the codes of a sidecar-carrying store purges tombstoned
+    ids from BOTH payloads before clearing the tombstone list."""
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks.ann_index import (
+        append_ivfpq_index,
+        compact_ivf_index,
+        delete_from_ann_index,
+        ivfpq_refined_topk,
+        read_ann_tombstones,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.filter(F.col("vec_id") < 400)
+    tail = emb.filter(F.col("vec_id") >= 400)
+    out = tempfile.mkdtemp(prefix="ivfpq_sidecar_")
+    write_ivfpq_index(
+        head, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="flat",
+    )
+    qv = collect_query_vector(emb, 77)
+
+    got = ivfpq_refined_topk(
+        spark, out, None, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    ).collect()
+    want = ivfpq_refined_topk(
+        spark, out, head, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # append lands in BOTH payloads: refine over the grown store equals
+    # refine against the full external corpus
+    append_ivfpq_index(tail, out)
+    side = spark.read.parquet(os.path.join(out, "refine"))
+    assert side.count() == emb.count()
+    got2 = ivfpq_refined_topk(
+        spark, out, None, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    ).collect()
+    want2 = ivfpq_refined_topk(
+        spark, out, emb, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    ).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+
+    # compaction purges the sidecar too, with the same tombstone set
+    victim = got2[0].vec_id
+    delete_from_ann_index(out, [victim])
+    compact_ivf_index(spark, out, subdir="codes")
+    assert read_ann_tombstones(out) == set()
+    codes = spark.read.parquet(os.path.join(out, "codes"))
+    side = spark.read.parquet(os.path.join(out, "refine"))
+    assert codes.filter(codes.vec_id == victim).count() == 0
+    assert side.filter(side.vec_id == victim).count() == 0
+    assert victim not in {
+        r.vec_id
+        for r in ivfpq_refined_topk(
+            spark, out, None, qv, k=10, k_factor=4, nprobe=3,
+            exclude_id=77,
+        ).collect()
+    }
+
+
+def test_refine_int8_sidecar_roundtrip(spark, sf_dir):
+    """The int8 sidecar re-ranks on dequantized vectors: the result
+    must equal computing the same quantize→dequantize→cosine chain
+    against the corpus table directly (the sidecar stores the codes
+    exactly), and missing-sidecar probes fail loudly."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+        cosine,
+        lit_double_array,
+    )
+    from webarchive_indexing_spark.queries.helpers import hround
+    from webarchive_indexing_spark.sinks.ann_index import (
+        ivfpq_index_probe_topk,
+        ivfpq_refined_topk,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_int8_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="int8",
+    )
+    qv = collect_query_vector(emb, 77)
+    got = ivfpq_refined_topk(
+        spark, out, None, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    ).collect()
+
+    cand = ivfpq_index_probe_topk(
+        spark, out, qv, k=40, nprobe=3, exclude_id=77
+    )
+    ids = [r.vec_id for r in cand.collect()]
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    deq = emb.filter(F.col("vec_id").isin(ids)).select(
+        "vec_id", xd.alias("_xd")
+    ).select(
+        "vec_id",
+        F.array_max(F.transform(F.col("_xd"), F.abs)).alias("_s"),
+        F.col("_xd"),
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("_xd"),
+            lambda x: F.floor(x / F.col("_s") * 127 + F.lit(0.5)).cast(
+                "double"
+            )
+            * F.col("_s")
+            / F.lit(127.0),
+        ).alias("_deq"),
+    )
+    want = (
+        deq.select(
+            "vec_id",
+            hround(cosine(F.col("_deq"), lit_double_array(qv)), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    out2 = tempfile.mkdtemp(prefix="ivfpq_noside_")
+    write_ivfpq_index(emb, out2, n_cells=8, n_sub=4, k_codes=8, train_iters=2)
+    with _pytest.raises(ValueError, match="no refine sidecar"):
+        ivfpq_refined_topk(spark, out2, None, qv, k=10)

@@ -1472,6 +1472,50 @@ def sql_ivfpq_refined_topk(
     ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}"""
 
 
+def sql_ivfpq_refined_int8_topk(
+    query_vec_id: int = 77,
+    k: int = 10,
+    k_factor: int = 4,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    train_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the refine stage against an INT8-SQ sidecar:
+    candidates from the residual-IVFADC twin, re-ranked by the cosine
+    of the DEQUANTIZED vectors — scale = max |x|, q_i =
+    floor(x_i/scale·127 + .5), x̂_i = q_i·scale/127, every step a
+    correctly-rounded IEEE op shared with the Spark sidecar encode
+    (the ``emb_quantize_int8`` algebra), so the hash match proves the
+    quantize→store→dequantize→re-rank chain end to end."""
+    from ..queries.helpers import sql_hround
+
+    inner = sql_ivfadc_residual_topk(
+        query_vec_id, k * k_factor, n_cells, nprobe, n_sub, k_codes,
+        train_iters, dim,
+    )
+    esim = sql_hround(sql_cosine("d.deq", "rq.qv", dim), 6)
+    return f"""WITH cand AS ({inner}),
+    rq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+    d AS (
+      SELECT e.vec_id,
+             list_transform(e.embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) / s.scale * 127 + 0.5) AS DOUBLE)
+                 * s.scale / 127.0) AS deq
+      FROM embeddings e
+      JOIN (SELECT vec_id,
+                   list_max(list_transform(embedding,
+                                           x -> abs(CAST(x AS DOUBLE)))) AS scale
+            FROM embeddings) s ON s.vec_id = e.vec_id
+      JOIN cand c ON c.vec_id = e.vec_id
+    )
+    SELECT d.vec_id, {esim} AS cos_sim
+    FROM d CROSS JOIN rq
+    ORDER BY cos_sim DESC, d.vec_id ASC LIMIT {k}"""
+
+
 def _sql_excl_ids(exclude_ids: list[int] | None) -> str:
     """Extra assignment-stage exclusions — reconstructs a tombstoned
     store's probe (ids hidden from probing, never from training)."""

@@ -54,6 +54,7 @@ from ..operators.similarity import (
     sql_ivf_trained_topk,
     sql_ivfadc_residual_topk,
     sql_ivfadc_trained_topk,
+    sql_ivfpq_refined_int8_topk,
     sql_pq_adc_topk,
     sql_lsh_bucket_expr,
     sql_lsh_buckets,
@@ -1539,6 +1540,82 @@ def emb_ivfpq_delete_probe(spark, sf_dir):
     qv = collect_query_vector(emb, 77)
     return ivfpq_index_probe_topk(
         spark, out, qv, k=10, nprobe=3, exclude_id=77
+    )
+
+
+@query(
+    "emb_ivfpq_refined_store",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.similarity",
+        fromlist=["sql_ivfpq_refined_topk"],
+    ).sql_ivfpq_refined_topk(
+        query_vec_id=77, k=10, k_factor=4, n_cells=8, nprobe=3, n_sub=4,
+        k_codes=8, train_iters=2,
+    ),
+    tier="C",
+)
+def emb_ivfpq_refined_store(spark, sf_dir):
+    """STORE-RESIDENT refine sidecar (round 11): the flat vectors ship
+    WITH the index — ``write_ivfpq_index(refine='flat')`` writes them
+    under the same ``cell=`` hive layout the codes use, and
+    ``ivfpq_refined_topk(vectors_src=None)`` re-ranks against that
+    sidecar instead of a caller-supplied corpus table, so refine can
+    never be pointed at a stale or mismatched vector source (FAISS
+    IndexRefineFlat ships its flat storage inside the index for the
+    same reason).  The sidecar scan prunes to the CANDIDATES' cells +
+    a pushed-down id In filter — only the candidate rows' files are
+    touched (plan-asserted in tests/test_plans.py).  Same oracle as
+    ``emb_ivfpq_refined_topk``: residency changes where the bytes
+    live, never the answer."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import ivfpq_refined_topk, write_ivfpq_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_refstore_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="flat",
+    )
+    qv = collect_query_vector(emb, 77)
+    return ivfpq_refined_topk(
+        spark, out, None, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    )
+
+
+@query(
+    "emb_ivfpq_refined_int8",
+    oracle=sql_ivfpq_refined_int8_topk(
+        query_vec_id=77, k=10, k_factor=4, n_cells=8, nprobe=3, n_sub=4,
+        k_codes=8, train_iters=2,
+    ),
+    tier="C",
+)
+def emb_ivfpq_refined_int8(spark, sf_dir):
+    """INT8-SQ refine sidecar (round 11): the sidecar stores the
+    ``emb_quantize_int8`` form — one double scale + dim tinyints per
+    vector, ~4× smaller than flat — and the re-rank runs on the
+    DEQUANTIZED vectors (x̂ = q·scale/127, correctly-rounded IEEE ops
+    on both engines).  This is the FAISS SQ-refine middle ground:
+    better ordering than raw ADC at a quarter of the flat sidecar's
+    refine bytes.  The oracle reconstructs quantize→dequantize→cosine
+    relationally over the candidate CTE, so the hash match proves the
+    stored codes round-trip exactly."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import ivfpq_refined_topk, write_ivfpq_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_refint8_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="int8",
+    )
+    qv = collect_query_vector(emb, 77)
+    return ivfpq_refined_topk(
+        spark, out, None, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
     )
 
 

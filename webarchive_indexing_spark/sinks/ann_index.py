@@ -161,7 +161,45 @@ def compact_ivf_index(
     compaction off-peak, or publish versioned store paths for
     always-on serving.  The quantizer is untouched, so no surviving
     row's score can change.  ``subdir`` selects the payload: the flat
-    store's ``vectors`` or the PQ store's ``codes``."""
+    store's ``vectors`` or the PQ store's ``codes`` — compacting a PQ
+    store that carries a refine sidecar rewrites the sidecar too,
+    with the SAME tombstone set, before the list is cleared (codes
+    and refine source must purge together or a re-rank could touch a
+    taken-down vector's bytes)."""
+    # record WHICH tombstone files this compaction read — a delete
+    # batch filed while the (long) rewrite jobs run below is NOT in
+    # `tombs`, so clearing the whole directory afterwards would drop
+    # it unapplied and silently resurrect a taken-down vector; only
+    # the files actually folded into the rewrites may be deleted.
+    tombs, tomb_files = _read_ann_tombstone_files(out_dir)
+    targets = [subdir]
+    if subdir == "codes":
+        try:
+            meta = read_ivfpq_model(out_dir)[2]
+        except OSError:
+            meta = {}
+        if meta.get("refine"):
+            targets.append("refine")
+    for sd in targets:
+        _compact_partition_dir(spark, out_dir, sd, tombs)
+    # purge is now physical; clearing LAST keeps the crash window
+    # safe (tombstones over purged rows filter nothing).  Delete ONLY
+    # the batches read before the rewrite — batches filed mid-
+    # compaction stay behind to be honored by probes and the next
+    # compaction (they were not folded into this rewrite).
+    fs, _local = _fs_for(out_dir)
+    for path in tomb_files:
+        try:
+            fs.delete_file(path)
+        except OSError:
+            pass
+
+
+def _compact_partition_dir(
+    spark: SparkSession, out_dir: str, subdir: str, tombs: set[int]
+) -> None:
+    """One payload directory's rewrite + swap (see compact_ivf_index
+    for the staging/recovery contract)."""
     from pyarrow import fs as pafs
 
     data_dir = _join(out_dir, subdir)
@@ -172,12 +210,6 @@ def compact_ivf_index(
     except OSError:
         pass
     df = spark.read.parquet(data_dir)
-    # record WHICH tombstone files this compaction read — a delete
-    # batch filed while the (long) rewrite job runs below is NOT in
-    # `tombs`, so clearing the whole directory afterwards would drop
-    # it unapplied and silently resurrect a taken-down vector; only
-    # the files actually folded into the rewrite may be deleted.
-    tombs, tomb_files = _read_ann_tombstone_files(out_dir)
     df = _exclude_ids(spark, df, tombs, "vec_id")
     (
         df.repartition("cell")
@@ -202,16 +234,6 @@ def compact_ivf_index(
             f"recovery copy retained at {old!r}"
         )
     fs.delete_dir(old)
-    # purge is now physical; clearing LAST keeps the crash window
-    # safe (tombstones over purged rows filter nothing).  Delete ONLY
-    # the batches read before the rewrite — batches filed mid-
-    # compaction stay behind to be honored by probes and the next
-    # compaction (they were not folded into this rewrite).
-    for path in tomb_files:
-        try:
-            fs.delete_file(path)
-        except OSError:
-            pass
 
 
 def delete_from_ann_index(out_dir: str, ids: list[int]) -> None:
@@ -276,6 +298,7 @@ def write_ivfpq_index(
     train_frac: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine: str | None = None,
 ) -> None:
     """PQ-CODED persisted index — the FAISS IVFPQ storage shape
     (Jégou et al. 2011): instead of flat float vectors (16-32× the
@@ -288,7 +311,22 @@ def write_ivfpq_index(
     SHARED ``residual_encode_exprs`` algebra over combined codewords
     (one scan, map-side), layout = hive ``cell=`` partitions (the
     inverted lists as directories).  Model artifacts (centroids +
-    codebooks) persist as ``pq.json``; probes never re-train."""
+    codebooks) persist as ``pq.json``; probes never re-train.
+
+    ``refine`` optionally stores a vector SIDECAR under the same hive
+    layout (``refine/cell=``) so the exact re-rank stage cannot be
+    pointed at a stale corpus (the FAISS IndexRefineFlat deployment
+    shape — the refine source ships WITH the index):
+
+    * ``"flat"`` — the raw vectors (exact re-rank, dim×4 bytes/row);
+    * ``"int8"`` — symmetric scalar quantization (the
+      ``emb_quantize_int8`` algebra: scale = max |x|, q_i =
+      floor(x_i/scale·127 + .5) stored as tinyint + one double scale
+      — ~4× smaller, re-rank on the dequantized vectors).
+
+    The kind persists in ``pq.json`` so ``ivfpq_refined_topk`` knows
+    how to read it back; ``append_ivfpq_index`` keeps the sidecar in
+    step with the codes."""
     from ..operators.kmeans import lloyd_train
     from ..operators.similarity import (
         nearest_sqdist6_expr,
@@ -324,6 +362,13 @@ def write_ivfpq_index(
         .mode("overwrite")
         .parquet(_join(out_dir, "codes"))
     )
+    if refine is not None:
+        (
+            _refine_sidecar_frame(embeddings, cell, refine, id_col, vec_col)
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(_join(out_dir, "refine"))
+        )
     fs, local = _fs_for(out_dir)
     with fs.open_output_stream(
         _join(local, _PQ_MODEL), compression=None
@@ -338,9 +383,49 @@ def write_ivfpq_index(
                     "dim": dim,
                     "n_sub": n_sub,
                     "k_codes": k_codes,
+                    "refine": refine,
                 }
             ).encode()
         )
+
+
+def _refine_sidecar_frame(
+    embeddings: DataFrame, cell, kind: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """The refine sidecar rows for one (re)encode pass: same ``cell``
+    assignment as the codes (shared quantizer expression), payload =
+    flat vectors or int8-SQ (scale + tinyint codes)."""
+    if kind == "flat":
+        return embeddings.select(
+            F.col(id_col), cell.getField("cid").alias("cell"), F.col(vec_col)
+        )
+    if kind != "int8":
+        raise ValueError(f"unknown refine sidecar kind {kind!r}")
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        embeddings.select(
+            F.col(id_col),
+            cell.getField("cid").alias("cell"),
+            xd.alias("_xd"),
+        )
+        .select(
+            id_col,
+            "cell",
+            F.array_max(F.transform(F.col("_xd"), F.abs)).alias("scale"),
+            F.col("_xd"),
+        )
+        .select(
+            id_col,
+            "cell",
+            "scale",
+            F.transform(
+                F.col("_xd"),
+                lambda x: F.floor(
+                    x / F.col("scale") * 127 + F.lit(0.5)
+                ).cast("tinyint"),
+            ).alias("q"),
+        )
+    )
 
 
 def append_ivfpq_index(
@@ -354,7 +439,9 @@ def append_ivfpq_index(
     residual encoding both use the STORED model (quantizer + codebooks
     fixed once trained — a serving index's scores never shift under
     append), writing code files into the existing ``cell=``
-    directories.  Same contract as ``append_ivf_index``: model drift
+    directories.  A refine sidecar, when present, receives the same
+    vectors under the same layout — codes and refine source can never
+    drift apart.  Same contract as ``append_ivf_index``: model drift
     means a scheduled REBUILD, never an in-place mutation."""
     from ..operators.similarity import (
         nearest_sqdist6_expr,
@@ -376,6 +463,15 @@ def append_ivfpq_index(
         .mode("append")
         .parquet(_join(out_dir, "codes"))
     )
+    if meta.get("refine"):
+        (
+            _refine_sidecar_frame(
+                embeddings, cell, meta["refine"], id_col, vec_col
+            )
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(_join(out_dir, "refine"))
+        )
 
 
 def read_ivfpq_model(
@@ -521,7 +617,7 @@ def ivfpq_index_probe_batch_topk(
 def ivfpq_refined_topk(
     spark: SparkSession,
     out_dir: str,
-    vectors_src: DataFrame,
+    vectors_src: DataFrame | None,
     qv: list[float],
     *,
     k: int = 10,
@@ -534,9 +630,18 @@ def ivfpq_refined_topk(
     """REFINE stage over the PQ store — the FAISS IndexRefineFlat
     serving pattern: the quantized ADC ranking is cheap but lossy, so
     production probes over-fetch ``k × k_factor`` candidates from the
-    codes and re-rank just those with EXACT distances against a flat
-    vector source (here any DataFrame carrying the true vectors — the
-    corpus table or a flat sidecar store).
+    codes and re-rank just those with exact (or dequantized-int8)
+    distances.
+
+    ``vectors_src=None`` reads the STORE-RESIDENT refine sidecar
+    written by ``write_ivfpq_index(refine=...)`` — the deployment
+    default: the refine source ships with the index under the same
+    ``cell=`` hive layout, so re-ranking cannot be pointed at a stale
+    or mismatched corpus, and the sidecar scan prunes to the
+    CANDIDATES' cells + a pushed-down id In filter (plan-asserted:
+    only the candidate rows' files/row groups are touched).  Passing
+    a DataFrame re-ranks against that external vector source instead
+    (the pre-round-11 shape, kept for corpora indexed elsewhere).
 
     Cost model at 100 TB: the ADC pass reads nprobe/n_cents of the
     CODES bytes (the PQ saving); the refine pass touches exactly
@@ -544,7 +649,9 @@ def ivfpq_refined_topk(
     pushed-down In filter — no join, no shuffle, two jobs total.
     Accuracy: the output is by construction the exact-cosine order of
     the candidate set, so refined recall can only match or beat the
-    raw ADC top-k (pinned in tests/test_scale.py)."""
+    raw ADC top-k (pinned in tests/test_scale.py).  Tombstones are
+    honored upstream: the candidate list comes from the probe, which
+    excludes them — a deleted id can never reach the re-rank."""
     from ..operators.similarity import cosine, lit_double_array
     from ..queries.helpers import hround
 
@@ -552,13 +659,40 @@ def ivfpq_refined_topk(
         spark, out_dir, qv, k=k * k_factor, nprobe=nprobe,
         exclude_id=exclude_id, id_col=id_col,
     )
-    ids = [r[id_col] for r in cand.select(id_col).collect()]
-    out = vectors_src.filter(F.col(id_col).isin(ids)).select(
-        F.col(id_col),
-        hround(cosine(F.col(vec_col), lit_double_array(qv)), 6).alias(
-            "cos_sim"
-        ),
-    )
+    rows = cand.select(id_col, "cell").collect()
+    ids = [r[id_col] for r in rows]
+    if vectors_src is None:
+        kind = read_ivfpq_model(out_dir)[2].get("refine")
+        if not kind:
+            raise ValueError(
+                f"store {out_dir!r} has no refine sidecar — rebuild with "
+                f"write_ivfpq_index(refine='flat'|'int8') or pass "
+                f"vectors_src explicitly"
+            )
+        cells = sorted({int(r["cell"]) for r in rows})
+        side = (
+            spark.read.parquet(_join(out_dir, "refine"))
+            .filter(F.col("cell").isin(cells))
+            .filter(F.col(id_col).isin(ids))
+        )
+        if kind == "flat":
+            vec = F.col(vec_col)
+        else:  # int8: dequantize q·scale/127 (exact-IEEE, oracle twin)
+            vec = F.transform(
+                F.col("q"),
+                lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
+            )
+        out = side.select(
+            F.col(id_col),
+            hround(cosine(vec, lit_double_array(qv)), 6).alias("cos_sim"),
+        )
+    else:
+        out = vectors_src.filter(F.col(id_col).isin(ids)).select(
+            F.col(id_col),
+            hround(cosine(F.col(vec_col), lit_double_array(qv)), 6).alias(
+                "cos_sim"
+            ),
+        )
     return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
