@@ -317,3 +317,135 @@ def test_parse_audio_header_damage_tolerance():
     for junk in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00JUNK", b"fLaC", b"x" * 40):
         with pytest.raises((ValueError, NotImplementedError)):
             parse_audio_header(junk)
+
+
+def test_parse_video_header_golden():
+    """Golden MP4 + MKV headers (round 11): spec'd offsets round-trip
+    the builders' parameters exactly, incl. mvhd v1, largesize boxes,
+    and unknown-size (live-capture) Segments."""
+    import struct
+
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_mkv,
+        build_mp4,
+        parse_video_header,
+    )
+
+    assert parse_video_header(build_mp4(1920, 1080, 90000, 900000)) == {
+        "format": "mp4", "width": 1920, "height": 1080,
+        "timescale": 90000, "duration_ms": 10000,
+    }
+    assert parse_video_header(build_mp4(640, 352, 600, 601)) == {
+        "format": "mp4", "width": 640, "height": 352,
+        "timescale": 600, "duration_ms": 1001,
+    }
+    got = parse_video_header(build_mkv(1280, 720, 42000.0))
+    assert (got["format"], got["width"], got["height"]) == ("mkv", 1280, 720)
+    assert got["duration_ms"] == 42000 and got["timescale"] == 1_000_000
+
+    # mvhd VERSION 1 (64-bit duration) — hand-built box
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    mvhd1 = box(
+        b"mvhd",
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQIQ", 0, 0, 1000, 2**33)
+        + b"\x00" * 80,
+    )
+    p = box(b"ftyp", b"isom") + box(b"moov", mvhd1)
+    got = parse_video_header(p)
+    assert got["duration_ms"] == 2**33 * 1000 // 1000
+    assert got["width"] is None  # no trak — dims stay NULL
+
+    # 64-bit largesize on the moov box itself
+    body = mvhd1
+    large = (
+        struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", 16 + len(body))
+        + body
+    )
+    assert parse_video_header(box(b"ftyp", b"isom") + large)[
+        "timescale"
+    ] == 1000
+
+    # unknown-size Segment (streamed matroska): all size bits set
+    mkv = build_mkv(320, 240, 77.0)
+    # rebuild with segment size byte forced to unknown (0xFF, 1-byte)
+    seg_id = b"\x18\x53\x80\x67"
+    i = mkv.index(seg_id) + 4
+    n = mkv[i] & 0x7F  # original 1-byte size
+    assert mkv[i + 1 + n :] == b""  # segment body runs to the end
+    unk = mkv[:i] + b"\xff" + mkv[i + 1 :]
+    got = parse_video_header(unk)
+    assert (got["width"], got["duration_ms"]) == (320, 77)
+
+
+def test_parse_video_header_damage_tolerance():
+    """Bytes-fuzz for the video parser: truncations and single-byte
+    corruptions of valid headers either parse or raise the documented
+    (ValueError/NotImplementedError) pair — video_meta's per-row
+    quarantine is total."""
+    import random
+
+    import pytest
+
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_mkv,
+        build_mp4,
+        parse_video_header,
+    )
+
+    rng = random.Random(47)
+    samples = [
+        build_mp4(640, 480, 1000, 5000),
+        build_mp4(16, 16, 48000, 1),
+        build_mkv(1920, 800, 123456.0),
+    ]
+    for b in samples:
+        for cut in range(len(b)):
+            try:
+                parse_video_header(b[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(300):
+            pos = rng.randrange(len(b))
+            mut = b[:pos] + bytes([rng.randrange(256)]) + b[pos + 1 :]
+            try:
+                parse_video_header(mut)
+            except (ValueError, NotImplementedError):
+                pass
+    for junk in (
+        b"",
+        b"\x00\x00\x01\x00moovJU",
+        b"\x1a\x45\xdf\xa3",
+        b"x" * 40,
+        b"\x00\x00\x00\x08ftyp",  # valid walk, but no moov → ValueError
+        b"garbage bytes here",
+    ):
+        with pytest.raises((ValueError, NotImplementedError)):
+            parse_video_header(junk)
+
+
+def test_video_meta_quarantines_and_matches_fixture_arms(spark, sf_dir):
+    """video_meta over the synthesized fixture corpus: every corrupt
+    arm lands as an 'unsupported' row (task survives), every valid arm
+    round-trips its arithmetic parameters."""
+    from webarchive_indexing_spark.operators.multimodal import (
+        synthesize_video_payloads,
+        video_meta,
+    )
+    from webarchive_indexing_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    rows = video_meta(synthesize_video_payloads(d)).collect()
+    assert len(rows) == 120
+    for r in rows:
+        i = r.doc_id
+        if i % 3 == 2:
+            assert r.format == "unsupported" and r.width is None
+        else:
+            assert r.format == ("mp4" if i % 3 == 0 else "mkv")
+            assert r.width == 16 * (1 + i % 80)
+            assert r.height == 16 * (1 + i % 45)

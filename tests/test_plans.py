@@ -713,3 +713,12 @@ def test_refine_store_scan_prunes_to_candidates(spark, sf_dir):
     assert "Exchange" not in plan.split("FileScan parquet", 1)[0]
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_video_meta_single_pass_no_shuffle(spark, sf_dir):
+    """multimodal_video_meta: fixture synth + header parse are two
+    chained Arrow stages over one scan — binary payloads never cross
+    an exchange (same contract as the audio twin)."""
+    plan = _plan(spark, sf_dir, "multimodal_video_meta")
+    assert "Exchange" not in plan, plan[:600]
+    assert plan.count("MapInPandas") == 2, plan[:600]

@@ -772,3 +772,358 @@ def audio_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
+#: ISO-BMFF top-level box types that identify an MP4 family file when
+#: the buffer doesn't lead with ftyp (fragmented/raw captures).
+_MP4_TOP_BOXES = frozenset(
+    (b"ftyp", b"moov", b"mdat", b"free", b"skip", b"wide", b"moof", b"styp")
+)
+
+#: EBML element ids on the path to duration + dims (matroska.org spec;
+#: ids are stored WITH their length-marker bit, matched verbatim).
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESTAMP_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_WIDTH = 0xB0
+_MKV_PIXEL_HEIGHT = 0xBA
+
+
+def _mp4_boxes(b: bytes, lo: int, hi: int):
+    """Yield ``(type, body_lo, body_hi)`` for the ISO-BMFF boxes in
+    ``b[lo:hi]``, handling 64-bit largesize (size==1) and to-end-of-
+    enclosure (size==0); raises ValueError on truncated/overflowing
+    declarations — per-row damage, mapped to 'unsupported' upstream."""
+    import struct
+
+    i = lo
+    while i < hi:
+        if i + 8 > hi:
+            raise ValueError("mp4: truncated box header")
+        size = struct.unpack_from(">I", b, i)[0]
+        btype = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > hi:
+                raise ValueError("mp4: truncated largesize")
+            size = struct.unpack_from(">Q", b, i + 8)[0]
+            body = i + 16
+        elif size == 0:
+            size = hi - i
+        if size < body - i or i + size > hi:
+            raise ValueError("mp4: box size overflows enclosure")
+        yield btype, body, i + size
+        i += size
+
+
+def _parse_mp4(b: bytes) -> dict:
+    """moov → mvhd (timescale + duration, v0/v1) and the first trak →
+    tkhd carrying nonzero 16.16 presentation dims."""
+    import struct
+
+    timescale = duration = None
+    width = height = None
+    for btype, lo, hi in _mp4_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, clo, chi in _mp4_boxes(b, lo, hi):
+            if ctype == b"mvhd":
+                ver = b[clo]
+                if ver == 1:
+                    if clo + 32 > chi:
+                        raise ValueError("mp4: truncated mvhd v1")
+                    timescale = struct.unpack_from(">I", b, clo + 20)[0]
+                    duration = struct.unpack_from(">Q", b, clo + 24)[0]
+                else:
+                    if clo + 20 > chi:
+                        raise ValueError("mp4: truncated mvhd")
+                    timescale = struct.unpack_from(">I", b, clo + 12)[0]
+                    duration = struct.unpack_from(">I", b, clo + 16)[0]
+            elif ctype == b"trak" and width is None:
+                for ttype, tlo, thi in _mp4_boxes(b, clo, chi):
+                    if ttype != b"tkhd":
+                        continue
+                    ver = b[tlo]
+                    # width/height are the LAST 8 bytes of tkhd either
+                    # version (16.16 fixed point)
+                    if thi - 8 < tlo:
+                        raise ValueError("mp4: truncated tkhd")
+                    w = struct.unpack_from(">I", b, thi - 8)[0] >> 16
+                    h = struct.unpack_from(">I", b, thi - 4)[0] >> 16
+                    if w and h:
+                        width, height = w, h
+    if timescale is None or duration is None:
+        raise ValueError("mp4: missing moov/mvhd")
+    if timescale == 0:
+        raise ValueError("mp4: zero timescale")
+    return {
+        "format": "mp4",
+        "width": width,
+        "height": height,
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+    }
+
+
+def _ebml_vint(b: bytes, i: int, hi: int, *, keep_marker: bool) -> tuple[int, int]:
+    """One EBML variable-length integer at ``b[i:]`` — element ids
+    keep their length-marker bit (spec: ids match verbatim), sizes
+    strip it.  Returns (value, next_offset)."""
+    if i >= hi:
+        raise ValueError("ebml: truncated vint")
+    first = b[i]
+    if first == 0:
+        raise ValueError("ebml: invalid vint lead byte")
+    n = 8 - first.bit_length()  # leading zeros → extra bytes
+    if i + 1 + n > hi:
+        raise ValueError("ebml: truncated vint body")
+    val = first if keep_marker else first & ((1 << (7 - n)) - 1)
+    for j in range(1, n + 1):
+        val = (val << 8) | b[i + j]
+    return val, i + 1 + n
+
+
+def _ebml_children(b: bytes, lo: int, hi: int):
+    """Yield ``(id, body_lo, body_hi)`` for the EBML elements in
+    ``b[lo:hi]``; an unknown-size element (all size bits set) extends
+    to the end of its enclosure (streamed matroska writes Segment that
+    way)."""
+    i = lo
+    while i < hi:
+        eid, i = _ebml_vint(b, i, hi, keep_marker=True)
+        first = b[i] if i < hi else 0
+        size, i = _ebml_vint(b, i, hi, keep_marker=False)
+        n_sz = 8 - first.bit_length()
+        if size == (1 << (7 * (n_sz + 1))) - 1:  # all data bits 1
+            size = hi - i
+        if i + size > hi:
+            raise ValueError("ebml: element size overflows enclosure")
+        yield eid, i, i + size
+        i += size
+
+
+def _ebml_uint(b: bytes, lo: int, hi: int) -> int:
+    return int.from_bytes(b[lo:hi], "big")
+
+
+def _parse_mkv(b: bytes) -> dict:
+    """Segment → Info (TimestampScale ns/unit, default 1e6; Duration
+    float units) and Tracks → first TrackEntry/Video PixelWidth/
+    PixelHeight."""
+    import struct
+
+    scale = 1_000_000
+    duration = None
+    width = height = None
+    for eid, lo, hi in _ebml_children(b, 0, len(b)):
+        if eid != _MKV_SEGMENT:
+            continue
+        for cid, clo, chi in _ebml_children(b, lo, hi):
+            if cid == _MKV_INFO:
+                for iid, ilo, ihi in _ebml_children(b, clo, chi):
+                    if iid == _MKV_TIMESTAMP_SCALE:
+                        scale = _ebml_uint(b, ilo, ihi)
+                    elif iid == _MKV_DURATION:
+                        n = ihi - ilo
+                        if n == 8:
+                            duration = struct.unpack_from(">d", b, ilo)[0]
+                        elif n == 4:
+                            duration = struct.unpack_from(">f", b, ilo)[0]
+                        else:
+                            raise ValueError("mkv: bad Duration width")
+            elif cid == _MKV_TRACKS and width is None:
+                for tid, tlo, thi in _ebml_children(b, clo, chi):
+                    if tid != _MKV_TRACK_ENTRY:
+                        continue
+                    for vid, vlo, vhi in _ebml_children(b, tlo, thi):
+                        if vid != _MKV_VIDEO:
+                            continue
+                        for pid, plo, phi in _ebml_children(b, vlo, vhi):
+                            if pid == _MKV_PIXEL_WIDTH:
+                                width = _ebml_uint(b, plo, phi)
+                            elif pid == _MKV_PIXEL_HEIGHT:
+                                height = _ebml_uint(b, plo, phi)
+                    if width is not None:
+                        break
+    if duration is None:
+        raise ValueError("mkv: missing Segment/Info/Duration")
+    if scale == 0:
+        raise ValueError("mkv: zero TimestampScale")
+    return {
+        "format": "mkv",
+        "width": width,
+        "height": height,
+        "timescale": scale,
+        # Duration × scale = ns; integer-valued doubles divide exactly
+        # by the default 1e6 scale, so the floor is oracle-exact
+        "duration_ms": int(duration * (scale / 1_000_000)),
+    }
+
+
+def parse_video_header(payload) -> dict:
+    """Video container metadata from HEADER bytes alone — no codec,
+    the ``parse_audio_header`` discipline for the video column:
+    dims/duration curation filters (resolution buckets, clip-length
+    gates) need only the container tables, never a frame decode.
+
+    * MP4/ISO-BMFF — box walk (64-bit largesize and to-end sizes
+      handled): ``moov/mvhd`` carries timescale + duration (v0 and
+      v1 layouts), the first ``trak/tkhd`` with nonzero 16.16 dims
+      carries width/height.
+    * MKV/EBML — vint walk: Segment → Info (TimestampScale,
+      Duration) and Tracks → TrackEntry → Video (PixelWidth/
+      PixelHeight); unknown-size Segments (live captures) extend to
+      the end of the buffer.
+
+    Returns ``{format, width, height, timescale, duration_ms}``
+    (``timescale`` = units/s for MP4, ns/unit for MKV — the
+    container's own notion rides through unconverted; duration_ms is
+    normalized).  Raises ValueError on damaged headers and
+    NotImplementedError on unknown magics — callers map both to
+    'unsupported' per row (per-row damage tolerance, never task
+    death).  Reference: public ISO 14496-12 box layouts + the
+    matroska.org EBML spec; no codec library involved."""
+    b = bytes(payload)
+    if len(b) >= 8 and b[4:8] in _MP4_TOP_BOXES:
+        return _parse_mp4(b)
+    if b[:4] == _EBML_MAGIC:
+        return _parse_mkv(b)
+    raise NotImplementedError("unknown video magic")
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def build_mp4(
+    width: int, height: int, timescale: int, duration: int
+) -> bytes:
+    """Structurally valid MP4 skeleton (ftyp + moov[mvhd + trak[tkhd]],
+    zero media) — fixture for the header parser; real files parse
+    identically because only spec'd offsets are read."""
+    import struct
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH8x", 0x10000, 0x100, 0)
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIIxxxxI8x", 0, 0, 1, duration)
+        + struct.pack(">HHHxx", 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    ftyp = _mp4_box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2mp41")
+    return ftyp + moov
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    """One EBML element with a 1-byte size vint (fixture sizes are
+    tiny) — or 2-byte when the body crosses 127 bytes."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    if len(body) < 127:
+        return idb + bytes([0x80 | len(body)]) + body
+    return idb + bytes([0x40 | (len(body) >> 8), len(body) & 0xFF]) + body
+
+
+def build_mkv(width: int, height: int, duration_units: float) -> bytes:
+    """Minimal matroska: EBML header (DocType) + Segment[Info[
+    TimestampScale, Duration], Tracks[TrackEntry[Video[PixelWidth,
+    PixelHeight]]]]."""
+    import struct
+
+    header = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"matroska"))
+    info = _ebml_el(
+        _MKV_INFO,
+        _ebml_el(_MKV_TIMESTAMP_SCALE, (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(_MKV_DURATION, struct.pack(">d", duration_units)),
+    )
+    video = _ebml_el(
+        _MKV_VIDEO,
+        _ebml_el(_MKV_PIXEL_WIDTH, width.to_bytes(2, "big"))
+        + _ebml_el(_MKV_PIXEL_HEIGHT, height.to_bytes(2, "big")),
+    )
+    tracks = _ebml_el(_MKV_TRACKS, _ebml_el(_MKV_TRACK_ENTRY, video))
+    return header + _ebml_el(_MKV_SEGMENT, info + tracks)
+
+
+def synthesize_video_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic video fixtures: per doc, arm ``id%3`` — 0 = MP4,
+    1 = MKV, 2 = a corrupt moov whose declared size overflows the
+    buffer (parses to 'unsupported': the damage path is part of the
+    ORACLE, not just a fuzz test).  dims/timescale/duration are pure
+    arithmetic so the query's SQL twin recomputes them relationally."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        scales = [600, 1000, 90000, 48000]
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 16 * (1 + i % 80)
+                h = 16 * (1 + i % 45)
+                dur = 1 + i % 100000
+                arm = i % 3
+                if arm == 0:
+                    p = build_mp4(w, h, scales[i % 4], dur)
+                elif arm == 1:
+                    p = build_mkv(w, h, float(dur))
+                else:
+                    p = b"\x00\x00\x01\x00moovJU"  # size 256, 10 bytes
+                ids.append(i)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(fn, IMAGE_FIXTURE_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, "
+    "timescale bigint, duration_ms bigint"
+)
+
+
+def video_meta(df: DataFrame) -> DataFrame:
+    """Header-only video metadata over Arrow batches — the cheap
+    full-corpus pass feeding resolution/duration curation filters.
+    Unparseable payloads become ``format='unsupported'`` rows."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from struct import error as struct_error
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = parse_video_header(bytes(payload))
+                except (NotImplementedError, ValueError, struct_error):
+                    d = {
+                        "format": "unsupported",
+                        "width": None,
+                        "height": None,
+                        "timescale": None,
+                        "duration_ms": None,
+                    }
+                rows.append({"doc_id": doc_id, **d})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, VIDEO_META_SCHEMA)
