@@ -187,11 +187,29 @@ def main() -> None:
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # probe pins: the store-building queries above pin build+probe as
+    # one number; here each store family builds ONCE (untimed) and the
+    # serving probe is timed alone — the per-request cost a deployment
+    # actually pays, immune to fixture-build and /tmp-pressure noise.
+    from webarchive_indexing_spark.queries.probes import PROBES  # noqa: E402,PLC0415
+
+    ctxs: dict[str, object] = {}
+    for p in PROBES.values():
+        if p.family not in ctxs:
+            ctxs[p.family] = p.build(spark, sf_dir)
+    probe_timings: dict[str, float] = {}
+    for name, p in PROBES.items():
+        materialize(p.probe(spark, ctxs[p.family]))  # untimed warmup
+        t0 = time.perf_counter()
+        materialize(p.probe(spark, ctxs[p.family]))
+        probe_timings[name] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "probes": probe_timings,
         "sf": sf,
     }
     # PINS.json: the per-query capability pins (quiet best-of-4 /
@@ -201,7 +219,8 @@ def main() -> None:
     pins_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PINS.json")
     if os.path.exists(pins_path) and sf == "0.1":
         with open(pins_path) as fh:
-            pins = json.load(fh)["pins"]
+            pdata = json.load(fh)
+        pins = pdata["pins"]
         shared = [n for n in timings if n in pins]
         pin_sum = sum(pins[n]["sec"] for n in shared)
         if pin_sum > 0:
@@ -212,6 +231,25 @@ def main() -> None:
                 "ratio": round(sum(timings[n] for n in shared) / pin_sum, 3),
                 "over_2x": sorted(
                     n for n in shared if timings[n] > 2 * pins[n]["sec"]
+                ),
+            }
+        ppins = pdata.get("probe_pins", {})
+        pshared = [n for n in probe_timings if n in ppins]
+        ppin_sum = sum(ppins[n]["sec"] for n in pshared)
+        if ppin_sum > 0:
+            out["vs_probe_pins"] = {
+                "probes": len(pshared),
+                "pinned_sec": round(ppin_sum, 3),
+                "measured_sec": round(
+                    sum(probe_timings[n] for n in pshared), 3
+                ),
+                "ratio": round(
+                    sum(probe_timings[n] for n in pshared) / ppin_sum, 3
+                ),
+                "over_2x": sorted(
+                    n
+                    for n in pshared
+                    if probe_timings[n] > 2 * ppins[n]["sec"]
                 ),
             }
     print(json.dumps(out))

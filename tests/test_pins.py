@@ -40,3 +40,37 @@ def test_pin_entries_are_well_formed():
     for name, entry in _pins().items():
         assert isinstance(entry.get("sec"), (int, float)) and entry["sec"] > 0, name
         assert isinstance(entry.get("provenance"), str) and entry["provenance"], name
+
+
+def _probe_pins():
+    with open(os.path.join(ROOT, "PINS.json")) as fh:
+        return json.load(fh).get("probe_pins", {})
+
+
+def test_every_probe_is_pinned():
+    from webarchive_indexing_spark.queries.probes import PROBES
+
+    pins = _probe_pins()
+    missing = [n for n in PROBES if n not in pins]
+    assert not missing, (
+        f"probe entries without a PINS.json probe_pins entry: {missing} — "
+        "measure under the quiet best-of-4 protocol and pin them"
+    )
+
+
+def test_probe_pins_name_real_probes_and_parents():
+    from webarchive_indexing_spark.queries.probes import PROBES
+
+    _ensure_loaded()
+    unknown = [n for n in _probe_pins() if n not in PROBES]
+    assert not unknown, f"probe pins for unknown probes: {unknown}"
+    bad_parent = [n for n, p in PROBES.items() if p.parent not in REGISTRY]
+    assert not bad_parent, f"probes with unregistered parents: {bad_parent}"
+    off_name = [n for n, p in PROBES.items() if n != p.parent + "_probe"]
+    assert not off_name, f"probe names must be <parent>_probe: {off_name}"
+
+
+def test_probe_pin_entries_are_well_formed():
+    for name, entry in _probe_pins().items():
+        assert isinstance(entry.get("sec"), (int, float)) and entry["sec"] > 0, name
+        assert isinstance(entry.get("provenance"), str) and entry["provenance"], name

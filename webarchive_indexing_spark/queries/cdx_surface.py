@@ -3359,6 +3359,51 @@ def cdx_parquet_index_roundtrip(spark, sf_dir):
     )
 
 
+def _zipnum_epoch_store(spark, sf_dir, tmp_prefix: str) -> str:
+    """Shared fixture for the ZipNum-epoch-store queries (the build
+    half the probe bench skips): even-crawl captures land as epoch 0,
+    odd-crawl as epoch 1, then a whole-URL takedown of the src2
+    subtree as tombstone epoch 2."""
+    import tempfile
+
+    from ..sinks.zipnum import write_tombstone_epoch, write_zipnum_epoch
+
+    out = tempfile.mkdtemp(prefix=tmp_prefix)
+    base = _zipnum_input(spark, sf_dir)
+    crawl_no = F.substring("filename", 7, 2).cast("int")
+    write_zipnum_epoch(
+        base.filter(crawl_no % 2 == 0), out, 0, shards=2, numlines=100
+    )
+    write_zipnum_epoch(
+        base.filter(crawl_no % 2 == 1), out, 1, shards=2, numlines=100
+    )
+    takedown = (
+        base.filter(F.col("urlkey").startswith("org,example,src2)/"))
+        .select("urlkey")
+        .distinct()
+        .withColumn("timestamp", F.lit(None).cast("string"))
+    )
+    write_tombstone_epoch(takedown, out, "takedown:src2")  # epoch 2
+    return out
+
+
+def zipnum_time_travel_read(spark, store: str):
+    """Probe half of ``zipnum_time_travel``: three snapshot reads of a
+    pre-built store (each the same pruned per-epoch scan as a live
+    read) unioned with a snap tag."""
+    from ..sinks.zipnum import read_zipnum_epochs
+
+    snaps = [
+        read_zipnum_epochs(spark, store, as_of_epoch=i)
+        .select(F.lit(i).alias("snap"), "urlkey", "timestamp")
+        for i in (0, 1, 2)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 @query(
     "zipnum_time_travel",
     oracle=CDX_SQL + """
@@ -3381,40 +3426,12 @@ def zipnum_time_travel(spark, sf_dir):
     metadata, and the oracle recomputes all three views relationally.
     Read cost per snapshot is identical to a live read (per-epoch
     block pruning + the union), so time travel adds zero scan work
-    at any scale."""
-    import tempfile
-
-    from ..sinks.zipnum import (
-        read_zipnum_epochs,
-        write_tombstone_epoch,
-        write_zipnum_epoch,
+    at any scale.  Build and probe halves are pinned separately
+    (PINS.json ``probe_pins``) so a probe regression can't hide under
+    fixture-build noise."""
+    return zipnum_time_travel_read(
+        spark, _zipnum_epoch_store(spark, sf_dir, "zipnum_tt_")
     )
-
-    out = tempfile.mkdtemp(prefix="zipnum_tt_")
-    base = _zipnum_input(spark, sf_dir)
-    crawl_no = F.substring("filename", 7, 2).cast("int")
-    write_zipnum_epoch(
-        base.filter(crawl_no % 2 == 0), out, 0, shards=2, numlines=100
-    )
-    write_zipnum_epoch(
-        base.filter(crawl_no % 2 == 1), out, 1, shards=2, numlines=100
-    )
-    takedown = (
-        base.filter(F.col("urlkey").startswith("org,example,src2)/"))
-        .select("urlkey")
-        .distinct()
-        .withColumn("timestamp", F.lit(None).cast("string"))
-    )
-    write_tombstone_epoch(takedown, out, "takedown:src2")  # epoch 2
-    snaps = [
-        read_zipnum_epochs(spark, out, as_of_epoch=i)
-        .select(F.lit(i).alias("snap"), "urlkey", "timestamp")
-        for i in (0, 1, 2)
-    ]
-    outdf = snaps[0]
-    for s in snaps[1:]:
-        outdf = outdf.unionByName(s)
-    return outdf
 
 
 @query(
@@ -3441,34 +3458,20 @@ def cdx_epoch_diff(spark, sf_dir):
     each snapshot read is the same pruned per-epoch scan as a live
     read, and exceptAll is one hash aggregation per direction — diff
     cost scales with the snapshots' sizes, never with history depth
-    (epochs are immutable; nothing is replayed)."""
-    import tempfile
-
-    from ..sinks.zipnum import (
-        read_zipnum_epochs,
-        write_tombstone_epoch,
-        write_zipnum_epoch,
+    (epochs are immutable; nothing is replayed).  Probe half pinned
+    separately (PINS.json ``probe_pins``)."""
+    return cdx_epoch_diff_read(
+        spark, _zipnum_epoch_store(spark, sf_dir, "zipnum_diff_")
     )
 
-    out = tempfile.mkdtemp(prefix="zipnum_diff_")
-    base = _zipnum_input(spark, sf_dir)
-    crawl_no = F.substring("filename", 7, 2).cast("int")
-    write_zipnum_epoch(
-        base.filter(crawl_no % 2 == 0), out, 0, shards=2, numlines=100
-    )
-    write_zipnum_epoch(
-        base.filter(crawl_no % 2 == 1), out, 1, shards=2, numlines=100
-    )
-    takedown = (
-        base.filter(F.col("urlkey").startswith("org,example,src2)/"))
-        .select("urlkey")
-        .distinct()
-        .withColumn("timestamp", F.lit(None).cast("string"))
-    )
-    write_tombstone_epoch(takedown, out, "takedown:src2")  # epoch 2
+
+def cdx_epoch_diff_read(spark, store: str):
+    """Probe half of ``cdx_epoch_diff``: two snapshot reads of a
+    pre-built store + exceptAll both ways."""
+    from ..sinks.zipnum import read_zipnum_epochs
 
     def snap(as_of):
-        return read_zipnum_epochs(spark, out, as_of_epoch=as_of).select(
+        return read_zipnum_epochs(spark, store, as_of_epoch=as_of).select(
             "urlkey", "timestamp"
         )
 
@@ -3503,32 +3506,21 @@ def cdx_epoch_query_asof(spark, sf_dir):
     empty snapshot-2 contribution is verified by the row-count match.
     Per-epoch block pruning still applies at each snapshot — the
     domain key range prunes every epoch's secondary index before any
-    shard bytes are read."""
-    import tempfile
+    shard bytes are read.  Probe half pinned separately (PINS.json
+    ``probe_pins``)."""
+    return cdx_epoch_query_asof_read(
+        spark, _zipnum_epoch_store(spark, sf_dir, "zipnum_eq_")
+    )
 
+
+def cdx_epoch_query_asof_read(spark, store: str):
+    """Probe half of ``cdx_epoch_query_asof``: the same composed
+    request at two snapshots of a pre-built store."""
     from ..operators.cdx_query import cdx_query_epochs
-    from ..sinks.zipnum import write_tombstone_epoch, write_zipnum_epoch
-
-    out = tempfile.mkdtemp(prefix="zipnum_eq_")
-    base = _zipnum_input(spark, sf_dir)
-    crawl_no = F.substring("filename", 7, 2).cast("int")
-    write_zipnum_epoch(
-        base.filter(crawl_no % 2 == 0), out, 0, shards=2, numlines=100
-    )
-    write_zipnum_epoch(
-        base.filter(crawl_no % 2 == 1), out, 1, shards=2, numlines=100
-    )
-    takedown = (
-        base.filter(F.col("urlkey").startswith("org,example,src2)/"))
-        .select("urlkey")
-        .distinct()
-        .withColumn("timestamp", F.lit(None).cast("string"))
-    )
-    write_tombstone_epoch(takedown, out, "takedown:src2")  # epoch 2
 
     def req(as_of):
         return cdx_query_epochs(
-            spark, out, "https://src2.example.org", match_type="domain",
+            spark, store, "https://src2.example.org", match_type="domain",
             filters=["=status:200"], from_="2015", to="2016",
             as_of_epoch=as_of,
         ).select(
@@ -3823,10 +3815,17 @@ def cdx_parquet_takedown(spark, sf_dir):
     src2 subtree vanishes entirely) and exact-capture (only the
     pre-2016 src1 captures vanish; later ones stay).  Tombstones are
     metadata-sized broadcast anti-joins at read time; physical purge
-    happens at the next compaction (``parquet_compact_purge``)."""
+    happens at the next compaction (``parquet_compact_purge``).
+    Probe half pinned separately (PINS.json ``probe_pins``)."""
+    store = _parquet_epoch_store(spark, sf_dir, "pqidx_td_")
+    return cdx_parquet_takedown_read(spark, store)
+
+
+def cdx_parquet_takedown_read(spark, store: str):
+    """Probe half of ``cdx_parquet_takedown``: the domain request
+    against a pre-built tombstoned store."""
     from ..operators.cdx_query import cdx_query_parquet
 
-    store = _parquet_epoch_store(spark, sf_dir, "pqidx_td_")
     return cdx_query_parquet(
         spark, store, "https://example.org", match_type="domain",
         filters=["=status:200"],
@@ -3853,10 +3852,17 @@ def parquet_time_travel(spark, sf_dir):
     src2 capture from both crawls.  A snapshot is an epoch-id cutoff
     — no copy-on-write, no extra metadata, and each snapshot read
     costs the same as a live read (per-epoch parquet scans with the
-    pushed filters + the union)."""
+    pushed filters + the union).  Probe half pinned separately
+    (PINS.json ``probe_pins``)."""
+    store = _parquet_epoch_store(spark, sf_dir, "pqidx_tt_")
+    return parquet_time_travel_read(spark, store)
+
+
+def parquet_time_travel_read(spark, store: str):
+    """Probe half of ``parquet_time_travel``: three snapshot reads of
+    a pre-built columnar epoch store."""
     from ..sinks.parquet_index import read_parquet_index_epochs
 
-    store = _parquet_epoch_store(spark, sf_dir, "pqidx_tt_")
     snaps = [
         read_parquet_index_epochs(spark, store, as_of_epoch=i)
         .select(
@@ -3891,14 +3897,21 @@ def parquet_compact_purge(spark, sf_dir):
     tests/test_parquet_index.py, which greps the merged epoch's
     parquet bytes).  Same crash/reader-safe rename protocol as the
     ZipNum merge: build under a tmp name, record compaction.inputs,
-    carry the tombstone list forward, one atomic rename."""
-    from ..sinks.parquet_index import (
-        compact_parquet_index_epochs,
-        read_parquet_index_epochs,
-    )
+    carry the tombstone list forward, one atomic rename.  The
+    post-compaction read is pinned separately (PINS.json
+    ``probe_pins``; the compaction itself is build-shaped work)."""
+    from ..sinks.parquet_index import compact_parquet_index_epochs
 
     store = _parquet_epoch_store(spark, sf_dir, "pqidx_cp_")
     compact_parquet_index_epochs(spark, store, range_partitions=4)
+    return parquet_compacted_read(spark, store)
+
+
+def parquet_compacted_read(spark, store: str):
+    """Probe half of ``parquet_compact_purge``: the merged-epoch read
+    over an already-compacted store."""
+    from ..sinks.parquet_index import read_parquet_index_epochs
+
     return read_parquet_index_epochs(spark, store).select(
         "url_surtkey",
         F.date_format("fetch_time", "yyyyMMddHHmmss").alias("timestamp"),

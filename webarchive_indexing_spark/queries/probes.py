@@ -1,0 +1,208 @@
+"""Probe-pin registry: SERVING halves of the store-building queries.
+
+The heavy registry queries that build a store in-query (epoch LSM
+fixtures, trained ANN indexes) pin build+probe as one bench number, so
+a regression in the cheap serving probe can hide under build noise and
+/tmp pressure (BASELINE.md round-10 diagnosis).  Each entry here names
+the PROBE half explicitly: ``build(spark, sf_dir) -> ctx`` constructs
+the store once (untimed by the bench), ``probe(spark, ctx) ->
+DataFrame`` is the serving-path plan a deployment actually pays per
+request.  Entries sharing a ``family`` share one build.
+
+bench.py times every probe against its pre-built store and reports
+them beside the headline queries; PINS.json ``probe_pins`` carries
+their quiet-protocol baselines, with the drift guard in
+tests/test_pins.py.  Correctness is NOT re-proved here — each probe
+body is the same code path its parent registry query runs under the
+DuckDB oracle; tests/test_registry.py pins that parent linkage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Probe:
+    #: registry query whose serving half this probe times
+    parent: str
+    #: build-sharing key: probes with equal family reuse one ctx
+    family: str
+    build: Callable[[SparkSession, str], object]
+    probe: Callable[[SparkSession, object], DataFrame]
+
+
+def _build_zipnum_epochs(spark, sf_dir):
+    from .cdx_surface import _zipnum_epoch_store
+
+    return _zipnum_epoch_store(spark, sf_dir, "probe_znstore_")
+
+
+def _build_parquet_epochs(spark, sf_dir):
+    from .cdx_surface import _parquet_epoch_store
+
+    return _parquet_epoch_store(spark, sf_dir, "probe_pqstore_")
+
+
+def _build_parquet_compacted(spark, sf_dir):
+    from ..sinks.parquet_index import compact_parquet_index_epochs
+    from .cdx_surface import _parquet_epoch_store
+
+    store = _parquet_epoch_store(spark, sf_dir, "probe_pqcomp_")
+    compact_parquet_index_epochs(spark, store, range_partitions=4)
+    return store
+
+
+def _build_ivf_store(spark, sf_dir):
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import write_ivf_index
+    from .helpers import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="probe_ivf_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    return {"dir": out, "qv": collect_query_vector(emb, 123)}
+
+
+def _build_ivf_store_deleted(spark, sf_dir):
+    from ..sinks.ann_index import delete_from_ann_index
+    from .llm import _ANN_DELETED_IDS
+
+    ctx = _build_ivf_store(spark, sf_dir)
+    delete_from_ann_index(ctx["dir"], _ANN_DELETED_IDS)
+    return ctx
+
+
+def _build_ivfpq_store(spark, sf_dir):
+    """One PQ store build serves the plain probe, the batch probe, and
+    (refine='flat') the sidecar refine probe."""
+    import tempfile
+
+    from ..sinks.ann_index import write_ivfpq_index
+    from .helpers import t
+    from .llm import _ANN_BATCH_QIDS
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="probe_ivfpq_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="flat",
+    )
+    from pyspark.sql import functions as F
+
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return {"dir": out, "qv": vecs[77], "qids": qids,
+            "qvs": [vecs[q] for q in qids]}
+
+
+def _build_ivfpq_store_deleted(spark, sf_dir):
+    from ..sinks.ann_index import delete_from_ann_index
+    from .llm import _PQ_DELETED_IDS
+
+    ctx = _build_ivfpq_store(spark, sf_dir)
+    delete_from_ann_index(ctx["dir"], _PQ_DELETED_IDS)
+    return ctx
+
+
+def _p_ivf_topk(spark, ctx):
+    from ..sinks.ann_index import ivf_index_probe_topk
+
+    return ivf_index_probe_topk(
+        spark, ctx["dir"], ctx["qv"], k=10, nprobe=3, exclude_id=123
+    )
+
+
+def _p_ivfpq_topk(spark, ctx):
+    from ..sinks.ann_index import ivfpq_index_probe_topk
+
+    return ivfpq_index_probe_topk(
+        spark, ctx["dir"], ctx["qv"], k=10, nprobe=3, exclude_id=77
+    )
+
+
+def _p_ivfpq_refined(spark, ctx):
+    from ..sinks.ann_index import ivfpq_refined_topk
+
+    return ivfpq_refined_topk(
+        spark, ctx["dir"], None, ctx["qv"], k=10, k_factor=4, nprobe=3,
+        exclude_id=77,
+    )
+
+
+def _p_ann_batch(spark, ctx):
+    from ..sinks.ann_index import ivfpq_index_probe_batch_topk
+
+    return ivfpq_index_probe_batch_topk(
+        spark, ctx["dir"], ctx["qvs"], k=10, nprobe=3,
+        exclude_ids=ctx["qids"],
+    )
+
+
+def _reads(mod_fn: str):
+    def probe(spark, store):
+        from . import cdx_surface
+
+        return getattr(cdx_surface, mod_fn)(spark, store)
+
+    return probe
+
+
+PROBES: dict[str, Probe] = {
+    "zipnum_time_travel_probe": Probe(
+        "zipnum_time_travel", "zipnum_epochs",
+        _build_zipnum_epochs, _reads("zipnum_time_travel_read"),
+    ),
+    "cdx_epoch_diff_probe": Probe(
+        "cdx_epoch_diff", "zipnum_epochs",
+        _build_zipnum_epochs, _reads("cdx_epoch_diff_read"),
+    ),
+    "cdx_epoch_query_asof_probe": Probe(
+        "cdx_epoch_query_asof", "zipnum_epochs",
+        _build_zipnum_epochs, _reads("cdx_epoch_query_asof_read"),
+    ),
+    "parquet_time_travel_probe": Probe(
+        "parquet_time_travel", "parquet_epochs",
+        _build_parquet_epochs, _reads("parquet_time_travel_read"),
+    ),
+    "cdx_parquet_takedown_probe": Probe(
+        "cdx_parquet_takedown", "parquet_epochs",
+        _build_parquet_epochs, _reads("cdx_parquet_takedown_read"),
+    ),
+    "parquet_compact_purge_probe": Probe(
+        "parquet_compact_purge", "parquet_compacted",
+        _build_parquet_compacted, _reads("parquet_compacted_read"),
+    ),
+    "emb_ivf_persisted_topk_probe": Probe(
+        "emb_ivf_persisted_topk", "ivf_store",
+        _build_ivf_store, _p_ivf_topk,
+    ),
+    "emb_ivf_delete_probe_probe": Probe(
+        "emb_ivf_delete_probe", "ivf_store_deleted",
+        _build_ivf_store_deleted, _p_ivf_topk,
+    ),
+    "emb_ivfadc_persisted_topk_probe": Probe(
+        "emb_ivfadc_persisted_topk", "ivfpq_store",
+        _build_ivfpq_store, _p_ivfpq_topk,
+    ),
+    "emb_ivfpq_delete_probe_probe": Probe(
+        "emb_ivfpq_delete_probe", "ivfpq_store_deleted",
+        _build_ivfpq_store_deleted, _p_ivfpq_topk,
+    ),
+    "emb_ivfpq_refined_store_probe": Probe(
+        "emb_ivfpq_refined_store", "ivfpq_store",
+        _build_ivfpq_store, _p_ivfpq_refined,
+    ),
+    "emb_ann_query_batch_probe": Probe(
+        "emb_ann_query_batch", "ivfpq_store",
+        _build_ivfpq_store, _p_ann_batch,
+    ),
+}
