@@ -118,6 +118,68 @@ def assert_one_shuffle(spark, manifest: str) -> None:
     )
 
 
+def huge_file_sniff(spark, root: str, n_warcs: int, n_records: int) -> None:
+    """The intra-file-split story (round 11): the SAME record volume
+    laid out as many small WARCs vs ONE huge WARC, parsed three ways —
+    many-small (the natural per-file parallelism), huge unsplit (the
+    pathological one-task straggler), huge with ``split_bytes`` ranged
+    tasks.  Done-criterion: split wall-clock ≈ many-small wall-clock
+    (both fan across cores), both well under the unsplit straggler;
+    row sets identical."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.sources.warc import index_warcs
+
+    d = os.path.join(root, "huge")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    from multiprocessing import Pool
+
+    jobs = [
+        (os.path.join(d, f"small-{i:03d}.warc.gz"), 0, i, n_records)
+        for i in range(n_warcs)
+    ]
+    with Pool(min(32, os.cpu_count() or 4)) as pool:
+        small_paths = pool.map(_write_one, jobs)
+    huge = os.path.join(d, "huge.warc.gz")
+    with open(huge, "wb") as out:
+        for p in small_paths:  # same members, one file
+            with open(p, "rb") as fh:
+                out.write(fh.read())
+    size = os.path.getsize(huge)
+    records = n_warcs * n_records
+
+    m_small = spark.createDataFrame([(p,) for p in small_paths], ["path"])
+    m_huge = spark.createDataFrame([(huge,)], ["path"])
+    runs = (
+        ("many-small", m_small, None),
+        ("huge-unsplit", m_huge, None),
+        ("huge-split", m_huge, max(1, size // 32)),
+    )
+    counts = {}
+    for name, m, split in runs:
+        t0 = time.time()
+        counts[name] = index_warcs(spark, m, split_bytes=split).count()
+        sec = time.time() - t0
+        print(json.dumps({
+            "pipeline": f"parse:{name}", "records": records,
+            "sec": round(sec, 2),
+            "records_per_sec": round(records / sec),
+        }))
+    assert len(set(counts.values())) == 1, counts
+    # offsets/filenames differ by layout; the records must not
+    b = index_warcs(spark, m_huge, split_bytes=max(1, size // 32))
+    cols = [c for c in b.columns if c not in ("offset", "filename")]
+    got = sorted(map(tuple, b.select(cols).collect()))
+    want = sorted(
+        map(tuple, index_warcs(spark, m_small).select(cols).collect())
+    )
+    assert got == want
+    print(json.dumps({"huge_split_equivalence": "rows match many-small"}))
+
+
 def main(argv: list[str]) -> int:
     ks = [int(a) for a in argv if a.isdigit()] or [1, 10, 30]
     n_warcs = 20
@@ -128,6 +190,14 @@ def main(argv: list[str]) -> int:
         if a.startswith("--records="):
             n_records = int(a.split("=", 1)[1])
     root = "/tmp/ingest_sniff"
+
+    if "--huge" in argv:
+        from webarchive_indexing_spark.session import get_session
+
+        spark = get_session("ingest-sniff-huge")
+        spark.sparkContext.setLogLevel("ERROR")
+        huge_file_sniff(spark, root, n_warcs, n_records)
+        return 0
 
     # generate every fixture BEFORE the JVM starts: multiprocessing
     # fork + a live py4j gateway is a deadlock

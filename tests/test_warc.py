@@ -939,3 +939,111 @@ def test_wat_asset_and_header_damage_tolerance():
     # JSON stringifies the 7 key on the wire, so it survives as "7";
     # the non-string VALUE (42) drops its entry
     assert hrow[2] == {"Server": "ok", "7": "alsobad"}
+
+
+def test_find_member_split_offsets_true_boundaries(tmp_path):
+    """The pre-scan's verified offsets are exactly member starts: every
+    returned offset appears in the ground-truth member walk, offsets
+    bracket the size/n targets, and candidates inside deflate payloads
+    are rejected (verification decompresses and demands a WARC head)."""
+    from webarchive_indexing_spark.sources.warc import (
+        find_member_split_offsets,
+        iter_warc_members,
+        _next_member_offset,
+    )
+
+    recs = [
+        dict(
+            url=f"http://example.com/p{i}",
+            date_iso="2015-03-04T12:30:45Z",
+            # vary payloads so compressed members differ in size; embed
+            # the gzip magic INSIDE payloads to stress verification
+            payload=(b"\x1f\x8b\x08" + bytes([i % 251]) * (50 + 37 * i)),
+        )
+        for i in range(40)
+    ]
+    p = str(tmp_path / "big.warc.gz")
+    write_mini_warc(p, recs)
+    data = open(p, "rb").read()
+    truth = [off for off, _len, _rec in iter_warc_members(data)]
+
+    with open(p, "rb") as fh:
+        offs = find_member_split_offsets(fh, len(data), 8)
+    assert offs[0] == 0
+    assert offs == sorted(set(offs))
+    assert set(offs) <= set(truth), set(offs) - set(truth)
+    assert len(offs) >= 6  # targets actually split (members are small)
+
+    # a target mid-member resolves to the NEXT member boundary
+    with open(p, "rb") as fh:
+        nxt = _next_member_offset(fh, truth[3] + 1, len(data))
+    assert nxt == truth[4]
+
+
+def test_index_warcs_split_equals_unsplit(spark, tmp_path):
+    """Intra-file ranged parsing returns EXACTLY the unsplit rows —
+    same records, same absolute offsets — on a clean multi-member file
+    plus mixed small files; split_bytes only changes task shape."""
+    from webarchive_indexing_spark.sources.warc import index_warcs
+
+    recs = [
+        dict(
+            url=f"http://example.com/big/{i}",
+            date_iso="2015-03-04T12:30:45Z",
+            payload=bytes([i % 251]) * (200 + 13 * i),
+        )
+        for i in range(60)
+    ]
+    big = str(tmp_path / "huge.warc.gz")
+    write_mini_warc(big, recs)
+    small = str(tmp_path / "small.warc.gz")
+    write_mini_warc(small, _RECS[:2])
+    plain = str(tmp_path / "plain.warc")
+    write_mini_warc(plain, _RECS[2:], layout="plain")
+    manifest = spark.createDataFrame(
+        [(big,), (small,), (plain,)], ["path"]
+    )
+
+    base = sorted(map(tuple, index_warcs(spark, manifest).collect()))
+    split = index_warcs(
+        spark, manifest, split_bytes=os.path.getsize(big) // 6
+    )
+    assert sorted(map(tuple, split.collect())) == base
+    # the big file really fanned out into >1 ranged task
+    n_parts = split.rdd.getNumPartitions()
+    assert n_parts > 2, n_parts
+
+
+def test_index_warcs_split_recovers_ranges_past_corruption(spark, tmp_path):
+    """A corrupt member ends its RANGE, not the rest of the file:
+    ranges starting after the damage still parse — the split read
+    recovers at least every record the unsplit read recovers."""
+    from webarchive_indexing_spark.sources.warc import (
+        index_warcs,
+        iter_warc_members,
+    )
+
+    recs = [
+        dict(
+            url=f"http://example.com/c/{i}",
+            date_iso="2015-03-04T12:30:45Z",
+            payload=bytes([i % 251]) * 400,
+        )
+        for i in range(30)
+    ]
+    p = str(tmp_path / "damaged.warc.gz")
+    write_mini_warc(p, recs)
+    data = open(p, "rb").read()
+    offs = [o for o, _l, _r in iter_warc_members(data)]
+    # corrupt the 10th member's interior bytes
+    hit = offs[10] + 20
+    damaged = data[:hit] + b"\xde\xad\xbe\xef" + data[hit + 4 :]
+    open(p, "wb").write(damaged)
+
+    manifest = spark.createDataFrame([(p,)], ["path"])
+    base = index_warcs(spark, manifest).count()
+    split = index_warcs(
+        spark, manifest, split_bytes=len(damaged) // 5
+    ).count()
+    assert base == 10  # unsplit: everything after the damage is lost
+    assert split > base  # later ranges resume at verified boundaries

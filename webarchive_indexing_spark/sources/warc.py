@@ -193,6 +193,62 @@ def iter_warc_members_stream(fh, chunk_size: int = 1 << 20):
         offset += consumed
 
 
+def _next_member_offset(
+    fh, start: int, size: int, window: int = 1 << 20
+) -> int | None:
+    """First VERIFIED gzip-member boundary at or after byte ``start``:
+    scan forward for the gzip magic and accept a candidate only when
+    decompressing from it yields a ``WARC/`` (or ARC ``filedesc``)
+    record head — the magic bytes legitimately occur INSIDE deflate
+    streams, so an unverified seek would split mid-member and emit
+    garbage records.  The verification decompresses ≤4 KB per
+    candidate; windows advance until a boundary is found or the file
+    ends."""
+    pos = start
+    while pos < size:
+        fh.seek(pos)
+        buf = fh.read(min(window + 3, size - pos))
+        j = 0
+        while True:
+            k = buf.find(b"\x1f\x8b\x08", j)
+            if k < 0 or pos + k >= size:
+                break
+            fh.seek(pos + k)
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                head = d.decompress(fh.read(4096), 16)
+            except zlib.error:
+                head = b""
+            if head.startswith(b"WARC/") or head.startswith(b"filedesc"):
+                return pos + k
+            j = k + 1
+        # overlap 2 bytes so a magic straddling the window edge is seen
+        pos += max(1, len(buf) - 2)
+    return None
+
+
+def find_member_split_offsets(
+    fh, size: int, n_splits: int, *, window: int = 1 << 20
+) -> list[int]:
+    """Member-boundary offsets near the ``i·size/n_splits`` targets —
+    the cheap pre-scan that lets ONE pathological multi-GB .warc.gz
+    split into ranged tasks instead of becoming the ingest straggler
+    (one task = one file otherwise).  Always includes 0; drops targets
+    whose forward scan reaches a boundary past the next target (giant
+    members merge their ranges).  Cost: O(n_splits) seeks + ≤window
+    byte scans + 4 KB verification decompresses — metadata-scale
+    against the file itself."""
+    offs = [0]
+    for i in range(1, n_splits):
+        target = size * i // n_splits
+        if target <= offs[-1]:
+            continue
+        off = _next_member_offset(fh, target, size, window)
+        if off is not None and off > offs[-1]:
+            offs.append(off)
+    return offs
+
+
 def parse_warc_file_stream(
     filename: str,
     fh,
@@ -201,13 +257,27 @@ def parse_warc_file_stream(
     record_types: tuple[str, ...] | None = None,
     post_append: bool = False,
     chunk_size: int = 1 << 20,
+    base_offset: int = 0,
+    stop_before: int | None = None,
 ):
     """``parse_warc_file`` over a file handle via the streaming member
-    iterator — identical CDX tuples, O(member) memory."""
+    iterator — identical CDX tuples, O(member) memory.
+
+    ``base_offset``/``stop_before`` make the stream RANGE-able for
+    intra-file parallelism (``index_warcs`` split_bytes): the caller
+    seeks ``fh`` to a verified member boundary at absolute offset
+    ``base_offset`` and this parses every member that STARTS in
+    ``[base_offset, stop_before)`` — a member may extend past the
+    cut; the next range begins at the next member start, so ranges
+    partition the file's members exactly once each.  Emitted offsets
+    are absolute (replay needs the true file position)."""
     if record_types is None:
         record_types = DEFAULT_RECORD_TYPES
     short = filename.rsplit("/", 1)[-1]
     for offset, clen, member in iter_warc_members_stream(fh, chunk_size):
+        abs_off = base_offset + offset
+        if stop_before is not None and abs_off >= stop_before:
+            return
         records = list(split_warc_records(member)) or [(0, len(member), member)]
         for _, _, record in records:
             fields = _index_warc_record(
@@ -215,7 +285,7 @@ def parse_warc_file_stream(
                 post_append=post_append,
             )
             if fields is not None:
-                yield (*fields, clen, offset, short)
+                yield (*fields, clen, abs_off, short)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -598,6 +668,7 @@ def index_warcs(
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
     streaming: bool = True,
     post_append: bool = False,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """S1+S2: manifest (column ``path``) → typed CDX DataFrame; mixed
     WARC/ARC, gzipped or plain, all dispatch per file by magic bytes.
@@ -616,9 +687,23 @@ def index_warcs(
     ``post_append=True`` (with ``request`` in record_types) folds
     ``__wb_method`` + request-body params into request-record urlkeys
     — pywb cdx-indexer's -p flag [U pywb MethodQueryCanonicalizer],
-    the grammar that makes POSTed resources replayable."""
+    the grammar that makes POSTed resources replayable.
+
+    ``split_bytes`` (round 11) breaks INTRA-file parallelism out of
+    the one-task-per-file floor: a gzipped WARC larger than the
+    threshold gets a member-offset pre-scan (an executor-side job;
+    ``find_member_split_offsets`` — seeks + ≤4 KB verification
+    decompresses, never a full read) and each verified member range
+    becomes its own task, so one pathological 100 GB crawl file can
+    no longer straggle the whole ingest stage.  Ranges partition the
+    file's members exactly once each (a member belongs to the range
+    its START offset falls in); emitted offsets stay absolute.  One
+    semantic nuance, deliberate: a corrupt member still ends its
+    RANGE's iteration, but later ranges resume at their own verified
+    boundaries — a split parse recovers at least every record the
+    unsplit parse recovers (equal on clean files, pinned in
+    tests/test_warc.py)."""
     n_files = manifest.count()
-    n_parts = max(1, n_files // files_per_task)
 
     def parse(rows):
         # pyarrow.fs dispatch: local paths, s3://, hdfs://, gs:// all
@@ -627,9 +712,17 @@ def index_warcs(
         from ..sinks.zipnum import _fs_for
 
         for row in rows:
-            path = row[0]
+            path, start, end = row[0], row[1], row[2]
             fs, local = _fs_for(path)
             with fs.open_input_file(local) as fh:
+                if end >= 0:  # ranged task: verified member boundary
+                    fh.seek(start)
+                    yield from parse_warc_file_stream(
+                        path, fh, digest_b32=digest_b32,
+                        record_types=record_types, post_append=post_append,
+                        base_offset=start, stop_before=end,
+                    )
+                    continue
                 probe = fh.read(512)
                 fh.seek(0)
                 if streaming and probe[:2] == b"\x1f\x8b":
@@ -653,7 +746,47 @@ def index_warcs(
                 record_types=record_types, post_append=post_append,
             )
 
-    rdd = manifest.select("path").repartition(n_parts).rdd.mapPartitions(parse)
+    paths = manifest.select("path")
+    if split_bytes is None:
+        ranges_rdd = paths.rdd.map(lambda r: (r[0], 0, -1))
+        n_tasks = n_files
+    else:
+
+        def plan(rows):
+            # executor-side pre-scan: size check is one stat; only
+            # oversized gzip WARCs pay the boundary walk
+            from ..sinks.zipnum import _fs_for
+
+            for row in rows:
+                path = row[0]
+                fs, local = _fs_for(path)
+                size = fs.get_file_info(local).size or 0
+                if size <= split_bytes:
+                    yield (path, 0, -1)
+                    continue
+                with fs.open_input_file(local) as fh:
+                    head = fh.read(3)
+                    if head[:2] != b"\x1f\x8b":
+                        yield (path, 0, -1)  # plain formats stay whole
+                        continue
+                    n_splits = -(-size // split_bytes)  # ceil
+                    fh.seek(0)
+                    offs = find_member_split_offsets(fh, size, n_splits)
+                for s, e in zip(offs, offs[1:] + [size]):
+                    yield (path, s, e)
+
+        # the plan is metadata-sized (files × splits): collect once so
+        # the scan job runs exactly once and tasks repartition evenly
+        ranges = paths.rdd.mapPartitions(plan).collect()
+        ranges_rdd = spark.sparkContext.parallelize(ranges, max(1, len(ranges)))
+        n_tasks = len(ranges)
+
+    n_parts = max(1, n_tasks // files_per_task)
+    rdd = (
+        spark.createDataFrame(ranges_rdd, "path string, start long, end long")
+        .repartition(n_parts)
+        .rdd.mapPartitions(parse)
+    )
     return spark.createDataFrame(rdd, CDX_SCHEMA)
 
 
