@@ -162,6 +162,11 @@ HEADLINE = [
     "emb_ivfpq_delete_probe",
     "emb_ivfpq_refined_topk",
     "decontaminate_semantic",
+    # round 11
+    "emb_ann_query_batch",
+    "emb_ivfpq_refined_store",
+    "emb_ivfpq_refined_int8",
+    "multimodal_video_meta",
 ]
 
 

@@ -50,11 +50,12 @@ def query(name: str, oracle: str | None = None, tier: str = "A"):
 
 #: Queries whose SEMANTICS changed since their last green verdict —
 #: surface them first so the next CORRECTNESS round records the change.
-#: Round 10: cdx_robots_flags gained the full RFC 9309 pattern grammar
-#: (wildcard/$ rules now evaluate — the fixture's sn%3==1 arm changed
-#: flags) and cdx_surt_urlkey's percent pass runs to fixpoint (no
-#: fixture URL carries escapes, but the canonicalizer changed).
-_VERIFY_EARLY: tuple[str, ...] = ("cdx_robots_flags", "cdx_surt_urlkey")
+#: Round 11: none — the round's fixes are cost-only (pct-pass
+#: early-exit, tombstone guard) or grammar edges no fixture exercises
+#: (multipart boundary anchoring; cdx_post_request_key re-passed its
+#: oracle unchanged), so the driver window belongs entirely to the
+#: stalest cohort (the r6 fn_*/skew_*/pandas_grouped_* family).
+_VERIFY_EARLY: tuple[str, ...] = ()
 
 
 def _verified_rounds() -> dict[str, int]:
