@@ -722,3 +722,20 @@ def test_video_meta_single_pass_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_video_meta")
     assert "Exchange" not in plan, plan[:600]
     assert plan.count("MapInPandas") == 2, plan[:600]
+
+
+def test_ann_refined_batch_single_sidecar_scan(spark, sf_dir):
+    """Batch+refine: the refine stage is ONE sidecar scan pruned to
+    the candidates' cells with a pushed-down id In filter, the
+    per-request fan-out is a map-side generate, and the only Exchange
+    is the request_no window — N requests re-rank in one pass."""
+    plan = _plan(spark, sf_dir, "emb_ann_refined_batch")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "vec_id" in pushed and "In" in pushed, pushed
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "request_no" in plan.split("Exchange", 1)[1].splitlines()[0]
+    assert "Join" not in plan

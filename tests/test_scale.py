@@ -1248,3 +1248,54 @@ def test_refine_int8_sidecar_roundtrip(spark, sf_dir):
     write_ivfpq_index(emb, out2, n_cells=8, n_sub=4, k_codes=8, train_iters=2)
     with _pytest.raises(ValueError, match="no refine sidecar"):
         ivfpq_refined_topk(spark, out2, None, qv, k=10)
+
+
+def test_ann_refined_batch_equals_per_request_loop(spark, sf_dir):
+    """Batch+refine composition: per-request rows equal the
+    one-at-a-time sidecar refine verbatim, including when a tombstone
+    removes a candidate (exclusion happens in the shared ADC probe)."""
+    import tempfile
+
+    from webarchive_indexing_spark.sinks.ann_index import (
+        delete_from_ann_index,
+        ivfpq_refined_batch_topk,
+        ivfpq_refined_topk,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_refbatch_tw_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="flat",
+    )
+    qids = [77, 123, 55, 321]
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+
+    def loop():
+        rows = []
+        for i, q in enumerate(qids):
+            for r in ivfpq_refined_topk(
+                spark, out, None, vecs[q], k=6, k_factor=4, nprobe=3,
+                exclude_id=q,
+            ).collect():
+                rows.append((i, r.vec_id, r.cos_sim))
+        return sorted(rows)
+
+    got = ivfpq_refined_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=6, k_factor=4, nprobe=3,
+        exclude_ids=qids,
+    )
+    assert sorted(map(tuple, got.collect())) == loop()
+
+    victim = loop()[0][1]
+    delete_from_ann_index(out, [victim])
+    got2 = ivfpq_refined_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=6, k_factor=4, nprobe=3,
+        exclude_ids=qids,
+    ).collect()
+    assert victim not in {r.vec_id for r in got2}
+    assert sorted(map(tuple, got2)) == loop()

@@ -1638,6 +1638,58 @@ def _ann_batch_sql() -> str:
     return " UNION ALL ".join(subs)
 
 
+def _ann_refined_batch_sql() -> str:
+    """UNION ALL of the refined twin per request — the per-request
+    ``ivfpq_refined_topk`` loop the batch-refine composition
+    amortizes."""
+    from ..operators.similarity import sql_ivfpq_refined_topk
+
+    subs = []
+    for i, qid in enumerate(_ANN_BATCH_QIDS):
+        inner = sql_ivfpq_refined_topk(
+            query_vec_id=qid, k=10, k_factor=4, n_cells=8, nprobe=3,
+            n_sub=4, k_codes=8, train_iters=2,
+        )
+        subs.append(f"SELECT {i} AS request_no, q.* FROM ({inner}) q")
+    return " UNION ALL ".join(subs)
+
+
+@query("emb_ann_refined_batch", oracle=_ann_refined_batch_sql(), tier="C")
+def emb_ann_refined_batch(spark, sf_dir):
+    """BATCH + REFINE composed (round 11 — the full production vector
+    request path): N query vectors run the batch ADC over-fetch (one
+    union-of-cells pruned CODES scan) and then ONE sidecar refine scan
+    — pruned to the union of the candidates' cells with a pushed-down
+    id In filter — re-ranks every (request, candidate) pair with exact
+    cosine, per-request top-k via one ``request_no`` window.  Two jobs
+    total for N requests, against 2·N for the per-request loop; the
+    oracle UNION ALLs the refined twin per request, so the hash match
+    proves each request's batch rows equal its one-at-a-time refined
+    answer (FAISS batched search over IndexRefineFlat)."""
+    import tempfile
+
+    from ..sinks.ann_index import (
+        ivfpq_refined_batch_topk,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_refbatch_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="flat",
+    )
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return ivfpq_refined_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=10, k_factor=4, nprobe=3,
+        exclude_ids=qids,
+    )
+
+
 @query("emb_ann_query_batch", oracle=_ann_batch_sql(), tier="C")
 def emb_ann_query_batch(spark, sf_dir):
     """BATCH ANN serving (round 11 — FAISS batched ``search()`` / the

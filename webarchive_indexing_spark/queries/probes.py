@@ -147,6 +147,15 @@ def _p_ann_batch(spark, ctx):
     )
 
 
+def _p_ann_refined_batch(spark, ctx):
+    from ..sinks.ann_index import ivfpq_refined_batch_topk
+
+    return ivfpq_refined_batch_topk(
+        spark, ctx["dir"], ctx["qvs"], k=10, k_factor=4, nprobe=3,
+        exclude_ids=ctx["qids"],
+    )
+
+
 def _reads(mod_fn: str):
     def probe(spark, store):
         from . import cdx_surface
@@ -204,5 +213,9 @@ PROBES: dict[str, Probe] = {
     "emb_ann_query_batch_probe": Probe(
         "emb_ann_query_batch", "ivfpq_store",
         _build_ivfpq_store, _p_ann_batch,
+    ),
+    "emb_ann_refined_batch_probe": Probe(
+        "emb_ann_refined_batch", "ivfpq_store",
+        _build_ivfpq_store, _p_ann_refined_batch,
     ),
 }

@@ -614,6 +614,94 @@ def ivfpq_index_probe_batch_topk(
     )
 
 
+def ivfpq_refined_batch_topk(
+    spark: SparkSession,
+    out_dir: str,
+    query_vecs: list[list[float]],
+    *,
+    k: int = 10,
+    k_factor: int = 4,
+    nprobe: int = 3,
+    exclude_ids: list[int | None] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch serving COMPOSED with the refine stage — the full
+    production request path in two jobs for N queries: (1) the batch
+    ADC probe over-fetches ``k·k_factor`` candidates per request from
+    one union-of-cells pruned codes scan; (2) ONE sidecar scan, pruned
+    to the union of candidate cells + a pushed-down union-of-ids In
+    filter, re-ranks every (request, candidate) pair exactly — each
+    row fans out to the requests it is a candidate for via a struct
+    array (NULL cos_sim = not this request's candidate, filtered), and
+    per-request top-k is one ``request_no`` window.  Per-request rows
+    hash-match the one-at-a-time ``ivfpq_refined_topk`` loop: batching
+    changes the job count (2 vs 2·N), never the answer."""
+    from ..operators.similarity import cosine, lit_double_array
+    from ..queries.helpers import hround
+
+    cand = ivfpq_index_probe_batch_topk(
+        spark, out_dir, query_vecs, k=k * k_factor, nprobe=nprobe,
+        exclude_ids=exclude_ids, id_col=id_col,
+    )
+    kind = read_ivfpq_model(out_dir)[2].get("refine")
+    if not kind:
+        raise ValueError(
+            f"store {out_dir!r} has no refine sidecar — rebuild with "
+            f"write_ivfpq_index(refine='flat'|'int8')"
+        )
+    rows = cand.select("request_no", id_col, "cell").collect()
+    per_req: dict[int, list[int]] = {}
+    cells: set[int] = set()
+    all_ids: set[int] = set()
+    for r in rows:
+        per_req.setdefault(int(r["request_no"]), []).append(int(r[id_col]))
+        cells.add(int(r["cell"]))
+        all_ids.add(int(r[id_col]))
+    side = (
+        spark.read.parquet(_join(out_dir, "refine"))
+        .filter(F.col("cell").isin(sorted(cells)))
+        .filter(F.col(id_col).isin(sorted(all_ids)))
+    )
+    if kind == "flat":
+        vec = F.col(vec_col)
+    else:  # int8: dequantize q·scale/127 (exact-IEEE, oracle twin)
+        vec = F.transform(
+            F.col("q"),
+            lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
+        )
+    entries = []
+    for i, qv in enumerate(query_vecs):
+        ids_i = sorted(per_req.get(i, []))
+        sim = hround(cosine(vec, lit_double_array(qv)), 6)
+        member = F.col(id_col).isin(ids_i) if ids_i else F.lit(False)
+        entries.append(
+            F.struct(
+                F.lit(i).alias("request_no"),
+                F.when(member, sim).alias("cos_sim"),
+            )
+        )
+    hits = (
+        side.select(F.col(id_col), F.explode(F.array(*entries)).alias("e"))
+        .select(
+            F.col("e.request_no").alias("request_no"),
+            F.col(id_col),
+            F.col("e.cos_sim").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("request_no").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("request_no", id_col, "cos_sim")
+    )
+
+
 def ivfpq_refined_topk(
     spark: SparkSession,
     out_dir: str,
