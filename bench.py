@@ -165,6 +165,7 @@ HEADLINE = [
     # round 11
     "emb_ann_query_batch",
     "emb_ann_refined_batch",
+    "emb_ivf_query_batch",
     "emb_ivfpq_refined_store",
     "emb_ivfpq_refined_int8",
     "multimodal_video_meta",

@@ -370,6 +370,14 @@ def test_parse_video_header_golden():
         "timescale"
     ] == 1000
 
+    # zero tkhd presentation dims (raw captures): the parser falls
+    # back to the coded dims in the stsd avc1 VisualSampleEntry
+    got = parse_video_header(
+        build_mp4(854, 480, 25, 250, dims_in="stsd")
+    )
+    assert (got["width"], got["height"]) == (854, 480)
+    assert got["duration_ms"] == 10000
+
     # unknown-size Segment (streamed matroska): all size bits set
     mkv = build_mkv(320, 240, 77.0)
     # rebuild with segment size byte forced to unknown (0xFF, 1-byte)
@@ -401,6 +409,7 @@ def test_parse_video_header_damage_tolerance():
     samples = [
         build_mp4(640, 480, 1000, 5000),
         build_mp4(16, 16, 48000, 1),
+        build_mp4(854, 480, 25, 250, dims_in="stsd"),
         build_mkv(1920, 800, 123456.0),
     ]
     for b in samples:

@@ -1299,3 +1299,37 @@ def test_ann_refined_batch_equals_per_request_loop(spark, sf_dir):
     ).collect()
     assert victim not in {r.vec_id for r in got2}
     assert sorted(map(tuple, got2)) == loop()
+
+
+def test_ivf_batch_probe_equals_per_request_loop(spark, sf_dir):
+    """The flat store's batch probe rows per request equal the
+    one-at-a-time probe verbatim — exact-cosine twin of the PQ batch
+    guarantee."""
+    import tempfile
+
+    from webarchive_indexing_spark.sinks.ann_index import (
+        ivf_index_probe_batch_topk,
+        ivf_index_probe_topk,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_batchtw_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qids = [77, 123, 55, 321]
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    want = sorted(
+        (i, r.vec_id, r.cell, r.cos_sim)
+        for i, q in enumerate(qids)
+        for r in ivf_index_probe_topk(
+            spark, out, vecs[q], k=7, nprobe=3, exclude_id=q
+        ).collect()
+    )
+    got = ivf_index_probe_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=7, nprobe=3,
+        exclude_ids=qids,
+    )
+    assert sorted(map(tuple, got.collect())) == want

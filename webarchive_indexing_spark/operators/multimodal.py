@@ -846,17 +846,24 @@ def _parse_mp4(b: bytes) -> dict:
                     duration = struct.unpack_from(">I", b, clo + 16)[0]
             elif ctype == b"trak" and width is None:
                 for ttype, tlo, thi in _mp4_boxes(b, clo, chi):
-                    if ttype != b"tkhd":
-                        continue
-                    ver = b[tlo]
-                    # width/height are the LAST 8 bytes of tkhd either
-                    # version (16.16 fixed point)
-                    if thi - 8 < tlo:
-                        raise ValueError("mp4: truncated tkhd")
-                    w = struct.unpack_from(">I", b, thi - 8)[0] >> 16
-                    h = struct.unpack_from(">I", b, thi - 4)[0] >> 16
-                    if w and h:
-                        width, height = w, h
+                    if ttype == b"tkhd":
+                        ver = b[tlo]
+                        # width/height are the LAST 8 bytes of tkhd
+                        # either version (16.16 fixed point)
+                        if thi - 8 < tlo:
+                            raise ValueError("mp4: truncated tkhd")
+                        w = struct.unpack_from(">I", b, thi - 8)[0] >> 16
+                        h = struct.unpack_from(">I", b, thi - 4)[0] >> 16
+                        if w and h:
+                            width, height = w, h
+                if width is None:
+                    # zero tkhd presentation dims (common in raw
+                    # captures): fall back to the coded dims in the
+                    # sample description — trak/mdia/minf/stbl/stsd's
+                    # first visual entry (avc1/hvc1/...)
+                    wh = _stsd_dims(b, clo, chi)
+                    if wh is not None:
+                        width, height = wh
     if timescale is None or duration is None:
         raise ValueError("mp4: missing moov/mvhd")
     if timescale == 0:
@@ -868,6 +875,50 @@ def _parse_mp4(b: bytes) -> dict:
         "timescale": timescale,
         "duration_ms": duration * 1000 // timescale,
     }
+
+
+#: visual sample-entry types whose VisualSampleEntry layout carries
+#: coded width/height at fixed offsets (ISO 14496-12 §12.1.3 — the
+#: codec payload differs, the header layout does not).
+_MP4_VISUAL_ENTRIES = frozenset(
+    (b"avc1", b"avc3", b"hvc1", b"hev1", b"av01", b"vp08", b"vp09",
+     b"mp4v", b"encv")
+)
+
+
+def _stsd_dims(b: bytes, trak_lo: int, trak_hi: int) -> tuple[int, int] | None:
+    """Coded dims from the trak's sample description: walk
+    mdia → minf → stbl → stsd, read the first visual entry's
+    VisualSampleEntry width/height (u16 at +32/+34 from the entry
+    start: 8 box header + 6 reserved + 2 data-ref-index + 16
+    pre_defined/reserved)."""
+    import struct
+
+    lo, hi = trak_lo, trak_hi
+    for name in (b"mdia", b"minf", b"stbl"):
+        found = None
+        for btype, clo, chi in _mp4_boxes(b, lo, hi):
+            if btype == name:
+                found = (clo, chi)
+                break
+        if found is None:
+            return None
+        lo, hi = found
+    for btype, clo, chi in _mp4_boxes(b, lo, hi):
+        if btype != b"stsd":
+            continue
+        # fullbox version/flags (4) + entry_count (4), then entries
+        # laid out as plain boxes
+        for etype, elo, ehi in _mp4_boxes(b, clo + 8, chi):
+            if etype not in _MP4_VISUAL_ENTRIES:
+                continue
+            if elo + 28 > ehi:
+                raise ValueError("mp4: truncated visual sample entry")
+            w = struct.unpack_from(">H", b, elo + 24)[0]
+            h = struct.unpack_from(">H", b, elo + 26)[0]
+            if w and h:
+                return w, h
+    return None
 
 
 def _ebml_vint(b: bytes, i: int, hi: int, *, keep_marker: bool) -> tuple[int, int]:
@@ -1003,11 +1054,15 @@ def _mp4_box(btype: bytes, body: bytes) -> bytes:
 
 
 def build_mp4(
-    width: int, height: int, timescale: int, duration: int
+    width: int, height: int, timescale: int, duration: int,
+    *, dims_in: str = "tkhd",
 ) -> bytes:
-    """Structurally valid MP4 skeleton (ftyp + moov[mvhd + trak[tkhd]],
+    """Structurally valid MP4 skeleton (ftyp + moov[mvhd + trak[...]],
     zero media) — fixture for the header parser; real files parse
-    identically because only spec'd offsets are read."""
+    identically because only spec'd offsets are read.
+    ``dims_in='stsd'`` writes ZERO tkhd presentation dims and carries
+    the coded dims in an avc1 VisualSampleEntry instead (the raw-
+    capture shape the stsd fallback exists for)."""
     import struct
 
     matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
@@ -1020,15 +1075,33 @@ def build_mp4(
         + b"\x00" * 24
         + struct.pack(">I", 2),
     )
+    tk_w, tk_h = (width, height) if dims_in == "tkhd" else (0, 0)
     tkhd = _mp4_box(
         b"tkhd",
         struct.pack(">B3x", 0)
         + struct.pack(">IIIxxxxI8x", 0, 0, 1, duration)
         + struct.pack(">HHHxx", 0, 0, 0)
         + matrix
-        + struct.pack(">II", width << 16, height << 16),
+        + struct.pack(">II", tk_w << 16, tk_h << 16),
     )
-    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    trak_body = tkhd
+    if dims_in == "stsd":
+        avc1 = _mp4_box(
+            b"avc1",
+            b"\x00" * 6 + struct.pack(">H", 1)  # SampleEntry
+            + struct.pack(">HH12x", 0, 0)       # pre_defined/reserved
+            + struct.pack(">HH", width, height)
+            + struct.pack(">IIIH", 0x480000, 0x480000, 0, 1)
+            + b"\x00" * 32                       # compressorname
+            + struct.pack(">Hh", 24, -1),
+        )
+        stsd = _mp4_box(
+            b"stsd", struct.pack(">B3xI", 0, 1) + avc1
+        )
+        trak_body += _mp4_box(
+            b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd))
+        )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", trak_body))
     ftyp = _mp4_box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2mp41")
     return ftyp + moov
 

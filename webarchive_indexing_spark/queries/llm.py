@@ -1638,6 +1638,49 @@ def _ann_batch_sql() -> str:
     return " UNION ALL ".join(subs)
 
 
+def _ivf_batch_sql() -> str:
+    """UNION ALL of the trained-IVF twin per request — the flat
+    store's per-request probe loop."""
+    subs = []
+    for i, qid in enumerate(_ANN_BATCH_QIDS):
+        inner = sql_ivf_trained_topk(
+            query_vec_id=qid, k=10, n_cents=8, nprobe=3, train_iters=2
+        )
+        subs.append(f"SELECT {i} AS request_no, q.* FROM ({inner}) q")
+    return " UNION ALL ".join(subs)
+
+
+@query("emb_ivf_query_batch", oracle=_ivf_batch_sql(), tier="C")
+def emb_ivf_query_batch(spark, sf_dir):
+    """Batch serving over the FLAT persisted IVF store (round 11 —
+    the exact-cosine twin of ``emb_ann_query_batch``, so BOTH store
+    layouts carry the amortized request path): probe cells of all
+    requests union into one partition-pruned vectors scan, each row
+    fans out to the requests probing its cell with the 6dp cosine
+    against that request's inlined query literal, per-request top-k
+    via one ``request_no`` window.  The oracle UNION ALLs the
+    trained-IVF twin per request."""
+    import tempfile
+
+    from ..sinks.ann_index import (
+        ivf_index_probe_batch_topk,
+        write_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_batch_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return ivf_index_probe_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=10, nprobe=3,
+        exclude_ids=qids,
+    )
+
+
 def _ann_refined_batch_sql() -> str:
     """UNION ALL of the refined twin per request — the per-request
     ``ivfpq_refined_topk`` loop the batch-refine composition

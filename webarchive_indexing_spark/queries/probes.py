@@ -59,14 +59,23 @@ def _build_parquet_compacted(spark, sf_dir):
 def _build_ivf_store(spark, sf_dir):
     import tempfile
 
-    from ..operators.similarity import collect_query_vector
+    from pyspark.sql import functions as F
+
     from ..sinks.ann_index import write_ivf_index
     from .helpers import t
+    from .llm import _ANN_BATCH_QIDS
 
     emb = t(spark, sf_dir, "embeddings")
     out = tempfile.mkdtemp(prefix="probe_ivf_")
     write_ivf_index(emb, out, n_cents=8, train_iters=2)
-    return {"dir": out, "qv": collect_query_vector(emb, 123)}
+    qids = list(_ANN_BATCH_QIDS)
+    want = sorted({123, *qids})
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(want)).collect()
+    }
+    return {"dir": out, "qv": vecs[123], "qids": qids,
+            "qvs": [vecs[q] for q in qids]}
 
 
 def _build_ivf_store_deleted(spark, sf_dir):
@@ -135,6 +144,15 @@ def _p_ivfpq_refined(spark, ctx):
     return ivfpq_refined_topk(
         spark, ctx["dir"], None, ctx["qv"], k=10, k_factor=4, nprobe=3,
         exclude_id=77,
+    )
+
+
+def _p_ivf_batch(spark, ctx):
+    from ..sinks.ann_index import ivf_index_probe_batch_topk
+
+    return ivf_index_probe_batch_topk(
+        spark, ctx["dir"], ctx["qvs"], k=10, nprobe=3,
+        exclude_ids=ctx["qids"],
     )
 
 
@@ -217,5 +235,9 @@ PROBES: dict[str, Probe] = {
     "emb_ann_refined_batch_probe": Probe(
         "emb_ann_refined_batch", "ivfpq_store",
         _build_ivfpq_store, _p_ann_refined_batch,
+    ),
+    "emb_ivf_query_batch_probe": Probe(
+        "emb_ivf_query_batch", "ivf_store",
+        _build_ivf_store, _p_ivf_batch,
     ),
 }

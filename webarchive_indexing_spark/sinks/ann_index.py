@@ -793,6 +793,81 @@ def read_ivf_centroids(out_dir: str) -> dict[int, list[float]]:
     return {int(c): v for c, v in raw.items()}
 
 
+def ivf_index_probe_batch_topk(
+    spark: SparkSession,
+    out_dir: str,
+    query_vecs: list[list[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_ids: list[int | None] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch serving over the FLAT store — ``ivfpq_index_probe_batch_
+    topk``'s exact-cosine twin: one vectors scan pruned to the UNION
+    of the requests' probe cells, per-request 6dp cosine against the
+    inlined query literal (struct fan-out, NULL = not this request's
+    cell), per-request top-k via one ``request_no`` window.  Each
+    request's rows hash-match its one-at-a-time probe."""
+    from ..operators.similarity import (
+        cosine,
+        ivf_probe_cells,
+        lit_double_array,
+    )
+    from ..queries.helpers import hround
+
+    if not query_vecs:
+        raise ValueError("probe batch needs at least one query vector")
+    excl = exclude_ids or [None] * len(query_vecs)
+    if len(excl) != len(query_vecs):
+        raise ValueError("exclude_ids must align with query_vecs")
+    cents = read_ivf_centroids(out_dir)
+    probes = [ivf_probe_cells(cents, qv, nprobe) for qv in query_vecs]
+    union_cells = sorted({c for p in probes for c in p})
+
+    df = spark.read.parquet(_join(out_dir, "vectors")).filter(
+        F.col("cell").isin(union_cells)
+    )
+    df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
+    entries = []
+    for i, qv in enumerate(query_vecs):
+        member = F.col("cell").isin(sorted(probes[i]))
+        if excl[i] is not None:
+            member = member & (F.col(id_col) != int(excl[i]))
+        sim = hround(cosine(F.col(vec_col), lit_double_array(qv)), 6)
+        entries.append(
+            F.struct(
+                F.lit(i).alias("request_no"),
+                F.when(member, sim).alias("cos_sim"),
+            )
+        )
+    hits = (
+        df.select(
+            F.col(id_col),
+            F.col("cell"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select(
+            F.col("e.request_no").alias("request_no"),
+            F.col(id_col),
+            F.col("cell"),
+            F.col("e.cos_sim").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("request_no").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("request_no", id_col, "cell", "cos_sim")
+    )
+
+
 def ivf_index_probe_topk(
     spark: SparkSession,
     out_dir: str,
