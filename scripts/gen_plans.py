@@ -55,6 +55,11 @@ PICKS = {
     "events_funnel_steps": "Conversion funnel (round 9): cascaded MIN-joins all hash on user_id (one partitioning reused, AQE coalesces the tiny sides); no whole-stream window, no per-user sort.",
     "training_order_shuffle": "Seeded corpus shuffle (round 9): two-pass range rank — the rank pass sits directly on the checkpointed range partitions; no SinglePartition window anywhere.",
     "text_lang_id_hashed": "Trained lang-id (round 9): the ≤2048-row weight table broadcasts; the scoring join carries hashed bucket ids only — raw text never crosses an exchange.",
+    "emb_ivfadc_persisted_topk": "PQ-coded store probe (round 10): cell PartitionFilters prune to nprobe code directories, ReadSchema carries j0..j3 codes and NO vector column — map-side ADC, zero pre-top-k exchanges.",
+    "emb_ann_query_batch": "Batch ANN serving (round 11): ONE codes scan pruned to the UNION of all requests' probe cells; per-request ADC rides an inline struct fan-out; the only exchange is the request_no top-k window.",
+    "emb_ann_refined_batch": "Batch+refine composition (round 11): one sidecar scan pruned to the candidates' cells + pushed id In filter re-ranks every (request, candidate) pair; one window exchange, no join.",
+    "emb_ivfpq_refined_store": "Store-resident refine (round 11): the sidecar scan reads exactly the candidate rows — candidate-cell PartitionFilters + vec_id In pushdown; re-rank is map-side, TakeOrderedAndProject.",
+    "multimodal_video_meta": "Video container headers (round 11): fixture synth + MP4/MKV header walk are two chained Arrow stages over one scan — media bytes never cross an exchange.",
 }
 
 
