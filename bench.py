@@ -166,6 +166,7 @@ HEADLINE = [
     "emb_ann_query_batch",
     "emb_ann_refined_batch",
     "emb_ivf_query_batch",
+    "emb_ivf_store_rebuild",
     "emb_ivfpq_refined_store",
     "emb_ivfpq_refined_int8",
     "multimodal_video_meta",

@@ -1333,3 +1333,123 @@ def test_ivf_batch_probe_equals_per_request_loop(spark, sf_dir):
         exclude_ids=qids,
     )
     assert sorted(map(tuple, got.collect())) == want
+
+
+def test_versioned_ann_store_always_on(spark, sf_dir, monkeypatch):
+    """Versioned stores close the compaction race the in-place writer
+    documents: (1) a versioned root answers identically to a plain
+    store; (2) compaction publishes a PURGED new version via one
+    atomic pointer swap while the old version stays intact for
+    in-flight readers; (3) tombstones live at the root, so a delete
+    filed mid-compaction survives the swap and applies to the new
+    version; (4) expire_store_versions retires only unpublished
+    versions."""
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivf_ver_")
+    p1 = ann_index.write_ivf_index_versioned(
+        emb, root, n_cents=8, train_iters=2
+    )
+    qv = collect_query_vector(emb, 123)
+
+    def probe():
+        return ann_index.ivf_index_probe_topk(
+            spark, root, qv, k=10, nprobe=3, exclude_id=123
+        ).collect()
+
+    plain = tempfile.mkdtemp(prefix="ivf_plain_")
+    ann_index.write_ivf_index(emb, plain, n_cents=8, train_iters=2)
+    want = ann_index.ivf_index_probe_topk(
+        spark, plain, qv, k=10, nprobe=3, exclude_id=123
+    ).collect()
+    base = probe()
+    assert [tuple(r) for r in base] == [tuple(r) for r in want]
+
+    victim = base[0].vec_id
+    ann_index.delete_from_ann_index(root, [victim])
+    hidden = probe()
+    assert victim not in {r.vec_id for r in hidden}
+
+    # the generic entry point delegates to the versioned rebuild
+    ann_index.compact_ivf_index(spark, root)
+    p2 = ann_index.resolve_store(root)
+    assert p2 != p1
+    old = spark.read.parquet(os.path.join(p1, "vectors"))
+    assert old.filter(old.vec_id == victim).count() == 1  # reader-stable
+    new = spark.read.parquet(os.path.join(p2, "vectors"))
+    assert new.filter(new.vec_id == victim).count() == 0  # purged
+    assert ann_index.read_ann_tombstones(root) == set()
+    assert [tuple(r) for r in probe()] == [tuple(r) for r in hidden]
+
+    gone = ann_index.expire_store_versions(root)
+    assert gone == [os.path.basename(p1)]
+    assert [tuple(r) for r in probe()] == [tuple(r) for r in hidden]
+
+    # mid-compaction delete: filed between the rebuild's tombstone
+    # read and the swap — must survive at the root and keep applying
+    second = hidden[0].vec_id
+    real = ann_index._read_ann_tombstone_files
+
+    def race(d):
+        res = real(d)
+        ann_index.delete_from_ann_index(root, [second])
+        return res
+
+    monkeypatch.setattr(ann_index, "_read_ann_tombstone_files", race)
+    ann_index.compact_ivf_index(spark, root)
+    monkeypatch.undo()
+    assert ann_index.read_ann_tombstones(root) == {second}
+    assert second not in {r.vec_id for r in probe()}
+
+
+def test_versioned_ivfpq_store_with_sidecar(spark, sf_dir):
+    """The PQ store's versioned lifecycle: probes/refine resolve the
+    pointer, versioned compaction rewrites BOTH payloads (codes +
+    refine sidecar) into the new version with the model artifacts
+    copied along."""
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivfpq_ver_")
+    ann_index.write_ivfpq_index_versioned(
+        emb, root, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="flat",
+    )
+    qv = collect_query_vector(emb, 77)
+    base = ann_index.ivfpq_refined_topk(
+        spark, root, None, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    ).collect()
+    plain = tempfile.mkdtemp(prefix="ivfpq_plain_")
+    ann_index.write_ivfpq_index(
+        emb, plain, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="flat",
+    )
+    want = ann_index.ivfpq_refined_topk(
+        spark, plain, None, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in want]
+
+    victim = base[0].vec_id
+    ann_index.delete_from_ann_index(root, [victim])
+    ann_index.compact_ivf_index(spark, root, subdir="codes")
+    v = ann_index.resolve_store(root)
+    for sd in ("codes", "refine"):
+        df = spark.read.parquet(os.path.join(v, sd))
+        assert df.filter(df.vec_id == victim).count() == 0, sd
+    got = ann_index.ivfpq_refined_topk(
+        spark, root, None, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    ).collect()
+    assert victim not in {r.vec_id for r in got}

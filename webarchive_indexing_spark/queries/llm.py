@@ -1465,6 +1465,49 @@ def emb_ivf_delete_probe(spark, sf_dir):
 
 
 @query(
+    "emb_ivf_store_rebuild",
+    oracle=sql_ivf_trained_topk(
+        query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=2,
+        exclude_ids=_ANN_DELETED_IDS,
+    ),
+    tier="C",
+)
+def emb_ivf_store_rebuild(spark, sf_dir):
+    """VERSIONED store lifecycle end-to-end (round 11 — always-on
+    serving): ``write_ivf_index_versioned`` publishes the build behind
+    an atomic ``CURRENT`` pointer (a reader never sees a half-written
+    or briefly-absent store — the in-place compaction's documented
+    race, closed); tombstone batches file at the ROOT so they span
+    versions; compaction rewrites the published payload minus the
+    tombstones into a FRESH version and swaps the pointer, leaving the
+    old version intact for in-flight readers until
+    ``expire_store_versions``.  The probe here runs against the root
+    AFTER the rebuild — deleted ids are physically gone from the new
+    version — and hash-matches the same trained-IVF-with-exclusions
+    oracle as the tombstone-only twin (``emb_ivf_delete_probe``):
+    versioning changes the publish protocol, never the answer."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import (
+        compact_ivf_index,
+        delete_from_ann_index,
+        ivf_index_probe_topk,
+        write_ivf_index_versioned,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivf_rebuild_")
+    write_ivf_index_versioned(emb, root, n_cents=8, train_iters=2)
+    delete_from_ann_index(root, _ANN_DELETED_IDS)
+    compact_ivf_index(spark, root)  # delegates to the versioned rebuild
+    qv = collect_query_vector(emb, 123)
+    return ivf_index_probe_topk(
+        spark, root, qv, k=10, nprobe=3, exclude_id=123
+    )
+
+
+@query(
     "emb_ivfpq_refined_topk",
     oracle=__import__(
         "webarchive_indexing_spark.operators.similarity",

@@ -36,6 +36,77 @@ from .zipnum import _fs_for, _join
 _CENTROIDS = "centroids.json"
 _PQ_MODEL = "pq.json"
 _TOMBSTONE_DIR = "tombstones"
+_CURRENT = "CURRENT"
+
+
+def read_store_pointer(root: str) -> str | None:
+    """The published version name from ``root/CURRENT``, or None for
+    an unversioned (in-place) store."""
+    fs, local = _fs_for(root)
+    try:
+        with fs.open_input_stream(
+            _join(local, _CURRENT), compression=None
+        ) as fh:
+            return fh.read().decode().strip() or None
+    except (OSError, FileNotFoundError):
+        return None
+
+
+def _write_store_pointer(root: str, version: str) -> None:
+    """Atomically repoint ``root/CURRENT``: write a tmp file, rename
+    over the pointer — readers observe either the old or the new
+    version name, never a torn write."""
+    import uuid
+
+    fs, local = _fs_for(root)
+    tmp = _join(local, f"{_CURRENT}.tmp-{uuid.uuid4().hex}")
+    with fs.open_output_stream(tmp, compression=None) as fh:
+        fh.write(version.encode())
+    fs.move(tmp, _join(local, _CURRENT))
+
+
+def new_store_version(root: str) -> tuple[str, str]:
+    """A fresh, unpublished version directory under ``root`` —
+    ``(name, path)``.  Nothing reads it until the CURRENT pointer
+    swaps, so builds are free to take as long as they need."""
+    import uuid
+
+    name = f"v-{uuid.uuid4().hex}"
+    fs, local = _fs_for(root)
+    fs.create_dir(_join(local, name), recursive=True)
+    return name, _join(root, name)
+
+
+def resolve_store(out_dir: str) -> str:
+    """Follow ``CURRENT`` one hop: versioned roots resolve to their
+    published version directory, unversioned stores resolve to
+    themselves (idempotent — a version directory has no pointer)."""
+    v = read_store_pointer(out_dir)
+    return _join(out_dir, v) if v else out_dir
+
+
+def expire_store_versions(root: str) -> list[str]:
+    """Drop every unpublished version directory (retired versions a
+    swap left behind for in-flight readers).  Run it AFTER those
+    readers' jobs finish — the same retention contract as
+    ``expire_snapshots`` on the index stores.  Returns the removed
+    names."""
+    from pyarrow import fs as pafs
+
+    keep = read_store_pointer(root)
+    fs, local = _fs_for(root)
+    infos = fs.get_file_info(pafs.FileSelector(local, allow_not_found=True))
+    gone = []
+    for info in infos:
+        name = info.path.rsplit("/", 1)[-1]
+        if (
+            info.type == pafs.FileType.Directory
+            and name.startswith("v-")
+            and name != keep
+        ):
+            fs.delete_dir(info.path)
+            gone.append(name)
+    return sorted(gone)
 
 #: Tombstone lists ride as ``isin`` scan-filter literals — bounded by
 #: the compaction contract (metadata-sized takedown batches, cleared
@@ -90,7 +161,8 @@ def write_ivf_index(
     centroids (also persisted as ``centroids.json``).
 
     The build is NOT reader-atomic (mode=overwrite in place): for live
-    serving, build into a fresh directory and swap the pointer —
+    serving use ``write_ivf_index_versioned`` — it builds into a fresh
+    version directory and atomically swaps the ``CURRENT`` pointer;
     index rebuilds are rare, scheduled events, the same posture as any
     search-index deployment."""
     from ..operators.kmeans import lloyd_train
@@ -116,6 +188,32 @@ def write_ivf_index(
     return cents
 
 
+def write_ivf_index_versioned(
+    embeddings: DataFrame, root: str, **kw
+) -> str:
+    """ALWAYS-ON publish of a flat IVF store: the build lands in a
+    fresh unpublished version directory, then one atomic ``CURRENT``
+    pointer swap makes it live — a reader never sees a half-written
+    or briefly-absent store (the in-place writer's documented race).
+    Every read/append/delete path resolves the pointer, so the root
+    IS the store handle.  Returns the version directory."""
+    name, path = new_store_version(root)
+    write_ivf_index(embeddings, path, **kw)
+    _write_store_pointer(root, name)
+    return path
+
+
+def write_ivfpq_index_versioned(
+    embeddings: DataFrame, root: str, **kw
+) -> str:
+    """Versioned twin of ``write_ivfpq_index`` — see
+    ``write_ivf_index_versioned`` for the publish contract."""
+    name, path = new_store_version(root)
+    write_ivfpq_index(embeddings, path, **kw)
+    _write_store_pointer(root, name)
+    return path
+
+
 def append_ivf_index(
     embeddings: DataFrame,
     out_dir: str,
@@ -136,7 +234,7 @@ def append_ivf_index(
         embeddings.withColumn("cell", ivf_cell_expr(cents, vec_col))
         .write.partitionBy("cell")
         .mode("append")
-        .parquet(_join(out_dir, "vectors"))
+        .parquet(_join(resolve_store(out_dir), "vectors"))
     )
 
 
@@ -166,20 +264,18 @@ def compact_ivf_index(
     with the SAME tombstone set, before the list is cleared (codes
     and refine source must purge together or a re-rank could touch a
     taken-down vector's bytes)."""
+    if read_store_pointer(out_dir) is not None:
+        # a versioned root never mutates its published version in
+        # place: compaction becomes a fresh version + pointer swap
+        compact_ivf_index_versioned(spark, out_dir, subdir=subdir)
+        return
     # record WHICH tombstone files this compaction read — a delete
     # batch filed while the (long) rewrite jobs run below is NOT in
     # `tombs`, so clearing the whole directory afterwards would drop
     # it unapplied and silently resurrect a taken-down vector; only
     # the files actually folded into the rewrites may be deleted.
     tombs, tomb_files = _read_ann_tombstone_files(out_dir)
-    targets = [subdir]
-    if subdir == "codes":
-        try:
-            meta = read_ivfpq_model(out_dir)[2]
-        except OSError:
-            meta = {}
-        if meta.get("refine"):
-            targets.append("refine")
+    targets = _compact_targets(out_dir, subdir)
     for sd in targets:
         _compact_partition_dir(spark, out_dir, sd, tombs)
     # purge is now physical; clearing LAST keeps the crash window
@@ -193,6 +289,71 @@ def compact_ivf_index(
             fs.delete_file(path)
         except OSError:
             pass
+
+
+def _compact_targets(out_dir: str, subdir: str) -> list[str]:
+    """Payload directories one compaction must rewrite together: the
+    PQ store's codes AND its refine sidecar share the tombstone set."""
+    targets = [subdir]
+    if subdir == "codes":
+        try:
+            meta = read_ivfpq_model(out_dir)[2]
+        except OSError:
+            meta = {}
+        if meta.get("refine"):
+            targets.append("refine")
+    return targets
+
+
+def compact_ivf_index_versioned(
+    spark: SparkSession, root: str, *, subdir: str = "vectors"
+) -> str:
+    """ALWAYS-ON compaction for a versioned store: rewrite the
+    published version's payload(s) — tombstones folded in — into a
+    FRESH version directory alongside the copied model artifacts,
+    then one atomic ``CURRENT`` swap publishes it.  In-flight readers
+    keep their already-resolved version directory (left intact until
+    ``expire_store_versions``); new probes resolve the purged
+    version.  Only the tombstone batches read BEFORE the rewrite are
+    cleared — deletes filed mid-compaction survive at the root and
+    apply to the new version immediately.  Returns the new version
+    path."""
+    cur = resolve_store(root)
+    if cur == root:
+        raise ValueError(
+            f"{root!r} is not a versioned store — use compact_ivf_index, "
+            f"or publish with write_iv*_index_versioned first"
+        )
+    tombs, tomb_files = _read_ann_tombstone_files(root)
+    name, path = new_store_version(root)
+    fs, local = _fs_for(root)
+    for sd in _compact_targets(root, subdir):
+        df = spark.read.parquet(_join(cur, sd))
+        df = _exclude_ids(spark, df, tombs, "vec_id")
+        (
+            df.repartition("cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(_join(path, sd))
+        )
+    for model in (_CENTROIDS, _PQ_MODEL):
+        src = _join(_join(local, cur.rsplit("/", 1)[-1]), model)
+        try:
+            with fs.open_input_stream(src, compression=None) as fh:
+                data = fh.read()
+        except (OSError, FileNotFoundError):
+            continue
+        with fs.open_output_stream(
+            _join(_join(local, name), model), compression=None
+        ) as fh:
+            fh.write(data)
+    _write_store_pointer(root, name)
+    for p in tomb_files:
+        try:
+            fs.delete_file(p)
+        except OSError:
+            pass
+    return path
 
 
 def _compact_partition_dir(
@@ -458,10 +619,11 @@ def append_ivfpq_index(
     ).selectExpr(
         id_col, "cell", *residual_encode_exprs(ct_sql, vec_col, sub_dim)
     )
+    data_dir = resolve_store(out_dir)
     (
         coded.write.partitionBy("cell")
         .mode("append")
-        .parquet(_join(out_dir, "codes"))
+        .parquet(_join(data_dir, "codes"))
     )
     if meta.get("refine"):
         (
@@ -470,14 +632,14 @@ def append_ivfpq_index(
             )
             .write.partitionBy("cell")
             .mode("append")
-            .parquet(_join(out_dir, "refine"))
+            .parquet(_join(data_dir, "refine"))
         )
 
 
 def read_ivfpq_model(
     out_dir: str,
 ) -> tuple[dict[int, list[float]], list[dict[int, list[float]]], dict]:
-    fs, local = _fs_for(out_dir)
+    fs, local = _fs_for(resolve_store(out_dir))
     with fs.open_input_stream(
         _join(local, _PQ_MODEL), compression=None
     ) as fh:
@@ -515,7 +677,7 @@ def ivfpq_index_probe_topk(
     cents, cbooks, _meta = read_ivfpq_model(out_dir)
     probe = sorted(cents, key=lambda c: (py_sqdist6(qv, cents[c]), c))[:nprobe]
     qd_sql = residual_query_tables(cents, cbooks, qv)
-    df = spark.read.parquet(_join(out_dir, "codes")).filter(
+    df = spark.read.parquet(_join(resolve_store(out_dir), "codes")).filter(
         F.col("cell").isin(probe)
     )
     if exclude_id is not None:
@@ -591,7 +753,7 @@ def ivfpq_index_probe_batch_topk(
             f"CASE WHEN {cond} THEN {adc} END)"
         )
 
-    df = spark.read.parquet(_join(out_dir, "codes")).filter(
+    df = spark.read.parquet(_join(resolve_store(out_dir), "codes")).filter(
         F.col("cell").isin(sorted(union_cells))
     )
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
@@ -659,7 +821,7 @@ def ivfpq_refined_batch_topk(
         cells.add(int(r["cell"]))
         all_ids.add(int(r[id_col]))
     side = (
-        spark.read.parquet(_join(out_dir, "refine"))
+        spark.read.parquet(_join(resolve_store(out_dir), "refine"))
         .filter(F.col("cell").isin(sorted(cells)))
         .filter(F.col(id_col).isin(sorted(all_ids)))
     )
@@ -759,7 +921,7 @@ def ivfpq_refined_topk(
             )
         cells = sorted({int(r["cell"]) for r in rows})
         side = (
-            spark.read.parquet(_join(out_dir, "refine"))
+            spark.read.parquet(_join(resolve_store(out_dir), "refine"))
             .filter(F.col("cell").isin(cells))
             .filter(F.col(id_col).isin(ids))
         )
@@ -785,7 +947,7 @@ def ivfpq_refined_topk(
 
 
 def read_ivf_centroids(out_dir: str) -> dict[int, list[float]]:
-    fs, local = _fs_for(out_dir)
+    fs, local = _fs_for(resolve_store(out_dir))
     with fs.open_input_stream(
         _join(local, _CENTROIDS), compression=None
     ) as fh:
@@ -826,7 +988,7 @@ def ivf_index_probe_batch_topk(
     probes = [ivf_probe_cells(cents, qv, nprobe) for qv in query_vecs]
     union_cells = sorted({c for p in probes for c in p})
 
-    df = spark.read.parquet(_join(out_dir, "vectors")).filter(
+    df = spark.read.parquet(_join(resolve_store(out_dir), "vectors")).filter(
         F.col("cell").isin(union_cells)
     )
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
@@ -893,7 +1055,7 @@ def ivf_index_probe_topk(
 
     cents = read_ivf_centroids(out_dir)
     probe = ivf_probe_cells(cents, qv, nprobe)
-    df = spark.read.parquet(_join(out_dir, "vectors")).filter(
+    df = spark.read.parquet(_join(resolve_store(out_dir), "vectors")).filter(
         F.col("cell").isin(probe)
     )
     if exclude_id is not None:
