@@ -170,6 +170,7 @@ HEADLINE = [
     "emb_ivfpq_refined_store",
     "emb_ivfpq_refined_int8",
     "multimodal_video_meta",
+    "cdx_query_batch_closest",
 ]
 
 

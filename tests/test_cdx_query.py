@@ -1174,6 +1174,27 @@ def test_cdx_query_batch_matches_per_request_loop(spark, sf_dir):
     with _pytest.raises(ValueError, match="at least one"):
         cdx_query_batch(c, [])
 
+    # round 11: per-request closest= rides the shared window — each
+    # closest request's limited rows equal the single-request closest
+    # selection, and a mixed batch leaves the sorted request untouched
+    creqs = [
+        {"url": "http://src1.example.org/doc/101",
+         "closest": "20160601", "limit": 2},
+        {"url": "http://src1.example.org/doc/102?b=2&a=1",
+         "closest": "201501", "limit": 1},
+        {"url": "http://src2.example.org/doc/30*",
+         "from_": "2016", "to": "2016", "limit": 3},
+    ]
+    got = cdx_query_batch(c, creqs).collect()
+    by_req = {}
+    for r in got:
+        by_req.setdefault(r.request_no, set()).add(tuple(r)[1:])
+    for i, req in enumerate(creqs):
+        kw = dict(req)
+        url = kw.pop("url")
+        want = {tuple(r) for r in cdx_query(c, url, **kw).collect()}
+        assert by_req.get(i, set()) == want, f"closest request {i} diverges"
+
 
 def test_cdx_query_batch_plan_single_pruned_scan(spark, sf_dir, tmp_path):
     """Over a STORED (parquet) CDX table the batch plan must be: one

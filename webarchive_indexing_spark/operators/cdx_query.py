@@ -986,7 +986,9 @@ def cdx_query(
 #: request-spec keys cdx_query_batch understands; anything else is a
 #: per-request knob the batch plan cannot share and must go through
 #: cdx_query (explicit refusal beats a silently different answer).
-_BATCH_KEYS = {"url", "match_type", "from_", "to", "filters", "limit"}
+_BATCH_KEYS = {
+    "url", "match_type", "from_", "to", "filters", "limit", "closest",
+}
 
 
 def cdx_query_batch(
@@ -1021,11 +1023,17 @@ def cdx_query_batch(
        by the index sort key + tiebreaks — only runs when some
        request asked for a limit, and each partition holds one
        request's already-range-pruned candidates (what a server
-       answering that single request would hold).
+       answering that single request would hold).  A per-request
+       ``closest=`` target (round 11 — the Memento-style bulk lookup)
+       rides the SAME window: its |Δts| distance leads the order for
+       that request's partition and a constant 0 leads everyone
+       else's, so mixed closest/sorted batches still share one
+       shuffle.  ``closest`` without ``limit`` is a no-op on the
+       returned SET (ordering is presentation, limits are selection).
 
-    Unsupported per-request knobs (collapse/closest/sort_reverse/
-    resume_key/fuzzy/fields) raise — their plans don't share a pass;
-    batch serving is the bulk lookup surface, not the full grammar."""
+    Unsupported per-request knobs (collapse/sort_reverse/resume_key/
+    fuzzy/fields) raise — their plans don't share a pass; batch
+    serving is the bulk lookup surface, not the full grammar."""
     import functools
 
     if not requests:
@@ -1055,10 +1063,19 @@ def cdx_query_batch(
     # 2. broadcast range join tags request_no
     reqdf = cdx.sparkSession.createDataFrame(
         [
-            (i, lo, hi, req.get("limit"))
+            (
+                i,
+                lo,
+                hi,
+                req.get("limit"),
+                int(req["closest"].ljust(14, "0"))
+                if req.get("closest")
+                else None,
+            )
             for i, req, lo, hi, _ in specs
         ],
-        "request_no int, __lo string, __hi string, __limit int",
+        "request_no int, __lo string, __hi string, __limit int, "
+        "__closest bigint",
     )
     j = df.join(
         F.broadcast(reqdf),
@@ -1086,11 +1103,22 @@ def cdx_query_batch(
         keep = branch if keep is None else keep.when(F.col("request_no") == i, arm)
     j = j.filter(keep)
 
-    # 4. per-request limit (skipped entirely when nobody asked)
+    # 4. per-request limit (skipped entirely when nobody asked).  The
+    # order is request-conditional INSIDE one window: closest requests
+    # lead with the |Δts| distance (urlkey demoted to a constant — the
+    # single-request closest order is (dist, ts)), everyone else gets
+    # the plain (urlkey, ts) index order via a constant-0 distance.
     if any(req.get("limit") is not None for _, req, _, _, _ in specs):
         from pyspark.sql.window import Window
 
-        order = [F.col("urlkey").asc(), F.col("timestamp").asc()] + [
+        dist = F.when(
+            F.col("__closest").isNotNull(),
+            F.abs(F.col("timestamp").cast("bigint") - F.col("__closest")),
+        ).otherwise(F.lit(0).cast("bigint"))
+        ukey = F.when(
+            F.col("__closest").isNull(), F.col("urlkey")
+        ).otherwise(F.lit(""))
+        order = [dist.asc(), ukey.asc(), F.col("timestamp").asc()] + [
             F.col(c).asc() for c in tiebreak_cols if c in cdx.columns
         ]
         w = Window.partitionBy("request_no").orderBy(*order)

@@ -2536,6 +2536,59 @@ def cdx_query_batch(spark, sf_dir):
     return batch(c, _BATCH_REQUESTS)
 
 
+@query(
+    "cdx_query_batch_closest",
+    oracle=CDX_SQL + f"""
+    SELECT CAST(0 AS INT) AS request_no, {_BATCH_COLS} FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY ABS(CAST(ts14 AS BIGINT) - 20160601000000), ts14,
+                 digest, "offset") AS rn
+      FROM cdx WHERE urlkey = 'org,example,src1)/doc/101'
+    ) WHERE rn <= 2
+    UNION ALL
+    SELECT CAST(1 AS INT), {_BATCH_COLS} FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY ABS(CAST(ts14 AS BIGINT) - 20150101000000), ts14,
+                 digest, "offset") AS rn
+      FROM cdx WHERE urlkey = 'org,example,src1)/doc/102?a=1&b=2'
+    ) WHERE rn <= 1
+    UNION ALL
+    SELECT CAST(2 AS INT), {_BATCH_COLS} FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY urlkey, ts14, digest, "offset") AS rn
+      FROM cdx
+      WHERE urlkey >= 'org,example,src2)/doc/30'
+        AND urlkey < 'org,example,src2)/doc/30~'
+        AND ts14 >= '20160000000000' AND ts14 <= '20169999999999'
+    ) WHERE rn <= 3
+    """,
+    tier="B",
+)
+def cdx_query_batch_closest(spark, sf_dir):
+    """Per-request ``closest=`` in the BATCH serving path (round 11 —
+    Memento-style bulk lookup: replay UIs resolve many (url, datetime)
+    pairs at once [B pywb closest / RFC 7089 TimeGate]): two exact
+    requests each ranked by |ts − target| around different targets
+    plus a plain prefix+window+limit request, answered in ONE job.
+    The request-conditional order rides the SAME request_no window —
+    closest partitions lead with the distance, the sorted partition
+    with the index order — so mixed batches still share one scan, one
+    broadcast range join, one shuffle.  The oracle UNION ALLs the
+    per-request rankings; flows through the zipnum/parquet batch
+    backends unchanged (they delegate residuals here)."""
+    from ..operators.cdx_query import cdx_query_batch as batch
+
+    c = derived_cdx(spark, sf_dir).withColumnRenamed("ts14", "timestamp")
+    return batch(c, [
+        {"url": "http://src1.example.org/doc/101",
+         "closest": "20160601", "limit": 2},
+        {"url": "http://src1.example.org/doc/102?b=2&a=1",
+         "closest": "201501", "limit": 1},
+        {"url": "http://src2.example.org/doc/30*",
+         "from_": "2016", "to": "2016", "limit": 3},
+    ])
+
+
 #: adversarial percent-encoding goldens (round 10 — fixpoint decode):
 #: nested escapes unwrap to ANY depth, mixed-case hex normalizes via
 #: the lowercase pass, juxtaposition-synthesized escapes resolve
