@@ -1047,3 +1047,45 @@ def test_index_warcs_split_recovers_ranges_past_corruption(spark, tmp_path):
     ).count()
     assert base == 10  # unsplit: everything after the damage is lost
     assert split > base  # later ranges resume at verified boundaries
+
+
+def test_wat_scan_split_equals_unsplit(spark, tmp_path):
+    """Intra-file ranges on the WAT path: one big .wat.gz fanned into
+    member-offset ranges yields exactly the unsplit extractor output
+    (edges AND page metadata) — same planner as index_warcs, same
+    straggler argument."""
+    from webarchive_indexing_spark.sources.warc import (
+        build_wat_record,
+        wat_link_edges,
+        wat_page_meta,
+    )
+
+    wat = b"".join(
+        build_wat_record(
+            f"http://site{i % 7}.example/p/{i}",
+            f"2021-01-02T03:04:{i % 60:02d}Z",
+            [f"http://site{(i + 1) % 7}.example/q/{i}"] * (1 + i % 3),
+        )
+        for i in range(120)
+    )
+    p = str(tmp_path / "big.warc.wat.gz")
+    open(p, "wb").write(wat)
+    manifest = spark.createDataFrame([(p,)], ["path"])
+
+    base_edges = sorted(map(tuple, wat_link_edges(spark, manifest).collect()))
+    split_edges_df = wat_link_edges(
+        spark, manifest, split_bytes=os.path.getsize(p) // 5
+    )
+    assert sorted(map(tuple, split_edges_df.collect())) == base_edges
+    assert split_edges_df.rdd.getNumPartitions() > 1
+
+    base_meta = sorted(map(tuple, wat_page_meta(spark, manifest).collect()))
+    split_meta = sorted(
+        map(
+            tuple,
+            wat_page_meta(
+                spark, manifest, split_bytes=os.path.getsize(p) // 5
+            ).collect(),
+        )
+    )
+    assert split_meta == base_meta

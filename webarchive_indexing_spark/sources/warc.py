@@ -746,41 +746,9 @@ def index_warcs(
                 record_types=record_types, post_append=post_append,
             )
 
-    paths = manifest.select("path")
-    if split_bytes is None:
-        ranges_rdd = paths.rdd.map(lambda r: (r[0], 0, -1))
-        n_tasks = n_files
-    else:
-
-        def plan(rows):
-            # executor-side pre-scan: size check is one stat; only
-            # oversized gzip WARCs pay the boundary walk
-            from ..sinks.zipnum import _fs_for
-
-            for row in rows:
-                path = row[0]
-                fs, local = _fs_for(path)
-                size = fs.get_file_info(local).size or 0
-                if size <= split_bytes:
-                    yield (path, 0, -1)
-                    continue
-                with fs.open_input_file(local) as fh:
-                    head = fh.read(3)
-                    if head[:2] != b"\x1f\x8b":
-                        yield (path, 0, -1)  # plain formats stay whole
-                        continue
-                    n_splits = -(-size // split_bytes)  # ceil
-                    fh.seek(0)
-                    offs = find_member_split_offsets(fh, size, n_splits)
-                for s, e in zip(offs, offs[1:] + [size]):
-                    yield (path, s, e)
-
-        # the plan is metadata-sized (files × splits): collect once so
-        # the scan job runs exactly once and tasks repartition evenly
-        ranges = paths.rdd.mapPartitions(plan).collect()
-        ranges_rdd = spark.sparkContext.parallelize(ranges, max(1, len(ranges)))
-        n_tasks = len(ranges)
-
+    ranges_rdd, n_tasks = _plan_split_ranges(
+        spark, manifest, n_files, split_bytes
+    )
     n_parts = max(1, n_tasks // files_per_task)
     rdd = (
         spark.createDataFrame(ranges_rdd, "path string, start long, end long")
@@ -788,6 +756,50 @@ def index_warcs(
         .rdd.mapPartitions(parse)
     )
     return spark.createDataFrame(rdd, CDX_SCHEMA)
+
+
+def _plan_split_ranges(
+    spark: SparkSession, manifest: DataFrame, n_files: int,
+    split_bytes: int | None,
+):
+    """(path, start, end) task ranges for a manifest: whole files
+    (end = -1) when splitting is off or a file is small/plain; ranged
+    tasks at verified member boundaries for oversized gzip archives.
+    The pre-scan runs as ONE executor-side job; the resulting plan is
+    metadata-sized (files × splits) and collects once so tasks
+    repartition evenly.  Shared by ``index_warcs`` and the WAT/WET
+    extractors — the one-task-per-file straggler is the same problem
+    on every archive scan."""
+    paths = manifest.select("path")
+    if split_bytes is None:
+        return paths.rdd.map(lambda r: (r[0], 0, -1)), n_files
+
+    def plan(rows):
+        # executor-side pre-scan: size check is one stat; only
+        # oversized gzip archives pay the boundary walk
+        from ..sinks.zipnum import _fs_for
+
+        for row in rows:
+            path = row[0]
+            fs, local = _fs_for(path)
+            size = fs.get_file_info(local).size or 0
+            if size <= split_bytes:
+                yield (path, 0, -1)
+                continue
+            with fs.open_input_file(local) as fh:
+                head = fh.read(3)
+                if head[:2] != b"\x1f\x8b":
+                    yield (path, 0, -1)  # plain formats stay whole
+                    continue
+                n_splits = -(-size // split_bytes)  # ceil
+                fh.seek(0)
+                offs = find_member_split_offsets(fh, size, n_splits)
+            for s, e in zip(offs, offs[1:] + [size]):
+                yield (path, s, e)
+
+    ranges = paths.rdd.mapPartitions(plan).collect()
+    rdd = spark.sparkContext.parallelize(ranges, max(1, len(ranges)))
+    return rdd, len(ranges)
 
 
 def skip_existing(manifest: DataFrame, existing: DataFrame) -> DataFrame:
@@ -1045,6 +1057,7 @@ def wat_page_assets(
     manifest: DataFrame,
     *,
     files_per_task: int = 2,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """Manifest of WAT paths → typed asset-reference DataFrame
     ``(src_url, ts14, target_url, link_class, rel, src_key,
@@ -1060,6 +1073,7 @@ def wat_page_assets(
         "src_url string, ts14 string, target_url string, "
         "link_class string, rel string",
         files_per_task,
+        split_bytes,
     )
     return (
         assets.withColumn("__url", F.col("src_url"))
@@ -1075,6 +1089,7 @@ def wat_response_headers(
     manifest: DataFrame,
     *,
     files_per_task: int = 2,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """Manifest of WAT paths → ``(url, ts14, headers map<string,
     string>, urlkey)``.  The map column explodes/projects JVM-side
@@ -1087,6 +1102,7 @@ def wat_response_headers(
         _wat_header_rows,
         "url string, ts14 string, headers map<string,string>",
         files_per_task,
+        split_bytes,
     )
     return hdrs.withColumn("__url", F.col("url")).withColumn(
         "urlkey", surt_urlkey_cached("__url")
@@ -1121,28 +1137,54 @@ def _wat_scan(
     row_fn,
     schema: str,
     files_per_task: int,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """Shared manifest→rows scaffold for the WAT extractors: the same
     task granularity as ``index_warcs``, pyarrow.fs opens (s3/hdfs/gs
     URIs work on executors), and BOUNDED-MEMORY streaming member reads
     (``iter_warc_members_stream`` — O(member + chunk) per task, the
     repo's default ingest path; a full-file read would be O(file) on
-    multi-GB crawl WATs)."""
+    multi-GB crawl WATs).  ``split_bytes`` fans an oversized .wat.gz
+    into verified member-offset ranges exactly like ``index_warcs``
+    (same planner, same straggler argument — crawl WATs ship in the
+    same multi-GB files their WARCs do)."""
     n_files = manifest.count()
-    n_parts = max(1, n_files // files_per_task)
 
     def parse(rows):
         from ..sinks.zipnum import _fs_for
 
         for row in rows:
-            fs, local = _fs_for(row[0])
+            path, start, end = row[0], row[1], row[2]
+            fs, local = _fs_for(path)
+            if end >= 0:  # ranged task at a verified member boundary
+                with fs.open_input_file(local) as fh:
+                    fh.seek(start)
+
+                    def bounded(members, start=start, end=end):
+                        for off, clen, rec in members:
+                            if start + off >= end:
+                                return
+                            yield off, clen, rec
+
+                    yield from row_fn(
+                        bounded(iter_warc_members_stream(fh))
+                    )
+                continue
             # compression=None: pyarrow's 'detect' default would
             # transparently gunzip .gz paths and hide the member
             # boundaries the streaming iterator parses
             with fs.open_input_stream(local, compression=None) as fh:
                 yield from row_fn(iter_warc_members_stream(fh))
 
-    rdd = manifest.select("path").repartition(n_parts).rdd.mapPartitions(parse)
+    ranges_rdd, n_tasks = _plan_split_ranges(
+        spark, manifest, n_files, split_bytes
+    )
+    n_parts = max(1, n_tasks // files_per_task)
+    rdd = (
+        spark.createDataFrame(ranges_rdd, "path string, start long, end long")
+        .repartition(n_parts)
+        .rdd.mapPartitions(parse)
+    )
     return spark.createDataFrame(rdd, schema)
 
 
@@ -1151,6 +1193,7 @@ def wat_page_meta(
     manifest: DataFrame,
     *,
     files_per_task: int = 2,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """Manifest of WAT paths → typed page-metadata DataFrame ``(url,
     ts14, title, description, server, content_type, n_links, urlkey)``
@@ -1165,6 +1208,7 @@ def wat_page_meta(
         "url string, ts14 string, title string, description string, "
         "server string, content_type string, n_links int",
         files_per_task,
+        split_bytes,
     )
     return meta.withColumn("__url", F.col("url")).withColumn(
         "urlkey", surt_urlkey_cached("__url")
@@ -1176,6 +1220,7 @@ def wat_link_edges(
     manifest: DataFrame,
     *,
     files_per_task: int = 2,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """Manifest of WAT paths → typed edge DataFrame ``(src_url, ts14,
     target_url, src_key, target_key)`` with SURT keys derived
@@ -1188,6 +1233,7 @@ def wat_link_edges(
         _wat_links_rows,
         "src_url string, ts14 string, target_url string",
         files_per_task,
+        split_bytes,
     )
     return (
         edges.withColumn("__url", F.col("src_url"))
