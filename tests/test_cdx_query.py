@@ -1302,9 +1302,26 @@ def test_cli_query_batch(spark, cdx, cluster, tmp_path, capsys):
     ]
     assert {r["request_no"] for r in j} == {0, 1}
 
+    # round 11: closest is a supported request key — nearest-first
+    # limited selection matches the single-request path
+    p3 = tmp_path / "closest.json"
+    p3.write_text(_json.dumps([
+        {"url": "https://src1.example.org/doc/101",
+         "closest": "20160601", "limit": 1},
+    ]))
+    assert main(["query-batch", cluster, str(p3)]) == 0
+    out3 = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.strip()
+    ]
+    want = cdx_query(
+        cdx, "https://src1.example.org/doc/101", closest="20160601", limit=1
+    ).collect()
+    assert len(out3) == 1
+    assert want[0].timestamp in out3[0]
+
     # unknown request keys refuse with exit 2, not a traceback
     p2 = tmp_path / "bad.json"
-    p2.write_text(_json.dumps([{"url": "https://x.example/", "closest": "2016"}]))
+    p2.write_text(_json.dumps([{"url": "https://x.example/", "collapse": "digest"}]))
     assert main(["query-batch", cluster, str(p2)]) == 2
 
 

@@ -230,8 +230,8 @@ def _parser() -> argparse.ArgumentParser:
     qb.add_argument(
         "requests",
         help="JSON file: a list of request objects with keys url, "
-             "matchType, from, to, filter (list), limit — the pywb "
-             "GET-parameter names",
+             "matchType, from, to, filter (list), limit, closest — "
+             "the pywb GET-parameter names",
     )
     qb.add_argument("--output", default="text", choices=["text", "json"])
 
@@ -600,7 +600,8 @@ def _dispatch(args, spark) -> int:
             return 2
         # pywb GET-parameter spellings → operator kwargs
         key_map = {"url": "url", "matchType": "match_type", "from": "from_",
-                   "to": "to", "filter": "filters", "limit": "limit"}
+                   "to": "to", "filter": "filters", "limit": "limit",
+                   "closest": "closest"}
         reqs = []
         for i, obj in enumerate(raw):
             unknown = set(obj) - set(key_map)
