@@ -1195,6 +1195,15 @@ def test_cdx_query_batch_matches_per_request_loop(spark, sf_dir):
         want = {tuple(r) for r in cdx_query(c, url, **kw).collect()}
         assert by_req.get(i, set()) == want, f"closest request {i} diverges"
 
+    # a JSON-number closest (natural timestamp spelling) is coerced,
+    # not an AttributeError from int.ljust
+    int_req = [{"url": "http://src1.example.org/doc/101",
+                "closest": 20160601, "limit": 2}]
+    a = sorted(map(tuple, cdx_query_batch(c, int_req).collect()))
+    str_req = [{"url": "http://src1.example.org/doc/101",
+                "closest": "20160601", "limit": 2}]
+    assert a == sorted(map(tuple, cdx_query_batch(c, str_req).collect()))
+
 
 def test_cdx_query_batch_plan_single_pruned_scan(spark, sf_dir, tmp_path):
     """Over a STORED (parquet) CDX table the batch plan must be: one

@@ -1388,9 +1388,17 @@ def test_versioned_ann_store_always_on(spark, sf_dir, monkeypatch):
     assert ann_index.read_ann_tombstones(root) == set()
     assert [tuple(r) for r in probe()] == [tuple(r) for r in hidden]
 
-    gone = ann_index.expire_store_versions(root)
+    # default housekeeping protects young (possibly in-flight) dirs;
+    # min_age_s=0 models "all reader jobs drained"
+    assert ann_index.expire_store_versions(root) == []
+    gone = ann_index.expire_store_versions(root, min_age_s=0)
     assert gone == [os.path.basename(p1)]
     assert [tuple(r) for r in probe()] == [tuple(r) for r in hidden]
+    # an unpublished just-created version (an in-flight build) is
+    # never expired by default
+    _name, building = ann_index.new_store_version(root)
+    assert ann_index.expire_store_versions(root) == []
+    assert os.path.isdir(building)
 
     # mid-compaction delete: filed between the rebuild's tombstone
     # read and the swap — must survive at the root and keep applying

@@ -455,6 +455,27 @@ def test_fold_method_query_py_json_and_multipart():
         multipart_body_params(padded, "multipart/form-data; boundary=BND")
         == "a=pv"
     )
+    # a single '-' or a bare '\r' after the boundary is a LONGER token,
+    # not the '--' close or a CRLF — the value stays intact (round 11
+    # review: one follow-up byte was not enough to decide)
+    dash = (
+        b'--BND\r\ncontent-disposition: form-data; name="a"\r\n\r\n'
+        b"hello\r\n--BND-json more\r\n"
+        b'--BND\r\ncontent-disposition: form-data; name="b"\r\n\r\n'
+        b"z\r\n--BND--\r\n"
+    )
+    assert (
+        multipart_body_params(dash, "multipart/form-data; boundary=BND")
+        == "a=hello%0D%0A--BND-json+more&b=z"
+    )
+    bare_cr = (
+        b'--BND\r\ncontent-disposition: form-data; name="a"\r\n\r\n'
+        b"hello\r\n--BND\rtail\r\n--BND--\r\n"
+    )
+    assert (
+        multipart_body_params(bare_cr, "multipart/form-data; boundary=BND")
+        == "a=hello%0D%0A--BND%0Dtail"
+    )
 
     # composed through the fold: json POST
     u = fold_method_query_py(

@@ -543,7 +543,13 @@ def multipart_body_params(body: bytes, content_type: str) -> str:
     # preceding CRLF (same follow-up check applies).
 
     def _delim_follows(tail: bytes) -> bool:
-        return tail[:1] in (b"", b"\r", b"-", b" ", b"\t")
+        # RFC 2046 after '--boundary': optional transport padding
+        # (SP/HTAB) then CRLF, or the closing '--', or end-of-body.
+        # Checking one byte is not enough: a single '-' ('--BND-json')
+        # or a bare '\r' not followed by '\n' is a LONGER token the
+        # boundary merely prefixes, not a delimiter.
+        t = tail.lstrip(b" \t")
+        return t == b"" or t.startswith(b"--") or t.startswith(b"\r\n")
 
     opening = body.startswith(b"--" + boundary) and _delim_follows(
         body[2 + len(boundary):]

@@ -1068,7 +1068,10 @@ def cdx_query_batch(
                 lo,
                 hi,
                 req.get("limit"),
-                int(req["closest"].ljust(14, "0"))
+                # str() first: a JSON-number closest (the natural way
+                # to write a timestamp) must not AttributeError on
+                # int.ljust deep inside the operator
+                int(str(req["closest"]).ljust(14, "0"))
                 if req.get("closest")
                 else None,
             )

@@ -833,6 +833,8 @@ def _parse_mp4(b: bytes) -> dict:
             continue
         for ctype, clo, chi in _mp4_boxes(b, lo, hi):
             if ctype == b"mvhd":
+                if clo >= chi:  # empty fullbox: no version byte to read
+                    raise ValueError("mp4: truncated mvhd")
                 ver = b[clo]
                 if ver == 1:
                     if clo + 32 > chi:
@@ -847,9 +849,9 @@ def _parse_mp4(b: bytes) -> dict:
             elif ctype == b"trak" and width is None:
                 for ttype, tlo, thi in _mp4_boxes(b, clo, chi):
                     if ttype == b"tkhd":
-                        ver = b[tlo]
                         # width/height are the LAST 8 bytes of tkhd
-                        # either version (16.16 fixed point)
+                        # either version (16.16 fixed point) — no
+                        # version byte needed
                         if thi - 8 < tlo:
                             raise ValueError("mp4: truncated tkhd")
                         w = struct.unpack_from(">I", b, thi - 8)[0] >> 16

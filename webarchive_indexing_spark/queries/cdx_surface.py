@@ -2547,8 +2547,11 @@ def cdx_query_batch(spark, sf_dir):
     ) WHERE rn <= 2
     UNION ALL
     SELECT CAST(1 AS INT), {_BATCH_COLS} FROM (
+      -- the target pads pywb-style: '201501'.ljust(14, '0') =
+      -- 20150100000000 (NOT the calendar 20150101000000 — one ts14
+      -- 'day' off, enough to flip winners near the boundary)
       SELECT *, ROW_NUMBER() OVER (
-        ORDER BY ABS(CAST(ts14 AS BIGINT) - 20150101000000), ts14,
+        ORDER BY ABS(CAST(ts14 AS BIGINT) - 20150100000000), ts14,
                  digest, "offset") AS rn
       FROM cdx WHERE urlkey = 'org,example,src1)/doc/102?a=1&b=2'
     ) WHERE rn <= 1

@@ -85,27 +85,38 @@ def resolve_store(out_dir: str) -> str:
     return _join(out_dir, v) if v else out_dir
 
 
-def expire_store_versions(root: str) -> list[str]:
-    """Drop every unpublished version directory (retired versions a
-    swap left behind for in-flight readers).  Run it AFTER those
-    readers' jobs finish — the same retention contract as
-    ``expire_snapshots`` on the index stores.  Returns the removed
-    names."""
+def expire_store_versions(root: str, *, min_age_s: float = 3600) -> list[str]:
+    """Drop unpublished version directories (retired versions a swap
+    left behind for in-flight readers).  Run it AFTER those readers'
+    jobs finish — the same retention contract as ``expire_snapshots``
+    on the index stores.  ``min_age_s`` protects a version that is
+    CURRENTLY BEING BUILT but not yet published: a builder creates its
+    directory before the (long) write job and swaps the pointer only
+    at the end, so housekeeping that deleted every non-CURRENT dir
+    would pull a half-built store out from under it.  Returns the
+    removed names."""
+    import time
+
     from pyarrow import fs as pafs
 
     keep = read_store_pointer(root)
     fs, local = _fs_for(root)
     infos = fs.get_file_info(pafs.FileSelector(local, allow_not_found=True))
+    now = time.time()
     gone = []
     for info in infos:
         name = info.path.rsplit("/", 1)[-1]
         if (
-            info.type == pafs.FileType.Directory
-            and name.startswith("v-")
-            and name != keep
+            info.type != pafs.FileType.Directory
+            or not name.startswith("v-")
+            or name == keep
         ):
-            fs.delete_dir(info.path)
-            gone.append(name)
+            continue
+        mtime = info.mtime.timestamp() if info.mtime else 0.0
+        if now - mtime < min_age_s:
+            continue  # possibly an in-flight build: leave it
+        fs.delete_dir(info.path)
+        gone.append(name)
     return sorted(gone)
 
 #: Tombstone lists ride as ``isin`` scan-filter literals — bounded by
@@ -660,6 +671,7 @@ def ivfpq_index_probe_topk(
     nprobe: int = 3,
     exclude_id: int | None = None,
     id_col: str = "vec_id",
+    _store: str | None = None,
 ) -> DataFrame:
     """Top-k approximate neighbors from the PQ-coded store: rank probe
     cells driver-side (quantizer math), scan ONLY those ``cell=``
@@ -667,17 +679,24 @@ def ivfpq_index_probe_topk(
     byte saving is the whole point; plan-asserted: ReadSchema carries
     ``j0..``, no embedding column exists to read) — then the ADC
     literal-table sum ranks rows map-side.  Zero shuffles,
-    TakeOrderedAndProject.  Honors tombstones like the flat probe."""
+    TakeOrderedAndProject.  Honors tombstones like the flat probe.
+
+    The CURRENT pointer resolves ONCE (``_store`` lets a composing
+    caller pin the version): model and data must come from the SAME
+    version or a concurrent pointer swap could pair v1 centroids with
+    v2 partitions — silently wrong cells.  Tombstones read from the
+    ROOT, where they span versions."""
     from ..operators.similarity import (
         py_sqdist6,
         residual_adc_expr,
         residual_query_tables,
     )
 
-    cents, cbooks, _meta = read_ivfpq_model(out_dir)
+    store = _store or resolve_store(out_dir)
+    cents, cbooks, _meta = read_ivfpq_model(store)
     probe = sorted(cents, key=lambda c: (py_sqdist6(qv, cents[c]), c))[:nprobe]
     qd_sql = residual_query_tables(cents, cbooks, qv)
-    df = spark.read.parquet(_join(resolve_store(out_dir), "codes")).filter(
+    df = spark.read.parquet(_join(store, "codes")).filter(
         F.col("cell").isin(probe)
     )
     if exclude_id is not None:
@@ -698,6 +717,7 @@ def ivfpq_index_probe_batch_topk(
     nprobe: int = 3,
     exclude_ids: list[int | None] | None = None,
     id_col: str = "vec_id",
+    _store: str | None = None,
 ) -> DataFrame:
     """N query vectors answered in ONE job over the PQ-coded store —
     the FAISS batched ``search()`` / cc-index-server amortization
@@ -723,7 +743,8 @@ def ivfpq_index_probe_batch_topk(
     the per-request arm; tombstones apply once, scan-side, shared by
     every request.  Returns ``request_no`` (the position in
     ``query_vecs``) + the same columns as the single probe, each
-    request's rows hash-matching its one-at-a-time twin."""
+    request's rows hash-matching its one-at-a-time twin.  Pointer
+    resolution happens once (see ``ivfpq_index_probe_topk``)."""
     from ..operators.similarity import (
         py_sqdist6,
         residual_adc_expr,
@@ -735,7 +756,8 @@ def ivfpq_index_probe_batch_topk(
     excl = exclude_ids or [None] * len(query_vecs)
     if len(excl) != len(query_vecs):
         raise ValueError("exclude_ids must align with query_vecs")
-    cents, cbooks, _meta = read_ivfpq_model(out_dir)
+    store = _store or resolve_store(out_dir)
+    cents, cbooks, _meta = read_ivfpq_model(store)
 
     union_cells: set[int] = set()
     arms: list[str] = []
@@ -753,7 +775,7 @@ def ivfpq_index_probe_batch_topk(
             f"CASE WHEN {cond} THEN {adc} END)"
         )
 
-    df = spark.read.parquet(_join(resolve_store(out_dir), "codes")).filter(
+    df = spark.read.parquet(_join(store, "codes")).filter(
         F.col("cell").isin(sorted(union_cells))
     )
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
@@ -774,6 +796,42 @@ def ivfpq_index_probe_batch_topk(
         .filter(F.col("__rn") <= k)
         .select("request_no", id_col, "cell", "approx_dist")
     )
+
+
+def _refine_source(
+    spark: SparkSession,
+    store: str,
+    cells: list[int],
+    ids: list[int],
+    id_col: str,
+    vec_col: str,
+):
+    """The refine sidecar scan + its vector expression, shared by the
+    single and batch refine paths so the dequantize algebra and the
+    no-sidecar error can never diverge: prune to the CANDIDATES' cells
+    + a pushed-down id In filter; flat sidecars re-rank on the raw
+    vectors, int8 on the dequantized ``q·scale/127`` (exact-IEEE,
+    oracle twin).  ``store`` is an already-resolved version path."""
+    kind = read_ivfpq_model(store)[2].get("refine")
+    if not kind:
+        raise ValueError(
+            f"store {store!r} has no refine sidecar — rebuild with "
+            f"write_ivfpq_index(refine='flat'|'int8') or pass "
+            f"vectors_src explicitly"
+        )
+    side = (
+        spark.read.parquet(_join(store, "refine"))
+        .filter(F.col("cell").isin(sorted(cells)))
+        .filter(F.col(id_col).isin(sorted(ids)))
+    )
+    if kind == "flat":
+        vec = F.col(vec_col)
+    else:  # int8: dequantize q·scale/127 (exact-IEEE, oracle twin)
+        vec = F.transform(
+            F.col("q"),
+            lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
+        )
+    return side, vec
 
 
 def ivfpq_refined_batch_topk(
@@ -802,16 +860,13 @@ def ivfpq_refined_batch_topk(
     from ..operators.similarity import cosine, lit_double_array
     from ..queries.helpers import hround
 
+    # resolve the CURRENT pointer ONCE: the ADC probe and the refine
+    # sidecar must read the SAME version even if a swap lands mid-way
+    store = resolve_store(out_dir)
     cand = ivfpq_index_probe_batch_topk(
         spark, out_dir, query_vecs, k=k * k_factor, nprobe=nprobe,
-        exclude_ids=exclude_ids, id_col=id_col,
+        exclude_ids=exclude_ids, id_col=id_col, _store=store,
     )
-    kind = read_ivfpq_model(out_dir)[2].get("refine")
-    if not kind:
-        raise ValueError(
-            f"store {out_dir!r} has no refine sidecar — rebuild with "
-            f"write_ivfpq_index(refine='flat'|'int8')"
-        )
     rows = cand.select("request_no", id_col, "cell").collect()
     per_req: dict[int, list[int]] = {}
     cells: set[int] = set()
@@ -820,18 +875,9 @@ def ivfpq_refined_batch_topk(
         per_req.setdefault(int(r["request_no"]), []).append(int(r[id_col]))
         cells.add(int(r["cell"]))
         all_ids.add(int(r[id_col]))
-    side = (
-        spark.read.parquet(_join(resolve_store(out_dir), "refine"))
-        .filter(F.col("cell").isin(sorted(cells)))
-        .filter(F.col(id_col).isin(sorted(all_ids)))
+    side, vec = _refine_source(
+        spark, store, sorted(cells), sorted(all_ids), id_col, vec_col
     )
-    if kind == "flat":
-        vec = F.col(vec_col)
-    else:  # int8: dequantize q·scale/127 (exact-IEEE, oracle twin)
-        vec = F.transform(
-            F.col("q"),
-            lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
-        )
     entries = []
     for i, qv in enumerate(query_vecs):
         ids_i = sorted(per_req.get(i, []))
@@ -905,33 +951,19 @@ def ivfpq_refined_topk(
     from ..operators.similarity import cosine, lit_double_array
     from ..queries.helpers import hround
 
+    # one pointer resolve pins probe + sidecar to the same version
+    store = resolve_store(out_dir)
     cand = ivfpq_index_probe_topk(
         spark, out_dir, qv, k=k * k_factor, nprobe=nprobe,
-        exclude_id=exclude_id, id_col=id_col,
+        exclude_id=exclude_id, id_col=id_col, _store=store,
     )
     rows = cand.select(id_col, "cell").collect()
     ids = [r[id_col] for r in rows]
     if vectors_src is None:
-        kind = read_ivfpq_model(out_dir)[2].get("refine")
-        if not kind:
-            raise ValueError(
-                f"store {out_dir!r} has no refine sidecar — rebuild with "
-                f"write_ivfpq_index(refine='flat'|'int8') or pass "
-                f"vectors_src explicitly"
-            )
         cells = sorted({int(r["cell"]) for r in rows})
-        side = (
-            spark.read.parquet(_join(resolve_store(out_dir), "refine"))
-            .filter(F.col("cell").isin(cells))
-            .filter(F.col(id_col).isin(ids))
+        side, vec = _refine_source(
+            spark, store, cells, ids, id_col, vec_col
         )
-        if kind == "flat":
-            vec = F.col(vec_col)
-        else:  # int8: dequantize q·scale/127 (exact-IEEE, oracle twin)
-            vec = F.transform(
-                F.col("q"),
-                lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
-            )
         out = side.select(
             F.col(id_col),
             hround(cosine(vec, lit_double_array(qv)), 6).alias("cos_sim"),
@@ -984,11 +1016,12 @@ def ivf_index_probe_batch_topk(
     excl = exclude_ids or [None] * len(query_vecs)
     if len(excl) != len(query_vecs):
         raise ValueError("exclude_ids must align with query_vecs")
-    cents = read_ivf_centroids(out_dir)
+    store = resolve_store(out_dir)
+    cents = read_ivf_centroids(store)
     probes = [ivf_probe_cells(cents, qv, nprobe) for qv in query_vecs]
     union_cells = sorted({c for p in probes for c in p})
 
-    df = spark.read.parquet(_join(resolve_store(out_dir), "vectors")).filter(
+    df = spark.read.parquet(_join(store, "vectors")).filter(
         F.col("cell").isin(union_cells)
     )
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
@@ -1053,9 +1086,10 @@ def ivf_index_probe_topk(
     )
     from ..queries.helpers import hround
 
-    cents = read_ivf_centroids(out_dir)
+    store = resolve_store(out_dir)
+    cents = read_ivf_centroids(store)
     probe = ivf_probe_cells(cents, qv, nprobe)
-    df = spark.read.parquet(_join(resolve_store(out_dir), "vectors")).filter(
+    df = spark.read.parquet(_join(store, "vectors")).filter(
         F.col("cell").isin(probe)
     )
     if exclude_id is not None:
