@@ -167,6 +167,7 @@ HEADLINE = [
     "emb_ann_refined_batch",
     "emb_ivf_query_batch",
     "emb_ivf_store_rebuild",
+    "emb_ivfsq_persisted_topk",
     "emb_ivfpq_refined_store",
     "emb_ivfpq_refined_int8",
     "multimodal_video_meta",

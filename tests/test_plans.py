@@ -739,3 +739,18 @@ def test_ann_refined_batch_single_sidecar_scan(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan[:1200]
     assert "request_no" in plan.split("Exchange", 1)[1].splitlines()[0]
     assert "Join" not in plan
+
+
+def test_ivfsq_probe_prunes_and_reads_quantized(spark, sf_dir):
+    """The SQ8 store probe: cell partition pruning like its siblings,
+    and the scan reads the quantized payload (scale + tinyint codes),
+    never a float embedding column; zero pre-top-k exchanges."""
+    plan = _plan(spark, sf_dir, "emb_ivfsq_persisted_topk")
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "scale" in schema and "q" in schema, schema
+    assert "embedding" not in schema, schema
+    assert "Exchange" not in plan.split("FileScan parquet", 1)[0]
+    assert "TakeOrderedAndProject" in plan

@@ -1461,3 +1461,50 @@ def test_versioned_ivfpq_store_with_sidecar(spark, sf_dir):
         spark, root, None, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
     ).collect()
     assert victim not in {r.vec_id for r in got}
+
+
+def test_ivfsq_store_smaller_and_recall_reasonable(spark, sf_dir):
+    """The SQ8 ladder rung: the quantized store's data bytes land well
+    under the flat store's (the ~4x story at fixture scale, parquet
+    overheads included), and probing every cell recovers most of the
+    exact top-k (quantization changes scores, not the neighborhood)."""
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+        cosine_topk,
+    )
+    from webarchive_indexing_spark.sinks.ann_index import (
+        ivfsq_index_probe_topk,
+        write_ivf_index,
+        write_ivfsq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = tempfile.mkdtemp(prefix="ivf_flat_sz_")
+    sq = tempfile.mkdtemp(prefix="ivfsq_sz_")
+    write_ivf_index(emb, flat, n_cents=8, train_iters=2)
+    write_ivfsq_index(emb, sq, n_cents=8, train_iters=2)
+
+    def data_bytes(root, sub):
+        total = 0
+        for dirpath, _dirs, files in os.walk(os.path.join(root, sub)):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    assert data_bytes(sq, "sq") < 0.6 * data_bytes(flat, "vectors")
+
+    qv = collect_query_vector(emb, 123)
+    got = {
+        r.vec_id
+        for r in ivfsq_index_probe_topk(
+            spark, sq, qv, k=10, nprobe=8, exclude_id=123
+        ).collect()
+    }
+    exact = {r.vec_id for r in cosine_topk(emb, 123, k=10).collect()}
+    assert len(got & exact) >= 7, (got, exact)

@@ -679,6 +679,90 @@ def sql_ivf_trained_topk(
     )
 
 
+def sql_ivfsq_trained_topk(
+    query_vec_id: int = 123,
+    k: int = 10,
+    n_cents: int = 8,
+    nprobe: int = 2,
+    train_iters: int = 2,
+    dim: int = 64,
+    exclude_ids: list[int] | None = None,
+) -> str:
+    """DuckDB twin of the IVF-SQ8 store probe: the trained-IVF chain
+    (same Lloyd CTEs + cosine-argmax assignment + probe-cell ranking
+    as ``sql_ivf_trained_topk``), but the survivors re-rank by the
+    cosine of their DEQUANTIZED vectors — scale = max |x|, q_i =
+    floor(x_i/scale·127 + .5), x̂ = q·scale/127, every step shared
+    with the Spark store encode, so the hash match proves the
+    quantize→store→dequantize→rank chain."""
+    from ..queries.helpers import sql_hround
+    from .kmeans import sql_lloyd_centroid_ctes
+
+    parts, prev = sql_lloyd_centroid_ctes(n_cents, train_iters, dim)
+
+    def ddot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    cscore = sql_hround(f"{ddot('e.embedding', 'c.cvec')} / c.cnorm", 6)
+    qscore = sql_hround(f"{ddot('q.qv', 'c.cvec')} / c.cnorm", 6)
+    esim = sql_hround(sql_cosine("d.dvec", "q.qv", dim), 6)
+    excl = ""
+    if exclude_ids:
+        excl = (
+            " AND cells.vec_id NOT IN ("
+            + ", ".join(str(int(i)) for i in exclude_ids)
+            + ")"
+        )
+    parts += [
+        f"""cents AS (
+      SELECT cid, cvec, sqrt({ddot('cvec', 'cvec')}) AS cnorm FROM {prev}
+    )""",
+        f"""q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+    )""",
+        f"""scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id ORDER BY {cscore} DESC, c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    )""",
+        """cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM scored WHERE rn = 1
+    )""",
+        f"""probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qscore} DESC, c.cid ASC) AS rn
+        FROM cents c CROSS JOIN q
+      ) WHERE rn <= {nprobe}
+    )""",
+        f"""d AS (
+      SELECT cells.vec_id, cells.cell,
+             list_transform(cells.embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) / s.scale * 127 + 0.5) AS DOUBLE)
+                 * s.scale / 127.0) AS dvec
+      FROM cells
+      JOIN (SELECT vec_id,
+                   list_max(list_transform(embedding,
+                                           x -> abs(CAST(x AS DOUBLE)))) AS scale
+            FROM embeddings) s ON s.vec_id = cells.vec_id
+      WHERE cells.cell IN (SELECT cid FROM probe)
+        AND cells.vec_id <> {query_vec_id}{excl}
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT d.vec_id, d.cell, {esim} AS cos_sim
+    FROM d CROSS JOIN q
+    ORDER BY cos_sim DESC, d.vec_id ASC LIMIT {k}
+    """
+    )
+
+
 def _planes(n_planes: int, dim: int) -> list[list[int]]:
     """±1 hyperplanes seeded from md5 — reproducible anywhere."""
     out = []

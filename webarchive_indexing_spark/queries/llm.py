@@ -1465,6 +1465,44 @@ def emb_ivf_delete_probe(spark, sf_dir):
 
 
 @query(
+    "emb_ivfsq_persisted_topk",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.similarity",
+        fromlist=["sql_ivfsq_trained_topk"],
+    ).sql_ivfsq_trained_topk(
+        query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=2,
+    ),
+    tier="C",
+)
+def emb_ivfsq_persisted_topk(spark, sf_dir):
+    """L3 IVF-SQ8 persisted store (round 11 — FAISS
+    IndexIVFScalarQuantizer, completing the flat/SQ8/PQ storage
+    ladder): same Lloyd quantizer and ``cell=`` hive layout as the
+    flat store, but the inverted lists hold one double scale + dim
+    tinyints per vector (~4× smaller probe scans), and the probe
+    ranks by the cosine of the DEQUANTIZED vectors — partition
+    pruning + map-side dequantize, zero shuffles.  The quantize
+    algebra is shared with the int8 refine sidecar, and the oracle
+    reconstructs train→assign→probe→dequantize→rank relationally, so
+    the hash match pins the whole chain."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import (
+        ivfsq_index_probe_topk,
+        write_ivfsq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfsq_idx_")
+    write_ivfsq_index(emb, out, n_cents=8, train_iters=2)
+    qv = collect_query_vector(emb, 123)
+    return ivfsq_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123
+    )
+
+
+@query(
     "emb_ivf_store_rebuild",
     oracle=sql_ivf_trained_topk(
         query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=2,

@@ -199,6 +199,97 @@ def write_ivf_index(
     return cents
 
 
+def write_ivfsq_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    *,
+    n_cents: int = 8,
+    train_iters: int = 2,
+    dim: int = 64,
+    train_frac: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """IVF-SQ8 store — the FAISS IndexIVFScalarQuantizer middle ground
+    between the flat store (exact, dim×4 bytes/row) and the PQ store
+    (n_sub bytes, lossiest): the same Lloyd coarse quantizer and
+    ``cell=`` hive layout as the flat store, but each inverted list
+    stores the symmetric-SQ form — one double scale + dim tinyints
+    (~4× smaller scans) — and probes rank by the cosine of the
+    DEQUANTIZED vectors.  Quantize algebra shared with the int8 refine
+    sidecar (``_int8_frame``), so the two representations can never
+    drift.  Returns the trained centroids (persisted as
+    ``centroids.json`` — same model file as the flat store)."""
+    from ..operators.kmeans import lloyd_train
+    from ..operators.similarity import ivf_cell_expr
+
+    cents = lloyd_train(
+        embeddings, k=n_cents, iters=train_iters, dim=dim,
+        id_col=id_col, vec_col=vec_col, train_frac=train_frac,
+    )
+    (
+        _int8_frame(
+            embeddings, ivf_cell_expr(cents, vec_col), id_col, vec_col
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(_join(out_dir, "sq"))
+    )
+    fs, local = _fs_for(out_dir)
+    with fs.open_output_stream(
+        _join(local, _CENTROIDS), compression=None
+    ) as fh:
+        fh.write(
+            json.dumps({str(c): v for c, v in cents.items()}).encode()
+        )
+    return cents
+
+
+def ivfsq_index_probe_topk(
+    spark: SparkSession,
+    out_dir: str,
+    qv: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k from the SQ8 store: partition pruning to the nprobe
+    ``cell=`` directories (FAISS inverted-list skip), map-side
+    dequantize ``q·scale/127`` + 6dp cosine against the inlined query
+    literal, TakeOrderedAndProject — zero shuffles, ~4× fewer scan
+    bytes than the flat store at a small recall cost.  Tombstones
+    (root-level) and the CURRENT pointer behave exactly like the
+    sibling probes (one resolve per request)."""
+    from ..operators.similarity import (
+        cosine,
+        ivf_probe_cells,
+        lit_double_array,
+    )
+    from ..queries.helpers import hround
+
+    store = resolve_store(out_dir)
+    cents = read_ivf_centroids(store)
+    probe = ivf_probe_cells(cents, qv, nprobe)
+    df = spark.read.parquet(_join(store, "sq")).filter(
+        F.col("cell").isin(probe)
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
+    deq = F.transform(
+        F.col("q"),
+        lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.col("cell"),
+        hround(cosine(deq, lit_double_array(qv)), 6).alias("cos_sim"),
+    )
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def write_ivf_index_versioned(
     embeddings: DataFrame, root: str, **kw
 ) -> str:
@@ -573,11 +664,23 @@ def _refine_sidecar_frame(
         )
     if kind != "int8":
         raise ValueError(f"unknown refine sidecar kind {kind!r}")
+    return _int8_frame(
+        embeddings, cell.getField("cid"), id_col, vec_col
+    )
+
+
+def _int8_frame(
+    embeddings: DataFrame, cell_col, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell, scale, q) rows in the symmetric-SQ form — shared by
+    the refine sidecar and the IVF-SQ store so the quantize algebra
+    (scale = max |x|, q_i = floor(x_i/scale·127 + .5) as tinyint)
+    exists exactly once."""
     xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (
         embeddings.select(
             F.col(id_col),
-            cell.getField("cid").alias("cell"),
+            cell_col.alias("cell"),
             xd.alias("_xd"),
         )
         .select(
