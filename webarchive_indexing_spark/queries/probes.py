@@ -147,6 +147,27 @@ def _p_ivfpq_refined(spark, ctx):
     )
 
 
+def _build_ivfsq_store(spark, sf_dir):
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import write_ivfsq_index
+    from .helpers import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="probe_ivfsq_")
+    write_ivfsq_index(emb, out, n_cents=8, train_iters=2)
+    return {"dir": out, "qv": collect_query_vector(emb, 123)}
+
+
+def _p_ivfsq_topk(spark, ctx):
+    from ..sinks.ann_index import ivfsq_index_probe_topk
+
+    return ivfsq_index_probe_topk(
+        spark, ctx["dir"], ctx["qv"], k=10, nprobe=3, exclude_id=123
+    )
+
+
 def _p_ivf_batch(spark, ctx):
     from ..sinks.ann_index import ivf_index_probe_batch_topk
 
@@ -239,5 +260,9 @@ PROBES: dict[str, Probe] = {
     "emb_ivf_query_batch_probe": Probe(
         "emb_ivf_query_batch", "ivf_store",
         _build_ivf_store, _p_ivf_batch,
+    ),
+    "emb_ivfsq_persisted_topk_probe": Probe(
+        "emb_ivfsq_persisted_topk", "ivfsq_store",
+        _build_ivfsq_store, _p_ivfsq_topk,
     ),
 }

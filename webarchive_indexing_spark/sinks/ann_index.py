@@ -245,6 +245,42 @@ def write_ivfsq_index(
     return cents
 
 
+def write_ivfsq_index_versioned(
+    embeddings: DataFrame, root: str, **kw
+) -> str:
+    """Versioned twin of ``write_ivfsq_index`` — see
+    ``write_ivf_index_versioned`` for the publish contract."""
+    name, path = new_store_version(root)
+    write_ivfsq_index(embeddings, path, **kw)
+    _write_store_pointer(root, name)
+    return path
+
+
+def append_ivfsq_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add NEW vectors to an SQ8 store: assignment uses the STORED
+    quantizer and the shared ``_int8_frame`` encode, appending into
+    the existing ``cell=`` directories — the same absorb-a-new-crawl
+    contract as the flat/PQ appends (model drift = scheduled rebuild,
+    never in-place mutation)."""
+    from ..operators.similarity import ivf_cell_expr
+
+    cents = read_ivf_centroids(out_dir)
+    (
+        _int8_frame(
+            embeddings, ivf_cell_expr(cents, vec_col), id_col, vec_col
+        )
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(_join(resolve_store(out_dir), "sq"))
+    )
+
+
 def ivfsq_index_probe_topk(
     spark: SparkSession,
     out_dir: str,
