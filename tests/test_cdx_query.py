@@ -149,6 +149,50 @@ def test_closest_ordering(spark, cdx):
     assert dists == sorted(dists)
 
 
+def test_closest_tie_determinism_single_equals_batch(spark):
+    """Round-12 ADVICE: at equal |delta-ts| AND equal timestamp
+    (same-second recrawls) under a limit, the single-request closest
+    path and the batch path must pick the SAME deterministic winner —
+    both order by (dist, timestamp, digest, offset)."""
+    from webarchive_indexing_spark.operators.cdx_query import cdx_query_batch
+
+    url = "https://tie.example.org/x"
+    key = "org,example,tie)/x"
+    rows = [
+        # two captures in the same second, digests force the order
+        (key, "20200101000001", url, "text/html", 200, "bbb", None, None,
+         10, 0, "f.warc.gz"),
+        (key, "20200101000001", url, "text/html", 200, "aaa", None, None,
+         10, 5, "f.warc.gz"),
+        # equidistant on the OTHER side of the target too
+        (key, "20200101000003", url, "text/html", 200, "ccc", None, None,
+         10, 9, "f.warc.gz"),
+    ]
+    schema = (
+        "urlkey string, timestamp string, url string, mime string, "
+        "status int, digest string, redirect string, robotflags string, "
+        "length long, offset long, filename string"
+    )
+    frame = spark.createDataFrame(rows, schema)
+
+    single = cdx_query(
+        frame, url, match_type="exact", closest="20200101000002", limit=1
+    ).collect()
+    assert [r.digest for r in single] == ["aaa"]  # deterministic winner
+
+    batch = cdx_query_batch(
+        frame,
+        [{"url": url, "closest": "20200101000002", "limit": 1}],
+    ).collect()
+    assert [(r.digest,) for r in batch] == [(r.digest,) for r in single]
+
+    # limit=-N reverses the SAME deterministic order
+    neg = cdx_query(
+        frame, url, match_type="exact", closest="20200101000002", limit=-1
+    ).collect()
+    assert [r.digest for r in neg] == ["ccc"]
+
+
 def test_zipnum_path_equals_dataframe_path(spark, cdx, cluster):
     for kwargs in (
         dict(match_type="exact"),

@@ -1417,6 +1417,56 @@ def test_versioned_ann_store_always_on(spark, sf_dir, monkeypatch):
     assert second not in {r.vec_id for r in probe()}
 
 
+def test_expire_store_versions_guards():
+    """Round-12 ADVICE hardening on housekeeping, no Spark needed:
+    (1) an in-flight build is protected by its explicit BUILDING
+    sentinel — mtime age is irrelevant, a build may run longer than
+    any min_age_s; (2) publishing drops the sentinel, so a RETIRED
+    version (superseded later) expires normally; (3) a CURRENT
+    pointer that EXISTS but cannot be read aborts expiry instead of
+    being treated as 'unversioned' (which would delete the published
+    version)."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from webarchive_indexing_spark.sinks import ann_index
+
+    root = tempfile.mkdtemp(prefix="ivf_expire_")
+
+    # (1) unpublished build: sentinel present, survives min_age_s=0
+    name1, p1 = ann_index.new_store_version(root)
+    assert os.path.exists(os.path.join(p1, "BUILDING"))
+    assert ann_index.expire_store_versions(root, min_age_s=0) == []
+    assert os.path.isdir(p1)
+
+    # (2) publish v1, then publish v2: v1 is retired (sentinel gone)
+    # and expires under min_age_s=0; v2 is CURRENT and never expires
+    ann_index._publish_store_version(root, name1)
+    assert not os.path.exists(os.path.join(p1, "BUILDING"))
+    name2, p2 = ann_index.new_store_version(root)
+    ann_index._publish_store_version(root, name2)
+    assert ann_index.expire_store_versions(root, min_age_s=0) == [name1]
+    assert not os.path.isdir(p1) and os.path.isdir(p2)
+
+    # ...but a fresh in-flight build alongside CURRENT still survives
+    _name3, p3 = ann_index.new_store_version(root)
+    assert ann_index.expire_store_versions(root, min_age_s=0) == []
+    assert os.path.isdir(p3)
+
+    # (3) CURRENT exists but is unreadable (simulated: a directory in
+    # its place) -> abort loudly, delete nothing
+    bad = tempfile.mkdtemp(prefix="ivf_badptr_")
+    _name4, p4 = ann_index.new_store_version(bad)
+    ann_index._publish_store_version(bad, _name4)
+    os.remove(os.path.join(bad, "CURRENT"))
+    os.mkdir(os.path.join(bad, "CURRENT"))
+    with _pytest.raises(RuntimeError, match="could not be read"):
+        ann_index.expire_store_versions(bad, min_age_s=0)
+    assert os.path.isdir(p4)
+
+
 def test_versioned_ivfpq_store_with_sidecar(spark, sf_dir):
     """The PQ store's versioned lifecycle: probes/refine resolve the
     pointer, versioned compaction rewrites BOTH payloads (codes +

@@ -980,6 +980,74 @@ def test_find_member_split_offsets_true_boundaries(tmp_path):
     assert nxt == truth[4]
 
 
+def test_split_planning_arc_and_unknown_containers(spark, tmp_path):
+    """Round-12 ADVICE: split planning must not pay O(n_splits x file)
+    on containers whose member heads never verify.  (1) A gzipped ARC
+    over the split threshold stays WHOLE (the ranged parser is
+    WARC-only; ARC routes down the whole-file dispatch) and parses
+    identically with split_bytes on; (2) _next_member_offset gives up
+    after max_windows instead of trial-decompressing to EOF;
+    (3) direct callers scanning an ARC still get verified member
+    boundaries (URL-line heads are accepted)."""
+    import gzip as _gzip
+
+    from webarchive_indexing_spark.sources.warc import (
+        _next_member_offset,
+        _plan_split_ranges,
+        build_arc_filedesc,
+        build_arc_record,
+        index_warcs,
+    )
+
+    p_gz = str(tmp_path / "legacy.arc.gz")
+    members = [_gzip.compress(build_arc_filedesc("legacy.arc"), mtime=0)]
+    for i in range(30):
+        members.append(
+            _gzip.compress(
+                build_arc_record(
+                    f"http://a.example/p{i}",
+                    "20200101000000",
+                    bytes([i % 251]) * (200 + 31 * i),
+                ),
+                mtime=0,
+            )
+        )
+    with open(p_gz, "wb") as fh:
+        for m in members:
+            fh.write(m)
+    size = os.path.getsize(p_gz)
+
+    manifest = spark.createDataFrame([(p_gz,)], ["path"])
+    ranges_rdd, n_tasks = _plan_split_ranges(
+        spark, manifest, 1, size // 6
+    )
+    assert ranges_rdd.collect() == [(p_gz, 0, -1)]  # kept whole
+    assert n_tasks == 1
+
+    base = sorted(map(tuple, index_warcs(spark, manifest).collect()))
+    split = sorted(
+        map(tuple, index_warcs(spark, manifest, split_bytes=size // 6).collect())
+    )
+    assert base and split == base
+
+    # (2) a gzip member whose head never verifies: bounded give-up
+    junk = str(tmp_path / "junk.gz")
+    open(junk, "wb").write(
+        _gzip.compress(b"not-an-archive " * 20000, mtime=0) * 4
+    )
+    jsize = os.path.getsize(junk)
+    with open(junk, "rb") as fh:
+        assert (
+            _next_member_offset(fh, 0, jsize, window=1024, max_windows=3)
+            is None
+        )
+
+    # (3) ARC URL-line heads verify as member boundaries
+    off1 = len(members[0])
+    with open(p_gz, "rb") as fh:
+        assert _next_member_offset(fh, 1, size) == off1
+
+
 def test_index_warcs_split_equals_unsplit(spark, tmp_path):
     """Intra-file ranged parsing returns EXACTLY the unsplit rows —
     same records, same absolute offsets — on a clean multi-member file

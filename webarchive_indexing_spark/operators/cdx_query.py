@@ -938,6 +938,14 @@ def cdx_query(
         dist = F.abs(F.col("timestamp").cast("bigint") - F.lit(target))
         fwd = [dist.asc(), F.col("timestamp").asc()]
         rev = [dist.desc(), F.col("timestamp").desc()]
+        # same deterministic tail as the batch path's tiebreak_cols:
+        # at equal |Δts| + equal timestamp (same-second recrawls) the
+        # winner under a limit must not depend on scan order, and the
+        # one-at-a-time answer must match cdx_query_batch's rows
+        for c in ("digest", "offset"):
+            if c in df.columns:
+                fwd.append(F.col(c).asc())
+                rev.append(F.col(c).desc())
     elif sort_reverse:
         fwd = [F.col("urlkey").asc(), F.col("timestamp").desc()]
         rev = [F.col("urlkey").desc(), F.col("timestamp").asc()]

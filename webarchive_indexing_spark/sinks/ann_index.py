@@ -65,16 +65,40 @@ def _write_store_pointer(root: str, version: str) -> None:
     fs.move(tmp, _join(local, _CURRENT))
 
 
+_BUILDING = "BUILDING"
+
+
 def new_store_version(root: str) -> tuple[str, str]:
     """A fresh, unpublished version directory under ``root`` —
     ``(name, path)``.  Nothing reads it until the CURRENT pointer
-    swaps, so builds are free to take as long as they need."""
+    swaps, so builds are free to take as long as they need.  A
+    ``BUILDING`` sentinel file marks the directory as an in-flight
+    build — ``expire_store_versions`` never deletes a sentinel'd
+    version, because a directory mtime (set at creation) says nothing
+    about how long the write job after it will run.  The sentinel is
+    removed by ``_publish_store_version`` when the pointer swaps."""
     import uuid
 
     name = f"v-{uuid.uuid4().hex}"
     fs, local = _fs_for(root)
     fs.create_dir(_join(local, name), recursive=True)
+    with fs.open_output_stream(
+        _join(_join(local, name), _BUILDING), compression=None
+    ) as fh:
+        fh.write(b"")
     return name, _join(root, name)
+
+
+def _publish_store_version(root: str, name: str) -> None:
+    """Complete a build: drop the ``BUILDING`` sentinel (the version
+    is now a finished artifact that housekeeping may retire once it
+    stops being CURRENT), then atomically swap the pointer."""
+    fs, local = _fs_for(root)
+    try:
+        fs.delete_file(_join(_join(local, name), _BUILDING))
+    except OSError:
+        pass  # pre-sentinel version dirs (or a retried publish)
+    _write_store_pointer(root, name)
 
 
 def resolve_store(out_dir: str) -> str:
@@ -89,18 +113,36 @@ def expire_store_versions(root: str, *, min_age_s: float = 3600) -> list[str]:
     """Drop unpublished version directories (retired versions a swap
     left behind for in-flight readers).  Run it AFTER those readers'
     jobs finish — the same retention contract as ``expire_snapshots``
-    on the index stores.  ``min_age_s`` protects a version that is
-    CURRENTLY BEING BUILT but not yet published: a builder creates its
-    directory before the (long) write job and swaps the pointer only
-    at the end, so housekeeping that deleted every non-CURRENT dir
-    would pull a half-built store out from under it.  Returns the
-    removed names."""
+    on the index stores.  Two safety rails:
+
+    * If ``root/CURRENT`` EXISTS but cannot be read (a transient IO
+      error, a permission hiccup), expiry ABORTS with a RuntimeError
+      instead of treating the store as unversioned — proceeding with
+      ``keep=None`` would delete the PUBLISHED version.
+    * An in-flight build is protected by its explicit ``BUILDING``
+      sentinel (written by ``new_store_version``, removed at publish)
+      — never by directory mtime, which is set at creation and says
+      nothing about a build that runs longer than ``min_age_s``.
+
+    ``min_age_s`` then only grace-periods RETIRED versions (published
+    once, since superseded) for readers that resolved them before the
+    swap.  Returns the removed names."""
     import time
 
     from pyarrow import fs as pafs
 
-    keep = read_store_pointer(root)
     fs, local = _fs_for(root)
+    ptr = fs.get_file_info(_join(local, _CURRENT))
+    if ptr.type == pafs.FileType.NotFound:
+        keep = None
+    else:
+        keep = read_store_pointer(root)
+        if keep is None:
+            raise RuntimeError(
+                f"{root!r}: CURRENT exists but could not be read — "
+                f"aborting expiry rather than risk deleting the "
+                f"published version; retry when the pointer is readable"
+            )
     infos = fs.get_file_info(pafs.FileSelector(local, allow_not_found=True))
     now = time.time()
     gone = []
@@ -112,9 +154,12 @@ def expire_store_versions(root: str, *, min_age_s: float = 3600) -> list[str]:
             or name == keep
         ):
             continue
+        sentinel = fs.get_file_info(_join(info.path, _BUILDING))
+        if sentinel.type != pafs.FileType.NotFound:
+            continue  # in-flight build: builds may take arbitrarily long
         mtime = info.mtime.timestamp() if info.mtime else 0.0
         if now - mtime < min_age_s:
-            continue  # possibly an in-flight build: leave it
+            continue  # retired version: grace for in-flight readers
         fs.delete_dir(info.path)
         gone.append(name)
     return sorted(gone)
@@ -252,7 +297,7 @@ def write_ivfsq_index_versioned(
     ``write_ivf_index_versioned`` for the publish contract."""
     name, path = new_store_version(root)
     write_ivfsq_index(embeddings, path, **kw)
-    _write_store_pointer(root, name)
+    _publish_store_version(root, name)
     return path
 
 
@@ -267,17 +312,22 @@ def append_ivfsq_index(
     quantizer and the shared ``_int8_frame`` encode, appending into
     the existing ``cell=`` directories — the same absorb-a-new-crawl
     contract as the flat/PQ appends (model drift = scheduled rebuild,
-    never in-place mutation)."""
+    never in-place mutation).  The CURRENT pointer resolves ONCE and
+    both the model read and the data write use that pinned version —
+    resolving twice would let a concurrent pointer swap pair the old
+    version's centroids with the new version's data directory
+    (silently wrong cell assignments)."""
     from ..operators.similarity import ivf_cell_expr
 
-    cents = read_ivf_centroids(out_dir)
+    store = resolve_store(out_dir)
+    cents = read_ivf_centroids(store)
     (
         _int8_frame(
             embeddings, ivf_cell_expr(cents, vec_col), id_col, vec_col
         )
         .write.partitionBy("cell")
         .mode("append")
-        .parquet(_join(resolve_store(out_dir), "sq"))
+        .parquet(_join(store, "sq"))
     )
 
 
@@ -337,7 +387,7 @@ def write_ivf_index_versioned(
     IS the store handle.  Returns the version directory."""
     name, path = new_store_version(root)
     write_ivf_index(embeddings, path, **kw)
-    _write_store_pointer(root, name)
+    _publish_store_version(root, name)
     return path
 
 
@@ -348,7 +398,7 @@ def write_ivfpq_index_versioned(
     ``write_ivf_index_versioned`` for the publish contract."""
     name, path = new_store_version(root)
     write_ivfpq_index(embeddings, path, **kw)
-    _write_store_pointer(root, name)
+    _publish_store_version(root, name)
     return path
 
 
@@ -364,15 +414,18 @@ def append_ivf_index(
     into the ``cell=`` directories — no rewrite of existing lists,
     which is how an embedding index absorbs a new crawl's vectors at
     100 TB.  Quantizer drift (enough new data that the cells no
-    longer fit) is a scheduled REBUILD, never an in-place mutation."""
+    longer fit) is a scheduled REBUILD, never an in-place mutation.
+    One pointer resolve pins model + data to the SAME version (see
+    ``append_ivfsq_index``)."""
     from ..operators.similarity import ivf_cell_expr
 
-    cents = read_ivf_centroids(out_dir)
+    store = resolve_store(out_dir)
+    cents = read_ivf_centroids(store)
     (
         embeddings.withColumn("cell", ivf_cell_expr(cents, vec_col))
         .write.partitionBy("cell")
         .mode("append")
-        .parquet(_join(resolve_store(out_dir), "vectors"))
+        .parquet(_join(store, "vectors"))
     )
 
 
@@ -485,7 +538,7 @@ def compact_ivf_index_versioned(
             _join(_join(local, name), model), compression=None
         ) as fh:
             fh.write(data)
-    _write_store_pointer(root, name)
+    _publish_store_version(root, name)
     for p in tomb_files:
         try:
             fs.delete_file(p)
@@ -753,14 +806,16 @@ def append_ivfpq_index(
     directories.  A refine sidecar, when present, receives the same
     vectors under the same layout — codes and refine source can never
     drift apart.  Same contract as ``append_ivf_index``: model drift
-    means a scheduled REBUILD, never an in-place mutation."""
+    means a scheduled REBUILD, never an in-place mutation; one
+    pointer resolve pins model + data to the SAME version."""
     from ..operators.similarity import (
         nearest_sqdist6_expr,
         residual_codeword_tables,
         residual_encode_exprs,
     )
 
-    cents, cbooks, meta = read_ivfpq_model(out_dir)
+    store = resolve_store(out_dir)
+    cents, cbooks, meta = read_ivfpq_model(store)
     sub_dim = meta["dim"] // meta["n_sub"]
     ct_sql = residual_codeword_tables(cents, cbooks)
     cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
@@ -769,7 +824,7 @@ def append_ivfpq_index(
     ).selectExpr(
         id_col, "cell", *residual_encode_exprs(ct_sql, vec_col, sub_dim)
     )
-    data_dir = resolve_store(out_dir)
+    data_dir = store
     (
         coded.write.partitionBy("cell")
         .mode("append")

@@ -48,6 +48,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import re
 import zlib
 from datetime import datetime, timezone
 
@@ -193,19 +194,30 @@ def iter_warc_members_stream(fh, chunk_size: int = 1 << 20):
         offset += consumed
 
 
+#: ARC member head: ``url ip-address 14-digit-date content-type ...``
+#: (v1's 5th field is the length, v2's the result code — both digits).
+_ARC_MEMBER_HEAD = re.compile(rb"^\S+ \d{1,3}(?:\.\d{1,3}){3} \d{14} \S+ \d+")
+
+
 def _next_member_offset(
-    fh, start: int, size: int, window: int = 1 << 20
+    fh, start: int, size: int, window: int = 1 << 20,
+    *, max_windows: int = 64,
 ) -> int | None:
     """First VERIFIED gzip-member boundary at or after byte ``start``:
     scan forward for the gzip magic and accept a candidate only when
-    decompressing from it yields a ``WARC/`` (or ARC ``filedesc``)
-    record head — the magic bytes legitimately occur INSIDE deflate
-    streams, so an unverified seek would split mid-member and emit
-    garbage records.  The verification decompresses ≤4 KB per
-    candidate; windows advance until a boundary is found or the file
-    ends."""
+    decompressing from it yields a ``WARC/`` / ``filedesc`` / ARC
+    URL-line record head — the magic bytes legitimately occur INSIDE
+    deflate streams, so an unverified seek would split mid-member and
+    emit garbage records.  The verification decompresses ≤4 KB per
+    candidate.  The forward scan is BOUNDED at ``max_windows``
+    windows past ``start``: a file whose heads never verify (a
+    container this scanner doesn't know) must cost O(bound) per
+    target, not an O(file) trial-decompress sweep per split point —
+    giving up merges the range into its neighbor, which is always
+    safe (fewer, larger tasks)."""
     pos = start
-    while pos < size:
+    scanned = 0
+    while pos < size and scanned < max_windows:
         fh.seek(pos)
         buf = fh.read(min(window + 3, size - pos))
         j = 0
@@ -216,14 +228,21 @@ def _next_member_offset(
             fh.seek(pos + k)
             d = zlib.decompressobj(16 + zlib.MAX_WBITS)
             try:
-                head = d.decompress(fh.read(4096), 16)
+                # 512 decompressed bytes: enough for a WARC version
+                # line OR a full ARC URL-line header
+                head = d.decompress(fh.read(4096), 512)
             except zlib.error:
                 head = b""
-            if head.startswith(b"WARC/") or head.startswith(b"filedesc"):
+            if (
+                head.startswith(b"WARC/")
+                or head.startswith(b"filedesc")
+                or _ARC_MEMBER_HEAD.match(head)
+            ):
                 return pos + k
             j = k + 1
         # overlap 2 bytes so a magic straddling the window edge is seen
         pos += max(1, len(buf) - 2)
+        scanned += 1
     return None
 
 
@@ -787,9 +806,23 @@ def _plan_split_ranges(
                 yield (path, 0, -1)
                 continue
             with fs.open_input_file(local) as fh:
-                head = fh.read(3)
-                if head[:2] != b"\x1f\x8b":
+                probe = fh.read(512)
+                if probe[:2] != b"\x1f\x8b":
                     yield (path, 0, -1)  # plain formats stay whole
+                    continue
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                try:
+                    head = d.decompress(probe, 16)
+                except zlib.error:
+                    head = b""
+                if not head.startswith(b"WARC/"):
+                    # gzipped ARC (or unknown container): the ranged
+                    # parser is WARC-only, and an ARC's member heads
+                    # would send every split target's verification
+                    # scan to EOF — O(n_splits × file) planning IO
+                    # for a plan that ends up unsplit anyway.  Keep
+                    # the file whole; legacy ARCs are small.
+                    yield (path, 0, -1)
                     continue
                 n_splits = -(-size // split_bytes)  # ceil
                 fh.seek(0)
