@@ -172,6 +172,11 @@ HEADLINE = [
     "emb_ivfpq_refined_int8",
     "multimodal_video_meta",
     "cdx_query_batch_closest",
+    # round 12
+    "emb_ann_filtered_topk",
+    "emb_ann_filtered_batch",
+    "emb_ivfpq_filtered_topk",
+    "warc_media_meta",
 ]
 
 

@@ -715,6 +715,58 @@ def test_refine_store_scan_prunes_to_candidates(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_filtered_ann_probe_pushes_predicate(spark, sf_dir):
+    """Filtered vector search (round 12): the attribute predicate must
+    ride INSIDE the same cell-pruned scan — PushedFilters carries the
+    label equality next to the pruned PartitionFilters, the plan adds
+    zero exchanges and no join, and top-k stays TakeOrderedAndProject.
+    A post-top-k filter (the no-recall-guarantee shape) would show a
+    Filter above the sort instead."""
+    plan = _plan(spark, sf_dir, "emb_ann_filtered_topk")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "label" in pushed and ("EqualTo" in pushed or "Equal" in pushed), pushed
+    assert "Exchange" not in plan, plan[:900]
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filtered_ann_pq_probe_pushes_predicate_codes_only(spark, sf_dir):
+    """The PQ store's filtered probe: predicate pushed into the pruned
+    CODES scan (attrs ride the code rows), ReadSchema still carries
+    codes + the attribute and NO vector column — filtering must not
+    cost the 16-32x byte saving."""
+    plan = _plan(spark, sf_dir, "emb_ivfpq_filtered_topk")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "label" in pushed, pushed
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "j0" in schema and "label" in schema, schema
+    assert "array" not in schema, f"filtered PQ probe reads vectors: {schema}"
+    assert "Exchange" not in plan, plan[:900]
+
+
+def test_filtered_ann_batch_single_scan_one_window(spark, sf_dir):
+    """Filtered BATCH serving: per-request predicates ride the struct
+    arms map-side — the plan keeps the batch contract (one scan pruned
+    to the union of probe cells, exactly one Exchange = the request_no
+    window) with heterogeneous filters in play."""
+    plan = _plan(spark, sf_dir, "emb_ann_filtered_batch")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "request_no" in plan.split("Exchange", 1)[1].splitlines()[0]
+    assert "Window" in plan
+
+
 def test_video_meta_single_pass_no_shuffle(spark, sf_dir):
     """multimodal_video_meta: fixture synth + header parse are two
     chained Arrow stages over one scan — binary payloads never cross

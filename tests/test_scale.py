@@ -1417,6 +1417,111 @@ def test_versioned_ann_store_always_on(spark, sf_dir, monkeypatch):
     assert second not in {r.vec_id for r in probe()}
 
 
+def test_filtered_ann_probe_families(spark, sf_dir):
+    """Round-12 filtered vector search across the store layouts:
+    (1) the flat probe's where= equals the brute-force filtered
+    ranking inside the probed cells; (2) the SQ8 store carries attrs
+    and filters identically on dequantized ranking; (3) a uniform
+    batch predicate (pushed scan-side) and heterogeneous per-request
+    predicates both hash-match the one-at-a-time filtered loop;
+    (4) SQ appends rediscover the stored attribute columns."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+        cosine,
+        ivf_probe_cells,
+        lit_double_array,
+    )
+    from webarchive_indexing_spark.queries.helpers import hround
+    from webarchive_indexing_spark.sinks import ann_index
+    from webarchive_indexing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = collect_query_vector(emb, 123)
+    where = "label = 3"
+
+    # (1) flat store: filtered probe == brute-force filtered ranking
+    # within the probed cells
+    flat = tempfile.mkdtemp(prefix="ivf_filt_flat_")
+    cents = ann_index.write_ivf_index(emb, flat, n_cents=8, train_iters=2)
+    got = ann_index.ivf_index_probe_topk(
+        spark, flat, qv, k=10, nprobe=3, exclude_id=123, where=where
+    ).collect()
+    probe = ivf_probe_cells(cents, qv, 3)
+    want = (
+        spark.read.parquet(flat + "/vectors")
+        .filter(F.col("cell").isin(probe))
+        .filter(where)
+        .filter(F.col("vec_id") != 123)
+        .select(
+            "vec_id",
+            "cell",
+            hround(cosine(F.col("embedding"), lit_double_array(qv)), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got and all(
+        r.vec_id in {x.vec_id for x in want} for r in got
+    )
+
+    # (2) SQ8 store with attrs= carries the column and filters
+    sq = tempfile.mkdtemp(prefix="ivf_filt_sq_")
+    ann_index.write_ivfsq_index(
+        emb, sq, n_cents=8, train_iters=2, attrs=["label"]
+    )
+    labels = {
+        int(r.vec_id): int(r.label)
+        for r in emb.select("vec_id", "label").collect()
+    }
+    sq_rows = ann_index.ivfsq_index_probe_topk(
+        spark, sq, qv, k=10, nprobe=3, exclude_id=123, where=where
+    ).collect()
+    assert sq_rows and all(labels[r.vec_id] == 3 for r in sq_rows)
+    unfiltered = ann_index.ivfsq_index_probe_topk(
+        spark, sq, qv, k=10, nprobe=3, exclude_id=123
+    ).collect()
+    assert {r.vec_id for r in sq_rows} != {r.vec_id for r in unfiltered}
+
+    # (4) append rediscovers attrs from the store schema
+    extra = emb.filter(F.col("vec_id") < 0)  # empty, schema-compatible
+    ann_index.append_ivfsq_index(extra, sq)
+    assert "label" in spark.read.parquet(sq + "/sq").columns
+
+    # (3) batch: uniform predicate (scan-side pushdown path) and
+    # heterogeneous predicates both equal the one-at-a-time loop
+    qids = [123, 77]
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    for wheres in ([where, where], [where, "label IN (1, 5)"]):
+        batch = ann_index.ivf_index_probe_batch_topk(
+            spark, flat, [vecs[q] for q in qids], k=5, nprobe=3,
+            exclude_ids=qids, wheres=wheres,
+        ).collect()
+        for i, q in enumerate(qids):
+            single = ann_index.ivf_index_probe_topk(
+                spark, flat, vecs[q], k=5, nprobe=3, exclude_id=q,
+                where=wheres[i],
+            ).collect()
+            got_i = sorted(
+                (r.vec_id, r.cell, r.cos_sim)
+                for r in batch
+                if r.request_no == i
+            )
+            assert got_i == sorted(
+                (r.vec_id, r.cell, r.cos_sim) for r in single
+            ), f"request {i} diverges under wheres={wheres}"
+
+
 def test_expire_store_versions_guards():
     """Round-12 ADVICE hardening on housekeeping, no Spark needed:
     (1) an in-flight build is protected by its explicit BUILDING

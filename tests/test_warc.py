@@ -980,6 +980,79 @@ def test_find_member_split_offsets_true_boundaries(tmp_path):
     assert nxt == truth[4]
 
 
+def test_warc_media_composition_end_to_end(spark, tmp_path):
+    """Round-12 ingest→curation seam: index_warcs(keep_payload=...)
+    retains ONLY allowlisted-mime payloads as a trailing binary
+    column (CDX fields identical to the CDX-only pass; default-path
+    schema untouched), and media_meta runs the image/audio/video
+    header parsers over the same frame — one image/audio/video member
+    each, a damaged media payload, and an html row that must not
+    retain bytes."""
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_mp4,
+        build_png_header,
+        build_wav,
+        media_meta,
+    )
+    from webarchive_indexing_spark.sources.warc import index_warcs
+
+    png = build_png_header(640, 480)
+    wav = build_wav(2, 44100, 16, 44100)  # exactly 1 s
+    mp4 = build_mp4(1280, 720, 1000, 2500)  # 2500 ms
+    recs = [
+        dict(url="http://m.example/img", date_iso="2020-01-01T00:00:00Z",
+             payload=png, mime="image/png"),
+        dict(url="http://m.example/aud", date_iso="2020-01-01T00:00:01Z",
+             payload=wav, mime="audio/wav"),
+        dict(url="http://m.example/vid", date_iso="2020-01-01T00:00:02Z",
+             payload=mp4, mime="video/mp4"),
+        # damaged media payload: retained (mime matches) but parses
+        # to 'unsupported' — per-row tolerance, never task death
+        dict(url="http://m.example/bad", date_iso="2020-01-01T00:00:03Z",
+             payload=b"\x89PNG\r\n\x1a\nJUNK", mime="image/png"),
+        dict(url="http://m.example/page", date_iso="2020-01-01T00:00:04Z",
+             payload=b"<html>hi</html>", mime="text/html"),
+    ]
+    p = str(tmp_path / "media.warc.gz")
+    write_mini_warc(p, recs)
+    manifest = spark.createDataFrame([(p,)], ["path"])
+
+    plain = index_warcs(spark, manifest)
+    kept = index_warcs(
+        spark, manifest, keep_payload=("image/", "audio/", "video/")
+    )
+    assert "payload" not in plain.columns  # default path untouched
+    assert kept.columns == plain.columns + ["payload"]
+    # CDX fields identical with retention on
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        tuple(r)[:-1] for r in kept.collect()
+    )
+    by_url = {r.url: r for r in kept.collect()}
+    assert bytes(by_url["http://m.example/img"].payload) == png
+    assert bytes(by_url["http://m.example/aud"].payload) == wav
+    assert bytes(by_url["http://m.example/vid"].payload) == mp4
+    assert by_url["http://m.example/page"].payload is None  # not allowlisted
+
+    meta = {r.url: r for r in media_meta(kept).collect()}
+    assert "http://m.example/page" in {r.url for r in kept.collect()}
+    assert "http://m.example/page" not in meta  # NULL payload dropped
+    img = meta["http://m.example/img"]
+    assert (img.media_kind, img.format, img.width, img.height) == (
+        "image", "png", 640, 480,
+    )
+    aud = meta["http://m.example/aud"]
+    assert (aud.media_kind, aud.channels, aud.sample_rate,
+            aud.duration_ms) == ("audio", 2, 44100, 1000)
+    vid = meta["http://m.example/vid"]
+    assert (vid.media_kind, vid.width, vid.height, vid.duration_ms) == (
+        "video", 1280, 720, 2500,
+    )
+    bad = meta["http://m.example/bad"]
+    assert (bad.media_kind, bad.format) == ("image", "unsupported")
+    # metadata out, bytes dropped: no payload column downstream
+    assert "payload" not in meta["http://m.example/img"].asDict()
+
+
 def test_split_planning_arc_and_unknown_containers(spark, tmp_path):
     """Round-12 ADVICE: split planning must not pay O(n_splits x file)
     on containers whose member heads never verify.  (1) A gzipped ARC

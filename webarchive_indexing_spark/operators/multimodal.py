@@ -1202,3 +1202,100 @@ def video_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, VIDEO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WARC → media curation composition (round 12 — the ingest→curation
+# seam: media payloads extracted by index_warcs(keep_payload=...)
+# run header curation in the SAME pipeline, no re-fetch).
+# ---------------------------------------------------------------------------
+
+#: unified media-metadata fields appended to the caller's key columns
+#: — the union of the image/audio/video header shapes, NULL where a
+#: kind has no such field (an image has no sample_rate).
+_MEDIA_FIELDS = (
+    "media_kind string, format string, width int, height int, "
+    "color_depth int, channels int, sample_rate int, bits int, "
+    "n_frames bigint, timescale bigint, duration_ms bigint"
+)
+
+_MEDIA_NULLS = {
+    "format": "unsupported", "width": None, "height": None,
+    "color_depth": None, "channels": None, "sample_rate": None,
+    "bits": None, "n_frames": None, "timescale": None,
+    "duration_ms": None,
+}
+
+
+def parse_media_header(mime: str, payload) -> dict:
+    """Route ONE payload to the image/audio/video header parser by
+    its mime prefix and normalize to the unified ``_MEDIA_FIELDS``
+    shape.  Raises like the underlying parsers (ValueError /
+    NotImplementedError) — callers map to 'unsupported' per row."""
+    kind = mime.split("/", 1)[0]
+    if kind == "image":
+        d = parse_image_header(payload)
+    elif kind == "audio":
+        d = parse_audio_header(payload)
+    elif kind == "video":
+        d = parse_video_header(payload)
+    else:
+        raise NotImplementedError(f"not a media mime: {mime!r}")
+    return {**_MEDIA_NULLS, "media_kind": kind, **d}
+
+
+def media_meta(
+    df: DataFrame, keys: tuple[str, ...] = ("urlkey", "timestamp", "url", "mime")
+) -> DataFrame:
+    """Header curation over an ingest frame that carries payloads —
+    the composed extractor for ``index_warcs(keep_payload=...)``
+    rows: ONE Arrow-batched pass routes each retained payload to the
+    image/audio/video header parser by mime prefix and emits the
+    unified metadata shape beside the caller's key columns.
+
+    Rows whose ``payload`` is NULL (mimes outside the ingest
+    allowlist) are dropped — they were never retained; damaged or
+    unknown-magic payloads become ``format='unsupported'`` rows (the
+    per-row damage-tolerance contract of the single-kind extractors).
+    Map-side only: payload bytes never cross an exchange, and the
+    output carries no payload column — metadata out, bytes dropped,
+    which is what lets this run at ingest scale."""
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    out_schema = f"{key_fields}, {_MEDIA_FIELDS}"
+    key_list = [k for k in keys if k in df.columns]
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from struct import error as struct_error
+
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                payload = pdf["payload"].iloc[i]
+                if payload is None:
+                    continue
+                mime = pdf["mime"].iloc[i] or ""
+                try:
+                    d = parse_media_header(mime, bytes(payload))
+                except (NotImplementedError, ValueError, struct_error):
+                    d = {
+                        **_MEDIA_NULLS,
+                        "media_kind": mime.split("/", 1)[0] or None,
+                    }
+                rows.append(
+                    {**{k: pdf[k].iloc[i] for k in key_list}, **d}
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=key_list + [
+                    "media_kind", "format", "width", "height",
+                    "color_depth", "channels", "sample_rate", "bits",
+                    "n_frames", "timescale", "duration_ms",
+                ],
+            )
+
+    return df.select(*key_list, "payload").mapInPandas(fn, out_schema)

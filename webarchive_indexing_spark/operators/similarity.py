@@ -574,11 +574,16 @@ def _sql_ivf_probe(
     nprobe: int,
     dim: int,
     exclude_ids: list[int] | None = None,
+    where_sql: str | None = None,
 ) -> str:
     """Shared relational IVF probe body over a ``(cid, cvec)`` CTE
     named ``cents_src`` (seed stand-ins or the Lloyd-trained chain):
     window argmax cell assignment → nprobe probe-cell ranking →
-    exact cosine top-k inside the probed cells."""
+    exact cosine top-k inside the probed cells.  ``where_sql``
+    reconstructs a FILTERED probe: a boolean predicate over the
+    ``embeddings`` table's attribute columns, applied to the
+    survivors BEFORE the top-k limit (exactly where the store probe
+    applies its pushed-down predicate)."""
     from ..queries.helpers import sql_hround
 
     def ddot(a: str, b: str) -> str:
@@ -620,6 +625,11 @@ def _sql_ivf_probe(
             + ", ".join(str(int(i)) for i in exclude_ids)
             + ")"
         )
+    if where_sql:
+        excl += (
+            f" AND cells.vec_id IN "
+            f"(SELECT vec_id FROM embeddings WHERE {where_sql})"
+        )
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -660,6 +670,7 @@ def sql_ivf_trained_topk(
     dim: int = 64,
     train_mod: int | None = None,
     exclude_ids: list[int] | None = None,
+    where_sql: str | None = None,
 ) -> str:
     """DuckDB twin of ``ivf_trained_topk``: the Lloyd centroid CTE
     chain (``sql_lloyd_centroid_ctes`` — exact-decimal update sums, so
@@ -668,14 +679,16 @@ def sql_ivf_trained_topk(
     reconstructs the sampled-training variant (``train_frac=1/mod``);
     ``exclude_ids`` reconstructs a tombstoned store (training still
     sees every vector — deletes hide rows from probes, they don't
-    retrain the quantizer)."""
+    retrain the quantizer); ``where_sql`` the filtered probe
+    (attribute predicate before top-k — see ``_sql_ivf_probe``)."""
     from .kmeans import sql_lloyd_centroid_ctes
 
     parts, prev = sql_lloyd_centroid_ctes(
         n_cents, train_iters, dim, train_mod=train_mod
     )
     return _sql_ivf_probe(
-        parts, prev, query_vec_id, k, nprobe, dim, exclude_ids=exclude_ids
+        parts, prev, query_vec_id, k, nprobe, dim,
+        exclude_ids=exclude_ids, where_sql=where_sql,
     )
 
 
@@ -1436,13 +1449,16 @@ def sql_ivfadc_residual_topk(
     train_iters: int = 2,
     dim: int = 64,
     exclude_ids: list[int] | None = None,
+    where_sql: str | None = None,
 ) -> str:
     """DuckDB twin of ``ivfadc_residual_topk``: trained chains for
     cells + per-subspace codebooks, a ``comb`` CTE materializing the
     per-cell effective codewords ``c_sub + b_j`` relationally, then
     cell-scoped assignment and ADC.  ``exclude_ids`` reconstructs a
     tombstoned store: the ids are hidden from probing, never from
-    training (deletes don't retrain the quantizer)."""
+    training (deletes don't retrain the quantizer); ``where_sql``
+    reconstructs a FILTERED probe (attribute predicate over the
+    embeddings table, applied to survivors before top-k)."""
     from .kmeans import sql_lloyd_centroid_ctes
 
     assert dim % n_sub == 0
@@ -1493,10 +1509,15 @@ def sql_ivfadc_residual_topk(
         FROM {cell_src} c CROSS JOIN q
       ) WHERE rn <= {nprobe}
     )""",
-        """surv AS (
-      SELECT vec_id, embedding, cell FROM cells
-      WHERE cell IN (SELECT cid FROM probe)
-    )""",
+        "surv AS ("
+        "  SELECT vec_id, embedding, cell FROM cells"
+        "  WHERE cell IN (SELECT cid FROM probe)"
+        + (
+            f" AND vec_id IN (SELECT vec_id FROM embeddings WHERE {where_sql})"
+            if where_sql
+            else ""
+        )
+        + ")",
         f"""assign AS (
       SELECT vec_id, cell, m, j FROM (
         SELECT e.vec_id, e.cell, c2.m, c2.j,

@@ -100,7 +100,7 @@ def _build_ivfpq_store(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="probe_ivfpq_")
     write_ivfpq_index(
         emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
-        refine="flat",
+        refine="flat", attrs=["label"],
     )
     from pyspark.sql import functions as F
 
@@ -195,6 +195,34 @@ def _p_ann_refined_batch(spark, ctx):
     )
 
 
+def _p_ivf_filtered(spark, ctx):
+    from ..sinks.ann_index import ivf_index_probe_topk
+
+    return ivf_index_probe_topk(
+        spark, ctx["dir"], ctx["qv"], k=10, nprobe=3, exclude_id=123,
+        where="label = 2",
+    )
+
+
+def _p_ivf_filtered_batch(spark, ctx):
+    from ..sinks.ann_index import ivf_index_probe_batch_topk
+    from .llm import _ANN_FILTER_WHERES
+
+    return ivf_index_probe_batch_topk(
+        spark, ctx["dir"], ctx["qvs"], k=10, nprobe=3,
+        exclude_ids=ctx["qids"], wheres=list(_ANN_FILTER_WHERES),
+    )
+
+
+def _p_ivfpq_filtered(spark, ctx):
+    from ..sinks.ann_index import ivfpq_index_probe_topk
+
+    return ivfpq_index_probe_topk(
+        spark, ctx["dir"], ctx["qv"], k=10, nprobe=3, exclude_id=77,
+        where="label = 4",
+    )
+
+
 def _reads(mod_fn: str):
     def probe(spark, store):
         from . import cdx_surface
@@ -264,5 +292,17 @@ PROBES: dict[str, Probe] = {
     "emb_ivfsq_persisted_topk_probe": Probe(
         "emb_ivfsq_persisted_topk", "ivfsq_store",
         _build_ivfsq_store, _p_ivfsq_topk,
+    ),
+    "emb_ann_filtered_topk_probe": Probe(
+        "emb_ann_filtered_topk", "ivf_store",
+        _build_ivf_store, _p_ivf_filtered,
+    ),
+    "emb_ann_filtered_batch_probe": Probe(
+        "emb_ann_filtered_batch", "ivf_store",
+        _build_ivf_store, _p_ivf_filtered_batch,
+    ),
+    "emb_ivfpq_filtered_topk_probe": Probe(
+        "emb_ivfpq_filtered_topk", "ivfpq_store",
+        _build_ivfpq_store, _p_ivfpq_filtered,
     ),
 }

@@ -254,6 +254,7 @@ def write_ivfsq_index(
     train_frac: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    attrs: list[str] | None = None,
 ) -> dict[int, list[float]]:
     """IVF-SQ8 store — the FAISS IndexIVFScalarQuantizer middle ground
     between the flat store (exact, dim×4 bytes/row) and the PQ store
@@ -274,7 +275,8 @@ def write_ivfsq_index(
     )
     (
         _int8_frame(
-            embeddings, ivf_cell_expr(cents, vec_col), id_col, vec_col
+            embeddings, ivf_cell_expr(cents, vec_col), id_col, vec_col,
+            attrs=attrs,
         )
         .write.partitionBy("cell")
         .mode("overwrite")
@@ -316,14 +318,25 @@ def append_ivfsq_index(
     both the model read and the data write use that pinned version —
     resolving twice would let a concurrent pointer swap pair the old
     version's centroids with the new version's data directory
-    (silently wrong cell assignments)."""
+    (silently wrong cell assignments).  Attribute columns are
+    discovered from the EXISTING store schema (one footer read), so
+    appends carry exactly the columns the build carried."""
     from ..operators.similarity import ivf_cell_expr
 
     store = resolve_store(out_dir)
     cents = read_ivf_centroids(store)
+    fixed = {id_col, "cell", "scale", "q"}
+    attrs = [
+        c
+        for c in embeddings.sparkSession.read.parquet(
+            _join(store, "sq")
+        ).schema.names
+        if c not in fixed
+    ]
     (
         _int8_frame(
-            embeddings, ivf_cell_expr(cents, vec_col), id_col, vec_col
+            embeddings, ivf_cell_expr(cents, vec_col), id_col, vec_col,
+            attrs=attrs,
         )
         .write.partitionBy("cell")
         .mode("append")
@@ -339,6 +352,7 @@ def ivfsq_index_probe_topk(
     k: int = 10,
     nprobe: int = 2,
     exclude_id: int | None = None,
+    where: str | None = None,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-k from the SQ8 store: partition pruning to the nprobe
@@ -347,7 +361,9 @@ def ivfsq_index_probe_topk(
     literal, TakeOrderedAndProject — zero shuffles, ~4× fewer scan
     bytes than the flat store at a small recall cost.  Tombstones
     (root-level) and the CURRENT pointer behave exactly like the
-    sibling probes (one resolve per request)."""
+    sibling probes (one resolve per request); ``where`` filters on
+    stored attribute columns (``write_ivfsq_index(attrs=...)``)
+    BEFORE top-k, pushed into the pruned scan."""
     from ..operators.similarity import (
         cosine,
         ivf_probe_cells,
@@ -363,6 +379,8 @@ def ivfsq_index_probe_topk(
     )
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
+    if where is not None:
+        df = df.filter(where)
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
     deq = F.transform(
         F.col("q"),
@@ -651,6 +669,7 @@ def write_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine: str | None = None,
+    attrs: list[str] | None = None,
 ) -> None:
     """PQ-CODED persisted index — the FAISS IVFPQ storage shape
     (Jégou et al. 2011): instead of flat float vectors (16-32× the
@@ -678,7 +697,15 @@ def write_ivfpq_index(
 
     The kind persists in ``pq.json`` so ``ivfpq_refined_topk`` knows
     how to read it back; ``append_ivfpq_index`` keeps the sidecar in
-    step with the codes."""
+    step with the codes.
+
+    ``attrs`` (round 12 — filtered vector search) selects metadata
+    columns of the input frame to CARRY on the code rows (the flat
+    store carries every input column for free; codes are an explicit
+    projection, so attributes must opt in).  The list persists in
+    ``pq.json`` so appends carry the same columns and a probe's
+    ``where`` predicate can never reference a column half the store
+    lacks."""
     from ..operators.kmeans import lloyd_train
     from ..operators.similarity import (
         nearest_sqdist6_expr,
@@ -706,9 +733,15 @@ def write_ivfpq_index(
         )
     ct_sql = residual_codeword_tables(cents, cbooks)
     cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
+    extra = [F.col(a) for a in (attrs or [])]
     coded = embeddings.select(
-        F.col(id_col), cell.getField("cid").alias("cell"), F.col(vec_col)
-    ).selectExpr(id_col, "cell", *residual_encode_exprs(ct_sql, vec_col, sub_dim))
+        F.col(id_col), cell.getField("cid").alias("cell"), F.col(vec_col),
+        *extra,
+    ).selectExpr(
+        id_col, "cell",
+        *residual_encode_exprs(ct_sql, vec_col, sub_dim),
+        *[f"`{a}`" for a in (attrs or [])],
+    )
     (
         coded.write.partitionBy("cell")
         .mode("overwrite")
@@ -736,6 +769,7 @@ def write_ivfpq_index(
                     "n_sub": n_sub,
                     "k_codes": k_codes,
                     "refine": refine,
+                    "attrs": attrs or [],
                 }
             ).encode()
         )
@@ -759,24 +793,29 @@ def _refine_sidecar_frame(
 
 
 def _int8_frame(
-    embeddings: DataFrame, cell_col, id_col: str, vec_col: str
+    embeddings: DataFrame, cell_col, id_col: str, vec_col: str,
+    attrs: list[str] | None = None,
 ) -> DataFrame:
-    """(id, cell, scale, q) rows in the symmetric-SQ form — shared by
-    the refine sidecar and the IVF-SQ store so the quantize algebra
-    (scale = max |x|, q_i = floor(x_i/scale·127 + .5) as tinyint)
-    exists exactly once."""
+    """(id, cell, scale, q[, *attrs]) rows in the symmetric-SQ form —
+    shared by the refine sidecar and the IVF-SQ store so the quantize
+    algebra (scale = max |x|, q_i = floor(x_i/scale·127 + .5) as
+    tinyint) exists exactly once.  ``attrs`` carries metadata columns
+    onto the quantized rows for filtered search."""
+    extra = list(attrs or [])
     xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (
         embeddings.select(
             F.col(id_col),
             cell_col.alias("cell"),
             xd.alias("_xd"),
+            *[F.col(a) for a in extra],
         )
         .select(
             id_col,
             "cell",
             F.array_max(F.transform(F.col("_xd"), F.abs)).alias("scale"),
             F.col("_xd"),
+            *extra,
         )
         .select(
             id_col,
@@ -788,6 +827,7 @@ def _int8_frame(
                     x / F.col("scale") * 127 + F.lit(0.5)
                 ).cast("tinyint"),
             ).alias("q"),
+            *extra,
         )
     )
 
@@ -817,12 +857,16 @@ def append_ivfpq_index(
     store = resolve_store(out_dir)
     cents, cbooks, meta = read_ivfpq_model(store)
     sub_dim = meta["dim"] // meta["n_sub"]
+    attrs = meta.get("attrs") or []
     ct_sql = residual_codeword_tables(cents, cbooks)
     cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
     coded = embeddings.select(
-        F.col(id_col), cell.getField("cid").alias("cell"), F.col(vec_col)
+        F.col(id_col), cell.getField("cid").alias("cell"), F.col(vec_col),
+        *[F.col(a) for a in attrs],
     ).selectExpr(
-        id_col, "cell", *residual_encode_exprs(ct_sql, vec_col, sub_dim)
+        id_col, "cell",
+        *residual_encode_exprs(ct_sql, vec_col, sub_dim),
+        *[f"`{a}`" for a in attrs],
     )
     data_dir = store
     (
@@ -864,6 +908,7 @@ def ivfpq_index_probe_topk(
     k: int = 10,
     nprobe: int = 3,
     exclude_id: int | None = None,
+    where: str | None = None,
     id_col: str = "vec_id",
     _store: str | None = None,
 ) -> DataFrame:
@@ -874,6 +919,9 @@ def ivfpq_index_probe_topk(
     ``j0..``, no embedding column exists to read) — then the ADC
     literal-table sum ranks rows map-side.  Zero shuffles,
     TakeOrderedAndProject.  Honors tombstones like the flat probe.
+    ``where`` filters on stored attribute columns (built with
+    ``write_ivfpq_index(attrs=...)``) BEFORE top-k, pushed into the
+    pruned scan — see ``ivf_index_probe_topk``.
 
     The CURRENT pointer resolves ONCE (``_store`` lets a composing
     caller pin the version): model and data must come from the SAME
@@ -895,6 +943,8 @@ def ivfpq_index_probe_topk(
     )
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
+    if where is not None:
+        df = df.filter(where)
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
     out = df.selectExpr(
         id_col, "cell", residual_adc_expr(qd_sql) + " AS approx_dist"
@@ -910,6 +960,7 @@ def ivfpq_index_probe_batch_topk(
     k: int = 10,
     nprobe: int = 3,
     exclude_ids: list[int | None] | None = None,
+    wheres: list[str | None] | None = None,
     id_col: str = "vec_id",
     _store: str | None = None,
 ) -> DataFrame:
@@ -934,11 +985,14 @@ def ivfpq_index_probe_batch_topk(
        per (request, cell) rather than the corpus.
 
     Exclusions (each request hiding its own query row) ride inside
-    the per-request arm; tombstones apply once, scan-side, shared by
-    every request.  Returns ``request_no`` (the position in
-    ``query_vecs``) + the same columns as the single probe, each
-    request's rows hash-matching its one-at-a-time twin.  Pointer
-    resolution happens once (see ``ivfpq_index_probe_topk``)."""
+    the per-request arm; ``wheres`` adds a per-request ATTRIBUTE
+    predicate to the same arm (round 12 filtered search — columns
+    stored via ``write_ivfpq_index(attrs=...)``; a predicate shared
+    by every request is pushed scan-side instead); tombstones apply
+    once, scan-side, shared by every request.  Returns ``request_no``
+    (the position in ``query_vecs``) + the same columns as the single
+    probe, each request's rows hash-matching its one-at-a-time twin.
+    Pointer resolution happens once (see ``ivfpq_index_probe_topk``)."""
     from ..operators.similarity import (
         py_sqdist6,
         residual_adc_expr,
@@ -950,8 +1004,15 @@ def ivfpq_index_probe_batch_topk(
     excl = exclude_ids or [None] * len(query_vecs)
     if len(excl) != len(query_vecs):
         raise ValueError("exclude_ids must align with query_vecs")
+    whs = wheres or [None] * len(query_vecs)
+    if len(whs) != len(query_vecs):
+        raise ValueError("wheres must align with query_vecs")
     store = _store or resolve_store(out_dir)
     cents, cbooks, _meta = read_ivfpq_model(store)
+
+    scan_where = None
+    if whs[0] is not None and all(w == whs[0] for w in whs):
+        scan_where, whs = whs[0], [None] * len(query_vecs)
 
     union_cells: set[int] = set()
     arms: list[str] = []
@@ -964,6 +1025,8 @@ def ivfpq_index_probe_batch_topk(
         cond = f"cell IN ({','.join(str(c) for c in probe)})"
         if excl[i] is not None:
             cond += f" AND {id_col} <> {int(excl[i])}"
+        if whs[i] is not None:
+            cond += f" AND ({whs[i]})"
         arms.append(
             f"named_struct('request_no', {i}, 'approx_dist', "
             f"CASE WHEN {cond} THEN {adc} END)"
@@ -972,6 +1035,8 @@ def ivfpq_index_probe_batch_topk(
     df = spark.read.parquet(_join(store, "codes")).filter(
         F.col("cell").isin(sorted(union_cells))
     )
+    if scan_where is not None:
+        df = df.filter(scan_where)
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
     hits = df.selectExpr(
         id_col,
@@ -1189,6 +1254,7 @@ def ivf_index_probe_batch_topk(
     k: int = 10,
     nprobe: int = 2,
     exclude_ids: list[int | None] | None = None,
+    wheres: list[str | None] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1197,7 +1263,15 @@ def ivf_index_probe_batch_topk(
     of the requests' probe cells, per-request 6dp cosine against the
     inlined query literal (struct fan-out, NULL = not this request's
     cell), per-request top-k via one ``request_no`` window.  Each
-    request's rows hash-match its one-at-a-time probe."""
+    request's rows hash-match its one-at-a-time probe.
+
+    ``wheres`` carries a PER-REQUEST attribute predicate (round 12
+    filtered search — see ``ivf_index_probe_topk``): each request's
+    predicate rides inside its struct arm, map-side, so it filters
+    BEFORE that request's top-k while every request still shares the
+    one union-pruned scan; a predicate shared by EVERY request is
+    additionally pushed scan-side (PushedFilters), shrinking the scan
+    itself."""
     from ..operators.similarity import (
         cosine,
         ivf_probe_cells,
@@ -1210,6 +1284,9 @@ def ivf_index_probe_batch_topk(
     excl = exclude_ids or [None] * len(query_vecs)
     if len(excl) != len(query_vecs):
         raise ValueError("exclude_ids must align with query_vecs")
+    whs = wheres or [None] * len(query_vecs)
+    if len(whs) != len(query_vecs):
+        raise ValueError("wheres must align with query_vecs")
     store = resolve_store(out_dir)
     cents = read_ivf_centroids(store)
     probes = [ivf_probe_cells(cents, qv, nprobe) for qv in query_vecs]
@@ -1218,12 +1295,19 @@ def ivf_index_probe_batch_topk(
     df = spark.read.parquet(_join(store, "vectors")).filter(
         F.col("cell").isin(union_cells)
     )
+    if whs[0] is not None and all(w == whs[0] for w in whs):
+        # uniform predicate: push it into the scan once and skip the
+        # per-arm copies (common serving shape — one tenant filter)
+        df = df.filter(whs[0])
+        whs = [None] * len(query_vecs)
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
     entries = []
     for i, qv in enumerate(query_vecs):
         member = F.col("cell").isin(sorted(probes[i]))
         if excl[i] is not None:
             member = member & (F.col(id_col) != int(excl[i]))
+        if whs[i] is not None:
+            member = member & F.expr(whs[i])
         sim = hround(cosine(F.col(vec_col), lit_double_array(qv)), 6)
         entries.append(
             F.struct(
@@ -1265,6 +1349,7 @@ def ivf_index_probe_topk(
     k: int = 10,
     nprobe: int = 2,
     exclude_id: int | None = None,
+    where: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1272,7 +1357,16 @@ def ivf_index_probe_topk(
     cells on the driver (quantizer-sized math), then scan ONLY those
     ``cell=`` directories — partition pruning does the inverted-list
     skip, no assignment recompute, no shuffle, top-k as
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.
+
+    ``where`` (round 12 — FAISS IDSelector / filtered vector search)
+    is a SQL predicate over the store's ATTRIBUTE columns (any extra
+    column of the frame ``write_ivf_index`` was given rides the store
+    rows, e.g. ``"label = 2"`` or ``"lang = 'en' AND quality > 0.5"``).
+    It applies BEFORE top-k, inside the same pruned scan — Catalyst
+    pushes it into the parquet FileScan (plan-asserted), so k
+    SURVIVORS are returned with recall intact, never k results
+    post-filtered down to fewer."""
     from ..operators.similarity import (
         cosine,
         ivf_probe_cells,
@@ -1288,6 +1382,8 @@ def ivf_index_probe_topk(
     )
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
+    if where is not None:
+        df = df.filter(where)
     # deleted vectors never surface at ANY nprobe: the exclusion list
     # is metadata-sized (LSM contract), inlined as a scan filter — no
     # join, no shuffle, plan shape unchanged (broadcast anti-join

@@ -278,6 +278,7 @@ def parse_warc_file_stream(
     chunk_size: int = 1 << 20,
     base_offset: int = 0,
     stop_before: int | None = None,
+    keep_payload: tuple[str, ...] | None = None,
 ):
     """``parse_warc_file`` over a file handle via the streaming member
     iterator — identical CDX tuples, O(member) memory.
@@ -301,10 +302,10 @@ def parse_warc_file_stream(
         for _, _, record in records:
             fields = _index_warc_record(
                 record, digest_b32=digest_b32, record_types=record_types,
-                post_append=post_append,
+                post_append=post_append, keep_payload=keep_payload,
             )
             if fields is not None:
-                yield (*fields, clen, abs_off, short)
+                yield _emit(fields, (clen, abs_off, short), keep_payload)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -384,13 +385,22 @@ def _index_warc_record(
     digest_b32: bool,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
     post_append: bool = False,
+    keep_payload: tuple[str, ...] | None = None,
 ):
     """CDX fields (urlkey..robotflags) for ONE complete WARC record,
     or None for types outside ``record_types`` (warcinfo never
     indexes).  Opt-in types follow pywb's shapes: ``request`` rows
     carry the request block's Content-Type and no status;
     ``metadata``/``resource`` rows carry the WARC record's own
-    Content-Type (e.g. application/warc-fields)."""
+    Content-Type (e.g. application/warc-fields).
+
+    ``keep_payload`` (round 12 — the ingest→curation seam): a mime
+    PREFIX allowlist; when set, the tuple gains a trailing element —
+    the record's payload BYTES for matching mimes, None otherwise —
+    so media curation (image/audio/video header extraction) runs in
+    the SAME ingest pass instead of a re-fetch.  CDX-only ingest
+    (keep_payload=None) returns the 8-tuple unchanged and never
+    copies payload bytes anywhere."""
     head_end = record.find(CRLF + CRLF)
     if head_end < 0 or not record.startswith(b"WARC/"):
         return None
@@ -440,7 +450,7 @@ def _index_warc_record(
             folded = fold_method_query_py(
                 url, method, hh.get("content-type"), payload
             )
-            return (
+            out = (
                 surt_urlkey_py(folded),
                 ts14,
                 url,
@@ -450,11 +460,13 @@ def _index_warc_record(
                 None,
                 None,
             )
+            # request bodies are form params, never media payloads
+            return out if keep_payload is None else (*out, None)
     elif rec_type in ("metadata", "resource", "conversion"):
         # conversion = Common Crawl WET plain-text extracts: the WARC
         # record's own Content-Type (text/plain), payload is the body
         mime = (wheaders.get("content-type") or "").split(";")[0].strip() or None
-    return (
+    out = (
         surt_urlkey_py(url),
         ts14,
         url,
@@ -464,6 +476,20 @@ def _index_warc_record(
         None,
         None,
     )
+    if keep_payload is None:
+        return out
+    keep = mime is not None and mime.startswith(tuple(keep_payload))
+    return (*out, bytes(payload) if keep else None)
+
+
+def _emit(fields, tail: tuple, keep_payload) -> tuple:
+    """Row assembly shared by the parsers: the payload element (when
+    retained) must land AFTER the (length, offset, filename) tail so
+    the row matches CDX_SCHEMA + trailing payload column."""
+    if keep_payload is None:
+        return (*fields, *tail)
+    *f, payload = fields
+    return (*f, *tail, payload)
 
 
 def parse_warc_file(
@@ -473,6 +499,7 @@ def parse_warc_file(
     digest_b32: bool = False,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
     post_append: bool = False,
+    keep_payload: tuple[str, ...] | None = None,
 ):
     """Yield one CDX tuple per indexable record of a ``.warc.gz``.
 
@@ -491,10 +518,10 @@ def parse_warc_file(
         for _, _, record in records:
             fields = _index_warc_record(
                 record, digest_b32=digest_b32, record_types=record_types,
-                post_append=post_append,
+                post_append=post_append, keep_payload=keep_payload,
             )
             if fields is not None:
-                yield (*fields, clen, offset, short)
+                yield _emit(fields, (clen, offset, short), keep_payload)
 
 
 def parse_plain_warc(
@@ -504,6 +531,7 @@ def parse_plain_warc(
     digest_b32: bool = False,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
     post_append: bool = False,
+    keep_payload: tuple[str, ...] | None = None,
 ):
     """Uncompressed ``.warc``: records split on Content-Length, each
     CDX row carrying its true (uncompressed) byte offset + length."""
@@ -511,10 +539,10 @@ def parse_plain_warc(
     for offset, rlen, record in split_warc_records(data):
         fields = _index_warc_record(
             record, digest_b32=digest_b32, record_types=record_types,
-            post_append=post_append,
+            post_append=post_append, keep_payload=keep_payload,
         )
         if fields is not None:
-            yield (*fields, rlen, offset, short)
+            yield _emit(fields, (rlen, offset, short), keep_payload)
 
 
 # ---------------------------------------------------------------------------
@@ -579,8 +607,13 @@ def split_arc_records(stream: bytes):
         pos = body_end
 
 
-def _index_arc_record(fields: list[str], http: bytes, *, digest_b32: bool):
-    """CDX fields for one ARC record; None for the filedesc:// block."""
+def _index_arc_record(
+    fields: list[str], http: bytes, *, digest_b32: bool,
+    keep_payload: tuple[str, ...] | None = None,
+):
+    """CDX fields for one ARC record; None for the filedesc:// block.
+    ``keep_payload`` appends the payload bytes for allowlisted mimes
+    (None otherwise) — same contract as ``_index_warc_record``."""
     url = fields[0]
     if url.startswith("filedesc://"):
         return None
@@ -606,7 +639,7 @@ def _index_arc_record(fields: list[str], http: bytes, *, digest_b32: bool):
             hh = _parse_headers(http[:http_end])
             mime = (hh.get("content-type") or "").split(";")[0].strip() or mime
             payload = http[http_end + 4 :]
-    return (
+    out = (
         surt_urlkey_py(url),
         ts14,
         url,
@@ -616,9 +649,16 @@ def _index_arc_record(fields: list[str], http: bytes, *, digest_b32: bool):
         None,
         None,
     )
+    if keep_payload is None:
+        return out
+    keep = mime is not None and mime.startswith(tuple(keep_payload))
+    return (*out, bytes(payload) if keep else None)
 
 
-def parse_arc_file(filename: str, data: bytes, *, digest_b32: bool = False):
+def parse_arc_file(
+    filename: str, data: bytes, *, digest_b32: bool = False,
+    keep_payload: tuple[str, ...] | None = None,
+):
     """``.arc`` / ``.arc.gz``: same offset semantics as the WARC
     variants (compressed member extent for .gz, true byte extent for
     plain files)."""
@@ -626,14 +666,20 @@ def parse_arc_file(filename: str, data: bytes, *, digest_b32: bool = False):
     if data[:2] == b"\x1f\x8b":
         for offset, clen, member in iter_warc_members(data):
             for _, _, fields, http in split_arc_records(member):
-                row = _index_arc_record(fields, http, digest_b32=digest_b32)
+                row = _index_arc_record(
+                    fields, http, digest_b32=digest_b32,
+                    keep_payload=keep_payload,
+                )
                 if row is not None:
-                    yield (*row, clen, offset, short)
+                    yield _emit(row, (clen, offset, short), keep_payload)
     else:
         for offset, rlen, fields, http in split_arc_records(data):
-            row = _index_arc_record(fields, http, digest_b32=digest_b32)
+            row = _index_arc_record(
+                fields, http, digest_b32=digest_b32,
+                keep_payload=keep_payload,
+            )
             if row is not None:
-                yield (*row, rlen, offset, short)
+                yield _emit(row, (rlen, offset, short), keep_payload)
 
 
 # ---------------------------------------------------------------------------
@@ -648,6 +694,7 @@ def parse_archive_file(
     digest_b32: bool = False,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
     post_append: bool = False,
+    keep_payload: tuple[str, ...] | None = None,
 ):
     """Sniff the container + record format from the BYTES (extensions
     lie in the wild) and dispatch: gzip magic → member iteration, then
@@ -661,15 +708,23 @@ def parse_archive_file(
             return parse_warc_file(
                 filename, data, digest_b32=digest_b32,
                 record_types=record_types, post_append=post_append,
+                keep_payload=keep_payload,
             )
-        return parse_arc_file(filename, data, digest_b32=digest_b32)
+        return parse_arc_file(
+            filename, data, digest_b32=digest_b32,
+            keep_payload=keep_payload,
+        )
     if data.startswith(b"WARC/"):
         return parse_plain_warc(
             filename, data, digest_b32=digest_b32,
             record_types=record_types, post_append=post_append,
+            keep_payload=keep_payload,
         )
     if data.startswith(b"filedesc://"):
-        return parse_arc_file(filename, data, digest_b32=digest_b32)
+        return parse_arc_file(
+            filename, data, digest_b32=digest_b32,
+            keep_payload=keep_payload,
+        )
     return iter(())
 
 
@@ -688,9 +743,19 @@ def index_warcs(
     streaming: bool = True,
     post_append: bool = False,
     split_bytes: int | None = None,
+    keep_payload: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """S1+S2: manifest (column ``path``) → typed CDX DataFrame; mixed
     WARC/ARC, gzipped or plain, all dispatch per file by magic bytes.
+
+    ``keep_payload`` (round 12 — the ingest→curation seam): a mime
+    PREFIX allowlist (e.g. ``("image/", "audio/", "video/")``).  When
+    set, the output schema gains a trailing BINARY ``payload`` column
+    carrying the record payload for matching mimes (NULL otherwise),
+    so media header curation (``operators.multimodal.media_meta``)
+    runs over the same ingest pass — no re-fetch of petabytes of
+    WARCs to curate their images.  CDX-only ingest (the default) is
+    UNTOUCHED: same schema, no payload copies, zero added cost.
 
     Task granularity mirrors the reference's linespermap=2 [U].
     ``streaming=True`` (default) reads gzipped WARCs — the dominant
@@ -740,6 +805,7 @@ def index_warcs(
                         path, fh, digest_b32=digest_b32,
                         record_types=record_types, post_append=post_append,
                         base_offset=start, stop_before=end,
+                        keep_payload=keep_payload,
                     )
                     continue
                 probe = fh.read(512)
@@ -757,12 +823,14 @@ def index_warcs(
                             digest_b32=digest_b32,
                             record_types=record_types,
                             post_append=post_append,
+                            keep_payload=keep_payload,
                         )
                         continue
                 data = fh.read()
             yield from parse_archive_file(
                 path, data, digest_b32=digest_b32,
                 record_types=record_types, post_append=post_append,
+                keep_payload=keep_payload,
             )
 
     ranges_rdd, n_tasks = _plan_split_ranges(
@@ -774,7 +842,14 @@ def index_warcs(
         .repartition(n_parts)
         .rdd.mapPartitions(parse)
     )
-    return spark.createDataFrame(rdd, CDX_SCHEMA)
+    schema = CDX_SCHEMA
+    if keep_payload is not None:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [*CDX_SCHEMA.fields, T.StructField("payload", T.BinaryType(), True)]
+        )
+    return spark.createDataFrame(rdd, schema)
 
 
 def _plan_split_ranges(
