@@ -177,6 +177,7 @@ HEADLINE = [
     "emb_ann_filtered_batch",
     "emb_ivfpq_filtered_topk",
     "warc_media_meta",
+    "emb_ivfpq_opq_topk",
 ]
 
 

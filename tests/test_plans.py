@@ -767,6 +767,22 @@ def test_filtered_ann_batch_single_scan_one_window(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_opq_probe_same_plan_as_plain_pq(spark, sf_dir):
+    """The OPQ store's probe must keep the PQ serving contract: one
+    codes-only pruned scan (rotation happened at BUILD; the query
+    vector rotates driver-side, costing the plan nothing), zero
+    exchanges, TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "emb_ivfpq_opq_topk")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "j0" in schema and "array" not in schema, schema
+    assert "Exchange" not in plan, plan[:900]
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_video_meta_single_pass_no_shuffle(spark, sf_dir):
     """multimodal_video_meta: fixture synth + header parse are two
     chained Arrow stages over one scan — binary payloads never cross

@@ -1522,6 +1522,110 @@ def test_filtered_ann_probe_families(spark, sf_dir):
             ), f"request {i} diverges under wheres={wheres}"
 
 
+def test_opq_store_recall_and_append_rotation(spark, sf_dir):
+    """Round-12 OPQ rung: (1) at the SAME code budget the OPQ-
+    preconditioned store's aggregate recall over a query panel is >=
+    the plain residual-PQ store's (energy compaction is the point);
+    (2) appends rotate with the STORED reflector, so an appended
+    twin of an existing vector is immediately retrievable next to it;
+    (3) the reflector is orthogonal: rotated-space cosine equals
+    raw-space cosine to the 6dp grain on a spot pair."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+        cosine,
+        lit_double_array,
+    )
+    from webarchive_indexing_spark.queries.helpers import hround
+    from webarchive_indexing_spark.sinks import ann_index
+    from webarchive_indexing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = tempfile.mkdtemp(prefix="pq_plain_")
+    opq = tempfile.mkdtemp(prefix="pq_opq_")
+    ann_index.write_ivfpq_index(
+        emb, plain, n_cells=8, n_sub=4, k_codes=8, train_iters=2
+    )
+    ann_index.write_ivfpq_index(
+        emb, opq, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        opq_iters=2,
+    )
+    qids = (77, 123, 55, 321, 9, 200)
+    tot_plain = tot_opq = 0
+    for qid in qids:
+        qv = collect_query_vector(emb, qid)
+        truth = {
+            r.vec_id
+            for r in emb.filter(F.col("vec_id") != qid)
+            .select(
+                "vec_id",
+                hround(
+                    cosine(F.col("embedding"), lit_double_array(qv)), 6
+                ).alias("c"),
+            )
+            .orderBy(F.col("c").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .collect()
+        }
+        got_p = {
+            r.vec_id
+            for r in ann_index.ivfpq_index_probe_topk(
+                spark, plain, qv, k=10, nprobe=3, exclude_id=qid
+            ).collect()
+        }
+        got_o = {
+            r.vec_id
+            for r in ann_index.ivfpq_index_probe_topk(
+                spark, opq, qv, k=10, nprobe=3, exclude_id=qid
+            ).collect()
+        }
+        tot_plain += len(got_p & truth)
+        tot_opq += len(got_o & truth)
+    assert tot_opq >= tot_plain, (tot_opq, tot_plain)
+
+    # (2) append rotates with the stored reflector: a twin of vector
+    # 321 under a fresh id must land where 321's neighborhood is
+    twin = (
+        emb.filter(F.col("vec_id") == 321)
+        .select(
+            (F.col("vec_id") * 0 + 990001).alias("vec_id"), "embedding",
+            "label",
+        )
+    )
+    ann_index.append_ivfpq_index(twin, opq)
+    qv = collect_query_vector(emb, 321)
+    got = ann_index.ivfpq_index_probe_topk(
+        spark, opq, qv, k=3, nprobe=3, exclude_id=321
+    ).collect()
+    assert got[0].vec_id == 990001  # identical codes -> distance 0
+
+    # (3) orthogonality: rotated cosine == raw cosine at the grain
+    from webarchive_indexing_spark.operators.pca import (
+        householder_k,
+        py_rotate,
+    )
+    import json as _json
+    import os as _os
+
+    meta = _json.load(open(_os.path.join(opq, "pq.json")))
+    u = [float(x) for x in meta["opq_u"]]
+    k = householder_k(u)
+    a = collect_query_vector(emb, 9)
+    b = collect_query_vector(emb, 200)
+    ra, rb = py_rotate(a, u, k), py_rotate(b, u, k)
+
+    def pycos(x, y):
+        import math
+        d = sum(p * q for p, q in zip(x, y))
+        return d / (math.sqrt(sum(p * p for p in x))
+                    * math.sqrt(sum(q * q for q in y)))
+
+    assert abs(pycos(a, b) - pycos(ra, rb)) < 1e-5
+
+
 def test_expire_store_versions_guards():
     """Round-12 ADVICE hardening on housekeeping, no Spark needed:
     (1) an in-flight build is protected by its explicit BUILDING

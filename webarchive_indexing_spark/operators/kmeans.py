@@ -180,6 +180,7 @@ def sql_lloyd_centroid_ctes(
     prefix: str = "",
     vec_sql=None,
     train_mod: int | None = None,
+    src: str = "embeddings",
 ) -> tuple[list[str], str]:
     """The relational twin of ``lloyd_train``: a list of CTE strings
     deriving the trained centroids, plus the name of the final
@@ -213,7 +214,7 @@ def sql_lloyd_centroid_ctes(
 
     parts = [
         f"{prefix}c0 AS (SELECT vec_id AS cid, {vec_sql('embeddings')} AS cvec "
-        f"FROM embeddings WHERE vec_id < {k})",
+        f"FROM {src} embeddings WHERE vec_id < {k})",
         f"{prefix}dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
     ]
     prev = f"{prefix}c0"
@@ -227,7 +228,7 @@ def sql_lloyd_centroid_ctes(
         SELECT e.vec_id, {vec_sql('e')} AS embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {d_from_vecs} ASC, c.cid ASC) AS rn
-        FROM (SELECT * FROM embeddings e{train_where}) e CROSS JOIN {prev} c
+        FROM (SELECT * FROM {src} e{train_where}) e CROSS JOIN {prev} c
       ) WHERE rn = 1
     )"""
         )

@@ -30,8 +30,6 @@ from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame
 
-from ..queries.helpers import py_hround
-
 _Q14 = Decimal("0.00000000000001")
 
 
@@ -51,18 +49,19 @@ def _dot6_sql(vec_name: str, vals: list[float]) -> str:
     return _round6_sql(fold)
 
 
-def power_iteration_scores(
+def power_iteration_direction(
     embeddings: DataFrame,
     iters: int = 2,
     dim: int = 64,
     *,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Return ``(vec_id, pc1_score)``: every vector's projection onto
-    the direction obtained after ``iters`` power-iteration steps of
+) -> list[float]:
+    """The unit direction after ``iters`` power-iteration steps of
     A^T A from v0 = 1/√dim·𝟙 (un-centered PCA — the Gram-matrix
-    leading direction)."""
+    leading direction), as driver floats.  Each step is one scan +
+    a dim-decimals exchange; the decimal-exact update + IEEE
+    normalize make the result bit-reconstructible relationally
+    (``sql_power_iteration_ctes``)."""
     assert dim & (dim - 1) == 0, "1/sqrt(dim) must be binary-exact"
     spark = embeddings.sparkSession
     v = [1.0 / math.sqrt(dim)] * dim
@@ -83,16 +82,36 @@ def power_iteration_scores(
             float(sum(Decimal(x * x).quantize(_Q14, ROUND_HALF_UP) for x in u))
         )
         v = [x / nrm for x in u]
+    return v
 
+
+def power_iteration_scores(
+    embeddings: DataFrame,
+    iters: int = 2,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Return ``(vec_id, pc1_score)``: every vector's projection onto
+    the ``power_iteration_direction`` unit vector."""
+    v = power_iteration_direction(
+        embeddings, iters, dim, vec_col=vec_col
+    )
     return embeddings.selectExpr(
         id_col, f"{_dot6_sql(vec_col, v)} AS pc1_score"
     )
 
 
-def sql_power_iteration_scores(iters: int = 2, dim: int = 64) -> str:
-    """DuckDB twin — fully relational: the direction lives long-form
-    as (j, vj) CTEs; ordered aggregates pin the fold order to the
-    Spark expression's left-to-right chain."""
+def sql_power_iteration_ctes(
+    iters: int = 2, dim: int = 64, *, src: str = "embeddings"
+) -> tuple[list[str], str]:
+    """The relational power-iteration chain as reusable CTE parts
+    plus the final (j, vj) direction CTE name — fully relational: the
+    direction lives long-form, ordered aggregates pin the fold order
+    to the Spark expression's left-to-right chain.  ``src`` names the
+    source table (``main.embeddings`` lets a caller who later SHADOWS
+    ``embeddings`` with a CTE keep training on the base rows)."""
     from ..queries.helpers import sql_hround
 
     def dot6(v_cte: str) -> str:
@@ -102,15 +121,15 @@ def sql_power_iteration_scores(iters: int = 2, dim: int = 64) -> str:
         return sql_hround(inner, 6)
 
     parts = [
-        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS j)",
-        f"v0 AS (SELECT j, CAST({1.0 / math.sqrt(dim)!r} AS DOUBLE) AS vj FROM dims)",
+        f"pdims AS (SELECT unnest(generate_series(1, {dim})) AS j)",
+        f"v0 AS (SELECT j, CAST({1.0 / math.sqrt(dim)!r} AS DOUBLE) AS vj FROM pdims)",
     ]
     prev = "v0"
     for it in range(1, iters):
         parts.append(
             f"""s{it} AS (
       SELECT e.vec_id, {dot6(prev)} AS s
-      FROM embeddings e CROSS JOIN {prev} v GROUP BY e.vec_id
+      FROM {src} e CROSS JOIN {prev} v GROUP BY e.vec_id
     )"""
         )
         parts.append(
@@ -118,9 +137,9 @@ def sql_power_iteration_scores(iters: int = 2, dim: int = 64) -> str:
       SELECT d.j,
              CAST(SUM(CAST(CAST(e.embedding[d.j] AS DOUBLE) * s{it}.s
                   AS DECIMAL(28,14))) AS DOUBLE) AS u
-      FROM embeddings e
+      FROM {src} e
       JOIN s{it} ON e.vec_id = s{it}.vec_id
-      CROSS JOIN dims d GROUP BY d.j
+      CROSS JOIN pdims d GROUP BY d.j
     )"""
         )
         parts.append(
@@ -133,11 +152,126 @@ def sql_power_iteration_scores(iters: int = 2, dim: int = 64) -> str:
             f"v{it} AS (SELECT j, u / n{it}.nrm AS vj FROM u{it} CROSS JOIN n{it})"
         )
         prev = f"v{it}"
+    return parts, prev
+
+
+def sql_power_iteration_scores(iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of ``power_iteration_scores`` over the CTE chain."""
+    from ..queries.helpers import sql_hround
+
+    parts, prev = sql_power_iteration_ctes(iters, dim)
+    dot6 = sql_hround(
+        "SUM(CAST(e.embedding[v.j] AS DOUBLE) * v.vj ORDER BY v.j)", 6
+    )
     return (
         "WITH "
         + ",\n    ".join(parts)
         + f"""
-    SELECT e.vec_id, {dot6(prev)} AS pc1_score
+    SELECT e.vec_id, {dot6} AS pc1_score
     FROM embeddings e CROSS JOIN {prev} v GROUP BY e.vec_id
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ-style rotation (round 12): a Householder reflector trained from
+# the power-iteration direction, applied before PQ so the dominant
+# variance direction aligns with the first subspace — the energy-
+# compaction preconditioning FAISS's OPQ pursues (Ge et al. 2013;
+# FAISS OPQMatrix), reduced to the one-reflector form whose training
+# is exactly the decimal-exact power iteration above and whose
+# application is a map-side fold + zip_with (one scan, no shuffle).
+# ---------------------------------------------------------------------------
+
+
+def householder_rotation(v: list[float]) -> tuple[list[float], list[float]]:
+    """``(u, k)`` of the reflector H = I − 2·u·uᵀ/(uᵀu) with
+    ``u = v − e1``: H is orthogonal and maps the unit direction v onto
+    e1, so H·x concentrates x's component along v into coordinate 1.
+    ``k_j = 2·u_j / (uᵀu)`` is precomputed so application is
+    ``x − (u·x)·k`` — one dot + one axpy per row.  uᵀu uses the same
+    quantize-to-14dp decimal sum as the power-iteration norm, so the
+    DuckDB twin (``sql_householder_rot_ctes``) reconstructs k bit for
+    bit.  A v already equal to e1 yields the identity (k = 0)."""
+    u = [v[0] - 1.0, *v[1:]]
+    return u, householder_k(u)
+
+
+def householder_k(u: list[float]) -> list[float]:
+    """``k = 2·u / (uᵀu)`` with the decimal-exact uᵀu — split out so a
+    store that persisted only ``u`` (pq.json ``opq_u``) re-derives the
+    identical k on every append/probe."""
+    uu = float(
+        sum(Decimal(x * x).quantize(_Q14, ROUND_HALF_UP) for x in u)
+    )
+    if uu == 0.0:
+        return [0.0] * len(u)
+    return [2.0 * x / uu for x in u]
+
+
+def py_rotate(q: list[float], u: list[float], k: list[float]) -> list[float]:
+    """Driver-side H·q for a probe's query vector — the same op order
+    as the executor expression (ascending-j fold rounded at 6dp, then
+    per-coordinate x − s·k_j), so a rotated query ranks against the
+    rotated store exactly as the relational twin does."""
+    from ..queries.helpers import py_hround
+
+    s = py_hround(sum(float(x) * w for x, w in zip(q, u)), 6)
+    return [float(x) - s * kk for x, kk in zip(q, k)]
+
+
+def rotate_frame(
+    df: DataFrame, u: list[float], k: list[float], *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Map-side H·x over a frame: the per-row projection s = round6
+    (u·x) materializes once, then one zip_with applies the axpy —
+    whole-stage codegen, no Python, no shuffle; every other column
+    rides through untouched (attrs keep working on a rotated store)."""
+    s_sql = _dot6_sql(f"`{vec_col}`", u)
+    klits = ",".join(f"{float(x)!r}D" for x in k)
+    rotated = (
+        f"zip_with(transform(`{vec_col}`, x -> CAST(x AS DOUBLE)), "
+        f"array({klits}), (x, kj) -> x - __s * kj) AS `{vec_col}`"
+    )
+    out_cols = [rotated if c == vec_col else f"`{c}`" for c in df.columns]
+    return df.selectExpr("*", f"{s_sql} AS __s").selectExpr(*out_cols)
+
+
+def sql_householder_rot_ctes(
+    iters: int = 2, dim: int = 64, *, src: str = "embeddings",
+    out: str = "rotemb",
+) -> list[str]:
+    """DuckDB CTE parts deriving the ROTATED corpus ``out`` =
+    (vec_id, embedding) from ``src``: the power-iteration chain, the
+    reflector u = v − e1, the decimal-exact uᵀu, k = 2u/uᵀu, the
+    per-row 6dp projection, and the axpy — every step the exact
+    relational twin of the driver/executor algebra above, so a
+    rotated store's probes hash-match end to end."""
+    from ..queries.helpers import sql_hround
+
+    parts, vname = sql_power_iteration_ctes(iters, dim, src=src)
+    sdot = sql_hround(
+        "SUM(CAST(e.embedding[h.j] AS DOUBLE) * h.uj ORDER BY h.j)", 6
+    )
+    parts += [
+        f"hh AS (SELECT j, vj - CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS uj "
+        f"FROM {vname})",
+        "huu AS (SELECT CAST(SUM(CAST(uj * uj AS DECIMAL(28,14))) AS DOUBLE)"
+        " AS uu FROM hh)",
+        "hk AS (SELECT j, 2.0 * uj / uu AS kj FROM hh CROSS JOIN huu)",
+        f"""hs AS (
+      SELECT e.vec_id, {sdot} AS s
+      FROM {src} e CROSS JOIN hh h GROUP BY e.vec_id
+    )""",
+        f"""{out} AS (
+      SELECT e.vec_id,
+             list(CAST(e.embedding[d.j] AS DOUBLE) - hs.s * hk.kj
+                  ORDER BY d.j) AS embedding
+      FROM {src} e
+      CROSS JOIN pdims d
+      JOIN hs ON hs.vec_id = e.vec_id
+      JOIN hk ON hk.j = d.j
+      GROUP BY e.vec_id
+    )""",
+    ]
+    return parts

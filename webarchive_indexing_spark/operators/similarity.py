@@ -1450,6 +1450,8 @@ def sql_ivfadc_residual_topk(
     dim: int = 64,
     exclude_ids: list[int] | None = None,
     where_sql: str | None = None,
+    src: str = "embeddings",
+    pre_parts: list[str] | None = None,
 ) -> str:
     """DuckDB twin of ``ivfadc_residual_topk``: trained chains for
     cells + per-subspace codebooks, a ``comb`` CTE materializing the
@@ -1457,16 +1459,22 @@ def sql_ivfadc_residual_topk(
     cell-scoped assignment and ADC.  ``exclude_ids`` reconstructs a
     tombstoned store: the ids are hidden from probing, never from
     training (deletes don't retrain the quantizer); ``where_sql``
-    reconstructs a FILTERED probe (attribute predicate over the
-    embeddings table, applied to survivors before top-k)."""
+    reconstructs a FILTERED probe (attribute predicate over the BASE
+    ``embeddings`` table — attrs never ride derived sources — applied
+    to survivors before top-k).  ``src`` + ``pre_parts`` reconstruct
+    a PRECONDITIONED store (round 12 OPQ): ``pre_parts`` CTEs derive
+    a transformed ``(vec_id, embedding)`` source named ``src`` and
+    the whole chain (training, assignment, query vector, ADC) reads
+    from it."""
     from .kmeans import sql_lloyd_centroid_ctes
 
     assert dim % n_sub == 0
     sub_dim = dim // n_sub
 
     parts, cell_src = sql_lloyd_centroid_ctes(
-        n_cells, train_iters, dim, prefix="cc"
+        n_cells, train_iters, dim, prefix="cc", src=src
     )
+    parts = list(pre_parts or []) + parts
     cb_selects = []
     for m in range(n_sub):
         lo = m * sub_dim
@@ -1475,7 +1483,8 @@ def sql_ivfadc_residual_topk(
             return f"{alias}.embedding[{lo + 1}:{lo + sub_dim}]"
 
         sub_parts, sub_src = sql_lloyd_centroid_ctes(
-            k_codes, train_iters, sub_dim, prefix=f"s{m}", vec_sql=vec_sql
+            k_codes, train_iters, sub_dim, prefix=f"s{m}", vec_sql=vec_sql,
+            src=src,
         )
         parts += sub_parts
         cb_selects.append(f"SELECT {m} AS m, cid AS j, cvec FROM {sub_src}")
@@ -1493,13 +1502,13 @@ def sql_ivfadc_residual_topk(
                             i -> c.cvec[b.m * {sub_dim} + i] + b.cvec[i]) AS cw
       FROM {cell_src} c CROSS JOIN cb b
     )""",
-        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id})",
+        f"q AS (SELECT embedding AS qv FROM {src} WHERE vec_id = {query_vec_id})",
         f"""cells AS (
       SELECT vec_id, embedding, cid AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cdist} ASC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN {cell_src} c
+        FROM {src} e CROSS JOIN {cell_src} c
         WHERE e.vec_id <> {query_vec_id}{_sql_excl_ids(exclude_ids)}
       ) WHERE rn = 1
     )""",

@@ -1984,6 +1984,59 @@ def emb_ivfpq_filtered_topk(spark, sf_dir):
     )
 
 
+def _opq_oracle() -> str:
+    """The residual-IVFADC twin over the RELATIONALLY-ROTATED corpus:
+    power-iteration direction → Householder reflector → rotated
+    (vec_id, embedding) CTE, then the whole trained chain (coarse
+    cells, per-subspace codebooks, assignment, query vector, ADC)
+    reads from it — training and serving both live in rotated space,
+    exactly like the store."""
+    from ..operators.pca import sql_householder_rot_ctes
+
+    return sql_ivfadc_residual_topk(
+        query_vec_id=77, k=10, n_cells=8, nprobe=3, n_sub=4, k_codes=8,
+        train_iters=2, src="rotemb",
+        pre_parts=sql_householder_rot_ctes(2, 64, out="rotemb"),
+    )
+
+
+@query("emb_ivfpq_opq_topk", oracle=_opq_oracle(), tier="C")
+def emb_ivfpq_opq_topk(spark, sf_dir):
+    """L3 OPQ-PRECONDITIONED PQ store (round 12 — the FAISS OPQ rung,
+    one-reflector form; Ge et al. 2013): before PQ training/encode,
+    every vector is rotated by the Householder reflector H that maps
+    the power-iteration leading direction onto e1 — energy compaction
+    that concentrates the dominant variance into the first subspace,
+    cutting quantization error at the SAME code budget (recall ≥
+    plain PQ pinned in tests/test_scale.py).  Training the rotation
+    is ``opq_iters`` power-iteration scans + kilobyte exchanges;
+    applying it is one map-side fold + zip_with (no shuffle, rides
+    the existing encode scan); the reflector persists in ``pq.json``
+    so appends rotate identically and probes rotate the query vector
+    driver-side.  The oracle derives the rotation RELATIONALLY
+    (``sql_householder_rot_ctes``) and runs the residual-IVFADC twin
+    over the rotated corpus, so the hash match proves train→rotate→
+    encode→probe end to end."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import (
+        ivfpq_index_probe_topk,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_opq_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        opq_iters=2,
+    )
+    qv = collect_query_vector(emb, 77)
+    return ivfpq_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=77
+    )
+
+
 @query(
     "warc_media_meta",
     oracle="""

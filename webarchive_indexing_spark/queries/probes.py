@@ -214,6 +214,22 @@ def _p_ivf_filtered_batch(spark, ctx):
     )
 
 
+def _build_ivfpq_opq_store(spark, sf_dir):
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import write_ivfpq_index
+    from .helpers import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="probe_ivfpq_opq_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        opq_iters=2,
+    )
+    return {"dir": out, "qv": collect_query_vector(emb, 77)}
+
+
 def _p_ivfpq_filtered(spark, ctx):
     from ..sinks.ann_index import ivfpq_index_probe_topk
 
@@ -304,5 +320,9 @@ PROBES: dict[str, Probe] = {
     "emb_ivfpq_filtered_topk_probe": Probe(
         "emb_ivfpq_filtered_topk", "ivfpq_store",
         _build_ivfpq_store, _p_ivfpq_filtered,
+    ),
+    "emb_ivfpq_opq_topk_probe": Probe(
+        "emb_ivfpq_opq_topk", "ivfpq_opq_store",
+        _build_ivfpq_opq_store, _p_ivfpq_topk,
     ),
 }

@@ -670,6 +670,7 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     refine: str | None = None,
     attrs: list[str] | None = None,
+    opq_iters: int | None = None,
 ) -> None:
     """PQ-CODED persisted index — the FAISS IVFPQ storage shape
     (Jégou et al. 2011): instead of flat float vectors (16-32× the
@@ -705,7 +706,19 @@ def write_ivfpq_index(
     projection, so attributes must opt in).  The list persists in
     ``pq.json`` so appends carry the same columns and a probe's
     ``where`` predicate can never reference a column half the store
-    lacks."""
+    lacks.
+
+    ``opq_iters`` (round 12 — the FAISS OPQ preconditioning rung,
+    one-reflector form): train the power-iteration leading direction
+    for that many rounds, build the Householder reflector H mapping
+    it onto e1, and ROTATE every vector map-side before coarse
+    training + residual encode — energy compaction that aligns the
+    dominant variance direction with the first subspace, cutting PQ
+    quantization error at equal code budget (Ge et al. 2013).  The
+    reflector vector persists in ``pq.json`` (``opq_u``); appends
+    rotate with the stored reflector, probes rotate the query vector
+    driver-side — rotation is orthogonal, so cosine/L2 semantics are
+    unchanged and the refine sidecar re-ranks identically."""
     from ..operators.kmeans import lloyd_train
     from ..operators.similarity import (
         nearest_sqdist6_expr,
@@ -715,6 +728,19 @@ def write_ivfpq_index(
 
     assert dim % n_sub == 0
     sub_dim = dim // n_sub
+    opq_u: list[float] | None = None
+    if opq_iters is not None:
+        from ..operators.pca import (
+            householder_rotation,
+            power_iteration_direction,
+            rotate_frame,
+        )
+
+        v = power_iteration_direction(
+            embeddings, opq_iters, dim, vec_col=vec_col
+        )
+        opq_u, opq_k = householder_rotation(v)
+        embeddings = rotate_frame(embeddings, opq_u, opq_k, vec_col=vec_col)
     cents = lloyd_train(
         embeddings, k=n_cells, iters=train_iters, dim=dim,
         id_col=id_col, vec_col=vec_col, train_frac=train_frac,
@@ -770,6 +796,7 @@ def write_ivfpq_index(
                     "k_codes": k_codes,
                     "refine": refine,
                     "attrs": attrs or [],
+                    "opq_u": opq_u,
                 }
             ).encode()
         )
@@ -858,6 +885,16 @@ def append_ivfpq_index(
     cents, cbooks, meta = read_ivfpq_model(store)
     sub_dim = meta["dim"] // meta["n_sub"]
     attrs = meta.get("attrs") or []
+    if meta.get("opq_u"):
+        # an OPQ store's model lives in ROTATED space: append rotates
+        # with the STORED reflector (never retrains it — same fixed-
+        # model contract as the centroids/codebooks)
+        from ..operators.pca import householder_k, rotate_frame
+
+        u = [float(x) for x in meta["opq_u"]]
+        embeddings = rotate_frame(
+            embeddings, u, householder_k(u), vec_col=vec_col
+        )
     ct_sql = residual_codeword_tables(cents, cbooks)
     cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
     coded = embeddings.select(
@@ -900,6 +937,20 @@ def read_ivfpq_model(
     return cents, cbooks, raw
 
 
+def _opq_rotate_query(meta: dict, qv: list[float]) -> list[float]:
+    """H·qv for an OPQ store (identity otherwise): the stored model
+    lives in rotated space, so every probe's query vector must enter
+    it through the SAME reflector — driver-side float math whose op
+    order matches the executor/oracle algebra exactly."""
+    u = meta.get("opq_u")
+    if not u:
+        return qv
+    from ..operators.pca import householder_k, py_rotate
+
+    u = [float(x) for x in u]
+    return py_rotate(qv, u, householder_k(u))
+
+
 def ivfpq_index_probe_topk(
     spark: SparkSession,
     out_dir: str,
@@ -911,6 +962,7 @@ def ivfpq_index_probe_topk(
     where: str | None = None,
     id_col: str = "vec_id",
     _store: str | None = None,
+    _rotated: bool = False,
 ) -> DataFrame:
     """Top-k approximate neighbors from the PQ-coded store: rank probe
     cells driver-side (quantizer math), scan ONLY those ``cell=``
@@ -936,6 +988,8 @@ def ivfpq_index_probe_topk(
 
     store = _store or resolve_store(out_dir)
     cents, cbooks, _meta = read_ivfpq_model(store)
+    if not _rotated:
+        qv = _opq_rotate_query(_meta, qv)
     probe = sorted(cents, key=lambda c: (py_sqdist6(qv, cents[c]), c))[:nprobe]
     qd_sql = residual_query_tables(cents, cbooks, qv)
     df = spark.read.parquet(_join(store, "codes")).filter(
@@ -963,6 +1017,7 @@ def ivfpq_index_probe_batch_topk(
     wheres: list[str | None] | None = None,
     id_col: str = "vec_id",
     _store: str | None = None,
+    _rotated: bool = False,
 ) -> DataFrame:
     """N query vectors answered in ONE job over the PQ-coded store —
     the FAISS batched ``search()`` / cc-index-server amortization
@@ -1009,6 +1064,8 @@ def ivfpq_index_probe_batch_topk(
         raise ValueError("wheres must align with query_vecs")
     store = _store or resolve_store(out_dir)
     cents, cbooks, _meta = read_ivfpq_model(store)
+    if not _rotated:
+        query_vecs = [_opq_rotate_query(_meta, q) for q in query_vecs]
 
     scan_where = None
     if whs[0] is not None and all(w == whs[0] for w in whs):
@@ -1122,9 +1179,12 @@ def ivfpq_refined_batch_topk(
     # resolve the CURRENT pointer ONCE: the ADC probe and the refine
     # sidecar must read the SAME version even if a swap lands mid-way
     store = resolve_store(out_dir)
+    _meta = read_ivfpq_model(store)[2]
+    query_vecs = [_opq_rotate_query(_meta, q) for q in query_vecs]
     cand = ivfpq_index_probe_batch_topk(
         spark, out_dir, query_vecs, k=k * k_factor, nprobe=nprobe,
         exclude_ids=exclude_ids, id_col=id_col, _store=store,
+        _rotated=True,
     )
     rows = cand.select("request_no", id_col, "cell").collect()
     per_req: dict[int, list[int]] = {}
@@ -1212,9 +1272,14 @@ def ivfpq_refined_topk(
 
     # one pointer resolve pins probe + sidecar to the same version
     store = resolve_store(out_dir)
+    # an OPQ store's sidecar holds ROTATED vectors: rotate qv once
+    # here, share it with the probe (_rotated), and keep the RAW qv
+    # for an external vectors_src (which holds unrotated vectors)
+    qv_rot = _opq_rotate_query(read_ivfpq_model(store)[2], qv)
     cand = ivfpq_index_probe_topk(
-        spark, out_dir, qv, k=k * k_factor, nprobe=nprobe,
+        spark, out_dir, qv_rot, k=k * k_factor, nprobe=nprobe,
         exclude_id=exclude_id, id_col=id_col, _store=store,
+        _rotated=True,
     )
     rows = cand.select(id_col, "cell").collect()
     ids = [r[id_col] for r in rows]
@@ -1225,7 +1290,7 @@ def ivfpq_refined_topk(
         )
         out = side.select(
             F.col(id_col),
-            hround(cosine(vec, lit_double_array(qv)), 6).alias("cos_sim"),
+            hround(cosine(vec, lit_double_array(qv_rot)), 6).alias("cos_sim"),
         )
     else:
         out = vectors_src.filter(F.col(id_col).isin(ids)).select(
