@@ -747,3 +747,100 @@ def test_vacuum_tmp_reclaims_crashed_runs(spark, sf_dir, tmp_path):
     os.makedirs(os.path.join(out, "ingest-tmp-000000"))
     assert main(["expire-snapshots", out, "--vacuum-tmp"]) == 0
     assert not os.path.isdir(os.path.join(out, "ingest-tmp-000000"))
+
+
+def test_stream_ann_appends_versioned(spark, sf_dir, tmp_path):
+    """Round-12 streaming ANN maintenance: micro-batches of new
+    vectors append into a VERSIONED flat store behind per-batch
+    CURRENT swaps.  Pins: (1) probe equality vs the same base store
+    grown by direct batch appends (same stored quantizer → same
+    answers); (2) reader stability — the pre-stream version is
+    frozen while new probes see the appended vectors; (3) a
+    mid-stream tombstone is honored (root-level, spans versions);
+    (4) a redelivered batch id is a ledger no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+    from webarchive_indexing_spark.streaming.incremental import (
+        stream_ann_appends,
+    )
+    from webarchive_indexing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    extra = emb.filter(F.col("vec_id") >= 300)
+
+    root = str(tmp_path / "store")
+    ann_index.write_ivf_index_versioned(base, root, n_cents=8, train_iters=2)
+    v_before = ann_index.resolve_store(root)
+    rows_before = spark.read.parquet(
+        os.path.join(v_before, "vectors")
+    ).count()
+
+    # twin store grown by DIRECT appends — same model, so the
+    # streamed store must answer identically
+    twin = str(tmp_path / "twin")
+    ann_index.write_ivf_index_versioned(base, twin, n_cents=8, train_iters=2)
+    ann_index.append_ivf_index(extra, twin)
+
+    # two parquet files + maxFilesPerTrigger=1 → two micro-batches
+    inp = str(tmp_path / "incoming")
+    extra.filter(F.col("vec_id") < 400).coalesce(1).write.parquet(
+        inp, mode="append"
+    )
+    extra.filter(F.col("vec_id") >= 400).coalesce(1).write.parquet(
+        inp, mode="append"
+    )
+    # mid-stream takedown filed at the root before the swaps land
+    victim = 305
+    ann_index.delete_from_ann_index(root, [victim])
+
+    q = stream_ann_appends(
+        spark, inp, root, str(tmp_path / "ckpt"),
+        kind="flat", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    v_after = ann_index.resolve_store(root)
+    assert v_after != v_before  # at least one swap landed
+    # (2) reader stability: the old version is untouched
+    assert (
+        spark.read.parquet(os.path.join(v_before, "vectors")).count()
+        == rows_before
+    )
+    new_rows = spark.read.parquet(os.path.join(v_after, "vectors"))
+    assert new_rows.count() == base.count() + extra.count()
+
+    # (1) probe equality vs the direct-append twin, (3) tombstone
+    qv = collect_query_vector(emb, 321)
+    got = ann_index.ivf_index_probe_topk(
+        spark, root, qv, k=10, nprobe=3, exclude_id=321
+    ).collect()
+    ann_index.delete_from_ann_index(twin, [victim])
+    want = ann_index.ivf_index_probe_topk(
+        spark, twin, qv, k=10, nprobe=3, exclude_id=321
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert victim not in {r.vec_id for r in got}
+
+    # (4) replay: re-delivering an applied batch id is a no-op
+    applied = ann_index._applied_batches(v_after)
+    assert applied  # ledger carried through the swaps
+    replay_id = sorted(applied)[0]
+    assert (
+        ann_index.stream_append_batch(
+            extra.limit(5), replay_id, root, kind="flat"
+        )
+        is False
+    )
+    assert (
+        spark.read.parquet(
+            os.path.join(ann_index.resolve_store(root), "vectors")
+        ).count()
+        == base.count() + extra.count()
+    )

@@ -394,6 +394,108 @@ def ivfsq_index_probe_topk(
     return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+_APPLIED = "applied_batches.json"
+
+
+def _applied_batches(store: str) -> set[int]:
+    """Micro-batch ids already folded into a version (replay ledger —
+    carried forward by the clone, so a redelivered foreachBatch batch
+    is a no-op instead of a duplicate append)."""
+    fs, local = _fs_for(store)
+    try:
+        with fs.open_input_stream(
+            _join(local, _APPLIED), compression=None
+        ) as fh:
+            return {int(b) for b in json.loads(fh.read().decode())}
+    except (OSError, FileNotFoundError, ValueError):
+        return set()
+
+
+def clone_store_version(root: str) -> tuple[str, str]:
+    """A fresh UNPUBLISHED version that starts as a snapshot of the
+    published one: every file of CURRENT hard-links into the new
+    directory (O(number of files) metadata ops, zero data bytes —
+    the filesystem-snapshot trick; non-local filesystems fall back to
+    a byte copy, where a manifest-based layout would be the 100 TB
+    answer).  The caller appends into the clone and publishes with
+    one pointer swap — readers pinned on the old version see a
+    frozen store; immutable data files are SHARED between versions,
+    which is safe precisely because appends only ever add files."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    cur = resolve_store(root)
+    if cur == root:
+        raise ValueError(
+            f"{root!r} is not a versioned store — publish with "
+            f"write_iv*_index_versioned first"
+        )
+    name, path = new_store_version(root)
+    fs, cur_local = _fs_for(cur)
+    _fs2, dst_local = _fs_for(path)
+    local_fs = isinstance(fs, pafs.LocalFileSystem)
+    infos = fs.get_file_info(
+        pafs.FileSelector(cur_local, recursive=True, allow_not_found=True)
+    )
+    for info in infos:
+        if info.type != pafs.FileType.File:
+            continue
+        rel = info.path[len(cur_local):].lstrip("/")
+        dst = _join(dst_local, rel)
+        parent = dst.rsplit("/", 1)[0]
+        fs.create_dir(parent, recursive=True)
+        if local_fs:
+            os.link(info.path, dst)
+        else:  # pragma: no cover - object-store fallback
+            with fs.open_input_stream(info.path) as src, fs.open_output_stream(
+                dst, compression=None
+            ) as out:
+                out.write(src.read())
+    return name, path
+
+
+def _record_applied_batch(store: str, applied: set[int]) -> None:
+    fs, local = _fs_for(store)
+    tmp = _join(local, f"{_APPLIED}.tmp")
+    with fs.open_output_stream(tmp, compression=None) as fh:
+        fh.write(json.dumps(sorted(applied)).encode())
+    fs.move(tmp, _join(local, _APPLIED))
+
+
+_APPEND_BY_KIND = {
+    "flat": "append_ivf_index",
+    "pq": "append_ivfpq_index",
+    "sq": "append_ivfsq_index",
+}
+
+
+def stream_append_batch(
+    batch_df: DataFrame, batch_id: int, root: str, *, kind: str = "flat",
+    **append_kw,
+) -> bool:
+    """ONE micro-batch of the streaming ANN ingest (the foreachBatch
+    body — see ``streaming.incremental.stream_ann_appends``): clone
+    the published version (hard links), append the batch with the
+    STORED model (``append_*_index`` — assignment math never shifts
+    under a serving index), record the batch id in the replay ledger,
+    and publish with one atomic ``CURRENT`` swap.  Redelivered
+    batches (crash between publish and the stream checkpoint commit)
+    are no-ops via the ledger.  Returns True when the batch was
+    applied, False when skipped as a replay."""
+    if kind not in _APPEND_BY_KIND:
+        raise ValueError(f"unknown store kind {kind!r}")
+    cur = resolve_store(root)
+    if int(batch_id) in _applied_batches(cur):
+        return False
+    name, path = clone_store_version(root)
+    append = globals()[_APPEND_BY_KIND[kind]]
+    append(batch_df, path, **append_kw)
+    _record_applied_batch(path, _applied_batches(path) | {int(batch_id)})
+    _publish_store_version(root, name)
+    return True
+
+
 def write_ivf_index_versioned(
     embeddings: DataFrame, root: str, **kw
 ) -> str:
