@@ -246,7 +246,12 @@ def sql_householder_rot_ctes(
     reflector u = v − e1, the decimal-exact uᵀu, k = 2u/uᵀu, the
     per-row 6dp projection, and the axpy — every step the exact
     relational twin of the driver/executor algebra above, so a
-    rotated store's probes hash-match end to end."""
+    rotated store's probes hash-match end to end.  The rotated
+    corpus is MATERIALIZED: the IVFADC twin references it a dozen
+    times (seed, per-iteration assignments of five Lloyd chains,
+    query row, final assignment) and DuckDB's default CTE inlining
+    would re-derive the whole rotation chain at every reference —
+    measured OOM at the 10x perturbed sweep."""
     from ..queries.helpers import sql_hround
 
     parts, vname = sql_power_iteration_ctes(iters, dim, src=src)
@@ -263,7 +268,7 @@ def sql_householder_rot_ctes(
       SELECT e.vec_id, {sdot} AS s
       FROM {src} e CROSS JOIN hh h GROUP BY e.vec_id
     )""",
-        f"""{out} AS (
+        f"""{out} AS MATERIALIZED (
       SELECT e.vec_id,
              list(CAST(e.embedding[d.j] AS DOUBLE) - hs.s * hk.kj
                   ORDER BY d.j) AS embedding
