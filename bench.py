@@ -178,6 +178,8 @@ HEADLINE = [
     "emb_ivfpq_filtered_topk",
     "warc_media_meta",
     "emb_ivfpq_opq_topk",
+    "emb_ivfsq_query_batch",
+    "emb_ivfpq_refined_filtered",
 ]
 
 

@@ -767,6 +767,22 @@ def test_filtered_ann_batch_single_scan_one_window(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_sq_batch_single_scan_one_window(spark, sf_dir):
+    """SQ8 batch serving: one union-pruned sq scan (quantized payload
+    ReadSchema — tinyint codes + scale, no float vector column), the
+    shared dequantize feeding every request's arm map-side, exactly
+    one Exchange (the request_no window)."""
+    plan = _plan(spark, sf_dir, "emb_ivfsq_query_batch")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "tinyint" in schema and "scale" in schema, schema
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "request_no" in plan.split("Exchange", 1)[1].splitlines()[0]
+
+
 def test_opq_probe_same_plan_as_plain_pq(spark, sf_dir):
     """The OPQ store's probe must keep the PQ serving contract: one
     codes-only pruned scan (rotation happened at BUILD; the query

@@ -700,6 +700,7 @@ def sql_ivfsq_trained_topk(
     train_iters: int = 2,
     dim: int = 64,
     exclude_ids: list[int] | None = None,
+    where_sql: str | None = None,
 ) -> str:
     """DuckDB twin of the IVF-SQ8 store probe: the trained-IVF chain
     (same Lloyd CTEs + cosine-argmax assignment + probe-cell ranking
@@ -728,6 +729,11 @@ def sql_ivfsq_trained_topk(
             " AND cells.vec_id NOT IN ("
             + ", ".join(str(int(i)) for i in exclude_ids)
             + ")"
+        )
+    if where_sql:
+        excl += (
+            f" AND cells.vec_id IN "
+            f"(SELECT vec_id FROM embeddings WHERE {where_sql})"
         )
     parts += [
         f"""cents AS (
@@ -1567,16 +1573,20 @@ def sql_ivfpq_refined_topk(
     k_codes: int = 8,
     train_iters: int = 2,
     dim: int = 64,
+    where_sql: str | None = None,
 ) -> str:
     """DuckDB twin of the refine stage: the residual-IVFADC twin
     (over-fetched to k·k_factor) becomes a candidate CTE, then the
     exact decimal-rounded cosine re-ranks just those ids — precisely
-    what ``ivfpq_refined_topk`` executes."""
+    what ``ivfpq_refined_topk`` executes.  ``where_sql`` filters the
+    CANDIDATE stage (the ADC probe) — the refine re-rank then only
+    ever sees predicate-passing ids, matching the Spark composition
+    where the probe's pushed-down filter runs before over-fetch."""
     from ..queries.helpers import sql_hround
 
     inner = sql_ivfadc_residual_topk(
         query_vec_id, k * k_factor, n_cells, nprobe, n_sub, k_codes,
-        train_iters, dim,
+        train_iters, dim, where_sql=where_sql,
     )
     esim = sql_hround(sql_cosine("e.embedding", "rq.qv", dim), 6)
     return f"""WITH cand AS ({inner}),

@@ -1984,6 +1984,99 @@ def emb_ivfpq_filtered_topk(spark, sf_dir):
     )
 
 
+def _ivfsq_batch_sql() -> str:
+    """UNION ALL of the (optionally filtered) SQ8 twin per request —
+    the per-request dequantized-cosine probe loop the SQ batch
+    amortizes."""
+    from ..operators.similarity import sql_ivfsq_trained_topk
+
+    subs = []
+    for i, (qid, wh) in enumerate(
+        zip(_ANN_BATCH_QIDS, _ANN_FILTER_WHERES)
+    ):
+        inner = sql_ivfsq_trained_topk(
+            query_vec_id=qid, k=10, n_cents=8, nprobe=3, train_iters=2,
+            where_sql=wh,
+        )
+        subs.append(f"SELECT {i} AS request_no, q.* FROM ({inner}) q")
+    return " UNION ALL ".join(subs)
+
+
+@query("emb_ivfsq_query_batch", oracle=_ivfsq_batch_sql(), tier="C")
+def emb_ivfsq_query_batch(spark, sf_dir):
+    """Batch serving over the SQ8 store (round 12 — completing the
+    batch parity across all three payload layouts, WITH per-request
+    filtered-search arms): four requests — equality, IN-list, modulo,
+    and one unfiltered — share ONE union-of-cells pruned ``sq`` scan,
+    the per-row dequantize runs once and feeds every request's 6dp
+    cosine arm, and per-request top-k is one ``request_no`` window.
+    The oracle UNION ALLs the filtered SQ8 twin per request, so the
+    hash match proves each request's batch rows equal its
+    one-at-a-time filtered ``ivfsq_index_probe_topk`` answer."""
+    import tempfile
+
+    from ..sinks.ann_index import (
+        ivfsq_index_probe_batch_topk,
+        write_ivfsq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfsq_batch_")
+    write_ivfsq_index(
+        emb, out, n_cents=8, train_iters=2, attrs=["label"]
+    )
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return ivfsq_index_probe_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=10, nprobe=3,
+        exclude_ids=qids, wheres=list(_ANN_FILTER_WHERES),
+    )
+
+
+def _refined_filtered_oracle() -> str:
+    from ..operators.similarity import sql_ivfpq_refined_topk
+
+    return sql_ivfpq_refined_topk(
+        query_vec_id=77, k=10, k_factor=4, n_cells=8, nprobe=3,
+        n_sub=4, k_codes=8, train_iters=2, where_sql="label IN (1, 5)",
+    )
+
+
+@query(
+    "emb_ivfpq_refined_filtered",
+    oracle=_refined_filtered_oracle(),
+    tier="C",
+)
+def emb_ivfpq_refined_filtered(spark, sf_dir):
+    """FILTERED search composed with the refine stage (round 12):
+    the attribute predicate rides the candidate probe's pushed-down
+    codes scan BEFORE the k·k_factor over-fetch, so the sidecar
+    re-rank only ever touches predicate-passing candidates — the
+    filtered production request path (probe → filter → over-fetch →
+    exact re-rank) in two jobs with recall intact.  Oracle: the
+    refined twin with the identical predicate on the candidate
+    stage."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import ivfpq_refined_topk, write_ivfpq_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_reffilt_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="flat", attrs=["label"],
+    )
+    qv = collect_query_vector(emb, 77)
+    return ivfpq_refined_topk(
+        spark, out, None, qv, k=10, k_factor=4, nprobe=3,
+        exclude_id=77, where="label IN (1, 5)",
+    )
+
+
 def _opq_oracle() -> str:
     """The residual-IVFADC twin over the RELATIONALLY-ROTATED corpus:
     power-iteration direction → Householder reflector → rotated

@@ -150,14 +150,24 @@ def _p_ivfpq_refined(spark, ctx):
 def _build_ivfsq_store(spark, sf_dir):
     import tempfile
 
+    from pyspark.sql import functions as F
+
     from ..operators.similarity import collect_query_vector
     from ..sinks.ann_index import write_ivfsq_index
     from .helpers import t
+    from .llm import _ANN_BATCH_QIDS
 
     emb = t(spark, sf_dir, "embeddings")
     out = tempfile.mkdtemp(prefix="probe_ivfsq_")
-    write_ivfsq_index(emb, out, n_cents=8, train_iters=2)
-    return {"dir": out, "qv": collect_query_vector(emb, 123)}
+    write_ivfsq_index(emb, out, n_cents=8, train_iters=2, attrs=["label"])
+    qids = list(_ANN_BATCH_QIDS)
+    want = sorted({123, *qids})
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(want)).collect()
+    }
+    return {"dir": out, "qv": vecs[123], "qids": qids,
+            "qvs": [vecs[q] for q in qids]}
 
 
 def _p_ivfsq_topk(spark, ctx):
@@ -228,6 +238,25 @@ def _build_ivfpq_opq_store(spark, sf_dir):
         opq_iters=2,
     )
     return {"dir": out, "qv": collect_query_vector(emb, 77)}
+
+
+def _p_ivfsq_batch(spark, ctx):
+    from ..sinks.ann_index import ivfsq_index_probe_batch_topk
+    from .llm import _ANN_FILTER_WHERES
+
+    return ivfsq_index_probe_batch_topk(
+        spark, ctx["dir"], ctx["qvs"], k=10, nprobe=3,
+        exclude_ids=ctx["qids"], wheres=list(_ANN_FILTER_WHERES),
+    )
+
+
+def _p_ivfpq_refined_filtered(spark, ctx):
+    from ..sinks.ann_index import ivfpq_refined_topk
+
+    return ivfpq_refined_topk(
+        spark, ctx["dir"], None, ctx["qv"], k=10, k_factor=4, nprobe=3,
+        exclude_id=77, where="label IN (1, 5)",
+    )
 
 
 def _p_ivfpq_filtered(spark, ctx):
@@ -324,5 +353,13 @@ PROBES: dict[str, Probe] = {
     "emb_ivfpq_opq_topk_probe": Probe(
         "emb_ivfpq_opq_topk", "ivfpq_opq_store",
         _build_ivfpq_opq_store, _p_ivfpq_topk,
+    ),
+    "emb_ivfsq_query_batch_probe": Probe(
+        "emb_ivfsq_query_batch", "ivfsq_store",
+        _build_ivfsq_store, _p_ivfsq_batch,
+    ),
+    "emb_ivfpq_refined_filtered_probe": Probe(
+        "emb_ivfpq_refined_filtered", "ivfpq_store",
+        _build_ivfpq_store, _p_ivfpq_refined_filtered,
     ),
 }

@@ -496,6 +496,100 @@ def stream_append_batch(
     return True
 
 
+def ivfsq_index_probe_batch_topk(
+    spark: SparkSession,
+    out_dir: str,
+    query_vecs: list[list[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_ids: list[int | None] | None = None,
+    wheres: list[str | None] | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch serving over the SQ8 store — completes the batch parity
+    across all three payload layouts (flat / SQ8 / PQ): one ``sq``
+    scan pruned to the UNION of the requests' probe cells, per-row
+    dequantize ``q·scale/127`` ONCE (shared by every request's arm),
+    per-request 6dp cosine against the inlined query literal (struct
+    fan-out, NULL = not this request's cell / filtered), per-request
+    top-k via one ``request_no`` window — the plan's only Exchange.
+    ``wheres`` carries per-request attribute predicates exactly like
+    the flat batch (uniform predicate pushes scan-side).  Each
+    request's rows hash-match its one-at-a-time
+    ``ivfsq_index_probe_topk``."""
+    from ..operators.similarity import (
+        cosine,
+        ivf_probe_cells,
+        lit_double_array,
+    )
+    from ..queries.helpers import hround
+
+    if not query_vecs:
+        raise ValueError("probe batch needs at least one query vector")
+    excl = exclude_ids or [None] * len(query_vecs)
+    if len(excl) != len(query_vecs):
+        raise ValueError("exclude_ids must align with query_vecs")
+    whs = wheres or [None] * len(query_vecs)
+    if len(whs) != len(query_vecs):
+        raise ValueError("wheres must align with query_vecs")
+    store = resolve_store(out_dir)
+    cents = read_ivf_centroids(store)
+    probes = [ivf_probe_cells(cents, qv, nprobe) for qv in query_vecs]
+    union_cells = sorted({c for p in probes for c in p})
+
+    df = spark.read.parquet(_join(store, "sq")).filter(
+        F.col("cell").isin(union_cells)
+    )
+    if whs[0] is not None and all(w == whs[0] for w in whs):
+        df = df.filter(whs[0])
+        whs = [None] * len(query_vecs)
+    df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
+    deq = F.transform(
+        F.col("q"),
+        lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
+    )
+    df = df.withColumn("__deq", deq)
+    entries = []
+    for i, qv in enumerate(query_vecs):
+        member = F.col("cell").isin(sorted(probes[i]))
+        if excl[i] is not None:
+            member = member & (F.col(id_col) != int(excl[i]))
+        if whs[i] is not None:
+            member = member & F.expr(whs[i])
+        sim = hround(cosine(F.col("__deq"), lit_double_array(qv)), 6)
+        entries.append(
+            F.struct(
+                F.lit(i).alias("request_no"),
+                F.when(member, sim).alias("cos_sim"),
+            )
+        )
+    hits = (
+        df.select(
+            F.col(id_col),
+            F.col("cell"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select(
+            F.col("e.request_no").alias("request_no"),
+            F.col(id_col),
+            F.col("cell"),
+            F.col("e.cos_sim").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("request_no").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("request_no", id_col, "cell", "cos_sim")
+    )
+
+
 def write_ivf_index_versioned(
     embeddings: DataFrame, root: str, **kw
 ) -> str:
@@ -1341,6 +1435,7 @@ def ivfpq_refined_topk(
     k_factor: int = 4,
     nprobe: int = 3,
     exclude_id: int | None = None,
+    where: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1368,7 +1463,12 @@ def ivfpq_refined_topk(
     the candidate set, so refined recall can only match or beat the
     raw ADC top-k (pinned in tests/test_scale.py).  Tombstones are
     honored upstream: the candidate list comes from the probe, which
-    excludes them — a deleted id can never reach the re-rank."""
+    excludes them — a deleted id can never reach the re-rank.
+    ``where`` (round 12 filtered search) applies at the SAME place:
+    the candidate probe's pushed-down predicate runs before the
+    over-fetch, so the re-rank only ever sees k·k_factor
+    predicate-passing candidates — filtered refined top-k with
+    recall intact."""
     from ..operators.similarity import cosine, lit_double_array
     from ..queries.helpers import hround
 
@@ -1380,7 +1480,7 @@ def ivfpq_refined_topk(
     qv_rot = _opq_rotate_query(read_ivfpq_model(store)[2], qv)
     cand = ivfpq_index_probe_topk(
         spark, out_dir, qv_rot, k=k * k_factor, nprobe=nprobe,
-        exclude_id=exclude_id, id_col=id_col, _store=store,
+        exclude_id=exclude_id, where=where, id_col=id_col, _store=store,
         _rotated=True,
     )
     rows = cand.select(id_col, "cell").collect()
