@@ -1053,6 +1053,34 @@ def test_warc_media_composition_end_to_end(spark, tmp_path):
     assert "payload" not in meta["http://m.example/img"].asDict()
 
 
+def test_media_meta_cli(spark, tmp_path):
+    """The media-meta subcommand drives the whole keep_payload →
+    curation chain from argv and writes the metadata parquet."""
+    import os
+
+    from webarchive_indexing_spark.__main__ import main
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_png_header,
+    )
+
+    p = str(tmp_path / "m.warc.gz")
+    write_mini_warc(p, [
+        dict(url="http://c.example/i", date_iso="2020-01-01T00:00:00Z",
+             payload=build_png_header(32, 16), mime="image/png"),
+        dict(url="http://c.example/t", date_iso="2020-01-01T00:00:01Z",
+             payload=b"<html/>", mime="text/html"),
+    ])
+    man = str(tmp_path / "manifest.txt")
+    open(man, "w").write(p + "\n")
+    out = str(tmp_path / "meta")
+    assert main(["media-meta", man, out]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # html row not retained, so not curated
+    assert (rows[0].media_kind, rows[0].format, rows[0].width,
+            rows[0].height) == ("image", "png", 32, 16)
+    assert os.path.isdir(out)
+
+
 def test_split_planning_arc_and_unknown_containers(spark, tmp_path):
     """Round-12 ADVICE: split planning must not pay O(n_splits x file)
     on containers whose member heads never verify.  (1) A gzipped ARC

@@ -57,6 +57,21 @@ def _parser() -> argparse.ArgumentParser:
                          "request-record urlkeys (pywb cdx-indexer -p; "
                          "needs request in --record-types)")
 
+    mm = sub.add_parser(
+        "media-meta",
+        help="manifest -> media header metadata parquet (round 12: "
+             "keep_payload ingest + one-Arrow-pass image/audio/video "
+             "header curation, no re-fetch)")
+    mm.add_argument("manifest")
+    mm.add_argument("out_dir")
+    mm.add_argument("--mime-prefixes", default="image/,audio/,video/",
+                    metavar="P1,P2",
+                    help="payload-retention allowlist (mime prefixes)")
+    mm.add_argument("--files-per-task", type=int, default=2)
+    mm.add_argument("--split-bytes", type=int, default=None,
+                    help="intra-file split threshold for oversized "
+                         "gzipped WARCs (bytes)")
+
     bp = sub.add_parser("build-parquet-index",
                         help="manifest -> columnar (cc-index-table-layout) "
                              "parquet index")
@@ -280,6 +295,21 @@ def _dispatch(args, spark) -> int:
         index_to_cdx_gz(
             spark, args.manifest, args.cdx_dir, files_per_task=args.files_per_task
         )
+    elif args.cmd == "media-meta":
+        from .operators.multimodal import media_meta
+        from .plans.pipeline import _manifest_df
+        from .sources.warc import index_warcs
+
+        prefixes = tuple(
+            p.strip() for p in args.mime_prefixes.split(",") if p.strip()
+        )
+        kept = index_warcs(
+            spark, _manifest_df(spark, args.manifest),
+            files_per_task=args.files_per_task,
+            split_bytes=args.split_bytes,
+            keep_payload=prefixes,
+        )
+        media_meta(kept).write.mode("overwrite").parquet(args.out_dir)
     elif args.cmd == "zipnum-cluster":
         from .plans.pipeline import cluster_from_cdx_gz
 
