@@ -1522,6 +1522,28 @@ def test_filtered_ann_probe_families(spark, sf_dir):
             ), f"request {i} diverges under wheres={wheres}"
 
 
+def test_expire_ann_versions_cli(spark):
+    """The housekeeping CLI drives expire_store_versions: retired
+    versions print and vanish, CURRENT and in-flight builds stay."""
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.__main__ import main
+    from webarchive_indexing_spark.sinks import ann_index
+
+    root = tempfile.mkdtemp(prefix="ivf_cli_expire_")
+    n1, p1 = ann_index.new_store_version(root)
+    ann_index._publish_store_version(root, n1)
+    n2, p2 = ann_index.new_store_version(root)
+    ann_index._publish_store_version(root, n2)
+    _n3, p3 = ann_index.new_store_version(root)  # in-flight build
+
+    assert main(["expire-ann-versions", root, "--min-age-s", "0"]) == 0
+    assert not os.path.isdir(p1)  # retired: expired
+    assert os.path.isdir(p2)      # CURRENT: kept
+    assert os.path.isdir(p3)      # BUILDING: kept
+
+
 def test_opq_store_recall_and_append_rotation(spark, sf_dir):
     """Round-12 OPQ rung: (1) at the SAME code budget the OPQ-
     preconditioned store's aggregate recall over a query panel is >=

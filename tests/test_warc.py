@@ -1053,6 +1053,40 @@ def test_warc_media_composition_end_to_end(spark, tmp_path):
     assert "payload" not in meta["http://m.example/img"].asDict()
 
 
+def test_arc_keep_payload_retention(tmp_path):
+    """keep_payload works on the legacy ARC path too: allowlisted
+    mimes retain bytes, others stay NULL, filedesc never indexes."""
+    import gzip as _gzip
+
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_png_header,
+    )
+    from webarchive_indexing_spark.sources.warc import (
+        build_arc_filedesc,
+        build_arc_record,
+        parse_archive_file,
+    )
+
+    png = build_png_header(8, 8)
+    blob = (
+        build_arc_filedesc("a.arc")
+        + build_arc_record("http://a.example/i", "20200101000000", png,
+                           mime="image/png")
+        + build_arc_record("http://a.example/t", "20200101000001",
+                           b"<html/>", mime="text/html")
+    )
+    p_gz = str(tmp_path / "a.arc.gz")
+    open(p_gz, "wb").write(_gzip.compress(blob, mtime=0))
+    rows = list(parse_archive_file(
+        p_gz, open(p_gz, "rb").read(),
+        keep_payload=("image/", "audio/", "video/"),
+    ))
+    by_url = {r[2]: r for r in rows}
+    assert bytes(by_url["http://a.example/i"][-1]) == png
+    assert by_url["http://a.example/t"][-1] is None
+    assert len(rows) == 2
+
+
 def test_media_meta_cli(spark, tmp_path):
     """The media-meta subcommand drives the whole keep_payload →
     curation chain from argv and writes the metadata parquet."""

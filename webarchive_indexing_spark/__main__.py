@@ -126,6 +126,17 @@ def _parser() -> argparse.ArgumentParser:
                          "pre-merge snapshots stay time-travelable) — "
                          "Iceberg's retain-last rolling retention")
 
+    ev = sub.add_parser(
+        "expire-ann-versions",
+        help="housekeeping for a versioned ANN store: drop retired "
+             "version directories (BUILDING-sentinel'd in-flight "
+             "builds and CURRENT are never touched; aborts if "
+             "CURRENT exists but is unreadable)")
+    ev.add_argument("root")
+    ev.add_argument("--min-age-s", type=float, default=3600,
+                    help="grace period for readers pinned on a "
+                         "retired version (default 1h)")
+
     q = sub.add_parser("query", help="cdx-server GET /index over a cluster")
     q.add_argument("cluster_dir")
     q.add_argument("url")
@@ -356,6 +367,13 @@ def _dispatch(args, spark) -> int:
                 spark, args.out_dir, shards=args.shards,
                 numlines=args.numlines, retain_inputs=args.retain_inputs,
             )
+    elif args.cmd == "expire-ann-versions":
+        from .sinks.ann_index import expire_store_versions
+
+        for name in expire_store_versions(
+            args.root, min_age_s=args.min_age_s
+        ):
+            print(name)
     elif args.cmd == "expire-snapshots":
         from .sinks.zipnum import expire_snapshots, vacuum_tmp
 
