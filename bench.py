@@ -180,6 +180,7 @@ HEADLINE = [
     "emb_ivfpq_opq_topk",
     "emb_ivfsq_query_batch",
     "emb_ivfpq_refined_filtered",
+    "emb_ivfpq_opq_refined",
 ]
 
 

@@ -104,7 +104,8 @@ def power_iteration_scores(
 
 
 def sql_power_iteration_ctes(
-    iters: int = 2, dim: int = 64, *, src: str = "embeddings"
+    iters: int = 2, dim: int = 64, *, src: str = "embeddings",
+    prefix: str = "",
 ) -> tuple[list[str], str]:
     """The relational power-iteration chain as reusable CTE parts
     plus the final (j, vj) direction CTE name — fully relational: the
@@ -120,38 +121,39 @@ def sql_power_iteration_ctes(
         )
         return sql_hround(inner, 6)
 
+    x = prefix
     parts = [
-        f"pdims AS (SELECT unnest(generate_series(1, {dim})) AS j)",
-        f"v0 AS (SELECT j, CAST({1.0 / math.sqrt(dim)!r} AS DOUBLE) AS vj FROM pdims)",
+        f"{x}pdims AS (SELECT unnest(generate_series(1, {dim})) AS j)",
+        f"{x}v0 AS (SELECT j, CAST({1.0 / math.sqrt(dim)!r} AS DOUBLE) AS vj FROM {x}pdims)",
     ]
-    prev = "v0"
+    prev = f"{x}v0"
     for it in range(1, iters):
         parts.append(
-            f"""s{it} AS (
+            f"""{x}s{it} AS (
       SELECT e.vec_id, {dot6(prev)} AS s
       FROM {src} e CROSS JOIN {prev} v GROUP BY e.vec_id
     )"""
         )
         parts.append(
-            f"""u{it} AS (
+            f"""{x}u{it} AS (
       SELECT d.j,
-             CAST(SUM(CAST(CAST(e.embedding[d.j] AS DOUBLE) * s{it}.s
+             CAST(SUM(CAST(CAST(e.embedding[d.j] AS DOUBLE) * {x}s{it}.s
                   AS DECIMAL(28,14))) AS DOUBLE) AS u
       FROM {src} e
-      JOIN s{it} ON e.vec_id = s{it}.vec_id
-      CROSS JOIN pdims d GROUP BY d.j
+      JOIN {x}s{it} ON e.vec_id = {x}s{it}.vec_id
+      CROSS JOIN {x}pdims d GROUP BY d.j
     )"""
         )
         parts.append(
-            f"""n{it} AS (
+            f"""{x}n{it} AS (
       SELECT sqrt(CAST(SUM(CAST(u * u AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
-      FROM u{it}
+      FROM {x}u{it}
     )"""
         )
         parts.append(
-            f"v{it} AS (SELECT j, u / n{it}.nrm AS vj FROM u{it} CROSS JOIN n{it})"
+            f"{x}v{it} AS (SELECT j, u / {x}n{it}.nrm AS vj FROM {x}u{it} CROSS JOIN {x}n{it})"
         )
-        prev = f"v{it}"
+        prev = f"{x}v{it}"
     return parts, prev
 
 
@@ -239,7 +241,7 @@ def rotate_frame(
 
 def sql_householder_rot_ctes(
     iters: int = 2, dim: int = 64, *, src: str = "embeddings",
-    out: str = "rotemb",
+    out: str = "rotemb", prefix: str = "",
 ) -> list[str]:
     """DuckDB CTE parts deriving the ROTATED corpus ``out`` =
     (vec_id, embedding) from ``src``: the power-iteration chain, the
@@ -254,28 +256,31 @@ def sql_householder_rot_ctes(
     measured OOM at the 10x perturbed sweep."""
     from ..queries.helpers import sql_hround
 
-    parts, vname = sql_power_iteration_ctes(iters, dim, src=src)
+    x = prefix
+    parts, vname = sql_power_iteration_ctes(
+        iters, dim, src=src, prefix=prefix
+    )
     sdot = sql_hround(
         "SUM(CAST(e.embedding[h.j] AS DOUBLE) * h.uj ORDER BY h.j)", 6
     )
     parts += [
-        f"hh AS (SELECT j, vj - CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS uj "
+        f"{x}hh AS (SELECT j, vj - CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS uj "
         f"FROM {vname})",
-        "huu AS (SELECT CAST(SUM(CAST(uj * uj AS DECIMAL(28,14))) AS DOUBLE)"
-        " AS uu FROM hh)",
-        "hk AS (SELECT j, 2.0 * uj / uu AS kj FROM hh CROSS JOIN huu)",
-        f"""hs AS (
+        f"{x}huu AS (SELECT CAST(SUM(CAST(uj * uj AS DECIMAL(28,14))) AS DOUBLE)"
+        f" AS uu FROM {x}hh)",
+        f"{x}hk AS (SELECT j, 2.0 * uj / uu AS kj FROM {x}hh CROSS JOIN {x}huu)",
+        f"""{x}hs AS (
       SELECT e.vec_id, {sdot} AS s
-      FROM {src} e CROSS JOIN hh h GROUP BY e.vec_id
+      FROM {src} e CROSS JOIN {x}hh h GROUP BY e.vec_id
     )""",
         f"""{out} AS MATERIALIZED (
       SELECT e.vec_id,
-             list(CAST(e.embedding[d.j] AS DOUBLE) - hs.s * hk.kj
+             list(CAST(e.embedding[d.j] AS DOUBLE) - {x}hs.s * {x}hk.kj
                   ORDER BY d.j) AS embedding
       FROM {src} e
-      CROSS JOIN pdims d
-      JOIN hs ON hs.vec_id = e.vec_id
-      JOIN hk ON hk.j = d.j
+      CROSS JOIN {x}pdims d
+      JOIN {x}hs ON {x}hs.vec_id = e.vec_id
+      JOIN {x}hk ON {x}hk.j = d.j
       GROUP BY e.vec_id
     )""",
     ]

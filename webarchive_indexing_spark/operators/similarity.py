@@ -1574,6 +1574,10 @@ def sql_ivfpq_refined_topk(
     train_iters: int = 2,
     dim: int = 64,
     where_sql: str | None = None,
+    src: str = "embeddings",
+    pre_parts: list[str] | None = None,
+    inner_src: str | None = None,
+    inner_pre_parts: list[str] | None = None,
 ) -> str:
     """DuckDB twin of the refine stage: the residual-IVFADC twin
     (over-fetched to k·k_factor) becomes a candidate CTE, then the
@@ -1581,18 +1585,31 @@ def sql_ivfpq_refined_topk(
     what ``ivfpq_refined_topk`` executes.  ``where_sql`` filters the
     CANDIDATE stage (the ADC probe) — the refine re-rank then only
     ever sees predicate-passing ids, matching the Spark composition
-    where the probe's pushed-down filter runs before over-fetch."""
+    where the probe's pushed-down filter runs before over-fetch.
+    ``src``/``pre_parts`` reconstruct an OPQ store: the rotation CTEs
+    live in the OUTER scope (the re-rank reads rotated vectors too —
+    an OPQ store's sidecar is rotated) while the inner ADC chain
+    carries ITS OWN prefixed copy (``inner_src``/``inner_pre_parts``)
+    inside the candidate subquery — DuckDB rejects a nested CTE name
+    that shadows an outer one, so the two scopes must not collide
+    (both rotated corpora are MATERIALIZED: one extra evaluation,
+    never an inlining explosion)."""
     from ..queries.helpers import sql_hround
 
     inner = sql_ivfadc_residual_topk(
         query_vec_id, k * k_factor, n_cells, nprobe, n_sub, k_codes,
         train_iters, dim, where_sql=where_sql,
+        src=inner_src or src,
+        pre_parts=inner_pre_parts if inner_pre_parts is not None else pre_parts,
     )
     esim = sql_hround(sql_cosine("e.embedding", "rq.qv", dim), 6)
-    return f"""WITH cand AS ({inner}),
-    rq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+    pre = ""
+    if pre_parts:
+        pre = ",\n    ".join(pre_parts) + ",\n    "
+    return f"""WITH {pre}cand AS ({inner}),
+    rq AS (SELECT embedding AS qv FROM {src} WHERE vec_id = {query_vec_id})
     SELECT e.vec_id, {esim} AS cos_sim
-    FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id CROSS JOIN rq
+    FROM {src} e JOIN cand c ON e.vec_id = c.vec_id CROSS JOIN rq
     ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}"""
 
 

@@ -2130,6 +2130,54 @@ def emb_ivfpq_opq_topk(spark, sf_dir):
     )
 
 
+def _opq_refined_oracle() -> str:
+    from ..operators.pca import sql_householder_rot_ctes
+
+    return __import__(
+        "webarchive_indexing_spark.operators.similarity",
+        fromlist=["sql_ivfpq_refined_topk"],
+    ).sql_ivfpq_refined_topk(
+        query_vec_id=77, k=10, k_factor=4, n_cells=8, nprobe=3,
+        n_sub=4, k_codes=8, train_iters=2,
+        src="rotembo",
+        pre_parts=sql_householder_rot_ctes(
+            2, 64, out="rotembo", prefix="o"
+        ),
+        inner_src="rotembi",
+        inner_pre_parts=sql_householder_rot_ctes(
+            2, 64, out="rotembi", prefix="i"
+        ),
+    )
+
+
+@query("emb_ivfpq_opq_refined", oracle=_opq_refined_oracle(), tier="C")
+def emb_ivfpq_opq_refined(spark, sf_dir):
+    """OPQ × REFINE composed (round 12): the rotated store carries a
+    flat refine sidecar — ROTATED vectors under the same ``cell=``
+    layout, so the exact re-rank happens in rotated space against
+    the driver-rotated query (orthogonal rotation: cosine values are
+    geometry-identical, computed bit-identically by both engines).
+    Probe = rotated ADC over-fetch → candidate-pruned sidecar re-rank,
+    the full production path with the OPQ rung switched on; the
+    oracle derives the rotation relationally in BOTH scopes (the
+    candidate chain and the outer re-rank)."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import ivfpq_refined_topk, write_ivfpq_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_opqref_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        refine="flat", opq_iters=2,
+    )
+    qv = collect_query_vector(emb, 77)
+    return ivfpq_refined_topk(
+        spark, out, None, qv, k=10, k_factor=4, nprobe=3, exclude_id=77
+    )
+
+
 @query(
     "warc_media_meta",
     oracle="""

@@ -235,7 +235,7 @@ def _build_ivfpq_opq_store(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="probe_ivfpq_opq_")
     write_ivfpq_index(
         emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
-        opq_iters=2,
+        opq_iters=2, refine="flat",
     )
     return {"dir": out, "qv": collect_query_vector(emb, 77)}
 
@@ -361,5 +361,9 @@ PROBES: dict[str, Probe] = {
     "emb_ivfpq_refined_filtered_probe": Probe(
         "emb_ivfpq_refined_filtered", "ivfpq_store",
         _build_ivfpq_store, _p_ivfpq_refined_filtered,
+    ),
+    "emb_ivfpq_opq_refined_probe": Probe(
+        "emb_ivfpq_opq_refined", "ivfpq_opq_store",
+        _build_ivfpq_opq_store, _p_ivfpq_refined,
     ),
 }
