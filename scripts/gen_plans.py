@@ -60,6 +60,11 @@ PICKS = {
     "emb_ann_refined_batch": "Batch+refine composition (round 11): one sidecar scan pruned to the candidates' cells + pushed id In filter re-ranks every (request, candidate) pair; one window exchange, no join.",
     "emb_ivfpq_refined_store": "Store-resident refine (round 11): the sidecar scan reads exactly the candidate rows — candidate-cell PartitionFilters + vec_id In pushdown; re-rank is map-side, TakeOrderedAndProject.",
     "multimodal_video_meta": "Video container headers (round 11): fixture synth + MP4/MKV header walk are two chained Arrow stages over one scan — media bytes never cross an exchange.",
+    "emb_ann_filtered_topk": "Filtered vector search (round 12): the attribute predicate rides the SAME cell-pruned scan (PushedFilters next to the PartitionFilters) BEFORE top-k — k survivors with recall intact, zero exchanges.",
+    "emb_ann_filtered_batch": "Filtered BATCH serving (round 12): per-request predicates live in the struct arms map-side; still one union-pruned scan and one request_no window.",
+    "emb_ivfsq_query_batch": "SQ8 batch serving (round 12): quantized-payload ReadSchema (tinyint codes + scale, no vector column), dequantize computed once per row and shared by every request's cosine arm.",
+    "emb_ivfpq_opq_topk": "OPQ-preconditioned probe (round 12): identical serving plan to plain PQ — the rotation was paid at build, the query vector rotates driver-side; codes-only pruned scan, zero exchanges.",
+    "warc_media_meta": "WARC→media curation (round 12): keep_payload ingest is the same mapPartitions parse; header curation is one Arrow stage; payload bytes never cross an exchange and never reach the output.",
 }
 
 
