@@ -844,3 +844,67 @@ def test_stream_ann_appends_versioned(spark, sf_dir, tmp_path):
         ).count()
         == base.count() + extra.count()
     )
+
+
+def test_stream_media_meta(spark, tmp_path):
+    """Streaming media curation: manifest files arriving as a stream
+    produce the same metadata parquet the batch media-meta pass
+    produces — and the checkpoint makes file intake exactly-once."""
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_png_header,
+        build_wav,
+        media_meta,
+    )
+    from webarchive_indexing_spark.sources.warc import (
+        index_warcs,
+        write_mini_warc,
+    )
+    from webarchive_indexing_spark.streaming.incremental import (
+        stream_media_meta,
+    )
+
+    w1 = str(tmp_path / "a.warc.gz")
+    w2 = str(tmp_path / "b.warc.gz")
+    write_mini_warc(w1, [
+        dict(url="http://s.example/i", date_iso="2020-01-01T00:00:00Z",
+             payload=build_png_header(100, 50), mime="image/png"),
+    ])
+    write_mini_warc(w2, [
+        dict(url="http://s.example/a", date_iso="2020-01-01T00:00:01Z",
+             payload=build_wav(1, 8000, 16, 4000), mime="audio/wav"),
+        dict(url="http://s.example/t", date_iso="2020-01-01T00:00:02Z",
+             payload=b"<html/>", mime="text/html"),
+    ])
+    mdir = tmp_path / "manifests"
+    mdir.mkdir()
+    (mdir / "m1.txt").write_text(w1 + "\n")
+    (mdir / "m2.txt").write_text(w2 + "\n")
+
+    out = str(tmp_path / "meta")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_media_meta(spark, str(mdir), out, ckpt)
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).orderBy("url").collect())
+    )
+    manifest = spark.createDataFrame([(w1,), (w2,)], ["path"])
+    want = sorted(
+        map(
+            tuple,
+            media_meta(
+                index_warcs(
+                    spark, manifest,
+                    keep_payload=("image/", "audio/", "video/"),
+                )
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 2  # html row never retained
+
+    # restart with the same checkpoint: nothing new, no duplicates
+    q2 = stream_media_meta(spark, str(mdir), out, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 2

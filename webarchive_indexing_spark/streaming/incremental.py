@@ -197,6 +197,48 @@ def stream_ann_appends(
     )
 
 
+def stream_media_meta(
+    spark: SparkSession,
+    manifest_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    mime_prefixes: tuple[str, ...] = ("image/", "audio/", "video/"),
+    files_per_task: int = 2,
+    split_bytes: int | None = None,
+):
+    """Streaming twin of the ``media-meta`` pipeline (round 12): new
+    manifest files (one WARC path per line) land under
+    ``manifest_dir``; each micro-batch runs the keep_payload ingest +
+    one-Arrow-pass header curation over ITS OWN paths and appends the
+    metadata parquet — the incremental crawl-intake shape
+    (``update_index``'s contract) applied to media curation.  Payload
+    bytes live only inside the batch's executors; the sink holds
+    metadata rows.  Exactly-once at the file level: the stream
+    checkpoint tracks which manifest files are consumed."""
+    from ..operators.multimodal import media_meta
+    from ..sources.warc import index_warcs
+
+    lines = spark.readStream.format("text").load(manifest_dir)
+
+    def curate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        manifest = batch_df.select(F.col("value").alias("path"))
+        kept = index_warcs(
+            spark, manifest, files_per_task=files_per_task,
+            split_bytes=split_bytes, keep_payload=mime_prefixes,
+        )
+        media_meta(kept).write.mode("append").parquet(out_dir)
+
+    return (
+        lines.writeStream.foreachBatch(curate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_takedowns(
     spark: SparkSession,
     input_dir: str,
