@@ -908,3 +908,73 @@ def test_stream_media_meta(spark, tmp_path):
     q2 = stream_media_meta(spark, str(mdir), out, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_stream_ann_appends_pq_and_sq_kinds(spark, sf_dir, tmp_path):
+    """kind='pq'/'sq' streaming appends: the version clone carries
+    model artifacts + sidecar + ledger, the append encodes with the
+    STORED model (codes + refine sidecar + attrs stay in step), and
+    probes against the streamed store equal a direct-append twin."""
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+    from webarchive_indexing_spark.streaming.incremental import (
+        stream_ann_appends,
+    )
+    from webarchive_indexing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 350)
+    extra = emb.filter(F.col("vec_id") >= 350)
+    qv = collect_query_vector(emb, 321)
+
+    for kind, build, probe in (
+        (
+            "pq",
+            lambda d: ann_index.write_ivfpq_index_versioned(
+                base, d, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+                refine="flat", attrs=["label"],
+            ),
+            lambda d: ann_index.ivfpq_refined_topk(
+                spark, d, None, qv, k=5, k_factor=4, nprobe=3,
+                exclude_id=321,
+            ),
+        ),
+        (
+            "sq",
+            lambda d: ann_index.write_ivfsq_index_versioned(
+                base, d, n_cents=8, train_iters=2, attrs=["label"],
+            ),
+            lambda d: ann_index.ivfsq_index_probe_topk(
+                spark, d, qv, k=5, nprobe=3, exclude_id=321,
+                where="label >= 0",
+            ),
+        ),
+    ):
+        root = str(tmp_path / f"store_{kind}")
+        twin = str(tmp_path / f"twin_{kind}")
+        build(root)
+        build(twin)
+        getattr(ann_index, f"append_ivf{kind}_index")(extra, twin)
+
+        inp = str(tmp_path / f"in_{kind}")
+        extra.coalesce(1).write.parquet(inp)
+        q = stream_ann_appends(
+            spark, inp, root, str(tmp_path / f"ck_{kind}"), kind=kind
+        )
+        q.awaitTermination(120)
+        got = [tuple(r) for r in probe(root).collect()]
+        want = [tuple(r) for r in probe(twin).collect()]
+        assert got == want and got, kind
+        # appended rows really landed (same model => same answers is
+        # only meaningful if the streamed store grew)
+        sub = "codes" if kind == "pq" else "sq"
+        import os as _os
+
+        n = spark.read.parquet(
+            _os.path.join(ann_index.resolve_store(root), sub)
+        ).count()
+        assert n == emb.count(), (kind, n)
