@@ -50,11 +50,15 @@ def query(name: str, oracle: str | None = None, tier: str = "A"):
 
 #: Queries whose SEMANTICS changed since their last green verdict —
 #: surface them first so the next CORRECTNESS round records the change.
-#: Round 11: none — the round's fixes are cost-only (pct-pass
-#: early-exit, tombstone guard) or grammar edges no fixture exercises
-#: (multipart boundary anchoring; cdx_post_request_key re-passed its
-#: oracle unchanged), so the driver window belongs entirely to the
-#: stalest cohort (the r6 fn_*/skew_*/pandas_grouped_* family).
+#: Round 12: none forced — the one behavior change (cdx_query
+#: closest= gains the batch path's (digest, offset) tiebreak) only
+#: matters at exact |Δts|+timestamp ties, which no fixture capture
+#: set contains (proven: cdx_timegate / cdx_closest / the timemap
+#: family re-passed sf0.001 parity AND fresh 3×/10× perturbed sweeps
+#: under the new ordering), and the affected cdx_timegate /
+#: cdx_timemap_* queries lead the window anyway as part of the
+#: r7-stale cohort.  The 8 new round-12 queries sort first as
+#: never-verified.
 _VERIFY_EARLY: tuple[str, ...] = ()
 
 
