@@ -978,3 +978,28 @@ def test_stream_ann_appends_pq_and_sq_kinds(spark, sf_dir, tmp_path):
             _os.path.join(ann_index.resolve_store(root), sub)
         ).count()
         assert n == emb.count(), (kind, n)
+
+
+def test_stream_append_ledger_corruption_refuses(spark, sf_dir, tmp_path):
+    """A corrupt replay ledger must ABORT appends, not silently read
+    as empty (which would re-apply delivered batches as duplicates)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.sinks import ann_index
+    from webarchive_indexing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "store")
+    ann_index.write_ivf_index_versioned(
+        emb.filter(F.col("vec_id") < 100), root, n_cents=8, train_iters=2
+    )
+    batch = emb.filter(F.col("vec_id").between(100, 120))
+    assert ann_index.stream_append_batch(batch, 0, root, kind="flat")
+    cur = ann_index.resolve_store(root)
+    with open(os.path.join(cur, "applied_batches.json"), "w") as fh:
+        fh.write("{corrupt")
+    with _pytest.raises(RuntimeError, match="replay ledger"):
+        ann_index.stream_append_batch(batch, 1, root, kind="flat")

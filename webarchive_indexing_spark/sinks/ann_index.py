@@ -400,15 +400,29 @@ _APPLIED = "applied_batches.json"
 def _applied_batches(store: str) -> set[int]:
     """Micro-batch ids already folded into a version (replay ledger —
     carried forward by the clone, so a redelivered foreachBatch batch
-    is a no-op instead of a duplicate append)."""
+    is a no-op instead of a duplicate append).  A MISSING ledger is an
+    empty set (a store that never streamed); a ledger that EXISTS but
+    cannot be read or parsed RAISES — treating corruption as "nothing
+    applied" would silently degrade exactly-once to at-least-once and
+    duplicate vectors on the next redelivery (the same
+    abort-don't-guess rail as ``expire_store_versions``' pointer
+    read)."""
+    from pyarrow import fs as pafs
+
     fs, local = _fs_for(store)
-    try:
-        with fs.open_input_stream(
-            _join(local, _APPLIED), compression=None
-        ) as fh:
-            return {int(b) for b in json.loads(fh.read().decode())}
-    except (OSError, FileNotFoundError, ValueError):
+    path = _join(local, _APPLIED)
+    if fs.get_file_info(path).type == pafs.FileType.NotFound:
         return set()
+    try:
+        with fs.open_input_stream(path, compression=None) as fh:
+            return {int(b) for b in json.loads(fh.read().decode())}
+    except (OSError, ValueError, TypeError) as e:
+        raise RuntimeError(
+            f"{store!r}: replay ledger {_APPLIED} exists but could not "
+            f"be read ({e}) — refusing to append (a guessed-empty "
+            f"ledger would re-apply delivered batches); restore the "
+            f"ledger or rebuild the version"
+        ) from e
 
 
 def clone_store_version(root: str) -> tuple[str, str]:
