@@ -181,6 +181,9 @@ HEADLINE = [
     "emb_ivfsq_query_batch",
     "emb_ivfpq_refined_filtered",
     "emb_ivfpq_opq_refined",
+    "emb_ann_range_search",
+    "emb_ivfsq_range_search",
+    "multimodal_web_image_dims",
 ]
 
 

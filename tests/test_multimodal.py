@@ -458,3 +458,91 @@ def test_video_meta_quarantines_and_matches_fixture_arms(spark, sf_dir):
             assert r.format == ("mp4" if i % 3 == 0 else "mkv")
             assert r.width == 16 * (1 + i % 80)
             assert r.height == 16 * (1 + i % 45)
+
+
+def test_parse_web_image_header_golden():
+    """GIF + WebP builders round-trip through the parser with exact
+    dims/depth for every variant, including the format-identifying
+    details: GIF version bytes, palette-bit packing, VP8X alpha flag,
+    VP8L packed bitfield, VP8 start code."""
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_gif_header,
+        build_webp_header,
+        parse_image_header,
+    )
+
+    d = parse_image_header(build_gif_header(14, 10, version=b"87a",
+                                            palette_bits=5))
+    assert d == {"format": "gif87a", "width": 14, "height": 10,
+                 "color_depth": 5}
+    d = parse_image_header(build_gif_header(1, 1, palette_bits=1))
+    assert d == {"format": "gif89a", "width": 1, "height": 1,
+                 "color_depth": 1}
+    d = parse_image_header(build_webp_header(300, 200, variant="vp8x",
+                                             alpha=True))
+    assert d == {"format": "webp-vp8x", "width": 300, "height": 200,
+                 "color_depth": 32}
+    d = parse_image_header(build_webp_header(300, 200, variant="vp8x"))
+    assert d["color_depth"] == 24
+    d = parse_image_header(build_webp_header(4095, 4095, variant="vp8l",
+                                             alpha=False))
+    assert d == {"format": "webp-vp8l", "width": 4095, "height": 4095,
+                 "color_depth": 24}
+    d = parse_image_header(build_webp_header(640, 480, variant="vp8"))
+    assert d == {"format": "webp-vp8", "width": 640, "height": 480,
+                 "color_depth": 24}
+    # a VP8X container whose image chunk follows metadata chunks still
+    # parses: prepend an ICCP chunk the walk must skip (word-aligned)
+    import struct
+
+    vp8x = build_webp_header(33, 21, variant="vp8x")
+    iccp = b"ICCP" + struct.pack("<I", 3) + b"abc\x00"
+    body = b"WEBP" + iccp + vp8x[12:]
+    wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+    d = parse_image_header(wrapped)
+    assert (d["format"], d["width"], d["height"]) == ("webp-vp8x", 33, 21)
+
+
+def test_parse_web_image_header_damage_tolerance():
+    """Bytes-fuzz over the GIF/WebP grammars: every truncation and
+    single-byte corruption parses or raises the documented pair —
+    never an unexpected exception class."""
+    import random
+
+    import pytest
+
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_gif_header,
+        build_webp_header,
+        parse_image_header,
+    )
+
+    rng = random.Random(7)
+    samples = [
+        build_gif_header(9, 4, version=b"87a", palette_bits=3),
+        build_gif_header(100, 50, palette_bits=8),
+        build_webp_header(12, 34, variant="vp8x", alpha=True),
+        build_webp_header(12, 34, variant="vp8l", alpha=True),
+        build_webp_header(12, 34, variant="vp8"),
+    ]
+    for b in samples:
+        for cut in range(len(b)):
+            try:
+                parse_image_header(b[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(200):
+            pos = rng.randrange(len(b))
+            mut = b[:pos] + bytes([rng.randrange(256)]) + b[pos + 1 :]
+            try:
+                parse_image_header(mut)
+            except (ValueError, NotImplementedError):
+                pass
+    # bad version bytes and an imageless RIFF quarantine too
+    with pytest.raises(ValueError):
+        parse_image_header(b"GIF99a" + bytes(10))
+    import struct
+
+    empty = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
+    with pytest.raises(ValueError):
+        parse_image_header(empty)

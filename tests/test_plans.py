@@ -838,3 +838,48 @@ def test_ivfsq_probe_prunes_and_reads_quantized(spark, sf_dir):
     assert "embedding" not in schema, schema
     assert "Exchange" not in plan.split("FileScan parquet", 1)[0]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_probe_prunes_and_sorts_once(spark, sf_dir):
+    """Range search over the flat store: the radius cut must not
+    change the scan story — one cell-pruned FileScan, no join, the
+    similarity filter map-side above it, and (with no LIMIT to turn
+    the sort into TakeOrderedAndProject) exactly ONE exchange: the
+    final range-partitioned ordering of the data-dependent result."""
+    plan = _plan(spark, sf_dir, "emb_ann_range_search")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan[:900]
+    assert "rangepartitioning" in plan, plan[:900]
+
+
+def test_sq_range_probe_pushes_predicate_reads_quantized(spark, sf_dir):
+    """The composed SQ8 range probe: attribute predicate in
+    PushedFilters beside the cell PartitionFilters, quantized-only
+    ReadSchema (scale + codes + the attribute, never a float
+    embedding), no join, one ordering exchange."""
+    plan = _plan(spark, sf_dir, "emb_ivfsq_range_search")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "label" in pushed and "LessThanOrEqual" in pushed, pushed
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "scale" in schema and "label" in schema, schema
+    assert "embedding" not in schema, schema
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan[:900]
+
+
+def test_web_image_dims_single_pass_no_shuffle(spark, sf_dir):
+    """GIF/WebP header curation must stay a straight-line map plan:
+    scan → synthesize (ArrowEval/mapInPandas) → parse, zero exchanges
+    — the full-corpus cheap pass the dims-stats curation story
+    depends on."""
+    plan = _plan(spark, sf_dir, "multimodal_web_image_dims")
+    assert "Exchange" not in plan, plan[:900]
+    assert "Join" not in plan

@@ -1853,3 +1853,113 @@ def test_ivfsq_append_compact_and_versioned(spark, sf_dir):
         spark, plain, qv, k=10, nprobe=3, exclude_id=123
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_range_probe_families(spark, sf_dir):
+    """Round-12 range search (FAISS range_search) across the store
+    layouts: (1) the flat range probe equals the brute-force radius
+    cut within the probed cells, ordered (sim DESC, id); (2) the cut
+    is inclusive at the 6dp-rounded boundary and monotone — a higher
+    radius returns a subset; (3) tombstoned ids never surface at any
+    radius; (4) an unreachable radius returns an empty frame, not an
+    error; (5) the SQ8 range probe cuts on DEQUANTIZED cosine with an
+    attribute predicate applied before the cut."""
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+        cosine,
+        ivf_probe_cells,
+        lit_double_array,
+    )
+    from webarchive_indexing_spark.queries.helpers import hround
+    from webarchive_indexing_spark.sinks import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = collect_query_vector(emb, 123)
+
+    flat = tempfile.mkdtemp(prefix="ivf_range_flat_")
+    cents = ann_index.write_ivf_index(emb, flat, n_cents=8, train_iters=2)
+    probe = ivf_probe_cells(cents, qv, 3)
+
+    got = ann_index.ivf_index_probe_range(
+        spark, flat, qv, 0.15, nprobe=3, exclude_id=123
+    ).collect()
+    want = (
+        spark.read.parquet(flat + "/vectors")
+        .filter(F.col("cell").isin(probe))
+        .filter(F.col("vec_id") != 123)
+        .select(
+            "vec_id",
+            "cell",
+            hround(cosine(F.col("embedding"), lit_double_array(qv)), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.15)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got, "radius 0.15 should match something at every sf"
+
+    # (2) inclusive boundary + monotonicity: cutting AT a returned
+    # score keeps that row; a higher radius returns a subset
+    edge = got[-1].cos_sim
+    at_edge = ann_index.ivf_index_probe_range(
+        spark, flat, qv, float(edge), nprobe=3, exclude_id=123
+    ).collect()
+    assert {r.vec_id for r in at_edge} >= {
+        r.vec_id for r in got if r.cos_sim >= edge
+    }
+    tighter = ann_index.ivf_index_probe_range(
+        spark, flat, qv, 0.25, nprobe=3, exclude_id=123
+    ).collect()
+    assert {r.vec_id for r in tighter} <= {r.vec_id for r in got}
+
+    # (3) tombstones: delete the best hit, it must vanish from the
+    # range result at the same radius
+    best = got[0].vec_id
+    ann_index.delete_from_ann_index(flat, [int(best)])
+    after = ann_index.ivf_index_probe_range(
+        spark, flat, qv, 0.15, nprobe=3, exclude_id=123
+    ).collect()
+    assert best not in {r.vec_id for r in after}
+    assert {r.vec_id for r in after} == {r.vec_id for r in got} - {best}
+
+    # (4) unreachable radius -> empty result, sane schema
+    none = ann_index.ivf_index_probe_range(
+        spark, flat, qv, 0.999, nprobe=3, exclude_id=123
+    )
+    assert none.count() == 0
+    assert none.columns == ["vec_id", "cell", "cos_sim"]
+
+    # (5) SQ8: dequantized cut + attribute predicate before the cut
+    sq = tempfile.mkdtemp(prefix="ivfsq_range_")
+    ann_index.write_ivfsq_index(
+        emb, sq, n_cents=8, train_iters=2, attrs=["label"]
+    )
+    got_sq = ann_index.ivfsq_index_probe_range(
+        spark, sq, qv, 0.15, nprobe=3, exclude_id=123, where="label <= 4"
+    ).collect()
+    probe_sq = ivf_probe_cells(ann_index.read_ivf_centroids(sq), qv, 3)
+    deq = F.transform(
+        F.col("q"),
+        lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
+    )
+    want_sq = (
+        spark.read.parquet(sq + "/sq")
+        .filter(F.col("cell").isin(probe_sq))
+        .filter(F.col("vec_id") != 123)
+        .filter("label <= 4")
+        .select(
+            "vec_id",
+            "cell",
+            hround(cosine(deq, lit_double_array(qv)), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.15)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .collect()
+    )
+    assert [tuple(r) for r in got_sq] == [tuple(r) for r in want_sq]
+    assert all(r.cos_sim >= 0.15 for r in got_sq)

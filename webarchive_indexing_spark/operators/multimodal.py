@@ -265,6 +265,80 @@ def parse_image_header(payload) -> dict:
             "height": abs(h),
             "color_depth": bpp,
         }
+    if b[:3] == b"GIF":
+        # GIF87a/89a: version bytes then the Logical Screen Descriptor
+        # (LE16 width/height, packed byte whose low 3 bits give the
+        # global-color-table size as 2^(n+1) entries → n+1 palette
+        # index bits, the honest "depth" of a palette format)
+        if b[3:6] not in (b"87a", b"89a"):
+            raise ValueError(f"gif: unknown version {b[3:6]!r}")
+        if len(b) < 11:
+            raise ValueError("gif: truncated screen descriptor")
+        w, h = struct.unpack_from("<HH", b, 6)
+        if w <= 0 or h <= 0:
+            raise ValueError(f"gif: bad dims {w}x{h}")
+        packed = b[10]
+        return {
+            "format": "gif" + b[3:6].decode("ascii"),
+            "width": w,
+            "height": h,
+            "color_depth": (packed & 0x07) + 1,
+        }
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        # WebP: walk the RIFF chunk list to the first image-bearing
+        # chunk.  VP8X (extended) carries 24-bit canvas dims minus
+        # one + an alpha flag; VP8 (lossy) a keyframe whose start
+        # code precedes 14-bit LE dims; VP8L (lossless) a 5-byte
+        # signature+bitfield packing width-1/height-1/alpha.
+        i = 12
+        while i + 8 <= len(b):
+            fourcc = b[i : i + 4]
+            size = struct.unpack_from("<I", b, i + 4)[0]
+            p = i + 8
+            if fourcc == b"VP8X":
+                if p + 10 > len(b):
+                    raise ValueError("webp: truncated VP8X")
+                flags = b[p]
+                w = int.from_bytes(b[p + 4 : p + 7], "little") + 1
+                h = int.from_bytes(b[p + 7 : p + 10], "little") + 1
+                return {
+                    "format": "webp-vp8x",
+                    "width": w,
+                    "height": h,
+                    "color_depth": 32 if flags & 0x10 else 24,
+                }
+            if fourcc == b"VP8 ":
+                if p + 10 > len(b):
+                    raise ValueError("webp: truncated VP8 frame")
+                if b[p + 3 : p + 6] != b"\x9d\x01\x2a":
+                    raise ValueError("webp: VP8 start code missing")
+                w = struct.unpack_from("<H", b, p + 6)[0] & 0x3FFF
+                h = struct.unpack_from("<H", b, p + 8)[0] & 0x3FFF
+                if w <= 0 or h <= 0:
+                    raise ValueError(f"webp: bad VP8 dims {w}x{h}")
+                return {
+                    "format": "webp-vp8",
+                    "width": w,
+                    "height": h,
+                    "color_depth": 24,
+                }
+            if fourcc == b"VP8L":
+                if p + 5 > len(b):
+                    raise ValueError("webp: truncated VP8L")
+                if b[p] != 0x2F:
+                    raise ValueError("webp: VP8L signature missing")
+                bits = struct.unpack_from("<I", b, p + 1)[0]
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+                alpha = (bits >> 28) & 1
+                return {
+                    "format": "webp-vp8l",
+                    "width": w,
+                    "height": h,
+                    "color_depth": 32 if alpha else 24,
+                }
+            i = p + size + (size & 1)  # RIFF chunks are word-aligned
+        raise ValueError("webp: no image chunk found")
     raise NotImplementedError("unknown image magic")
 
 
@@ -303,6 +377,103 @@ def build_jpeg_header(w: int, h: int, *, progressive: bool = False,
     )
     sof = sof_marker + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comps
     return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def build_gif_header(
+    w: int, h: int, *, version: bytes = b"89a", palette_bits: int = 8
+) -> bytes:
+    """Minimal structurally-valid GIF (header + Logical Screen
+    Descriptor + global color table + trailer).  ``palette_bits``
+    (1..8) sets the GCT size field — the parser reports it back as
+    color_depth, so fixtures exercise the packed-byte decode."""
+    import struct
+
+    if not 1 <= palette_bits <= 8:
+        raise ValueError("gif: palette_bits must be 1..8")
+    n = palette_bits - 1
+    packed = 0x80 | (n << 4) | n  # GCT present, color res = GCT size
+    lsd = struct.pack("<HH", w, h) + bytes((packed, 0, 0))
+    gct = bytes(3 * (1 << palette_bits))
+    return b"GIF" + version + lsd + gct + b"\x3b"
+
+
+def build_webp_header(
+    w: int, h: int, *, variant: str = "vp8x", alpha: bool = False
+) -> bytes:
+    """Minimal WebP container for each of the three image-bearing
+    chunk grammars the parser walks: ``vp8x`` (extended, 24-bit
+    canvas dims), ``vp8`` (lossy keyframe start code + 14-bit dims),
+    ``vp8l`` (lossless signature + packed bitfield)."""
+    import struct
+
+    if variant == "vp8x":
+        flags = 0x10 if alpha else 0
+        payload = (
+            bytes((flags, 0, 0, 0))
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    elif variant == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14) | ((1 if alpha else 0) << 28)
+        payload = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    elif variant == "vp8":
+        payload = b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    else:
+        raise ValueError(f"webp: unknown variant {variant}")
+    if len(chunk) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_web_image_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic web-format fixtures (round 12 — the formats a
+    real WARC media column is full of beyond JPEG/PNG): per doc a
+    (3 + id%12)×(2 + id%9) image — GIF87a for id%5==0, GIF89a
+    (palette bits 1 + id%8) for 1, WebP VP8X for 2, WebP VP8L for 3,
+    WebP lossy VP8 for 4; alpha on the even ids of the VP8X arm and
+    the odd ids of the VP8L arm; every id%17==0 payload truncated to
+    8 bytes (the damage arm — parsers must yield 'unsupported', not
+    die).  Dims/depth are pure arithmetic, so a SQL oracle recomputes
+    them without touching binary."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 3 + i % 12, 2 + i % 9
+                arm = i % 5
+                if arm == 0:
+                    p = build_gif_header(
+                        w, h, version=b"87a", palette_bits=1 + i % 8
+                    )
+                elif arm == 1:
+                    p = build_gif_header(
+                        w, h, version=b"89a", palette_bits=1 + i % 8
+                    )
+                elif arm == 2:
+                    p = build_webp_header(
+                        w, h, variant="vp8x", alpha=i % 2 == 0
+                    )
+                elif arm == 3:
+                    p = build_webp_header(
+                        w, h, variant="vp8l", alpha=i % 2 == 1
+                    )
+                else:
+                    p = build_webp_header(w, h, variant="vp8")
+                if i % 17 == 0:
+                    p = p[:8]
+                ids.append(i)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(fn, IMAGE_FIXTURE_SCHEMA)
 
 
 def synthesize_header_payloads(docs: DataFrame) -> DataFrame:

@@ -575,6 +575,7 @@ def _sql_ivf_probe(
     dim: int,
     exclude_ids: list[int] | None = None,
     where_sql: str | None = None,
+    radius: float | None = None,
 ) -> str:
     """Shared relational IVF probe body over a ``(cid, cvec)`` CTE
     named ``cents_src`` (seed stand-ins or the Lloyd-trained chain):
@@ -583,7 +584,10 @@ def _sql_ivf_probe(
     reconstructs a FILTERED probe: a boolean predicate over the
     ``embeddings`` table's attribute columns, applied to the
     survivors BEFORE the top-k limit (exactly where the store probe
-    applies its pushed-down predicate)."""
+    applies its pushed-down predicate).  ``radius`` reconstructs a
+    RANGE probe (FAISS ``range_search``): the 6dp-rounded similarity
+    cut replaces the LIMIT — every probed-cell survivor past the
+    threshold comes back, k is ignored."""
     from ..queries.helpers import sql_hround
 
     def ddot(a: str, b: str) -> str:
@@ -630,6 +634,9 @@ def _sql_ivf_probe(
             f" AND cells.vec_id IN "
             f"(SELECT vec_id FROM embeddings WHERE {where_sql})"
         )
+    if radius is not None:
+        excl += f" AND {esim} >= {radius}"
+    limit = "" if radius is not None else f" LIMIT {k}"
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -637,7 +644,7 @@ def _sql_ivf_probe(
     SELECT cells.vec_id, cells.cell, {esim} AS cos_sim
     FROM cells CROSS JOIN q
     WHERE cells.cell IN (SELECT cid FROM probe) AND cells.vec_id <> {query_vec_id}{excl}
-    ORDER BY cos_sim DESC, cells.vec_id ASC LIMIT {k}
+    ORDER BY cos_sim DESC, cells.vec_id ASC{limit}
     """
     )
 
@@ -671,6 +678,7 @@ def sql_ivf_trained_topk(
     train_mod: int | None = None,
     exclude_ids: list[int] | None = None,
     where_sql: str | None = None,
+    radius: float | None = None,
 ) -> str:
     """DuckDB twin of ``ivf_trained_topk``: the Lloyd centroid CTE
     chain (``sql_lloyd_centroid_ctes`` — exact-decimal update sums, so
@@ -680,7 +688,8 @@ def sql_ivf_trained_topk(
     ``exclude_ids`` reconstructs a tombstoned store (training still
     sees every vector — deletes hide rows from probes, they don't
     retrain the quantizer); ``where_sql`` the filtered probe
-    (attribute predicate before top-k — see ``_sql_ivf_probe``)."""
+    (attribute predicate before top-k — see ``_sql_ivf_probe``);
+    ``radius`` the RANGE probe (similarity cut instead of LIMIT)."""
     from .kmeans import sql_lloyd_centroid_ctes
 
     parts, prev = sql_lloyd_centroid_ctes(
@@ -688,7 +697,7 @@ def sql_ivf_trained_topk(
     )
     return _sql_ivf_probe(
         parts, prev, query_vec_id, k, nprobe, dim,
-        exclude_ids=exclude_ids, where_sql=where_sql,
+        exclude_ids=exclude_ids, where_sql=where_sql, radius=radius,
     )
 
 
@@ -701,6 +710,7 @@ def sql_ivfsq_trained_topk(
     dim: int = 64,
     exclude_ids: list[int] | None = None,
     where_sql: str | None = None,
+    radius: float | None = None,
 ) -> str:
     """DuckDB twin of the IVF-SQ8 store probe: the trained-IVF chain
     (same Lloyd CTEs + cosine-argmax assignment + probe-cell ranking
@@ -708,7 +718,8 @@ def sql_ivfsq_trained_topk(
     cosine of their DEQUANTIZED vectors — scale = max |x|, q_i =
     floor(x_i/scale·127 + .5), x̂ = q·scale/127, every step shared
     with the Spark store encode, so the hash match proves the
-    quantize→store→dequantize→rank chain."""
+    quantize→store→dequantize→rank chain.  ``radius`` reconstructs
+    the RANGE probe: the dequantized-cosine cut replaces the LIMIT."""
     from ..queries.helpers import sql_hround
     from .kmeans import sql_lloyd_centroid_ctes
 
@@ -771,13 +782,15 @@ def sql_ivfsq_trained_topk(
         AND cells.vec_id <> {query_vec_id}{excl}
     )""",
     ]
+    rad = f" WHERE {esim} >= {radius}" if radius is not None else ""
+    limit = "" if radius is not None else f" LIMIT {k}"
     return (
         "WITH "
         + ",\n    ".join(parts)
         + f"""
     SELECT d.vec_id, d.cell, {esim} AS cos_sim
-    FROM d CROSS JOIN q
-    ORDER BY cos_sim DESC, d.vec_id ASC LIMIT {k}
+    FROM d CROSS JOIN q{rad}
+    ORDER BY cos_sim DESC, d.vec_id ASC{limit}
     """
     )
 

@@ -1503,6 +1503,83 @@ def emb_ivfsq_persisted_topk(spark, sf_dir):
 
 
 @query(
+    "emb_ann_range_search",
+    oracle=sql_ivf_trained_topk(
+        query_vec_id=123, n_cents=8, nprobe=3, train_iters=2,
+        radius=0.2,
+    ),
+    tier="C",
+)
+def emb_ann_range_search(spark, sf_dir):
+    """L3 RANGE search over the persisted flat store (round 12 —
+    FAISS ``range_search``, the serving mode top-k cannot express):
+    return EVERY vector in the probed cells whose exact cosine
+    similarity clears the radius, however many there are — the query
+    shape of duplicate sweeps, similar-content takedowns, and recall
+    audits, where 'the nearest k' under-reports by construction.
+    Same pruned ``cell=`` scan and tombstone path as the top-k probe
+    (one shared scored frame, so the two modes can never score a
+    vector differently); the cut applies to the 6dp-rounded score so
+    the boundary is engine-portable; result ordered (sim DESC, id)
+    for determinism where FAISS returns hits unordered.  Oracle: the
+    trained-IVF relational twin with the similarity cut replacing the
+    LIMIT."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import ivf_index_probe_range, write_ivf_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_range_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qv = collect_query_vector(emb, 123)
+    return ivf_index_probe_range(
+        spark, out, qv, 0.2, nprobe=3, exclude_id=123
+    )
+
+
+@query(
+    "emb_ivfsq_range_search",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.similarity",
+        fromlist=["sql_ivfsq_trained_topk"],
+    ).sql_ivfsq_trained_topk(
+        query_vec_id=123, n_cents=8, nprobe=3, train_iters=2,
+        radius=0.15, where_sql="label <= 4",
+    ),
+    tier="C",
+)
+def emb_ivfsq_range_search(spark, sf_dir):
+    """RANGE × QUANTIZED × FILTERED composed (round 12): the radius
+    cut runs over the SQ8 store's DEQUANTIZED cosines with an
+    attribute predicate pushed into the same pruned scan (a sargable
+    comparison, so it reaches PushedFilters — plan-asserted) — one
+    compact-payload pass answers 'all low-label vectors at least
+    this similar', the filtered-sweep shape at ~4× fewer scan bytes
+    than the flat store.  The oracle reconstructs
+    train→assign→probe→filter→dequantize→radius-cut relationally, so
+    the hash match pins quantization error handling at the boundary
+    too (both engines cut on the same 6dp-rounded dequantized
+    score)."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import (
+        ivfsq_index_probe_range,
+        write_ivfsq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfsq_range_")
+    write_ivfsq_index(emb, out, n_cents=8, train_iters=2, attrs=["label"])
+    qv = collect_query_vector(emb, 123)
+    return ivfsq_index_probe_range(
+        spark, out, qv, 0.15, nprobe=3, exclude_id=123,
+        where="label <= 4",
+    )
+
+
+@query(
     "emb_ivf_store_rebuild",
     oracle=sql_ivf_trained_topk(
         query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=2,
@@ -3818,6 +3895,53 @@ def multimodal_image_dims(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return image_dims(synthesize_header_payloads(d))
+
+
+@query(
+    "multimodal_web_image_dims",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN 'unsupported'
+                ELSE CASE doc_id % 5
+                     WHEN 0 THEN 'gif87a' WHEN 1 THEN 'gif89a'
+                     WHEN 2 THEN 'webp-vp8x' WHEN 3 THEN 'webp-vp8l'
+                     ELSE 'webp-vp8' END END AS format,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+                ELSE CAST(3 + doc_id % 12 AS INT) END AS width,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+                ELSE CAST(2 + doc_id % 9 AS INT) END AS height,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+                ELSE CAST(CASE doc_id % 5
+                     WHEN 0 THEN 1 + doc_id % 8
+                     WHEN 1 THEN 1 + doc_id % 8
+                     WHEN 2 THEN CASE WHEN doc_id % 2 = 0 THEN 32 ELSE 24 END
+                     WHEN 3 THEN CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 24 END
+                     ELSE 24 END AS INT) END AS color_depth
+    FROM documents WHERE doc_id < 400
+    """,
+    tier="C",
+)
+def multimodal_web_image_dims(spark, sf_dir):
+    """L6 WEB-format image headers (round 12 — the formats a crawl's
+    media column is actually full of beyond JPEG/PNG): GIF87a/GIF89a
+    (Logical Screen Descriptor LE dims + packed global-color-table
+    bits → palette depth) and all three WebP chunk grammars — VP8X
+    extended (24-bit canvas dims minus one + alpha flag), VP8L
+    lossless (signature byte + packed 14-bit bitfield), VP8 lossy
+    (keyframe start code + 14-bit LE dims) — parsed from HEADER bytes
+    alone via the same RIFF chunk walk the audio parser uses, pure
+    Python, Arrow-batched, single pass, no shuffle.  Fixtures include
+    a truncation damage arm (every 17th payload cut to 8 bytes →
+    'unsupported' rows with NULL dims, never task death); dims, depth
+    and damage are doc_id arithmetic, so the oracle recomputes all of
+    it relationally."""
+    from ..operators.multimodal import (
+        image_dims,
+        synthesize_web_image_payloads,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return image_dims(synthesize_web_image_payloads(d))
 
 
 _AU_RATE = (

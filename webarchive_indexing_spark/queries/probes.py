@@ -214,6 +214,23 @@ def _p_ivf_filtered(spark, ctx):
     )
 
 
+def _p_ivf_range(spark, ctx):
+    from ..sinks.ann_index import ivf_index_probe_range
+
+    return ivf_index_probe_range(
+        spark, ctx["dir"], ctx["qv"], 0.2, nprobe=3, exclude_id=123
+    )
+
+
+def _p_ivfsq_range(spark, ctx):
+    from ..sinks.ann_index import ivfsq_index_probe_range
+
+    return ivfsq_index_probe_range(
+        spark, ctx["dir"], ctx["qv"], 0.15, nprobe=3, exclude_id=123,
+        where="label <= 4",
+    )
+
+
 def _p_ivf_filtered_batch(spark, ctx):
     from ..sinks.ann_index import ivf_index_probe_batch_topk
     from .llm import _ANN_FILTER_WHERES
@@ -365,5 +382,13 @@ PROBES: dict[str, Probe] = {
     "emb_ivfpq_opq_refined_probe": Probe(
         "emb_ivfpq_opq_refined", "ivfpq_opq_store",
         _build_ivfpq_opq_store, _p_ivfpq_refined,
+    ),
+    "emb_ann_range_search_probe": Probe(
+        "emb_ann_range_search", "ivf_store",
+        _build_ivf_store, _p_ivf_range,
+    ),
+    "emb_ivfsq_range_search_probe": Probe(
+        "emb_ivfsq_range_search", "ivfsq_store",
+        _build_ivfsq_store, _p_ivfsq_range,
     ),
 }

@@ -371,6 +371,34 @@ def ivfsq_index_probe_topk(
     )
     from ..queries.helpers import hround
 
+    out = _ivfsq_scored_frame(
+        spark, out_dir, qv, nprobe=nprobe, exclude_id=exclude_id,
+        where=where, id_col=id_col,
+    )
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _ivfsq_scored_frame(
+    spark: SparkSession,
+    out_dir: str,
+    qv: list[float],
+    *,
+    nprobe: int,
+    exclude_id: int | None,
+    where: str | None,
+    id_col: str,
+) -> DataFrame:
+    """Shared SQ8 probe body: pruned ``cell=`` scan → tombstone/attr
+    filters → dequantized 6dp cosine.  Both the top-k probe and the
+    range probe rank THIS frame, so the two serving modes can never
+    score a vector differently."""
+    from ..operators.similarity import (
+        cosine,
+        ivf_probe_cells,
+        lit_double_array,
+    )
+    from ..queries.helpers import hround
+
     store = resolve_store(out_dir)
     cents = read_ivf_centroids(store)
     probe = ivf_probe_cells(cents, qv, nprobe)
@@ -386,12 +414,41 @@ def ivfsq_index_probe_topk(
         F.col("q"),
         lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
     )
-    out = df.select(
+    return df.select(
         F.col(id_col),
         F.col("cell"),
         hround(cosine(deq, lit_double_array(qv)), 6).alias("cos_sim"),
     )
-    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivfsq_index_probe_range(
+    spark: SparkSession,
+    out_dir: str,
+    qv: list[float],
+    radius: float,
+    *,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+    where: str | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """RANGE search over the SQ8 store (FAISS
+    ``IndexIVFScalarQuantizer.range_search`` semantics): every stored
+    vector in the probed cells whose DEQUANTIZED cosine similarity is
+    ``>= radius`` — no k, the result size is data-dependent.  Same
+    pruned scan / tombstone / ``where`` path as the top-k probe (one
+    shared scored frame); the radius cut applies to the 6dp-rounded
+    score so Spark and the DuckDB twin agree at the boundary.  FAISS
+    returns range hits unordered; we order by (sim DESC, id) for
+    determinism.  Plan: pruned FileScan → map-side score → filter →
+    sort, zero joins, one final ordering exchange."""
+    out = _ivfsq_scored_frame(
+        spark, out_dir, qv, nprobe=nprobe, exclude_id=exclude_id,
+        where=where, id_col=id_col,
+    )
+    return out.filter(F.col("cos_sim") >= radius).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
 
 
 _APPLIED = "applied_batches.json"
@@ -1648,6 +1705,28 @@ def ivf_index_probe_topk(
     pushes it into the parquet FileScan (plan-asserted), so k
     SURVIVORS are returned with recall intact, never k results
     post-filtered down to fewer."""
+    out = _ivf_scored_frame(
+        spark, out_dir, qv, nprobe=nprobe, exclude_id=exclude_id,
+        where=where, id_col=id_col, vec_col=vec_col,
+    )
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _ivf_scored_frame(
+    spark: SparkSession,
+    out_dir: str,
+    qv: list[float],
+    *,
+    nprobe: int,
+    exclude_id: int | None,
+    where: str | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared flat-store probe body: pruned ``cell=`` scan →
+    tombstone/attr filters → exact 6dp cosine.  The top-k and range
+    probes both rank THIS frame — the two serving modes share one
+    scoring path by construction."""
     from ..operators.similarity import (
         cosine,
         ivf_probe_cells,
@@ -1671,11 +1750,43 @@ def ivf_index_probe_topk(
     # fallback past TOMBSTONE_ISIN_MAX keeps a never-compacted store
     # correct)
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
-    out = df.select(
+    return df.select(
         F.col(id_col),
         F.col("cell"),
         hround(cosine(F.col(vec_col), lit_double_array(qv)), 6).alias(
             "cos_sim"
         ),
     )
-    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_index_probe_range(
+    spark: SparkSession,
+    out_dir: str,
+    qv: list[float],
+    radius: float,
+    *,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+    where: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RANGE search over the flat store (FAISS ``range_search``
+    semantics, the serving mode ``search``/top-k cannot express):
+    every stored vector in the probed cells with exact cosine
+    similarity ``>= radius`` — no k, result size is data-dependent
+    (duplicate sweeps, recall audits, similar-content takedowns all
+    want *all* hits past a threshold, not the nearest k).  Shares the
+    scored frame with ``ivf_index_probe_topk`` (same pruned scan,
+    tombstones, pushed ``where``); the cut applies to the 6dp-rounded
+    score so the boundary is engine-portable.  FAISS returns range
+    hits unordered; we order (sim DESC, id ASC) for determinism.
+    Plan: pruned FileScan → map-side score → filter → sort; zero
+    joins, no shuffle beyond the final ordering."""
+    out = _ivf_scored_frame(
+        spark, out_dir, qv, nprobe=nprobe, exclude_id=exclude_id,
+        where=where, id_col=id_col, vec_col=vec_col,
+    )
+    return out.filter(F.col("cos_sim") >= radius).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
