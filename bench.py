@@ -184,6 +184,8 @@ HEADLINE = [
     "emb_ann_range_search",
     "emb_ivfsq_range_search",
     "multimodal_web_image_dims",
+    "emb_ivfpq_range_search",
+    "emb_ann_range_batch",
 ]
 
 

@@ -883,3 +883,36 @@ def test_web_image_dims_single_pass_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_web_image_dims")
     assert "Exchange" not in plan, plan[:900]
     assert "Join" not in plan
+
+
+def test_batch_range_no_window_one_exchange(spark, sf_dir):
+    """Batch RANGE serving: one union-pruned scan, per-request radius
+    cuts map-side, and — unlike every batch top-k plan — NO window at
+    all; the only exchange is the final output ordering.  This is the
+    shape that makes batch range the cheapest serving mode at any
+    request count."""
+    plan = _plan(spark, sf_dir, "emb_ann_range_batch")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    assert "Window" not in plan, plan[:900]
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan[:900]
+    assert "rangepartitioning" in plan, plan[:900]
+
+
+def test_pq_range_probe_codes_only_no_join(spark, sf_dir):
+    """The PQ store's range probe keeps the codes-only scan contract:
+    pruned cells, ReadSchema carries code columns and no vector
+    array, ADC cut map-side, no join, one ordering exchange."""
+    plan = _plan(spark, sf_dir, "emb_ivfpq_range_search")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "j0" in schema, schema
+    assert "array" not in schema, f"PQ range probe reads vectors: {schema}"
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan[:900]

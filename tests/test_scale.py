@@ -1963,3 +1963,57 @@ def test_range_probe_families(spark, sf_dir):
     )
     assert [tuple(r) for r in got_sq] == [tuple(r) for r in want_sq]
     assert all(r.cos_sim >= 0.15 for r in got_sq)
+
+
+def test_range_batch_and_pq_range_match_serving_loops(spark, sf_dir):
+    """Round-12 range-matrix completion: (1) the flat-store BATCH
+    range probe's per-request rows equal the one-at-a-time range
+    probe loop (heterogeneous radii); (2) the PQ store's range probe
+    equals the ADC top-k prefix at the same distance cut (one shared
+    scored frame by construction)."""
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [77, 123, 55, 321]
+    radii = [0.2, 0.2, 0.18, 0.15]
+    vecs = {q: collect_query_vector(emb, q) for q in qids}
+
+    flat = tempfile.mkdtemp(prefix="ivf_rbatch_")
+    ann_index.write_ivf_index(emb, flat, n_cents=8, train_iters=2)
+    batch = ann_index.ivf_index_probe_batch_range(
+        spark, flat, [vecs[q] for q in qids], radii,
+        nprobe=3, exclude_ids=qids,
+    ).collect()
+    for i, (qid, r) in enumerate(zip(qids, radii)):
+        one = ann_index.ivf_index_probe_range(
+            spark, flat, vecs[qid], r, nprobe=3, exclude_id=qid
+        ).collect()
+        got_i = [
+            (row.vec_id, row.cell, row.cos_sim)
+            for row in batch
+            if row.request_no == i
+        ]
+        assert got_i == [(row.vec_id, row.cell, row.cos_sim) for row in one]
+
+    pq = tempfile.mkdtemp(prefix="ivfpq_rng_")
+    ann_index.write_ivfpq_index(
+        emb, pq, n_cells=8, n_sub=4, k_codes=8, train_iters=2
+    )
+    rng = ann_index.ivfpq_index_probe_range(
+        spark, pq, vecs[77], 1.05, nprobe=3, exclude_id=77
+    ).collect()
+    assert rng, "ADC radius 1.05 should match something at every sf"
+    topk = ann_index.ivfpq_index_probe_topk(
+        spark, pq, vecs[77], k=10_000, nprobe=3, exclude_id=77
+    ).collect()
+    want = [
+        (row.vec_id, row.cell, row.approx_dist)
+        for row in topk
+        if row.approx_dist <= 1.05
+    ]
+    assert [(row.vec_id, row.cell, row.approx_dist) for row in rng] == want

@@ -1471,6 +1471,7 @@ def sql_ivfadc_residual_topk(
     where_sql: str | None = None,
     src: str = "embeddings",
     pre_parts: list[str] | None = None,
+    radius: float | None = None,
 ) -> str:
     """DuckDB twin of ``ivfadc_residual_topk``: trained chains for
     cells + per-subspace codebooks, a ``comb`` CTE materializing the
@@ -1565,13 +1566,19 @@ def sql_ivfadc_residual_topk(
       GROUP BY a.vec_id
     )""",
     ]
+    rad = (
+        f" WHERE CAST(a.adist AS DOUBLE) <= {radius}"
+        if radius is not None
+        else ""
+    )
+    limit = "" if radius is not None else f" LIMIT {k}"
     return (
         "WITH "
         + ",\n    ".join(parts)
         + f"""
     SELECT s.vec_id, s.cell, CAST(a.adist AS DOUBLE) AS approx_dist
-    FROM surv s JOIN adc a ON s.vec_id = a.vec_id
-    ORDER BY approx_dist ASC, s.vec_id ASC LIMIT {k}
+    FROM surv s JOIN adc a ON s.vec_id = a.vec_id{rad}
+    ORDER BY approx_dist ASC, s.vec_id ASC{limit}
     """
     )
 

@@ -1580,6 +1580,44 @@ def emb_ivfsq_range_search(spark, sf_dir):
 
 
 @query(
+    "emb_ivfpq_range_search",
+    oracle=sql_ivfadc_residual_topk(
+        query_vec_id=77, n_cells=8, nprobe=3, n_sub=4, k_codes=8,
+        train_iters=2, radius=1.05,
+    ),
+    tier="C",
+)
+def emb_ivfpq_range_search(spark, sf_dir):
+    """RANGE search over the PQ-CODED store (round 12 — completing
+    the flat/SQ8/PQ range matrix; FAISS ``IndexIVFPQ.range_search``):
+    the cut is a DISTANCE threshold on the ADC sum, matching FAISS's
+    L2-metric range semantics on quantized indexes — the scan can
+    compute nothing else from codes alone, and a caller sweeping for
+    near-duplicates wants exactly the codes-cheap first pass (over-
+    fetch at the ADC cut, re-rank survivors via the refine sidecar if
+    exactness matters).  Same pruned codes-only scan as top-k (no
+    vector bytes, tombstones honored) through one shared scored
+    frame; the oracle reconstructs train→encode→ADC relationally with
+    the radius replacing LIMIT, pinning the decimal-exact ADC sums at
+    the boundary."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import (
+        ivfpq_index_probe_range,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_range_")
+    write_ivfpq_index(emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2)
+    qv = collect_query_vector(emb, 77)
+    return ivfpq_index_probe_range(
+        spark, out, qv, 1.05, nprobe=3, exclude_id=77
+    )
+
+
+@query(
     "emb_ivf_store_rebuild",
     oracle=sql_ivf_trained_topk(
         query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=2,
@@ -2019,6 +2057,60 @@ def emb_ann_filtered_batch(spark, sf_dir):
     return ivf_index_probe_batch_topk(
         spark, out, [vecs[q] for q in qids], k=10, nprobe=3,
         exclude_ids=qids, wheres=list(_ANN_FILTER_WHERES),
+    )
+
+
+_ANN_RANGE_RADII = (0.2, 0.2, 0.18, 0.15)
+
+
+def _ivf_range_batch_sql() -> str:
+    """UNION ALL of the RANGE trained-IVF twin per request — the
+    per-request radius-probe loop the batch amortizes."""
+    subs = []
+    for i, (qid, r) in enumerate(zip(_ANN_BATCH_QIDS, _ANN_RANGE_RADII)):
+        inner = sql_ivf_trained_topk(
+            query_vec_id=qid, n_cents=8, nprobe=3, train_iters=2,
+            radius=r,
+        )
+        subs.append(f"SELECT {i} AS request_no, q.* FROM ({inner}) q")
+    return " UNION ALL ".join(subs)
+
+
+@query(
+    "emb_ann_range_batch",
+    oracle=_ivf_range_batch_sql(),
+    tier="C",
+)
+def emb_ann_range_batch(spark, sf_dir):
+    """Batch RANGE serving (round 12): N (query, radius) requests —
+    each with its OWN radius — answered by ONE union-of-cells pruned
+    vectors scan with per-request map-side radius cuts in the struct
+    arms.  Range needs no per-request top-k, so unlike every batch
+    top-k probe there is NO request window: the plan's only exchange
+    is the final output ordering (plan-asserted), making batch range
+    the cheapest serving mode at any request count — the bulk
+    duplicate-sweep shape (N suspect documents, all matches past
+    their thresholds, one job).  Oracle: the radius trained-IVF twin
+    UNION ALL'd per request, so the hash match proves each request's
+    batch rows equal its one-at-a-time range answer."""
+    import tempfile
+
+    from ..sinks.ann_index import (
+        ivf_index_probe_batch_range,
+        write_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_rangebatch_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return ivf_index_probe_batch_range(
+        spark, out, [vecs[q] for q in qids], list(_ANN_RANGE_RADII),
+        nprobe=3, exclude_ids=qids,
     )
 
 

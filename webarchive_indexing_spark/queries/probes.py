@@ -231,6 +231,24 @@ def _p_ivfsq_range(spark, ctx):
     )
 
 
+def _p_ivfpq_range(spark, ctx):
+    from ..sinks.ann_index import ivfpq_index_probe_range
+
+    return ivfpq_index_probe_range(
+        spark, ctx["dir"], ctx["qv"], 1.05, nprobe=3, exclude_id=77
+    )
+
+
+def _p_ivf_range_batch(spark, ctx):
+    from ..sinks.ann_index import ivf_index_probe_batch_range
+    from .llm import _ANN_RANGE_RADII
+
+    return ivf_index_probe_batch_range(
+        spark, ctx["dir"], ctx["qvs"], list(_ANN_RANGE_RADII),
+        nprobe=3, exclude_ids=ctx["qids"],
+    )
+
+
 def _p_ivf_filtered_batch(spark, ctx):
     from ..sinks.ann_index import ivf_index_probe_batch_topk
     from .llm import _ANN_FILTER_WHERES
@@ -390,5 +408,13 @@ PROBES: dict[str, Probe] = {
     "emb_ivfsq_range_search_probe": Probe(
         "emb_ivfsq_range_search", "ivfsq_store",
         _build_ivfsq_store, _p_ivfsq_range,
+    ),
+    "emb_ivfpq_range_search_probe": Probe(
+        "emb_ivfpq_range_search", "ivfpq_store",
+        _build_ivfpq_store, _p_ivfpq_range,
+    ),
+    "emb_ann_range_batch_probe": Probe(
+        "emb_ann_range_batch", "ivf_store",
+        _build_ivf_store, _p_ivf_range_batch,
     ),
 }

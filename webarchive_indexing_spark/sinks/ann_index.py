@@ -1247,6 +1247,28 @@ def ivfpq_index_probe_topk(
     version or a concurrent pointer swap could pair v1 centroids with
     v2 partitions — silently wrong cells.  Tombstones read from the
     ROOT, where they span versions."""
+    out = _ivfpq_scored_frame(
+        spark, out_dir, qv, nprobe=nprobe, exclude_id=exclude_id,
+        where=where, id_col=id_col, _store=_store, _rotated=_rotated,
+    )
+    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def _ivfpq_scored_frame(
+    spark: SparkSession,
+    out_dir: str,
+    qv: list[float],
+    *,
+    nprobe: int,
+    exclude_id: int | None,
+    where: str | None,
+    id_col: str,
+    _store: str | None,
+    _rotated: bool,
+) -> DataFrame:
+    """Shared PQ-store probe body: pruned CODES scan → tombstone/attr
+    filters → map-side ADC distance.  The top-k and range probes both
+    rank THIS frame — one scoring path for both serving modes."""
     from ..operators.similarity import (
         py_sqdist6,
         residual_adc_expr,
@@ -1267,10 +1289,39 @@ def ivfpq_index_probe_topk(
     if where is not None:
         df = df.filter(where)
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
-    out = df.selectExpr(
+    return df.selectExpr(
         id_col, "cell", residual_adc_expr(qd_sql) + " AS approx_dist"
     )
-    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def ivfpq_index_probe_range(
+    spark: SparkSession,
+    out_dir: str,
+    qv: list[float],
+    radius: float,
+    *,
+    nprobe: int = 3,
+    exclude_id: int | None = None,
+    where: str | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """RANGE search over the PQ-coded store (FAISS
+    ``IndexIVFPQ.range_search``): every probed-cell code whose ADC
+    DISTANCE is ``<= radius`` — a distance threshold, matching
+    FAISS's L2-metric range semantics on quantized indexes, where the
+    cut applies to the approximate (ADC) distance the scan can
+    compute from codes alone.  Same pruned codes-only scan (no vector
+    bytes), tombstones, and pushed ``where`` as the top-k probe via
+    one shared scored frame; ordered (dist ASC, id) for determinism.
+    OPQ-preconditioned stores rotate the query with the stored
+    reflector exactly like top-k."""
+    out = _ivfpq_scored_frame(
+        spark, out_dir, qv, nprobe=nprobe, exclude_id=exclude_id,
+        where=where, id_col=id_col, _store=None, _rotated=False,
+    )
+    return out.filter(F.col("approx_dist") <= radius).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
 
 
 def ivfpq_index_probe_batch_topk(
@@ -1676,6 +1727,93 @@ def ivf_index_probe_batch_topk(
         hits.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("request_no", id_col, "cell", "cos_sim")
+    )
+
+
+def ivf_index_probe_batch_range(
+    spark: SparkSession,
+    out_dir: str,
+    query_vecs: list[list[float]],
+    radii: list[float],
+    *,
+    nprobe: int = 2,
+    exclude_ids: list[int | None] | None = None,
+    wheres: list[str | None] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch RANGE serving over the flat store: N (query, radius)
+    requests answered by ONE vectors scan pruned to the union of
+    their probe cells, each request's radius cut applied map-side
+    inside its struct arm.  Range needs no per-request top-k, so
+    unlike the batch top-k probes there is NO window — the plan's
+    only exchange is the final output ordering; batch range serving
+    is shuffle-free ranking at any request count.  Per-request
+    ``exclude_ids``/``wheres`` compose exactly like the top-k batch;
+    each request's rows hash-match its one-at-a-time
+    ``ivf_index_probe_range`` answer."""
+    from ..operators.similarity import (
+        cosine,
+        ivf_probe_cells,
+        lit_double_array,
+    )
+    from ..queries.helpers import hround
+
+    if not query_vecs:
+        raise ValueError("probe batch needs at least one query vector")
+    if len(radii) != len(query_vecs):
+        raise ValueError("radii must align with query_vecs")
+    excl = exclude_ids or [None] * len(query_vecs)
+    if len(excl) != len(query_vecs):
+        raise ValueError("exclude_ids must align with query_vecs")
+    whs = wheres or [None] * len(query_vecs)
+    if len(whs) != len(query_vecs):
+        raise ValueError("wheres must align with query_vecs")
+    store = resolve_store(out_dir)
+    cents = read_ivf_centroids(store)
+    probes = [ivf_probe_cells(cents, qv, nprobe) for qv in query_vecs]
+    union_cells = sorted({c for p in probes for c in p})
+
+    df = spark.read.parquet(_join(store, "vectors")).filter(
+        F.col("cell").isin(union_cells)
+    )
+    if whs[0] is not None and all(w == whs[0] for w in whs):
+        df = df.filter(whs[0])
+        whs = [None] * len(query_vecs)
+    df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
+    entries = []
+    for i, qv in enumerate(query_vecs):
+        member = F.col("cell").isin(sorted(probes[i]))
+        if excl[i] is not None:
+            member = member & (F.col(id_col) != int(excl[i]))
+        if whs[i] is not None:
+            member = member & F.expr(whs[i])
+        sim = hround(cosine(F.col(vec_col), lit_double_array(qv)), 6)
+        member = member & (sim >= F.lit(float(radii[i])))
+        entries.append(
+            F.struct(
+                F.lit(i).alias("request_no"),
+                F.when(member, sim).alias("cos_sim"),
+            )
+        )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col("cell"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select(
+            F.col("e.request_no").alias("request_no"),
+            F.col(id_col),
+            F.col("cell"),
+            F.col("e.cos_sim").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+        .orderBy(
+            F.col("request_no").asc(),
+            F.col("cos_sim").desc(),
+            F.col(id_col).asc(),
+        )
     )
 
 
