@@ -65,6 +65,9 @@ PICKS = {
     "emb_ivfsq_query_batch": "SQ8 batch serving (round 12): quantized-payload ReadSchema (tinyint codes + scale, no vector column), dequantize computed once per row and shared by every request's cosine arm.",
     "emb_ivfpq_opq_topk": "OPQ-preconditioned probe (round 12): identical serving plan to plain PQ — the rotation was paid at build, the query vector rotates driver-side; codes-only pruned scan, zero exchanges.",
     "warc_media_meta": "WARC→media curation (round 12): keep_payload ingest is the same mapPartitions parse; header curation is one Arrow stage; payload bytes never cross an exchange and never reach the output.",
+    "emb_ann_range_search": "Range search (round 12): the radius cut is a map-side filter above the same cell-pruned scan as top-k; with no LIMIT the only exchange is the final ordering of the data-dependent result.",
+    "emb_ann_range_batch": "Batch RANGE serving (round 12): per-request radius cuts in the struct arms — no request window at all; one union-pruned scan, one output-ordering exchange at any request count.",
+    "emb_ivfpq_range_search": "PQ range search (round 12): ADC distance threshold on the codes-only pruned scan — no vector bytes, no join; FAISS quantized-index range semantics.",
 }
 
 
