@@ -186,6 +186,8 @@ HEADLINE = [
     "multimodal_web_image_dims",
     "emb_ivfpq_range_search",
     "emb_ann_range_batch",
+    "emb_ivf_metric_ip",
+    "emb_ivf_metric_l2",
 ]
 
 

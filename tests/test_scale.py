@@ -2017,3 +2017,70 @@ def test_range_batch_and_pq_range_match_serving_loops(spark, sf_dir):
         if row.approx_dist <= 1.05
     ]
     assert [(row.vec_id, row.cell, row.approx_dist) for row in rng] == want
+
+
+def test_metric_probe_families(spark, sf_dir):
+    """Round-12 query-side metrics over ONE flat store: (1) the
+    inner-product probe equals brute-force dot ranking within the
+    IP-ranked probe cells; (2) the L2 range probe equals the
+    brute-force distance ceiling, ascending; (3) an unknown metric
+    refuses loudly."""
+    import tempfile
+
+    import pytest
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+        dot6,
+        ivf_probe_cells,
+        lit_double_array,
+        sqdist6,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = collect_query_vector(emb, 123)
+    flat = tempfile.mkdtemp(prefix="ivf_metric_")
+    cents = ann_index.write_ivf_index(emb, flat, n_cents=8, train_iters=2)
+    lit = lit_double_array(qv)
+
+    got_ip = ann_index.ivf_index_probe_topk(
+        spark, flat, qv, k=10, nprobe=3, exclude_id=123, metric="ip"
+    ).collect()
+    cells_ip = ivf_probe_cells(cents, qv, 3, metric="ip")
+    want_ip = (
+        spark.read.parquet(flat + "/vectors")
+        .filter(F.col("cell").isin(cells_ip))
+        .filter(F.col("vec_id") != 123)
+        .select("vec_id", "cell", dot6(F.col("embedding"), lit).alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in got_ip] == [tuple(r) for r in want_ip]
+    assert got_ip[0].dot >= got_ip[-1].dot
+
+    got_l2 = ann_index.ivf_index_probe_range(
+        spark, flat, qv, 1.6, nprobe=3, exclude_id=123, metric="l2"
+    ).collect()
+    cells_l2 = ivf_probe_cells(cents, qv, 3, metric="l2")
+    want_l2 = (
+        spark.read.parquet(flat + "/vectors")
+        .filter(F.col("cell").isin(cells_l2))
+        .filter(F.col("vec_id") != 123)
+        .select(
+            "vec_id", "cell",
+            sqdist6(F.col("embedding"), lit).alias("sq_dist"),
+        )
+        .filter(F.col("sq_dist") <= 1.6)
+        .orderBy(F.col("sq_dist").asc(), F.col("vec_id").asc())
+        .collect()
+    )
+    assert [tuple(r) for r in got_l2] == [tuple(r) for r in want_l2]
+    assert got_l2, "l2 ceiling 1.6 should match something at every sf"
+    assert all(r.sq_dist <= 1.6 for r in got_l2)
+
+    with pytest.raises(ValueError, match="unknown metric"):
+        ann_index.ivf_index_probe_topk(
+            spark, flat, qv, k=5, metric="hamming"
+        )

@@ -148,6 +148,21 @@ def sql_cosine(a: str, b: str, dim: int = 64) -> str:
     )
 
 
+def dot6(a: Column, b: Column) -> Column:
+    """6dp-rounded inner product (decimal-routed, engine-portable) —
+    the FAISS METRIC_INNER_PRODUCT score."""
+    from ..queries.helpers import hround
+
+    return hround(_dec_dot(a, b).cast("double"), 6)
+
+
+def sql_dot6(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB twin of ``dot6``."""
+    from ..queries.helpers import sql_hround
+
+    return sql_hround(f"CAST({sql_dec_dot(a, b, dim)} AS DOUBLE)", 6)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -463,19 +478,31 @@ def ivf_cell_expr(cents: dict[int, list[float]], vec_col: str) -> Column:
 
 
 def ivf_probe_cells(
-    cents: dict[int, list[float]], qv: list[float], nprobe: int
+    cents: dict[int, list[float]],
+    qv: list[float],
+    nprobe: int,
+    *,
+    metric: str = "cosine",
 ) -> list[int]:
     """The query's nprobe nearest centroids — pure driver math on the
     collected quantizer, mirroring the oracle's (score DESC, cid ASC)
-    ranking."""
+    ranking.  ``metric`` (round 12 — FAISS METRIC_* parity on the
+    query side): ``cosine`` (default), ``ip`` (inner product, ranked
+    descending), ``l2`` (squared distance, ranked ascending)."""
     from ..queries.helpers import py_hround
 
-    cnorm = {cid: _py_norm(cv) for cid, cv in cents.items()}
-    ranked = sorted(
-        cents,
-        key=lambda c: (-py_hround(_py_dot(qv, cents[c]) / cnorm[c], 6), c),
-    )
-    return ranked[:nprobe]
+    if metric == "cosine":
+        cnorm = {cid: _py_norm(cv) for cid, cv in cents.items()}
+        key = lambda c: (  # noqa: E731
+            -py_hround(_py_dot(qv, cents[c]) / cnorm[c], 6), c,
+        )
+    elif metric == "ip":
+        key = lambda c: (-py_hround(_py_dot(qv, cents[c]), 6), c)  # noqa: E731
+    elif metric == "l2":
+        key = lambda c: (py_sqdist6(qv, cents[c]), c)  # noqa: E731
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return sorted(cents, key=key)[:nprobe]
 
 
 def ivf_probe_topk(
@@ -576,18 +603,22 @@ def _sql_ivf_probe(
     exclude_ids: list[int] | None = None,
     where_sql: str | None = None,
     radius: float | None = None,
+    metric: str = "cosine",
 ) -> str:
     """Shared relational IVF probe body over a ``(cid, cvec)`` CTE
     named ``cents_src`` (seed stand-ins or the Lloyd-trained chain):
     window argmax cell assignment → nprobe probe-cell ranking →
-    exact cosine top-k inside the probed cells.  ``where_sql``
+    exact top-k inside the probed cells.  ``where_sql``
     reconstructs a FILTERED probe: a boolean predicate over the
     ``embeddings`` table's attribute columns, applied to the
     survivors BEFORE the top-k limit (exactly where the store probe
     applies its pushed-down predicate).  ``radius`` reconstructs a
-    RANGE probe (FAISS ``range_search``): the 6dp-rounded similarity
-    cut replaces the LIMIT — every probed-cell survivor past the
-    threshold comes back, k is ignored."""
+    RANGE probe (FAISS ``range_search``): the 6dp-rounded cut
+    replaces the LIMIT — every probed-cell survivor past the
+    threshold comes back, k is ignored.  ``metric`` reconstructs the
+    query-side metric (``cosine``/``ip``/``l2`` — see the store
+    probe): the probe-cell ranking and survivor score follow it,
+    while cell ASSIGNMENT stays the build-time cosine argmax."""
     from ..queries.helpers import sql_hround
 
     def ddot(a: str, b: str) -> str:
@@ -597,8 +628,27 @@ def _sql_ivf_probe(
         )
 
     cscore = sql_hround(f"{ddot('e.embedding', 'c.cvec')} / c.cnorm", 6)
-    qscore = sql_hround(f"{ddot('q.qv', 'c.cvec')} / c.cnorm", 6)
-    esim = sql_hround(sql_cosine("cells.embedding", "q.qv", dim), 6)
+    if metric == "cosine":
+        qscore, qdir = sql_hround(
+            f"{ddot('q.qv', 'c.cvec')} / c.cnorm", 6
+        ), "DESC"
+        esim, alias, edir = (
+            sql_hround(sql_cosine("cells.embedding", "q.qv", dim), 6),
+            "cos_sim", "DESC",
+        )
+    elif metric == "ip":
+        qscore, qdir = sql_hround(ddot("q.qv", "c.cvec"), 6), "DESC"
+        esim, alias, edir = (
+            sql_dot6("cells.embedding", "q.qv", dim), "dot", "DESC",
+        )
+    elif metric == "l2":
+        qscore, qdir = sql_sqdist6("q.qv", "c.cvec", 0, dim), "ASC"
+        esim, alias, edir = (
+            sql_sqdist6("cells.embedding", "q.qv", 0, dim),
+            "sq_dist", "ASC",
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     parts = pre_parts + [
         f"""cents AS (
       SELECT cid, cvec, sqrt({ddot('cvec', 'cvec')}) AS cnorm FROM {cents_src}
@@ -617,7 +667,7 @@ def _sql_ivf_probe(
     )""",
         f"""probe AS (
       SELECT cid FROM (
-        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qscore} DESC, c.cid ASC) AS rn
+        SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qscore} {qdir}, c.cid ASC) AS rn
         FROM cents c CROSS JOIN q
       ) WHERE rn <= {nprobe}
     )""",
@@ -635,16 +685,17 @@ def _sql_ivf_probe(
             f"(SELECT vec_id FROM embeddings WHERE {where_sql})"
         )
     if radius is not None:
-        excl += f" AND {esim} >= {radius}"
+        op = "<=" if edir == "ASC" else ">="
+        excl += f" AND {esim} {op} {radius}"
     limit = "" if radius is not None else f" LIMIT {k}"
     return (
         "WITH "
         + ",\n    ".join(parts)
         + f"""
-    SELECT cells.vec_id, cells.cell, {esim} AS cos_sim
+    SELECT cells.vec_id, cells.cell, {esim} AS {alias}
     FROM cells CROSS JOIN q
     WHERE cells.cell IN (SELECT cid FROM probe) AND cells.vec_id <> {query_vec_id}{excl}
-    ORDER BY cos_sim DESC, cells.vec_id ASC{limit}
+    ORDER BY {alias} {edir}, cells.vec_id ASC{limit}
     """
     )
 
@@ -679,6 +730,7 @@ def sql_ivf_trained_topk(
     exclude_ids: list[int] | None = None,
     where_sql: str | None = None,
     radius: float | None = None,
+    metric: str = "cosine",
 ) -> str:
     """DuckDB twin of ``ivf_trained_topk``: the Lloyd centroid CTE
     chain (``sql_lloyd_centroid_ctes`` — exact-decimal update sums, so
@@ -698,6 +750,7 @@ def sql_ivf_trained_topk(
     return _sql_ivf_probe(
         parts, prev, query_vec_id, k, nprobe, dim,
         exclude_ids=exclude_ids, where_sql=where_sql, radius=radius,
+        metric=metric,
     )
 
 

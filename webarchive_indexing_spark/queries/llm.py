@@ -1539,6 +1539,71 @@ def emb_ann_range_search(spark, sf_dir):
 
 
 @query(
+    "emb_ivf_metric_ip",
+    oracle=sql_ivf_trained_topk(
+        query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=2,
+        metric="ip",
+    ),
+    tier="C",
+)
+def emb_ivf_metric_ip(spark, sf_dir):
+    """L3 INNER-PRODUCT serving (round 12 — FAISS
+    METRIC_INNER_PRODUCT, the metric recommendation/MIPS workloads
+    use where vector magnitude IS signal): the flat store keeps whole
+    vectors, so ONE stored index serves any metric — probe-cell
+    ranking and survivor scoring both switch to the raw 6dp dot
+    product (``metric='ip'``), descending, while the store's coarse
+    assignment stays its build-time property.  FAISS can't do this
+    (its quantizer owns one metric at build); here it's a query-time
+    parameter with recall governed by nprobe as usual.  The oracle
+    reruns the trained-IVF twin under the same metric — dot-ranked
+    probe cells, decimal-exact dot scores."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import ivf_index_probe_topk, write_ivf_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_ip_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qv = collect_query_vector(emb, 123)
+    return ivf_index_probe_topk(
+        spark, out, qv, k=10, nprobe=3, exclude_id=123, metric="ip"
+    )
+
+
+@query(
+    "emb_ivf_metric_l2",
+    oracle=sql_ivf_trained_topk(
+        query_vec_id=123, k=10, n_cents=8, nprobe=3, train_iters=2,
+        metric="l2", radius=1.6,
+    ),
+    tier="C",
+)
+def emb_ivf_metric_l2(spark, sf_dir):
+    """L2 metric serving composed with RANGE (round 12 — FAISS
+    METRIC_L2 range_search, the classic 'all points within distance
+    r' query): squared-distance scoring ASCENDING with the radius as
+    a distance CEILING, probe cells ranked by distance to the query —
+    all from the same flat store, switched at query time.  The oracle
+    reruns the trained-IVF twin under metric='l2' with the identical
+    ceiling, pinning both the ascending cell ranking and the
+    inclusive 6dp boundary."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import ivf_index_probe_range, write_ivf_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_l2_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qv = collect_query_vector(emb, 123)
+    return ivf_index_probe_range(
+        spark, out, qv, 1.6, nprobe=3, exclude_id=123, metric="l2"
+    )
+
+
+@query(
     "emb_ivfsq_range_search",
     oracle=__import__(
         "webarchive_indexing_spark.operators.similarity",

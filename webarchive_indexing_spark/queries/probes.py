@@ -249,6 +249,24 @@ def _p_ivf_range_batch(spark, ctx):
     )
 
 
+def _p_ivf_metric_ip(spark, ctx):
+    from ..sinks.ann_index import ivf_index_probe_topk
+
+    return ivf_index_probe_topk(
+        spark, ctx["dir"], ctx["qv"], k=10, nprobe=3, exclude_id=123,
+        metric="ip",
+    )
+
+
+def _p_ivf_metric_l2(spark, ctx):
+    from ..sinks.ann_index import ivf_index_probe_range
+
+    return ivf_index_probe_range(
+        spark, ctx["dir"], ctx["qv"], 1.6, nprobe=3, exclude_id=123,
+        metric="l2",
+    )
+
+
 def _p_ivf_filtered_batch(spark, ctx):
     from ..sinks.ann_index import ivf_index_probe_batch_topk
     from .llm import _ANN_FILTER_WHERES
@@ -416,5 +434,13 @@ PROBES: dict[str, Probe] = {
     "emb_ann_range_batch_probe": Probe(
         "emb_ann_range_batch", "ivf_store",
         _build_ivf_store, _p_ivf_range_batch,
+    ),
+    "emb_ivf_metric_ip_probe": Probe(
+        "emb_ivf_metric_ip", "ivf_store",
+        _build_ivf_store, _p_ivf_metric_ip,
+    ),
+    "emb_ivf_metric_l2_probe": Probe(
+        "emb_ivf_metric_l2", "ivf_store",
+        _build_ivf_store, _p_ivf_metric_l2,
     ),
 }

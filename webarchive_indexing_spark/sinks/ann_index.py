@@ -1828,12 +1828,12 @@ def ivf_index_probe_topk(
     where: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Top-k cosine neighbors from the STORED index: rank the probe
-    cells on the driver (quantizer-sized math), then scan ONLY those
-    ``cell=`` directories — partition pruning does the inverted-list
-    skip, no assignment recompute, no shuffle, top-k as
-    TakeOrderedAndProject.
+    """Top-k neighbors from the STORED index: rank the probe cells on
+    the driver (quantizer-sized math), then scan ONLY those ``cell=``
+    directories — partition pruning does the inverted-list skip, no
+    assignment recompute, no shuffle, top-k as TakeOrderedAndProject.
 
     ``where`` (round 12 — FAISS IDSelector / filtered vector search)
     is a SQL predicate over the store's ATTRIBUTE columns (any extra
@@ -1842,12 +1842,29 @@ def ivf_index_probe_topk(
     It applies BEFORE top-k, inside the same pruned scan — Catalyst
     pushes it into the parquet FileScan (plan-asserted), so k
     SURVIVORS are returned with recall intact, never k results
-    post-filtered down to fewer."""
+    post-filtered down to fewer.
+
+    ``metric`` (round 12 — FAISS METRIC_INNER_PRODUCT / METRIC_L2
+    parity): ``cosine`` (default, score column ``cos_sim`` DESC),
+    ``ip`` (``dot`` DESC), ``l2`` (``sq_dist`` ASC) — see
+    ``_ivf_scored_frame`` for the one-store-many-metrics contract."""
     out = _ivf_scored_frame(
         spark, out_dir, qv, nprobe=nprobe, exclude_id=exclude_id,
-        where=where, id_col=id_col, vec_col=vec_col,
+        where=where, id_col=id_col, vec_col=vec_col, metric=metric,
     )
-    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+    col, desc = _METRIC_COLS[metric]
+    order = F.col(col).desc() if desc else F.col(col).asc()
+    return out.orderBy(order, F.col(id_col).asc()).limit(k)
+
+
+#: metric → (score column name, descending?) for the flat-store
+#: probes.  FAISS METRIC_* parity on the QUERY side: cosine and inner
+#: product rank descending, squared L2 ascending.
+_METRIC_COLS = {
+    "cosine": ("cos_sim", True),
+    "ip": ("dot", True),
+    "l2": ("sq_dist", False),
+}
 
 
 def _ivf_scored_frame(
@@ -1860,21 +1877,35 @@ def _ivf_scored_frame(
     where: str | None,
     id_col: str,
     vec_col: str,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Shared flat-store probe body: pruned ``cell=`` scan →
-    tombstone/attr filters → exact 6dp cosine.  The top-k and range
-    probes both rank THIS frame — the two serving modes share one
-    scoring path by construction."""
+    tombstone/attr filters → exact 6dp score under ``metric``.  The
+    top-k and range probes both rank THIS frame — the two serving
+    modes share one scoring path by construction.
+
+    ``metric`` (round 12 — serving-side FAISS METRIC_* parity over
+    ONE stored index): ``cosine``/``ip``/``l2`` select both the
+    probe-cell ranking and the survivor score.  The store's coarse
+    ASSIGNMENT stays the build-time cosine argmax — the flat store
+    keeps whole vectors, so any metric can be served from the same
+    parquet without a rebuild (a flexibility FAISS, whose quantizer
+    owns one metric, does not have; recall under a non-build metric
+    degrades gracefully with nprobe exactly like any IVF probe)."""
     from ..operators.similarity import (
         cosine,
+        dot6,
         ivf_probe_cells,
         lit_double_array,
+        sqdist6,
     )
     from ..queries.helpers import hround
 
+    if metric not in _METRIC_COLS:
+        raise ValueError(f"unknown metric {metric!r}")
     store = resolve_store(out_dir)
     cents = read_ivf_centroids(store)
-    probe = ivf_probe_cells(cents, qv, nprobe)
+    probe = ivf_probe_cells(cents, qv, nprobe, metric=metric)
     df = spark.read.parquet(_join(store, "vectors")).filter(
         F.col("cell").isin(probe)
     )
@@ -1888,13 +1919,15 @@ def _ivf_scored_frame(
     # fallback past TOMBSTONE_ISIN_MAX keeps a never-compacted store
     # correct)
     df = _exclude_ids(spark, df, read_ann_tombstones(out_dir), id_col)
-    return df.select(
-        F.col(id_col),
-        F.col("cell"),
-        hround(cosine(F.col(vec_col), lit_double_array(qv)), 6).alias(
-            "cos_sim"
-        ),
-    )
+    q = lit_double_array(qv)
+    if metric == "cosine":
+        score = hround(cosine(F.col(vec_col), q), 6)
+    elif metric == "ip":
+        score = dot6(F.col(vec_col), q)
+    else:
+        score = sqdist6(F.col(vec_col), q)
+    col, _desc = _METRIC_COLS[metric]
+    return df.select(F.col(id_col), F.col("cell"), score.alias(col))
 
 
 def ivf_index_probe_range(
@@ -1908,23 +1941,27 @@ def ivf_index_probe_range(
     where: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """RANGE search over the flat store (FAISS ``range_search``
     semantics, the serving mode ``search``/top-k cannot express):
-    every stored vector in the probed cells with exact cosine
-    similarity ``>= radius`` — no k, result size is data-dependent
-    (duplicate sweeps, recall audits, similar-content takedowns all
-    want *all* hits past a threshold, not the nearest k).  Shares the
-    scored frame with ``ivf_index_probe_topk`` (same pruned scan,
-    tombstones, pushed ``where``); the cut applies to the 6dp-rounded
-    score so the boundary is engine-portable.  FAISS returns range
-    hits unordered; we order (sim DESC, id ASC) for determinism.
-    Plan: pruned FileScan → map-side score → filter → sort; zero
-    joins, no shuffle beyond the final ordering."""
+    every stored vector in the probed cells past the radius — no k,
+    result size is data-dependent (duplicate sweeps, recall audits,
+    similar-content takedowns all want *all* hits past a threshold,
+    not the nearest k).  Shares the scored frame with
+    ``ivf_index_probe_topk`` (same pruned scan, tombstones, pushed
+    ``where``); the cut applies to the 6dp-rounded score so the
+    boundary is engine-portable.  Under ``cosine``/``ip`` the cut is
+    ``score >= radius``; under ``l2`` it is ``sq_dist <= radius``
+    (FAISS's distance-threshold convention).  FAISS returns range
+    hits unordered; we order (score, id) for determinism.  Plan:
+    pruned FileScan → map-side score → filter → sort; zero joins, no
+    shuffle beyond the final ordering."""
     out = _ivf_scored_frame(
         spark, out_dir, qv, nprobe=nprobe, exclude_id=exclude_id,
-        where=where, id_col=id_col, vec_col=vec_col,
+        where=where, id_col=id_col, vec_col=vec_col, metric=metric,
     )
-    return out.filter(F.col("cos_sim") >= radius).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
+    col, desc = _METRIC_COLS[metric]
+    cut = F.col(col) >= radius if desc else F.col(col) <= radius
+    order = F.col(col).desc() if desc else F.col(col).asc()
+    return out.filter(cut).orderBy(order, F.col(id_col).asc())
