@@ -188,6 +188,7 @@ HEADLINE = [
     "emb_ann_range_batch",
     "emb_ivf_metric_ip",
     "emb_ivf_metric_l2",
+    "events_zorder_box",
 ]
 
 

@@ -54,3 +54,60 @@ def test_bucketed_join_equals_plain_join(spark, sf_dir, bucketed):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_zorder_prunes_where_linear_sort_cannot(spark, sf_dir):
+    """The z-order claim, measured from the parquet footers the
+    reader actually prunes with: clustered on the Morton interleave
+    of (user_id, value), each file bounds BOTH columns, so a box
+    query's value predicate skips most files — while under a
+    user_id-sorted layout every file spans ~the full value range and
+    the value predicate prunes (almost) nothing.  Also: the layout
+    rewrite loses no rows and the sidecar records the recipe."""
+    import json
+    import os
+    import tempfile
+
+    from webarchive_indexing_spark.operators.bucketing import (
+        parquet_files_intersecting,
+        write_zordered,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    zdir = tempfile.mkdtemp(prefix="zo_ev_")
+    stats = write_zordered(ev, zdir, ["user_id", "value"], n_files=16)
+    assert set(stats) == {"user_id", "value"}
+
+    ldir = tempfile.mkdtemp(prefix="lin_ev_")
+    (
+        ev.repartitionByRange(16, F.col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    # the value predicate alone (the dimension the user-sorted layout
+    # CANNOT prune): every linear file spans ~the full value range, so
+    # the tail box intersects them all; under z-order the value bits
+    # bound each file and most files skip
+    z_val, z_total = parquet_files_intersecting(zdir, "value", 150.0, 400.0)
+    l_val, l_total = parquet_files_intersecting(ldir, "value", 150.0, 400.0)
+    assert l_val >= l_total - 1, (l_val, l_total)
+    assert z_val <= z_total // 2, (z_val, z_total)
+    assert z_val < l_val
+
+    # ...while the leading dimension still prunes under z-order too
+    z_uid, _ = parquet_files_intersecting(zdir, "user_id", 2.0, 5.0)
+    assert z_uid <= z_total - 2, (z_uid, z_total)
+
+    # layout-only: same rows back, original schema, sidecar intact
+    back = spark.read.parquet(zdir)
+    assert back.columns == ev.columns
+    assert back.count() == ev.count()
+    assert (
+        back.selectExpr("sum(hash(event_id))").first()[0]
+        == ev.selectExpr("sum(hash(event_id))").first()[0]
+    )
+    with open(os.path.join(zdir, "_zorder.json")) as fh:
+        side = json.load(fh)
+    assert side["cols"] == ["user_id", "value"] and side["n_files"] == 16

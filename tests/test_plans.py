@@ -916,3 +916,18 @@ def test_pq_range_probe_codes_only_no_join(spark, sf_dir):
     assert "array" not in schema, f"PQ range probe reads vectors: {schema}"
     assert "Join" not in plan
     assert plan.count("Exchange") == 1, plan[:900]
+
+
+def test_zorder_box_pushes_both_predicates(spark, sf_dir):
+    """The z-ordered table is read by the PLAIN parquet reader — both
+    box predicates must reach PushedFilters so footer stats can do
+    the file/row-group skipping the layout was built for; no custom
+    reader, no join, no exchange (the filter+project is map-side)."""
+    plan = _plan(spark, sf_dir, "events_zorder_box")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "user_id" in pushed and "value" in pushed, pushed
+    assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed, pushed
+    assert "Exchange" not in plan, plan[:900]
+    assert "Join" not in plan

@@ -43,3 +43,116 @@ def bucketed_join(
     counts Catalyst plans a SortMergeJoin with NO exchange on either
     side (assert via .explain — see tests/test_bucketing.py)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def write_zordered(
+    df: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    n_files: int = 16,
+) -> dict:
+    """Z-ORDER clustering (the Delta/Iceberg ``OPTIMIZE ZORDER``
+    layout technique): co-locate rows that are close in EVERY listed
+    dimension, so parquet min/max stats prune multi-predicate scans.
+
+    A single-column sort prunes only its leading column — at 100 TB a
+    box query ``user BETWEEN .. AND value BETWEEN ..`` over a
+    user-sorted table still reads every file for the value predicate
+    (each file spans the full value range).  Interleaving the bits of
+    the range-normalized dimensions into one Morton key and
+    range-partitioning + sorting on it bounds BOTH dimensions per
+    file, so every file's footer stats exclude it from most boxes.
+
+    Mechanics: one tiny min/max aggregate per column (driver-sized),
+    each value scaled linearly into ``bits`` buckets, buckets bit-
+    interleaved into the Morton key, ``repartitionByRange`` + local
+    sort on the key (dropped before write — layout-only, the stored
+    schema is the input schema), plus a ``_zorder.json`` sidecar (underscore-prefixed so parquet readers ignore it)
+    recording the recipe.  Returns the per-column (min, max) stats.
+    The read path is PLAIN ``spark.read.parquet`` — pruning is
+    Catalyst's ordinary pushdown meeting better-organized footers, no
+    custom reader."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{j}") for j, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{j}") for j, c in enumerate(cols)],
+    ).first()
+    stats = {
+        c: (float(row[f"mn_{j}"]), float(row[f"mx_{j}"]))
+        for j, c in enumerate(cols)
+    }
+    ncols = len(cols)
+    terms = []
+    top = (1 << bits) - 1
+    for j, c in enumerate(cols):
+        mn, mx = stats[c]
+        span = (mx - mn) or 1.0
+        scaled = (
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+        ) * F.lit(float(top))
+        b = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.floor(scaled).cast("bigint"), F.lit(top).cast("bigint")),
+        )
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                    i * ncols + j,
+                )
+            )
+    import functools
+
+    zval = functools.reduce(lambda x, y: x + y, terms)
+    (
+        df.withColumn("__z", zval)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    with open(os.path.join(out_dir, "_zorder.json"), "w") as fh:
+        json.dump(
+            {"cols": cols, "bits": bits, "n_files": n_files,
+             "stats": {c: list(v) for c, v in stats.items()}},
+            fh,
+        )
+    return stats
+
+
+def parquet_files_intersecting(
+    out_dir: str, col: str, lo: float, hi: float
+) -> tuple[int, int]:
+    """(intersecting, total) data files under ``out_dir`` whose
+    parquet footer min/max for ``col`` intersect ``[lo, hi]`` — the
+    file-skipping a stats-aware reader performs, computed from the
+    same footers.  Evidence helper for layout tests; not a query
+    path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    inter = total = 0
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out_dir, name)).metadata
+        total += 1
+        lo_f = hi_f = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                cc = md.row_group(rg).column(ci)
+                if cc.path_in_schema == col and cc.statistics is not None:
+                    mn, mx = cc.statistics.min, cc.statistics.max
+                    lo_f = mn if lo_f is None else min(lo_f, mn)
+                    hi_f = mx if hi_f is None else max(hi_f, mx)
+        if lo_f is None or (hi_f >= lo and lo_f <= hi):
+            inter += 1
+    return inter, total

@@ -700,3 +700,41 @@ def win_range_frame(spark, sf_dir):
         .cast("double")
         .alias("sum_30d"),
     )
+
+
+@query(
+    "events_zorder_box",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE user_id BETWEEN 2 AND 5 AND value BETWEEN 150 AND 400
+    """,
+    tier="C",
+)
+def events_zorder_box(spark, sf_dir):
+    """Z-ORDER clustered layout (round 12 — the Delta/Iceberg
+    OPTIMIZE ZORDER technique, the data-layout lever a 100 TB events
+    table needs for multi-dimensional slicing): the table is
+    rewritten clustered on the Morton interleave of (user_id, value),
+    then a BOX query filters BOTH dimensions through the plain
+    parquet reader — every file's footer now bounds both columns, so
+    stats-based skipping prunes most files where a single-column sort
+    layout prunes only its leading column (the pruning ratio and the
+    one-dim-sorted counterexample are pinned in
+    tests/test_bucketing.py; both predicates reach PushedFilters,
+    plan-asserted).  The oracle is the same box over the original
+    table — a layout rewrite must never change an answer."""
+    import tempfile
+
+    from ..operators.bucketing import write_zordered
+
+    ev = t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="zorder_ev_")
+    write_zordered(ev, out, ["user_id", "value"], n_files=16)
+    return (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("user_id") >= 2) & (F.col("user_id") <= 5)
+            & (F.col("value") >= 150) & (F.col("value") <= 400)
+        )
+        .select("event_id", "user_id", "value")
+    )
