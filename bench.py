@@ -189,6 +189,7 @@ HEADLINE = [
     "emb_ivf_metric_ip",
     "emb_ivf_metric_l2",
     "events_zorder_box",
+    "events_zorder_quantile_box",
 ]
 
 

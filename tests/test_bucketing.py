@@ -111,3 +111,46 @@ def test_zorder_prunes_where_linear_sort_cannot(spark, sf_dir):
     with open(os.path.join(zdir, "_zorder.json")) as fh:
         side = json.load(fh)
     assert side["cols"] == ["user_id", "value"] and side["n_files"] == 16
+
+
+def test_zorder_quantile_bucketing_prunes_dense_regions(spark, sf_dir):
+    """The skewed-dimension fix: under LINEAR bucketing the events
+    value column (heavy lower tail) wastes buckets on its sparse top,
+    so a DENSE-region box intersects most files; equi-depth QUANTILE
+    bucketing gives every file a similar row share per dimension, so
+    the same dense box prunes.  Row content stays identical."""
+    import tempfile
+
+    from webarchive_indexing_spark.operators.bucketing import (
+        parquet_files_intersecting,
+        write_zordered,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lin = tempfile.mkdtemp(prefix="zo_lin_")
+    qtl = tempfile.mkdtemp(prefix="zo_qtl_")
+    write_zordered(ev, lin, ["user_id", "value"], n_files=16)
+    write_zordered(
+        ev, qtl, ["user_id", "value"], n_files=16, bucketing="quantile"
+    )
+
+    # a NARROW box in the dense region (~11% of the row mass): linear
+    # bucketing compresses the dense region into few buckets, so most
+    # files' value ranges overlap it; equi-depth buckets resolve the
+    # dense region finely and most files skip
+    l_val, l_total = parquet_files_intersecting(lin, "value", 40.0, 55.0)
+    q_val, q_total = parquet_files_intersecting(qtl, "value", 40.0, 55.0)
+    assert q_val < l_val, (q_val, l_val)
+    assert q_val <= q_total // 2, (q_val, q_total)
+
+    got = spark.read.parquet(qtl)
+    assert got.count() == ev.count()
+    assert (
+        got.selectExpr("sum(hash(event_id))").first()[0]
+        == ev.selectExpr("sum(hash(event_id))").first()[0]
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown bucketing"):
+        write_zordered(ev, lin, ["user_id"], bucketing="hilbert")

@@ -491,6 +491,18 @@ def test_parse_web_image_header_golden():
     d = parse_image_header(build_webp_header(640, 480, variant="vp8"))
     assert d == {"format": "webp-vp8", "width": 640, "height": 480,
                  "color_depth": 24}
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_tiff_header,
+    )
+
+    d = parse_image_header(build_tiff_header(77, 66, samples=3))
+    assert d == {"format": "tiff-le", "width": 77, "height": 66,
+                 "color_depth": 24}
+    d = parse_image_header(
+        build_tiff_header(77, 66, big_endian=True, bits=16, samples=2)
+    )
+    assert d == {"format": "tiff-be", "width": 77, "height": 66,
+                 "color_depth": 32}
     # a VP8X container whose image chunk follows metadata chunks still
     # parses: prepend an ICCP chunk the walk must skip (word-aligned)
     import struct
@@ -525,6 +537,12 @@ def test_parse_web_image_header_damage_tolerance():
         build_webp_header(12, 34, variant="vp8l", alpha=True),
         build_webp_header(12, 34, variant="vp8"),
     ]
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_tiff_header,
+    )
+
+    samples.append(build_tiff_header(12, 34, samples=3))
+    samples.append(build_tiff_header(12, 34, big_endian=True, bits=16))
     for b in samples:
         for cut in range(len(b)):
             try:

@@ -52,6 +52,7 @@ def write_zordered(
     *,
     bits: int = 16,
     n_files: int = 16,
+    bucketing: str = "linear",
 ) -> dict:
     """Z-ORDER clustering (the Delta/Iceberg ``OPTIMIZE ZORDER``
     layout technique): co-locate rows that are close in EVERY listed
@@ -65,20 +66,33 @@ def write_zordered(
     range-partitioning + sorting on it bounds BOTH dimensions per
     file, so every file's footer stats exclude it from most boxes.
 
-    Mechanics: one tiny min/max aggregate per column (driver-sized),
-    each value scaled linearly into ``bits`` buckets, buckets bit-
-    interleaved into the Morton key, ``repartitionByRange`` + local
-    sort on the key (dropped before write — layout-only, the stored
-    schema is the input schema), plus a ``_zorder.json`` sidecar (underscore-prefixed so parquet readers ignore it)
-    recording the recipe.  Returns the per-column (min, max) stats.
-    The read path is PLAIN ``spark.read.parquet`` — pruning is
-    Catalyst's ordinary pushdown meeting better-organized footers, no
-    custom reader."""
+    ``bucketing`` picks the normalization:
+
+    * ``linear`` — one tiny min/max aggregate, values scaled linearly
+      into ``bits`` buckets.  Right for ~uniform dimensions; a skewed
+      dimension wastes buckets on its empty tail, so boxes in the
+      DENSE region still touch many files.
+    * ``quantile`` — ``approxQuantile`` boundaries (equi-depth, the
+      Delta OPTIMIZE behavior), bucket = #boundaries ≤ value via a
+      JVM-side fold; ``bits`` is capped at 8 (255 boundary literals).
+      Equal rows per bucket regardless of skew, so dense-region boxes
+      prune as well as tail boxes.
+
+    Buckets are bit-interleaved into the Morton key,
+    ``repartitionByRange`` + local sort on the key (dropped before
+    write — layout-only, the stored schema is the input schema), plus
+    a ``_zorder.json`` sidecar (underscore-prefixed so parquet
+    readers ignore it) recording the recipe.  Returns the per-column
+    (min, max) stats.  The read path is PLAIN ``spark.read.parquet``
+    — pruning is Catalyst's ordinary pushdown meeting
+    better-organized footers, no custom reader."""
     import json
     import os
 
     from pyspark.sql import functions as F
 
+    if bucketing not in ("linear", "quantile"):
+        raise ValueError(f"unknown bucketing {bucketing!r}")
     row = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{j}") for j, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{j}") for j, c in enumerate(cols)],
@@ -89,17 +103,42 @@ def write_zordered(
     }
     ncols = len(cols)
     terms = []
+    bounds: dict[str, list[float]] = {}
+    if bucketing == "quantile":
+        bits = min(bits, 8)
+        nb = (1 << bits) - 1
+        probs = [i / (nb + 1) for i in range(1, nb + 1)]
+        qcols = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        )
+        # one pass computes every column's boundaries; boundaries only
+        # shape the LAYOUT (never an answer), so a loose sketch error
+        # is free accuracy-wise and much cheaper to merge
+        allq = qcols.stat.approxQuantile(cols, probs, 0.01)
+        for c, qs in zip(cols, allq):
+            bounds[c] = qs
     top = (1 << bits) - 1
     for j, c in enumerate(cols):
-        mn, mx = stats[c]
-        span = (mx - mn) or 1.0
-        scaled = (
-            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
-        ) * F.lit(float(top))
-        b = F.greatest(
-            F.lit(0).cast("bigint"),
-            F.least(F.floor(scaled).cast("bigint"), F.lit(top).cast("bigint")),
-        )
+        if bucketing == "quantile":
+            lits = ",".join(f"{b!r}D" for b in bounds[c])
+            b = F.expr(
+                f"aggregate(array({lits}), 0L, (acc, bd) -> "
+                f"acc + CASE WHEN CAST(`{c}` AS DOUBLE) >= bd "
+                f"THEN 1L ELSE 0L END)"
+            )
+        else:
+            mn, mx = stats[c]
+            span = (mx - mn) or 1.0
+            scaled = (
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+            ) * F.lit(float(top))
+            b = F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(
+                    F.floor(scaled).cast("bigint"),
+                    F.lit(top).cast("bigint"),
+                ),
+            )
         for i in range(bits):
             terms.append(
                 F.shiftleft(
@@ -121,7 +160,9 @@ def write_zordered(
     with open(os.path.join(out_dir, "_zorder.json"), "w") as fh:
         json.dump(
             {"cols": cols, "bits": bits, "n_files": n_files,
-             "stats": {c: list(v) for c, v in stats.items()}},
+             "bucketing": bucketing,
+             "stats": {c: list(v) for c, v in stats.items()},
+             "bounds": bounds},
             fh,
         )
     return stats

@@ -339,6 +339,49 @@ def parse_image_header(payload) -> dict:
                 }
             i = p + size + (size & 1)  # RIFF chunks are word-aligned
         raise ValueError("webp: no image chunk found")
+    if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        # TIFF: byte-order mark + magic 42, then a chain of IFDs whose
+        # 12-byte entries carry (tag, type, count, value).  Width=256,
+        # Length=257, BitsPerSample=258, SamplesPerPixel=277; SHORT(3)
+        # and LONG(4) values of count 1 are inline in the value field.
+        end = "<" if b[:2] == b"II" else ">"
+        if len(b) < 8:
+            raise ValueError("tiff: truncated header")
+        ifd_off = struct.unpack_from(f"{end}I", b, 4)[0]
+        if ifd_off + 2 > len(b):
+            raise ValueError("tiff: IFD offset out of range")
+        n = struct.unpack_from(f"{end}H", b, ifd_off)[0]
+        if ifd_off + 2 + 12 * n > len(b):
+            raise ValueError("tiff: truncated IFD")
+        w = h = None
+        bits, samples = 8, 1
+        for e in range(n):
+            off = ifd_off + 2 + 12 * e
+            tag, typ, cnt = struct.unpack_from(f"{end}HHI", b, off)
+            if typ == 3:  # SHORT — inline, left-justified per order
+                val = struct.unpack_from(f"{end}H", b, off + 8)[0]
+            elif typ == 4:  # LONG
+                val = struct.unpack_from(f"{end}I", b, off + 8)[0]
+            else:
+                continue
+            if cnt != 1:
+                continue  # multi-valued (offset-indirect) — skip
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+            elif tag == 258:
+                bits = val
+            elif tag == 277:
+                samples = val
+        if not w or not h:
+            raise ValueError("tiff: IFD carries no dimensions")
+        return {
+            "format": "tiff-le" if end == "<" else "tiff-be",
+            "width": w,
+            "height": h,
+            "color_depth": bits * samples,
+        }
     raise NotImplementedError("unknown image magic")
 
 
@@ -429,16 +472,49 @@ def build_webp_header(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def build_tiff_header(
+    w: int, h: int, *, big_endian: bool = False, bits: int = 8,
+    samples: int = 1,
+) -> bytes:
+    """Minimal single-IFD TIFF: byte-order mark, magic 42, one IFD
+    with ImageWidth/ImageLength (LONG), BitsPerSample (SHORT, count
+    1) and SamplesPerPixel (SHORT) — both byte orders, so the parser's
+    endian dispatch is exercised."""
+    import struct
+
+    end = ">" if big_endian else "<"
+
+    def entry(tag: int, typ: int, val: int) -> bytes:
+        head = struct.pack(f"{end}HHI", tag, typ, 1)
+        if typ == 3:  # SHORT is left-justified in the 4-byte field
+            v = struct.pack(f"{end}H", val) + b"\x00\x00"
+        else:
+            v = struct.pack(f"{end}I", val)
+        return head + v
+
+    entries = [
+        entry(256, 4, w),
+        entry(257, 4, h),
+        entry(258, 3, bits),
+        entry(277, 3, samples),
+    ]
+    ifd = struct.pack(f"{end}H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    bom = b"MM\x00\x2a" if big_endian else b"II\x2a\x00"
+    return bom + struct.pack(f"{end}I", 8) + ifd
+
+
 def synthesize_web_image_payloads(docs: DataFrame) -> DataFrame:
     """Deterministic web-format fixtures (round 12 — the formats a
     real WARC media column is full of beyond JPEG/PNG): per doc a
-    (3 + id%12)×(2 + id%9) image — GIF87a for id%5==0, GIF89a
+    (3 + id%12)×(2 + id%9) image — GIF87a for id%7==0, GIF89a
     (palette bits 1 + id%8) for 1, WebP VP8X for 2, WebP VP8L for 3,
-    WebP lossy VP8 for 4; alpha on the even ids of the VP8X arm and
-    the odd ids of the VP8L arm; every id%17==0 payload truncated to
-    8 bytes (the damage arm — parsers must yield 'unsupported', not
-    die).  Dims/depth are pure arithmetic, so a SQL oracle recomputes
-    them without touching binary."""
+    WebP lossy VP8 for 4, little-endian TIFF (8-bit × 1 + id%3
+    samples) for 5, big-endian TIFF (16-bit × 1 + id%2 samples) for
+    6; alpha on the even ids of the VP8X arm and the odd ids of the
+    VP8L arm; every id%17==0 payload truncated to 8 bytes (the
+    damage arm — parsers must yield 'unsupported', not die).
+    Dims/depth are pure arithmetic, so a SQL oracle recomputes them
+    without touching binary."""
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -448,7 +524,7 @@ def synthesize_web_image_payloads(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 w, h = 3 + i % 12, 2 + i % 9
-                arm = i % 5
+                arm = i % 7
                 if arm == 0:
                     p = build_gif_header(
                         w, h, version=b"87a", palette_bits=1 + i % 8
@@ -465,8 +541,14 @@ def synthesize_web_image_payloads(docs: DataFrame) -> DataFrame:
                     p = build_webp_header(
                         w, h, variant="vp8l", alpha=i % 2 == 1
                     )
-                else:
+                elif arm == 4:
                     p = build_webp_header(w, h, variant="vp8")
+                elif arm == 5:
+                    p = build_tiff_header(w, h, samples=1 + i % 3)
+                else:
+                    p = build_tiff_header(
+                        w, h, big_endian=True, bits=16, samples=1 + i % 2
+                    )
                 if i % 17 == 0:
                     p = p[:8]
                 ids.append(i)

@@ -4059,21 +4059,24 @@ def multimodal_image_dims(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            CASE WHEN doc_id % 17 = 0 THEN 'unsupported'
-                ELSE CASE doc_id % 5
+                ELSE CASE doc_id % 7
                      WHEN 0 THEN 'gif87a' WHEN 1 THEN 'gif89a'
                      WHEN 2 THEN 'webp-vp8x' WHEN 3 THEN 'webp-vp8l'
-                     ELSE 'webp-vp8' END END AS format,
+                     WHEN 4 THEN 'webp-vp8' WHEN 5 THEN 'tiff-le'
+                     ELSE 'tiff-be' END END AS format,
            CASE WHEN doc_id % 17 = 0 THEN NULL
                 ELSE CAST(3 + doc_id % 12 AS INT) END AS width,
            CASE WHEN doc_id % 17 = 0 THEN NULL
                 ELSE CAST(2 + doc_id % 9 AS INT) END AS height,
            CASE WHEN doc_id % 17 = 0 THEN NULL
-                ELSE CAST(CASE doc_id % 5
+                ELSE CAST(CASE doc_id % 7
                      WHEN 0 THEN 1 + doc_id % 8
                      WHEN 1 THEN 1 + doc_id % 8
                      WHEN 2 THEN CASE WHEN doc_id % 2 = 0 THEN 32 ELSE 24 END
                      WHEN 3 THEN CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 24 END
-                     ELSE 24 END AS INT) END AS color_depth
+                     WHEN 4 THEN 24
+                     WHEN 5 THEN 8 * (1 + doc_id % 3)
+                     ELSE 16 * (1 + doc_id % 2) END AS INT) END AS color_depth
     FROM documents WHERE doc_id < 400
     """,
     tier="C",
@@ -4085,7 +4088,9 @@ def multimodal_web_image_dims(spark, sf_dir):
     bits → palette depth) and all three WebP chunk grammars — VP8X
     extended (24-bit canvas dims minus one + alpha flag), VP8L
     lossless (signature byte + packed 14-bit bitfield), VP8 lossy
-    (keyframe start code + 14-bit LE dims) — parsed from HEADER bytes
+    (keyframe start code + 14-bit LE dims) — plus TIFF in BOTH byte
+    orders (BOM dispatch, IFD entry walk, SHORT/LONG inline values,
+    BitsPerSample x SamplesPerPixel depth) — parsed from HEADER bytes
     alone via the same RIFF chunk walk the audio parser uses, pure
     Python, Arrow-batched, single pass, no shuffle.  Fixtures include
     a truncation damage arm (every 17th payload cut to 8 bytes →

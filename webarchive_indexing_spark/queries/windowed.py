@@ -738,3 +738,42 @@ def events_zorder_box(spark, sf_dir):
         )
         .select("event_id", "user_id", "value")
     )
+
+
+@query(
+    "events_zorder_quantile_box",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE user_id BETWEEN 2 AND 5 AND value BETWEEN 40 AND 55
+    """,
+    tier="C",
+)
+def events_zorder_quantile_box(spark, sf_dir):
+    """EQUI-DEPTH z-order (round 12 — the skewed-dimension fix, what
+    Delta's OPTIMIZE actually computes): the events value column is
+    bottom-heavy, so linear Morton bucketing compresses the dense
+    region into few buckets and a narrow dense-region box still
+    touches most files; quantile bucketing (approxQuantile
+    boundaries, bucket = boundaries-passed via a JVM-side fold)
+    spends buckets where the rows are, so the same box prunes (the
+    footer-measured linear-vs-quantile skip comparison is pinned in
+    tests/test_bucketing.py).  The oracle is the plain box over the
+    original table: bucketing strategy, like the layout itself, must
+    never change an answer."""
+    import tempfile
+
+    from ..operators.bucketing import write_zordered
+
+    ev = t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="zorder_q_ev_")
+    write_zordered(
+        ev, out, ["user_id", "value"], n_files=16, bucketing="quantile"
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("user_id") >= 2) & (F.col("user_id") <= 5)
+            & (F.col("value") >= 40) & (F.col("value") <= 55)
+        )
+        .select("event_id", "user_id", "value")
+    )
