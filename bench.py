@@ -190,6 +190,8 @@ HEADLINE = [
     "emb_ivf_metric_l2",
     "events_zorder_box",
     "events_zorder_quantile_box",
+    "emb_ivfpq_range_batch",
+    "emb_ivfsq_range_batch",
 ]
 
 

@@ -1053,3 +1053,31 @@ def test_parquet_epoch_store_composed_query(spark, warc_manifest, tmp_path,
     verdicts = {r["urlkey"]: r["access"] for r in judged}
     assert any(v == "block" for v in verdicts.values())
     assert any(v == "allow" for v in verdicts.values())
+
+
+def test_cli_zorder_subcommand(spark, sf_dir, tmp_path):
+    """`zorder` is argv-reachable: rewrites a parquet table clustered
+    on the given columns (quantile mode flagged through), preserves
+    every row, writes the recipe sidecar, and refuses an empty
+    --cols."""
+    import json
+
+    from webarchive_indexing_spark.__main__ import main
+    from webarchive_indexing_spark.tables import load_table
+
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_z")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.parquet(src)
+    rc = main([
+        "zorder", src, out, "--cols", "user_id,value",
+        "--bucketing", "quantile", "--n-files", "8",
+    ])
+    assert rc in (0, None)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    with open(out + "/_zorder.json") as fh:
+        side = json.load(fh)
+    assert side["cols"] == ["user_id", "value"]
+    assert side["bucketing"] == "quantile" and side["n_files"] == 8
+    assert main(["zorder", src, out, "--cols", " "]) == 2

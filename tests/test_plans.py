@@ -931,3 +931,35 @@ def test_zorder_box_pushes_both_predicates(spark, sf_dir):
     assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed, pushed
     assert "Exchange" not in plan, plan[:900]
     assert "Join" not in plan
+
+
+def test_pq_batch_range_no_window_codes_only(spark, sf_dir):
+    """PQ batch range: one union-pruned codes-only scan (no vector
+    array in ReadSchema), per-request ADC + ceilings map-side, NO
+    window, one output-ordering exchange."""
+    plan = _plan(spark, sf_dir, "emb_ivfpq_range_batch")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "j0" in schema and "array" not in schema, schema
+    assert "Window" not in plan, plan[:900]
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan[:900]
+
+
+def test_sq_batch_range_no_window_quantized_only(spark, sf_dir):
+    """SQ8 batch range: one union-pruned quantized scan (scale +
+    codes, no float embedding), per-request radius floors map-side,
+    NO window, one output-ordering exchange."""
+    plan = _plan(spark, sf_dir, "emb_ivfsq_range_batch")
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+    scan = plan.split("FileScan parquet", 1)[1]
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part, part
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "scale" in schema and "embedding" not in schema, schema
+    assert "Window" not in plan, plan[:900]
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan[:900]

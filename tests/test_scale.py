@@ -2084,3 +2084,73 @@ def test_metric_probe_families(spark, sf_dir):
         ann_index.ivf_index_probe_topk(
             spark, flat, qv, k=5, metric="hamming"
         )
+
+
+def test_pq_range_batch_equals_per_request_loop(spark, sf_dir):
+    """The PQ batch range probe's per-request rows equal the
+    one-at-a-time PQ range loop (heterogeneous ADC ceilings)."""
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [77, 123, 55, 321]
+    radii = [1.05, 1.05, 1.1, 1.08]
+    vecs = {q: collect_query_vector(emb, q) for q in qids}
+    pq = tempfile.mkdtemp(prefix="ivfpq_rb_")
+    ann_index.write_ivfpq_index(
+        emb, pq, n_cells=8, n_sub=4, k_codes=8, train_iters=2
+    )
+    batch = ann_index.ivfpq_index_probe_batch_range(
+        spark, pq, [vecs[q] for q in qids], radii,
+        nprobe=3, exclude_ids=qids,
+    ).collect()
+    assert batch, "ADC ceilings should match something at every sf"
+    for i, (qid, r) in enumerate(zip(qids, radii)):
+        one = ann_index.ivfpq_index_probe_range(
+            spark, pq, vecs[qid], r, nprobe=3, exclude_id=qid
+        ).collect()
+        got_i = [
+            (row.vec_id, row.cell, row.approx_dist)
+            for row in batch
+            if row.request_no == i
+        ]
+        assert got_i == [
+            (row.vec_id, row.cell, row.approx_dist) for row in one
+        ]
+
+
+def test_sq_range_batch_equals_per_request_loop(spark, sf_dir):
+    """The SQ8 batch range probe's per-request rows equal the
+    one-at-a-time SQ8 range loop (heterogeneous radius floors)."""
+    import tempfile
+
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [77, 123, 55, 321]
+    radii = [0.15, 0.15, 0.18, 0.12]
+    vecs = {q: collect_query_vector(emb, q) for q in qids}
+    sq = tempfile.mkdtemp(prefix="ivfsq_rb_")
+    ann_index.write_ivfsq_index(emb, sq, n_cents=8, train_iters=2)
+    batch = ann_index.ivfsq_index_probe_batch_range(
+        spark, sq, [vecs[q] for q in qids], radii,
+        nprobe=3, exclude_ids=qids,
+    ).collect()
+    assert batch, "radius floors should match something at every sf"
+    for i, (qid, r) in enumerate(zip(qids, radii)):
+        one = ann_index.ivfsq_index_probe_range(
+            spark, sq, vecs[qid], r, nprobe=3, exclude_id=qid
+        ).collect()
+        got_i = [
+            (row.vec_id, row.cell, row.cos_sim)
+            for row in batch
+            if row.request_no == i
+        ]
+        assert got_i == [(row.vec_id, row.cell, row.cos_sim) for row in one]

@@ -72,6 +72,23 @@ def _parser() -> argparse.ArgumentParser:
                     help="intra-file split threshold for oversized "
                          "gzipped WARCs (bytes)")
 
+    zo = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet table clustered on the Morton "
+             "interleave of the given columns (round 12: the "
+             "OPTIMIZE ZORDER layout move — multi-predicate box "
+             "scans prune via footer stats afterwards)")
+    zo.add_argument("in_path")
+    zo.add_argument("out_dir")
+    zo.add_argument("--cols", required=True, metavar="C1,C2",
+                    help="dimensions to co-cluster (numeric)")
+    zo.add_argument("--bits", type=int, default=16)
+    zo.add_argument("--n-files", type=int, default=16)
+    zo.add_argument("--bucketing", choices=("linear", "quantile"),
+                    default="linear",
+                    help="quantile = equi-depth boundaries (right "
+                         "for skewed dimensions)")
+
     bp = sub.add_parser("build-parquet-index",
                         help="manifest -> columnar (cc-index-table-layout) "
                              "parquet index")
@@ -321,6 +338,17 @@ def _dispatch(args, spark) -> int:
             keep_payload=prefixes,
         )
         media_meta(kept).write.mode("overwrite").parquet(args.out_dir)
+    elif args.cmd == "zorder":
+        from .operators.bucketing import write_zordered
+
+        cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+        if not cols:
+            raise ValueError("zorder: --cols must name at least one column")
+        write_zordered(
+            spark.read.parquet(args.in_path), args.out_dir, cols,
+            bits=args.bits, n_files=args.n_files,
+            bucketing=args.bucketing,
+        )
     elif args.cmd == "zipnum-cluster":
         from .plans.pipeline import cluster_from_cdx_gz
 

@@ -2179,6 +2179,109 @@ def emb_ann_range_batch(spark, sf_dir):
     )
 
 
+_PQ_RANGE_RADII = (1.05, 1.05, 1.1, 1.08)
+
+
+def _ivfpq_range_batch_sql() -> str:
+    """UNION ALL of the residual-ADC RANGE twin per request."""
+    subs = []
+    for i, (qid, r) in enumerate(zip(_ANN_BATCH_QIDS, _PQ_RANGE_RADII)):
+        inner = sql_ivfadc_residual_topk(
+            query_vec_id=qid, n_cells=8, nprobe=3, n_sub=4, k_codes=8,
+            train_iters=2, radius=r,
+        )
+        subs.append(f"SELECT {i} AS request_no, q.* FROM ({inner}) q")
+    return " UNION ALL ".join(subs)
+
+
+@query(
+    "emb_ivfpq_range_batch",
+    oracle=_ivfpq_range_batch_sql(),
+    tier="C",
+)
+def emb_ivfpq_range_batch(spark, sf_dir):
+    """Batch RANGE over the PQ store (round 12 — with the SQ8 twin
+    below, every layout serves single and batch, top-k and range):
+    N (query, ADC-distance-ceiling) requests from ONE
+    union-pruned codes-only scan, per-request ADC in the struct arms,
+    the ceilings applied map-side through a request_no CASE — no
+    window, no vector bytes, one output-ordering exchange.  The
+    oracle UNION ALLs the residual-ADC radius twin per request, so
+    the hash match proves each request's batch rows equal its
+    one-at-a-time PQ range answer."""
+    import tempfile
+
+    from ..sinks.ann_index import (
+        ivfpq_index_probe_batch_range,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_rangebatch_")
+    write_ivfpq_index(emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2)
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return ivfpq_index_probe_batch_range(
+        spark, out, [vecs[q] for q in qids], list(_PQ_RANGE_RADII),
+        nprobe=3, exclude_ids=qids,
+    )
+
+
+_SQ_RANGE_RADII = (0.15, 0.15, 0.18, 0.12)
+
+
+def _ivfsq_range_batch_sql() -> str:
+    """UNION ALL of the SQ8 RANGE twin per request."""
+    from ..operators.similarity import sql_ivfsq_trained_topk
+
+    subs = []
+    for i, (qid, r) in enumerate(zip(_ANN_BATCH_QIDS, _SQ_RANGE_RADII)):
+        inner = sql_ivfsq_trained_topk(
+            query_vec_id=qid, n_cents=8, nprobe=3, train_iters=2,
+            radius=r,
+        )
+        subs.append(f"SELECT {i} AS request_no, q.* FROM ({inner}) q")
+    return " UNION ALL ".join(subs)
+
+
+@query(
+    "emb_ivfsq_range_batch",
+    oracle=_ivfsq_range_batch_sql(),
+    tier="C",
+)
+def emb_ivfsq_range_batch(spark, sf_dir):
+    """Batch RANGE over the SQ8 store (round 12 — the serving
+    matrix's last cell: flat/SQ8/PQ × single/batch × top-k/range all
+    filled): N (query, radius) requests from ONE union-pruned
+    quantized scan, the per-row dequantize computed once and shared
+    by every request's arm, per-request radius floors on the
+    dequantized cosine map-side — no window, one output-ordering
+    exchange, ~4× fewer scan bytes than the flat batch.  Oracle: the
+    SQ8 radius twin UNION ALL'd per request."""
+    import tempfile
+
+    from ..sinks.ann_index import (
+        ivfsq_index_probe_batch_range,
+        write_ivfsq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfsq_rangebatch_")
+    write_ivfsq_index(emb, out, n_cents=8, train_iters=2)
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return ivfsq_index_probe_batch_range(
+        spark, out, [vecs[q] for q in qids], list(_SQ_RANGE_RADII),
+        nprobe=3, exclude_ids=qids,
+    )
+
+
 @query(
     "emb_ivfpq_filtered_topk",
     oracle=sql_ivfadc_residual_topk(

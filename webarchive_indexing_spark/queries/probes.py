@@ -267,6 +267,26 @@ def _p_ivf_metric_l2(spark, ctx):
     )
 
 
+def _p_ivfpq_range_batch(spark, ctx):
+    from ..sinks.ann_index import ivfpq_index_probe_batch_range
+    from .llm import _PQ_RANGE_RADII
+
+    return ivfpq_index_probe_batch_range(
+        spark, ctx["dir"], ctx["qvs"], list(_PQ_RANGE_RADII),
+        nprobe=3, exclude_ids=ctx["qids"],
+    )
+
+
+def _p_ivfsq_range_batch(spark, ctx):
+    from ..sinks.ann_index import ivfsq_index_probe_batch_range
+    from .llm import _SQ_RANGE_RADII
+
+    return ivfsq_index_probe_batch_range(
+        spark, ctx["dir"], ctx["qvs"], list(_SQ_RANGE_RADII),
+        nprobe=3, exclude_ids=ctx["qids"],
+    )
+
+
 def _p_ivf_filtered_batch(spark, ctx):
     from ..sinks.ann_index import ivf_index_probe_batch_topk
     from .llm import _ANN_FILTER_WHERES
@@ -442,5 +462,13 @@ PROBES: dict[str, Probe] = {
     "emb_ivf_metric_l2_probe": Probe(
         "emb_ivf_metric_l2", "ivf_store",
         _build_ivf_store, _p_ivf_metric_l2,
+    ),
+    "emb_ivfpq_range_batch_probe": Probe(
+        "emb_ivfpq_range_batch", "ivfpq_store",
+        _build_ivfpq_store, _p_ivfpq_range_batch,
+    ),
+    "emb_ivfsq_range_batch_probe": Probe(
+        "emb_ivfsq_range_batch", "ivfsq_store",
+        _build_ivfsq_store, _p_ivfsq_range_batch,
     ),
 }
