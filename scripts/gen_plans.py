@@ -68,6 +68,9 @@ PICKS = {
     "emb_ann_range_search": "Range search (round 12): the radius cut is a map-side filter above the same cell-pruned scan as top-k; with no LIMIT the only exchange is the final ordering of the data-dependent result.",
     "emb_ann_range_batch": "Batch RANGE serving (round 12): per-request radius cuts in the struct arms — no request window at all; one union-pruned scan, one output-ordering exchange at any request count.",
     "emb_ivfpq_range_search": "PQ range search (round 12): ADC distance threshold on the codes-only pruned scan — no vector bytes, no join; FAISS quantized-index range semantics.",
+    "emb_ivfpq_range_batch": "PQ batch range (round 12): N ADC ceilings from one union-pruned codes scan, per-request arms + a request_no CASE cut map-side — no window, one output-ordering exchange.",
+    "emb_ivf_metric_l2": "Query-time L2 metric (round 12): distance-ceiling range over the same flat store — metric switches cell ranking, score column, and cut direction with the plan shape unchanged.",
+    "events_zorder_box": "Z-order layout (round 12): both box predicates in PushedFilters over the Morton-clustered files — stats-based skipping with the plain parquet reader, no exchange.",
 }
 
 
