@@ -154,3 +154,30 @@ def test_zorder_quantile_bucketing_prunes_dense_regions(spark, sf_dir):
 
     with pytest.raises(ValueError, match="unknown bucketing"):
         write_zordered(ev, lin, ["user_id"], bucketing="hilbert")
+
+
+def test_zorder_three_dimensions_roundtrip(spark, sf_dir):
+    """Morton interleave generalizes past two columns: a 3-D cluster
+    (48-bit key at bits=16) still round-trips every row and bounds
+    each dimension per file."""
+    import tempfile
+
+    from webarchive_indexing_spark.operators.bucketing import (
+        parquet_files_intersecting,
+        write_zordered,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "uid2", F.col("user_id") * 7 % 13
+    )
+    zdir = tempfile.mkdtemp(prefix="zo3_")
+    stats = write_zordered(
+        ev, zdir, ["user_id", "value", "uid2"], n_files=8
+    )
+    assert set(stats) == {"user_id", "value", "uid2"}
+    back = spark.read.parquet(zdir)
+    assert back.count() == ev.count()
+    # every dimension prunes at least a little on a tail slice
+    for col, lo, hi in [("value", 150.0, 1e9), ("uid2", 11.0, 1e9)]:
+        inter, total = parquet_files_intersecting(zdir, col, lo, hi)
+        assert inter < total, (col, inter, total)

@@ -564,3 +564,44 @@ def test_parse_web_image_header_damage_tolerance():
     empty = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
     with pytest.raises(ValueError):
         parse_image_header(empty)
+
+
+def test_web_image_builders_roundtrip_property():
+    """Hypothesis: any in-range (w, h, depth knobs) round-trips
+    exactly through build → parse for every web-format builder."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_gif_header,
+        build_tiff_header,
+        build_webp_header,
+        parse_image_header,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        w=st.integers(1, 16383), h=st.integers(1, 16383),
+        pal=st.integers(1, 8), be=st.booleans(),
+        bits=st.sampled_from([1, 8, 16, 32]),
+        samp=st.integers(1, 4), alpha=st.booleans(),
+        variant=st.sampled_from(["vp8x", "vp8l", "vp8"]),
+    )
+    def check(w, h, pal, be, bits, samp, alpha, variant):
+        d = parse_image_header(build_gif_header(
+            min(w, 65535), min(h, 65535), palette_bits=pal))
+        assert (d["width"], d["height"], d["color_depth"]) == (
+            min(w, 65535), min(h, 65535), pal)
+        d = parse_image_header(build_tiff_header(
+            w, h, big_endian=be, bits=bits, samples=samp))
+        assert (d["width"], d["height"], d["color_depth"]) == (
+            w, h, bits * samp)
+        d = parse_image_header(build_webp_header(
+            w, h, variant=variant, alpha=alpha))
+        assert (d["width"], d["height"]) == (w, h)
+        if variant == "vp8":
+            assert d["color_depth"] == 24
+        else:
+            assert d["color_depth"] == (32 if alpha else 24)
+
+    check()
