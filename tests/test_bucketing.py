@@ -181,3 +181,40 @@ def test_zorder_three_dimensions_roundtrip(spark, sf_dir):
     for col, lo, hi in [("value", 150.0, 1e9), ("uid2", 11.0, 1e9)]:
         inter, total = parquet_files_intersecting(zdir, col, lo, hi)
         assert inter < total, (col, inter, total)
+
+
+def test_zorder_input_guards(spark, tmp_path):
+    """Review fixes: an empty table (or all-NULL column) refuses with
+    a clean ValueError instead of a TypeError traceback, and wide
+    column sets auto-shrink per-dimension bits so the Morton key
+    never overflows the 62 usable bits of a signed long."""
+    import json
+    import tempfile
+
+    import pytest
+
+    from webarchive_indexing_spark.operators.bucketing import write_zordered
+
+    empty = spark.createDataFrame([], "a bigint, b double")
+    with pytest.raises(ValueError, match="no non-NULL values"):
+        write_zordered(empty, str(tmp_path / "e"), ["a", "b"])
+
+    nulls = spark.createDataFrame([(1, None), (2, None)], "a bigint, b double")
+    with pytest.raises(ValueError, match="'b' has no non-NULL"):
+        write_zordered(nulls, str(tmp_path / "n"), ["a", "b"])
+
+    with pytest.raises(ValueError, match="at least one column"):
+        write_zordered(nulls, str(tmp_path / "c"), [])
+
+    # five dimensions at the default bits=16 would need 80 bits;
+    # the writer shrinks to 62//5=12 per dimension and still works
+    wide = spark.range(100).selectExpr(
+        "id a", "id * 3 % 17 b", "id * 5 % 13 c", "id * 7 % 11 d",
+        "id * 11 % 7 e"
+    )
+    out = tempfile.mkdtemp(prefix="zo_wide_")
+    write_zordered(wide, out, ["a", "b", "c", "d", "e"], n_files=4)
+    with open(out + "/_zorder.json") as fh:
+        side = json.load(fh)
+    assert side["bits"] == 12
+    assert spark.read.parquet(out).count() == 100

@@ -831,10 +831,10 @@ def test_stream_ann_appends_versioned(spark, sf_dir, tmp_path):
     # (4) replay: re-delivering an applied batch id is a no-op
     applied = ann_index._applied_batches(v_after)
     assert applied  # ledger carried through the swaps
-    replay_id = sorted(applied)[0]
+    sid, bid = sorted(applied)[0].rsplit(":", 1)
     assert (
         ann_index.stream_append_batch(
-            extra.limit(5), replay_id, root, kind="flat"
+            extra.limit(5), int(bid), root, kind="flat", stream_id=sid
         )
         is False
     )
@@ -887,8 +887,10 @@ def test_stream_media_meta(spark, tmp_path):
     q = stream_media_meta(spark, str(mdir), out, ckpt)
     q.awaitTermination(120)
 
+    got_df = spark.read.parquet(out)
+    assert "ingest_batch" in got_df.columns  # per-batch idempotent sink
     got = sorted(
-        map(tuple, spark.read.parquet(out).orderBy("url").collect())
+        map(tuple, got_df.drop("ingest_batch").orderBy("url").collect())
     )
     manifest = spark.createDataFrame([(w1,), (w2,)], ["path"])
     want = sorted(
@@ -1003,3 +1005,91 @@ def test_stream_append_ledger_corruption_refuses(spark, sf_dir, tmp_path):
         fh.write("{corrupt")
     with _pytest.raises(RuntimeError, match="replay ledger"):
         ann_index.stream_append_batch(batch, 1, root, kind="flat")
+
+
+def test_stream_ledger_scoped_by_stream_id(spark, sf_dir, tmp_path):
+    """Review fix: Spark batch ids are unique only per checkpoint, so
+    the replay ledger keys on stream_id:batch_id — a redelivery
+    within one stream is a no-op, but a NEW stream incarnation's
+    batch 0 is never mistaken for the old stream's batch 0 (the
+    silent-data-loss case); pre-scoping integer ledgers read as the
+    'default' scope."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.sinks import ann_index
+    from webarchive_indexing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "annroot")
+    ann_index.write_ivf_index_versioned(
+        emb.filter(F.col("vec_id") < 200), root, n_cents=4, train_iters=1
+    )
+    batch_a = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 220)
+    )
+    batch_b = emb.filter(
+        (F.col("vec_id") >= 220) & (F.col("vec_id") < 240)
+    )
+    assert ann_index.stream_append_batch(
+        batch_a, 0, root, kind="flat", stream_id="ckpt-a"
+    )
+    # same stream, same id: replay no-op
+    assert not ann_index.stream_append_batch(
+        batch_a, 0, root, kind="flat", stream_id="ckpt-a"
+    )
+    # NEW incarnation, same batch id: must apply
+    assert ann_index.stream_append_batch(
+        batch_b, 0, root, kind="flat", stream_id="ckpt-b"
+    )
+    cur = ann_index.resolve_store(root)
+    ids = {
+        r.vec_id
+        for r in spark.read.parquet(cur + "/vectors").collect()
+    }
+    assert 205 in ids and 225 in ids
+
+    # back-compat: a bare-integer ledger reads as the default scope
+    with open(os.path.join(cur, "applied_batches.json"), "w") as fh:
+        json.dump([7], fh)
+    assert ann_index._applied_batches(cur) == {"default:7"}
+    assert not ann_index.stream_append_batch(
+        batch_a, 7, root, kind="flat"
+    )
+
+
+def test_expire_reclaims_stale_building_opt_in(tmp_path):
+    """Review fix: a crash between new_store_version and publish
+    leaves the BUILDING sentinel forever; default housekeeping still
+    never touches it, but stale_building_s reclaims sentinel'd dirs
+    older than the threshold — CURRENT always untouched."""
+    import os
+
+    from webarchive_indexing_spark.sinks import ann_index
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    # a published version
+    name, path = ann_index.new_store_version(root)
+    os.makedirs(os.path.join(path, "vectors"), exist_ok=True)
+    ann_index._publish_store_version(root, name)
+    # an abandoned build: sentinel still present
+    _n2, p2 = ann_index.new_store_version(root)
+    assert os.path.exists(os.path.join(p2, "BUILDING"))
+
+    # default: never reclaimed
+    assert ann_index.expire_store_versions(root, min_age_s=0) == []
+    assert os.path.exists(p2)
+    # opt-in with a future threshold: still protected
+    assert ann_index.expire_store_versions(
+        root, min_age_s=0, stale_building_s=3600
+    ) == []
+    # opt-in with 0: reclaimed; CURRENT version survives
+    gone = ann_index.expire_store_versions(
+        root, min_age_s=0, stale_building_s=0.0
+    )
+    assert gone == [_n2]
+    assert not os.path.exists(p2)
+    assert os.path.exists(path)

@@ -1292,3 +1292,48 @@ def test_wat_scan_split_equals_unsplit(spark, tmp_path):
         )
     )
     assert split_meta == base_meta
+
+
+def test_keep_payload_skips_revisit_and_empty_bodies(spark, tmp_path):
+    """Review fix: a revisit record carries the original response's
+    HTTP headers (media content-type) but NO body — retaining its
+    empty payload would hand the curation pass one spurious
+    'unsupported' row per deduplicated recrawl of every media URL.
+    Revisits and empty-bodied responses must keep payload=NULL; the
+    CDX row itself is unchanged (mime 'warc/revisit')."""
+    from webarchive_indexing_spark.operators.multimodal import (
+        build_png_header,
+        media_meta,
+    )
+    from webarchive_indexing_spark.sources.warc import (
+        index_warcs,
+        write_mini_warc,
+    )
+
+    png = build_png_header(10, 10)
+    recs = [
+        dict(url="http://r.example/img", date_iso="2020-01-01T00:00:00Z",
+             payload=png, mime="image/png"),
+        # a revisit of the image: HTTP headers only, zero body bytes
+        dict(url="http://r.example/img", date_iso="2020-02-01T00:00:00Z",
+             rec_type="revisit",
+             payload=b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n"),
+        # a media-mime response whose body is empty
+        dict(url="http://r.example/empty", date_iso="2020-01-01T00:00:01Z",
+             payload=b"", mime="image/png"),
+    ]
+    p = str(tmp_path / "revisit.warc.gz")
+    write_mini_warc(p, recs)
+    manifest = spark.createDataFrame([(p,)], ["path"])
+    kept = index_warcs(
+        spark, manifest, keep_payload=("image/", "audio/", "video/")
+    )
+    rows = sorted(kept.collect(), key=lambda r: (r.url, r.timestamp))
+    by = {(r.url, r.timestamp[:6]): r for r in rows}
+    assert bytes(by[("http://r.example/img", "202001")].payload) == png
+    rv = by[("http://r.example/img", "202002")]
+    assert rv.mime == "warc/revisit" and rv.payload is None
+    assert by[("http://r.example/empty", "202001")].payload is None
+    # curation sees exactly one row: the real image
+    meta = media_meta(kept).collect()
+    assert len(meta) == 1 and meta[0].format == "png"

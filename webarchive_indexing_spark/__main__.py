@@ -153,6 +153,11 @@ def _parser() -> argparse.ArgumentParser:
     ev.add_argument("--min-age-s", type=float, default=3600,
                     help="grace period for readers pinned on a "
                          "retired version (default 1h)")
+    ev.add_argument("--stale-building-s", type=float, default=None,
+                    help="opt-in: also reclaim ABANDONED builds whose "
+                         "BUILDING sentinel is older than this many "
+                         "seconds (choose it longer than your longest "
+                         "legitimate build; default never)")
 
     q = sub.add_parser("query", help="cdx-server GET /index over a cluster")
     q.add_argument("cluster_dir")
@@ -399,7 +404,8 @@ def _dispatch(args, spark) -> int:
         from .sinks.ann_index import expire_store_versions
 
         for name in expire_store_versions(
-            args.root, min_age_s=args.min_age_s
+            args.root, min_age_s=args.min_age_s,
+            stale_building_s=args.stale_building_s,
         ):
             print(name)
     elif args.cmd == "expire-snapshots":

@@ -93,15 +93,28 @@ def write_zordered(
 
     if bucketing not in ("linear", "quantile"):
         raise ValueError(f"unknown bucketing {bucketing!r}")
+    if not cols:
+        raise ValueError("zorder: need at least one column")
+    ncols = len(cols)
+    # the Morton key must fit a signed 64-bit long: Spark's shiftleft
+    # wraps shift amounts mod 64, and bit 63 is the sign bit (largest
+    # keys would sort most-negative) — so cap total interleaved bits
+    # at 62 and shrink per-dimension resolution for wide column sets
+    bits = max(1, min(bits, 62 // ncols))
     row = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{j}") for j, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{j}") for j, c in enumerate(cols)],
     ).first()
+    for j, c in enumerate(cols):
+        if row[f"mn_{j}"] is None or row[f"mx_{j}"] is None:
+            raise ValueError(
+                f"zorder: column {c!r} has no non-NULL values "
+                f"(empty input?) — nothing to cluster"
+            )
     stats = {
         c: (float(row[f"mn_{j}"]), float(row[f"mx_{j}"]))
         for j, c in enumerate(cols)
     }
-    ncols = len(cols)
     terms = []
     bounds: dict[str, list[float]] = {}
     if bucketing == "quantile":

@@ -109,7 +109,12 @@ def resolve_store(out_dir: str) -> str:
     return _join(out_dir, v) if v else out_dir
 
 
-def expire_store_versions(root: str, *, min_age_s: float = 3600) -> list[str]:
+def expire_store_versions(
+    root: str,
+    *,
+    min_age_s: float = 3600,
+    stale_building_s: float | None = None,
+) -> list[str]:
     """Drop unpublished version directories (retired versions a swap
     left behind for in-flight readers).  Run it AFTER those readers'
     jobs finish — the same retention contract as ``expire_snapshots``
@@ -126,7 +131,16 @@ def expire_store_versions(root: str, *, min_age_s: float = 3600) -> list[str]:
 
     ``min_age_s`` then only grace-periods RETIRED versions (published
     once, since superseded) for readers that resolved them before the
-    swap.  Returns the removed names."""
+    swap.  Returns the removed names.
+
+    ``stale_building_s`` (opt-in) reclaims ABANDONED builds: a crash
+    between ``new_store_version`` and publish leaves the sentinel
+    forever, and a crash-retry loop (e.g. a failing streaming append)
+    accumulates one full clone per attempt.  When set, a sentinel'd
+    directory whose BUILDING file is older than this many seconds is
+    deleted — choose it longer than your longest legitimate build
+    (the default ``None`` keeps the conservative never-delete
+    behavior)."""
     import time
 
     from pyarrow import fs as pafs
@@ -156,10 +170,19 @@ def expire_store_versions(root: str, *, min_age_s: float = 3600) -> list[str]:
             continue
         sentinel = fs.get_file_info(_join(info.path, _BUILDING))
         if sentinel.type != pafs.FileType.NotFound:
-            continue  # in-flight build: builds may take arbitrarily long
-        mtime = info.mtime.timestamp() if info.mtime else 0.0
-        if now - mtime < min_age_s:
-            continue  # retired version: grace for in-flight readers
+            # in-flight build: builds may take arbitrarily long, so
+            # only the explicit stale_building_s opt-in reclaims one
+            if stale_building_s is None:
+                continue
+            smtime = (
+                sentinel.mtime.timestamp() if sentinel.mtime else now
+            )
+            if now - smtime < stale_building_s:
+                continue
+        else:
+            mtime = info.mtime.timestamp() if info.mtime else 0.0
+            if now - mtime < min_age_s:
+                continue  # retired version: grace for in-flight readers
         fs.delete_dir(info.path)
         gone.append(name)
     return sorted(gone)
@@ -364,13 +387,6 @@ def ivfsq_index_probe_topk(
     sibling probes (one resolve per request); ``where`` filters on
     stored attribute columns (``write_ivfsq_index(attrs=...)``)
     BEFORE top-k, pushed into the pruned scan."""
-    from ..operators.similarity import (
-        cosine,
-        ivf_probe_cells,
-        lit_double_array,
-    )
-    from ..queries.helpers import hround
-
     out = _ivfsq_scored_frame(
         spark, out_dir, qv, nprobe=nprobe, exclude_id=exclude_id,
         where=where, id_col=id_col,
@@ -454,16 +470,23 @@ def ivfsq_index_probe_range(
 _APPLIED = "applied_batches.json"
 
 
-def _applied_batches(store: str) -> set[int]:
-    """Micro-batch ids already folded into a version (replay ledger —
+def _applied_batches(store: str) -> set[str]:
+    """Micro-batch keys already folded into a version (replay ledger —
     carried forward by the clone, so a redelivered foreachBatch batch
-    is a no-op instead of a duplicate append).  A MISSING ledger is an
-    empty set (a store that never streamed); a ledger that EXISTS but
-    cannot be read or parsed RAISES — treating corruption as "nothing
-    applied" would silently degrade exactly-once to at-least-once and
-    duplicate vectors on the next redelivery (the same
-    abort-don't-guess rail as ``expire_store_versions``' pointer
-    read)."""
+    is a no-op instead of a duplicate append).  Keys are
+    ``"<stream_id>:<batch_id>"``: Spark batch ids are only unique PER
+    CHECKPOINT, so an unscoped ledger would silently skip the first
+    batches of a NEW stream incarnation (fresh checkpoint, ids restart
+    at 0) as phantom replays — scoping by the stream identity keeps
+    dedup exact within a checkpoint and lets a new incarnation append
+    (at-least-once across incarnations, the standard Spark contract).
+    Bare integers from pre-scoping ledgers read as ``default:<n>``.
+    A MISSING ledger is an empty set (a store that never streamed); a
+    ledger that EXISTS but cannot be read or parsed RAISES — treating
+    corruption as "nothing applied" would silently degrade
+    exactly-once to at-least-once and duplicate vectors on the next
+    redelivery (the same abort-don't-guess rail as
+    ``expire_store_versions``' pointer read)."""
     from pyarrow import fs as pafs
 
     fs, local = _fs_for(store)
@@ -472,7 +495,14 @@ def _applied_batches(store: str) -> set[int]:
         return set()
     try:
         with fs.open_input_stream(path, compression=None) as fh:
-            return {int(b) for b in json.loads(fh.read().decode())}
+            raw = json.loads(fh.read().decode())
+        out = set()
+        for b in raw:
+            if isinstance(b, str) and ":" in b:
+                out.add(b)
+            else:
+                out.add(f"default:{int(b)}")
+        return out
     except (OSError, ValueError, TypeError) as e:
         raise RuntimeError(
             f"{store!r}: replay ledger {_APPLIED} exists but could not "
@@ -526,7 +556,7 @@ def clone_store_version(root: str) -> tuple[str, str]:
     return name, path
 
 
-def _record_applied_batch(store: str, applied: set[int]) -> None:
+def _record_applied_batch(store: str, applied: set[str]) -> None:
     fs, local = _fs_for(store)
     tmp = _join(local, f"{_APPLIED}.tmp")
     with fs.open_output_stream(tmp, compression=None) as fh:
@@ -543,26 +573,31 @@ _APPEND_BY_KIND = {
 
 def stream_append_batch(
     batch_df: DataFrame, batch_id: int, root: str, *, kind: str = "flat",
+    stream_id: str = "default",
     **append_kw,
 ) -> bool:
     """ONE micro-batch of the streaming ANN ingest (the foreachBatch
     body — see ``streaming.incremental.stream_ann_appends``): clone
     the published version (hard links), append the batch with the
     STORED model (``append_*_index`` — assignment math never shifts
-    under a serving index), record the batch id in the replay ledger,
-    and publish with one atomic ``CURRENT`` swap.  Redelivered
-    batches (crash between publish and the stream checkpoint commit)
-    are no-ops via the ledger.  Returns True when the batch was
-    applied, False when skipped as a replay."""
+    under a serving index), record ``stream_id:batch_id`` in the
+    replay ledger, and publish with one atomic ``CURRENT`` swap.
+    Redelivered batches (crash between publish and the stream
+    checkpoint commit) are no-ops via the ledger; a NEW stream
+    incarnation (fresh checkpoint → fresh ``stream_id``) is never
+    mistaken for a replay of the old one (see ``_applied_batches``).
+    Returns True when the batch was applied, False when skipped as a
+    replay."""
     if kind not in _APPEND_BY_KIND:
         raise ValueError(f"unknown store kind {kind!r}")
+    key = f"{stream_id}:{int(batch_id)}"
     cur = resolve_store(root)
-    if int(batch_id) in _applied_batches(cur):
+    if key in _applied_batches(cur):
         return False
     name, path = clone_store_version(root)
     append = globals()[_APPEND_BY_KIND[kind]]
     append(batch_df, path, **append_kw)
-    _record_applied_batch(path, _applied_batches(path) | {int(batch_id)})
+    _record_applied_batch(path, _applied_batches(path) | {key})
     _publish_store_version(root, name)
     return True
 
@@ -1320,6 +1355,7 @@ def ivfpq_index_probe_topk(
     id_col: str = "vec_id",
     _store: str | None = None,
     _rotated: bool = False,
+    _model: tuple | None = None,
 ) -> DataFrame:
     """Top-k approximate neighbors from the PQ-coded store: rank probe
     cells driver-side (quantizer math), scan ONLY those ``cell=``
@@ -1340,6 +1376,7 @@ def ivfpq_index_probe_topk(
     out = _ivfpq_scored_frame(
         spark, out_dir, qv, nprobe=nprobe, exclude_id=exclude_id,
         where=where, id_col=id_col, _store=_store, _rotated=_rotated,
+        _model=_model,
     )
     return out.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
@@ -1355,10 +1392,14 @@ def _ivfpq_scored_frame(
     id_col: str,
     _store: str | None,
     _rotated: bool,
+    _model: tuple | None = None,
 ) -> DataFrame:
     """Shared PQ-store probe body: pruned CODES scan → tombstone/attr
     filters → map-side ADC distance.  The top-k and range probes both
-    rank THIS frame — one scoring path for both serving modes."""
+    rank THIS frame — one scoring path for both serving modes.
+    ``_model`` lets a composing caller that already read the pinned
+    version's model (for query rotation) hand it through instead of
+    paying a second pq.json + codebook parse per request."""
     from ..operators.similarity import (
         py_sqdist6,
         residual_adc_expr,
@@ -1366,7 +1407,7 @@ def _ivfpq_scored_frame(
     )
 
     store = _store or resolve_store(out_dir)
-    cents, cbooks, _meta = read_ivfpq_model(store)
+    cents, cbooks, _meta = _model or read_ivfpq_model(store)
     if not _rotated:
         qv = _opq_rotate_query(_meta, qv)
     probe = sorted(cents, key=lambda c: (py_sqdist6(qv, cents[c]), c))[:nprobe]
@@ -1426,6 +1467,7 @@ def ivfpq_index_probe_batch_topk(
     id_col: str = "vec_id",
     _store: str | None = None,
     _rotated: bool = False,
+    _model: tuple | None = None,
 ) -> DataFrame:
     """N query vectors answered in ONE job over the PQ-coded store —
     the FAISS batched ``search()`` / cc-index-server amortization
@@ -1471,7 +1513,7 @@ def ivfpq_index_probe_batch_topk(
     if len(whs) != len(query_vecs):
         raise ValueError("wheres must align with query_vecs")
     store = _store or resolve_store(out_dir)
-    cents, cbooks, _meta = read_ivfpq_model(store)
+    cents, cbooks, _meta = _model or read_ivfpq_model(store)
     if not _rotated:
         query_vecs = [_opq_rotate_query(_meta, q) for q in query_vecs]
 
@@ -1676,12 +1718,12 @@ def ivfpq_refined_batch_topk(
     # resolve the CURRENT pointer ONCE: the ADC probe and the refine
     # sidecar must read the SAME version even if a swap lands mid-way
     store = resolve_store(out_dir)
-    _meta = read_ivfpq_model(store)[2]
-    query_vecs = [_opq_rotate_query(_meta, q) for q in query_vecs]
+    model = read_ivfpq_model(store)
+    query_vecs = [_opq_rotate_query(model[2], q) for q in query_vecs]
     cand = ivfpq_index_probe_batch_topk(
         spark, out_dir, query_vecs, k=k * k_factor, nprobe=nprobe,
         exclude_ids=exclude_ids, id_col=id_col, _store=store,
-        _rotated=True,
+        _rotated=True, _model=model,
     )
     rows = cand.select("request_no", id_col, "cell").collect()
     per_req: dict[int, list[int]] = {}
@@ -1778,11 +1820,12 @@ def ivfpq_refined_topk(
     # an OPQ store's sidecar holds ROTATED vectors: rotate qv once
     # here, share it with the probe (_rotated), and keep the RAW qv
     # for an external vectors_src (which holds unrotated vectors)
-    qv_rot = _opq_rotate_query(read_ivfpq_model(store)[2], qv)
+    model = read_ivfpq_model(store)
+    qv_rot = _opq_rotate_query(model[2], qv)
     cand = ivfpq_index_probe_topk(
         spark, out_dir, qv_rot, k=k * k_factor, nprobe=nprobe,
         exclude_id=exclude_id, where=where, id_col=id_col, _store=store,
-        _rotated=True,
+        _rotated=True, _model=model,
     )
     rows = cand.select(id_col, "cell").collect()
     ids = [r[id_col] for r in rows]

@@ -478,7 +478,17 @@ def _index_warc_record(
     )
     if keep_payload is None:
         return out
-    keep = mime is not None and mime.startswith(tuple(keep_payload))
+    # revisit records carry the original response's HTTP headers but
+    # no body (that is the point of a revisit) — retaining their
+    # empty payloads would hand the curation pass one spurious
+    # 'unsupported' row per deduplicated recrawl of every media URL;
+    # same for any other record whose body is empty
+    keep = (
+        rec_type != "revisit"
+        and len(payload) > 0
+        and mime is not None
+        and mime.startswith(tuple(keep_payload))
+    )
     return (*out, bytes(payload) if keep else None)
 
 
@@ -651,7 +661,11 @@ def _index_arc_record(
     )
     if keep_payload is None:
         return out
-    keep = mime is not None and mime.startswith(tuple(keep_payload))
+    keep = (
+        len(payload) > 0
+        and mime is not None
+        and mime.startswith(tuple(keep_payload))
+    )
     return (*out, bytes(payload) if keep else None)
 
 

@@ -177,6 +177,7 @@ def stream_ann_appends(
     (flat / pq / sq)."""
     from ..sinks.ann_index import stream_append_batch
 
+    sid = _stream_scope_id(checkpoint_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -186,7 +187,8 @@ def stream_ann_appends(
         if batch_df.isEmpty():
             return
         stream_append_batch(
-            batch_df, int(batch_id), root, kind=kind, **append_kw
+            batch_df, int(batch_id), root, kind=kind, stream_id=sid,
+            **append_kw,
         )
 
     return (
@@ -195,6 +197,33 @@ def stream_ann_appends(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _stream_scope_id(checkpoint_dir: str) -> str:
+    """Read-or-create the stream incarnation id stored INSIDE the
+    checkpoint directory.  Spark batch ids are unique only per
+    checkpoint; keying replay ledgers / idempotent sinks on the bare
+    id makes a FRESH checkpoint's first batches look like replays of
+    the old stream's.  A uuid that lives (and dies) with the
+    checkpoint tracks exactly the identity the batch ids are scoped
+    to: wipe the checkpoint → new uuid → the new incarnation's
+    batches apply."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "stream_id")
+    if os.path.exists(path):
+        with open(path) as fh:
+            sid = fh.read().strip()
+        if sid:
+            return sid
+    sid = uuid.uuid4().hex[:12]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(sid)
+    os.replace(tmp, path)
+    return sid
 
 
 def stream_media_meta(
@@ -214,11 +243,23 @@ def stream_media_meta(
     metadata parquet — the incremental crawl-intake shape
     (``update_index``'s contract) applied to media curation.  Payload
     bytes live only inside the batch's executors; the sink holds
-    metadata rows.  Exactly-once at the file level: the stream
-    checkpoint tracks which manifest files are consumed."""
+    metadata rows.
+
+    Exactly-once end to end: the stream checkpoint tracks which
+    manifest files are consumed, and each micro-batch OVERWRITES its
+    own ``ingest_batch=<stream_id>-<batch_id>`` hive partition —
+    foreachBatch is at-least-once, so a crash between the parquet
+    write and the checkpoint commit redelivers the batch, and a blind
+    append would duplicate its rows where the per-batch overwrite is
+    a no-op.  Readers of ``out_dir`` see the extra ``ingest_batch``
+    provenance column (drop it to match the batch pipeline's frame).
+    A fresh checkpoint gets a fresh stream id, so its partitions
+    never collide with an earlier incarnation's — point a new stream
+    at a new ``out_dir``."""
     from ..operators.multimodal import media_meta
     from ..sources.warc import index_warcs
 
+    sid = _stream_scope_id(checkpoint_dir)
     lines = spark.readStream.format("text").load(manifest_dir)
 
     def curate(batch_df: DataFrame, batch_id: int) -> None:
@@ -229,7 +270,9 @@ def stream_media_meta(
             spark, manifest, files_per_task=files_per_task,
             split_bytes=split_bytes, keep_payload=mime_prefixes,
         )
-        media_meta(kept).write.mode("append").parquet(out_dir)
+        media_meta(kept).write.mode("overwrite").parquet(
+            f"{out_dir}/ingest_batch={sid}-{int(batch_id)}"
+        )
 
     return (
         lines.writeStream.foreachBatch(curate)
