@@ -192,6 +192,8 @@ HEADLINE = [
     "events_zorder_quantile_box",
     "emb_ivfpq_range_batch",
     "emb_ivfsq_range_batch",
+    "emb_ivfpq_opq_range",
+    "emb_ann_range_filtered_batch",
 ]
 
 

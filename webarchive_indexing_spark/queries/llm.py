@@ -2037,6 +2037,7 @@ def emb_ann_query_batch(spark, sf_dir):
 #: BOTH engines (Spark probe arms and the DuckDB twin), deliberately
 #: heterogeneous: equality, IN-list, modulo, and one unfiltered slot.
 _ANN_FILTER_WHERES = ("label = 2", "label IN (1, 5)", "label % 3 = 1", None)
+_ANN_RANGE_RADII = (0.2, 0.2, 0.18, 0.15)
 
 
 def _ivf_filtered_batch_sql() -> str:
@@ -2052,6 +2053,55 @@ def _ivf_filtered_batch_sql() -> str:
         )
         subs.append(f"SELECT {i} AS request_no, q.* FROM ({inner}) q")
     return " UNION ALL ".join(subs)
+
+
+def _ivf_range_filtered_batch_sql() -> str:
+    """UNION ALL of the RANGE+FILTERED trained-IVF twin per request."""
+    subs = []
+    for i, (qid, r, wh) in enumerate(
+        zip(_ANN_BATCH_QIDS, _ANN_RANGE_RADII, _ANN_FILTER_WHERES)
+    ):
+        inner = sql_ivf_trained_topk(
+            query_vec_id=qid, n_cents=8, nprobe=3, train_iters=2,
+            radius=r, where_sql=wh,
+        )
+        subs.append(f"SELECT {i} AS request_no, q.* FROM ({inner}) q")
+    return " UNION ALL ".join(subs)
+
+
+@query(
+    "emb_ann_range_filtered_batch",
+    oracle=_ivf_range_filtered_batch_sql(),
+    tier="C",
+)
+def emb_ann_range_filtered_batch(spark, sf_dir):
+    """RANGE × FILTERED × BATCH composed (round 12): each request
+    carries its OWN radius AND its own attribute predicate —
+    equality, IN-list, modulo, and one unfiltered — all riding the
+    struct arms of ONE union-pruned scan with no window.  The
+    bulk-sweep shape with per-tenant constraints: 'all matches past
+    each suspect's threshold, within each tenant's slice, one job'.
+    Oracle: the radius+filtered trained-IVF twin UNION ALL'd per
+    request."""
+    import tempfile
+
+    from ..sinks.ann_index import (
+        ivf_index_probe_batch_range,
+        write_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_rfb_")
+    write_ivf_index(emb, out, n_cents=8, train_iters=2)
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return ivf_index_probe_batch_range(
+        spark, out, [vecs[q] for q in qids], list(_ANN_RANGE_RADII),
+        nprobe=3, exclude_ids=qids, wheres=list(_ANN_FILTER_WHERES),
+    )
 
 
 @query(
@@ -2125,7 +2175,6 @@ def emb_ann_filtered_batch(spark, sf_dir):
     )
 
 
-_ANN_RANGE_RADII = (0.2, 0.2, 0.18, 0.15)
 
 
 def _ivf_range_batch_sql() -> str:
@@ -2427,6 +2476,48 @@ def _opq_oracle() -> str:
         query_vec_id=77, k=10, n_cells=8, nprobe=3, n_sub=4, k_codes=8,
         train_iters=2, src="rotemb",
         pre_parts=sql_householder_rot_ctes(2, 64, out="rotemb"),
+    )
+
+
+def _opq_range_oracle() -> str:
+    """The OPQ twin with the ADC-distance ceiling replacing LIMIT."""
+    from ..operators.pca import sql_householder_rot_ctes
+
+    return sql_ivfadc_residual_topk(
+        query_vec_id=77, n_cells=8, nprobe=3, n_sub=4, k_codes=8,
+        train_iters=2, src="rotemb",
+        pre_parts=sql_householder_rot_ctes(2, 64, out="rotemb"),
+        radius=1.05,
+    )
+
+
+@query("emb_ivfpq_opq_range", oracle=_opq_range_oracle(), tier="C")
+def emb_ivfpq_opq_range(spark, sf_dir):
+    """OPQ × RANGE composed (round 12): the ADC distance ceiling runs
+    over the OPQ-preconditioned store — the probe rotates the query
+    with the STORED reflector exactly like top-k (rotation is
+    orthogonal, so true distances are preserved and the radius keeps
+    its geometric meaning; only the quantization grid changed), and
+    the oracle reruns the rotated residual-IVFADC chain with the
+    ceiling replacing LIMIT.  Proves the range path reads the
+    persisted rotation rather than assuming a plain-PQ store."""
+    import tempfile
+
+    from ..operators.similarity import collect_query_vector
+    from ..sinks.ann_index import (
+        ivfpq_index_probe_range,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfpq_opq_range_")
+    write_ivfpq_index(
+        emb, out, n_cells=8, n_sub=4, k_codes=8, train_iters=2,
+        opq_iters=2,
+    )
+    qv = collect_query_vector(emb, 77)
+    return ivfpq_index_probe_range(
+        spark, out, qv, 1.05, nprobe=3, exclude_id=77
     )
 
 

@@ -287,6 +287,17 @@ def _p_ivfsq_range_batch(spark, ctx):
     )
 
 
+def _p_ivf_range_filtered_batch(spark, ctx):
+    from ..sinks.ann_index import ivf_index_probe_batch_range
+    from .llm import _ANN_FILTER_WHERES, _ANN_RANGE_RADII
+
+    return ivf_index_probe_batch_range(
+        spark, ctx["dir"], ctx["qvs"], list(_ANN_RANGE_RADII),
+        nprobe=3, exclude_ids=ctx["qids"],
+        wheres=list(_ANN_FILTER_WHERES),
+    )
+
+
 def _p_ivf_filtered_batch(spark, ctx):
     from ..sinks.ann_index import ivf_index_probe_batch_topk
     from .llm import _ANN_FILTER_WHERES
@@ -470,5 +481,13 @@ PROBES: dict[str, Probe] = {
     "emb_ivfsq_range_batch_probe": Probe(
         "emb_ivfsq_range_batch", "ivfsq_store",
         _build_ivfsq_store, _p_ivfsq_range_batch,
+    ),
+    "emb_ivfpq_opq_range_probe": Probe(
+        "emb_ivfpq_opq_range", "ivfpq_opq_store",
+        _build_ivfpq_opq_store, _p_ivfpq_range,
+    ),
+    "emb_ann_range_filtered_batch_probe": Probe(
+        "emb_ann_range_filtered_batch", "ivf_store",
+        _build_ivf_store, _p_ivf_range_filtered_batch,
     ),
 }
