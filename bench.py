@@ -194,6 +194,14 @@ HEADLINE = [
     "emb_ivfsq_range_batch",
     "emb_ivfpq_opq_range",
     "emb_ann_range_filtered_batch",
+    # round 13
+    "text_html_main_content",
+    "warc_html_quality_verdicts",
+    "text_bpe_pretrained_ids",
+    "parquet_index_zorder_box",
+    "text_vec_doc_embedding",
+    "text_arpa_logprob",
+    "emb_graph_beam_topk",
 ]
 
 

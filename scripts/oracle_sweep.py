@@ -9,10 +9,12 @@ records per-query verdict + wall seconds to a JSONL file.  RESUMABLE:
 already-recorded queries are skipped, so a killed run continues where
 it stopped.
 
-    python scripts/oracle_sweep.py [K] [out_jsonl]
+    python scripts/oracle_sweep.py [K] [out_jsonl] [--only a,b,c]
 
 defaults: K=3, out=/tmp/oracle_sweep_x{K}.jsonl, replica dir
-/tmp/sf_sniff001_x{K}_p (built once, reused).
+/tmp/sf_sniff001_x{K}_p (built once, reused).  ``--only`` restricts
+the sweep to the named queries (targeted verification of a round's
+new entries without re-running the whole registry).
 """
 
 from __future__ import annotations
@@ -28,10 +30,14 @@ from scale_sniff import replicate  # noqa: E402
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    out_path = (
-        sys.argv[2] if len(sys.argv) > 2 else f"/tmp/oracle_sweep_x{k}.jsonl"
-    )
+    only: set[str] | None = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    k = int(argv[0]) if len(argv) > 0 else 3
+    out_path = argv[1] if len(argv) > 1 else f"/tmp/oracle_sweep_x{k}.jsonl"
     data_dir = f"/tmp/sf_sniff001_x{k}_p"
     replicate("/root/testdata/sf0.01", data_dir, k, perturb=True)
 
@@ -54,6 +60,8 @@ def main() -> None:
     con = duckdb_connect(data_dir)
 
     todo = [q for q in REGISTRY.values() if q.name not in done]
+    if only is not None:
+        todo = [q for q in todo if q.name in only]
     print(f"sweep x{k}: {len(done)} done, {len(todo)} to go", flush=True)
     with open(out_path, "a") as out:
         for q in todo:

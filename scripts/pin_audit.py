@@ -23,20 +23,32 @@ Round mapping uses the commit date of ``BENCH_r{N}.json`` (the
 driver's per-round drop, committed at round close) as "when round N's
 numbers were current".
 
-Two granularities:
+Three independent rules (round-13 verdict hardened the audit — the
+git-history rule alone missed ``pack_token_budget``'s round-3 pin
+because its module never changed):
 
-* default — ``git log -L`` on the registered FUNCTION's current line
-  span: flags a pin only when commits newer than its provenance round
-  touched the query body itself.  Helpers the body calls (operators/,
-  functions/) are outside the span, so this can under-flag a rewrite
-  of a shared helper — pair it with ``--module`` when a shared seam
-  (SURT, BPE, ANN store) was rewritten.
-* ``--module`` — last commit touching the whole defining module: the
-  conservative superset (noisy: queries/llm.py changes every round).
+* ``code_changed`` — git history newer than the pin's provenance
+  round touched the query (two granularities: default ``git log -L``
+  on the registered FUNCTION's current line span; ``--module`` = last
+  commit touching the whole defining module, the conservative
+  superset — noisy: queries/llm.py changes every round).  Helpers the
+  body calls (operators/, functions/) are outside the span, so the
+  span rule can under-flag a rewrite of a shared seam (SURT, BPE,
+  ANN store) — pair with ``--module`` then.
+* ``driver_over_2x`` — the LATEST driver bench drop
+  (``BENCH_r{N}.json``) read this pin >2× regardless of git history.
+  Per BASELINE.md single-shot host variance is 2-4×, so this is
+  usually noise — but the repo protocol treats it as unresolved until
+  quiet-re-measured.
+* ``stale_age`` — provenance predates round ``current-4``
+  (current = latest BENCH round + 1, the round in progress).  A pin
+  nobody has re-measured in 5+ rounds is stale evidence even if its
+  code never changed: host state, Spark config, and fixture sizes
+  drift.
 
 Usage::
 
-    python scripts/pin_audit.py            # function-span audit
+    python scripts/pin_audit.py            # all rules, span granularity
     python scripts/pin_audit.py --module   # module-level superset
     python scripts/pin_audit.py --quiet    # names only
 """
@@ -100,6 +112,65 @@ def _git_span_ct(path: str, lo: int, hi: int) -> int | None:
     return int(lines[0]) if lines else None
 
 
+#: a pin older than this many rounds behind the round in progress is
+#: stale evidence regardless of git history (round-13 verdict rule)
+AGE_FLOOR_ROUNDS = 4
+
+
+def latest_bench() -> tuple[int, dict, dict]:
+    """(round, query_over_2x, probe_over_2x) from the newest
+    BENCH_r{N}.json drop.  The drop stores the bench's stdout TAIL
+    (possibly truncated at the front), so the vs_pins objects are
+    regex-extracted rather than json-loading the whole line; they are
+    flat objects, so non-greedy brace matching is safe."""
+    import glob
+
+    best_round, tail = 0, ""
+    for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd <= best_round:
+            continue
+        try:
+            with open(p) as fh:
+                tail = json.load(fh).get("tail", "") or ""
+            best_round = rnd
+        except (OSError, ValueError):
+            continue
+
+    def over2x(section: str) -> dict:
+        m = re.search(rf'"{section}": ({{.*?}})', tail)
+        if not m:
+            return {}
+        try:
+            obj = json.loads(m.group(1))
+        except ValueError:
+            return {}
+        return {n: True for n in obj.get("over_2x", [])}
+
+    return best_round, over2x("vs_pins"), over2x("vs_probe_pins")
+
+
+def age_flags(
+    pdata: dict, current_round: int, floor: int = AGE_FLOOR_ROUNDS
+) -> list[dict]:
+    """Pure rule: pins whose provenance round predates
+    ``current_round - floor`` (unparseable provenance never flags —
+    the drift guard in tests/test_pins.py checks well-formedness)."""
+    out = []
+    for section in ("pins", "probe_pins"):
+        for name, entry in pdata.get(section, {}).items():
+            rnd = _provenance_round(entry.get("provenance", ""))
+            if rnd is not None and rnd < current_round - floor:
+                out.append(
+                    {"name": name, "section": section, "reason": "stale_age",
+                     "pin_round": rnd, "pin_sec": entry["sec"]}
+                )
+    return out
+
+
 def audit(granularity: str = "span") -> list[dict]:
     from webarchive_indexing_spark.queries.probes import PROBES
     from webarchive_indexing_spark.registry import REGISTRY, _ensure_loaded
@@ -148,8 +219,30 @@ def audit(granularity: str = "span") -> list[dict]:
             if ct is not None and ct > close:
                 flagged.append(
                     {"name": name, "section": section, "module": mod,
+                     "reason": "code_changed",
                      "pin_round": rnd, "pin_sec": entry["sec"]}
                 )
+
+    # rule 2: the latest driver bench read the pin >2× (git-blind).
+    # A pin re-measured AFTER that bench drop (provenance round newer
+    # than the bench round) is resolved evidence — the flag clears.
+    bench_round, q_over, p_over = latest_bench()
+    for section, over in (("pins", q_over), ("probe_pins", p_over)):
+        for name in over:
+            entry = pdata.get(section, {}).get(name)
+            if entry is None:
+                continue
+            rnd = _provenance_round(entry.get("provenance", ""))
+            if rnd is not None and rnd > bench_round:
+                continue
+            flagged.append(
+                {"name": name, "section": section,
+                 "reason": "driver_over_2x",
+                 "pin_round": rnd, "pin_sec": entry["sec"]}
+            )
+
+    # rule 3: provenance age floor (current round = latest bench + 1)
+    flagged.extend(age_flags(pdata, bench_round + 1))
     return flagged
 
 
@@ -157,18 +250,20 @@ def main() -> None:
     gran = "module" if "--module" in sys.argv else "span"
     rows = audit(gran)
     if "--quiet" in sys.argv:
-        for r in rows:
-            print(r["name"])
+        for name in sorted({r["name"] for r in rows}):
+            print(name)
         return
     if not rows:
-        print(f"all pins fresh ({gran} granularity): nothing changed "
-              "after each pin's provenance round closed")
+        print(f"all pins fresh ({gran} granularity + driver-over-2x + "
+              f"age<{AGE_FLOOR_ROUNDS} rounds): nothing to re-measure")
         return
-    print(f"{len(rows)} pin(s) whose {gran} changed after their "
-          f"provenance round closed (re-measure before trusting):")
-    for r in sorted(rows, key=lambda r: (r["module"], r["name"])):
-        print(f"  {r['name']:40s} pinned r{r['pin_round']:<2d} "
-              f"{r['pin_sec']:>7.3f}s  module {r['module']}")
+    print(f"{len(rows)} flag(s) — quiet best-of-4 re-measure before "
+          "trusting:")
+    for r in sorted(rows, key=lambda r: (r["reason"], r["name"])):
+        rnd = r["pin_round"] if r["pin_round"] is not None else "?"
+        mod = r.get("module", "-")
+        print(f"  {r['name']:40s} {r['reason']:14s} pinned r{rnd!s:<3s}"
+              f"{r['pin_sec']:>7.3f}s  {mod}")
 
 
 if __name__ == "__main__":

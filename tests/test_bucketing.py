@@ -218,3 +218,13 @@ def test_zorder_input_guards(spark, tmp_path):
         side = json.load(fh)
     assert side["bits"] == 12
     assert spark.read.parquet(out).count() == 100
+
+    # >62 dimensions cannot fit 1 bit each in a signed long — refuse
+    # (silently clamping would overflow into the sign bit and
+    # mis-sort) — round-13 ADVICE fix
+    cols63 = [f"c{i}" for i in range(63)]
+    huge = spark.range(4).selectExpr(
+        *[f"id + {i} as c{i}" for i in range(63)]
+    )
+    with pytest.raises(ValueError, match="62-bit Morton budget"):
+        write_zordered(huge, str(tmp_path / "w63"), cols63)

@@ -323,3 +323,87 @@ def test_cdx_query_parquet_store_guards(spark, tmp_path):
         r.timestamp
         for r in cdx_query_parquet(spark, out, url, match_type="prefix").collect()
     })
+
+
+def _files_intersecting_2d(
+    root: str, key_lo: str, key_hi: str, t_lo, t_hi
+) -> tuple[int, int]:
+    """(files whose footer stats intersect BOTH box predicates,
+    total data files) across a hive-partitioned index directory —
+    the 2-D file-skip a stats-aware reader performs."""
+    inter = total = 0
+    for path in glob.glob(os.path.join(root, "**", "*.parquet"),
+                          recursive=True):
+        md = pq.ParquetFile(path).metadata
+        total += 1
+        k_lo = k_hi = f_lo = f_hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                cc = md.row_group(rg).column(ci)
+                if cc.statistics is None:
+                    continue
+                mn, mx = cc.statistics.min, cc.statistics.max
+                if cc.path_in_schema == "url_surtkey":
+                    k_lo = mn if k_lo is None else min(k_lo, mn)
+                    k_hi = mx if k_hi is None else max(k_hi, mx)
+                elif cc.path_in_schema == "fetch_time":
+                    f_lo = mn if f_lo is None else min(f_lo, mn)
+                    f_hi = mx if f_hi is None else max(f_hi, mx)
+        key_hit = k_lo is None or (k_hi >= key_lo and k_lo < key_hi)
+        t_hit = f_lo is None or (f_hi >= t_lo and f_lo < t_hi)
+        if key_hit and t_hit:
+            inter += 1
+    return inter, total
+
+
+def test_zorder_compaction_prunes_2d_and_changes_no_answers(
+    spark, sf_dir, tmp_path
+):
+    """Round-13 OPTIMIZE-ZORDER on the production store: compacting
+    with zorder_by re-clusters the merged epoch so a 2-D box
+    (url_surtkey range × fetch_time year) skips files on BOTH
+    dimensions, while the read answers stay byte-identical to the
+    default-layout compaction (layout-only — the full-oracle
+    ``parquet_index_zorder_box`` query pins it against DuckDB; this
+    test pins the physical evidence)."""
+    import datetime
+
+    from webarchive_indexing_spark.queries.cdx_surface import (
+        _parquet_epoch_store,
+        parquet_zorder_box_read,
+    )
+    from webarchive_indexing_spark.sinks.parquet_index import (
+        compact_parquet_index_epochs,
+    )
+    from webarchive_indexing_spark.sinks.zipnum import list_epochs
+
+    plain = _parquet_epoch_store(spark, sf_dir, "pq_zo_plain_")
+    compact_parquet_index_epochs(spark, plain, range_partitions=8)
+    zo = _parquet_epoch_store(spark, sf_dir, "pq_zo_clust_")
+    compact_parquet_index_epochs(
+        spark, zo, range_partitions=8,
+        zorder_by=("url_surtkey", "fetch_time"),
+    )
+
+    want = sorted(map(tuple, parquet_zorder_box_read(spark, plain).collect()))
+    got = sorted(map(tuple, parquet_zorder_box_read(spark, zo).collect()))
+    assert got == want and len(got) > 0
+
+    # the second-dimension demonstration: a TIME-ONLY predicate.  The
+    # url_surtkey-sorted plain layout cannot bound fetch_time per file
+    # (every key range spans all three fixture years → ~every file
+    # intersects); the z-clustered layout bounds both dimensions, so
+    # a one-year slice must skip a real fraction of files.
+    key_lo, key_hi = "", "￿"  # whole keyspace
+    utc = datetime.timezone.utc
+    t_lo = datetime.datetime(2016, 1, 1, tzinfo=utc)
+    t_hi = datetime.datetime(2017, 1, 1, tzinfo=utc)
+    zo_epoch = list_epochs(zo)[-1]
+    plain_epoch = list_epochs(plain)[-1]
+    zi, zt = _files_intersecting_2d(zo_epoch, key_lo, key_hi, t_lo, t_hi)
+    pi, pt = _files_intersecting_2d(plain_epoch, key_lo, key_hi, t_lo, t_hi)
+    assert zt >= 8 and pt >= 8  # enough files for skipping to mean anything
+    z_frac, p_frac = zi / zt, pi / pt
+    assert p_frac > 0.9, (pi, pt)  # plain layout: time prunes ~nothing
+    assert z_frac < p_frac, (zi, zt, pi, pt)
+    assert z_frac <= 0.75, f"z-order year slice should skip >=25%: {zi}/{zt}"

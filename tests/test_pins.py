@@ -74,3 +74,69 @@ def test_probe_pin_entries_are_well_formed():
     for name, entry in _probe_pins().items():
         assert isinstance(entry.get("sec"), (int, float)) and entry["sec"] > 0, name
         assert isinstance(entry.get("provenance"), str) and entry["provenance"], name
+
+
+def _audit_mod():
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    import pin_audit
+
+    return pin_audit
+
+
+def test_pin_audit_age_floor_rule():
+    """Round-13 verdict rule: a pin whose provenance predates round
+    current-4 is flagged regardless of git history (the span rule
+    missed pack_token_budget's round-3 pin because its module never
+    changed)."""
+    pa = _audit_mod()
+    pdata = {
+        "pins": {
+            "old": {"sec": 1.0, "provenance": "round-3 pin"},
+            "edge": {"sec": 1.0, "provenance": "round-9 pin"},
+            "fresh": {"sec": 1.0, "provenance": "round-12 pin"},
+            "unparseable": {"sec": 1.0, "provenance": "BASELINE table"},
+        },
+        "probe_pins": {
+            "old_probe": {"sec": 0.1, "provenance": "round-2 pin"},
+        },
+    }
+    flagged = pa.age_flags(pdata, current_round=13)
+    names = {(r["name"], r["section"]) for r in flagged}
+    assert names == {("old", "pins"), ("old_probe", "probe_pins")}
+    assert all(r["reason"] == "stale_age" for r in flagged)
+
+
+def test_pin_audit_reads_latest_driver_over_2x():
+    """Round-13 verdict rule: the audit surfaces the latest driver
+    bench's over_2x entries git-blind — every flag from the live
+    repo's BENCH drops must name a real pin, and the latest round
+    parsed must match the newest BENCH_r*.json on disk."""
+    import re
+
+    pa = _audit_mod()
+    rnd, q_over, p_over = pa.latest_bench()
+    drops = [
+        int(re.search(r"r(\d+)", f).group(1))
+        for f in os.listdir(ROOT)
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    ]
+    assert rnd == max(drops)
+    pins, ppins = _pins(), _probe_pins()
+    assert all(n in pins for n in q_over)
+    assert all(n in ppins for n in p_over)
+
+
+def test_pin_audit_no_unresolved_flags_at_close():
+    """The closing invariant the repo's own protocol demands: after
+    the round's quiet re-pin pass, the audit's git-blind rules
+    (driver_over_2x + stale_age) are clean.  code_changed flags are
+    allowed mid-round (they accrue as modules are edited) but the
+    other two mean a pin nobody re-measured."""
+    pa = _audit_mod()
+    rows = [r for r in pa.audit() if r["reason"] != "code_changed"]
+    assert not rows, (
+        f"{len(rows)} unresolved pin flag(s) — run scripts/repin.py "
+        f"under the quiet protocol: {sorted({r['name'] for r in rows})[:8]}"
+    )

@@ -912,6 +912,55 @@ def test_stream_media_meta(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
 
 
+def test_stream_media_meta_refuses_legacy_flat_layout(spark, tmp_path):
+    """Round-13 ADVICE fix: an out_dir holding PRE-partitioning flat
+    part files cannot take ingest_batch= hive partitions (mixed
+    layouts break spark.read.parquet) — the stream refuses up front
+    with a migration hint instead of corrupting the store."""
+    import pytest
+
+    from webarchive_indexing_spark.streaming.incremental import (
+        stream_media_meta,
+    )
+
+    out = tmp_path / "legacy_meta"
+    out.mkdir()
+    spark.range(3).coalesce(1).write.mode("overwrite").parquet(str(out))
+    assert any(p.suffix == ".parquet" for p in out.iterdir())
+    with pytest.raises(ValueError, match="root-level parquet"):
+        stream_media_meta(
+            spark, str(tmp_path / "m"), str(out), str(tmp_path / "ck")
+        )
+
+
+def test_stream_scope_id_adopts_legacy_checkpoint(tmp_path):
+    """Round-13 ADVICE fix (medium): a checkpoint with Spark state
+    (offsets/) but no stream_id file predates scope ids — its ledger
+    entries read back as 'default:<n>', so the scope must resolve to
+    'default' (not a fresh uuid) or a micro-batch redelivered across
+    the code upgrade would be applied twice.  Fresh checkpoints still
+    mint a uuid; an existing stream_id file always wins."""
+    from webarchive_indexing_spark.streaming.incremental import (
+        _stream_scope_id,
+    )
+
+    legacy = tmp_path / "ck_legacy"
+    (legacy / "offsets").mkdir(parents=True)
+    assert _stream_scope_id(str(legacy)) == "default"
+    assert (legacy / "stream_id").read_text() == "default"
+    assert _stream_scope_id(str(legacy)) == "default"  # sticky
+
+    fresh = tmp_path / "ck_fresh"
+    sid = _stream_scope_id(str(fresh))
+    assert sid != "default" and len(sid) == 12
+    assert _stream_scope_id(str(fresh)) == sid  # sticky too
+
+    pinned = tmp_path / "ck_pinned"
+    (pinned / "offsets").mkdir(parents=True)
+    (pinned / "stream_id").write_text("abc123def456")
+    assert _stream_scope_id(str(pinned)) == "abc123def456"
+
+
 def test_stream_ann_appends_pq_and_sq_kinds(spark, sf_dir, tmp_path):
     """kind='pq'/'sq' streaming appends: the version clone carries
     model artifacts + sidecar + ledger, the append encodes with the

@@ -472,3 +472,246 @@ def sql_bpe_byte_level(
              '-' ORDER BY pos, j) AS ids
     FROM bsymrows GROUP BY doc_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# GPT-2-format tokenizer artifacts (round 13)
+# ---------------------------------------------------------------------------
+#
+# Real pipelines tokenize with a FIXED published tokenizer, not one
+# re-learned per run: the artifact pair ``vocab.json`` (token → id)
+# + ``merges.txt`` (one merge per line, rank order) is the public
+# GPT-2/RoBERTa file grammar every BPE toolchain reads and writes.
+# Token strings use the GPT-2 byte↔unicode bijection (every byte maps
+# to one printable codepoint so the files are valid text); this
+# module converts them to/from the engine's native hex-pair symbol
+# alphabet, so a LOADED artifact drives the exact same guarded-merge
+# machinery the in-repo learner trains — the difference between
+# "token counts" and THE token counts a training run will see.
+
+
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte→unicode bijection: printable latin-1
+    bytes map to themselves; the remaining 68 bytes map to
+    256, 257, … in byte order.  Deterministic, total, invertible."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+def write_bpe_artifacts(
+    merges: list[tuple[str, str]], out_dir: str
+) -> tuple[str, str]:
+    """Serialize an engine merge table (hex-pair symbols, rank order)
+    as the GPT-2 artifact pair.  The emitted ``vocab.json`` uses the
+    engine's id scheme — base byte token → its byte value 0..255,
+    merge ``k`` (1-based) → ``255 + k`` — a valid instance of the
+    format (real GPT-2 assigns different numbers; the LOADER honors
+    whatever the file says).  Returns (merges_path, vocab_path)."""
+    import json
+    import os
+
+    b2u = gpt2_bytes_to_unicode()
+
+    def uni(hex_sym: str) -> str:
+        return "".join(b2u[b] for b in bytes.fromhex(hex_sym))
+
+    lines = ["#version: 0.2"]
+    vocab: dict[str, int] = {uni(f"{b:02X}"): b for b in range(256)}
+    for k, (a, b) in enumerate(merges, start=1):
+        lines.append(f"{uni(a)} {uni(b)}")
+        vocab[uni(a + b)] = 255 + k
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "merges.txt")
+    vpath = os.path.join(out_dir, "vocab.json")
+    with open(mpath, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with open(vpath, "w", encoding="utf-8") as fh:
+        json.dump(vocab, fh, ensure_ascii=False)
+    return mpath, vpath
+
+
+def load_bpe_artifacts(merges_path: str, vocab_path: str) -> dict:
+    """QUARANTINE parser for the public GPT-2 artifact grammar (the
+    ``sources/pywb_config.py`` discipline: a malformed model file
+    must REFUSE with a precise error, never half-load and mistokenize
+    a corpus).  Validates: merge lines are exactly two space-separated
+    symbols over the byte↔unicode alphabet, no duplicate merges, the
+    vocab is a str→int json object with unique ids that covers all
+    256 base byte tokens and every merge product.  Returns
+    ``{"merges": [(lhs_hex, rhs_hex), …], "vocab": {hex_sym: id}}``
+    in the engine's hex-pair symbol alphabet."""
+    import json
+
+    u2b = {c: b for b, c in gpt2_bytes_to_unicode().items()}
+
+    def to_hex(tok: str, where: str) -> str:
+        out = []
+        for ch in tok:
+            if ch not in u2b:
+                raise ValueError(
+                    f"{where}: {ch!r} is outside the GPT-2 byte↔unicode "
+                    f"alphabet (token {tok!r})"
+                )
+            out.append(f"{u2b[ch]:02X}")
+        return "".join(out)
+
+    merges: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    with open(merges_path, encoding="utf-8") as fh:
+        for lineno, raw in enumerate(fh, start=1):
+            ln = raw.rstrip("\n")
+            if lineno == 1 and ln.startswith("#"):
+                continue  # '#version: 0.2' header
+            if ln == "" :
+                continue  # trailing newline tolerance
+            parts = ln.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"merges.txt line {lineno}: expected '<lhs> <rhs>' "
+                    f"(two space-separated symbols), got {ln!r}"
+                )
+            pair = (
+                to_hex(parts[0], f"merges.txt line {lineno}"),
+                to_hex(parts[1], f"merges.txt line {lineno}"),
+            )
+            if pair in seen:
+                raise ValueError(
+                    f"merges.txt line {lineno}: duplicate merge {ln!r}"
+                )
+            seen.add(pair)
+            merges.append(pair)
+
+    with open(vocab_path, encoding="utf-8") as fh:
+        try:
+            obj = json.load(fh)
+        except ValueError as e:
+            raise ValueError(f"vocab.json: not valid JSON ({e})") from e
+    if not isinstance(obj, dict):
+        raise ValueError("vocab.json: top level must be an object")
+    vocab: dict[str, int] = {}
+    ids_seen: dict[int, str] = {}
+    for tok, tid in obj.items():
+        if not isinstance(tok, str) or not isinstance(tid, int) \
+                or isinstance(tid, bool):
+            raise ValueError(
+                f"vocab.json: entries must be string→int, got "
+                f"{tok!r}: {tid!r}"
+            )
+        h = to_hex(tok, "vocab.json")
+        if h in vocab:
+            raise ValueError(f"vocab.json: duplicate token {tok!r}")
+        if tid in ids_seen:
+            raise ValueError(
+                f"vocab.json: id {tid} assigned to both "
+                f"{ids_seen[tid]!r} and {tok!r}"
+            )
+        ids_seen[tid] = tok
+        vocab[h] = tid
+    for b in range(256):
+        if f"{b:02X}" not in vocab:
+            raise ValueError(
+                f"vocab.json: base byte token 0x{b:02X} missing "
+                f"(a byte-level vocab must cover all 256 bytes)"
+            )
+    for a, b in merges:
+        if a + b not in vocab:
+            raise ValueError(
+                f"merges.txt: merge product of {a}+{b} missing from "
+                f"vocab.json — inconsistent artifact pair"
+            )
+    return {"merges": merges, "vocab": vocab}
+
+
+def _merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+    """One merge applied leftmost-first non-overlapping — exactly the
+    semantics of the engine's guarded string ``replace``, so the
+    Python and SQL/column encoders agree symbol-for-symbol."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_encode_pretrained(
+    docs: DataFrame,
+    artifacts: dict,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode with a LOADED artifact — the production serving path.
+
+    Pretokenization stays in Spark (``regexp_extract_all`` with the
+    shared ``BYTE_PRETOKEN_RE``, identical grammar to every twin);
+    the merge chain + vocab lookup run per-word in ONE Arrow pass
+    with the artifact riding as a broadcast-closure literal (model
+    artifacts are small; corpus text never leaves the executors).
+    Unlike the column-expression encoder (``bpe_encode_bytes``, whose
+    plan grows one ``replace`` node per merge), this path takes a
+    50k-merge production artifact without blowing up the expression
+    tree — rank order applied sequentially, which is canonical BPE
+    (a lower-rank pair can never be CREATED by a higher-rank merge:
+    new adjacencies always involve the just-minted symbol, which
+    later rules only can reference).
+
+    Ids come from the artifact's ``vocab.json`` (whatever numbering
+    it declares); symbols absent from the vocab emit ``-1`` — with a
+    well-formed byte-level artifact that never fires (the loader
+    enforces full base-byte coverage)."""
+    from collections.abc import Iterator
+
+    merges = list(artifacts["merges"])
+    vocab = dict(artifacts["vocab"])
+
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(BYTE_PRETOKEN_RE), F.lit(0)
+            )
+        ).alias("pos", "w"),
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids_col = []
+            for w in pdf["w"]:
+                syms = [f"{b:02X}" for b in str(w).encode("utf-8")]
+                for a, b in merges:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_pass(syms, a, b)
+                ids_col.append([vocab.get(s, -1) for s in syms])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pos": pdf["pos"], "ids": ids_col}
+            )
+
+    per_word = words.mapInPandas(fn, "doc_id bigint, pos int, ids array<int>")
+    ordered = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+            lambda s: s["ids"],
+        )
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.size(ordered).cast("bigint").alias("n_tokens"),
+        F.array_join(ordered, "-").alias("ids"),
+    )

@@ -45,6 +45,155 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), key, how)
 
 
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    bucketing: str = "linear",
+):
+    """The Morton-key COLUMN for z-order clustering, plus its recipe
+    metadata — factored out of ``write_zordered`` so any sink
+    (``write_zordered``'s plain rewrite, the cc-index parquet store's
+    OPTIMIZE-ZORDER compaction) can cluster on the same key.
+
+    Numeric dimensions bucket by ``bucketing`` (linear min/max scale,
+    or equi-depth ``approxQuantile`` boundaries — see
+    ``write_zordered``).  STRING dimensions (round 13: the cc-index
+    ``url_surtkey``) have no linear scale; in ``quantile`` mode their
+    boundaries come from EXACT equi-depth tiles via the two-pass
+    global rank (``operators/global_rank.exact_ntile`` — one narrow
+    single-column shuffle per string dimension, amortized into the
+    layout rewrite; no single-task sort, no driver-side data beyond
+    the ≤255 boundary strings).  Boundaries shape only the LAYOUT,
+    never an answer.
+
+    Returns ``(key_column, {"bits", "bucketing", "stats", "bounds"})``
+    — ``bits`` is the post-cap per-dimension resolution."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    if bucketing not in ("linear", "quantile"):
+        raise ValueError(f"unknown bucketing {bucketing!r}")
+    if not cols:
+        raise ValueError("zorder: need at least one column")
+    ncols = len(cols)
+    # the Morton key must fit a signed 64-bit long: Spark's shiftleft
+    # wraps shift amounts mod 64, and bit 63 is the sign bit (largest
+    # keys would sort most-negative) — so cap total interleaved bits
+    # at 62 and shrink per-dimension resolution for wide column sets.
+    # Past 62 columns even 1 bit each overflows into the sign bit, and
+    # a >62-dimension Morton key is useless anyway (each dimension
+    # would get <1 bit of locality) — refuse rather than mis-sort.
+    if ncols > 62:
+        raise ValueError(
+            f"zorder: {ncols} columns exceed the 62-bit Morton budget "
+            f"(1 bit/dimension minimum); cluster on fewer columns"
+        )
+    bits = max(1, min(bits, 62 // ncols))
+    dtypes = dict(df.dtypes)
+    str_cols = [c for c in cols if dtypes.get(c) == "string"]
+    num_cols = [c for c in cols if c not in str_cols]
+    if str_cols and bucketing == "linear":
+        raise ValueError(
+            f"zorder: string column(s) {str_cols} have no linear "
+            f"scale — use bucketing='quantile'"
+        )
+    stats: dict[str, tuple] = {}
+    if num_cols:
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{j}")
+              for j, c in enumerate(num_cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{j}")
+              for j, c in enumerate(num_cols)],
+        ).first()
+        for j, c in enumerate(num_cols):
+            if row[f"mn_{j}"] is None or row[f"mx_{j}"] is None:
+                raise ValueError(
+                    f"zorder: column {c!r} has no non-NULL values "
+                    f"(empty input?) — nothing to cluster"
+                )
+            stats[c] = (float(row[f"mn_{j}"]), float(row[f"mx_{j}"]))
+    terms = []
+    bounds: dict[str, list] = {}
+    if bucketing == "quantile":
+        bits = min(bits, 8)
+        nb = (1 << bits) - 1
+        if num_cols:
+            probs = [i / (nb + 1) for i in range(1, nb + 1)]
+            qcols = df.select(
+                *[F.col(c).cast("double").alias(c) for c in num_cols]
+            )
+            # one pass computes every column's boundaries; boundaries
+            # only shape the LAYOUT (never an answer), so a loose
+            # sketch error is free accuracy-wise and cheaper to merge
+            allq = qcols.stat.approxQuantile(num_cols, probs, 0.01)
+            for c, qs in zip(num_cols, allq):
+                bounds[c] = qs
+        for c in str_cols:
+            from .global_rank import exact_ntile
+
+            tiles = exact_ntile(
+                df.select(c).filter(F.col(c).isNotNull()),
+                [c], nb + 1, tile_col="__zt",
+            )
+            rows = (
+                tiles.groupBy("__zt")
+                .agg(F.min(c).alias("b"), F.max(c).alias("t"))
+                .orderBy("__zt")
+                .collect()
+            )
+            if not rows:
+                raise ValueError(
+                    f"zorder: column {c!r} has no non-NULL values "
+                    f"(empty input?) — nothing to cluster"
+                )
+            bounds[c] = [r["b"] for r in rows[1:]]
+            stats[c] = (rows[0]["b"], rows[-1]["t"])
+    top = (1 << bits) - 1
+    for j, c in enumerate(cols):
+        if bucketing == "quantile" and c in str_cols:
+            b = functools.reduce(
+                lambda x, y: x + y,
+                [(F.col(c) >= F.lit(bv)).cast("bigint")
+                 for bv in bounds[c]],
+                F.lit(0).cast("bigint"),
+            )
+        elif bucketing == "quantile":
+            lits = ",".join(f"{b!r}D" for b in bounds[c])
+            b = F.expr(
+                f"aggregate(array({lits}), 0L, (acc, bd) -> "
+                f"acc + CASE WHEN CAST(`{c}` AS DOUBLE) >= bd "
+                f"THEN 1L ELSE 0L END)"
+            )
+        else:
+            mn, mx = stats[c]
+            span = (mx - mn) or 1.0
+            scaled = (
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+            ) * F.lit(float(top))
+            b = F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(
+                    F.floor(scaled).cast("bigint"),
+                    F.lit(top).cast("bigint"),
+                ),
+            )
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                    i * ncols + j,
+                )
+            )
+    zval = functools.reduce(lambda x, y: x + y, terms)
+    return zval, {
+        "bits": bits, "bucketing": bucketing,
+        "stats": stats, "bounds": bounds,
+    }
+
+
 def write_zordered(
     df: DataFrame,
     out_dir: str,
@@ -87,81 +236,11 @@ def write_zordered(
     — pruning is Catalyst's ordinary pushdown meeting
     better-organized footers, no custom reader."""
     import json
-    import os
 
     from pyspark.sql import functions as F
 
-    if bucketing not in ("linear", "quantile"):
-        raise ValueError(f"unknown bucketing {bucketing!r}")
-    if not cols:
-        raise ValueError("zorder: need at least one column")
-    ncols = len(cols)
-    # the Morton key must fit a signed 64-bit long: Spark's shiftleft
-    # wraps shift amounts mod 64, and bit 63 is the sign bit (largest
-    # keys would sort most-negative) — so cap total interleaved bits
-    # at 62 and shrink per-dimension resolution for wide column sets
-    bits = max(1, min(bits, 62 // ncols))
-    row = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{j}") for j, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{j}") for j, c in enumerate(cols)],
-    ).first()
-    for j, c in enumerate(cols):
-        if row[f"mn_{j}"] is None or row[f"mx_{j}"] is None:
-            raise ValueError(
-                f"zorder: column {c!r} has no non-NULL values "
-                f"(empty input?) — nothing to cluster"
-            )
-    stats = {
-        c: (float(row[f"mn_{j}"]), float(row[f"mx_{j}"]))
-        for j, c in enumerate(cols)
-    }
-    terms = []
-    bounds: dict[str, list[float]] = {}
-    if bucketing == "quantile":
-        bits = min(bits, 8)
-        nb = (1 << bits) - 1
-        probs = [i / (nb + 1) for i in range(1, nb + 1)]
-        qcols = df.select(
-            *[F.col(c).cast("double").alias(c) for c in cols]
-        )
-        # one pass computes every column's boundaries; boundaries only
-        # shape the LAYOUT (never an answer), so a loose sketch error
-        # is free accuracy-wise and much cheaper to merge
-        allq = qcols.stat.approxQuantile(cols, probs, 0.01)
-        for c, qs in zip(cols, allq):
-            bounds[c] = qs
-    top = (1 << bits) - 1
-    for j, c in enumerate(cols):
-        if bucketing == "quantile":
-            lits = ",".join(f"{b!r}D" for b in bounds[c])
-            b = F.expr(
-                f"aggregate(array({lits}), 0L, (acc, bd) -> "
-                f"acc + CASE WHEN CAST(`{c}` AS DOUBLE) >= bd "
-                f"THEN 1L ELSE 0L END)"
-            )
-        else:
-            mn, mx = stats[c]
-            span = (mx - mn) or 1.0
-            scaled = (
-                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
-            ) * F.lit(float(top))
-            b = F.greatest(
-                F.lit(0).cast("bigint"),
-                F.least(
-                    F.floor(scaled).cast("bigint"),
-                    F.lit(top).cast("bigint"),
-                ),
-            )
-        for i in range(bits):
-            terms.append(
-                F.shiftleft(
-                    F.shiftright(b, i).bitwiseAND(F.lit(1)),
-                    i * ncols + j,
-                )
-            )
-    import functools
-
-    zval = functools.reduce(lambda x, y: x + y, terms)
+    zval, meta = zorder_key(df, cols, bits=bits, bucketing=bucketing)
+    stats = meta["stats"]
     (
         df.withColumn("__z", zval)
         .repartitionByRange(n_files, F.col("__z"))
@@ -170,14 +249,21 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
-    with open(os.path.join(out_dir, "_zorder.json"), "w") as fh:
-        json.dump(
-            {"cols": cols, "bits": bits, "n_files": n_files,
-             "bucketing": bucketing,
-             "stats": {c: list(v) for c, v in stats.items()},
-             "bounds": bounds},
-            fh,
-        )
+    # sidecar rides the same pyarrow.fs abstraction as every other
+    # sink sidecar (zipnum/ann_index) so an s3://hdfs:// out_dir works
+    # end to end — a plain open() here would crash AFTER the full
+    # parquet rewrite succeeded
+    from ..sinks.zipnum import _fs_for, _join
+
+    fs, local = _fs_for(out_dir)
+    payload = json.dumps(
+        {"cols": cols, "bits": meta["bits"], "n_files": n_files,
+         "bucketing": bucketing,
+         "stats": {c: list(v) for c, v in stats.items()},
+         "bounds": meta["bounds"]}
+    ).encode()
+    with fs.open_output_stream(_join(local, "_zorder.json")) as fh:
+        fh.write(payload)
     return stats
 
 
@@ -189,15 +275,26 @@ def parquet_files_intersecting(
     file-skipping a stats-aware reader performs, computed from the
     same footers.  Evidence helper for layout tests; not a query
     path."""
-    import os
+    import posixpath
 
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
+    from ..sinks.zipnum import _fs_for
+
+    fs, local = _fs_for(out_dir)
+    infos = fs.get_file_info(pafs.FileSelector(local))
+    names = sorted(
+        posixpath.basename(i.path)
+        for i in infos
+        if i.type == pafs.FileType.File
+    )
     inter = total = 0
-    for name in sorted(os.listdir(out_dir)):
+    for name in names:
         if not name.endswith(".parquet"):
             continue
-        md = pq.ParquetFile(os.path.join(out_dir, name)).metadata
+        with fs.open_input_file(posixpath.join(local, name)) as f:
+            md = pq.ParquetFile(f).metadata
         total += 1
         lo_f = hi_f = None
         for rg in range(md.num_row_groups):

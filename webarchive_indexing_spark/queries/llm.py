@@ -6034,3 +6034,578 @@ def graph_hits_hubs_authorities(spark, sf_dir):
             hround(F.col("h"), 8).alias("hub"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (round 13 — the ingest→text seam)
+# ---------------------------------------------------------------------------
+
+#: deterministic second content paragraph planted by the HTML fixture
+#: grammar — 15 words, zero links, so the extractor must always keep
+#: it (and the oracle reconstructs it arithmetically from doc_id)
+_HTML_PARA2 = (
+    "Section {i} adds measured detail covering topic {m} "
+    "with notes on scope coverage and depth."
+)
+
+
+def _sql_html_para2() -> str:
+    return (
+        "'Section ' || CAST(doc_id AS VARCHAR) || "
+        "' adds measured detail covering topic ' || "
+        "CAST(doc_id % 7 AS VARCHAR) || "
+        "' with notes on scope coverage and depth.'"
+    )
+
+
+def _html_page_cols():
+    """(page_expr, damage-arm predicate): the fixture page as a PURE
+    column expression (JVM-side concat — the builder itself scales as
+    a scan, no Python), planting main content (the documents row's
+    text + a doc_id-derived second paragraph) among boilerplate the
+    extractor must drop: title (2 words), a link-only nav, script and
+    style content (containing '<' to prove content-stripping), an
+    HTML comment, a short promo div, a linky footer.  Every fifth doc
+    is DAMAGED: truncated after the first paragraph's text inside an
+    unterminated tag — the tolerant-lexer arm."""
+    i = F.col("doc_id").cast("string")
+    para2 = F.concat(
+        F.lit("Section "), i,
+        F.lit(" adds measured detail covering topic "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" with notes on scope coverage and depth."),
+    )
+    head = F.concat(
+        F.lit("<!doctype html><html><head><title>Doc "), i,
+        F.lit("</title><script type=\"text/javascript\">var n = "), i,
+        F.lit("; if (n < 3) track();</script>"
+              "<style>p { margin: 0; }</style></head><body>"),
+    )
+    nav = F.lit(
+        '<nav><a href="/">Home</a> <a href="/about">About</a> '
+        '<a href="/contact">Contact</a></nav>'
+    )
+    comment = F.concat(
+        F.lit("<!-- layout: "), (F.col("doc_id") % 3).cast("string"),
+        F.lit(" -->"),
+    )
+    p1 = F.concat(F.lit('<p id="c'), i, F.lit('">'), F.col("text"), F.lit("</p>"))
+    p2 = F.concat(F.lit("<p>"), para2, F.lit("</p>"))
+    promo = F.lit(
+        '<div class="promo">Subscribe now for '
+        '<a href="/news">updates</a></div>'
+    )
+    footer = F.lit(
+        '<footer><a href="/privacy">Privacy</a> '
+        '<a href="/terms">Terms</a> Copyright Example Corp</footer>'
+    )
+    whole = F.concat(
+        head, nav, comment, p1, p2, promo, footer, F.lit("</body></html>")
+    )
+    truncated = F.concat(head, nav, F.lit("<p>"), F.col("text"), F.lit("<p cl"))
+    damaged = (F.col("doc_id") % 5) == 4
+    return F.when(damaged, truncated).otherwise(whole), damaged
+
+
+@query(
+    "text_html_main_content",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS norm
+      FROM documents
+    ), s AS (
+      SELECT doc_id, norm,
+             len(string_split(norm, ' ')) AS words,
+             """ + _sql_html_para2() + """ AS para2
+      FROM d
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 4
+                THEN CASE WHEN words >= 12 THEN 'ok' ELSE 'empty' END
+                ELSE 'ok' END AS status,
+           CASE WHEN doc_id % 5 = 4
+                THEN CASE WHEN words >= 12 THEN norm END
+                ELSE CASE WHEN words >= 12
+                          THEN norm || chr(10) || chr(10) || para2
+                          ELSE para2 END
+           END AS main_text,
+           CAST(CASE WHEN doc_id % 5 = 4
+                     THEN CASE WHEN words >= 12 THEN 1 ELSE 0 END
+                     ELSE CASE WHEN words >= 12 THEN 2 ELSE 1 END
+                END AS INT) AS n_blocks_kept,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN 3 ELSE 6 END AS INT)
+               AS n_blocks_total
+    FROM s
+    """,
+    tier="C",
+)
+def text_html_main_content(spark, sf_dir):
+    """L5+ boilerplate removal (round 13): deterministic HTML pages
+    synthesized EXECUTOR-SIDE from documents rows (pure JVM concat —
+    no driver loop, no UDF in the builder) run through the
+    Arrow-batched block extractor (``operators/html_extract.py``).
+    The oracle reconstructs the full verdict relationally: which
+    blocks survive the word-count rule (min_words=12 bites — fixture
+    docs span 10..100 words), the exact extracted text including the
+    blank-line join, and the block counts — for both the whole-page
+    arm and the truncated/malformed damage arm (every fifth page cut
+    mid-tag after its first paragraph).  Title/nav/promo/footer
+    boilerplate, script/style content, and comments must vanish for
+    the hash to match."""
+    from ..operators.html_extract import extract_main_content
+
+    page, _ = _html_page_cols()
+    pages = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", page.alias("payload"))
+    )
+    return extract_main_content(
+        widen(pages), html_col="payload", keys=("doc_id",), min_words=12
+    )
+
+
+@query(
+    "warc_html_quality_verdicts",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 100
+    ), s AS (
+      SELECT doc_id, norm,
+             len(string_split(norm, ' ')) AS words,
+             """ + _sql_html_para2() + """ AS para2
+      FROM d
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 4
+                  THEN CASE WHEN words >= 12 THEN norm END
+                  ELSE CASE WHEN words >= 12 THEN norm || ' ' || para2
+                            ELSE para2 END
+             END AS flat
+      FROM s
+    ), q AS (
+      SELECT doc_id, flat, string_split(flat, ' ') AS toks FROM m
+    )
+    SELECT 'example,html)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+           'http://html.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN flat IS NULL THEN 'empty' ELSE 'ok' END AS status,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           """ + sql_hround(
+               sql_stopword_count("toks") + " * 1.0 / len(toks)", 4
+           ) + """ AS stop_ratio,
+           COALESCE(len(toks) BETWEEN 20 AND 2000
+                    AND 100 * """ + sql_stopword_count("toks") + """
+                        >= 2 * len(toks), FALSE) AS keep
+    FROM q
+    """,
+    tier="C",
+)
+def warc_html_quality_verdicts(spark, sf_dir):
+    """END-TO-END ingest→text→curation (round 13): fixture HTML pages
+    (same grammar as ``text_html_main_content``, damage arm included)
+    are written into a REAL ``.warc.gz`` as ``text/html`` response
+    records, ingested by ``index_warcs(keep_payload=('text/html',))``,
+    boilerplate-stripped by the Arrow-pass extractor, and scored by
+    the stopword-ratio quality gate — the C4-shaped raw-crawl→
+    training-verdict funnel in one lineage.  The oracle rebuilds the
+    SURT urlkey, the expected extracted text, and the quality verdict
+    from the doc_id grammar, so the hash match proves WARC grammar →
+    payload retention → HTML extraction → tokenization → gate end to
+    end."""
+    import tempfile
+
+    from ..operators.html_extract import extract_main_content
+    from ..sources.warc import index_warcs, write_mini_warc
+
+    page, _ = _html_page_cols()
+    rows = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", page.alias("page"))
+        .collect()
+    )
+    recs = [
+        dict(
+            url=f"http://html.example/doc/{int(r.doc_id)}",
+            date_iso="2020-01-01T00:00:00Z",
+            mime="text/html",
+            payload=r.page.encode("utf-8"),
+        )
+        for r in sorted(rows, key=lambda r: int(r.doc_id))
+    ]
+    d = tempfile.mkdtemp(prefix="warc_html_")
+    path = f"{d}/html.warc.gz"
+    write_mini_warc(path, recs)
+    manifest = spark.createDataFrame([(path,)], ["path"])
+    kept = index_warcs(spark, manifest, keep_payload=("text/html",))
+    ext = extract_main_content(kept, keys=("urlkey", "url"), min_words=12)
+    tk = tokens(F.regexp_replace(F.col("main_text"), "[ \t\r\n]+", " "))
+    has = F.col("main_text").isNotNull()
+    # size(NULL) is -1 in non-ANSI Spark — null-gate the counts so an
+    # 'empty' verdict carries NULL token stats like the oracle's
+    n = F.when(has, F.size(tk))
+    stop = F.when(has, stopword_count(tk))
+    return ext.select(
+        "urlkey",
+        "url",
+        "status",
+        n.cast("bigint").alias("n_words"),
+        hround(stop * F.lit(1.0) / n, 4).alias("stop_ratio"),
+        F.coalesce(
+            n.between(20, 2000) & (100 * stop >= 2 * n), F.lit(False)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "text_bpe_pretrained_ids",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.bpe", fromlist=["sql_bpe_byte_level"]
+    ).sql_bpe_byte_level(
+        n_merges=5,
+        learn_limit=300,
+        encode_limit=200,
+        text_sql="text || ' Don''t—naïve café, 123!'",
+    ),
+    tier="C",
+)
+def text_bpe_pretrained_ids(spark, sf_dir):
+    """PUBLISHED-tokenizer serving path (round 13): the learned merge
+    table is SERIALIZED to the public GPT-2 artifact pair
+    (``merges.txt`` in the byte↔unicode alphabet + ``vocab.json``),
+    re-LOADED through the quarantine parser, and applied by the
+    Arrow-pass pretrained encoder (``bpe_encode_pretrained`` —
+    Spark-side pretokenization, per-word Python merge chain with the
+    artifact as a broadcast literal, canonical rank-order BPE).  The
+    oracle re-learns and encodes relationally, so the value hash
+    proves learner → GPT-2 serialization → parse → canonical encode
+    all produce THE same token ids — the fixed-tokenizer guarantee a
+    training run needs.  Five merges (vs the expression path's four)
+    keep the two byte-level queries distinct."""
+    import tempfile
+
+    from ..operators.bpe import (
+        bpe_encode_pretrained,
+        bpe_learn_merges_bytes,
+        load_bpe_artifacts,
+        write_bpe_artifacts,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_BPE_BYTE_SUFFIX)).alias("text"),
+    )
+    learned = bpe_learn_merges_bytes(
+        d.filter(F.col("doc_id") < 300), n_merges=5
+    ).collect()
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in sorted(learned, key=lambda r: r["merge_rank"])
+    ]
+    art_dir = tempfile.mkdtemp(prefix="bpe_art_")
+    mpath, vpath = write_bpe_artifacts(merges, art_dir)
+    art = load_bpe_artifacts(mpath, vpath)
+    return bpe_encode_pretrained(d.filter(F.col("doc_id") < 200), art)
+
+
+# ---------------------------------------------------------------------------
+# published model artifacts (round 13): fastText .vec + ARPA bigram LM
+# ---------------------------------------------------------------------------
+
+def _sql_h(expr: str) -> str:
+    return sql_token_hash(expr)
+
+
+def _vec_component_sql(j: int, w: str = "w") -> str:
+    expr = w + " || ':" + str(j) + "'"
+    return f"({_sql_h(expr)} % 2001 - 1000) / 1000.0"
+
+
+@query(
+    "text_vec_doc_embedding",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 300
+      ) WHERE {_sql_h('w')} % 3 <> 0
+    ), vecs AS (
+      SELECT w,
+             {_vec_component_sql(0)} AS v0,
+             {_vec_component_sql(1)} AS v1,
+             {_vec_component_sql(2)} AS v2,
+             {_vec_component_sql(3)} AS v3
+      FROM vocab
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) - COUNT(v.w) AS BIGINT) AS n_oov,
+           {sql_hround('CAST(COALESCE(SUM(CAST(v.v0 AS DECIMAL(18,6))), 0) AS DOUBLE) / GREATEST(COUNT(v.w), 1)', 6)} AS e0,
+           {sql_hround('CAST(COALESCE(SUM(CAST(v.v1 AS DECIMAL(18,6))), 0) AS DOUBLE) / GREATEST(COUNT(v.w), 1)', 6)} AS e1,
+           {sql_hround('CAST(COALESCE(SUM(CAST(v.v2 AS DECIMAL(18,6))), 0) AS DOUBLE) / GREATEST(COUNT(v.w), 1)', 6)} AS e2,
+           {sql_hround('CAST(COALESCE(SUM(CAST(v.v3 AS DECIMAL(18,6))), 0) AS DOUBLE) / GREATEST(COUNT(v.w), 1)', 6)} AS e3
+    FROM toks t LEFT JOIN vecs v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+    tier="C",
+)
+def text_vec_doc_embedding(spark, sf_dir):
+    """PUBLISHED word-vector artifact end-to-end (round 13): a
+    fastText ``.vec`` fixture file — vocabulary a deterministic
+    md5-derived subset of the doc_id<300 corpus (so real OOV exists),
+    components a 3-decimal hash grammar — is WRITTEN, re-LOADED
+    through the quarantine parser, and applied as a broadcast-join
+    model: every document's mean word vector plus OOV counts, exact
+    decimal sums.  The oracle reconstructs vocabulary, components and
+    means relationally from the same grammar, so the hash match
+    proves serialize → parse → broadcast-apply — the mechanism a real
+    2M-token .vec rides at scale (model to executors once; corpus
+    text never shuffles)."""
+    import tempfile
+
+    from ..sources.model_artifacts import load_vec_vectors, write_vec_vectors
+
+    def h(col):
+        return token_hash(col)
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.filter(F.col("doc_id") < 300)
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .filter(F.pmod(h(F.col("w")), F.lit(3)) != 0)
+    )
+    comp = [
+        ((F.pmod(h(F.concat(F.col("w"), F.lit(f":{j}"))), F.lit(2001)) - 1000)
+         / F.lit(1000.0)).alias(f"v{j}")
+        for j in range(4)
+    ]
+    rows = sorted(
+        (r["w"], [r["v0"], r["v1"], r["v2"], r["v3"]])
+        for r in vocab.select("w", *comp).collect()
+    )
+    d = tempfile.mkdtemp(prefix="vec_art_")
+    path = write_vec_vectors(rows, 4, f"{d}/model.vec")
+    loaded, dim = load_vec_vectors(path)
+    vec_df = spark.createDataFrame(
+        [(w, *v) for w, v in loaded],
+        "w string, v0 double, v1 double, v2 double, v3 double",
+    )
+    toks = (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    )
+    j = toks.join(F.broadcast(vec_df), "w", "left")
+    in_vocab = F.count("v0")
+    mean = [
+        hround(
+            F.coalesce(
+                F.sum(F.col(f"v{k}").cast("decimal(18,6)")), F.lit(0)
+            ).cast("double") / F.greatest(in_vocab, F.lit(1)),
+            6,
+        ).alias(f"e{k}")
+        for k in range(4)
+    ]
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (F.count(F.lit(1)) - in_vocab).cast("bigint").alias("n_oov"),
+        *mean,
+    )
+
+
+@query(
+    "text_arpa_logprob",
+    oracle=f"""
+    WITH train AS (
+      SELECT string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id < 300
+    ), tuni AS (
+      SELECT DISTINCT unnest(ws) AS w FROM train
+    ), tpairs AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM train, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ), tbi AS (
+      SELECT w1, w2 FROM tpairs GROUP BY w1, w2 HAVING COUNT(*) >= 3
+    ), uni AS (
+      SELECT w,
+             -(1 + {_sql_h("w || ':u'")} % 4000) / 1000.0 AS lp,
+             -(1 + {_sql_h("w || ':b'")} % 2000) / 1000.0 AS bo
+      FROM tuni
+    ), bi AS (
+      SELECT w1, w2,
+             -(1 + {_sql_h("w1 || ' ' || w2")} % 4000) / 1000.0 AS blp
+      FROM tbi
+    ), dpairs AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < 200
+      ), unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN b.blp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backoff,
+           {sql_hround('CAST(SUM(COALESCE(CAST(b.blp AS DECIMAL(18,6)), CAST(u1.bo AS DECIMAL(18,6)) + CAST(u2.lp AS DECIMAL(18,6)))) AS DOUBLE)', 4)} AS logprob
+    FROM dpairs d
+    LEFT JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+    JOIN uni u1 ON d.w1 = u1.w
+    JOIN uni u2 ON d.w2 = u2.w
+    GROUP BY d.doc_id
+    """,
+    tier="C",
+)
+def text_arpa_logprob(spark, sf_dir):
+    """PUBLISHED backoff-LM artifact end-to-end (round 13): an ARPA
+    unigram+bigram fixture — vocabulary from the doc_id<300 corpus,
+    bigram entries only for pairs seen ≥3 times (so the BACKOFF path
+    really fires), logprobs a 3-decimal hash grammar — is written,
+    re-loaded through the quarantine parser, and applied with the
+    standard Katz lookup: ``logP(w2|w1) = bigram`` when present, else
+    ``backoff(w1) + unigram(w2)``.  Per-document totals sum exactly
+    in decimals.  The oracle re-derives vocabulary, entry set, every
+    logprob and the backoff CASE relationally — serialize → parse →
+    apply, value-hashed.  Scale shape: the LM is two broadcast
+    tables; the corpus-side cost is one pair-explode scan."""
+    import tempfile
+
+    from ..sources.model_artifacts import (
+        load_arpa_bigram,
+        write_arpa_bigram,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def h(col):
+        return token_hash(col)
+
+    def pair_frame(df):
+        ws = tokens(F.col("text"))
+        seq = F.sequence(F.lit(1), F.size(ws) - 1)
+        pairs = F.transform(
+            seq,
+            lambda i: F.struct(
+                F.element_at(ws, i.cast("int")).alias("w1"),
+                F.element_at(ws, (i + 1).cast("int")).alias("w2"),
+            ),
+        )
+        return (
+            df.filter(F.size(tokens(F.col("text"))) >= 2)
+            .select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", "p.w1", "p.w2")
+        )
+
+    train = docs.filter(F.col("doc_id") < 300)
+    uni_rows = sorted(
+        (r["w"], r["lp"], r["bo"])
+        for r in train.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .select(
+            "w",
+            (-(1 + F.pmod(h(F.concat(F.col("w"), F.lit(":u"))), F.lit(4000)))
+             / F.lit(1000.0)).alias("lp"),
+            (-(1 + F.pmod(h(F.concat(F.col("w"), F.lit(":b"))), F.lit(2000)))
+             / F.lit(1000.0)).alias("bo"),
+        )
+        .collect()
+    )
+    bi_rows = sorted(
+        (r["w1"], r["w2"], r["blp"])
+        for r in pair_frame(train)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .select(
+            "w1", "w2",
+            (-(1 + F.pmod(
+                h(F.concat(F.col("w1"), F.lit(" "), F.col("w2"))),
+                F.lit(4000))) / F.lit(1000.0)).alias("blp"),
+        )
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="arpa_art_")
+    path = write_arpa_bigram(uni_rows, bi_rows, f"{d}/model.arpa")
+    model = load_arpa_bigram(path)
+    uni_df = spark.createDataFrame(
+        model["uni"], "w string, lp double, bo double"
+    )
+    bi_df = spark.createDataFrame(
+        model["bi"], "w1 string, w2 string, blp double"
+    )
+    dpairs = pair_frame(docs.filter(F.col("doc_id") < 200))
+    scored = (
+        dpairs.join(F.broadcast(bi_df), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni_df.select(F.col("w").alias("w1"),
+                                      F.col("bo").alias("u1_bo"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni_df.select(F.col("w").alias("w2"),
+                                      F.col("lp").alias("u2_lp"))),
+            "w2",
+        )
+    )
+    score = F.coalesce(
+        F.col("blp").cast("decimal(18,6)"),
+        F.col("u1_bo").cast("decimal(18,6)")
+        + F.col("u2_lp").cast("decimal(18,6)"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("blp").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_backoff"),
+        hround(F.sum(score).cast("double"), 4).alias("logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph ANN (round 13): persisted kNN graph + beam-search serving
+# ---------------------------------------------------------------------------
+
+@query(
+    "emb_graph_beam_topk",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.graph_ann",
+        fromlist=["sql_graph_beam_topk"],
+    ).sql_graph_beam_topk(
+        query_vec_id=77, n_base=500, k_neighbors=12,
+        k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+    ),
+    tier="C",
+)
+def emb_graph_beam_topk(spark, sf_dir):
+    """HNSW-SHAPE graph serving (round 13 — the one serving structure
+    the round-12 matrix lacked): a persisted directed kNN graph store
+    (top-12 cosine edges per node over the bounded base, reverse
+    edges unioned in — symmetrization is what makes the graph
+    navigable, see operators/graph_ann.py) probed by a BOUNDED
+    beam-search walk — 4 spread entry points, beam 10, 3 unrolled
+    best-first rounds, each expanding only the beam's unvisited
+    out-neighbors; answer = top-10 of the visited set.  The walk is
+    one static Spark plan of broadcast joins (no collect, no driver
+    loop); candidates scored ≤ |entries| + H·B·degree — the HNSW cost
+    shape, independent of corpus size.  The oracle re-derives the
+    edge table AND the unrolled walk as chained CTEs, so build ∘
+    serve is value-hashed end to end.  Recall vs brute force and vs
+    IVF-flat at equal candidate budget is pinned in
+    tests/test_graph_ann.py; the serving half alone is
+    ``emb_graph_beam_topk_probe``."""
+    import tempfile
+
+    from ..operators.graph_ann import graph_beam_topk, write_knn_graph
+    from ..operators.similarity import collect_query_vector
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="graph_ann_")
+    write_knn_graph(emb, out, k_neighbors=12, n_base=500)
+    qv = collect_query_vector(emb, 77)
+    return graph_beam_topk(
+        spark, out, qv, k=10, beam=10, hops=3,
+        entries=(0, 150, 300, 450), exclude_id=77,
+    )

@@ -56,6 +56,40 @@ def _build_parquet_compacted(spark, sf_dir):
     return store
 
 
+def _build_parquet_zordered(spark, sf_dir):
+    from ..sinks.parquet_index import compact_parquet_index_epochs
+    from .cdx_surface import _parquet_epoch_store
+
+    store = _parquet_epoch_store(spark, sf_dir, "probe_pqzo_")
+    compact_parquet_index_epochs(
+        spark, store, range_partitions=4,
+        zorder_by=("url_surtkey", "fetch_time"),
+    )
+    return store
+
+
+def _build_graph_store(spark, sf_dir):
+    import tempfile
+
+    from ..operators.graph_ann import write_knn_graph
+    from ..operators.similarity import collect_query_vector
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="probe_graph_")
+    write_knn_graph(emb, out, k_neighbors=12, n_base=500)
+    return {"store": out, "qv": collect_query_vector(emb, 77)}
+
+
+def _p_graph_beam(spark, ctx):
+    from ..operators.graph_ann import graph_beam_topk
+
+    return graph_beam_topk(
+        spark, ctx["store"], ctx["qv"], k=10, beam=10, hops=3,
+        entries=(0, 150, 300, 450), exclude_id=77,
+    )
+
+
 def _build_ivf_store(spark, sf_dir):
     import tempfile
 
@@ -385,6 +419,14 @@ PROBES: dict[str, Probe] = {
     "parquet_compact_purge_probe": Probe(
         "parquet_compact_purge", "parquet_compacted",
         _build_parquet_compacted, _reads("parquet_compacted_read"),
+    ),
+    "parquet_index_zorder_box_probe": Probe(
+        "parquet_index_zorder_box", "parquet_zordered",
+        _build_parquet_zordered, _reads("parquet_zorder_box_read"),
+    ),
+    "emb_graph_beam_topk_probe": Probe(
+        "emb_graph_beam_topk", "graph_store",
+        _build_graph_store, _p_graph_beam,
     ),
     "emb_ivf_persisted_topk_probe": Probe(
         "emb_ivf_persisted_topk", "ivf_store",

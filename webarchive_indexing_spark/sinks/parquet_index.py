@@ -82,21 +82,60 @@ def write_parquet_index(
     *,
     range_partitions: int = 8,
     mode: str = "error",
+    zorder_by: tuple[str, ...] | None = None,
+    zorder_bits: int = 8,
 ) -> None:
     """Write a cc-index-table-layout parquet index.
 
-    One range shuffle on ``url_surtkey`` gives every task a narrow
-    key range; the within-task sort puts ``(crawl, subset)`` first so
-    the hive writer emits one run per partition directory and
-    ``url_surtkey`` order inside every file (tight row-group min/max
-    stats — the pruning layer).  ``range_partitions`` is the output
-    file-count knob per key range (CC scale: hundreds)."""
+    Default layout: one range shuffle on ``url_surtkey`` gives every
+    task a narrow key range; the within-task sort puts
+    ``(crawl, subset)`` first so the hive writer emits one run per
+    partition directory and ``url_surtkey`` order inside every file
+    (tight row-group min/max stats — the pruning layer).
+    ``range_partitions`` is the output file-count knob per key range
+    (CC scale: hundreds).
+
+    ``zorder_by`` (round 13) switches the layout to Z-ORDER clustering
+    — the Delta/Iceberg ``OPTIMIZE ZORDER`` move on the production
+    index: the listed dimensions interleave into a Morton key
+    (``operators/bucketing.zorder_key``, equi-depth quantile
+    bucketing — exact two-pass tiles for the string ``url_surtkey``
+    dimension), and the range shuffle + local sort run on THAT key,
+    so a multi-predicate box (url_surtkey prefix × fetch_time range)
+    prunes row groups on every listed dimension instead of only the
+    leading sort column.  Same shuffle count as the default layout —
+    the clustering is free at write time beyond the boundary passes."""
     missing = [c for c in PARTITION_COLS if c not in index.columns]
     if missing:
         raise ValueError(
             f"index frame lacks partition columns {missing}; run "
             "to_parquet_index_shape (or provide them) first"
         )
+    if zorder_by:
+        from ..operators.bucketing import zorder_key
+
+        staged, zcols = index, list(zorder_by)
+        if "fetch_time" in zcols:
+            # timestamps have no native double scale in the bucketer;
+            # epoch seconds are order-isomorphic, and the staging
+            # column is layout-only (dropped before the write)
+            staged = staged.withColumn(
+                "__ft", F.col("fetch_time").cast("double")
+            )
+            zcols = ["__ft" if c == "fetch_time" else c for c in zcols]
+        zcol, _meta = zorder_key(
+            staged, zcols, bits=zorder_bits, bucketing="quantile"
+        )
+        (
+            staged.withColumn("__z", zcol)
+            .repartitionByRange(range_partitions, "__z")
+            .sortWithinPartitions(*PARTITION_COLS, "__z")
+            .drop("__z", "__ft")
+            .write.partitionBy(*PARTITION_COLS)
+            .mode(mode)
+            .parquet(out_dir)
+        )
+        return
     (
         index.repartitionByRange(range_partitions, "url_surtkey")
         .sortWithinPartitions(*PARTITION_COLS, "url_surtkey", "fetch_time")
@@ -281,6 +320,8 @@ def compact_parquet_index_epochs(
     *,
     range_partitions: int = 8,
     retain_inputs: bool = False,
+    zorder_by: tuple[str, ...] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """Fold ALL live epochs into a single new parquet epoch — the
     leveled merge, identical protocol to ``compact_zipnum_epochs``:
@@ -292,7 +333,15 @@ def compact_parquet_index_epochs(
     which is how a takedown eventually reaches the bytes on disk
     without ever rewriting history in place.  ``retain_inputs=True``
     keeps pre-merge snapshots readable (Iceberg retention;
-    ``zipnum.expire_snapshots`` reclaims).  Returns the new epoch id."""
+    ``zipnum.expire_snapshots`` reclaims).  Returns the new epoch id.
+
+    ``zorder_by`` (round 13) re-CLUSTERS the merged epoch — OPTIMIZE
+    ZORDER composed into the leveled merge, the one moment the store
+    rewrites bytes anyway, so the layout upgrade costs zero extra
+    passes over history.  Answers are untouched (layout-only; the
+    full-oracle ``parquet_index_zorder_box`` query pins this) while
+    multi-predicate boxes (url_surtkey prefix × fetch_time) prune
+    row-group footers on every listed dimension."""
     from .zipnum import (
         _COMPACT_INPUTS,
         _TOMBSTONES,
@@ -325,6 +374,8 @@ def compact_parquet_index_epochs(
         _join(store_dir, f"compact-tmp-{next_id:06d}"),
         range_partitions=range_partitions,
         mode="overwrite",
+        zorder_by=zorder_by,
+        zorder_bits=zorder_bits,
     )
     with fs.open_output_stream(
         _join(tmp_local, _COMPACT_INPUTS), compression=None

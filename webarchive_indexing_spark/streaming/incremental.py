@@ -218,6 +218,22 @@ def _stream_scope_id(checkpoint_dir: str) -> str:
             sid = fh.read().strip()
         if sid:
             return sid
+    # Upgrade path: a checkpoint that ALREADY has Spark state (an
+    # offsets/ dir) but no stream_id file was written by pre-scope-id
+    # code whose ledger entries read back as 'default:<n>'.  Minting a
+    # fresh uuid here would orphan those entries — a micro-batch
+    # redelivered across the upgrade (crash between publish and
+    # checkpoint commit) would re-apply under the new key and
+    # duplicate rows.  Adopt the legacy 'default' scope so the old
+    # incarnation's replay dedup keeps working; only genuinely FRESH
+    # checkpoints get a uuid.
+    if os.path.isdir(os.path.join(checkpoint_dir, "offsets")):
+        sid = "default"
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(sid)
+        os.replace(tmp, path)
+        return sid
     sid = uuid.uuid4().hex[:12]
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
@@ -255,10 +271,30 @@ def stream_media_meta(
     provenance column (drop it to match the batch pipeline's frame).
     A fresh checkpoint gets a fresh stream id, so its partitions
     never collide with an earlier incarnation's — point a new stream
-    at a new ``out_dir``."""
+    at a new ``out_dir``.
+
+    Migration note: pre-partitioning incarnations of this sink wrote
+    FLAT part files at the root of ``out_dir``; mixing those with
+    ``ingest_batch=`` hive directories makes ``spark.read.parquet``
+    fail with conflicting directory structures.  Resuming against
+    such an ``out_dir`` is refused up front (start a new ``out_dir``,
+    or move the legacy part files into a synthetic
+    ``ingest_batch=legacy-0/`` directory first)."""
+    import os
+
     from ..operators.multimodal import media_meta
     from ..sources.warc import index_warcs
 
+    if os.path.isdir(out_dir) and any(
+        n.endswith(".parquet") for n in os.listdir(out_dir)
+    ):
+        raise ValueError(
+            f"stream_media_meta: {out_dir!r} holds root-level parquet "
+            f"part files (pre-partitioning layout); mixing them with "
+            f"ingest_batch= hive partitions breaks spark.read.parquet. "
+            f"Start a new out_dir, or move the legacy files under an "
+            f"ingest_batch=legacy-0/ subdirectory."
+        )
     sid = _stream_scope_id(checkpoint_dir)
     lines = spark.readStream.format("text").load(manifest_dir)
 
