@@ -71,6 +71,10 @@ PICKS = {
     "emb_ivfpq_range_batch": "PQ batch range (round 12): N ADC ceilings from one union-pruned codes scan, per-request arms + a request_no CASE cut map-side — no window, one output-ordering exchange.",
     "emb_ivf_metric_l2": "Query-time L2 metric (round 12): distance-ceiling range over the same flat store — metric switches cell ranking, score column, and cut direction with the plan shape unchanged.",
     "events_zorder_box": "Z-order layout (round 12): both box predicates in PushedFilters over the Morton-clustered files — stats-based skipping with the plain parquet reader, no exchange.",
+    "text_html_main_content": "HTML extraction (round 13): fixture pages built as a pure JVM concat projection feeding ONE ArrowEvalPython/mapInPandas stage — raw HTML never crosses an exchange; the output is text + counts only.",
+    "parquet_index_zorder_box": "OPTIMIZE-ZORDER box read (round 13): both dimensions of the box (url_surtkey range AND fetch_time range) sit in PushedFilters over the z-clustered merged epoch — with INT64 timestamp stats both predicates skip row groups; tombstones stay broadcast anti-joins.",
+    "emb_graph_beam_topk": "Graph beam search (round 13): the walk is broadcast joins against the edge table + beam-sized TakeOrdered steps, with per-hop localCheckpoint truncating the doubled lineage; the final plan scans materialized checkpoint blocks, no cartesian, no driver loop.",
+    "text_arpa_logprob": "ARPA backoff scoring (round 13): the loaded LM is two broadcast tables; the corpus side is one pair-explode scan — Katz backoff is a coalesce over join outputs, map-side.",
 }
 
 

@@ -963,3 +963,42 @@ def test_sq_batch_range_no_window_quantized_only(spark, sf_dir):
     assert "Window" not in plan, plan[:900]
     assert "Join" not in plan
     assert plan.count("Exchange") == 1, plan[:900]
+
+
+def test_zorder_box_pushes_both_dimensions(spark, sf_dir):
+    """Round 13: the 2-D box over the z-clustered cc-index epoch must
+    reach the parquet scan on BOTH dimensions — the url_surtkey range
+    AND the fetch_time range (INT64 timestamp stats; INT96 carried
+    none, which silently disabled all time pruning pre-round-13) —
+    and takedowns stay broadcast anti-joins."""
+    plan = _plan(spark, sf_dir, "parquet_index_zorder_box")
+    scan = plan.split("FileScan parquet", 1)[1]
+    pushed = scan.split("PushedFilters: [", 1)[1].split("ReadSchema", 1)[0]
+    assert "url_surtkey" in pushed, pushed
+    assert "fetch_time" in pushed, pushed
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_html_extraction_is_scan_side(spark, sf_dir):
+    """Round 13: the HTML fixture build is a JVM concat projection and
+    the extractor ONE Arrow stage — no exchange anywhere; raw HTML
+    never shuffles."""
+    plan = _plan(spark, sf_dir, "text_html_main_content")
+    assert plan.count("MapInPandas") == 1, plan[:600]
+    # widen() repartitions the small fixture input for CPU width — the
+    # only exchange, and it FEEDS the Arrow stage (appears below it in
+    # the top-down printout); nothing shuffles after extraction
+    assert plan.count("Exchange") == 1, plan[:900]
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan[:900]
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "doc_id" in schema and "text" in schema and "lang" not in schema
+
+
+def test_arpa_scoring_joins_are_broadcast(spark, sf_dir):
+    """Round 13: the loaded ARPA model rides as broadcast tables —
+    no shuffle join anywhere in the scoring plan."""
+    plan = _plan(spark, sf_dir, "text_arpa_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
