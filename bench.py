@@ -202,6 +202,9 @@ HEADLINE = [
     "text_vec_doc_embedding",
     "text_arpa_logprob",
     "emb_graph_beam_topk",
+    "warc_wet_roundtrip",
+    "emb_graph_beam_batch",
+    "emb_graph_beam_filtered",
 ]
 
 

@@ -1081,3 +1081,66 @@ def test_cli_zorder_subcommand(spark, sf_dir, tmp_path):
     assert side["cols"] == ["user_id", "value"]
     assert side["bucketing"] == "quantile" and side["n_files"] == 8
     assert main(["zorder", src, out, "--cols", " "]) == 2
+
+
+def test_cli_wet_extract(spark, tmp_path, capsys):
+    """Round 13: the wet-extract CLI runs the full response-WARC →
+    boilerplate-removal → WET-file chain; the emitted shards re-ingest
+    through the engine's own WET reader with the extracted text."""
+    import os
+
+    from webarchive_indexing_spark.__main__ import main
+    from webarchive_indexing_spark.sources.warc import index_warcs
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    page = (
+        "<html><head><title>T</title><script>var x=1;</script></head>"
+        "<body><nav><a href='/'>Home</a></nav>"
+        "<p>{body}</p>"
+        "<footer><a href='/p'>Privacy</a></footer></body></html>"
+    )
+    write_mini_warc(
+        str(d / "c.warc.gz"),
+        [
+            dict(
+                url=f"https://wet.example/p/{j}",
+                date_iso="2020-02-02T00:00:00Z",
+                mime="text/html",
+                payload=page.format(
+                    body=f"page {j} main content with enough words to "
+                         f"clear the default minimum easily"
+                ).encode(),
+            )
+            for j in range(6)
+        ],
+    )
+    manifest = str(d / "manifest.txt")
+    with open(manifest, "w") as fh:
+        fh.write(str(d / "c.warc.gz") + "\n")
+    out = str(tmp_path / "wet")
+    assert main(["wet-extract", manifest, out, "--n-files", "2"]) == 0
+    printed = [
+        ln.split("\t") for ln in capsys.readouterr().out.splitlines()
+        if ln.strip()
+    ]
+    assert sum(int(n) for _, n in printed) == 6
+    assert all(os.path.exists(p) for p, _ in printed)
+
+    wet_manifest = spark.createDataFrame(
+        [(p,) for p, _ in printed], ["path"]
+    )
+    from pyspark.sql import functions as F
+
+    back = index_warcs(
+        spark, wet_manifest,
+        record_types=("conversion",), keep_payload=("text/",),
+    ).select(
+        "urlkey", "mime",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    ).collect()
+    assert len(back) == 6
+    assert all(r.mime == "text/plain" for r in back)
+    texts = {r.urlkey: r.text for r in back}
+    assert texts["example,wet)/p/3"].startswith("page 3 main content")
+    assert all("Privacy" not in t and "Home" not in t for t in texts.values())

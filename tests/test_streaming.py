@@ -1142,3 +1142,71 @@ def test_expire_reclaims_stale_building_opt_in(tmp_path):
     assert gone == [_n2]
     assert not os.path.exists(p2)
     assert os.path.exists(path)
+
+
+def test_stream_wet_extract(spark, tmp_path):
+    """Round 13: streaming WET production — manifests of response
+    WARCs arrive as a stream; each batch publishes its own WET shard
+    directory atomically, checkpoint makes intake exactly-once, and
+    the union of batch directories re-ingests through the engine's
+    WET reader with the same text the batch pipeline extracts."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.sources.warc import (
+        index_warcs,
+        write_mini_warc,
+    )
+    from webarchive_indexing_spark.streaming.incremental import (
+        stream_wet_extract,
+    )
+
+    page = (
+        "<html><body><nav><a href='/'>Home</a></nav><p>{body}</p>"
+        "<footer><a href='/t'>Terms</a></footer></body></html>"
+    )
+
+    def mk(path, tag, n):
+        write_mini_warc(path, [
+            dict(
+                url=f"http://sw.example/{tag}/{j}",
+                date_iso="2021-01-01T00:00:00Z",
+                mime="text/html",
+                payload=page.format(
+                    body=f"{tag} page {j} holds plenty of real words to "
+                         f"clear the configured minimum"
+                ).encode(),
+            )
+            for j in range(n)
+        ])
+
+    w1, w2 = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+    mk(w1, "alpha", 3)
+    mk(w2, "beta", 2)
+    mdir = tmp_path / "manifests"
+    mdir.mkdir()
+    (mdir / "m1.txt").write_text(w1 + "\n")
+    (mdir / "m2.txt").write_text(w2 + "\n")
+
+    out = str(tmp_path / "wet")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_wet_extract(spark, str(mdir), out, ckpt)
+    q.awaitTermination(120)
+
+    shards = glob.glob(out + "/batch=*/wet-*.warc.wet.gz")
+    assert shards and not glob.glob(out + "/tmp-*")
+    wet = index_warcs(
+        spark,
+        spark.createDataFrame([(p,) for p in shards], ["path"]),
+        record_types=("conversion",), keep_payload=("text/",),
+    ).select("urlkey", F.decode(F.col("payload"), "UTF-8").alias("text"))
+    got = {r.urlkey: r.text for r in wet.collect()}
+    assert len(got) == 5
+    assert got["example,sw)/alpha/2"].startswith("alpha page 2")
+    assert all("Home" not in t and "Terms" not in t for t in got.values())
+
+    # restart with the same checkpoint: nothing new, no duplicates
+    q2 = stream_wet_extract(spark, str(mdir), out, ckpt)
+    q2.awaitTermination(60)
+    assert len(glob.glob(out + "/batch=*/wet-*.warc.wet.gz")) == len(shards)

@@ -1337,3 +1337,70 @@ def test_keep_payload_skips_revisit_and_empty_bodies(spark, tmp_path):
     # curation sees exactly one row: the real image
     meta = media_meta(kept).collect()
     assert len(meta) == 1 and meta[0].format == "png"
+
+
+def test_write_wet_shards_and_grammar(spark, tmp_path):
+    """Round 13 WET producer: sharded conversion records, key-ranged
+    shards, record-level text/plain Content-Type, NULL-text rows
+    dropped — and the raw bytes re-parse with the engine's WET
+    reader."""
+    from webarchive_indexing_spark.sources.warc import (
+        parse_archive_file,
+        write_wet,
+    )
+
+    rows = [
+        (f"http://w.example/p/{i:02d}", "2021-05-05T01:02:03Z",
+         f"text body {i} with several more words here" if i % 4 else None)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, date_iso string, main_text string"
+    )
+    out = tmp_path / "wet"
+    manifest = write_wet(df, str(out), n_files=2)
+    assert [n for _, n in manifest] and sum(n for _, n in manifest) == 15
+    assert all(p.endswith(".warc.wet.gz") for p, _ in manifest)
+    parsed = []
+    for p, _n in manifest:
+        data = open(p, "rb").read()
+        parsed += list(
+            parse_archive_file(
+                p.rsplit("/", 1)[1], data,
+                record_types=("conversion",), keep_payload=("text/",),
+            )
+        )
+    assert len(parsed) == 15
+    got = sorted((r[2], r[1], r[3], bytes(r[-1]).decode()) for r in parsed)
+    want = sorted(
+        (u, "20210505010203", "text/plain", t)
+        for u, _d, t in rows if t is not None
+    )
+    assert got == want
+    # shards hold disjoint, contiguous key ranges (range shuffle)
+    per_shard = {}
+    for p, _n in manifest:
+        data = open(p, "rb").read()
+        urls = [r[2] for r in parse_archive_file(
+            p, data, record_types=("conversion",))]
+        assert urls == sorted(urls)
+        per_shard[p] = (min(urls), max(urls))
+    spans = sorted(per_shard.values())
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+
+
+def test_build_warc_record_conversion_content_type():
+    from webarchive_indexing_spark.sources.warc import (
+        build_warc_record_plain,
+    )
+
+    rec = build_warc_record_plain(
+        "http://x.example/", "2020-01-01T00:00:00Z", b"hello",
+        rec_type="conversion",
+    )
+    assert b"Content-Type: text/plain\r\n" in rec
+    resp = build_warc_record_plain(
+        "http://x.example/", "2020-01-01T00:00:00Z", b"<p>hi</p>"
+    )
+    assert b"Content-Type: application/http; msgtype=response\r\n" in resp

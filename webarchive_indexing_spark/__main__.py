@@ -81,13 +81,30 @@ def _parser() -> argparse.ArgumentParser:
     zo.add_argument("in_path")
     zo.add_argument("out_dir")
     zo.add_argument("--cols", required=True, metavar="C1,C2",
-                    help="dimensions to co-cluster (numeric)")
+                    help="dimensions to co-cluster (numeric; string "
+                         "columns supported with --bucketing quantile)")
     zo.add_argument("--bits", type=int, default=16)
     zo.add_argument("--n-files", type=int, default=16)
     zo.add_argument("--bucketing", choices=("linear", "quantile"),
                     default="linear",
                     help="quantile = equi-depth boundaries (right "
-                         "for skewed dimensions)")
+                         "for skewed dimensions; required for string "
+                         "dimensions)")
+
+    we = sub.add_parser(
+        "wet-extract",
+        help="manifest of response WARCs -> WET files (round 13: "
+             "keep_payload ingest + Arrow-pass HTML main-content "
+             "extraction + sharded conversion-record writer — the "
+             "upstream step that produces Common Crawl WET)")
+    we.add_argument("manifest")
+    we.add_argument("out_dir")
+    we.add_argument("--n-files", type=int, default=4,
+                    help="WET shards (range-partitioned by urlkey)")
+    we.add_argument("--min-words", type=int, default=10)
+    we.add_argument("--max-link-density", type=float, default=0.33)
+    we.add_argument("--files-per-task", type=int, default=2)
+    we.add_argument("--split-bytes", type=int, default=None)
 
     bp = sub.add_parser("build-parquet-index",
                         help="manifest -> columnar (cc-index-table-layout) "
@@ -354,6 +371,39 @@ def _dispatch(args, spark) -> int:
             bits=args.bits, n_files=args.n_files,
             bucketing=args.bucketing,
         )
+    elif args.cmd == "wet-extract":
+        from pyspark.sql import functions as F
+
+        from .functions.timestamps import from_ts14
+        from .operators.html_extract import extract_main_content
+        from .plans.pipeline import _manifest_df
+        from .sources.warc import index_warcs, write_wet
+
+        kept = index_warcs(
+            spark, _manifest_df(spark, args.manifest),
+            files_per_task=args.files_per_task,
+            split_bytes=args.split_bytes,
+            keep_payload=("text/html",),
+        )
+        ext = extract_main_content(
+            kept, keys=("urlkey", "url", "timestamp"),
+            min_words=args.min_words,
+            max_link_density=args.max_link_density,
+        )
+        manifest = write_wet(
+            ext.select(
+                "url",
+                F.date_format(
+                    from_ts14(F.col("timestamp")),
+                    "yyyy-MM-dd'T'HH:mm:ss'Z'",
+                ).alias("date_iso"),
+                "main_text",
+            ),
+            args.out_dir,
+            n_files=args.n_files,
+        )
+        for path, n in manifest:
+            print(f"{path}\t{n}")
     elif args.cmd == "zipnum-cluster":
         from .plans.pipeline import cluster_from_cdx_gz
 

@@ -101,16 +101,21 @@ def write_knn_graph(
     symmetric: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    attrs: tuple[str, ...] = (),
 ) -> dict:
-    """Persist the graph store: ``vectors/`` (the bounded base),
-    ``graph/`` (the edge table — symmetrized by default, see module
-    docstring), and a ``_graph.json`` recipe sidecar (via the shared
-    pyarrow-fs seam, so s3://hdfs:// roots work)."""
+    """Persist the graph store: ``vectors/`` (the bounded base, plus
+    any ``attrs`` columns for filtered serving — the ann_index
+    convention), ``graph/`` (the edge table — symmetrized by default,
+    see module docstring), and a ``_graph.json`` recipe sidecar (via
+    the shared pyarrow-fs seam, so s3://hdfs:// roots work)."""
     from ..sinks.zipnum import _fs_for, _join
 
-    base = emb.filter(F.col(id_col) < n_base).select(id_col, vec_col)
+    base = emb.filter(F.col(id_col) < n_base).select(
+        id_col, vec_col, *attrs
+    )
     graph = build_knn_graph(
-        base, k_neighbors=k_neighbors, id_col=id_col, vec_col=vec_col
+        base.select(id_col, vec_col),
+        k_neighbors=k_neighbors, id_col=id_col, vec_col=vec_col,
     )
     if symmetric:
         # cosine is symmetric and hround deterministic, so the
@@ -129,6 +134,7 @@ def write_knn_graph(
         "symmetric": symmetric,
         "id_col": id_col,
         "vec_col": vec_col,
+        "attrs": list(attrs),
     }
     fs, local = _fs_for(out_dir)
     with fs.open_output_stream(_join(local, META)) as fh:
@@ -154,12 +160,20 @@ def graph_beam_topk(
     hops: int = 3,
     entries: tuple[int, ...] = (0, 150, 300, 450),
     exclude_id: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Beam-search serving over a persisted graph store — returns
     ``(vec_id, cos_sim)``, top-k of the visited set, ranked by
     (cos_sim DESC, vec_id ASC).  See module docstring for the walk
     semantics; ``exclude_id`` removes the query's own row when the
-    query vector came from the corpus (bench convention)."""
+    query vector came from the corpus (bench convention).
+
+    ``where`` (SQL over the store's ``attrs`` columns) POST-filters
+    the visited set before top-k — filtered graph serving keeps the
+    walk unfiltered (non-matching nodes remain navigable stepping
+    stones, the standard graph-store semantics) and may return fewer
+    than k rows when the predicate is very selective; raise ``beam``/
+    ``hops`` to widen the visited pool in that case."""
     meta = read_graph_meta(store)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     vecs = spark.read.parquet(posixpath.join(store, "vectors"))
@@ -200,6 +214,16 @@ def graph_beam_topk(
         beam_df = visited.orderBy(
             F.col("s").desc(), F.col("id").asc()
         ).limit(beam)
+    if where is not None:
+        attr_cols = [c for c in meta.get("attrs", []) if c != id_col]
+        visited = (
+            visited.join(
+                F.broadcast(vecs.select(id_col, *attr_cols)),
+                visited["id"] == vecs[id_col],
+            )
+            .filter(F.expr(where))
+            .select("id", "s")
+        )
     return (
         visited.orderBy(F.col("s").desc(), F.col("id").asc())
         .limit(k)
@@ -218,10 +242,13 @@ def sql_graph_beam_topk(
     entries: tuple[int, ...] = (0, 150, 300, 450),
     symmetric: bool = True,
     dim: int = 64,
+    where_sql: str | None = None,
 ) -> str:
     """DuckDB twin: re-derives the exact (symmetrized) kNN edge table
     AND the unrolled beam walk as chained CTEs — build ∘ serve
-    value-hashed end to end."""
+    value-hashed end to end.  ``where_sql`` (columns of the
+    ``embeddings`` table aliased ``e``) mirrors the Spark path's
+    post-filter over the visited set."""
     cos_ab = sql_hround(sql_cosine("a.embedding", "b.embedding", dim), 6)
     cos_q = sql_hround(sql_cosine("v.embedding", "q.qv", dim), 6)
     ent = ", ".join(str(int(e)) for e in entries)
@@ -291,11 +318,206 @@ def sql_graph_beam_topk(
     )"""
         )
         prev_v, prev_b = f"v{h}", f"b{h}"
+    final_src = f"{prev_v} v"
+    final_where = ""
+    if where_sql is not None:
+        final_src = f"{prev_v} v JOIN embeddings e ON e.vec_id = v.id"
+        final_where = f"\n    WHERE {where_sql}"
     return (
         "WITH "
         + ",\n    ".join(parts)
         + f"""
-    SELECT id AS vec_id, s AS cos_sim
-    FROM {prev_v}
-    ORDER BY s DESC, id LIMIT {k}"""
+    SELECT v.id AS vec_id, v.s AS cos_sim
+    FROM {final_src}{final_where}
+    ORDER BY v.s DESC, v.id LIMIT {k}"""
+    )
+
+
+def graph_beam_batch_topk(
+    spark: SparkSession,
+    store: str,
+    query_vecs: list[list[float]],
+    *,
+    k: int = 10,
+    beam: int = 10,
+    hops: int = 3,
+    entries: tuple[int, ...] = (0, 150, 300, 450),
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """BATCH beam-search serving: N query walks in ONE job (the
+    batched-``search()`` amortization the rest of the ANN matrix
+    already has).  The per-request state (visited set, beam) rides a
+    ``request_no`` column; every hop is still one broadcast join
+    against the edge table plus one pruned vector join — request
+    count changes row counts, not plan shape.  Query vectors travel
+    as a broadcast (request_no, qvec) table, so scoring is a plain
+    join + cosine (no per-request expression arms).  Returns
+    ``(request_no, vec_id, cos_sim)``, per-request top-k."""
+    meta = read_graph_meta(store)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    vecs = spark.read.parquet(posixpath.join(store, "vectors"))
+    graph = spark.read.parquet(posixpath.join(store, "graph"))
+    excl = list(exclude_ids) if exclude_ids else [-1] * len(query_vecs)
+    qdf = spark.createDataFrame(
+        [
+            (i, [float(x) for x in qv], int(e))
+            for i, (qv, e) in enumerate(zip(query_vecs, excl))
+        ],
+        "req int, qvec array<double>, excl bigint",
+    )
+
+    def score(ids: DataFrame) -> DataFrame:
+        # ids: (req, id) — join vectors, join broadcast query table,
+        # drop each request's own query row
+        return (
+            ids.join(vecs, ids["id"] == vecs[id_col])
+            .join(F.broadcast(qdf), "req")
+            .filter(F.col("id") != F.col("excl"))
+            .select(
+                "req",
+                F.col("id"),
+                hround(cosine(F.col(vec_col), F.col("qvec")), 6).alias("s"),
+            )
+        )
+
+    ent = spark.createDataFrame(
+        [(int(e),) for e in entries], "id bigint"
+    )
+    visited = score(qdf.select("req").crossJoin(F.broadcast(ent)))
+    w = Window.partitionBy("req").orderBy(F.col("s").desc(), F.col("id").asc())
+    beam_df = (
+        visited.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= beam)
+        .drop("__rn")
+    )
+    for _ in range(hops):
+        nbrs = (
+            beam_df.select("req", "id")
+            .join(F.broadcast(graph), F.col("id") == F.col("src"))
+            .select("req", F.col("dst").alias("id"))
+            .distinct()
+        )
+        fresh = nbrs.join(
+            visited.select("req", "id"), ["req", "id"], "left_anti"
+        )
+        visited = visited.unionByName(score(fresh)).localCheckpoint(
+            eager=False
+        )
+        beam_df = (
+            visited.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= beam)
+            .drop("__rn")
+        )
+    return (
+        visited.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("req").alias("request_no"),
+            F.col("id").alias("vec_id"),
+            F.col("s").alias("cos_sim"),
+        )
+        .orderBy("request_no", F.col("cos_sim").desc(), F.col("vec_id"))
+    )
+
+
+def sql_graph_beam_batch_topk(
+    *,
+    query_vec_ids: tuple[int, ...],
+    n_base: int = 500,
+    k_neighbors: int = 12,
+    k: int = 10,
+    beam: int = 10,
+    hops: int = 3,
+    entries: tuple[int, ...] = (0, 150, 300, 450),
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the batch walk: request table + per-request
+    windows, graph and walk re-derived as chained CTEs."""
+    cos_ab = sql_hround(sql_cosine("a.embedding", "b.embedding", dim), 6)
+    cos_q = sql_hround(sql_cosine("v.embedding", "q.qvec", dim), 6)
+    reqs = ", ".join(
+        f"({i}, {int(qid)})" for i, qid in enumerate(query_vec_ids)
+    )
+    ent = ", ".join(str(int(e)) for e in entries)
+    parts = [
+        f"""base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_base}
+    )""",
+        f"""reqs AS (
+      SELECT * FROM (VALUES {reqs}) AS t(req, qid)
+    )""",
+        """qv AS (
+      SELECT r.req, r.qid, e.embedding AS qvec
+      FROM reqs r JOIN embeddings e ON e.vec_id = r.qid
+    )""",
+        f"""knn AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {cos_ab} DESC, b.vec_id
+               ) AS rn
+        FROM base a JOIN base b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= {k_neighbors}
+    )""",
+        """graph AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM knn
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM knn
+      )
+    )""",
+        f"""v0 AS (
+      SELECT q.req, v.vec_id AS id, {cos_q} AS s
+      FROM qv q JOIN base v
+        ON v.vec_id IN ({ent}) AND v.vec_id <> q.qid
+    )""",
+        f"""b0 AS (
+      SELECT req, id, s FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY req ORDER BY s DESC, id) AS rn FROM v0
+      ) WHERE rn <= {beam}
+    )""",
+    ]
+    prev_v, prev_b = "v0", "b0"
+    for h in range(1, hops + 1):
+        parts.append(
+            f"""n{h} AS (
+      SELECT DISTINCT b.req, g.dst AS id
+      FROM {prev_b} b
+      JOIN graph g ON g.src = b.id
+      JOIN reqs r ON r.req = b.req
+      LEFT JOIN {prev_v} p ON p.req = b.req AND p.id = g.dst
+      WHERE p.id IS NULL AND g.dst <> r.qid
+    )"""
+        )
+        parts.append(
+            f"""v{h} AS (
+      SELECT req, id, s FROM {prev_v}
+      UNION ALL
+      SELECT n.req, n.id, {cos_q} AS s
+      FROM n{h} n
+      JOIN base v ON v.vec_id = n.id
+      JOIN qv q ON q.req = n.req
+    )"""
+        )
+        parts.append(
+            f"""b{h} AS (
+      SELECT req, id, s FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY req ORDER BY s DESC, id) AS rn FROM v{h}
+      ) WHERE rn <= {beam}
+    )"""
+        )
+        prev_v, prev_b = f"v{h}", f"b{h}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT req AS request_no, id AS vec_id, s AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY req ORDER BY s DESC, id) AS rn FROM {prev_v}
+    ) WHERE rn <= {k}
+    ORDER BY request_no, cos_sim DESC, vec_id"""
     )

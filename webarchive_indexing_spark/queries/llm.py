@@ -6609,3 +6609,178 @@ def emb_graph_beam_topk(spark, sf_dir):
         spark, out, qv, k=10, beam=10, hops=3,
         entries=(0, 150, 300, 450), exclude_id=77,
     )
+
+
+@query(
+    "warc_wet_roundtrip",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 100
+    ), s AS (
+      SELECT doc_id, norm,
+             len(string_split(norm, ' ')) AS words,
+             """ + _sql_html_para2() + """ AS para2
+      FROM d
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 4
+                  THEN CASE WHEN words >= 12 THEN norm END
+                  ELSE CASE WHEN words >= 12
+                            THEN norm || chr(10) || chr(10) || para2
+                            ELSE para2 END
+             END AS main_text
+      FROM s
+    )
+    SELECT 'example,html)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+           '20200101000000' AS timestamp,
+           'text/plain' AS mime,
+           main_text AS text
+    FROM m WHERE main_text IS NOT NULL
+    """,
+    tier="C",
+)
+def warc_wet_roundtrip(spark, sf_dir):
+    """WET PRODUCTION closed-loop (round 13): response WARC → HTML
+    extraction → ``write_wet`` (sharded ``conversion``-record
+    .warc.wet.gz, the Common Crawl WET grammar) → re-ingest through
+    the engine's OWN WET reader (``record_types=('conversion',)``,
+    payload retention) — urlkey, capture time, record mime and the
+    extracted text must all survive the serialize→parse cycle
+    byte-for-byte against the grammar oracle.  This makes the engine
+    a WET producer, not only a consumer: the upstream tooling step
+    that explains why WET files exist is now expressible end to end
+    in one lineage."""
+    import tempfile
+
+    from ..functions.timestamps import from_ts14
+    from ..operators.html_extract import extract_main_content
+    from ..sources.warc import index_warcs, write_mini_warc, write_wet
+
+    page, _ = _html_page_cols()
+    rows = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", page.alias("page"))
+        .collect()
+    )
+    recs = [
+        dict(
+            url=f"http://html.example/doc/{int(r.doc_id)}",
+            date_iso="2020-01-01T00:00:00Z",
+            mime="text/html",
+            payload=r.page.encode("utf-8"),
+        )
+        for r in sorted(rows, key=lambda r: int(r.doc_id))
+    ]
+    d = tempfile.mkdtemp(prefix="wet_rt_")
+    src = f"{d}/html.warc.gz"
+    write_mini_warc(src, recs)
+    kept = index_warcs(
+        spark, spark.createDataFrame([(src,)], ["path"]),
+        keep_payload=("text/html",),
+    )
+    ext = extract_main_content(
+        kept, keys=("urlkey", "url", "timestamp"), min_words=12
+    )
+    wet_dir = f"{d}/wet"
+    manifest = write_wet(
+        ext.select(
+            "url",
+            F.date_format(
+                from_ts14(F.col("timestamp")), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ).alias("date_iso"),
+            "main_text",
+        ),
+        wet_dir,
+        n_files=2,
+    )
+    wet = index_warcs(
+        spark,
+        spark.createDataFrame([(p,) for p, _n in manifest], ["path"]),
+        record_types=("conversion",),
+        keep_payload=("text/",),
+    )
+    return wet.select(
+        "urlkey",
+        "timestamp",
+        "mime",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+@query(
+    "emb_graph_beam_batch",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.graph_ann",
+        fromlist=["sql_graph_beam_batch_topk"],
+    ).sql_graph_beam_batch_topk(
+        query_vec_ids=_ANN_BATCH_QIDS, n_base=500, k_neighbors=12,
+        k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+    ),
+    tier="C",
+)
+def emb_graph_beam_batch(spark, sf_dir):
+    """BATCH graph serving (round 13): the 4 standing batch query
+    vectors walk the persisted graph store in ONE job — per-request
+    visited/beam state rides a request_no column, query vectors are a
+    broadcast table (plain join + cosine, no per-request expression
+    arms), per-request ranking is the request_no window.  Completes
+    the serving matrix: the graph structure now has single AND batch
+    faces like every IVF layout.  Oracle = the batch walk re-derived
+    as chained CTEs with per-request windows."""
+    import tempfile
+
+    from ..operators.graph_ann import graph_beam_batch_topk, write_knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="graph_ann_b_")
+    write_knn_graph(emb, out, k_neighbors=12, n_base=500)
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return graph_beam_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=10, beam=10, hops=3,
+        entries=(0, 150, 300, 450), exclude_ids=qids,
+    )
+
+
+@query(
+    "emb_graph_beam_filtered",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.graph_ann",
+        fromlist=["sql_graph_beam_topk"],
+    ).sql_graph_beam_topk(
+        query_vec_id=77, n_base=500, k_neighbors=12,
+        k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+        where_sql="e.label % 2 = 0",
+    ),
+    tier="C",
+)
+def emb_graph_beam_filtered(spark, sf_dir):
+    """FILTERED graph serving (round 13): the walk traverses the
+    graph UNFILTERED (non-matching nodes stay navigable stepping
+    stones — the standard graph-store semantics, unlike IVF's
+    filter-before-top-k which prunes the scan), and the attribute
+    predicate post-filters the visited set before top-k.  The store
+    carries the attrs column (``write_knn_graph(attrs=('label',))``,
+    the ann_index convention); the oracle applies the identical
+    predicate over its re-derived visited CTE.  Completes the
+    filtered face of the serving matrix for the graph structure."""
+    import tempfile
+
+    from ..operators.graph_ann import graph_beam_topk, write_knn_graph
+    from ..operators.similarity import collect_query_vector
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="graph_ann_f_")
+    write_knn_graph(emb, out, k_neighbors=12, n_base=500, attrs=("label",))
+    qv = collect_query_vector(emb, 77)
+    return graph_beam_topk(
+        spark, out, qv, k=10, beam=10, hops=3,
+        entries=(0, 150, 300, 450), exclude_id=77,
+        where="label % 2 = 0",
+    )

@@ -71,14 +71,42 @@ def _build_parquet_zordered(spark, sf_dir):
 def _build_graph_store(spark, sf_dir):
     import tempfile
 
+    from pyspark.sql import functions as F
+
     from ..operators.graph_ann import write_knn_graph
     from ..operators.similarity import collect_query_vector
     from ..tables import load_table
+    from .llm import _ANN_BATCH_QIDS
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = tempfile.mkdtemp(prefix="probe_graph_")
-    write_knn_graph(emb, out, k_neighbors=12, n_base=500)
-    return {"store": out, "qv": collect_query_vector(emb, 77)}
+    write_knn_graph(emb, out, k_neighbors=12, n_base=500, attrs=("label",))
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return {"store": out, "qv": collect_query_vector(emb, 77),
+            "qids": qids, "qvs": [vecs[q] for q in qids]}
+
+
+def _p_graph_beam_filtered(spark, ctx):
+    from ..operators.graph_ann import graph_beam_topk
+
+    return graph_beam_topk(
+        spark, ctx["store"], ctx["qv"], k=10, beam=10, hops=3,
+        entries=(0, 150, 300, 450), exclude_id=77,
+        where="label % 2 = 0",
+    )
+
+
+def _p_graph_beam_batch(spark, ctx):
+    from ..operators.graph_ann import graph_beam_batch_topk
+
+    return graph_beam_batch_topk(
+        spark, ctx["store"], ctx["qvs"], k=10, beam=10, hops=3,
+        entries=(0, 150, 300, 450), exclude_ids=ctx["qids"],
+    )
 
 
 def _p_graph_beam(spark, ctx):
@@ -427,6 +455,14 @@ PROBES: dict[str, Probe] = {
     "emb_graph_beam_topk_probe": Probe(
         "emb_graph_beam_topk", "graph_store",
         _build_graph_store, _p_graph_beam,
+    ),
+    "emb_graph_beam_batch_probe": Probe(
+        "emb_graph_beam_batch", "graph_store",
+        _build_graph_store, _p_graph_beam_batch,
+    ),
+    "emb_graph_beam_filtered_probe": Probe(
+        "emb_graph_beam_filtered", "graph_store",
+        _build_graph_store, _p_graph_beam_filtered,
     ),
     "emb_ivf_persisted_topk_probe": Probe(
         "emb_ivf_persisted_topk", "ivf_store",

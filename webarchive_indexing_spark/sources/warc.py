@@ -75,9 +75,15 @@ def build_warc_record_plain(
     rec_type: str = "response",
     mime: str = "text/html",
     status: int = 200,
+    content_type: str | None = None,
 ) -> bytes:
     """One WARC record, uncompressed (header block + HTTP block +
-    record separator) — the unit every layout below composes."""
+    record separator) — the unit every layout below composes.
+
+    ``content_type`` is the RECORD-level Content-Type header; for
+    non-HTTP types it defaults to the type's conventional value
+    (``conversion`` → ``text/plain``, the Common Crawl WET shape,
+    where the parser reads the record header as the row's mime)."""
     if rec_type == "response":
         http = (
             f"HTTP/1.1 {status} OK\r\nContent-Type: {mime}\r\n"
@@ -85,13 +91,18 @@ def build_warc_record_plain(
         ).encode() + payload
     else:
         http = payload
+    if content_type is None:
+        content_type = (
+            "text/plain" if rec_type == "conversion"
+            else "application/http; msgtype=response"
+        )
     headers = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {rec_type}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {date_iso}\r\n"
         f"Content-Length: {len(http)}\r\n"
-        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Type: {content_type}\r\n"
     ).encode()
     return headers + CRLF + http + CRLF + CRLF
 
@@ -1364,3 +1375,80 @@ def wat_link_edges(
         .withColumn("target_key", surt_urlkey_cached("__url"))
         .drop("__url")
     )
+
+
+# ---------------------------------------------------------------------------
+# WET production (round 13): the engine as a WET *producer*
+# ---------------------------------------------------------------------------
+
+
+def write_wet(
+    df,
+    out_dir: str,
+    *,
+    n_files: int = 4,
+    url_col: str = "url",
+    date_col: str = "date_iso",
+    text_col: str = "main_text",
+) -> list[tuple[str, int]]:
+    """Serialize extracted text as Common Crawl WET files — one
+    ``conversion`` record per row (record-level ``Content-Type:
+    text/plain``, UTF-8 payload), one gzip member per record, sharded
+    ``wet-NNNNN.warc.wet.gz`` under ``out_dir``.
+
+    This is the PRODUCER half of the ingest→text seam: upstream
+    tooling runs boilerplate removal over response WARCs and ships
+    the text as WET; with ``operators/html_extract.py`` feeding this
+    sink the engine now closes that loop itself — and its own WET
+    READER (``record_types=('conversion',)``) re-ingests the output
+    byte-for-byte (pinned by the ``warc_wet_roundtrip`` oracle
+    query).
+
+    Spark-first: one range shuffle on ``url_col`` (each shard holds a
+    contiguous key range, the CC layout), partition-local sort, then
+    an imperative per-partition gzip writer through the pyarrow-fs
+    seam (works on s3://hdfs:// roots).  Rows with NULL text (pages
+    whose every block scored as boilerplate) are dropped — a WET file
+    carries extracts, not verdicts.  Returns the shard manifest
+    ``[(path, n_records)]`` (driver-sized: one row per shard)."""
+    from pyspark.sql import functions as F
+
+    from ..sinks.zipnum import _fs_for, _join
+
+    fs0, local0 = _fs_for(out_dir)
+    fs0.create_dir(local0, recursive=True)
+    rows = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(url_col).alias("u"),
+            F.col(date_col).alias("d"),
+            F.col(text_col).alias("t"),
+        )
+        .repartitionByRange(n_files, "u")
+        .sortWithinPartitions("u", "d")
+    )
+
+    def fn(pid: int, it):
+        shard = f"wet-{pid:05d}.warc.wet.gz"
+        fs, path = _fs_for(_join(out_dir, shard))
+        out = None
+        n = 0
+        try:
+            for r in it:
+                if out is None:
+                    out = fs.open_output_stream(path, compression=None)
+                out.write(
+                    build_warc_record(
+                        r["u"], r["d"], r["t"].encode("utf-8"),
+                        rec_type="conversion",
+                    )
+                )
+                n += 1
+        finally:
+            if out is not None:
+                out.close()
+        if n:
+            yield (_join(out_dir, shard), n)
+
+    manifest = rows.rdd.mapPartitionsWithIndex(fn).collect()
+    return sorted(manifest)

@@ -478,3 +478,85 @@ def stream_stream_join(
             <= F.col("v_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS")
         ),
     ).select("v_user", "view_id", "click_id", "v_ts", "c_ts")
+
+
+def stream_wet_extract(
+    spark: SparkSession,
+    manifest_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    min_words: int = 10,
+    max_link_density: float = 0.33,
+    files_per_task: int = 2,
+    split_bytes: int | None = None,
+    n_files: int = 2,
+):
+    """Streaming twin of the ``wet-extract`` chain (round 13): new
+    manifest files (one response-WARC path per line) land under
+    ``manifest_dir``; each micro-batch ingests ITS OWN paths with
+    payload retention, runs the Arrow-pass HTML main-content
+    extraction, and publishes the batch's WET shards under
+    ``batch=<stream_id>-<batch_id>/`` — the incremental crawl-intake
+    shape applied to text production.  Raw HTML lives only inside the
+    batch's executors; the sink holds conversion-record WET files the
+    engine's own reader (and Common Crawl tooling) consumes.
+
+    Exactly-once end to end: foreachBatch is at-least-once, so each
+    batch builds its WET shards under a ``tmp-`` name readers never
+    match and RENAMES into its own ``batch=`` slot — a redelivered
+    batch rewrites its own directory (same deterministic content), a
+    crash mid-write leaves only an ignorable tmp."""
+    from ..operators.html_extract import extract_main_content
+    from ..sinks.zipnum import _fs_for, _join
+    from ..sources.warc import index_warcs, write_wet
+
+    sid = _stream_scope_id(checkpoint_dir)
+    lines = spark.readStream.format("text").load(manifest_dir)
+
+    def extract(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..functions.timestamps import from_ts14
+
+        manifest = batch_df.select(F.col("value").alias("path"))
+        kept = index_warcs(
+            spark, manifest, files_per_task=files_per_task,
+            split_bytes=split_bytes, keep_payload=("text/html",),
+        )
+        ext = extract_main_content(
+            kept, keys=("urlkey", "url", "timestamp"),
+            min_words=min_words, max_link_density=max_link_density,
+        )
+        slot = f"batch={sid}-{int(batch_id)}"
+        fs, root_local = _fs_for(out_dir)
+        tmp_local = _join(root_local, f"tmp-{sid}-{int(batch_id)}")
+        try:
+            fs.delete_dir(tmp_local)  # stale tmp from a crashed run
+        except OSError:
+            pass
+        write_wet(
+            ext.select(
+                "url",
+                F.date_format(
+                    from_ts14(F.col("timestamp")),
+                    "yyyy-MM-dd'T'HH:mm:ss'Z'",
+                ).alias("date_iso"),
+                "main_text",
+            ),
+            _join(out_dir, f"tmp-{sid}-{int(batch_id)}"),
+            n_files=n_files,
+        )
+        final = _join(root_local, slot)
+        try:
+            fs.delete_dir(final)  # replay of a completed batch
+        except OSError:
+            pass
+        fs.move(tmp_local, final)
+
+    return (
+        lines.writeStream.foreachBatch(extract)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
