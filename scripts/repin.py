@@ -84,6 +84,9 @@ def main() -> None:
     )
     print(f"pinning {len(query_names)} query pin(s) + "
           f"{len(probe_names)} probe pin(s), best-of-{SHOTS}, {sf_dir}")
+    def fmt_old(old) -> str:
+        return f"{old:7.3f}s" if old is not None else "    new "
+
     for name in query_names:
         best = best_of(lambda: materialize(qs[name](spark, sf_dir)))
         old = pins[name]["sec"] if name in pins else None
@@ -91,8 +94,7 @@ def main() -> None:
             "sec": round(best, 3),
             "provenance": prov + f" (pin_audit: {targets[name]})",
         }
-        print(f"  {name:40s} {old if old is not None else '   new'!s:>7}s "
-              f"-> {best:7.3f}s")
+        print(f"  {name:40s} {fmt_old(old)} -> {best:7.3f}s")
     ctxs: dict[str, object] = {}
     for name in probe_names:
         p = PROBES[name]
@@ -101,8 +103,7 @@ def main() -> None:
         best = best_of(lambda: materialize(p.probe(spark, ctxs[p.family])))
         old = ppins[name]["sec"] if name in ppins else None
         ppins[name] = {"sec": round(best, 3), "provenance": prov}
-        print(f"  {name:40s} {old if old is not None else '   new'!s:>7}s "
-              f"-> {best:7.3f}s")
+        print(f"  {name:40s} {fmt_old(old)} -> {best:7.3f}s")
     with open(pins_path, "w") as fh:
         json.dump(pdata, fh, indent=1, sort_keys=True)
         fh.write("\n")

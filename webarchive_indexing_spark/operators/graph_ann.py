@@ -216,10 +216,12 @@ def graph_beam_topk(
         ).limit(beam)
     if where is not None:
         attr_cols = [c for c in meta.get("attrs", []) if c != id_col]
+        attrs_df = vecs.select(
+            F.col(id_col).alias("__aid"), *attr_cols
+        )
         visited = (
             visited.join(
-                F.broadcast(vecs.select(id_col, *attr_cols)),
-                visited["id"] == vecs[id_col],
+                F.broadcast(attrs_df), F.col("id") == F.col("__aid")
             )
             .filter(F.expr(where))
             .select("id", "s")
@@ -353,6 +355,13 @@ def graph_beam_batch_topk(
     as a broadcast (request_no, qvec) table, so scoring is a plain
     join + cosine (no per-request expression arms).  Returns
     ``(request_no, vec_id, cos_sim)``, per-request top-k."""
+    if not query_vecs:
+        raise ValueError("graph_beam_batch_topk: no query vectors")
+    if exclude_ids is not None and len(exclude_ids) != len(query_vecs):
+        raise ValueError(
+            "graph_beam_batch_topk: exclude_ids must align 1:1 with "
+            "query_vecs"
+        )
     meta = read_graph_meta(store)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     vecs = spark.read.parquet(posixpath.join(store, "vectors"))
