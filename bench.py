@@ -205,11 +205,34 @@ HEADLINE = [
     "warc_wet_roundtrip",
     "emb_graph_beam_batch",
     "emb_graph_beam_filtered",
+    "warc_pretrain_funnel",
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _reclaim(spark) -> None:
+    """Release blocks finished queries leaked into the executor block
+    manager (persist() feature frames, localCheckpoint() iterative
+    state — correctly never unpersisted by the queries; the frames
+    die with the query, but a 160+-query session accumulates all of
+    them).  clearCache() drops every cached dataframe (queries never
+    reuse a previous query's cache) and a driver gc.collect() lets
+    the ContextCleaner reap dead localCheckpoint RDD blocks.
+
+    Called BETWEEN the passes, not per query: the round-13 A/B
+    (BASELINE.md) showed per-query reclamation does not reduce the
+    3-20x mid-bench excursions on python-stage-heavy queries (host
+    variance dominates), so the timed pass runs undisturbed."""
+    import gc
+
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    gc.collect()
 
 
 def main() -> None:
@@ -223,12 +246,14 @@ def main() -> None:
     # untimed warmup pass: JVM, JIT, codegen caches, parquet footers
     for name in names:
         materialize(qs[name](spark, sf_dir))
+    _reclaim(spark)
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+    _reclaim(spark)
 
     # probe pins: the store-building queries above pin build+probe as
     # one number; here each store family builds ONCE (untimed) and the

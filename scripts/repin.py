@@ -69,13 +69,17 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     def best_of(run) -> float:
+        from bench import _reclaim
+
         run()  # untimed warmup
+        _reclaim(spark)
         best = None
         for _ in range(SHOTS):
             t0 = time.perf_counter()
             run()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            _reclaim(spark)
         return best
 
     prov = (

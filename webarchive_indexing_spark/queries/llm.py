@@ -6784,3 +6784,128 @@ def emb_graph_beam_filtered(spark, sf_dir):
         entries=(0, 150, 300, 450), exclude_id=77,
         where="label % 2 = 0",
     )
+
+
+@query(
+    "warc_pretrain_funnel",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 100
+    ), s AS (
+      SELECT doc_id, norm,
+             len(string_split(norm, ' ')) AS words,
+             """ + _sql_html_para2() + """ AS para2
+      FROM d
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 4
+                  THEN CASE WHEN words >= 12 THEN norm END
+                  ELSE CASE WHEN words >= 12 THEN norm || ' ' || para2
+                            ELSE para2 END
+             END AS flat
+      FROM s
+    ), caps AS (
+      SELECT 'example,html)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+             flat FROM m
+      UNION ALL
+      SELECT 'example,html)/dup/' || CAST(doc_id AS VARCHAR) AS urlkey,
+             flat FROM m WHERE doc_id < 20
+    ), q AS (
+      SELECT urlkey, flat, string_split(flat, ' ') AS toks,
+             md5(flat) AS h
+      FROM caps
+    ), c AS (
+      SELECT *, MIN(urlkey) OVER (PARTITION BY h) AS canon FROM q
+    )
+    SELECT urlkey,
+           CASE WHEN flat IS NULL THEN 'empty' ELSE 'ok' END AS status,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           COALESCE(len(toks) BETWEEN 20 AND 2000
+                    AND 100 * """ + sql_stopword_count("toks") + """
+                        >= 2 * len(toks), FALSE) AS keep_quality,
+           COALESCE(h IS NOT NULL AND urlkey = canon, FALSE)
+               AS is_canonical,
+           COALESCE(flat IS NOT NULL
+                    AND len(toks) BETWEEN 20 AND 2000
+                    AND 100 * """ + sql_stopword_count("toks") + """
+                        >= 2 * len(toks)
+                    AND urlkey = canon, FALSE) AS keep
+    FROM c
+    """,
+    tier="C",
+)
+def warc_pretrain_funnel(spark, sf_dir):
+    """The round-13 CAPSTONE composition — raw crawl to training
+    verdict in ONE lineage: fixture HTML pages (every doc under 20
+    also captured at a second URL — real content duplicates) ride a
+    .warc.gz through payload-retaining ingest, Arrow-pass boilerplate
+    removal, the stopword quality gate, AND exact content dedup
+    (md5 of the extracted text, min-urlkey canonical per hash).  The
+    final ``keep`` is the pretraining verdict: extracted, quality,
+    canonical.  One exchange in the whole funnel (the dedup hash
+    window) — every other gate is scan-side.  The oracle rebuilds
+    both capture sets, the extraction, both gates and the canonical
+    choice relationally, so the hash match proves the full
+    C4/RefinedWeb-shaped funnel end to end — the composition the
+    round's HTML seam exists to enable."""
+    import tempfile
+
+    from ..operators.html_extract import extract_main_content
+    from ..sources.warc import index_warcs, write_mini_warc
+
+    page, _ = _html_page_cols()
+    rows = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", page.alias("page"))
+        .collect()
+    )
+    recs = []
+    for r in sorted(rows, key=lambda r: int(r.doc_id)):
+        k = int(r.doc_id)
+        payload = r.page.encode("utf-8")
+        recs.append(dict(
+            url=f"http://html.example/doc/{k}",
+            date_iso="2020-01-01T00:00:00Z",
+            mime="text/html", payload=payload,
+        ))
+        if k < 20:
+            recs.append(dict(
+                url=f"http://html.example/dup/{k}",
+                date_iso="2020-01-01T00:00:00Z",
+                mime="text/html", payload=payload,
+            ))
+    d = tempfile.mkdtemp(prefix="warc_funnel_")
+    path = f"{d}/crawl.warc.gz"
+    write_mini_warc(path, recs)
+    kept = index_warcs(
+        spark, spark.createDataFrame([(path,)], ["path"]),
+        keep_payload=("text/html",),
+    )
+    ext = extract_main_content(kept, keys=("urlkey",), min_words=12)
+    flat = F.regexp_replace(F.col("main_text"), "[ \t\r\n]+", " ")
+    staged = ext.select(
+        "urlkey", "status", flat.alias("flat"),
+        F.md5(flat).alias("h"),
+    )
+    tk = tokens(F.col("flat"))
+    has = F.col("flat").isNotNull()
+    n = F.when(has, F.size(tk))
+    stop = F.when(has, stopword_count(tk))
+    quality = n.between(20, 2000) & (100 * stop >= 2 * n)
+    canon = F.min("urlkey").over(Window.partitionBy("h"))
+    return staged.select(
+        "urlkey",
+        "status",
+        n.cast("bigint").alias("n_words"),
+        F.coalesce(quality, F.lit(False)).alias("keep_quality"),
+        F.coalesce(
+            F.col("h").isNotNull() & (F.col("urlkey") == canon),
+            F.lit(False),
+        ).alias("is_canonical"),
+        F.coalesce(
+            has & quality & (F.col("urlkey") == canon), F.lit(False)
+        ).alias("keep"),
+    )
