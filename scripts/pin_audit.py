@@ -224,8 +224,15 @@ def audit(granularity: str = "span") -> list[dict]:
                 )
 
     # rule 2: the latest driver bench read the pin >2× (git-blind).
-    # A pin re-measured AFTER that bench drop (provenance round newer
-    # than the bench round) is resolved evidence — the flag clears.
+    # A pin measured in the SAME round as that bench drop or later
+    # (provenance round >= bench round) is resolved evidence — the
+    # bench-context protocol measured it with N quiet full-bench runs
+    # in the same context the driver's single shot ran, so the newer
+    # multi-sample number supersedes the single-shot excursion.
+    # Strictly-older pins stay flagged until re-measured.  (Round-13
+    # ADVICE: with a strict '>' the round-N drop flags round-N pins
+    # the moment it is committed, failing the closing invariant for
+    # a pin nobody had a chance to re-measure.)
     bench_round, q_over, p_over = latest_bench()
     for section, over in (("pins", q_over), ("probe_pins", p_over)):
         for name in over:
@@ -233,7 +240,7 @@ def audit(granularity: str = "span") -> list[dict]:
             if entry is None:
                 continue
             rnd = _provenance_round(entry.get("provenance", ""))
-            if rnd is not None and rnd > bench_round:
+            if rnd is not None and rnd >= bench_round:
                 continue
             flagged.append(
                 {"name": name, "section": section,

@@ -50,8 +50,15 @@ def main() -> None:
     pins_path = os.path.join(ROOT, "PINS.json")
     with open(pins_path) as fh:
         pdata = json.load(fh)
+    # Round derived like repin.py (latest BENCH drop + 1 = the round
+    # in progress) — a hardcoded round makes pins self-flagging the
+    # moment that round's own BENCH drop lands (round-13 ADVICE).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pin_audit import latest_bench
+
+    cur_round = latest_bench()[0] + 1
     prov = (
-        f"round-13 bench-context min-of-{n_runs} "
+        f"round-{cur_round} bench-context min-of-{n_runs} "
         f"(quiet full bench.py runs, sf0.1, local[32], noop sink)"
     )
     for section, key in (("pins", "queries"), ("probe_pins", "probes")):

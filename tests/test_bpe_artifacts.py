@@ -127,3 +127,37 @@ def test_pretrained_encoder_matches_expression_path(spark, tmp_path):
         for r in bpe_encode_bytes(docs, merges).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_merges_blank_lines_only_tolerated_at_eof(tmp_path):
+    """Round-13 ADVICE (same posture as the .vec loader): interior
+    blank in merges.txt refuses; trailing blank stays tolerated."""
+    import pytest as _pytest
+
+    from webarchive_indexing_spark.operators.bpe import load_bpe_artifacts
+
+    vocab = tmp_path / "vocab.json"
+    import json as _json
+
+    from webarchive_indexing_spark.operators.bpe import (
+        gpt2_bytes_to_unicode,
+    )
+
+    b2u = gpt2_bytes_to_unicode()
+    base = {b2u[b]: b for b in range(256)}
+    merged = b2u[ord("t")] + b2u[ord("h")]
+    base[merged] = 256
+    vocab.write_text(_json.dumps(base))
+    ok = tmp_path / "ok.txt"
+    ok.write_text(
+        "#version: 0.2\n"
+        + b2u[ord("t")] + " " + b2u[ord("h")] + "\n\n"
+    )
+    art = load_bpe_artifacts(str(ok), str(vocab))
+    assert len(art["merges"]) == 1
+    bad = tmp_path / "bad.txt"
+    bad.write_text(
+        "#version: 0.2\n\n" + b2u[ord("t")] + " " + b2u[ord("h")] + "\n"
+    )
+    with _pytest.raises(ValueError, match="blank line"):
+        load_bpe_artifacts(str(bad), str(vocab))

@@ -32,7 +32,8 @@ def store(spark, sf_dir, tmp_path_factory):
 def test_store_roundtrip_and_symmetry(spark, sf_dir, store):
     meta = read_graph_meta(store)
     assert meta["k_neighbors"] == 12 and meta["symmetric"] is True
-    g = spark.read.parquet(store + "/graph")
+    assert meta["n_buckets"] >= 1 and meta["build"] == "exact"
+    g = spark.read.parquet(store + "/graph").select("src", "dst", "sim")
     n_nodes = spark.read.parquet(store + "/vectors").count()
     # every node has >= k out-edges (symmetrization only adds), and
     # the edge set is closed under reversal
@@ -43,6 +44,28 @@ def test_store_roundtrip_and_symmetry(spark, sf_dir, store):
         F.col("dst").alias("src"), F.col("src").alias("dst"), "sim"
     )
     assert g.unionByName(rev).distinct().count() == g.count()
+
+
+def test_store_layout_is_bucket_partitioned(spark, sf_dir, store):
+    """The scale contract: edges land under src_bucket= hive
+    directories (the frontier-pruned scan's partition key) and the
+    bucket value matches src % n_buckets; same for vectors/."""
+    import os
+
+    nb = read_graph_meta(store)["n_buckets"]
+    gdirs = [
+        d for d in os.listdir(store + "/graph")
+        if d.startswith("src_bucket=")
+    ]
+    assert 1 < len(gdirs) <= nb
+    g = spark.read.parquet(store + "/graph")
+    assert g.filter(
+        F.col("src_bucket") != F.pmod(F.col("src"), F.lit(nb))
+    ).count() == 0
+    v = spark.read.parquet(store + "/vectors")
+    assert v.filter(
+        F.col("id_bucket") != F.pmod(F.col("vec_id"), F.lit(nb))
+    ).count() == 0
 
 
 def test_directed_knn_graph_degree_exact(spark, sf_dir):
@@ -114,3 +137,194 @@ def test_walk_plan_has_no_cartesian(spark, sf_dir, store):
     df = graph_beam_topk(spark, store, qv, exclude_id=77)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_grid_build_is_exact_thresholded_and_recall_envelope(
+    spark, sf_dir, store, tmp_path_factory
+):
+    """Round-14 verdict task 1: the grid candidate generator is
+    LOSSLESS for the thresholded contract (edge set identical to the
+    exact build filtered at min_sim), and the beam walk over the
+    thresholded graph stays within a 0.1 recall envelope of the
+    exact-build walk (measured 0.825 vs 0.875 on the fixture)."""
+    from webarchive_indexing_spark.operators.graph_ann import (
+        grid_threshold_candidates,
+    )
+
+    T = 0.24
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 500).select("vec_id", "embedding")
+    g_grid = build_knn_graph(
+        base, k_neighbors=12,
+        candidates=grid_threshold_candidates(T), min_sim=T,
+    )
+    g_ref = build_knn_graph(base, k_neighbors=12, min_sim=T)
+    assert g_grid.exceptAll(g_ref).count() == 0
+    assert g_ref.exceptAll(g_grid).count() == 0
+
+    out = str(tmp_path_factory.mktemp("grid_store"))
+    write_knn_graph(
+        emb, out, k_neighbors=12, n_base=500,
+        candidates=grid_threshold_candidates(T), min_sim=T,
+    )
+    diffs = []
+    for q in (77, 123, 321, 456):
+        qv = collect_query_vector(emb, q)
+        brute = {r.vec_id for r in cosine_topk(
+            emb.filter(F.col("vec_id") < 500), q, k=10).collect()}
+        kw = dict(k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+                  exclude_id=q)
+        ex = {r.vec_id for r in graph_beam_topk(spark, store, qv, **kw).collect()}
+        gr = {r.vec_id for r in graph_beam_topk(spark, out, qv, **kw).collect()}
+        diffs.append((len(gr & brute) - len(ex & brute)) / 10)
+    assert sum(diffs) / len(diffs) >= -0.1, diffs
+
+
+def test_nn_descent_converges_per_round(spark, sf_dir):
+    """The NND invariant that holds on ANY geometry: each bounded
+    round strictly improves edge-set recall vs the exact kNN graph
+    (uniform fixture vectors are the documented worst case for the
+    absolute level, so the pin is the monotone per-round gain)."""
+    from webarchive_indexing_spark.operators.graph_ann import (
+        nn_descent_knn_graph,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    exact = build_knn_graph(emb, k_neighbors=6)
+    n_exact = exact.count()
+    recalls = []
+    for rounds in (0, 1, 2):
+        g = nn_descent_knn_graph(
+            emb, k_neighbors=6, rounds=rounds, stride=37, n_base=200
+        )
+        hits = g.select("src", "dst").intersect(
+            exact.select("src", "dst")
+        ).count()
+        recalls.append(hits / n_exact)
+    assert recalls[0] < recalls[1] < recalls[2], recalls
+
+
+def test_append_makes_batch_reachable_and_refuses_dup_ids(
+    spark, sf_dir, tmp_path_factory
+):
+    """LSM append: new vectors are REACHABLE through reverse edges
+    (old nodes gained routes into the batch), old edge files are
+    untouched, and id collisions refuse."""
+    import pytest as _pytest
+
+    from webarchive_indexing_spark.operators.graph_ann import (
+        append_knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = str(tmp_path_factory.mktemp("append_store"))
+    write_knn_graph(emb, out, k_neighbors=12, n_base=400)
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+    assert append_knn_graph(batch, out) == 100
+    g = spark.read.parquet(out + "/graph")
+    # old → new routes exist (reverse edges), so a walk can reach the
+    # batch from old entry points
+    assert g.filter(
+        (F.col("src") < 400) & (F.col("dst") >= 400)
+    ).count() > 0
+    # every batch node has out-edges
+    assert g.filter(F.col("src") >= 400).select(
+        "src").distinct().count() == 100
+    with _pytest.raises(ValueError, match="already in the store"):
+        append_knn_graph(batch, out)
+
+
+def test_delete_is_stepping_stone_then_compact_purges(
+    spark, sf_dir, tmp_path_factory
+):
+    """Tombstoned ids vanish from RESULTS immediately but stay
+    navigable (visited-through) until compaction; compact_knn_graph
+    removes the nodes and their edges physically, re-trims degree,
+    and clears the applied tombstone batches."""
+    from webarchive_indexing_spark.operators.graph_ann import (
+        compact_knn_graph,
+        delete_from_knn_graph,
+    )
+    from webarchive_indexing_spark.sinks.ann_index import (
+        read_ann_tombstones,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = str(tmp_path_factory.mktemp("del_store"))
+    write_knn_graph(emb, out, k_neighbors=12, n_base=500)
+    qv = collect_query_vector(emb, 77)
+    kw = dict(k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+              exclude_id=77)
+    pre = [r.vec_id for r in graph_beam_topk(spark, out, qv, **kw).collect()]
+    dead = pre[:2]
+    delete_from_knn_graph(out, dead)
+    post = [r.vec_id for r in graph_beam_topk(spark, out, qv, **kw).collect()]
+    assert not set(dead) & set(post)
+    # stepping stones: results beyond the dead ids are unchanged
+    assert post[: len(pre) - 2] == [i for i in pre if i not in set(dead)][
+        : len(pre) - 2
+    ]
+    compact_knn_graph(spark, out)
+    assert read_ann_tombstones(out) == set()
+    g = spark.read.parquet(out + "/graph")
+    assert g.filter(
+        F.col("src").isin(dead) | F.col("dst").isin(dead)
+    ).count() == 0
+    v = spark.read.parquet(out + "/vectors")
+    assert v.filter(F.col("vec_id").isin(dead)).count() == 0
+    # degree re-trimmed to <= 2k (sym of a k-trimmed directed graph)
+    mx = g.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert mx <= 2 * 12
+    # walk over the compacted store still excludes the dead ids
+    post2 = [r.vec_id for r in graph_beam_topk(spark, out, qv, **kw).collect()]
+    assert not set(dead) & set(post2)
+
+
+def test_versioned_publish_and_append(spark, sf_dir, tmp_path_factory):
+    """CURRENT-pointer lifecycle parity with the IVF stores: a
+    versioned build resolves through the pointer, a versioned append
+    clones + publishes atomically, and the pre-append version's files
+    are untouched."""
+    from webarchive_indexing_spark.operators.graph_ann import (
+        append_knn_graph_versioned,
+        write_knn_graph_versioned,
+    )
+    from webarchive_indexing_spark.sinks.ann_index import (
+        read_store_pointer,
+        resolve_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path_factory.mktemp("ver_store"))
+    write_knn_graph_versioned(emb, root, k_neighbors=12, n_base=400)
+    v1 = read_store_pointer(root)
+    assert v1 is not None
+    qv = collect_query_vector(emb, 77)
+    kw = dict(k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+              exclude_id=77)
+    pre = [r.vec_id for r in graph_beam_topk(spark, root, qv, **kw).collect()]
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+    assert append_knn_graph_versioned(batch, root) == 100
+    v2 = read_store_pointer(root)
+    assert v2 is not None and v2 != v1
+    post = [r.vec_id for r in graph_beam_topk(spark, root, qv, **kw).collect()]
+    # old version still serves the pre-append answer
+    import posixpath
+
+    old = [
+        r.vec_id
+        for r in graph_beam_topk(
+            spark, posixpath.join(root, v1), qv, **kw
+        ).collect()
+    ]
+    assert old == pre
+    assert resolve_store(root).endswith(v2)
+    # appended store has 500 nodes
+    assert spark.read.parquet(
+        posixpath.join(root, v2, "vectors")
+    ).count() == 500
+    del post

@@ -103,3 +103,16 @@ def test_three_decimal_values_roundtrip_bit_exact(tmp_path):
     p = write_vec_vectors(rows, 1, str(tmp_path / "m.vec"))
     got, _ = load_vec_vectors(p)
     assert [v[0] for _, v in got] == vals
+
+
+def test_vec_blank_lines_only_tolerated_at_eof(tmp_path):
+    """Round-13 ADVICE: an INTERIOR blank line is a corrupted file and
+    must refuse; trailing blank(s) at EOF stay tolerated."""
+    ok = tmp_path / "ok.vec"
+    ok.write_text("1 1\nthe 0.1\n\n")
+    rows, dim = load_vec_vectors(str(ok))
+    assert rows == [("the", [0.1])] and dim == 1
+    bad = tmp_path / "bad.vec"
+    bad.write_text("2 1\nthe 0.1\n\nfast 0.2\n")
+    with pytest.raises(ValueError, match="blank line"):
+        load_vec_vectors(str(bad))

@@ -1002,3 +1002,49 @@ def test_arpa_scoring_joins_are_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_graph_walk_scan_is_frontier_pruned(spark, sf_dir):
+    """Round-14 verdict task 2: the beam walk must never broadcast or
+    fully scan the edge table — each hop pushes the beam ids into the
+    src-bucketed store as STATIC partition + id filters (the refine-
+    sidecar trick).  Asserted on the hop scan's plan: PartitionFilters
+    carries src_bucket IN (…) and PushedFilters carries In(src, …) —
+    at production scale these skip every non-frontier bucket
+    directory.  The vector-scoring scan is pinned the same way."""
+    import tempfile
+
+    from webarchive_indexing_spark.operators.graph_ann import (
+        _pruned_edge_scan,
+        _pruned_vec_scan,
+        write_knn_graph,
+    )
+    from webarchive_indexing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="plan_graph_")
+    meta = write_knn_graph(emb, out, k_neighbors=12, n_base=500)
+    nb = meta["n_buckets"]
+    g = spark.read.parquet(out + "/graph")
+    plan = (
+        _pruned_edge_scan(g, [3, 7, 150], nb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "src_bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    assert "In(src, [" in plan, plan
+    assert "BroadcastExchange" not in plan
+    v = spark.read.parquet(out + "/vectors")
+    vplan = (
+        _pruned_vec_scan(v, [3, 7, 150], nb, "vec_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in vplan and "id_bucket" in vplan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], vplan
+    assert "In(vec_id, [" in vplan, vplan

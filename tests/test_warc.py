@@ -1404,3 +1404,29 @@ def test_build_warc_record_conversion_content_type():
         "http://x.example/", "2020-01-01T00:00:00Z", b"<p>hi</p>"
     )
     assert b"Content-Type: application/http; msgtype=response\r\n" in resp
+
+
+def test_write_wet_clears_stale_shards(spark, tmp_path):
+    """Round-13 ADVICE: re-running write_wet into a populated out_dir
+    with FEWER shards must not leave stale wet-NNNNN files for a
+    directory-level reader to double-ingest — parquet-sink overwrite
+    semantics."""
+    import os
+
+    from webarchive_indexing_spark.sources.warc import write_wet
+
+    rows = [
+        (f"http://e.com/{i}", "2020-01-01T00:00:00Z", f"text {i}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["url", "date_iso", "main_text"])
+    out = str(tmp_path / "wet")
+    write_wet(df, out, n_files=4)
+    first = sorted(
+        f for f in os.listdir(out) if f.endswith(".warc.wet.gz")
+    )
+    assert len(first) == 4
+    manifest = write_wet(df.limit(2), out, n_files=1)
+    now = sorted(f for f in os.listdir(out) if f.endswith(".warc.wet.gz"))
+    assert now == ["wet-00000.warc.wet.gz"]
+    assert manifest[0][1] == 2

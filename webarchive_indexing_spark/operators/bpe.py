@@ -569,12 +569,22 @@ def load_bpe_artifacts(merges_path: str, vocab_path: str) -> dict:
     merges: list[tuple[str, str]] = []
     seen: set[tuple[str, str]] = set()
     with open(merges_path, encoding="utf-8") as fh:
+        blank_at: int | None = None
         for lineno, raw in enumerate(fh, start=1):
             ln = raw.rstrip("\n")
             if lineno == 1 and ln.startswith("#"):
                 continue  # '#version: 0.2' header
-            if ln == "" :
-                continue  # trailing newline tolerance
+            if ln == "":
+                # trailing-newline tolerance only — an interior blank
+                # is a corrupted artifact, refuse (round-13 ADVICE)
+                if blank_at is None:
+                    blank_at = lineno
+                continue
+            if blank_at is not None:
+                raise ValueError(
+                    f"merges.txt line {blank_at}: blank line before "
+                    f"line {lineno} — blanks are only tolerated at EOF"
+                )
             parts = ln.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:
                 raise ValueError(

@@ -6909,3 +6909,206 @@ def warc_pretrain_funnel(spark, sf_dir):
             has & quality & (F.col("urlkey") == canon), F.lit(False)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph ANN lifecycle (round 14): scale-path builds + LSM parity
+# ---------------------------------------------------------------------------
+
+#: graph-store tombstone fixture: the beam walk's pre-delete top-2 at
+#: BOTH test scales (sf0.001: 171, 40; sf0.01: 190, 41), so the delete
+#: provably removes rows that WOULD have been served — the
+#: _ANN_DELETED_IDS discipline applied to the graph store.
+_GRAPH_DELETED_IDS = (40, 41, 171, 190)
+
+
+@query(
+    "emb_graph_grid_build",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.graph_ann",
+        fromlist=["sql_graph_beam_topk"],
+    ).sql_graph_beam_topk(
+        query_vec_id=77, n_base=500, k_neighbors=12,
+        k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+        min_sim=0.24,
+    ),
+    tier="C",
+)
+def emb_graph_grid_build(spark, sf_dir):
+    """BLOCKED graph BUILD (round 14 — verdict task 1: the O(n²)
+    broadcast self-join stops being the only path): candidates come
+    from the LOSSLESS ε-grid (``grid_threshold_candidates`` —
+    ``operators/similarity.grid_blocked_pairs`` over a trivial block,
+    symmetrized), paired with ``min_sim=0.24`` so the edge set is
+    EXACTLY "per-src top-12 among pairs with cos ≥ 0.24" — a logical
+    contract independent of the grid, which keeps the oracle a plain
+    ``cos(a,b) >= t`` join while physical candidates are bounded by
+    grid-cell occupancy (threshold-sized cells, not corpus²; at the
+    fixture's low sim regime the cells are wide — the honest caveat —
+    but the contract and plan shape are the 100 TB ones).  The beam
+    walk then serves the thresholded graph; recall vs the exact build
+    is pinned within an envelope in tests/test_graph_ann.py.  Build ∘
+    serve value-hashed end to end."""
+    import tempfile
+
+    from ..operators.graph_ann import (
+        graph_beam_topk, grid_threshold_candidates, write_knn_graph,
+    )
+    from ..operators.similarity import collect_query_vector
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="graph_grid_")
+    write_knn_graph(
+        emb, out, k_neighbors=12, n_base=500,
+        candidates=grid_threshold_candidates(0.24), min_sim=0.24,
+    )
+    qv = collect_query_vector(emb, 77)
+    return graph_beam_topk(
+        spark, out, qv, k=10, beam=10, hops=3,
+        entries=(0, 150, 300, 450), exclude_id=77,
+    )
+
+
+@query(
+    "emb_graph_nnd_build",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.graph_ann",
+        fromlist=["sql_graph_beam_topk", "sql_nnd_knn_cte"],
+    ).sql_graph_beam_topk(
+        query_vec_id=77, n_base=200, k_neighbors=6,
+        k=10, beam=10, hops=3, entries=(0, 50, 100, 150),
+        knn_cte=__import__(
+            "webarchive_indexing_spark.operators.graph_ann",
+            fromlist=["sql_nnd_knn_cte"],
+        ).sql_nnd_knn_cte(
+            n_base=200, k_neighbors=6, rounds=2, stride=37,
+        ),
+    ),
+    tier="C",
+)
+def emb_graph_nnd_build(spark, sf_dir):
+    """NN-DESCENT graph build (round 14 — the production-scale
+    construction primitive, Dong et al. WWW'11): deterministic
+    arithmetic seed ring → 2 bounded rounds of "replace each node's
+    edges with top-k of {current} ∪ {neighbors-of-neighbors over the
+    symmetrized adjacency}" → persisted store → beam-walk serving.
+    Per-round candidates are n·(2k)² — LINEAR in corpus size, the
+    answer to the exact build's n² (kmeans/logreg bounded-iteration
+    pattern; every round is id-keyed joins, nothing corpus-sized is
+    broadcast).  The oracle re-derives seed, both rounds, and the
+    walk as one CTE chain (``sql_nnd_knn_cte``), so build ∘ serve is
+    value-hashed end to end.  Convergence-per-round is pinned in
+    tests/test_graph_ann.py (uniform fixture vectors are NND's
+    documented worst case; the parity here is about the OPERATOR, not
+    the fixture's geometry)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.graph_ann import (
+        graph_beam_topk, nn_descent_knn_graph, write_knn_graph,
+    )
+    from ..operators.similarity import collect_query_vector
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    edges = nn_descent_knn_graph(
+        base, k_neighbors=6, rounds=2, stride=37, n_base=200
+    )
+    out = tempfile.mkdtemp(prefix="graph_nnd_")
+    write_knn_graph(emb, out, k_neighbors=6, n_base=200, edges=edges)
+    qv = collect_query_vector(emb, 77)
+    return graph_beam_topk(
+        spark, out, qv, k=10, beam=10, hops=3,
+        entries=(0, 50, 100, 150), exclude_id=77,
+    )
+
+
+@query(
+    "emb_graph_delete_probe",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.graph_ann",
+        fromlist=["sql_graph_beam_topk"],
+    ).sql_graph_beam_topk(
+        query_vec_id=77, n_base=500, k_neighbors=12,
+        k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+        exclude_result_ids=_GRAPH_DELETED_IDS,
+    ),
+    tier="C",
+)
+def emb_graph_delete_probe(spark, sf_dir):
+    """Graph-store DELETES (round 14 — LSM parity with the flat/PQ
+    delete probes): ``delete_from_knn_graph`` files metadata-sized
+    tombstone batches (the shared ``sinks/ann_index.py`` contract);
+    the walk excludes tombstoned ids from RESULTS while keeping them
+    navigable STEPPING STONES (cutting a hub out of the topology
+    would orphan its neighborhood — physical removal is
+    ``compact_knn_graph``'s job, pinned in tests/test_graph_ann.py).
+    The tombstoned ids are the walk's pre-delete top-2 at both test
+    scales, so this query's rows CHANGE versus
+    ``emb_graph_beam_topk`` — the takedown provably stops serving
+    rows that WOULD have been served.  The oracle applies the
+    identical exclusion over its re-derived visited set."""
+    import tempfile
+
+    from ..operators.graph_ann import (
+        delete_from_knn_graph, graph_beam_topk, write_knn_graph,
+    )
+    from ..operators.similarity import collect_query_vector
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="graph_del_")
+    write_knn_graph(emb, out, k_neighbors=12, n_base=500)
+    delete_from_knn_graph(out, list(_GRAPH_DELETED_IDS[:2]))
+    delete_from_knn_graph(out, list(_GRAPH_DELETED_IDS[2:]))  # batches union
+    qv = collect_query_vector(emb, 77)
+    return graph_beam_topk(
+        spark, out, qv, k=10, beam=10, hops=3,
+        entries=(0, 150, 300, 450), exclude_id=77,
+    )
+
+
+@query(
+    "emb_graph_append_walk",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.graph_ann",
+        fromlist=["sql_graph_beam_topk"],
+    ).sql_graph_beam_topk(
+        query_vec_id=77, n_base=500, k_neighbors=12,
+        k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+        append_from=400,
+    ),
+    tier="C",
+)
+def emb_graph_append_walk(spark, sf_dir):
+    """Graph-store APPEND (round 14 — LSM parity with the IVF
+    ``stream_append_batch``): build the store over ids < 400, then
+    ``append_knn_graph`` the [400, 500) batch — each new vector gets
+    its top-k edges over the UNION of old and new, symmetrized, so
+    reverse edges give OLD nodes routes into the batch (without them
+    the batch would be unreachable); old edge lists are NOT rewritten
+    (new parquet files only — degree grows until
+    ``compact_knn_graph``).  The walk then serves the appended store;
+    the oracle re-derives old-base edges and batch edges as separate
+    knn arms, symmetrized together — append ∘ serve value-hashed end
+    to end."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.graph_ann import (
+        append_knn_graph, graph_beam_topk, write_knn_graph,
+    )
+    from ..operators.similarity import collect_query_vector
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="graph_app_")
+    write_knn_graph(emb, out, k_neighbors=12, n_base=400)
+    append_knn_graph(
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500)), out
+    )
+    qv = collect_query_vector(emb, 77)
+    return graph_beam_topk(
+        spark, out, qv, k=10, beam=10, hops=3,
+        entries=(0, 150, 300, 450), exclude_id=77,
+    )

@@ -56,10 +56,21 @@ def load_vec_vectors(path: str) -> tuple[list[tuple[str, list[float]]], int]:
         n_decl, dim = int(parts[0]), int(parts[1])
         if dim < 1:
             raise ValueError(f".vec dim must be >= 1, got {dim}")
+        blank_at: int | None = None
         for lineno, raw in enumerate(fh, start=2):
             ln = raw.rstrip("\n")
             if ln == "":
-                continue  # trailing newline tolerance
+                # trailing-newline tolerance ONLY: blanks are legal at
+                # EOF, but an INTERIOR blank means a corrupted file —
+                # refuse rather than load silently (round-13 ADVICE)
+                if blank_at is None:
+                    blank_at = lineno
+                continue
+            if blank_at is not None:
+                raise ValueError(
+                    f".vec line {blank_at}: blank line before line "
+                    f"{lineno} — blanks are only tolerated at EOF"
+                )
             fields = ln.split(" ")
             if len(fields) != dim + 1:
                 raise ValueError(

@@ -1417,6 +1417,19 @@ def write_wet(
 
     fs0, local0 = _fs_for(out_dir)
     fs0.create_dir(local0, recursive=True)
+    # Overwrite semantics matching the parquet sinks (round-13
+    # ADVICE): a re-run with fewer shards or different input must not
+    # leave stale wet-NNNNN files behind for a directory-level reader
+    # to double-ingest.
+    import re as _re
+
+    from pyarrow import fs as _pafs
+
+    for info in fs0.get_file_info(_pafs.FileSelector(local0)):
+        if info.type == _pafs.FileType.File and _re.fullmatch(
+            r"wet-\d{5}\.warc\.wet\.gz", info.base_name
+        ):
+            fs0.delete_file(info.path)
     rows = (
         df.filter(F.col(text_col).isNotNull())
         .select(
