@@ -1430,3 +1430,58 @@ def test_write_wet_clears_stale_shards(spark, tmp_path):
     now = sorted(f for f in os.listdir(out) if f.endswith(".warc.wet.gz"))
     assert now == ["wet-00000.warc.wet.gz"]
     assert manifest[0][1] == 2
+
+
+def test_write_warc_roundtrip_digest_and_overwrite(spark, tmp_path):
+    """write_warc emits response records the engine's own reader
+    parses back field-for-field; the stored WARC-Payload-Digest
+    header matches the digest the reader recomputes (b32), and a
+    re-run with fewer shards clears stale warc-NNNNN files."""
+    import gzip
+    import os
+
+    from webarchive_indexing_spark.sources.warc import (
+        index_warcs,
+        write_warc,
+    )
+
+    rows = [
+        (
+            f"http://w.example/p/{i}",
+            "2021-06-01T12:00:00Z",
+            f"payload number {i}".encode(),
+            "text/plain",
+        )
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, date_iso string, payload binary, mime string"
+    )
+    out = str(tmp_path / "rearc")
+    manifest = write_warc(df, out, n_files=3)
+    assert sum(n for _p, n in manifest) == 6
+    got = index_warcs(
+        spark,
+        spark.createDataFrame([(p,) for p, _n in manifest], ["path"]),
+        keep_payload=("text/",),
+        digest_b32=True,
+    ).collect()
+    assert len(got) == 6
+    by_url = {r.url: r for r in got}
+    for url, _d, payload, mime in rows:
+        r = by_url[url]
+        assert bytes(r.payload) == payload
+        assert r.mime == "text/plain" and r.status == 200
+        assert r.timestamp == "20210601120000"
+    # the WRITTEN digest header equals the reader's recomputed digest
+    with open(manifest[0][0], "rb") as fh:
+        raw = gzip.decompress(fh.read())
+    first_url = raw.split(b"WARC-Target-URI: ", 1)[1].split(b"\r\n", 1)[0]
+    written = raw.split(b"WARC-Payload-Digest: sha1:", 1)[1].split(
+        b"\r\n", 1
+    )[0]
+    assert written.decode() == by_url[first_url.decode()].digest
+    # overwrite semantics
+    write_warc(df.limit(2), out, n_files=1)
+    now = sorted(f for f in os.listdir(out) if f.endswith(".warc.gz"))
+    assert now == ["warc-00000.warc.gz"]

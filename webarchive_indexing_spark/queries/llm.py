@@ -7112,3 +7112,136 @@ def emb_graph_append_walk(spark, sf_dir):
         spark, out, qv, k=10, beam=10, hops=3,
         entries=(0, 150, 300, 450), exclude_id=77,
     )
+
+
+#: out-of-alphabet suffix for the SentencePiece query — uppercase,
+#: apostrophe, em-dash, accents and punctuation exercise the <unk>
+#: arm; digits and 'zz' hit single-char pieces the corpus never uses
+_SP_SUFFIX = " Don't—naïve café, 123 zz!"
+
+
+@query(
+    "text_sp_unigram_ids",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.sp_unigram",
+        fromlist=["sql_sp_unigram_ids"],
+    ).sql_sp_unigram_ids(
+        encode_limit=200, rounds=14,
+        text_sql="text || ' Don''t—naïve café, 123 zz!'",
+    ),
+    tier="C",
+)
+def text_sp_unigram_ids(spark, sf_dir):
+    """SentencePiece UNIGRAM-LM tokenization (round 14 — the other
+    dominant public tokenizer family beside GPT-2 BPE; Llama/T5-style
+    token counts): the fixture vocab is SERIALIZED to the public
+    ``spm_export_vocab`` text grammar, re-LOADED through the
+    quarantine parser (``sources/model_artifacts.py``), and applied
+    by Viterbi segmentation in ONE Arrow pass (Spark-side whitespace
+    pretokenization with the ▁ convention; centi-integer DP — no
+    float accumulation — with deterministic fixed-width-key ties; the
+    vocab rides as a broadcast-closure literal).  The oracle
+    re-derives the hash-scored vocab AND the Viterbi DP as 14
+    unrolled relational rounds (``sql_sp_unigram_ids``), so the value
+    hash proves serialize → parse → segment produce THE same token
+    ids — the fixed-tokenizer guarantee, now for the unigram family.
+    The suffix pushes uppercase/accents/punctuation through the
+    ``<unk>`` arm (min-score − 10, the SentencePiece default)."""
+    import tempfile
+
+    from ..operators.sp_unigram import sp_fixture_vocab, sp_unigram_encode
+    from ..sources.model_artifacts import (
+        load_sp_unigram_vocab,
+        write_sp_unigram_vocab,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_SP_SUFFIX)).alias("text")
+    )
+    art_dir = tempfile.mkdtemp(prefix="sp_art_")
+    path = write_sp_unigram_vocab(
+        sp_fixture_vocab(), art_dir + "/unigram.vocab"
+    )
+    vocab = load_sp_unigram_vocab(path)
+    return sp_unigram_encode(d, vocab)
+
+
+@query(
+    "warc_rearchive_roundtrip",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, {_pii_text_sql()} AS ptext
+      FROM documents WHERE doc_id < 100
+    ), r AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(ptext,
+                 '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_IPV4}', '<IP>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g') AS red
+      FROM p
+    )
+    SELECT 'example,re)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+           '20210601120000' AS timestamp,
+           'text/plain' AS mime,
+           200 AS status,
+           red AS text
+    FROM r WHERE len(string_split(red, ' ')) >= 12
+    """,
+    tier="C",
+)
+def warc_rearchive_roundtrip(spark, sf_dir):
+    """WARC PRODUCTION closed-loop (round 14 — the re-archiving step
+    a curation pipeline needs to hand a CLEANED corpus downstream in
+    the archival wire format, completing the producer story WET
+    production started): PII-injected fixture text → the 3-stage
+    scan-side redaction (the ``text_pii_redact`` regexes) → a word-
+    count curation gate → ``write_warc`` (sharded response-record
+    ``.warc.gz``, HTTP status/Content-Type/Content-Length + a
+    ``WARC-Payload-Digest: sha1:<b32>`` header per record) →
+    re-ingest through the engine's OWN reader.  urlkey, capture time,
+    mime, HTTP status and the REDACTED payload must all survive the
+    serialize → parse cycle byte-for-byte against the grammar oracle
+    — so a takedown/compliance pass can provably round-trip through
+    the format the whole ecosystem's tooling speaks."""
+    import tempfile
+
+    from ..sources.warc import index_warcs, write_warc
+
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(_pii_text_col(), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    rows = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", red.alias("red"))
+        .filter(F.size(F.split(F.col("red"), " ")) >= 12)
+        .select(
+            F.concat(
+                F.lit("http://re.example/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.lit("2021-06-01T12:00:00Z").alias("date_iso"),
+            F.encode(F.col("red"), "UTF-8").alias("payload"),
+            F.lit("text/plain").alias("mime"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="rearchive_") + "/warc"
+    manifest = write_warc(rows, out, n_files=2)
+    warc = index_warcs(
+        spark,
+        spark.createDataFrame([(p,) for p, _n in manifest], ["path"]),
+        keep_payload=("text/",),
+    )
+    return warc.select(
+        "urlkey",
+        "timestamp",
+        "mime",
+        "status",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )

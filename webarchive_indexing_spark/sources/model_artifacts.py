@@ -248,3 +248,76 @@ def load_arpa_bigram(path: str) -> dict:
                 f"ARPA declares {count} {order}-grams, file holds {got}"
             )
     return {"uni": uni, "bi": bi}
+
+
+def write_sp_unigram_vocab(rows: list[tuple[str, float]], path: str) -> str:
+    """Serialize a unigram-LM tokenizer vocab in the SentencePiece
+    ``spm_export_vocab`` text grammar: one ``<piece>\\t<score>`` line
+    per piece, file order = piece id (fixture writer; 2-decimal
+    scores round-trip exactly through the centi-integer DP)."""
+    with open(path, "w", encoding="utf-8") as fh:
+        for piece, score in rows:
+            fh.write(f"{piece}\t{score:.2f}\n")
+    return path
+
+
+def load_sp_unigram_vocab(path: str) -> list[tuple[str, float]]:
+    """Quarantine parser for the SentencePiece ``spm_export_vocab``
+    unigram grammar (the Llama/T5 tokenizer-family interchange text
+    format).  Returns ``[(piece, score)]`` in file order — the line
+    index IS the piece id, the SentencePiece convention.  Refuses on:
+    a line without exactly one tab, an empty piece, whitespace inside
+    a piece (impossible in the grammar — SentencePiece encodes spaces
+    as ``▁``), a non-numeric score, duplicate pieces, a missing
+    ``<unk>`` control piece (every SentencePiece model carries one —
+    a vocab without it cannot encode out-of-alphabet text), or an
+    interior blank line (EOF blanks tolerated — the shared
+    quarantine-parser posture)."""
+    rows: list[tuple[str, float]] = []
+    seen: set[str] = set()
+    blank_at: int | None = None
+    with open(path, encoding="utf-8") as fh:
+        for lineno, raw in enumerate(fh, start=1):
+            ln = raw.rstrip("\n")
+            if ln == "":
+                if blank_at is None:
+                    blank_at = lineno
+                continue
+            if blank_at is not None:
+                raise ValueError(
+                    f"sp vocab line {blank_at}: blank line before line "
+                    f"{lineno} — blanks are only tolerated at EOF"
+                )
+            fields = ln.split("\t")
+            if len(fields) != 2:
+                raise ValueError(
+                    f"sp vocab line {lineno}: expected '<piece>\\t<score>'"
+                    f" (exactly one tab), got {len(fields)} field(s)"
+                )
+            piece, score_s = fields
+            if not piece:
+                raise ValueError(f"sp vocab line {lineno}: empty piece")
+            if any(c.isspace() for c in piece):
+                raise ValueError(
+                    f"sp vocab line {lineno}: whitespace inside piece "
+                    f"{piece!r} — the grammar encodes spaces as ▁"
+                )
+            if piece in seen:
+                raise ValueError(
+                    f"sp vocab line {lineno}: duplicate piece {piece!r}"
+                )
+            try:
+                score = float(score_s)
+            except ValueError as e:
+                raise ValueError(
+                    f"sp vocab line {lineno}: non-numeric score ({e})"
+                ) from e
+            seen.add(piece)
+            rows.append((piece, score))
+    if "<unk>" not in seen:
+        raise ValueError(
+            "sp vocab: no <unk> control piece — every SentencePiece "
+            "model declares one; refusing a vocab that cannot encode "
+            "out-of-alphabet text"
+        )
+    return rows

@@ -76,6 +76,7 @@ def build_warc_record_plain(
     mime: str = "text/html",
     status: int = 200,
     content_type: str | None = None,
+    payload_digest: str | None = None,
 ) -> bytes:
     """One WARC record, uncompressed (header block + HTTP block +
     record separator) — the unit every layout below composes.
@@ -96,6 +97,11 @@ def build_warc_record_plain(
             "text/plain" if rec_type == "conversion"
             else "application/http; msgtype=response"
         )
+    digest_line = (
+        f"WARC-Payload-Digest: {payload_digest}\r\n"
+        if payload_digest
+        else ""
+    )
     headers = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {rec_type}\r\n"
@@ -103,6 +109,7 @@ def build_warc_record_plain(
         f"WARC-Date: {date_iso}\r\n"
         f"Content-Length: {len(http)}\r\n"
         f"Content-Type: {content_type}\r\n"
+        f"{digest_line}"
     ).encode()
     return headers + CRLF + http + CRLF + CRLF
 
@@ -1454,6 +1461,105 @@ def write_wet(
                     build_warc_record(
                         r["u"], r["d"], r["t"].encode("utf-8"),
                         rec_type="conversion",
+                    )
+                )
+                n += 1
+        finally:
+            if out is not None:
+                out.close()
+        if n:
+            yield (_join(out_dir, shard), n)
+
+    manifest = rows.rdd.mapPartitionsWithIndex(fn).collect()
+    return sorted(manifest)
+
+
+def write_warc(
+    df,
+    out_dir: str,
+    *,
+    n_files: int = 4,
+    url_col: str = "url",
+    date_col: str = "date_iso",
+    payload_col: str = "payload",
+    mime_col: str = "mime",
+    status_col: str | None = None,
+) -> list[tuple[str, int]]:
+    """RE-ARCHIVING sink (round 14): serialize curated rows back into
+    the archival wire format — ``response`` WARC records (HTTP status
+    line + Content-Type + Content-Length + payload), one gzip member
+    per record (the Common Crawl / IIPC seekable layout), sharded
+    ``warc-NNNNN.warc.gz`` under ``out_dir``.  Each record carries a
+    ``WARC-Payload-Digest: sha1:<b32>`` header computed from the
+    payload (pywb's uppercase unpadded base32), so downstream CDX
+    tooling can digest-join without re-reading payloads.
+
+    This is the step a curation pipeline needs to hand a CLEANED
+    corpus downstream in the format the ecosystem's readers (this
+    engine's own ``index_warcs`` included — pinned by the
+    ``warc_rearchive_roundtrip`` oracle) already speak: filter /
+    redact / dedup verdicts applied, then re-emitted as WARC rather
+    than a bespoke parquet only this stack can read.
+
+    Spark-first, same shape as ``write_wet``: one range shuffle on
+    ``url_col`` (each shard holds a contiguous key range), partition-
+    local sort, then an imperative per-partition gzip writer through
+    the pyarrow-fs seam (s3://hdfs:// roots work).  Pre-existing
+    ``warc-NNNNN`` shards in ``out_dir`` are cleared first (the
+    parquet-sink overwrite semantics).  Rows with NULL payload are
+    dropped.  Returns the shard manifest ``[(path, n_records)]``
+    (driver-sized: one row per shard)."""
+    from pyspark.sql import functions as F
+
+    from ..sinks.zipnum import _fs_for, _join
+
+    fs0, local0 = _fs_for(out_dir)
+    fs0.create_dir(local0, recursive=True)
+    import re as _re
+
+    from pyarrow import fs as _pafs
+
+    for info in fs0.get_file_info(_pafs.FileSelector(local0)):
+        if info.type == _pafs.FileType.File and _re.fullmatch(
+            r"warc-\d{5}\.warc\.gz", info.base_name
+        ):
+            fs0.delete_file(info.path)
+    cols = [
+        F.col(url_col).alias("u"),
+        F.col(date_col).alias("d"),
+        F.col(payload_col).alias("p"),
+        F.col(mime_col).alias("m"),
+    ]
+    cols.append(
+        F.col(status_col).alias("st")
+        if status_col is not None
+        else F.lit(200).alias("st")
+    )
+    rows = (
+        df.filter(F.col(payload_col).isNotNull())
+        .select(*cols)
+        .repartitionByRange(n_files, "u")
+        .sortWithinPartitions("u", "d")
+    )
+
+    def fn(pid: int, it):
+        shard = f"warc-{pid:05d}.warc.gz"
+        fs, path = _fs_for(_join(out_dir, shard))
+        out = None
+        n = 0
+        try:
+            for r in it:
+                if out is None:
+                    out = fs.open_output_stream(path, compression=None)
+                payload = bytes(r["p"])
+                out.write(
+                    build_warc_record(
+                        r["u"], r["d"], payload,
+                        rec_type="response",
+                        mime=r["m"],
+                        status=int(r["st"]),
+                        payload_digest="sha1:"
+                        + _sha1_digest(payload, b32=True),
                     )
                 )
                 n += 1
