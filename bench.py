@@ -206,6 +206,13 @@ HEADLINE = [
     "emb_graph_beam_batch",
     "emb_graph_beam_filtered",
     "warc_pretrain_funnel",
+    # round 14
+    "emb_graph_grid_build",
+    "emb_graph_nnd_build",
+    "emb_graph_delete_probe",
+    "emb_graph_append_walk",
+    "text_sp_unigram_ids",
+    "warc_rearchive_roundtrip",
 ]
 
 

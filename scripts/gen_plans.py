@@ -73,8 +73,10 @@ PICKS = {
     "events_zorder_box": "Z-order layout (round 12): both box predicates in PushedFilters over the Morton-clustered files — stats-based skipping with the plain parquet reader, no exchange.",
     "text_html_main_content": "HTML extraction (round 13): fixture pages built as a pure JVM concat projection feeding ONE ArrowEvalPython/mapInPandas stage — raw HTML never crosses an exchange; the output is text + counts only.",
     "parquet_index_zorder_box": "OPTIMIZE-ZORDER box read (round 13): both dimensions of the box (url_surtkey range AND fetch_time range) sit in PushedFilters over the z-clustered merged epoch — with INT64 timestamp stats both predicates skip row groups; tombstones stay broadcast anti-joins.",
-    "emb_graph_beam_topk": "Graph beam search (round 13): the walk is broadcast joins against the edge table + beam-sized TakeOrdered steps, with per-hop localCheckpoint truncating the doubled lineage; the final plan scans materialized checkpoint blocks, no cartesian, no driver loop.",
+    "emb_graph_beam_topk": "Graph beam search (round 14 rewrite): each hop pushes the beam ids into the src-bucketed edge store as STATIC PartitionFilters + In(src) pushdown (see tests/test_plans.py::test_graph_walk_scan_is_frontier_pruned for the hop-scan plan) — the edge table is never broadcast or fully scanned; this final plan ranks the checkpointed visited blocks, no cartesian.",
     "text_arpa_logprob": "ARPA backoff scoring (round 13): the loaded LM is two broadcast tables; the corpus side is one pair-explode scan — Katz backoff is a coalesce over join outputs, map-side.",
+    "text_sp_unigram_ids": "SentencePiece unigram encode (round 14): whitespace pretokenization + posexplode feed ONE ArrowEvalPython Viterbi stage with the vocab as a broadcast-closure literal; the only exchange re-groups per-word id arrays by doc_id.",
+    "warc_rearchive_roundtrip": "WARC re-archiving (round 14): redaction + curation gate are scan-side codegen projections; write_warc is a range shuffle + per-partition gzip writer; re-ingest is the same mapPartitions parse — payload bytes cross exactly the one range exchange the sharded sink needs.",
 }
 
 

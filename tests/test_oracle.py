@@ -12,9 +12,15 @@ from webarchive_indexing_spark.registry import REGISTRY, _ensure_loaded
 _ensure_loaded()
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture
 def con(sf_dir):
-    return duckdb_connect(sf_dir)
+    # fresh connection per test, mirroring oracle.run_all: a shared
+    # connection's buffer/temp memory accumulates across ~268 heavy
+    # oracles and OOMs mid-suite (observed on the round-14 NND DP
+    # oracle, which passes in isolation and in fresh-process sweeps)
+    c = duckdb_connect(sf_dir)
+    yield c
+    c.close()
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

@@ -106,6 +106,24 @@ def _parser() -> argparse.ArgumentParser:
     we.add_argument("--files-per-task", type=int, default=2)
     we.add_argument("--split-bytes", type=int, default=None)
 
+    ra = sub.add_parser(
+        "rearchive",
+        help="curated rows (parquet with url/date_iso/payload/mime "
+             "columns) -> sharded response-record .warc.gz (round 14: "
+             "the re-archiving step that hands a cleaned corpus "
+             "downstream in the archival wire format, with "
+             "WARC-Payload-Digest per record)")
+    ra.add_argument("in_path", help="parquet of curated captures")
+    ra.add_argument("out_dir")
+    ra.add_argument("--n-files", type=int, default=4,
+                    help="WARC shards (range-partitioned by url)")
+    ra.add_argument("--url-col", default="url")
+    ra.add_argument("--date-col", default="date_iso")
+    ra.add_argument("--payload-col", default="payload")
+    ra.add_argument("--mime-col", default="mime")
+    ra.add_argument("--status-col", default=None,
+                    help="optional int column; default literal 200")
+
     bp = sub.add_parser("build-parquet-index",
                         help="manifest -> columnar (cc-index-table-layout) "
                              "parquet index")
@@ -401,6 +419,21 @@ def _dispatch(args, spark) -> int:
             ),
             args.out_dir,
             n_files=args.n_files,
+        )
+        for path, n in manifest:
+            print(f"{path}\t{n}")
+    elif args.cmd == "rearchive":
+        from .sources.warc import write_warc
+
+        manifest = write_warc(
+            spark.read.parquet(args.in_path),
+            args.out_dir,
+            n_files=args.n_files,
+            url_col=args.url_col,
+            date_col=args.date_col,
+            payload_col=args.payload_col,
+            mime_col=args.mime_col,
+            status_col=args.status_col,
         )
         for path, n in manifest:
             print(f"{path}\t{n}")

@@ -247,7 +247,7 @@ def sql_nnd_knn_cte(
     cos = sql_hround(sql_cosine("a.embedding", "b.embedding", dim), 6)
 
     def topk(cand: str, name: str) -> str:
-        return f"""{name} AS (
+        return f"""{name} AS MATERIALIZED (
       SELECT src, dst, sim FROM (
         SELECT c.src, c.dst, {cos} AS sim,
                ROW_NUMBER() OVER (
@@ -260,7 +260,7 @@ def sql_nnd_knn_cte(
     )"""
 
     parts = [
-        f"""seed AS (
+        f"""seed AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT v.vec_id AS src,
                (v.vec_id + j.j * {stride}) % {n_base} AS dst
@@ -272,7 +272,7 @@ def sql_nnd_knn_cte(
     ]
     for r in range(rounds):
         parts.append(
-            f"""s{r} AS (
+            f"""s{r} AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM g{r}
         UNION ALL
@@ -281,7 +281,7 @@ def sql_nnd_knn_cte(
     )"""
         )
         parts.append(
-            f"""c{r} AS (
+            f"""c{r} AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT e1.src AS src, e2.dst AS dst
         FROM s{r} e1 JOIN s{r} e2 ON e1.dst = e2.src
@@ -661,6 +661,8 @@ def _pruned_edge_scan(
     is the plan shape tests/test_plans.py pins: the edge table is
     never broadcast and never fully scanned (round-13 verdict)."""
     ids = sorted(set(int(i) for i in frontier_ids))
+    if not ids:
+        return graph.filter(F.lit(False))
     g = graph
     if n_buckets is not None and "src_bucket" in graph.columns:
         g = g.filter(
@@ -674,6 +676,8 @@ def _pruned_vec_scan(
 ) -> DataFrame:
     """Identically pruned ``vectors/`` scan for scoring fresh ids."""
     uniq = sorted(set(int(i) for i in ids))
+    if not uniq:
+        return vecs.filter(F.lit(False))
     v = vecs
     if n_buckets is not None and "id_bucket" in vecs.columns:
         v = v.filter(
@@ -747,6 +751,8 @@ def graph_beam_topk(
             .select("id")
             .collect()
         ]
+        if not beam_ids:
+            break  # no entry point resolved to a stored vector
         nbr = {
             int(r.dst)
             for r in _pruned_edge_scan(graph, beam_ids, nb)
@@ -820,7 +826,7 @@ def sql_graph_beam_topk(
         # NN-descent twin (sql_nnd_knn_cte)
         knn_sql = knn_cte
     elif append_from is None:
-        knn_sql = f"""knn AS (
+        knn_sql = f"""knn AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                ROW_NUMBER() OVER (
@@ -831,7 +837,7 @@ def sql_graph_beam_topk(
       ) WHERE rn <= {k_neighbors}
     )"""
     else:
-        knn_sql = f"""knn AS (
+        knn_sql = f"""knn AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                ROW_NUMBER() OVER (
@@ -854,7 +860,7 @@ def sql_graph_beam_topk(
       ) WHERE rn <= {k_neighbors}
     )"""
     graph_sql = (
-        """graph AS (
+        """graph AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM knn
         UNION ALL
@@ -862,7 +868,7 @@ def sql_graph_beam_topk(
       )
     )"""
         if symmetric
-        else "graph AS (SELECT DISTINCT src, dst FROM knn)"
+        else "graph AS MATERIALIZED (SELECT DISTINCT src, dst FROM knn)"
     )
     parts = [
         f"""base AS (
@@ -1022,6 +1028,8 @@ def graph_beam_batch_topk(
             .select("req", "id")
             .collect()
         ]
+        if not beam_pairs:
+            break  # no request resolved an entry point
         bp = spark.createDataFrame(beam_pairs, "req int, id bigint")
         union_ids = [i for _, i in beam_pairs]
         nbr_pairs = {
@@ -1084,7 +1092,7 @@ def sql_graph_beam_batch_topk(
       SELECT r.req, r.qid, e.embedding AS qvec
       FROM reqs r JOIN embeddings e ON e.vec_id = r.qid
     )""",
-        f"""knn AS (
+        f"""knn AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                ROW_NUMBER() OVER (
@@ -1094,7 +1102,7 @@ def sql_graph_beam_batch_topk(
         FROM base a JOIN base b ON a.vec_id <> b.vec_id
       ) WHERE rn <= {k_neighbors}
     )""",
-        """graph AS (
+        """graph AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM knn
         UNION ALL
