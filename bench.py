@@ -213,6 +213,7 @@ HEADLINE = [
     "emb_graph_append_walk",
     "text_sp_unigram_ids",
     "warc_rearchive_roundtrip",
+    "warc_revisit_dedup_roundtrip",
 ]
 
 

@@ -1485,3 +1485,78 @@ def test_write_warc_roundtrip_digest_and_overwrite(spark, tmp_path):
     write_warc(df.limit(2), out, n_files=1)
     now = sorted(f for f in os.listdir(out) if f.endswith(".warc.gz"))
     assert now == ["warc-00000.warc.gz"]
+
+
+def test_revisit_declared_digest_normalized_both_formats(tmp_path):
+    """pywb cdx-indexer parity (round 14): a BODILESS revisit's CDX
+    digest comes from its declared WARC-Payload-Digest (sha1:b32),
+    normalized to whichever digest format the ingest asked for — so
+    revisit→original joins work in hex AND b32 runs.  A malformed
+    declaration falls back to the computed digest."""
+    import base64
+    import hashlib
+    import os
+
+    from webarchive_indexing_spark.sources.warc import (
+        build_warc_record,
+        parse_warc_file,
+    )
+
+    body = b"the original payload"
+    h = hashlib.sha1(body)
+    b32 = base64.b32encode(h.digest()).decode()
+    p = str(tmp_path / "rv.warc.gz")
+    with open(p, "wb") as fh:
+        fh.write(
+            build_warc_record(
+                "http://x.example/a", "2021-01-01T00:00:00Z", b"",
+                rec_type="revisit", payload_digest=f"sha1:{b32}",
+                refers_to_url="http://x.example/a",
+                refers_to_date="2020-01-01T00:00:00Z",
+            )
+        )
+        fh.write(
+            build_warc_record(
+                "http://x.example/bad", "2021-01-01T00:00:00Z", b"",
+                rec_type="revisit", payload_digest="sha1:not!b32",
+            )
+        )
+    data = open(p, "rb").read()
+    hex_rows = list(parse_warc_file(os.path.basename(p), data))
+    assert hex_rows[0][5] == h.hexdigest()
+    assert hex_rows[1][5] == hashlib.sha1(b"").hexdigest()  # fallback
+    b32_rows = list(
+        parse_warc_file(os.path.basename(p), data, digest_b32=True)
+    )
+    assert b32_rows[0][5] == b32
+
+
+def test_dedup_to_revisits_window_semantics(spark):
+    """First capture per payload digest (by date, then url) stays a
+    response; every later identical capture becomes a revisit
+    pointing at it — including cross-URL duplicates."""
+    from webarchive_indexing_spark.sources.warc import dedup_to_revisits
+
+    rows = [
+        ("http://d.example/a", "2020-01-01T00:00:00Z", b"same", "t"),
+        ("http://d.example/b", "2020-06-01T00:00:00Z", b"same", "t"),
+        ("http://d.example/a", "2021-01-01T00:00:00Z", b"same", "t"),
+        ("http://d.example/c", "2020-01-01T00:00:00Z", b"other", "t"),
+    ]
+    dd = {
+        (r.url, r.date_iso): (r.rec_type, r.refers_to_url, r.refers_to_date)
+        for r in dedup_to_revisits(
+            spark.createDataFrame(
+                rows, "url string, date_iso string, payload binary, mime string"
+            )
+        ).collect()
+    }
+    a0 = ("http://d.example/a", "2020-01-01T00:00:00Z")
+    assert dd[a0] == ("response", None, None)
+    assert dd[("http://d.example/b", "2020-06-01T00:00:00Z")] == (
+        "revisit", *a0,
+    )
+    assert dd[("http://d.example/a", "2021-01-01T00:00:00Z")] == (
+        "revisit", *a0,
+    )
+    assert dd[("http://d.example/c", "2020-01-01T00:00:00Z")][0] == "response"

@@ -7245,3 +7245,108 @@ def warc_rearchive_roundtrip(spark, sf_dir):
         "status",
         F.decode(F.col("payload"), "UTF-8").alias("text"),
     )
+
+
+@query(
+    "warc_revisit_dedup_roundtrip",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 60
+    ), caps AS (
+      SELECT doc_id, '20200202000000' AS ts, text AS body FROM d
+      UNION ALL
+      SELECT doc_id, '20210303000000',
+             CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' v2' END
+      FROM d
+    ), k AS (
+      SELECT doc_id, ts, body,
+             ROW_NUMBER() OVER (
+               PARTITION BY body
+               ORDER BY ts, 'http://rv.example/doc/' || doc_id
+             ) AS rn,
+             FIRST_VALUE(ts) OVER (
+               PARTITION BY body
+               ORDER BY ts, 'http://rv.example/doc/' || doc_id
+             ) AS ots
+      FROM caps
+    )
+    SELECT 'example,rv)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+           ts AS timestamp,
+           CASE WHEN rn = 1 THEN 'text/plain'
+                ELSE 'warc/revisit' END AS mime,
+           CASE WHEN rn = 1 THEN 200 END AS status,
+           CASE WHEN rn > 1 THEN ots END AS orig_ts,
+           CASE WHEN rn = 1 THEN body END AS text
+    FROM k
+    """,
+    tier="C",
+)
+def warc_revisit_dedup_roundtrip(spark, sf_dir):
+    """Digest-based RESPONSE→REVISIT dedup at WARC-write time (round
+    14 — the storage dedup archival crawlers apply; Heritrix/warcprox
+    behavior, pywb's revisit semantics): two crawls of the same URLs
+    (every third page unchanged on recrawl) → ``dedup_to_revisits``
+    (one sha1-keyed window: first capture per payload digest stays a
+    response, later identical captures become revisit rows) →
+    ``write_warc(rec_type_col=…)`` emits the original bytes ONCE and
+    BODILESS revisit records (declared ``WARC-Payload-Digest``,
+    ``WARC-Refers-To-*`` headers, the identical-payload-digest
+    profile) → re-ingest through the engine's own reader, which takes
+    a revisit row's digest from the DECLARED header (pywb
+    cdx-indexer parity, normalized b32→hex) — so the final
+    revisit→original digest JOIN (``orig_ts``) proves the whole
+    declare → serialize → parse → resolve chain.  The oracle
+    reconstructs capture kinds and the original's timestamp from the
+    crawl grammar."""
+    import tempfile
+
+    from ..sources.warc import dedup_to_revisits, index_warcs, write_warc
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    url = F.concat(
+        F.lit("http://rv.example/doc/"), F.col("doc_id").cast("string")
+    )
+    c1 = d.select(
+        url.alias("url"),
+        F.lit("2020-02-02T00:00:00Z").alias("date_iso"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+    c2 = d.select(
+        url.alias("url"),
+        F.lit("2021-03-03T00:00:00Z").alias("date_iso"),
+        F.encode(
+            F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" v2"))
+            ),
+            "UTF-8",
+        ).alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+    dd = dedup_to_revisits(c1.unionByName(c2))
+    out = tempfile.mkdtemp(prefix="revdedup_") + "/warc"
+    manifest = write_warc(dd, out, n_files=2, rec_type_col="rec_type")
+    cdx = index_warcs(
+        spark,
+        spark.createDataFrame([(p,) for p, _n in manifest], ["path"]),
+        keep_payload=("text/",),
+    )
+    orig = cdx.filter(F.col("mime") != "warc/revisit").select(
+        "digest", F.col("timestamp").alias("__ots")
+    )
+    return (
+        cdx.join(orig, "digest", "left")
+        .select(
+            "urlkey",
+            "timestamp",
+            "mime",
+            "status",
+            F.when(F.col("mime") == "warc/revisit", F.col("__ots")).alias(
+                "orig_ts"
+            ),
+            F.when(
+                F.col("mime") != "warc/revisit",
+                F.decode(F.col("payload"), "UTF-8"),
+            ).alias("text"),
+        )
+    )

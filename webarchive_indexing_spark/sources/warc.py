@@ -77,6 +77,9 @@ def build_warc_record_plain(
     status: int = 200,
     content_type: str | None = None,
     payload_digest: str | None = None,
+    refers_to_url: str | None = None,
+    refers_to_date: str | None = None,
+    profile: str | None = None,
 ) -> bytes:
     """One WARC record, uncompressed (header block + HTTP block +
     record separator) — the unit every layout below composes.
@@ -102,6 +105,12 @@ def build_warc_record_plain(
         if payload_digest
         else ""
     )
+    if refers_to_url:
+        digest_line += f"WARC-Refers-To-Target-URI: {refers_to_url}\r\n"
+    if refers_to_date:
+        digest_line += f"WARC-Refers-To-Date: {refers_to_date}\r\n"
+    if profile:
+        digest_line += f"WARC-Profile: {profile}\r\n"
     headers = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {rec_type}\r\n"
@@ -343,6 +352,27 @@ def iso_to_ts14(iso: str) -> str:
     return dt.strftime("%Y%m%d%H%M%S")
 
 
+def _declared_digest(wheaders: dict, b32: bool) -> str | None:
+    """Normalize a record's declared ``WARC-Payload-Digest`` (the
+    conventional ``sha1:<b32>`` form) to the engine's requested
+    digest format — uppercase-b32 passthrough or hex re-encode.
+    Returns None when absent or not the sha1:b32 grammar (then the
+    caller computes from the payload as before)."""
+    import base64
+
+    raw = (wheaders.get("warc-payload-digest") or "").strip()
+    if not raw.lower().startswith("sha1:"):
+        return None
+    val = raw[5:].strip().upper()
+    if len(val) != 32:
+        return None
+    try:
+        digest = base64.b32decode(val)
+    except (ValueError, TypeError):
+        return None
+    return val if b32 else digest.hex()
+
+
 def _sha1_digest(payload: bytes, b32: bool) -> str:
     """SHA-1 of the payload: lowercase hex (engine default) or pywb's
     uppercase unpadded base32 (20 bytes → exactly 32 chars, so no '='
@@ -484,13 +514,25 @@ def _index_warc_record(
         # conversion = Common Crawl WET plain-text extracts: the WARC
         # record's own Content-Type (text/plain), payload is the body
         mime = (wheaders.get("content-type") or "").split(";")[0].strip() or None
+    if rec_type == "revisit":
+        # pywb cdx-indexer parity: a real revisit record carries NO
+        # body — its CDX digest is the ORIGINAL payload's, declared in
+        # WARC-Payload-Digest (normalized to the engine's digest
+        # format so revisit→original joins work in either).  Records
+        # without the header (this repo's payload-carrying fixtures
+        # included) keep the computed digest.
+        digest = _declared_digest(wheaders, digest_b32) or _sha1_digest(
+            payload, digest_b32
+        )
+    else:
+        digest = _sha1_digest(payload, digest_b32)
     out = (
         surt_urlkey_py(url),
         ts14,
         url,
         mime if rec_type != "revisit" else "warc/revisit",
         status,
-        _sha1_digest(payload, digest_b32),
+        digest,
         None,
         None,
     )
@@ -1484,6 +1526,7 @@ def write_warc(
     payload_col: str = "payload",
     mime_col: str = "mime",
     status_col: str | None = None,
+    rec_type_col: str | None = None,
 ) -> list[tuple[str, int]]:
     """RE-ARCHIVING sink (round 14): serialize curated rows back into
     the archival wire format — ``response`` WARC records (HTTP status
@@ -1535,6 +1578,20 @@ def write_warc(
         if status_col is not None
         else F.lit(200).alias("st")
     )
+    if rec_type_col is not None:
+        # the dedup_to_revisits contract: rec_type +
+        # refers_to_url/refers_to_date columns present
+        cols += [
+            F.col(rec_type_col).alias("rt"),
+            F.col("refers_to_url").alias("ru"),
+            F.col("refers_to_date").alias("rd"),
+        ]
+    else:
+        cols += [
+            F.lit("response").alias("rt"),
+            F.lit(None).cast("string").alias("ru"),
+            F.lit(None).cast("string").alias("rd"),
+        ]
     rows = (
         df.filter(F.col(payload_col).isNotNull())
         .select(*cols)
@@ -1552,16 +1609,31 @@ def write_warc(
                 if out is None:
                     out = fs.open_output_stream(path, compression=None)
                 payload = bytes(r["p"])
-                out.write(
-                    build_warc_record(
-                        r["u"], r["d"], payload,
-                        rec_type="response",
-                        mime=r["m"],
-                        status=int(r["st"]),
-                        payload_digest="sha1:"
-                        + _sha1_digest(payload, b32=True),
+                digest = "sha1:" + _sha1_digest(payload, b32=True)
+                if r["rt"] == "revisit":
+                    # bodiless revisit: the payload column only feeds
+                    # the declared digest — the bytes are stored once,
+                    # in the referenced response record
+                    out.write(
+                        build_warc_record(
+                            r["u"], r["d"], b"",
+                            rec_type="revisit",
+                            payload_digest=digest,
+                            refers_to_url=r["ru"],
+                            refers_to_date=r["rd"],
+                            profile=REVISIT_PROFILE,
+                        )
                     )
-                )
+                else:
+                    out.write(
+                        build_warc_record(
+                            r["u"], r["d"], payload,
+                            rec_type="response",
+                            mime=r["m"],
+                            status=int(r["st"]),
+                            payload_digest=digest,
+                        )
+                    )
                 n += 1
         finally:
             if out is not None:
@@ -1571,3 +1643,68 @@ def write_warc(
 
     manifest = rows.rdd.mapPartitionsWithIndex(fn).collect()
     return sorted(manifest)
+
+
+#: the WARC 1.0 revisit profile for digest-identical recrawls
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def dedup_to_revisits(
+    df,
+    *,
+    url_col: str = "url",
+    date_col: str = "date_iso",
+    payload_col: str = "payload",
+) -> "DataFrame":
+    """Digest-based response→revisit DEDUP pre-pass (round 14): the
+    storage-dedup step archival crawlers (Heritrix/warcprox) apply at
+    WARC-write time — the FIRST capture of each payload digest stays
+    a ``response``; every later identical capture becomes a
+    ``revisit`` row referencing it (``refers_to_url`` /
+    ``refers_to_date``), so ``write_warc`` stores the bytes ONCE and
+    emits bodiless revisit records for the rest.
+
+    Relational shape: one window over ``sha1(payload)`` ordered by
+    (date, url) — the same digest-keyed exchange the reader-side
+    revisit-resolution join uses.  Revisit rows KEEP the payload
+    column so the writer can stamp the declared
+    ``WARC-Payload-Digest`` without a second join; the bytes die at
+    serialization (a production run that already carries digest
+    columns can drop them earlier)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__dig").orderBy(url_col, date_col)
+    first = Window.partitionBy("__dig")
+    d = df.withColumn("__dig", F.sha1(F.col(payload_col)))
+    d = (
+        d.withColumn("__rn", F.row_number().over(
+            w.orderBy(F.col(date_col).asc(), F.col(url_col).asc())
+        ))
+        .withColumn("__u0", F.first(url_col).over(
+            first.orderBy(F.col(date_col).asc(), F.col(url_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .withColumn("__d0", F.first(date_col).over(
+            first.orderBy(F.col(date_col).asc(), F.col(url_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return (
+        d.withColumn(
+            "rec_type",
+            F.when(F.col("__rn") == 1, F.lit("response")).otherwise(
+                F.lit("revisit")
+            ),
+        )
+        .withColumn(
+            "refers_to_url",
+            F.when(F.col("__rn") > 1, F.col("__u0")),
+        )
+        .withColumn(
+            "refers_to_date",
+            F.when(F.col("__rn") > 1, F.col("__d0")),
+        )
+        .drop("__dig", "__rn", "__u0", "__d0")
+    )
