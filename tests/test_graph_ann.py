@@ -208,6 +208,53 @@ def test_nn_descent_converges_per_round(spark, sf_dir):
     assert recalls[0] < recalls[1] < recalls[2], recalls
 
 
+def test_hash_ring_seed_arbitrary_id_domain(spark, sf_dir):
+    """Round 15: the hash-ring seed needs NO id-domain assumption —
+    re-keying the corpus to sparse ids yields a valid seed (out-degree
+    exactly k for n >> k, all endpoints in-domain, deterministic), and
+    NND convergence under it matches the arithmetic ring's monotone
+    per-round gain."""
+    from webarchive_indexing_spark.operators.graph_ann import (
+        hash_ring_seed,
+        nn_descent_knn_graph,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            (F.col("vec_id") * 17 + 1000).alias("vec_id"), "embedding"
+        )
+    )
+    seed = hash_ring_seed(emb.select("vec_id"), k_neighbors=6)
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    rows = seed.collect()
+    assert {r.src for r in rows} == ids
+    assert {r.dst for r in rows} <= ids
+    from collections import Counter
+
+    deg = Counter(r.src for r in rows)
+    assert set(deg.values()) == {6}, sorted(deg.items())[:3]
+    # deterministic across invocations (hash order, not RNG state)
+    again = {(r.src, r.dst) for r in hash_ring_seed(
+        emb.select("vec_id"), k_neighbors=6
+    ).collect()}
+    assert again == {(r.src, r.dst) for r in rows}
+
+    exact = build_knn_graph(emb, k_neighbors=6)
+    n_exact = exact.count()
+    recalls = []
+    for rounds in (0, 1, 2):
+        g = nn_descent_knn_graph(
+            emb, k_neighbors=6, rounds=rounds, seed="hash_ring"
+        )
+        hits = g.select("src", "dst").intersect(
+            exact.select("src", "dst")
+        ).count()
+        recalls.append(hits / n_exact)
+    assert recalls[0] < recalls[1] < recalls[2], recalls
+
+
 def test_append_makes_batch_reachable_and_refuses_dup_ids(
     spark, sf_dir, tmp_path_factory
 ):

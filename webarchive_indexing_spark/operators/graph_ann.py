@@ -126,6 +126,62 @@ def grid_threshold_candidates(
     return gen
 
 
+def hash_ring_seed(
+    ids: DataFrame,
+    *,
+    k_neighbors: int,
+    id_col: str = "vec_id",
+    salt: str = "ring",
+) -> DataFrame:
+    """NN-descent seed graph over an ARBITRARY id domain (round-15 —
+    the round-14 verdict's "production-id builds" gap): place every id
+    on a ring ordered by ``(md5-hash(salt:id), id)``, and give each
+    node its ``k_neighbors`` ring SUCCESSORS as seed edges.  The hash
+    order is a deterministic pseudo-random permutation, so the seed
+    has the same "uniformly scrambled" character as the WWW'11 random
+    seed while needing NO assumption about the ids — sparse, hashed,
+    or contiguous domains all work (the arithmetic ring's
+    ``0..n_base-1`` precondition is gone).
+
+    Scale shape: ring positions come from the two-pass range-
+    partitioned rank (``operators/global_rank.py`` — no single-
+    partition window), successors from ONE position-keyed equi-join
+    after a k-way explode: O(n·k) rows through key-partitioned
+    shuffles, nothing corpus-sized on the driver or broadcast.
+
+    Cross-engine determinism: the ring key is the md5-based
+    ``functions/text.token_hash`` (NOT xxhash64, which DuckDB cannot
+    reproduce), so ``sql_nnd_knn_cte(seed="hash_ring")`` re-derives
+    the identical ring with ``ROW_NUMBER() OVER (ORDER BY hash, id)``.
+    """
+    from ..functions.text import token_hash
+    from .global_rank import global_row_number_and_total
+
+    base = ids.select(F.col(id_col).alias("__rid")).withColumn(
+        "__h",
+        token_hash(F.concat(F.lit(salt + ":"), F.col("__rid").cast("string"))),
+    )
+    ring, n = global_row_number_and_total(
+        base, ["__h", "__rid"], rank_col="__pos"
+    )
+    ring = ring.select("__rid", (F.col("__pos") - 1).alias("__pos"))
+    js = F.explode(F.array(*[F.lit(j) for j in range(1, k_neighbors + 1)]))
+    targets = ring.select(
+        F.col("__rid").alias("src"), F.col("__pos"), js.alias("__j")
+    ).select(
+        "src", F.pmod(F.col("__pos") + F.col("__j"), F.lit(n)).alias("__tpos")
+    )
+    succ = ring.select(
+        F.col("__rid").alias("dst"), F.col("__pos").alias("__tpos")
+    )
+    return (
+        targets.join(succ, "__tpos")
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def nn_descent_knn_graph(
     emb: DataFrame,
     *,
@@ -135,6 +191,8 @@ def nn_descent_knn_graph(
     n_base: int = 500,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: str = "arith",
+    salt: str = "ring",
 ) -> DataFrame:
     """NN-DESCENT graph build (Dong et al., WWW'11 — the standard
     HNSW/NSG construction primitive): start from a deterministic
@@ -150,10 +208,14 @@ def nn_descent_knn_graph(
     round is two self-joins on node id plus two vector lookups, all
     key-partitioned shuffles; no broadcast of anything corpus-sized.
 
-    Determinism: the seed is the arithmetic ring ``dst = (src +
-    j·stride) % n_base`` for j=1..k (ids must be contiguous
-    0..n_base-1 — the fixture layout; production ids seed via a hash
-    ring instead), ties break by dst asc on 6dp-rounded sims.
+    Determinism: two seed modes.  ``seed="arith"`` is the arithmetic
+    ring ``dst = (src + j·stride) % n_base`` for j=1..k — REQUIRES
+    contiguous ids 0..n_base-1 (the fixture layout).
+    ``seed="hash_ring"`` (round-15, the production path) seeds from
+    ``hash_ring_seed`` — a deterministic hash-ordered ring over the
+    ACTUAL id domain, so sparse/hashed doc ids build without
+    re-keying; ``n_base``/``stride`` are ignored in that mode.  Ties
+    break by dst asc on 6dp-rounded sims either way.
 
     Convergence caveat (measured, tests/test_graph_ann.py):
     UNIFORM random vectors are NND's worst case — neighbor-of-
@@ -202,18 +264,28 @@ def nn_descent_knn_graph(
             .drop("__rn")
         )
 
-    js = F.explode(F.array(*[F.lit(j) for j in range(1, k_neighbors + 1)]))
-    init = (
-        v.select(F.col("__id").alias("src"), js.alias("__j"))
-        .select(
-            "src",
-            F.pmod(F.col("src") + F.col("__j") * stride, F.lit(n_base)).alias(
-                "dst"
-            ),
+    if seed == "hash_ring":
+        init = hash_ring_seed(
+            v.select(F.col("__id").alias(id_col)),
+            k_neighbors=k_neighbors, id_col=id_col, salt=salt,
         )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    elif seed == "arith":
+        js = F.explode(
+            F.array(*[F.lit(j) for j in range(1, k_neighbors + 1)])
+        )
+        init = (
+            v.select(F.col("__id").alias("src"), js.alias("__j"))
+            .select(
+                "src",
+                F.pmod(
+                    F.col("src") + F.col("__j") * stride, F.lit(n_base)
+                ).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"nn_descent_knn_graph: unknown seed mode {seed!r}")
     g = score(init).localCheckpoint()
     for _ in range(rounds):
         sym = g.select("src", "dst").union(
@@ -239,11 +311,16 @@ def sql_nnd_knn_cte(
     rounds: int,
     stride: int = 37,
     dim: int = 64,
+    seed: str = "arith",
+    salt: str = "ring",
 ) -> str:
     """The NN-descent build as chained CTEs ending in ``knn(src,
     dst)`` — plug into ``sql_graph_beam_topk(knn_cte=...)`` so the
     DuckDB oracle re-derives seed → bounded rounds → final edges
-    exactly like ``nn_descent_knn_graph``."""
+    exactly like ``nn_descent_knn_graph``.  ``seed="hash_ring"``
+    re-derives ``hash_ring_seed``'s md5-ordered ring (the md5 hash is
+    the cross-engine ``functions/text.token_hash`` contract) instead
+    of the arithmetic ring, matching the production-id build path."""
     cos = sql_hround(sql_cosine("a.embedding", "b.embedding", dim), 6)
 
     def topk(cand: str, name: str) -> str:
@@ -259,8 +336,31 @@ def sql_nnd_knn_cte(
       ) WHERE rn <= {k_neighbors}
     )"""
 
-    parts = [
-        f"""seed AS MATERIALIZED (
+    if seed == "hash_ring":
+        from ..functions.text import sql_token_hash
+
+        hk = sql_token_hash(f"'{salt}:' || v.vec_id")
+        parts = [
+            f"""ring AS MATERIALIZED (
+      SELECT v.vec_id, ROW_NUMBER() OVER (
+        ORDER BY {hk}, v.vec_id
+      ) - 1 AS pos
+      FROM base v
+    )""",
+            """ringn AS (SELECT COUNT(*) AS n FROM ring)""",
+            f"""seed AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM ring a
+      CROSS JOIN (SELECT unnest(generate_series(1, {k_neighbors})) AS j) j
+      CROSS JOIN ringn
+      JOIN ring b ON b.pos = (a.pos + j.j) % ringn.n
+      WHERE a.vec_id <> b.vec_id
+    )""",
+            topk("seed", "g0"),
+        ]
+    else:
+        parts = [
+            f"""seed AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT v.vec_id AS src,
                (v.vec_id + j.j * {stride}) % {n_base} AS dst
@@ -268,8 +368,8 @@ def sql_nnd_knn_cte(
              (SELECT unnest(generate_series(1, {k_neighbors})) AS j) j
       ) WHERE src <> dst
     )""",
-        topk("seed", "g0"),
-    ]
+            topk("seed", "g0"),
+        ]
     for r in range(rounds):
         parts.append(
             f"""s{r} AS MATERIALIZED (
@@ -463,6 +563,22 @@ def write_knn_graph_versioned(emb: DataFrame, root: str, **kw) -> dict:
     return meta
 
 
+def _require_bucketed(meta: dict, op: str) -> int:
+    """Lifecycle ops (append/compact) rewrite the store under its
+    bucket layout, so a store written before the bucketed format is
+    not safely mutable in place — fail with the remedy instead of a
+    bare KeyError (round-14 ADVICE; the read-only probe path stays
+    tolerant via ``meta.get``)."""
+    nb = meta.get("n_buckets")
+    if nb is None:
+        raise ValueError(
+            f"{op}: store predates the bucketed graph layout "
+            "(no n_buckets in _graph.json) — rebuild it with "
+            "write_knn_graph before appending/compacting"
+        )
+    return int(nb)
+
+
 def read_graph_meta(store: str) -> dict:
     from ..sinks.ann_index import resolve_store
     from ..sinks.zipnum import _fs_for, _join
@@ -499,7 +615,7 @@ def append_knn_graph(
     root = resolve_store(store)
     meta = read_graph_meta(root)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    nb = meta["n_buckets"]
+    nb = _require_bucketed(meta, "append_knn_graph")
     attrs = list(meta.get("attrs", []))
     batch = emb_new.select(id_col, vec_col, *attrs)
     existing = spark.read.parquet(posixpath.join(root, "vectors")).select(
@@ -537,6 +653,9 @@ def append_knn_graph(
                 6,
             ).alias("sim"),
         )
+        if meta.get("min_sim") is not None:
+            # same recipe-honoring contract as the candidates branch
+            scored = scored.filter(F.col("sim") >= float(meta["min_sim"]))
         w = Window.partitionBy("src").orderBy(
             F.col("sim").desc(), F.col("dst").asc()
         )
@@ -546,11 +665,16 @@ def append_knn_graph(
             .drop("__rn")
         )
     else:
+        # honor the persisted build recipe: a store built as "top-k
+        # among pairs with cos >= min_sim" must append under the same
+        # logical contract, or the batch's edges silently include
+        # sub-threshold pairs (round-14 ADVICE)
         batch_ids = batch.select(F.col(id_col).alias("__bid"))
         edges = build_knn_graph(
             allv.select(id_col, vec_col, *attrs),
             k_neighbors=meta["k_neighbors"], id_col=id_col,
             vec_col=vec_col, candidates=candidates,
+            min_sim=meta.get("min_sim"),
         ).join(
             F.broadcast(batch_ids), F.col("src") == F.col("__bid")
         ).drop("__bid")
@@ -610,7 +734,7 @@ def compact_knn_graph(spark: SparkSession, store: str) -> None:
 
     root = resolve_store(store)
     meta = read_graph_meta(root)
-    id_col, nb = meta["id_col"], meta["n_buckets"]
+    id_col, nb = meta["id_col"], _require_bucketed(meta, "compact_knn_graph")
     tombs, tomb_files = _read_ann_tombstone_files(root)
     vecs = spark.read.parquet(posixpath.join(root, "vectors")).drop(
         "id_bucket"
@@ -801,6 +925,8 @@ def sql_graph_beam_topk(
     exclude_result_ids: tuple[int, ...] = (),
     append_from: int | None = None,
     knn_cte: str | None = None,
+    base_select: str | None = None,
+    query_from_base: bool = False,
 ) -> str:
     """DuckDB twin: re-derives the exact (symmetrized) kNN edge table
     AND the unrolled beam walk as chained CTEs — build ∘ serve
@@ -813,7 +939,11 @@ def sql_graph_beam_topk(
     ``append_from`` mirrors ``append_knn_graph``: ids below it form
     the original base (edges among themselves only), ids in
     [append_from, n_base) are the appended batch (edges over ALL
-    nodes), both symmetrized."""
+    nodes), both symmetrized.  ``base_select`` overrides the default
+    base CTE body (``SELECT … FROM embeddings WHERE vec_id <
+    n_base``) — the sparse-id builds remap the id domain there.
+    ``query_from_base`` makes the q CTE resolve ``query_vec_id``
+    against ``base`` (remapped ids) instead of raw ``embeddings``."""
     cos_ab = sql_hround(sql_cosine("a.embedding", "b.embedding", dim), 6)
     cos_q = sql_hround(sql_cosine("v.embedding", "q.qv", dim), 6)
     ent = ", ".join(str(int(e)) for e in entries)
@@ -870,12 +1000,25 @@ def sql_graph_beam_topk(
         if symmetric
         else "graph AS MATERIALIZED (SELECT DISTINCT src, dst FROM knn)"
     )
+    base_body = (
+        base_select
+        if base_select is not None
+        else f"SELECT {base_cols} FROM embeddings WHERE vec_id < {n_base}"
+    )
+    q_body = (
+        f"SELECT embedding AS qv FROM base WHERE vec_id = {query_vec_id}"
+        if query_from_base
+        else (
+            "SELECT embedding AS qv FROM embeddings "
+            f"WHERE vec_id = {query_vec_id}"
+        )
+    )
     parts = [
         f"""base AS (
-      SELECT {base_cols} FROM embeddings WHERE vec_id < {n_base}
+      {base_body}
     )""",
         f"""q AS (
-      SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+      {q_body}
     )""",
         knn_sql,
         graph_sql,

@@ -267,6 +267,25 @@ def sql_sp_unigram_ids(
       FROM {prev} WHERE e = len(w)
     )"""
     )
+    # precondition guard (round-14 ADVICE): the bounded DP covers at
+    # most `rounds` tokens per word (each token consumes >= 1 char, so
+    # any '▁'+word longer than `rounds` chars can NEVER reach an
+    # e = len(w) row) — the inner join below would silently DROP such
+    # words while the Spark path tokenizes them.  Fail loudly instead:
+    # the aggregate CASE runs exactly once and error()s with the
+    # offending count, turning a confusing hash mismatch into a
+    # "raise rounds" message.
+    parts.append(
+        f"""guard AS (
+      SELECT CASE WHEN COUNT(*) > 0 THEN error(
+               'sql_sp_unigram_ids: ' || COUNT(*) ||
+               ' word(s) exceed the {rounds}-round DP budget — '
+               'raise rounds to cover len(▁+word)'
+             ) ELSE 1 END AS ok
+      FROM dwords d
+      WHERE NOT EXISTS (SELECT 1 FROM segs s WHERE s.w = d.w)
+    )"""
+    )
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -275,6 +294,7 @@ def sql_sp_unigram_ids(
            CAST(SUM(len(s.idl)) AS BIGINT) AS n_tokens,
            string_agg(array_to_string(s.idl, '-'), '-' ORDER BY w.wpos)
              AS ids
-    FROM words w JOIN segs s ON s.w = w.w
+    FROM words w JOIN segs s ON s.w = w.w, guard g
+    WHERE g.ok = 1
     GROUP BY w.doc_id"""
     )
