@@ -214,6 +214,9 @@ HEADLINE = [
     "text_sp_unigram_ids",
     "warc_rearchive_roundtrip",
     "warc_revisit_dedup_roundtrip",
+    # round 15
+    "emb_graph_nnd_sparse_ids",
+    "text_wordpiece_ids",
 ]
 
 

@@ -18,6 +18,12 @@ def test_probe_halves_match_parent_queries(spark, sf_dir):
         if p.family not in ctxs:
             ctxs[p.family] = p.build(spark, sf_dir)
         got = sorted(map(tuple, p.probe(spark, ctxs[p.family]).collect()))
+        if p.check == "nonempty":
+            # build-only probes: the timed plan CONSTRUCTS what the
+            # parent's oracle-checked store serves — row equality to
+            # the parent's serving output is not meaningful
+            assert got, name
+            continue
         want = sorted(
             map(tuple, REGISTRY[p.parent].fn(spark, sf_dir).collect())
         )

@@ -1210,3 +1210,107 @@ def test_stream_wet_extract(spark, tmp_path):
     q2 = stream_wet_extract(spark, str(mdir), out, ckpt)
     q2.awaitTermination(60)
     assert len(glob.glob(out + "/batch=*/wet-*.warc.wet.gz")) == len(shards)
+
+
+def test_stream_graph_appends_versioned(spark, sf_dir, tmp_path):
+    """Round-15 streaming graph ANN maintenance (the stream_ann_appends
+    twin for the graph layout): micro-batches of new vectors append
+    into a VERSIONED graph store behind per-batch CURRENT swaps.
+    Pins: (1) walk equality vs the same base store grown by direct
+    batch appends in the same order; (2) reader stability — the
+    pre-stream version is frozen; (3) a mid-stream tombstone is
+    honored; (4) a redelivered batch id is a ledger no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from webarchive_indexing_spark.operators import graph_ann
+    from webarchive_indexing_spark.operators.similarity import (
+        collect_query_vector,
+    )
+    from webarchive_indexing_spark.sinks import ann_index
+    from webarchive_indexing_spark.streaming.incremental import (
+        stream_graph_appends,
+    )
+    from webarchive_indexing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    b1 = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+    ).select("vec_id", "embedding")
+    b2 = emb.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 500)
+    ).select("vec_id", "embedding")
+
+    root = str(tmp_path / "store")
+    graph_ann.write_knn_graph_versioned(
+        emb, root, k_neighbors=8, n_base=300
+    )
+    v_before = ann_index.resolve_store(root)
+    rows_before = spark.read.parquet(
+        os.path.join(v_before, "vectors")
+    ).count()
+
+    twin = str(tmp_path / "twin")
+    graph_ann.write_knn_graph_versioned(
+        emb, twin, k_neighbors=8, n_base=300
+    )
+    graph_ann.append_knn_graph(b1, twin)
+    graph_ann.append_knn_graph(b2, twin)
+
+    # two parquet files + maxFilesPerTrigger=1 → two micro-batches in
+    # arrival order
+    inp = str(tmp_path / "incoming")
+    b1.coalesce(1).write.parquet(inp, mode="append")
+    import time
+
+    time.sleep(1.1)  # distinct mtimes pin the micro-batch order
+    b2.coalesce(1).write.parquet(inp, mode="append")
+    victim = 305
+    ann_index.delete_from_ann_index(root, [victim])
+
+    q = stream_graph_appends(
+        spark, inp, root, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    v_after = ann_index.resolve_store(root)
+    assert v_after != v_before
+    # (2) reader stability
+    assert (
+        spark.read.parquet(os.path.join(v_before, "vectors")).count()
+        == rows_before
+    )
+    assert (
+        spark.read.parquet(os.path.join(v_after, "vectors")).count() == 500
+    )
+
+    # (1) walk equality vs the direct-append twin, (3) tombstone
+    qv = collect_query_vector(emb, 321)
+    got = graph_ann.graph_beam_topk(
+        spark, root, qv, k=10, beam=10, hops=3, exclude_id=321
+    ).collect()
+    ann_index.delete_from_ann_index(twin, [victim])
+    want = graph_ann.graph_beam_topk(
+        spark, twin, qv, k=10, beam=10, hops=3, exclude_id=321
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert victim not in {r.vec_id for r in got}
+
+    # (4) replay no-op
+    applied = ann_index._applied_batches(v_after)
+    assert applied
+    sid, bid = sorted(applied)[0].rsplit(":", 1)
+    assert (
+        graph_ann.stream_graph_append_batch(
+            b1.limit(5), int(bid), root, stream_id=sid
+        )
+        is False
+    )
+    assert (
+        spark.read.parquet(
+            os.path.join(ann_index.resolve_store(root), "vectors")
+        ).count()
+        == 500
+    )

@@ -178,6 +178,19 @@ def _parser() -> argparse.ArgumentParser:
                          "pre-merge snapshots stay time-travelable) — "
                          "Iceberg's retain-last rolling retention")
 
+    ga = sub.add_parser(
+        "stream-graph-append",
+        help="drain new vector parquet files into a versioned graph "
+             "ANN store (availableNow micro-batches: hard-link clone, "
+             "append under the stored build recipe, replay ledger, "
+             "atomic CURRENT publish)")
+    ga.add_argument("input_dir")
+    ga.add_argument("root")
+    ga.add_argument("checkpoint_dir")
+    ga.add_argument("--schema", default="vec_id bigint, embedding array<float>",
+                    help="DDL schema of the incoming vector files")
+    ga.add_argument("--max-files-per-trigger", type=int, default=None)
+
     ev = sub.add_parser(
         "expire-ann-versions",
         help="housekeeping for a versioned ANN store: drop retired "
@@ -483,6 +496,16 @@ def _dispatch(args, spark) -> int:
                 spark, args.out_dir, shards=args.shards,
                 numlines=args.numlines, retain_inputs=args.retain_inputs,
             )
+    elif args.cmd == "stream-graph-append":
+        from .streaming.incremental import stream_graph_appends
+
+        q = stream_graph_appends(
+            spark, args.input_dir, args.root, args.checkpoint_dir,
+            schema=args.schema,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        print("drained")
     elif args.cmd == "expire-ann-versions":
         from .sinks.ann_index import expire_store_versions
 

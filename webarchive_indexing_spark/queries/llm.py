@@ -6575,7 +6575,7 @@ def text_arpa_logprob(spark, sf_dir):
         fromlist=["sql_graph_beam_topk"],
     ).sql_graph_beam_topk(
         query_vec_id=77, n_base=500, k_neighbors=12,
-        k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+        k=10, beam=10, hops=3, entries_from_graph=4,
     ),
     tier="C",
 )
@@ -6590,12 +6590,14 @@ def emb_graph_beam_topk(spark, sf_dir):
     out-neighbors; answer = top-10 of the visited set.  The walk is
     one static Spark plan of broadcast joins (no collect, no driver
     loop); candidates scored ≤ |entries| + H·B·degree — the HNSW cost
-    shape, independent of corpus size.  The oracle re-derives the
-    edge table AND the unrolled walk as chained CTEs, so build ∘
-    serve is value-hashed end to end.  Recall vs brute force and vs
-    IVF-flat at equal candidate budget is pinned in
-    tests/test_graph_ann.py; the serving half alone is
-    ``emb_graph_beam_topk_probe``."""
+    shape, independent of corpus size.  Entry points are PERSISTED in
+    the store recipe since round 15 (top-degree hubs selected at
+    build time — no caller-supplied magic ids); the oracle re-derives
+    the edge table, the SAME top-degree entry selection, AND the
+    unrolled walk as chained CTEs, so build ∘ serve is value-hashed
+    end to end.  Recall vs brute force and vs IVF-flat at equal
+    candidate budget is pinned in tests/test_graph_ann.py; the
+    serving half alone is ``emb_graph_beam_topk_probe``."""
     import tempfile
 
     from ..operators.graph_ann import graph_beam_topk, write_knn_graph
@@ -6606,8 +6608,7 @@ def emb_graph_beam_topk(spark, sf_dir):
     write_knn_graph(emb, out, k_neighbors=12, n_base=500)
     qv = collect_query_vector(emb, 77)
     return graph_beam_topk(
-        spark, out, qv, k=10, beam=10, hops=3,
-        entries=(0, 150, 300, 450), exclude_id=77,
+        spark, out, qv, k=10, beam=10, hops=3, exclude_id=77,
     )
 
 
@@ -6717,7 +6718,7 @@ def warc_wet_roundtrip(spark, sf_dir):
         fromlist=["sql_graph_beam_batch_topk"],
     ).sql_graph_beam_batch_topk(
         query_vec_ids=_ANN_BATCH_QIDS, n_base=500, k_neighbors=12,
-        k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+        k=10, beam=10, hops=3, entries_from_graph=4,
     ),
     tier="C",
 )
@@ -6744,7 +6745,7 @@ def emb_graph_beam_batch(spark, sf_dir):
     }
     return graph_beam_batch_topk(
         spark, out, [vecs[q] for q in qids], k=10, beam=10, hops=3,
-        entries=(0, 150, 300, 450), exclude_ids=qids,
+        exclude_ids=qids,
     )
 
 
@@ -6755,7 +6756,7 @@ def emb_graph_beam_batch(spark, sf_dir):
         fromlist=["sql_graph_beam_topk"],
     ).sql_graph_beam_topk(
         query_vec_id=77, n_base=500, k_neighbors=12,
-        k=10, beam=10, hops=3, entries=(0, 150, 300, 450),
+        k=10, beam=10, hops=3, entries_from_graph=4,
         where_sql="e.label % 2 = 0",
     ),
     tier="C",
@@ -6780,8 +6781,7 @@ def emb_graph_beam_filtered(spark, sf_dir):
     write_knn_graph(emb, out, k_neighbors=12, n_base=500, attrs=("label",))
     qv = collect_query_vector(emb, 77)
     return graph_beam_topk(
-        spark, out, qv, k=10, beam=10, hops=3,
-        entries=(0, 150, 300, 450), exclude_id=77,
+        spark, out, qv, k=10, beam=10, hops=3, exclude_id=77,
         where="label % 2 = 0",
     )
 
@@ -7225,6 +7225,52 @@ def text_sp_unigram_ids(spark, sf_dir):
     )
     vocab = load_sp_unigram_vocab(path)
     return sp_unigram_encode(d, vocab)
+
+
+@query(
+    "text_wordpiece_ids",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.wordpiece",
+        fromlist=["sql_wordpiece_ids"],
+    ).sql_wordpiece_ids(
+        encode_limit=200, rounds=14,
+        text_sql="text || ' Don''t—naïve café, 123 zz!'",
+    ),
+    tier="C",
+)
+def text_wordpiece_ids(spark, sf_dir):
+    """WordPiece tokenization (round 15 — the THIRD dominant public
+    tokenizer family after GPT-2 BPE and the SentencePiece unigram
+    LM; BERT-style token counts): the fixture vocab is SERIALIZED to
+    the public BERT ``vocab.txt`` grammar, re-LOADED through the
+    quarantine parser (``sources/model_artifacts.py``), and applied
+    by greedy longest-match-first segmentation in ONE Arrow pass
+    (Spark-side whitespace pretokenization; ``##`` continuation
+    matching; an unmatched position makes the WHOLE word one
+    ``[UNK]`` — the published BERT rule).  The greedy chain is a
+    deterministic single path, so the oracle precomputes each
+    position's longest match once and unrolls the chain as 14
+    bounded rounds (``sql_wordpiece_ids``) — the value hash proves
+    serialize → parse → segment produce THE same token ids for the
+    third tokenizer family.  The suffix pushes uppercase, accents,
+    and punctuation through the whole-word [UNK] arm."""
+    import tempfile
+
+    from ..operators.wordpiece import WP_FIXTURE_PIECES, wordpiece_encode
+    from ..sources.model_artifacts import (
+        load_wordpiece_vocab,
+        write_wordpiece_vocab,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_SP_SUFFIX)).alias("text")
+    )
+    art_dir = tempfile.mkdtemp(prefix="wp_art_")
+    path = write_wordpiece_vocab(
+        list(WP_FIXTURE_PIECES), art_dir + "/vocab.txt"
+    )
+    vocab = load_wordpiece_vocab(path)
+    return wordpiece_encode(d, vocab)
 
 
 @query(

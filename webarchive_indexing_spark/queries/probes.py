@@ -33,6 +33,13 @@ class Probe:
     family: str
     build: Callable[[SparkSession, str], object]
     probe: Callable[[SparkSession, object], DataFrame]
+    #: linkage mode for tests/test_probes.py — "parent" (default):
+    #: probe rows must equal the parent query's rows; "nonempty":
+    #: BUILD-ONLY probes (they time the construction plan, whose
+    #: output feeds the parent's store — row equality to the parent's
+    #: SERVING output is not meaningful, and correctness is carried
+    #: by the parent's oracle over the same build code path)
+    check: str = "parent"
 
 
 def _build_zipnum_epochs(spark, sf_dir):
@@ -90,13 +97,94 @@ def _build_graph_store(spark, sf_dir):
             "qids": qids, "qvs": [vecs[q] for q in qids]}
 
 
-def _p_graph_beam_filtered(spark, ctx):
+def _build_graph_store_deleted(spark, sf_dir):
+    import tempfile
+
+    from ..operators.graph_ann import delete_from_knn_graph, write_knn_graph
+    from ..operators.similarity import collect_query_vector
+    from ..tables import load_table
+    from .llm import _GRAPH_DELETED_IDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="probe_graph_del_")
+    write_knn_graph(emb, out, k_neighbors=12, n_base=500)
+    delete_from_knn_graph(out, list(_GRAPH_DELETED_IDS[:2]))
+    delete_from_knn_graph(out, list(_GRAPH_DELETED_IDS[2:]))
+    return {"store": out, "qv": collect_query_vector(emb, 77)}
+
+
+def _build_graph_store_appended(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.graph_ann import append_knn_graph, write_knn_graph
+    from ..operators.similarity import collect_query_vector
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="probe_graph_app_")
+    write_knn_graph(emb, out, k_neighbors=12, n_base=400)
+    append_knn_graph(
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500)), out
+    )
+    return {"store": out, "qv": collect_query_vector(emb, 77)}
+
+
+def _p_graph_beam_lifecycle(spark, ctx):
+    # the shared serving half of the delete/append lifecycle parents
+    # (their builds differ; the walk parameters are identical)
     from ..operators.graph_ann import graph_beam_topk
 
     return graph_beam_topk(
         spark, ctx["store"], ctx["qv"], k=10, beam=10, hops=3,
         entries=(0, 150, 300, 450), exclude_id=77,
-        where="label % 2 = 0",
+    )
+
+
+def _build_emb_frame(spark, sf_dir):
+    from ..tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _p_grid_build_only(spark, emb):
+    # BUILD-ONLY probe: the ε-grid candidate generation + min_sim
+    # trim + per-src top-k — the construction plan of
+    # emb_graph_grid_build, without its store write or serving walk
+    from pyspark.sql import functions as F
+
+    from ..operators.graph_ann import (
+        build_knn_graph,
+        grid_threshold_candidates,
+    )
+
+    base = emb.filter(F.col("vec_id") < 500).select("vec_id", "embedding")
+    return build_knn_graph(
+        base, k_neighbors=12,
+        candidates=grid_threshold_candidates(0.24), min_sim=0.24,
+    )
+
+
+def _p_nnd_build_only(spark, emb):
+    # BUILD-ONLY probe: the bounded NN-descent rounds of
+    # emb_graph_nnd_build, without its store write or serving walk
+    from pyspark.sql import functions as F
+
+    from ..operators.graph_ann import nn_descent_knn_graph
+
+    base = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    return nn_descent_knn_graph(
+        base, k_neighbors=6, rounds=2, stride=37, n_base=200
+    )
+
+
+def _p_graph_beam_filtered(spark, ctx):
+    from ..operators.graph_ann import graph_beam_topk
+
+    return graph_beam_topk(
+        spark, ctx["store"], ctx["qv"], k=10, beam=10, hops=3,
+        exclude_id=77, where="label % 2 = 0",
     )
 
 
@@ -105,7 +193,7 @@ def _p_graph_beam_batch(spark, ctx):
 
     return graph_beam_batch_topk(
         spark, ctx["store"], ctx["qvs"], k=10, beam=10, hops=3,
-        entries=(0, 150, 300, 450), exclude_ids=ctx["qids"],
+        exclude_ids=ctx["qids"],
     )
 
 
@@ -114,7 +202,7 @@ def _p_graph_beam(spark, ctx):
 
     return graph_beam_topk(
         spark, ctx["store"], ctx["qv"], k=10, beam=10, hops=3,
-        entries=(0, 150, 300, 450), exclude_id=77,
+        exclude_id=77,
     )
 
 
@@ -463,6 +551,22 @@ PROBES: dict[str, Probe] = {
     "emb_graph_beam_filtered_probe": Probe(
         "emb_graph_beam_filtered", "graph_store",
         _build_graph_store, _p_graph_beam_filtered,
+    ),
+    "emb_graph_delete_probe_probe": Probe(
+        "emb_graph_delete_probe", "graph_store_deleted",
+        _build_graph_store_deleted, _p_graph_beam_lifecycle,
+    ),
+    "emb_graph_append_walk_probe": Probe(
+        "emb_graph_append_walk", "graph_store_appended",
+        _build_graph_store_appended, _p_graph_beam_lifecycle,
+    ),
+    "emb_graph_grid_build_probe": Probe(
+        "emb_graph_grid_build", "emb_frame",
+        _build_emb_frame, _p_grid_build_only, check="nonempty",
+    ),
+    "emb_graph_nnd_build_probe": Probe(
+        "emb_graph_nnd_build", "emb_frame",
+        _build_emb_frame, _p_nnd_build_only, check="nonempty",
     ),
     "emb_ivf_persisted_topk_probe": Probe(
         "emb_ivf_persisted_topk", "ivf_store",

@@ -321,3 +321,65 @@ def load_sp_unigram_vocab(path: str) -> list[tuple[str, float]]:
             "out-of-alphabet text"
         )
     return rows
+
+
+def write_wordpiece_vocab(tokens: list[str], path: str) -> str:
+    """Serialize a WordPiece vocabulary in the BERT ``vocab.txt``
+    grammar: one token per line, line index = token id (fixture
+    writer; the grammar has no scores — rank IS the model)."""
+    with open(path, "w", encoding="utf-8") as fh:
+        for tok in tokens:
+            fh.write(tok + "\n")
+    return path
+
+
+def load_wordpiece_vocab(path: str) -> list[str]:
+    """Quarantine parser for the BERT ``vocab.txt`` WordPiece grammar
+    (one token per line, ``##`` prefix marks continuation pieces,
+    bracketed controls like ``[UNK]``).  Returns tokens in file
+    order — the line index IS the token id, the BERT convention.
+    Refuses on: whitespace inside a token, duplicate tokens, a bare
+    ``##`` continuation (zero-length advance — would loop the greedy
+    matcher), a missing ``[UNK]`` control (WordPiece encodes every
+    unmatched word AS ``[UNK]``; a vocab without it cannot encode),
+    or an interior blank line (EOF blanks tolerated — the shared
+    quarantine-parser posture)."""
+    rows: list[str] = []
+    seen: set[str] = set()
+    blank_at: int | None = None
+    with open(path, encoding="utf-8") as fh:
+        for lineno, raw in enumerate(fh, start=1):
+            ln = raw.rstrip("\n")
+            if ln == "":
+                if blank_at is None:
+                    blank_at = lineno
+                continue
+            if blank_at is not None:
+                raise ValueError(
+                    f"wordpiece vocab line {blank_at}: blank line before "
+                    f"line {lineno} — blanks are only tolerated at EOF"
+                )
+            if any(c.isspace() for c in ln):
+                raise ValueError(
+                    f"wordpiece vocab line {lineno}: whitespace inside "
+                    f"token {ln!r} — the grammar is one token per line"
+                )
+            if ln == "##":
+                raise ValueError(
+                    f"wordpiece vocab line {lineno}: bare '##' — a "
+                    "zero-length continuation would never advance the "
+                    "greedy matcher"
+                )
+            if ln in seen:
+                raise ValueError(
+                    f"wordpiece vocab line {lineno}: duplicate token {ln!r}"
+                )
+            seen.add(ln)
+            rows.append(ln)
+    if "[UNK]" not in seen:
+        raise ValueError(
+            "wordpiece vocab: no [UNK] control token — WordPiece encodes "
+            "every unmatched word as [UNK]; refusing a vocab that "
+            "cannot encode"
+        )
+    return rows

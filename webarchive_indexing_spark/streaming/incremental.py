@@ -199,6 +199,51 @@ def stream_ann_appends(
     )
 
 
+def stream_graph_appends(
+    spark: SparkSession,
+    input_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "vec_id bigint, embedding array<float>",
+    max_files_per_trigger: int | None = None,
+    **append_kw,
+):
+    """Streaming ingest for a VERSIONED graph ANN store (round 15 —
+    the ``stream_ann_appends`` twin for the graph layout, closing the
+    "vectors arrive as a stream" story across every persisted index
+    family): new vectors land as parquet files under ``input_dir``;
+    each micro-batch hard-link-clones the published version, appends
+    vectors + their symmetrized edges under the STORED build recipe
+    (``append_knn_graph`` — old nodes gain reverse routes into the
+    batch, edge semantics never shift under a serving store), records
+    the batch in the replay ledger, and publishes with one atomic
+    ``CURRENT`` swap.  In-flight readers keep their resolved version;
+    redelivered batches are ledger no-ops; tombstones live at the
+    root and span every version."""
+    from ..operators.graph_ann import stream_graph_append_batch
+
+    sid = _stream_scope_id(checkpoint_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    vecs = reader.parquet(input_dir)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stream_graph_append_batch(
+            batch_df, int(batch_id), root, stream_id=sid, **append_kw
+        )
+
+    return (
+        vecs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _stream_scope_id(checkpoint_dir: str) -> str:
     """Read-or-create the stream incarnation id stored INSIDE the
     checkpoint directory.  Spark batch ids are unique only per
