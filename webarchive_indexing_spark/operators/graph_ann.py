@@ -982,30 +982,42 @@ def graph_beam_topk(
     graph = spark.read.parquet(posixpath.join(root, "graph"))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
 
-    def score_ids(ids: list[int]) -> DataFrame:
+    def score_ids(ids: list[int]) -> list[tuple[int, float]]:
         # query norm is a constant; cosine() recomputes it per row
         # inside codegen — candidate sets are beam-sized, so clarity
-        # wins over the micro-optimization here
-        return _pruned_vec_scan(vecs, ids, nb, id_col).select(
-            F.col(id_col).alias("id"),
-            hround(cosine(F.col(vec_col), qlit), 6).alias("s"),
-        )
+        # wins over the micro-optimization here.  Scoring stays IN
+        # SPARK (identical codegen expression to every other path —
+        # no Python float re-derivation); the bounded rows come back
+        # to the driver-side walk state.
+        return [
+            (int(r.id), float(r.s))
+            for r in _pruned_vec_scan(vecs, ids, nb, id_col)
+            .select(
+                F.col(id_col).alias("id"),
+                hround(cosine(F.col(vec_col), qlit), 6).alias("s"),
+            )
+            .collect()
+        ]
 
     ent_ids = _resolve_entries(entries, meta, "graph_beam_topk")
     seed = [e for e in ent_ids if e != exclude_id]
-    # seen mirrors the visited ids driver-side — bounded by
-    # |entries| + H·B·k_neighbors (serving parameters, not corpus)
+    # The walk state — visited id → score — lives DRIVER-SIDE for the
+    # whole walk (round 15, matching the batch walk): it is bounded
+    # by |entries| + H·B·k_neighbors (serving parameters, not
+    # corpus), beams are then pure Python, and each hop costs exactly
+    # TWO bounded actions (pruned edge collect + pruned scoring
+    # collect) instead of beam-window collect + neighbor collect +
+    # eager re-checkpoint of the growing visited union.
     seen: set[int] = set(seed)
     if exclude_id is not None:
         seen.add(int(exclude_id))
-    visited = score_ids(seed).localCheckpoint()
+    state: dict[int, float] = dict(score_ids(seed))
     for _ in range(hops):
         beam_ids = [
-            r.id
-            for r in visited.orderBy(F.col("s").desc(), F.col("id").asc())
-            .limit(beam)
-            .select("id")
-            .collect()
+            i
+            for i, _s in sorted(
+                state.items(), key=lambda t: (-t[1], t[0])
+            )[:beam]
         ]
         if not beam_ids:
             break  # no entry point resolved to a stored vector
@@ -1020,7 +1032,10 @@ def graph_beam_topk(
         if not fresh:
             break
         seen.update(fresh)
-        visited = visited.unionByName(score_ids(fresh)).localCheckpoint()
+        state.update(score_ids(fresh))
+    visited = spark.createDataFrame(
+        sorted(state.items()), "id bigint, s double"
+    )
     if tombs:
         visited = visited.filter(~F.col("id").isin(sorted(tombs)))
     if where is not None:
