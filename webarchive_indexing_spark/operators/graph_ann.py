@@ -39,14 +39,18 @@ fully relational and oracle-checkable:
   ever broadcast or fully scanned (round-13 verdict: broadcasting the
   corpus-sized edge table was the one scale-killer in the module).
 
-**On the per-hop driver round-trips**: the walk collects the beam
-(≤ B rows) and the fresh neighbor ids (≤ B·k_neighbors rows) each
-hop — exactly the candidate set ANY graph-ANN server holds in memory
-per request, bounded by the serving parameters (|entries| + H·B·
-degree, the HNSW cost shape), never by the corpus.  A greedy graph
-walk is inherently sequential in hops; trading the previous "one
-static plan" unrolling for per-hop static pruning is what lets the
-scan read B buckets instead of broadcasting billions of edges.
+**On the per-hop driver round-trips**: the walk state (visited id →
+score) lives DRIVER-SIDE for the whole walk — bounded by the serving
+parameters (|entries| + H·B·degree, the HNSW cost shape), never by
+the corpus; exactly the candidate set ANY graph-ANN server holds in
+memory per request.  Beams are computed in Python (no job), so each
+hop costs exactly TWO bounded Spark actions: the frontier-pruned
+edge collect (≤ B·k_neighbors rows) and the pruned scoring collect
+(fresh ids only; scoring stays in Spark codegen so values are
+bit-identical to every other path).  A greedy graph walk is
+inherently sequential in hops; trading the previous "one static
+plan" unrolling for per-hop static pruning is what lets the scan
+read B buckets instead of broadcasting billions of edges.
 
 **LSM lifecycle** (round-14 — parity with the ZipNum / parquet-index
 / IVF stores): ``append_knn_graph`` adds vectors + their symmetrized
@@ -461,43 +465,50 @@ def build_knn_graph(
     )
 
 
+#: the md5-based ``token_hash`` yields the first 8 hex chars as an
+#: integer — uniform in [0, 2^32); hash-VALUE strata are equal-width
+#: cuts of that range
+_HASH_SPACE = 1 << 32
+
+
 def _top_degree_entries(graph: DataFrame, n_entries: int) -> list[int]:
     """The persisted entry-point selection: the top-DEGREE node inside
-    each of ``n_entries`` hash-ring strata of the node set — ties by
-    id asc.  Stratifying by a deterministic md5-ring position (the
-    ``hash_ring_seed`` device, salt ``entries:``) forces the chosen
-    hubs APART: global top-degree picks correlated near-centroid
-    nodes (measured recall@10 0.66 over 20 queries on the fixture
-    store), while one hub per ring stratum reads 0.705 — beating both
-    the global-hub and the legacy static-tuple (0.64) selections.
-    Cost: one degree aggregate + a two-pass global rank over the NODE
-    set (O(n), key-partitioned) + an n_entries-sized collect."""
+    each of ``n_entries`` equal-width hash strata of the node set —
+    ties by id asc.  Stratifying by a deterministic md5 hash of the
+    id (the cross-engine ``token_hash``, salt ``entries:``) forces
+    the chosen hubs APART: global top-degree picks correlated
+    near-centroid nodes (measured recall@10 0.66 over 20 queries on
+    the fixture store), while one hub per hash stratum reads ~0.70 —
+    beating both the global-hub and the legacy static-tuple (0.64)
+    selections.  Strata are VALUE cuts of the uniform 32-bit hash
+    space (``floor(h·n/2^32)``), not rank quartiles, so the whole
+    selection is one degree aggregate + one per-stratum window + an
+    n_entries-sized collect — no global rank pass over the node
+    set."""
     from ..functions.text import token_hash
-    from .global_rank import global_row_number_and_total
 
     deg = (
         graph.groupBy("src")
         .agg(F.count(F.lit(1)).alias("__deg"))
         .withColumn(
-            "__h",
-            token_hash(
-                F.concat(F.lit("entries:"), F.col("src").cast("string"))
+            "__strat",
+            F.floor(
+                token_hash(
+                    F.concat(
+                        F.lit("entries:"), F.col("src").cast("string")
+                    )
+                )
+                * n_entries
+                / F.lit(_HASH_SPACE)
             ),
         )
-    )
-    ring, n = global_row_number_and_total(
-        deg, ["__h", "src"], rank_col="__pos"
     )
     w = Window.partitionBy("__strat").orderBy(
         F.col("__deg").desc(), F.col("src").asc()
     )
     return sorted(
         int(r.src)
-        for r in ring.withColumn(
-            "__strat",
-            F.floor((F.col("__pos") - 1) * n_entries / F.lit(n)),
-        )
-        .withColumn("__rn", F.row_number().over(w))
+        for r in deg.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("src")
         .collect()
@@ -570,7 +581,7 @@ def write_knn_graph(
     ENTRY POINTS (round 15 — the round-14 verdict's "fixture-shaped
     magic ids" gap): the store persists its own walk entry points in
     the recipe — the top-DEGREE node within each of ``n_entries``
-    hash-ring strata of the final (symmetrized) edge table's node
+    hash-value strata of the final (symmetrized) edge table's node
     set, ties by id asc (``_top_degree_entries``: hubs for
     reachability — the HNSW top-layer role — stratified apart so they
     don't all sit near the centroid).  The selection is deterministic
@@ -1094,7 +1105,7 @@ def sql_graph_beam_topk(
     against ``base`` (remapped ids) instead of raw ``embeddings``.
     ``entries_from_graph=n`` mirrors the persisted entry points:
     instead of the static ``entries`` tuple, seed from the n
-    ring-stratified top-degree nodes of the re-derived graph CTE —
+    hash-stratified top-degree nodes of the re-derived graph CTE —
     exactly ``write_knn_graph``'s ``_top_degree_entries``
     (``_sql_entries_cte``)."""
     cos_ab = sql_hround(sql_cosine("a.embedding", "b.embedding", dim), 6)
@@ -1244,24 +1255,18 @@ def sql_graph_beam_topk(
 
 def _sql_entries_cte(n_entries: int) -> str:
     """DuckDB re-derivation of ``_top_degree_entries`` over the
-    oracle's ``graph`` CTE: md5-ring stratification + per-stratum
-    top-degree, identical ordering contract."""
+    oracle's ``graph`` CTE: equal-width md5 hash-value strata +
+    per-stratum top-degree, identical ordering contract."""
     from ..functions.text import sql_token_hash
 
     hk = sql_token_hash("'entries:' || src")
     return f"""entries AS MATERIALIZED (
       SELECT id FROM (
-        SELECT d.id, ROW_NUMBER() OVER (
-          PARTITION BY ((r.pos * {n_entries}) // r.cnt)
-          ORDER BY d.deg DESC, d.id
+        SELECT src AS id, ROW_NUMBER() OVER (
+          PARTITION BY (({hk} * {n_entries}) // {_HASH_SPACE})
+          ORDER BY COUNT(*) DESC, src
         ) AS rn
-        FROM (SELECT src AS id, COUNT(*) AS deg FROM graph GROUP BY src) d
-        JOIN (
-          SELECT src AS id,
-                 ROW_NUMBER() OVER (ORDER BY {hk}, src) - 1 AS pos,
-                 COUNT(*) OVER () AS cnt
-          FROM (SELECT DISTINCT src FROM graph)
-        ) r ON r.id = d.id
+        FROM graph GROUP BY src
       ) WHERE rn = 1
     )"""
 
