@@ -217,6 +217,7 @@ HEADLINE = [
     # round 15
     "emb_graph_nnd_sparse_ids",
     "text_wordpiece_ids",
+    "emb_graph_beam_batch_filtered",
 ]
 
 

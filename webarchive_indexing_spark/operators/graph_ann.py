@@ -1281,6 +1281,7 @@ def graph_beam_batch_topk(
     hops: int = 3,
     entries: tuple[int, ...] | None = None,
     exclude_ids: list[int] | None = None,
+    wheres: list[str | None] | None = None,
 ) -> DataFrame:
     """BATCH beam-search serving: N query walks advance in lockstep
     (the batched-``search()`` amortization the rest of the ANN matrix
@@ -1293,7 +1294,14 @@ def graph_beam_batch_topk(
     number of scans.  Query vectors travel as a broadcast (request_no,
     qvec) table, so scoring is a plain join + cosine (no per-request
     expression arms).  Returns ``(request_no, vec_id, cos_sim)``,
-    per-request top-k."""
+    per-request top-k.
+
+    ``wheres`` (one SQL predicate over the store's ``attrs`` columns
+    per request, None = unfiltered) POST-filters each request's
+    visited set before its top-k — the same filtered-serving
+    semantics as the single walk's ``where`` (non-matching nodes stay
+    navigable stepping stones), batched like the IVF families'
+    per-request ``wheres``."""
     from ..sinks.ann_index import read_ann_tombstones, resolve_store
 
     if not query_vecs:
@@ -1302,6 +1310,10 @@ def graph_beam_batch_topk(
         raise ValueError(
             "graph_beam_batch_topk: exclude_ids must align 1:1 with "
             "query_vecs"
+        )
+    if wheres is not None and len(wheres) != len(query_vecs):
+        raise ValueError(
+            "graph_beam_batch_topk: wheres must align 1:1 with query_vecs"
         )
     root = resolve_store(store)
     meta = read_graph_meta(root)
@@ -1418,6 +1430,24 @@ def graph_beam_batch_topk(
     w = Window.partitionBy("req").orderBy(F.col("s").desc(), F.col("id").asc())
     if tombs:
         visited = visited.filter(~F.col("id").isin(sorted(tombs)))
+    if wheres is not None and any(wh is not None for wh in wheres):
+        attr_cols = [c for c in meta.get("attrs", []) if c != id_col]
+        all_seen = sorted(set().union(*seen))
+        attrs_df = _pruned_vec_scan(vecs, all_seen, nb, id_col).select(
+            F.col(id_col).alias("__aid"), *attr_cols
+        )
+        visited = visited.join(
+            attrs_df, F.col("id") == F.col("__aid")
+        ).drop("__aid")
+        cond = None
+        for i, wh in enumerate(wheres):
+            arm = (
+                F.col("req") == i
+                if wh is None
+                else (F.col("req") == i) & F.expr(wh)
+            )
+            cond = arm if cond is None else (cond | arm)
+        visited = visited.filter(cond).select("req", "id", "s")
     return (
         visited.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
@@ -1441,11 +1471,15 @@ def sql_graph_beam_batch_topk(
     entries: tuple[int, ...] = (0, 150, 300, 450),
     dim: int = 64,
     entries_from_graph: int | None = None,
+    where_sqls: tuple[str | None, ...] | None = None,
 ) -> str:
     """DuckDB twin of the batch walk: request table + per-request
     windows, graph and walk re-derived as chained CTEs.
     ``entries_from_graph`` mirrors the persisted entry points exactly
-    as in ``sql_graph_beam_topk``."""
+    as in ``sql_graph_beam_topk``.  ``where_sqls`` (columns of the
+    ``embeddings`` table aliased ``e``, one per request, None =
+    unfiltered) mirrors the Spark path's per-request post-filter of
+    the visited set."""
     cos_ab = sql_hround(sql_cosine("a.embedding", "b.embedding", dim), 6)
     cos_q = sql_hround(sql_cosine("v.embedding", "q.qvec", dim), 6)
     reqs = ", ".join(
@@ -1530,6 +1564,19 @@ def sql_graph_beam_batch_topk(
     )"""
         )
         prev_v, prev_b = f"v{h}", f"b{h}"
+    if where_sqls is not None:
+        arms = " OR ".join(
+            f"(f.req = {i}" + (f" AND ({wh})" if wh is not None else "") + ")"
+            for i, wh in enumerate(where_sqls)
+        )
+        parts.append(
+            f"""fview AS (
+      SELECT f.req, f.id, f.s
+      FROM {prev_v} f JOIN embeddings e ON e.vec_id = f.id
+      WHERE {arms}
+    )"""
+        )
+        prev_v = "fview"
     return (
         "WITH "
         + ",\n    ".join(parts)

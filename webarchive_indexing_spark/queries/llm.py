@@ -6787,6 +6787,54 @@ def emb_graph_beam_filtered(spark, sf_dir):
 
 
 @query(
+    "emb_graph_beam_batch_filtered",
+    oracle=__import__(
+        "webarchive_indexing_spark.operators.graph_ann",
+        fromlist=["sql_graph_beam_batch_topk"],
+    ).sql_graph_beam_batch_topk(
+        query_vec_ids=_ANN_BATCH_QIDS, n_base=500, k_neighbors=12,
+        k=10, beam=10, hops=3, entries_from_graph=4,
+        where_sqls=(
+            "e.label % 2 = 0", None, "e.label IN (1, 5)",
+            "e.label % 3 = 1",
+        ),
+    ),
+    tier="C",
+)
+def emb_graph_beam_batch_filtered(spark, sf_dir):
+    """FILTERED BATCH graph serving (round 15 — closes the one
+    asymmetry left in the serving matrix: every IVF layout has
+    per-request ``wheres`` batch filtering, the graph structure had
+    filtered-single only): N walks advance in lockstep from the
+    store's persisted entry points, then each request's visited set
+    is POST-filtered by its own attribute predicate (None =
+    unfiltered; non-matching nodes stayed navigable stepping stones
+    during the walk — the standard graph-store semantics) before its
+    per-request top-k.  The oracle applies the identical per-request
+    predicate arms over its re-derived visited CTE — build ∘ batch
+    walk ∘ per-request filter value-hashed end to end."""
+    import tempfile
+
+    from ..operators.graph_ann import (
+        graph_beam_batch_topk, write_knn_graph,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="graph_ann_bf_")
+    write_knn_graph(emb, out, k_neighbors=12, n_base=500, attrs=("label",))
+    qids = list(_ANN_BATCH_QIDS)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return graph_beam_batch_topk(
+        spark, out, [vecs[q] for q in qids], k=10, beam=10, hops=3,
+        exclude_ids=qids,
+        wheres=["label % 2 = 0", None, "label IN (1, 5)", "label % 3 = 1"],
+    )
+
+
+@query(
     "warc_pretrain_funnel",
     oracle="""
     WITH d AS (
@@ -7031,7 +7079,7 @@ def emb_graph_nnd_build(spark, sf_dir):
         fromlist=["sql_graph_beam_topk", "sql_nnd_knn_cte"],
     ).sql_graph_beam_topk(
         query_vec_id=2309, n_base=4384, k_neighbors=6,
-        k=10, beam=10, hops=3, entries=(1000, 1850, 2700, 3550),
+        k=10, beam=10, hops=3, entries_from_graph=4,
         knn_cte=__import__(
             "webarchive_indexing_spark.operators.graph_ann",
             fromlist=["sql_nnd_knn_cte"],
@@ -7059,7 +7107,10 @@ def emb_graph_nnd_sparse_ids(spark, sf_dir):
     the oracle's ring/rounds/walk re-derivation all run on the sparse
     ids end to end — the md5 ring key is the cross-engine
     ``functions/text.token_hash`` contract, so DuckDB reproduces the
-    identical ring order."""
+    identical ring order.  Serving uses the store's PERSISTED entry
+    points (no magic ids anywhere in the sparse-domain path); the
+    oracle re-derives the same hash-stratified hub selection over
+    its NND-built graph CTE."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -7080,8 +7131,7 @@ def emb_graph_nnd_sparse_ids(spark, sf_dir):
     write_knn_graph(sparse, out, k_neighbors=6, n_base=4384, edges=edges)
     qv = collect_query_vector(sparse, 2309)
     return graph_beam_topk(
-        spark, out, qv, k=10, beam=10, hops=3,
-        entries=(1000, 1850, 2700, 3550), exclude_id=2309,
+        spark, out, qv, k=10, beam=10, hops=3, exclude_id=2309,
     )
 
 

@@ -206,6 +206,16 @@ def _p_graph_beam(spark, ctx):
     )
 
 
+def _p_graph_beam_batch_filtered(spark, ctx):
+    from ..operators.graph_ann import graph_beam_batch_topk
+
+    return graph_beam_batch_topk(
+        spark, ctx["store"], ctx["qvs"], k=10, beam=10, hops=3,
+        exclude_ids=ctx["qids"],
+        wheres=["label % 2 = 0", None, "label IN (1, 5)", "label % 3 = 1"],
+    )
+
+
 def _build_ivf_store(spark, sf_dir):
     import tempfile
 
@@ -551,6 +561,10 @@ PROBES: dict[str, Probe] = {
     "emb_graph_beam_filtered_probe": Probe(
         "emb_graph_beam_filtered", "graph_store",
         _build_graph_store, _p_graph_beam_filtered,
+    ),
+    "emb_graph_beam_batch_filtered_probe": Probe(
+        "emb_graph_beam_batch_filtered", "graph_store",
+        _build_graph_store, _p_graph_beam_batch_filtered,
     ),
     "emb_graph_delete_probe_probe": Probe(
         "emb_graph_delete_probe", "graph_store_deleted",
