@@ -152,21 +152,50 @@ def zorder_key(
             bounds[c] = [r["b"] for r in rows[1:]]
             stats[c] = (rows[0]["b"], rows[-1]["t"])
     top = (1 << bits) - 1
+    # Bit-spread lookup: spread(b) places bit i of b at position
+    # i*ncols, so the Morton key is sum_j spread(b_j) << j.  A literal
+    # 2^bits-long table referenced by ONE element_at keeps each
+    # dimension's bucket expression appearing EXACTLY ONCE in the
+    # plan.  The previous per-bit loop copied the whole bucket
+    # expression into every one of the ``bits`` terms — for the
+    # quantile mode (a (2^bits - 1)-boundary fold) that inlined
+    # thousands of comparisons per row, blew past whole-stage
+    # codegen's limits into interpreted evaluation, and cost seconds
+    # of py4j expression construction per call (round-15 profiling:
+    # computing __z alone on an 11.5k-row index read 14.6 s; the
+    # rewrite reads it in milliseconds).  Only used when the table is
+    # small (quantile caps bits at 8 → 256 entries); the linear mode's
+    # arithmetic bucket is a handful of nodes, so its per-bit loop
+    # stays.
+    spread_sql = "array(" + ",".join(
+        str(sum(((b >> i) & 1) << (i * ncols) for i in range(bits))) + "L"
+        for b in range(1 << bits)
+    ) + ")"
+
+    def _sql_str(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     for j, c in enumerate(cols):
         if bucketing == "quantile" and c in str_cols:
-            b = functools.reduce(
-                lambda x, y: x + y,
-                [(F.col(c) >= F.lit(bv)).cast("bigint")
-                 for bv in bounds[c]],
-                F.lit(0).cast("bigint"),
+            # count of boundaries <= value, as one array fold over a
+            # literal boundary array (NULL key -> NULL bucket, the
+            # same propagation as the previous literal-sum form)
+            lits = ",".join(_sql_str(bv) for bv in bounds[c])
+            b = F.when(
+                F.col(c).isNull(), F.lit(None).cast("bigint")
+            ).otherwise(
+                F.expr(
+                    f"size(filter(array({lits}), bd -> `{c}` >= bd))"
+                ).cast("bigint")
             )
         elif bucketing == "quantile":
+            # NULL values count zero boundaries -> bucket 0, matching
+            # the previous CASE-fold's ELSE arm
             lits = ",".join(f"{b!r}D" for b in bounds[c])
             b = F.expr(
-                f"aggregate(array({lits}), 0L, (acc, bd) -> "
-                f"acc + CASE WHEN CAST(`{c}` AS DOUBLE) >= bd "
-                f"THEN 1L ELSE 0L END)"
-            )
+                f"size(filter(array({lits}), bd -> "
+                f"CAST(`{c}` AS DOUBLE) >= bd))"
+            ).cast("bigint")
         else:
             mn, mx = stats[c]
             span = (mx - mn) or 1.0
@@ -180,13 +209,23 @@ def zorder_key(
                     F.lit(top).cast("bigint"),
                 ),
             )
-        for i in range(bits):
+        if bucketing == "quantile":
             terms.append(
                 F.shiftleft(
-                    F.shiftright(b, i).bitwiseAND(F.lit(1)),
-                    i * ncols + j,
+                    F.element_at(
+                        F.expr(spread_sql), (b + 1).cast("int")
+                    ),
+                    j,
                 )
             )
+        else:
+            for i in range(bits):
+                terms.append(
+                    F.shiftleft(
+                        F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                        i * ncols + j,
+                    )
+                )
     zval = functools.reduce(lambda x, y: x + y, terms)
     return zval, {
         "bits": bits, "bucketing": bucketing,

@@ -429,10 +429,20 @@ def build_knn_graph(
     map-side either way (O(n) decimal work, not O(pairs)); one
     shuffle groups candidates per src for the window top-k."""
     if candidates is None:
+        from ..queries.helpers import widen_narrow
+
         nrm = F.sqrt(_dec_dot(F.col(vec_col), F.col(vec_col)).cast("double"))
-        a = emb.select(
-            F.col(id_col).alias("src"), F.col(vec_col).alias("a_v"),
-            nrm.alias("a_nrm"),
+        # widen the STREAM side before the pair fan-out: a bounded
+        # fixture base scans as ONE partition, so all n² decimal
+        # cosines would run on one core (round-15 profiling: the
+        # 500-vector exact build was a single 10+ s task).  The
+        # round-robin shuffle moves n rows; the n² scoring then runs
+        # at full width.  The broadcast side is unchanged.
+        a = widen_narrow(
+            emb.select(
+                F.col(id_col).alias("src"), F.col(vec_col).alias("a_v"),
+                nrm.alias("a_nrm"),
+            )
         )
         b = emb.select(
             F.col(id_col).alias("dst"), F.col(vec_col).alias("b_v"),

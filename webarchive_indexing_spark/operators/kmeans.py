@@ -113,6 +113,16 @@ def lloyd_train(
             )
             embeddings = embeddings.filter(h % mod == 0)
 
+    # widen AFTER the sample filter (so the filter still pushes to the
+    # scan) and AFTER seeding (seeds come from the pushed id<k scan):
+    # each Lloyd assignment pass evaluates k × dim decimal terms per
+    # row, and a small fixture file plans as ONE partition — the whole
+    # update scan would run on one core (round-15 profiling).  No-op
+    # on cluster-scale scans.
+    from ..queries.helpers import widen_narrow
+
+    embeddings = widen_narrow(embeddings)
+
     # every projection below is string-built and handed to the JVM in
     # ONE selectExpr / spark.sql call: Column-by-Column construction
     # of the 64 per-dimension aggregates measured ~2.5 s of pure py4j

@@ -64,6 +64,12 @@ def power_iteration_direction(
     (``sql_power_iteration_ctes``)."""
     assert dim & (dim - 1) == 0, "1/sqrt(dim) must be binary-exact"
     spark = embeddings.sparkSession
+    # each step's Gram-product scan evaluates dim decimal sums per
+    # row; widen a narrow fixture scan so it runs at full width
+    # (no-op on cluster-scale inputs — see queries.helpers)
+    from ..queries.helpers import widen_narrow
+
+    embeddings = widen_narrow(embeddings)
     v = [1.0 / math.sqrt(dim)] * dim
 
     for _ in range(iters - 1):

@@ -300,7 +300,13 @@ def grid_blocked_pairs(
             out.append(F.floor(p / w).cast("long"))
         return out
 
-    base = embeddings.select(
+    from ..queries.helpers import widen_narrow
+
+    # widen BEFORE the cell projection + join: the join output
+    # inherits its inputs' partitioning, so a 1-partition fixture scan
+    # would put every candidate pair's decimal cosine on one core
+    # (round-15 profiling).  No-op on cluster-scale scans.
+    base = widen_narrow(embeddings).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

@@ -3425,7 +3425,12 @@ def _zipnum_epoch_store(spark, sf_dir, tmp_prefix: str) -> str:
     from ..sinks.zipnum import write_tombstone_epoch, write_zipnum_epoch
 
     out = tempfile.mkdtemp(prefix=tmp_prefix)
-    base = _zipnum_input(spark, sf_dir)
+    # one materialized pass of the derived-CDX batch: every epoch
+    # write below re-filters this frame, and re-deriving the SURT
+    # canonicalization per write measured ~1.1 s/pass (round 15) —
+    # the ingest-batch rows are metadata-sized, and the blocks die
+    # with the query via the ContextCleaner
+    base = _zipnum_input(spark, sf_dir).localCheckpoint()
     crawl_no = F.substring("filename", 7, 2).cast("int")
     write_zipnum_epoch(
         base.filter(crawl_no % 2 == 0), out, 0, shards=2, numlines=100
@@ -3817,7 +3822,9 @@ def _parquet_epoch_store(spark, sf_dir, tmp_prefix: str) -> str:
     from ..sinks.zipnum import write_tombstone_epoch
 
     out = tempfile.mkdtemp(prefix=tmp_prefix)
-    base = _zipnum_input(spark, sf_dir)
+    # same one-pass materialization as _zipnum_epoch_store (four
+    # epoch/tombstone writes re-read this frame)
+    base = _zipnum_input(spark, sf_dir).localCheckpoint()
     crawl_no = F.substring("filename", 7, 2).cast("int")
     write_parquet_index_epoch(
         to_parquet_index_shape(base.filter(crawl_no % 2 == 0)),

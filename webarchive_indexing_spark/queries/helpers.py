@@ -85,3 +85,24 @@ def widen(df: DataFrame) -> DataFrame:
     no-op decision — apply only where profiling shows the mismatch.)
     """
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def widen_narrow(df: DataFrame) -> DataFrame:
+    """``widen`` gated on the frame's ACTUAL planned width: a no-op
+    when the plan already yields >= defaultParallelism partitions (a
+    cluster-scale scan), a round-robin repartition when it is narrower
+    (a small parquet fixture file plans as 1-3 partitions, so every
+    downstream CPU-heavy stage — pair scoring, Lloyd assignment,
+    PQ encode — would otherwise run on 1-3 of the session's cores).
+
+    Scale-adaptive by construction (guide §2.5 "input skew", §1.2
+    "fix the distributed algorithm first"): on a 100 TB corpus the
+    scan is already thousands of partitions and this inserts NO
+    exchange; the round-robin shuffle only ever moves a narrow
+    frame's worth of rows.  Deterministic under retry because
+    sortBeforeRepartition stays at its default."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

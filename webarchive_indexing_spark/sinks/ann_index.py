@@ -247,12 +247,20 @@ def write_ivf_index(
     from ..operators.kmeans import lloyd_train
     from ..operators.similarity import ivf_cell_expr
 
+    from ..queries.helpers import widen_narrow
+
     cents = lloyd_train(
         embeddings, k=n_cents, iters=train_iters, dim=dim,
         id_col=id_col, vec_col=vec_col, train_frac=train_frac,
     )
     (
-        embeddings.withColumn("cell", ivf_cell_expr(cents, vec_col))
+        # widen a narrow scan so the k×dim-decimal cell argmin runs at
+        # full width; cluster by cell before the hive write so the
+        # file count stays one per inverted list (the Iceberg
+        # write.distribution-mode=hash posture)
+        widen_narrow(embeddings)
+        .withColumn("cell", ivf_cell_expr(cents, vec_col))
+        .repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(_join(out_dir, "vectors"))
@@ -291,16 +299,20 @@ def write_ivfsq_index(
     ``centroids.json`` — same model file as the flat store)."""
     from ..operators.kmeans import lloyd_train
     from ..operators.similarity import ivf_cell_expr
+    from ..queries.helpers import widen_narrow
 
     cents = lloyd_train(
         embeddings, k=n_cents, iters=train_iters, dim=dim,
         id_col=id_col, vec_col=vec_col, train_frac=train_frac,
     )
     (
+        # same widen + cell-clustered write as the flat store (file
+        # count stays one per inverted list)
         _int8_frame(
-            embeddings, ivf_cell_expr(cents, vec_col), id_col, vec_col,
-            attrs=attrs,
+            widen_narrow(embeddings), ivf_cell_expr(cents, vec_col),
+            id_col, vec_col, attrs=attrs,
         )
+        .repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(_join(out_dir, "sq"))
@@ -1120,6 +1132,13 @@ def write_ivfpq_index(
 
     assert dim % n_sub == 0
     sub_dim = dim // n_sub
+    # widen once up front: rotation, coarse/sub-codebook training and
+    # the residual encode are all k×dim-decimal-heavy map stages that
+    # would otherwise run at a narrow fixture scan's width (the
+    # repartition("cell") below keeps the file count = n_cells)
+    from ..queries.helpers import widen_narrow
+
+    embeddings = widen_narrow(embeddings)
     opq_u: list[float] | None = None
     if opq_iters is not None:
         from ..operators.pca import (
@@ -1161,13 +1180,19 @@ def write_ivfpq_index(
         *[f"`{a}`" for a in (attrs or [])],
     )
     (
-        coded.write.partitionBy("cell")
+        # cluster by cell before the hive write (the write_ivf_index
+        # convention): one file per inverted list regardless of how
+        # wide the encode stage ran — the shuffle moves code rows
+        # (n_sub bytes + id), never vectors
+        coded.repartition("cell")
+        .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(_join(out_dir, "codes"))
     )
     if refine is not None:
         (
             _refine_sidecar_frame(embeddings, cell, refine, id_col, vec_col)
+            .repartition("cell")
             .write.partitionBy("cell")
             .mode("overwrite")
             .parquet(_join(out_dir, "refine"))

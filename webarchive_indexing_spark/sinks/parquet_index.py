@@ -123,8 +123,17 @@ def write_parquet_index(
                 "__ft", F.col("fetch_time").cast("double")
             )
             zcols = ["__ft" if c == "fetch_time" else c for c in zcols]
+        # boundary passes (exact ntile rank + approxQuantile) each
+        # re-execute the merged-epoch view — a union of epoch scans
+        # with tombstone anti-joins.  Materialize ONE narrow pass of
+        # just the clustering columns and derive boundaries from
+        # that; the returned key column applies to the full frame
+        # unchanged.  (Scale note: the projection is two columns of
+        # the index, a small fraction of the store — never the full
+        # payload; the write path below still streams from source.)
+        zproj = staged.select(*zcols).localCheckpoint()
         zcol, _meta = zorder_key(
-            staged, zcols, bits=zorder_bits, bucketing="quantile"
+            zproj, zcols, bits=zorder_bits, bucketing="quantile"
         )
         (
             staged.withColumn("__z", zcol)
