@@ -737,14 +737,23 @@ def append_knn_graph(
         # exact edges for the batch: batch × all (broadcast the
         # batch-sized side is fine — appends are batch-sized by
         # contract; a bulk load is a REBUILD)
+        from ..queries.helpers import widen_narrow
+
         nrm = F.sqrt(_dec_dot(F.col(vec_col), F.col(vec_col)).cast("double"))
         a = batch.select(
             F.col(id_col).alias("src"), F.col(vec_col).alias("a_v"),
             nrm.alias("a_nrm"),
         )
-        b = allv.select(
-            F.col(id_col).alias("dst"), F.col(vec_col).alias("b_v"),
-            nrm.alias("b_nrm"),
+        # widen the STREAM side (the store scan ∪ batch) before the
+        # pair fan-out — the same narrow-scan fix as build_knn_graph:
+        # the persisted vectors are a handful of small bucket files
+        # that plan as 1-2 partitions, so the batch×all decimal
+        # scoring would run on 1-2 cores.  No-op on a wide store.
+        b = widen_narrow(
+            allv.select(
+                F.col(id_col).alias("dst"), F.col(vec_col).alias("b_v"),
+                nrm.alias("b_nrm"),
+            )
         )
         pairs = F.broadcast(a).join(b, F.col("src") != F.col("dst"))
         scored = pairs.select(
