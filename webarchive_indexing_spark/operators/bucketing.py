@@ -163,14 +163,16 @@ def zorder_key(
     # codegen's limits into interpreted evaluation, and cost seconds
     # of py4j expression construction per call (round-15 profiling:
     # computing __z alone on an 11.5k-row index read 14.6 s; the
-    # rewrite reads it in milliseconds).  Only used when the table is
-    # small (quantile caps bits at 8 → 256 entries); the linear mode's
-    # arithmetic bucket is a handful of nodes, so its per-bit loop
-    # stays.
-    spread_sql = "array(" + ",".join(
-        str(sum(((b >> i) & 1) << (i * ncols) for i in range(bits))) + "L"
-        for b in range(1 << bits)
-    ) + ")"
+    # rewrite reads it in milliseconds).  Built ONLY in quantile mode,
+    # where bits is capped at 8 (256 entries): linear mode's bits can
+    # reach 62, where a 2^bits table would hang the driver, and its
+    # arithmetic bucket is a handful of nodes so the per-bit loop
+    # stays cheap.
+    if bucketing == "quantile":
+        spread_sql = "array(" + ",".join(
+            str(sum(((b >> i) & 1) << (i * ncols) for i in range(bits))) + "L"
+            for b in range(1 << bits)
+        ) + ")"
 
     def _sql_str(s: str) -> str:
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -100,7 +100,17 @@ def widen_narrow(df: DataFrame) -> DataFrame:
     scan is already thousands of partitions and this inserts NO
     exchange; the round-robin shuffle only ever moves a narrow
     frame's worth of rows.  Deterministic under retry because
-    sortBeforeRepartition stays at its default."""
+    sortBeforeRepartition stays at its default.
+
+    Limitations (use on SCAN-SHAPED inputs only): the gate probes
+    ``df.rdd.getNumPartitions()``, which (a) compiles an extra
+    physical plan per call — cheap for a scan, measurable on a wide
+    tree — and (b) reports the STATIC pre-AQE width for plans that
+    contain exchanges (e.g. the stock 200 shuffle partitions), so on
+    such a frame the gate can wrongly no-op even though AQE coalesces
+    it to 1-2 partitions at runtime.  Every call site in this repo
+    feeds it a (filtered/projected) parquet scan, where the planned
+    partition count is the real one."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= n:

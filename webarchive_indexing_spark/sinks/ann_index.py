@@ -373,6 +373,10 @@ def append_ivfsq_index(
             embeddings, ivf_cell_expr(cents, vec_col), id_col, vec_col,
             attrs=attrs,
         )
+        # cluster by cell like the build writer: one new file per
+        # touched inverted list per append, instead of one per task
+        # partition per list (the shuffle moves a batch, not a corpus)
+        .repartition("cell")
         .write.partitionBy("cell")
         .mode("append")
         .parquet(_join(store, "sq"))
@@ -845,6 +849,9 @@ def append_ivf_index(
     cents = read_ivf_centroids(store)
     (
         embeddings.withColumn("cell", ivf_cell_expr(cents, vec_col))
+        # cluster by cell like the build writer: one new file per
+        # touched inverted list per append (batch-sized shuffle)
+        .repartition("cell")
         .write.partitionBy("cell")
         .mode("append")
         .parquet(_join(store, "vectors"))
@@ -1323,8 +1330,12 @@ def append_ivfpq_index(
         *[f"`{a}`" for a in attrs],
     )
     data_dir = store
+    # cluster by cell like the build writers: one new file per touched
+    # inverted list per append — the shuffle moves code/id rows (and
+    # batch-sized refine vectors), never the corpus
     (
-        coded.write.partitionBy("cell")
+        coded.repartition("cell")
+        .write.partitionBy("cell")
         .mode("append")
         .parquet(_join(data_dir, "codes"))
     )
@@ -1333,6 +1344,7 @@ def append_ivfpq_index(
             _refine_sidecar_frame(
                 embeddings, cell, meta["refine"], id_col, vec_col
             )
+            .repartition("cell")
             .write.partitionBy("cell")
             .mode("append")
             .parquet(_join(data_dir, "refine"))

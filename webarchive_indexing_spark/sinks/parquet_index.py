@@ -128,13 +128,24 @@ def write_parquet_index(
         # with tombstone anti-joins.  Materialize ONE narrow pass of
         # just the clustering columns and derive boundaries from
         # that; the returned key column applies to the full frame
-        # unchanged.  (Scale note: the projection is two columns of
-        # the index, a small fraction of the store — never the full
-        # payload; the write path below still streams from source.)
-        zproj = staged.select(*zcols).localCheckpoint()
-        zcol, _meta = zorder_key(
-            zproj, zcols, bits=zorder_bits, bucketing="quantile"
-        )
+        # unchanged.  persist (NOT localCheckpoint): the blocks are
+        # recomputable from lineage, so on a real cluster a lost
+        # executor recomputes its slice instead of failing the job,
+        # and DISK_ONLY spill bounds memory if the projection is
+        # large.  The cache lives only for the boundary passes — the
+        # boundaries come back as plain literals baked into the key
+        # column, so it is released before the write below, which
+        # still streams from source.  (Scale note: the projection is
+        # two columns of index metadata, never the payload.)
+        from pyspark import StorageLevel
+
+        zproj = staged.select(*zcols).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            zcol, _meta = zorder_key(
+                zproj, zcols, bits=zorder_bits, bucketing="quantile"
+            )
+        finally:
+            zproj.unpersist()
         (
             staged.withColumn("__z", zcol)
             .repartitionByRange(range_partitions, "__z")
