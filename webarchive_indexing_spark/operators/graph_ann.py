@@ -1346,13 +1346,17 @@ def graph_beam_batch_topk(
         if exclude_ids
         else [-1] * len(query_vecs)
     )
-    qdf = spark.createDataFrame(
-        [
-            (i, [float(x) for x in qv])
-            for i, qv in enumerate(query_vecs)
-        ],
-        "req int, qvec array<double>",
-    )
+    # the N query vectors as ONE string-built SQL array-of-arrays
+    # literal (round 16): the former broadcast (req, qvec) table cost
+    # every scoring action a BroadcastExchange build — a separate job
+    # plus ~0.2 s of fixed latency — for a value that never changes
+    # across the walk.  repr(float) round-trips the double bits, so
+    # element_at(qarr, req+1) feeds cosine() the identical array the
+    # broadcast column carried (hash-stable vs the oracle).
+    qarr_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in qv) + ")"
+        for qv in query_vecs
+    ) + ")"
 
     def score_pairs(pairs: list[tuple[int, int]]) -> list[tuple]:
         # pairs: (req, id) — serving-parameter-bounded (≤ N·B·degree);
@@ -1361,18 +1365,42 @@ def graph_beam_batch_topk(
         # codegen expression as every other path — no Python float
         # re-derivation to drift from the oracle); the bounded result
         # rows come back to the driver-side walk state.
-        p = spark.createDataFrame(pairs, "req int, id bigint")
+        #
+        # Per-request membership rides a string-built id→reqs MAP
+        # literal (one py4j call) exploded against the scan row — the
+        # former createDataFrame + TWO broadcast joins made every
+        # scoring action ~0.75 s of fixed latency (round-16 per-action
+        # profile); this shape is one job over the pruned scan, the
+        # same cost as the hop's edge collect.
+        reqs_of: dict[int, list[int]] = {}
+        for req, i in pairs:
+            reqs_of.setdefault(int(i), []).append(int(req))
+        req_map_sql = "map(" + ",".join(
+            f"{i}L,array({','.join(str(r) for r in sorted(rs))})"
+            for i, rs in sorted(reqs_of.items())
+        ) + ")"
         vs = _pruned_vec_scan(
             vecs, [i for _, i in pairs], nb, id_col
         ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
         return [
             (int(r.req), int(r.id), float(r.s))
-            for r in vs.join(F.broadcast(p), "id")
-            .join(F.broadcast(qdf), "req")
+            for r in vs.select(
+                "id",
+                "__v",
+                F.explode(
+                    F.element_at(F.expr(req_map_sql), F.col("id"))
+                ).alias("req"),
+            )
             .select(
                 "req",
                 "id",
-                hround(cosine(F.col("__v"), F.col("qvec")), 6).alias("s"),
+                hround(
+                    cosine(
+                        F.col("__v"),
+                        F.element_at(F.expr(qarr_sql), F.col("req") + 1),
+                    ),
+                    6,
+                ).alias("s"),
             )
             .collect()
         ]
