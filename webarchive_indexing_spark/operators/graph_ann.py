@@ -250,9 +250,15 @@ def nn_descent_knn_graph(
         w = Window.partitionBy("src").orderBy(
             F.col("sim").desc(), F.col("dst").asc()
         )
+        # dst lookup FIRST, src lookup LAST: at cluster scale both
+        # lookups are shuffle joins, and joining src last leaves the
+        # frame hash-partitioned by src — exactly the distribution the
+        # per-src top-k window requires, so the window adds a sort but
+        # no exchange (guide §2.4).  At fixture scale both lookups
+        # broadcast and the order is neutral.
         return (
-            pairs.join(a, "src")
-            .join(b, "dst")
+            pairs.join(b, "dst")
+            .join(a, "src")
             .select(
                 "src", "dst",
                 hround(
@@ -616,18 +622,32 @@ def write_knn_graph(
         graph = edges
     if symmetric:
         graph = _symmetrize(graph)
-    (
-        _bucketed(base, id_col, n_buckets, "id_bucket")
-        .write.partitionBy("id_bucket")
-        .mode("overwrite")
-        .parquet(posixpath.join(out_dir, "vectors"))
-    )
-    (
-        _bucketed(graph, "src", n_buckets, "src_bucket")
-        .write.partitionBy("src_bucket")
-        .mode("overwrite")
-        .parquet(posixpath.join(out_dir, "graph"))
-    )
+    # the vectors/ and graph/ writes are independent jobs over
+    # different outputs — submit them from two driver threads so the
+    # edge build's stage tail back-fills with the vector write's tasks
+    # (guide §2.6) instead of paying both write walls in sequence
+    def _write_vectors() -> None:
+        (
+            _bucketed(base, id_col, n_buckets, "id_bucket")
+            .write.partitionBy("id_bucket")
+            .mode("overwrite")
+            .parquet(posixpath.join(out_dir, "vectors"))
+        )
+
+    def _write_graph() -> None:
+        (
+            _bucketed(graph, "src", n_buckets, "src_bucket")
+            .write.partitionBy("src_bucket")
+            .mode("overwrite")
+            .parquet(posixpath.join(out_dir, "graph"))
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_vectors), pool.submit(_write_graph)]
+        for f in futs:
+            f.result()
     entries = _top_degree_entries(
         emb.sparkSession.read.parquet(posixpath.join(out_dir, "graph")),
         n_entries,

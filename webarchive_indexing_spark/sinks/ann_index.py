@@ -1159,22 +1159,37 @@ def write_ivfpq_index(
         )
         opq_u, opq_k = householder_rotation(v)
         embeddings = rotate_frame(embeddings, opq_u, opq_k, vec_col=vec_col)
-    cents = lloyd_train(
-        embeddings, k=n_cells, iters=train_iters, dim=dim,
-        id_col=id_col, vec_col=vec_col, train_frac=train_frac,
-    )
-    cbooks: list[dict[int, list[float]]] = []
-    for m in range(n_sub):
+    # The coarse quantizer and the n_sub sub-codebooks are INDEPENDENT
+    # Lloyd chains over the same (rotated) frame — train them from a
+    # small driver thread pool (guide §2.6) so each training's
+    # kilobyte-scale update actions overlap instead of paying
+    # (1 + n_sub) sequential seed-collect + update walls.  Each chain
+    # is internally sequential (Lloyd is a barrier per iteration);
+    # only the chains interleave, and each returns a plain dict, so
+    # results are deterministic regardless of completion order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train_coarse() -> dict[int, list[float]]:
+        return lloyd_train(
+            embeddings, k=n_cells, iters=train_iters, dim=dim,
+            id_col=id_col, vec_col=vec_col, train_frac=train_frac,
+        )
+
+    def _train_sub(m: int) -> dict[int, list[float]]:
         sub = embeddings.select(
             F.col(id_col),
             F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias("subvec"),
         )
-        cbooks.append(
-            lloyd_train(
-                sub, k=k_codes, iters=train_iters, dim=sub_dim,
-                id_col=id_col, vec_col="subvec", train_frac=train_frac,
-            )
+        return lloyd_train(
+            sub, k=k_codes, iters=train_iters, dim=sub_dim,
+            id_col=id_col, vec_col="subvec", train_frac=train_frac,
         )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        coarse_fut = pool.submit(_train_coarse)
+        sub_futs = [pool.submit(_train_sub, m) for m in range(n_sub)]
+        cents = coarse_fut.result()
+        cbooks: list[dict[int, list[float]]] = [f.result() for f in sub_futs]
     ct_sql = residual_codeword_tables(cents, cbooks)
     cell = nearest_sqdist6_expr(vec_col, cents, id_field="cid")
     extra = [F.col(a) for a in (attrs or [])]
@@ -1186,17 +1201,20 @@ def write_ivfpq_index(
         *residual_encode_exprs(ct_sql, vec_col, sub_dim),
         *[f"`{a}`" for a in (attrs or [])],
     )
-    (
-        # cluster by cell before the hive write (the write_ivf_index
-        # convention): one file per inverted list regardless of how
-        # wide the encode stage ran — the shuffle moves code rows
-        # (n_sub bytes + id), never vectors
-        coded.repartition("cell")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(_join(out_dir, "codes"))
-    )
-    if refine is not None:
+    def _write_codes() -> None:
+        (
+            # cluster by cell before the hive write (the
+            # write_ivf_index convention): one file per inverted list
+            # regardless of how wide the encode stage ran — the
+            # shuffle moves code rows (n_sub bytes + id), never
+            # vectors
+            coded.repartition("cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(_join(out_dir, "codes"))
+        )
+
+    def _write_refine() -> None:
         (
             _refine_sidecar_frame(embeddings, cell, refine, id_col, vec_col)
             .repartition("cell")
@@ -1204,6 +1222,16 @@ def write_ivfpq_index(
             .mode("overwrite")
             .parquet(_join(out_dir, "refine"))
         )
+
+    if refine is not None:
+        # codes/ and refine/ are independent outputs — overlap the two
+        # write jobs (guide §2.6) so the second's scan back-fills the
+        # first's write tail
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_write_codes), pool.submit(_write_refine)]:
+                f.result()
+    else:
+        _write_codes()
     fs, local = _fs_for(out_dir)
     with fs.open_output_stream(
         _join(local, _PQ_MODEL), compression=None
