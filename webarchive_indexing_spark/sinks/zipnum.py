@@ -879,6 +879,8 @@ def read_zipnum_epochs(
     ingests, later takedowns, and later compactions are all invisible
     (epochs are immutable and ids monotonic, so a snapshot is just an
     id cutoff; see ``list_epochs`` for the retention caveat)."""
+    from ..sources.cdx import parse_cdx_any_lines
+
     epochs = [
         e for e in list_epochs(out_dir, as_of_epoch) if _has_cluster(e)
     ]
@@ -886,12 +888,23 @@ def read_zipnum_epochs(
         return parse_cdx_lines(
             spark.createDataFrame([], T.StructType([T.StructField("value", T.StringType())]))
         )
-    dfs = [
-        read_zipnum(spark, e, key_lo=key_lo, key_hi=key_hi) for e in epochs
+    # per-epoch block prune + RAW line read, ONE parse over the union:
+    # the typed-CDX parse expression costs ~0.3 s of driver plan
+    # construction per call (round-16 profiling), and building it per
+    # epoch per snapshot dominated the read's wall at fixture scale —
+    # the parsed rows are identical either way (same parser, applied
+    # after the union instead of inside each branch)
+    raws = [
+        _read_blocks(
+            spark, e, _prune(_load_idx(e), key_lo, key_hi),
+            parser=lambda df: df,
+        )
+        for e in epochs
     ]
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df)
+    lines = raws[0]
+    for df in raws[1:]:
+        lines = lines.unionByName(df)
+    out = _range_filter(parse_cdx_any_lines(lines), key_lo, key_hi)
     wild, exact = _read_tombstones(out_dir, as_of_epoch)
     if wild:
         wdf = out.sparkSession.createDataFrame([(k,) for k in wild], "urlkey string")
