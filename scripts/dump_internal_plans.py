@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Dump plans for INTERNAL build-side frames into ``plans/r15/``.
+"""Dump plans for INTERNAL build-side frames into ``plans/<round>/``.
 
 Most round-15 optimizations live in fixture-store BUILD paths (the
 write side of build+serve composites), which the declared queries'
@@ -37,7 +37,7 @@ def _dump(df, name: str, tag: str) -> None:
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    out_dir = os.path.join(ROOT, "plans", "r15")
+    out_dir = os.path.join(ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{name}_{tag}.txt")
     with open(path, "w") as fh:

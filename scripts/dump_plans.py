@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump ``.explain("formatted")`` for named registry queries into
-``plans/r15/<query>_<tag>.txt`` — the before/after plan evidence the
+``plans/<round>/<query>_<tag>.txt`` — the before/after plan evidence the
 optimization round commits alongside the code.
 
     python scripts/dump_plans.py before q1_pricing_summary emb_graph_beam_topk
@@ -30,7 +30,7 @@ def main() -> None:
     if not names:
         sys.exit("usage: dump_plans.py <tag> <query> [query ...]")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(ROOT, "plans", "r15")
+    out_dir = os.path.join(ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("webarchive-indexing-spark-plans")
     spark.sparkContext.setLogLevel("ERROR")
