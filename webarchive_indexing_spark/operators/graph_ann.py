@@ -966,11 +966,14 @@ def _pruned_edge_scan(
     if not ids:
         return graph.filter(F.lit(False))
     g = graph
+    # string-built IN lists, not Column.isin: isin() round-trips one
+    # py4j call PER literal (a 500-id frontier = 500 socket hops on
+    # the driver per hop — round-16 cProfile); one parsed expression
+    # yields the identical In predicate and pushdown
     if n_buckets is not None and "src_bucket" in graph.columns:
-        g = g.filter(
-            F.col("src_bucket").isin(sorted({i % n_buckets for i in ids}))
-        )
-    return g.filter(F.col("src").isin(ids))
+        bks = ",".join(str(b) for b in sorted({i % n_buckets for i in ids}))
+        g = g.filter(F.expr(f"src_bucket IN ({bks})"))
+    return g.filter(F.expr(f"src IN ({','.join(str(i) for i in ids)})"))
 
 
 def _pruned_vec_scan(
@@ -981,11 +984,13 @@ def _pruned_vec_scan(
     if not uniq:
         return vecs.filter(F.lit(False))
     v = vecs
+    # same one-parse IN construction as _pruned_edge_scan (py4j cost)
     if n_buckets is not None and "id_bucket" in vecs.columns:
-        v = v.filter(
-            F.col("id_bucket").isin(sorted({i % n_buckets for i in uniq}))
-        )
-    return v.filter(F.col(id_col).isin(uniq))
+        bks = ",".join(str(b) for b in sorted({i % n_buckets for i in uniq}))
+        v = v.filter(F.expr(f"id_bucket IN ({bks})"))
+    return v.filter(
+        F.expr(f"`{id_col}` IN ({','.join(str(i) for i in uniq)})")
+    )
 
 
 def graph_beam_topk(
@@ -1032,6 +1037,15 @@ def graph_beam_topk(
     graph = spark.read.parquet(posixpath.join(root, "graph"))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
 
+    # the scoring projection is hop-invariant — build the expression
+    # tree ONCE per walk (cosine's decimal fold is ~100 py4j calls to
+    # construct; per-hop reconstruction was pure driver latency,
+    # round-16 cProfile) and reuse the Column across hops
+    score_cols = [
+        F.col(id_col).alias("id"),
+        hround(cosine(F.col(vec_col), qlit), 6).alias("s"),
+    ]
+
     def score_ids(ids: list[int]) -> list[tuple[int, float]]:
         # query norm is a constant; cosine() recomputes it per row
         # inside codegen — candidate sets are beam-sized, so clarity
@@ -1042,10 +1056,7 @@ def graph_beam_topk(
         return [
             (int(r.id), float(r.s))
             for r in _pruned_vec_scan(vecs, ids, nb, id_col)
-            .select(
-                F.col(id_col).alias("id"),
-                hround(cosine(F.col(vec_col), qlit), 6).alias("s"),
-            )
+            .select(*score_cols)
             .collect()
         ]
 
@@ -1377,6 +1388,21 @@ def graph_beam_batch_topk(
         "array(" + ",".join(f"{float(x)!r}D" for x in qv) + ")"
         for qv in query_vecs
     ) + ")"
+    # hop-invariant scoring projection, built once per walk (the
+    # cosine decimal fold costs ~100 py4j round-trips to construct —
+    # round-16 cProfile; rebuilding it per scoring action was pure
+    # driver latency)
+    batch_score_cols = [
+        F.col("req").alias("req"),
+        F.col("id").alias("id"),
+        hround(
+            cosine(
+                F.col("__v"),
+                F.element_at(F.expr(qarr_sql), F.col("req") + 1),
+            ),
+            6,
+        ).alias("s"),
+    ]
 
     def score_pairs(pairs: list[tuple[int, int]]) -> list[tuple]:
         # pairs: (req, id) — serving-parameter-bounded (≤ N·B·degree);
@@ -1411,17 +1437,7 @@ def graph_beam_batch_topk(
                     F.element_at(F.expr(req_map_sql), F.col("id"))
                 ).alias("req"),
             )
-            .select(
-                "req",
-                "id",
-                hround(
-                    cosine(
-                        F.col("__v"),
-                        F.element_at(F.expr(qarr_sql), F.col("req") + 1),
-                    ),
-                    6,
-                ).alias("s"),
-            )
+            .select(*batch_score_cols)
             .collect()
         ]
 
