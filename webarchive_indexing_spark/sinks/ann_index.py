@@ -1742,7 +1742,15 @@ def _refine_source(
     side = (
         spark.read.parquet(_join(store, "refine"))
         .filter(F.col("cell").isin(sorted(cells)))
-        .filter(F.col(id_col).isin(sorted(ids)))
+        # string-built IN, not Column.isin: isin() costs one py4j
+        # round-trip per literal and the candidate list is
+        # k·k_factor·N ids (round-16 beam-walk cProfile finding —
+        # same predicate, same PushedFilters)
+        .filter(
+            F.expr(
+                f"`{id_col}` IN ({','.join(str(int(i)) for i in sorted(ids))})"
+            )
+        )
     )
     if kind == "flat":
         vec = F.col(vec_col)
@@ -1805,7 +1813,12 @@ def ivfpq_refined_batch_topk(
     for i, qv in enumerate(query_vecs):
         ids_i = sorted(per_req.get(i, []))
         sim = hround(cosine(vec, lit_double_array(qv)), 6)
-        member = F.col(id_col).isin(ids_i) if ids_i else F.lit(False)
+        # one-parse IN (py4j cost — see _refine_source)
+        member = (
+            F.expr(f"`{id_col}` IN ({','.join(str(i) for i in ids_i)})")
+            if ids_i
+            else F.lit(False)
+        )
         entries.append(
             F.struct(
                 F.lit(i).alias("request_no"),
@@ -1904,7 +1917,9 @@ def ivfpq_refined_topk(
             hround(cosine(vec, lit_double_array(qv_rot)), 6).alias("cos_sim"),
         )
     else:
-        out = vectors_src.filter(F.col(id_col).isin(ids)).select(
+        out = vectors_src.filter(
+            F.expr(f"`{id_col}` IN ({','.join(str(int(i)) for i in ids)})")
+        ).select(
             F.col(id_col),
             hround(cosine(F.col(vec_col), lit_double_array(qv)), 6).alias(
                 "cos_sim"
