@@ -101,7 +101,9 @@ def zorder_key(
             f"scale — use bucketing='quantile'"
         )
     stats: dict[str, tuple] = {}
-    if num_cols:
+    terms = []
+    bounds: dict[str, list] = {}
+    if bucketing == "linear" and num_cols:
         row = df.agg(
             *[F.min(F.col(c).cast("double")).alias(f"mn_{j}")
               for j, c in enumerate(num_cols)],
@@ -115,22 +117,41 @@ def zorder_key(
                     f"(empty input?) — nothing to cluster"
                 )
             stats[c] = (float(row[f"mn_{j}"]), float(row[f"mx_{j}"]))
-    terms = []
-    bounds: dict[str, list] = {}
     if bucketing == "quantile":
         bits = min(bits, 8)
         nb = (1 << bits) - 1
         if num_cols:
             probs = [i / (nb + 1) for i in range(1, nb + 1)]
-            qcols = df.select(
-                *[F.col(c).cast("double").alias(c) for c in num_cols]
-            )
-            # one pass computes every column's boundaries; boundaries
-            # only shape the LAYOUT (never an answer), so a loose
-            # sketch error is free accuracy-wise and cheaper to merge
-            allq = qcols.stat.approxQuantile(num_cols, probs, 0.01)
-            for c, qs in zip(num_cols, allq):
-                bounds[c] = qs
+            # ONE aggregation action derives min/max AND the equi-depth
+            # boundaries for every numeric column (round 16): the
+            # former separate min/max agg + stat.approxQuantile pass
+            # cost two sequential actions over the (possibly just
+            # materialized) projection.  percentile_approx with
+            # accuracy = 1/relativeError runs the same Greenwald-Khanna
+            # sketch; boundaries only shape the LAYOUT (never an
+            # answer), so a loose sketch error stays free.
+            probs_sql = "array(" + ",".join(repr(p) for p in probs) + ")"
+            row = df.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"mn_{j}")
+                  for j, c in enumerate(num_cols)],
+                *[F.max(F.col(c).cast("double")).alias(f"mx_{j}")
+                  for j, c in enumerate(num_cols)],
+                *[
+                    F.expr(
+                        f"percentile_approx(CAST(`{c}` AS DOUBLE), "
+                        f"{probs_sql}, 100)"
+                    ).alias(f"qs_{j}")
+                    for j, c in enumerate(num_cols)
+                ],
+            ).first()
+            for j, c in enumerate(num_cols):
+                if row[f"mn_{j}"] is None or row[f"mx_{j}"] is None:
+                    raise ValueError(
+                        f"zorder: column {c!r} has no non-NULL values "
+                        f"(empty input?) — nothing to cluster"
+                    )
+                stats[c] = (float(row[f"mn_{j}"]), float(row[f"mx_{j}"]))
+                bounds[c] = [float(q) for q in row[f"qs_{j}"]]
         for c in str_cols:
             from .global_rank import exact_ntile
 
