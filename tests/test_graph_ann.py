@@ -106,24 +106,35 @@ def test_recall_pin_vs_brute_and_ivf(spark, sf_dir, store):
     from graphs.  Fixture-deterministic, so the pin is exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") < 500)
+    qids = [77, 123, 321, 456]
+    # ONE batched walk instead of a per-query loop: the batch walk's
+    # per-request rows equal the per-request graph_beam_topk answers
+    # (the emb_graph_beam_batch oracle is exactly that UNION ALL), and
+    # the loop was 4 walks x 7 driver actions of suite wall
+    from webarchive_indexing_spark.operators.graph_ann import (
+        graph_beam_batch_topk,
+    )
+
+    vmap = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in base.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    beams: dict[int, set[int]] = {q: set() for q in qids}
+    for r in graph_beam_batch_topk(
+        spark, store, [vmap[q] for q in qids], k=10, beam=10, hops=3,
+        entries=(0, 150, 300, 450), exclude_ids=qids,
+    ).collect():
+        beams[qids[int(r.request_no)]].add(int(r.vec_id))
     beam_r, ivf_r = [], []
-    for q in (77, 123, 321, 456):
-        qv = collect_query_vector(emb, q)
+    for q in qids:
         brute = {
             r.vec_id for r in cosine_topk(base, q, k=10).collect()
-        }
-        beam = {
-            r.vec_id
-            for r in graph_beam_topk(
-                spark, store, qv, k=10, beam=10, hops=3,
-                entries=(0, 150, 300, 450), exclude_id=q,
-            ).collect()
         }
         ivf = {
             r.vec_id
             for r in ivf_topk(base, q, k=10, n_cents=8, nprobe=3).collect()
         }
-        beam_r.append(len(beam & brute) / 10)
+        beam_r.append(len(beams[q] & brute) / 10)
         ivf_r.append(len(ivf & brute) / 10)
     mean_beam = sum(beam_r) / len(beam_r)
     mean_ivf = sum(ivf_r) / len(ivf_r)
@@ -323,18 +334,23 @@ def test_stored_entries_recall_beats_static(spark, sf_dir, store):
         for q in qids
     }
 
+    from webarchive_indexing_spark.operators.graph_ann import (
+        graph_beam_batch_topk,
+    )
+
     def mean_recall(entries):
-        tot = 0.0
-        for q in qids:
-            hits = {
-                r.vec_id
-                for r in graph_beam_topk(
-                    spark, store, vmap[q], k=10, beam=10, hops=3,
-                    entries=entries, exclude_id=q,
-                ).collect()
-            }
-            tot += len(hits & brutes[q]) / 10
-        return tot / len(qids)
+        # one batched walk for the whole panel — per-request rows are
+        # the per-request graph_beam_topk answers (oracle-pinned by
+        # emb_graph_beam_batch), at 7 driver actions instead of 20x7
+        hits: dict[int, set[int]] = {q: set() for q in qids}
+        for r in graph_beam_batch_topk(
+            spark, store, [vmap[q] for q in qids], k=10, beam=10,
+            hops=3, entries=entries, exclude_ids=qids,
+        ).collect():
+            hits[qids[int(r.request_no)]].add(int(r.vec_id))
+        return sum(
+            len(hits[q] & brutes[q]) / 10 for q in qids
+        ) / len(qids)
 
     stored = mean_recall(None)
     static = mean_recall((0, 150, 300, 450))

@@ -115,11 +115,23 @@ class CompareResult:
 
 
 def compare(name: str, spark_df: DataFrame, con, sql: str) -> CompareResult:
+    # run the two engines CONCURRENTLY (round 16): the DuckDB oracle
+    # executes on a worker thread (DuckDB releases the GIL; only that
+    # one thread touches the connection) while Spark collects — the
+    # sequential form paid both walls per query, and the 272-query
+    # parity suite runs this once per registered query
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _oracle_side():
+        rel = con.sql(sql)
+        return rel.columns, rel.types, rel.fetchall()
+
     scols = sorted(spark_df.columns)
-    srows = spark_df.collect()
-    rel = con.sql(sql)
-    ocols = sorted(rel.columns)
-    orows = rel.fetchall()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_oracle_side)
+        srows = spark_df.collect()
+        rel_columns, rel_types, orows = fut.result()
+    ocols = sorted(rel_columns)
 
     if [c.lower() for c in scols] != [c.lower() for c in ocols]:
         return CompareResult(
@@ -131,7 +143,7 @@ def compare(name: str, spark_df: DataFrame, con, sql: str) -> CompareResult:
     # even when python-level values compare equal.  Catch them here.
     sdt = dict(spark_df.dtypes)
     styp = {c.lower(): _spark_type_class(sdt[c]) for c in spark_df.columns}
-    otyp = {c.lower(): _duck_type_class(t) for c, t in zip(rel.columns, rel.types)}
+    otyp = {c.lower(): _duck_type_class(t) for c, t in zip(rel_columns, rel_types)}
     bad = {c: (styp[c], otyp[c]) for c in styp if styp[c] != otyp[c]}
     if bad:
         return CompareResult(
@@ -145,7 +157,7 @@ def compare(name: str, spark_df: DataFrame, con, sql: str) -> CompareResult:
     from collections import Counter
 
     sidx = [spark_df.columns.index(c) for c in sorted(spark_df.columns, key=str.lower)]
-    oidx = [rel.columns.index(c) for c in sorted(rel.columns, key=str.lower)]
+    oidx = [rel_columns.index(c) for c in sorted(rel_columns, key=str.lower)]
     sset = Counter(tuple(_norm(r[i]) for i in sidx) for r in srows)
     oset = Counter(tuple(_norm(r[i]) for i in oidx) for r in orows)
     if sset != oset:
