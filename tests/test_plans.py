@@ -1048,6 +1048,21 @@ def test_graph_walk_scan_is_frontier_pruned(spark, sf_dir):
         "PartitionFilters", 1
     )[1].split("]", 1)[0], vplan
     assert "In(vec_id, [" in vplan, vplan
+    # Round 16: the pruned scans build their IN predicates as ONE
+    # parsed SQL expression (Column.isin cost one py4j call per
+    # literal).  A REALISTIC frontier (beam×degree ids, far past the
+    # optimizer's In→InSet conversion threshold) must still reach the
+    # parquet source as a pushed In filter — guard the pushdown at the
+    # width the serving walks actually use.
+    wide = sorted({(7 * i + 3) % 500 for i in range(60)})
+    wplan = (
+        _pruned_vec_scan(v, wide, nb, "vec_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(vec_id, [" in wplan, wplan
+    assert "BroadcastExchange" not in wplan
 
 
 def test_revisit_dedup_payload_crosses_one_exchange(spark, sf_dir):
